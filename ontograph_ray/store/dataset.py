@@ -1,0 +1,292 @@
+"""DatasetGraphStore — the distributed, lazy triple-graph backend.
+
+A named graph as a ``ray.data.Dataset`` with the canonical 3-column
+Arrow schema. Operations are Dataset→Dataset and lazy; nothing
+materializes until a consuming call (count/write/take). This is the
+bulk counterpart of MemoryGraphStore, covering the reference's store
+surface at scale (reference: graph_store.go:9-50, RD mappings in
+SURVEY.md §2.2):
+
+- pattern match (G2/G3/G5)      → vectorized filter inside map_batches
+- delete-all-matches (G4)       → negated filter
+- bulk add-unchecked (G8/G9)    → union + exact dedup (G17)
+- bulk delete-unchecked (G12/13)→ broadcast anti-join (small incoming)
+- size (G16)                    → ds.count()
+- serialize (G15)               → N-Triples datasink (one file/block)
+
+Scale notes: exact dedup is the canonical materialize step — a
+per-block Arrow distinct (combiner, shrinks the shuffle input) then a
+groupby on a hash *bucket* of (s,p,o) so the all-to-all shuffle keys on
+a small-cardinality int column and each bucket dedups with one Arrow
+kernel call — NOT one Python call per distinct triple.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .. import triples as tr
+from ..triples import Triple
+from . import turtle
+
+DEDUP_BUCKETS_DEFAULT = 64
+_SEP = "\x1f"
+
+
+class DatasetGraphStore:
+    """Lazy triple graph over a Ray Dataset."""
+
+    def __init__(self, uri: str, ds: ray.data.Dataset):
+        self._uri = uri
+        self._ds = ds
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def from_parquet(cls, uri: str, path: str, **kwargs) -> "DatasetGraphStore":
+        return cls(uri, ray.data.read_parquet(path, columns=tr.COLUMNS, **kwargs))
+
+    @classmethod
+    def from_table(cls, uri: str, table: pa.Table) -> "DatasetGraphStore":
+        return cls(uri, ray.data.from_arrow(table))
+
+    @classmethod
+    def from_triples(cls, uri: str, triples: Sequence[Triple]) -> "DatasetGraphStore":
+        return cls.from_table(uri, tr.triples_to_table(triples))
+
+    @classmethod
+    def from_ntriples_text(cls, uri: str, paths) -> "DatasetGraphStore":
+        """Source: line-oriented N-Triples files — embarrassingly
+        parallel per-line parse (reference bootstrap path: G18,
+        memory_store.go:32-60)."""
+        lines = ray.data.read_text(paths)
+
+        def parse_lines(batch: pa.Table) -> pa.Table:
+            rows = [
+                turtle.parse_turtle(line)
+                for line in batch["text"].to_pylist()
+                if line.strip() and not line.lstrip().startswith("#")
+            ]
+            flat = [t for triple_list in rows for t in triple_list]
+            return tr.triples_to_table(flat)
+
+        return cls(uri, lines.map_batches(parse_lines, batch_format="pyarrow"))
+
+    # -- accessors ---------------------------------------------------------
+
+    def get_uri(self) -> str:
+        return self._uri
+
+    @property
+    def dataset(self) -> ray.data.Dataset:
+        return self._ds
+
+    def size(self) -> int:
+        return self._ds.count()
+
+    # -- pattern matching --------------------------------------------------
+
+    def matches(
+        self, subject: str = "", predicate: str = "", object: str = ""
+    ) -> ray.data.Dataset:
+        """All triples matching the wildcard pattern, as a lazy Dataset."""
+        if subject == "" and predicate == "" and object == "":
+            return self._ds
+        pattern = (subject, predicate, object)
+
+        def filt(batch: pa.Table) -> pa.Table:
+            mask = tr.pattern_mask(batch, *pattern)
+            return batch if mask is None else batch.filter(mask)
+
+        return self._ds.map_batches(filt, batch_format="pyarrow")
+
+    def get_all_matches(
+        self, subject: str = "", predicate: str = "", object: str = ""
+    ) -> list[Triple]:
+        tbl = pa.Table.from_pylist(
+            self.matches(subject, predicate, object).take_all(),
+            schema=tr.TRIPLE_SCHEMA,
+        )
+        return tr.table_to_triples(tbl)
+
+    def get_first_match(
+        self, subject: str = "", predicate: str = "", object: str = ""
+    ) -> Optional[Triple]:
+        rows = self.matches(subject, predicate, object).limit(1).take(1)
+        if not rows:
+            return None
+        r = rows[0]
+        return Triple(r[tr.SUBJECT], r[tr.PREDICATE], r[tr.OBJECT])
+
+    def without_matches(
+        self, subject: str = "", predicate: str = "", object: str = ""
+    ) -> "DatasetGraphStore":
+        """DeleteAllMatches as a new graph version (negated filter,
+        G4)."""
+        pattern = (subject, predicate, object)
+
+        def filt(batch: pa.Table) -> pa.Table:
+            mask = tr.pattern_mask(batch, *pattern)
+            if mask is None:
+                return batch.slice(0, 0)
+            return batch.filter(pc.invert(mask))
+
+        return DatasetGraphStore(
+            self._uri, self._ds.map_batches(filt, batch_format="pyarrow")
+        )
+
+    # -- bulk set operations ----------------------------------------------
+
+    def add_triples_unchecked(
+        self, new: "ray.data.Dataset | pa.Table | Sequence[Triple]"
+    ) -> "DatasetGraphStore":
+        """Idempotent bulk insert: union + global exact dedup (G9+G17)."""
+        if isinstance(new, pa.Table):
+            new_ds = ray.data.from_arrow(new)
+        elif isinstance(new, ray.data.Dataset):
+            new_ds = new
+        else:
+            new_ds = ray.data.from_arrow(tr.triples_to_table(new))
+        return DatasetGraphStore(self._uri, dedup(self._ds.union(new_ds)))
+
+    def delete_triples_unchecked(
+        self, remove: "pa.Table | Sequence[Triple]"
+    ) -> "DatasetGraphStore":
+        """Idempotent bulk delete via broadcast anti-join (G13): the
+        (small) incoming key set goes into the object store once
+        (ray.put) and is read once per actor in __init__ — never
+        re-shipped per batch."""
+        if not isinstance(remove, pa.Table):
+            remove = tr.triples_to_table(remove)
+        keys = set(
+            zip(
+                remove[tr.SUBJECT].to_pylist(),
+                remove[tr.PREDICATE].to_pylist(),
+                remove[tr.OBJECT].to_pylist(),
+            )
+        )
+        keys_ref = ray.put(keys)
+        out = self._ds.map_batches(
+            _BroadcastAntiJoin,
+            fn_constructor_args=(keys_ref,),
+            batch_format="pandas",
+            concurrency=(1, 4),
+        )
+        return DatasetGraphStore(self._uri, out)
+
+    def union(self, other: "DatasetGraphStore") -> "DatasetGraphStore":
+        return DatasetGraphStore(self._uri, self._ds.union(other._ds))
+
+    def deduped(self, num_buckets: int = DEDUP_BUCKETS_DEFAULT) -> "DatasetGraphStore":
+        return DatasetGraphStore(self._uri, dedup(self._ds, num_buckets))
+
+    # -- sinks -------------------------------------------------------------
+
+    def write_parquet(self, path: str, **kwargs) -> None:
+        self._ds.write_parquet(path, **kwargs)
+
+    def write_ntriples(self, path: str) -> None:
+        write_ntriples(self._ds, path)
+
+    def to_memory_store(self):
+        """Materialize into the eager small-graph backend (driver-side;
+        only for graphs known to be small)."""
+        from .memory import MemoryGraphStore
+
+        tbl = pa.Table.from_pylist(self._ds.take_all(), schema=tr.TRIPLE_SCHEMA)
+        return MemoryGraphStore.from_table(self._uri, tbl)
+
+
+class _BroadcastAntiJoin:
+    """Actor-pool stage: drop rows whose (s,p,o) is in the broadcast key
+    set; set fetched from the object store once per actor."""
+
+    def __init__(self, keys_ref):
+        self.keys = ray.get(keys_ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        joined = list(zip(df[tr.SUBJECT], df[tr.PREDICATE], df[tr.OBJECT]))
+        mask = [k not in self.keys for k in joined]
+        return df[pd.Series(mask, index=df.index)]
+
+
+# ---------------------------------------------------------------------------
+# Distributed primitives (exported, reused by pipelines)
+# ---------------------------------------------------------------------------
+
+
+def _distinct_triples_block(batch: pa.Table) -> pa.Table:
+    """Per-block exact distinct on (s,p,o) — the pre-shuffle combiner."""
+    if batch.num_rows == 0:
+        return batch
+    return batch.group_by(tr.COLUMNS, use_threads=False).aggregate([])
+
+
+def _add_bucket(df: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+    """Deterministic hash bucket of (s,p,o) — vectorized via pandas'
+    64-bit row hash. Bucket skew only affects balance, not correctness."""
+    key = df[tr.SUBJECT] + _SEP + df[tr.PREDICATE] + _SEP + df[tr.OBJECT]
+    df = df.copy()
+    df["__bucket"] = (
+        pd.util.hash_pandas_object(key, index=False) % num_buckets
+    ).astype("int64")
+    return df
+
+
+def _distinct_within_bucket(group: pa.Table) -> pa.Table:
+    out = group.drop_columns(["__bucket"])
+    return out.group_by(tr.COLUMNS, use_threads=False).aggregate([])
+
+
+def dedup(
+    ds: ray.data.Dataset, num_buckets: int = DEDUP_BUCKETS_DEFAULT
+) -> ray.data.Dataset:
+    """Global exact dedup on (subject, predicate, object) — G17, the
+    engine's canonical materialize step.
+
+    Three stages: (1) per-block Arrow distinct (combiner — shrinks
+    shuffle input to per-block uniques), (2) hash-bucket column +
+    groupby("__bucket") — the all-to-all exchange keys on a
+    small-cardinality int, (3) per-bucket Arrow distinct (≤num_buckets
+    Python calls total, each one vectorized kernel over a whole
+    bucket)."""
+    local = ds.map_batches(_distinct_triples_block, batch_format="pyarrow")
+    bucketed = local.map_batches(
+        _add_bucket, fn_kwargs={"num_buckets": num_buckets}, batch_format="pandas"
+    )
+    return bucketed.groupby("__bucket").map_groups(
+        _distinct_within_bucket, batch_format="pyarrow"
+    )
+
+
+def write_ntriples(ds: ray.data.Dataset, path: str) -> None:
+    """Sink: partitioned N-Triples files, one per block (resumable
+    layout — a directory of part files, like write_parquet). Formatting
+    is a vectorized string join (G15; per-triple line shape matches the
+    reference's TTL payload rendering, blazegraph_store.go:165,187)."""
+    from ray.data.block import BlockAccessor
+    from ray.data.datasource import BlockBasedFileDatasink
+
+    class NTriplesDatasink(BlockBasedFileDatasink):
+        def __init__(self, p):
+            super().__init__(p, file_format="nt")
+
+        def write_block_to_file(self, block: BlockAccessor, file) -> None:
+            tbl = block.to_arrow()
+            lines = pc.binary_join_element_wise(
+                tbl[tr.SUBJECT], tbl[tr.PREDICATE], tbl[tr.OBJECT], " "
+            )
+            lines = pc.binary_join_element_wise(lines, pa.scalar(" .\n"), "")
+            data = "".join(lines.to_pylist())
+            file.write(data.encode("utf-8"))
+
+    ds.write_datasink(NTriplesDatasink(path))

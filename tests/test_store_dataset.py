@@ -1,0 +1,85 @@
+"""DatasetGraphStore conformance — same 7-triple fixture as the memory
+backend, exercised through the lazy Ray Dataset path, plus the
+distributed primitives (dedup, anti-join, N-Triples sink round-trip)."""
+
+import os
+
+import pytest
+
+from ontograph_ray.store import DatasetGraphStore, dedup
+from ontograph_ray.triples import Triple, triples_to_table
+
+from test_store import G, TT, fixture_triples
+
+
+@pytest.fixture
+def dstore(ray_session):
+    return DatasetGraphStore.from_triples(G, fixture_triples())
+
+
+def test_uri_and_size(dstore):
+    assert dstore.get_uri() == G
+    assert dstore.size() == len(TT)
+
+
+def test_get_all_matches(dstore):
+    got = dstore.get_all_matches("", f"<{G}#rel-1>", "")
+    assert sorted(got) == sorted(TT[0:3])
+    assert dstore.get_all_matches("", f"<{G}#rel-1>", '"lit1"') == []
+    assert sorted(dstore.get_all_matches()) == sorted(TT)
+
+
+def test_get_first_match(dstore):
+    assert dstore.get_first_match("", f"<{G}#rel-3>", '"lit1"') == TT[4]
+    assert dstore.get_first_match(f"<{G}>", f"<{G}#rel-1>", "") in TT[0:3]
+    assert dstore.get_first_match("", f"<{G}#rel-42>", "") is None
+
+
+def test_without_matches(dstore):
+    out = dstore.without_matches("", "", f"<{G}#b>")
+    trps = out.get_all_matches()
+    assert TT[1] not in trps and TT[3] not in trps
+    assert len(trps) == 5
+
+
+def test_add_triples_unchecked_dedups(dstore):
+    # re-adding existing triples plus one new one: set semantics hold
+    new = Triple(f"<{G}#a>", f"<{G}#rel-9>", '"new"')
+    out = dstore.add_triples_unchecked([TT[0], TT[1], new])
+    trps = out.get_all_matches()
+    assert len(trps) == len(TT) + 1
+    assert new in trps
+
+
+def test_delete_triples_unchecked(dstore):
+    out = dstore.delete_triples_unchecked([TT[0], TT[4]])
+    trps = out.get_all_matches()
+    assert TT[0] not in trps and TT[4] not in trps
+    assert len(trps) == len(TT) - 2
+
+
+def test_dedup_exactness(ray_session):
+    import ray.data
+
+    # triple set duplicated 5x across blocks → exactly one of each survives
+    tbl = triples_to_table(TT * 5)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = dedup(ds)
+    rows = out.take_all()
+    got = sorted(Triple(r["subject"], r["predicate"], r["object"]) for r in rows)
+    assert got == sorted(TT)
+
+
+def test_ntriples_roundtrip(dstore, tmp_path):
+    path = str(tmp_path / "nt_out")
+    dstore.write_ntriples(path)
+    files = [f for f in os.listdir(path) if f.endswith(".nt")]
+    assert files
+    loaded = DatasetGraphStore.from_ntriples_text(G, path)
+    assert sorted(loaded.get_all_matches()) == sorted(TT)
+
+
+def test_to_memory_store(dstore):
+    mem = dstore.to_memory_store()
+    assert sorted(mem.get_all_triples()) == sorted(TT)
+    assert mem.size() == len(TT)
