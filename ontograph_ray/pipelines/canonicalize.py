@@ -1,0 +1,146 @@
+"""P6 — canonicalization: distributed union-find over owl:sameAs edges.
+
+Connected components by iterative min-label propagation, expressed as
+hash-bucketed groupby-aggregate shuffles (no driver-side graph, no
+per-node tasks):
+
+    labels₀(node)   = node
+    labelsᵢ₊₁(node) = min(labelsᵢ(node), min over neighbors labelsᵢ)
+
+Each iteration is two bucketed exchanges: (1) co-group the doubled
+edge list with the label table on the source endpoint (they share one
+unified schema and one bucket column, so the exchange is a single
+groupby) and emit (neighbor, label) messages; (2) group messages by
+node and take the min. Skew handling for head entities (a hub with
+millions of sameAs edges): a per-bucket combiner pre-mins messages per
+(node, is_self) *before* the phase-2 shuffle, so a hot node
+contributes at most one row per bucket instead of its full fan-in —
+partial aggregation playing the role of salting. Convergence is
+detected with a changed-count aggregate; min-label propagation needs
+O(component diameter) iterations ≤ max_iters.
+
+SameAs semantics anchor: owl:sameAs edges of individuals (reference:
+constants.go:24, ontology_individual.go:7); the reference never
+computes closures — this operator is the scale path the north rule
+adds.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray
+import ray.data
+
+
+def _bucket_of(series: pd.Series, num_buckets: int) -> pd.Series:
+    return (pd.util.hash_pandas_object(series, index=False) % num_buckets).astype(
+        "int64"
+    )
+
+
+_COLS = ["kind", "node", "label", "key", "nbr", "__bucket"]
+
+
+def _as_arrow(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Normalize block type so heterogeneous inputs can union."""
+    import pyarrow as pa
+
+    def ident(t: pa.Table) -> pa.Table:
+        return t
+
+    return ds.map_batches(ident, batch_format="pyarrow")
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Edges (src,dst string columns) → Dataset(node, component) where
+    component is the lexicographic min node label of the component."""
+
+    def doubled(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame({"key": df[src].astype(str), "nbr": df[dst].astype(str)})
+        rev = pd.DataFrame({"key": df[dst].astype(str), "nbr": df[src].astype(str)})
+        out = pd.concat([fwd, rev], ignore_index=True).drop_duplicates()
+        out["kind"] = "edge"
+        out["node"] = ""
+        out["label"] = ""
+        out["__bucket"] = _bucket_of(out["key"], num_buckets)
+        return out[_COLS]
+
+    edges2 = _as_arrow(edges.map_batches(doubled, batch_format="pandas")).materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat(
+            [df[src].astype(str), df[dst].astype(str)], ignore_index=True
+        ).drop_duplicates()
+        out = pd.DataFrame({"node": nodes, "label": nodes})
+        out["kind"] = "lab"
+        out["key"] = ""
+        out["nbr"] = ""
+        out["__bucket"] = _bucket_of(out["node"], num_buckets)
+        return out[_COLS]
+
+    labels = _as_arrow(
+        edges.map_batches(init_labels, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(
+            lambda df: df.drop_duplicates(subset=["node"]), batch_format="pandas"
+        )
+    ).materialize()
+
+    for _ in range(max_iters):
+        both = labels.union(edges2)
+
+        # Phase 1: per bucket, join edges with source labels; emit
+        # (node=nbr, label) messages plus tagged self rows; pre-min as
+        # the anti-skew combiner.
+        def propagate(df: pd.DataFrame) -> pd.DataFrame:
+            lab = df.loc[df["kind"] == "lab", ["node", "label"]]
+            edg = df.loc[df["kind"] == "edge", ["key", "nbr"]]
+            msgs = edg.merge(lab, left_on="key", right_on="node")[["nbr", "label"]]
+            msgs.columns = ["node", "label"]
+            msgs["is_self"] = 0
+            self_rows = lab.copy()
+            self_rows["is_self"] = 1
+            out = pd.concat([msgs, self_rows], ignore_index=True)
+            out = out.groupby(["node", "is_self"], sort=False, as_index=False)[
+                "label"
+            ].min()
+            out["__bucket"] = _bucket_of(out["node"], num_buckets)
+            return out
+
+        msgs = both.groupby("__bucket").map_groups(propagate, batch_format="pandas")
+
+        # Phase 2: min per node; changed = new label < old (self) label.
+        def reduce_node(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", sort=False)
+            new = g["label"].min()
+            old = df[df["is_self"] == 1].set_index("node")["label"]
+            old = old[~old.index.duplicated()]
+            out = new.reset_index()
+            changed = (new < old.reindex(new.index)).fillna(True)
+            out["kind"] = "lab"
+            out["key"] = ""
+            out["nbr"] = ""
+            out["__changed"] = changed.to_numpy(dtype="int64")
+            out["__bucket"] = _bucket_of(out["node"], num_buckets)
+            return out[_COLS + ["__changed"]]
+
+        new_labels = _as_arrow(
+            msgs.groupby("__bucket").map_groups(reduce_node, batch_format="pandas")
+        ).materialize()
+
+        changed = new_labels.sum("__changed") or 0
+        labels = new_labels.drop_columns(["__changed"]).materialize()
+        if not changed:
+            break
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"], "component": df["label"]})
+
+    return labels.map_batches(finish, batch_format="pandas")

@@ -1,0 +1,116 @@
+"""KG pipeline tests: byte-identical extraction, union-find,
+checkpoint/resume, and exact-oracle equality of the full P1-P7 plan."""
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+import ray.data
+
+from ontograph_ray.pipelines import canonicalize, pages
+from ontograph_ray.pipelines.kg import build_kg, kg_oracle_sql
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestExtraction:
+    def test_byte_identical_per_url(self, ray_session):
+        """The per-row invariant: extract_text(html) == text for every
+        page (golden-bytes check over the whole sf0.001 corpus)."""
+        extracted = pages.read_pages(SF).map_batches(
+            pages.extract_text_batch, batch_format="pyarrow"
+        )
+        got = {r["url"]: r["text"] for r in extracted.take_all()}
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+            url = f"{pages.URL_PREFIX}{doc_id}"
+            assert got[url] == text, f"extraction not byte-identical for {url}"
+
+    def test_escaping_roundtrip(self):
+        tricky = 'a <b> & "c" &amp; <p>done</p>'
+        import pyarrow as pa
+
+        tbl = pa.table({"doc_id": [7], "text": [tricky], "lang": ["en"]})
+        page = pages.synthesize_pages_batch(tbl)
+        assert pages.extract_text(page["html"][0].as_py()) == tricky
+
+    def test_html_is_boilerplate_wrapped(self):
+        import pyarrow as pa
+
+        tbl = pa.table({"doc_id": [1], "text": ["hello world"], "lang": ["en"]})
+        html = pages.synthesize_pages_batch(tbl)["html"][0].as_py()
+        assert html.startswith(b"<html>") and html.endswith(b"</html>")
+        assert b"hello world" in html
+
+
+class TestUnionFind:
+    def test_chain_star_cycle(self, ray_session):
+        edges = ray.data.from_items(
+            [
+                {"src": "b", "dst": "a"},
+                {"src": "c", "dst": "b"},
+                {"src": "d", "dst": "c"},
+                {"src": "e", "dst": "f"},
+                {"src": "g", "dst": "h"},
+                {"src": "g", "dst": "i"},
+                {"src": "g", "dst": "j"},
+                {"src": "x", "dst": "y"},
+                {"src": "y", "dst": "z"},
+                {"src": "z", "dst": "x"},  # cycle
+            ]
+        ).repartition(3)
+        out = canonicalize.connected_components(edges, num_buckets=4)
+        got = sorted((r["node"], r["component"]) for r in out.take_all())
+        assert got == [
+            ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+            ("e", "e"), ("f", "e"),
+            ("g", "g"), ("h", "g"), ("i", "g"), ("j", "g"),
+            ("x", "x"), ("y", "x"), ("z", "x"),
+        ]
+
+    def test_skewed_hub(self, ray_session):
+        # head entity with large fan-in — exercises the combiner path
+        edges = ray.data.from_items(
+            [{"src": "hub", "dst": f"n{i:03d}"} for i in range(200)]
+        ).repartition(8)
+        out = canonicalize.connected_components(edges, num_buckets=4)
+        comps = {r["component"] for r in out.take_all()}
+        assert comps == {"hub"}  # 'hub' < 'n000' lexicographically
+
+
+class TestPipeline:
+    def test_matches_oracle_exactly(self, ray_session):
+        res = build_kg(SF)
+        got = {
+            (r["subject"], r["predicate"], r["object"])
+            for r in res.triples.take_all()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        want = set(map(tuple, con.execute(kg_oracle_sql()).fetchall()))
+        assert got == want
+        assert len(got) > 10_000
+
+    def test_checkpoint_resume_no_recompute(self, ray_session, tmp_path):
+        ckpt = str(tmp_path / "run1")
+        res1 = build_kg(SF, checkpoint_dir=ckpt)
+        n1 = res1.triples.count()
+        assert all(not c["resumed"] for c in res1.stats["counters"].values())
+
+        res2 = build_kg(SF, checkpoint_dir=ckpt)
+        n2 = res2.triples.count()
+        assert n1 == n2
+        assert all(c["resumed"] for c in res2.stats["counters"].values()), res2.stats
+
+    def test_outputs_written(self, ray_session, tmp_path):
+        out = str(tmp_path / "out")
+        build_kg(SF, out_dir=out)
+        import os
+
+        nt_files = os.listdir(f"{out}/ntriples")
+        pq_files = os.listdir(f"{out}/parquet")
+        assert any(f.endswith(".nt") for f in nt_files)
+        assert any(f.endswith(".parquet") for f in pq_files)
