@@ -1,0 +1,254 @@
+"""Similarity search over embedding columns (list<float>).
+
+- ``brute_force_topk``: exact cosine top-k of every corpus vector
+  against a broadcast query matrix — per-batch numpy matmul emits
+  *partial* top-k rows, a final small reduce merges them (the partial
+  results are k·n_queries rows per block, so the reduce side is tiny
+  regardless of corpus size).
+- ``ivf_topk``: the scale path — a coarse k-means (Lloyd iterations as
+  map_batches partial-sum aggregates) assigns each vector to a
+  centroid bucket; queries probe only the ``nprobe`` nearest buckets.
+- ``self_similarity_pairs``: all corpus pairs with cosine ≥ threshold
+  (embedding near-dup), blocked matmul against a broadcast normalized
+  matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _as_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    return np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _PartialTopK:
+    """Actor stage: per-batch exact top-k against the broadcast query
+    matrix (normalized once per actor)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref)
+        self.qids = np.asarray(q["ids"])
+        self.qmat = _normalize(np.asarray(q["vecs"], dtype=np.float32)).T  # d × nq
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_as_matrix(batch, self.vec_col))  # n × d
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        sims = mat @ self.qmat  # n × nq
+        k = min(self.k, sims.shape[0])
+        top = np.argpartition(-sims, kth=k - 1, axis=0)[:k]  # k × nq
+        out_q, out_id, out_score = [], [], []
+        for qi in range(sims.shape[1]):
+            rows = top[:, qi]
+            out_q.extend([int(self.qids[qi])] * len(rows))
+            out_id.extend(ids[rows].tolist())
+            out_score.extend(sims[rows, qi].astype(float).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                self.id_col: pa.array(out_id, pa.int64()),
+                "score": pa.array(out_score, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    emb_ds: ray.data.Dataset,
+    query_ids: list[int],
+    query_vecs: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 8),
+) -> pd.DataFrame:
+    """Exact cosine top-k. Returns a pandas DataFrame
+    (query_id, vec_id, score) with k rows per query, deterministic
+    ordering (score desc, then vec_id asc for ties)."""
+    queries_ref = ray.put({"ids": list(query_ids), "vecs": np.asarray(query_vecs)})
+    partial = emb_ds.map_batches(
+        _PartialTopK,
+        fn_constructor_args=(queries_ref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+    df = partial.to_pandas()  # ≤ k · n_queries · n_blocks rows — small
+    df = df.sort_values(
+        ["query_id", "score", id_col], ascending=[True, False, True], kind="stable"
+    )
+    return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant — the 100 TB path
+# ---------------------------------------------------------------------------
+
+
+def _kmeans(
+    emb_ds: ray.data.Dataset, n_clusters: int, iters: int, vec_col: str, seed: int = 42
+) -> np.ndarray:
+    """Coarse Lloyd k-means: centroids updated from per-batch partial
+    (sum, count) aggregates — one small reduction per iteration, the
+    corpus streams."""
+    first = _as_matrix(
+        pa.Table.from_pylist(emb_ds.limit(max(n_clusters * 4, 256)).take_all()),
+        vec_col,
+    )
+    rng = np.random.RandomState(seed)
+    centroids = first[rng.choice(len(first), size=n_clusters, replace=False)]
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _as_matrix(batch, vec_col)
+            assign = np.argmin(
+                ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1), axis=1
+            )
+            sums = np.zeros_like(c, dtype=np.float64)
+            counts = np.zeros(len(c), dtype=np.int64)
+            np.add.at(sums, assign, m)
+            np.add.at(counts, assign, 1)
+            return pa.table(
+                {
+                    "cluster": pa.array(range(len(c)), pa.int32()),
+                    "sum": pa.array(sums.tolist()),
+                    "count": pa.array(counts, pa.int64()),
+                }
+            )
+
+        parts = emb_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(centroids, dtype=np.float64)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for _, row in parts.iterrows():
+            sums[row["cluster"]] += np.asarray(row["sum"])
+            counts[row["cluster"]] += row["count"]
+        nonzero = counts > 0
+        centroids = centroids.copy()
+        centroids[nonzero] = (sums[nonzero] / counts[nonzero, None]).astype(np.float32)
+    return centroids
+
+
+def ivf_topk(
+    emb_ds: ray.data.Dataset,
+    query_ids: list[int],
+    query_vecs: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Approximate cosine top-k: assign vectors to IVF buckets, search
+    only the nprobe closest buckets per query. Same output schema as
+    brute_force_topk."""
+    centroids = _kmeans(emb_ds, n_clusters, kmeans_iters, vec_col)
+    cref = ray.put(centroids)
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    # buckets each query probes
+    cn = _normalize(centroids)
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]  # nq × nprobe
+    probe_ref = ray.put({"ids": list(query_ids), "vecs": qn, "probe": probe})
+
+    class ProbedTopK:
+        def __init__(self):
+            q = ray.get(probe_ref)
+            self.qids, self.qmat, self.probe = q["ids"], q["vecs"], q["probe"]
+            self.centroids = ray.get(cref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_as_matrix(batch, vec_col))
+            ids = np.asarray(batch[id_col].to_pylist())
+            assign = np.argmin(
+                ((m[:, None, :] - self.centroids[None, :, :]) ** 2).sum(-1), axis=1
+            )
+            out_q, out_id, out_score = [], [], []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(assign, self.probe[qi])
+                if not mask.any():
+                    continue
+                sims = m[mask] @ self.qmat[qi]
+                sub_ids = ids[mask]
+                kk = min(self.k, len(sims))
+                rows = np.argpartition(-sims, kth=kk - 1)[:kk]
+                out_q.extend([int(qid)] * kk)
+                out_id.extend(sub_ids[rows].tolist())
+                out_score.extend(sims[rows].astype(float).tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    id_col: pa.array(out_id, pa.int64()),
+                    "score": pa.array(out_score, pa.float64()),
+                }
+            )
+
+    partial = emb_ds.map_batches(ProbedTopK, batch_format="pyarrow", batch_size=4096,
+                                 concurrency=(1, 8))
+    df = partial.to_pandas()
+    df = df.sort_values(
+        ["query_id", "score", id_col], ascending=[True, False, True], kind="stable"
+    )
+    return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+def self_similarity_pairs(
+    emb_ds: ray.data.Dataset,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """All (a,b) corpus pairs with cosine ≥ threshold, a<b. The corpus
+    matrix is normalized once, broadcast, and each batch does one
+    blocked matmul against it. O(n²) compute but O(n·d) memory per
+    task; for corpora beyond broadcast size swap the right side for
+    IVF-bucketed blocks."""
+    rows = emb_ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.asarray([r[id_col] for r in rows])
+    mat = _normalize(np.asarray([r[vec_col] for r in rows], dtype=np.float32))
+    ref = ray.put({"ids": ids, "mat": mat})
+
+    class PairFinder:
+        def __init__(self):
+            data = ray.get(ref)
+            self.all_ids, self.all_mat = data["ids"], data["mat"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_as_matrix(batch, vec_col))
+            bids = np.asarray(batch[id_col].to_pylist())
+            sims = m @ self.all_mat.T
+            src, dst, score = [], [], []
+            for i in range(len(bids)):
+                hits = np.where(sims[i] >= threshold)[0]
+                for j in hits:
+                    if self.all_ids[j] > bids[i]:  # upper triangle only
+                        src.append(int(bids[i]))
+                        dst.append(int(self.all_ids[j]))
+                        score.append(float(sims[i, j]))
+            return pa.table(
+                {
+                    "src_id": pa.array(src, pa.int64()),
+                    "dst_id": pa.array(dst, pa.int64()),
+                    "score": pa.array(score, pa.float64()),
+                }
+            )
+
+    return emb_ds.map_batches(
+        PairFinder, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8)
+    )

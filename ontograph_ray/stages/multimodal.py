@@ -1,0 +1,158 @@
+"""Multimodal column stages — binary payloads with typed metadata.
+
+Images/audio/video are opaque ``binary`` columns plus metadata columns.
+The Ray-side plumbing (schema, actor-pool stage shape, per-actor model
+setup, small batch sizes for wide binary rows, output layout) is real
+and tested; the actual codec is STUBBED because the sandbox ships no
+image/audio libraries — each decoder raises NotImplementedError unless
+constructed with the deterministic fake codec used by tests.
+
+Scale notes baked into the stage defaults: binary rows are wide, so
+``batch_size`` is small (64) and the actor pool bounds concurrent
+decode memory; decoded features replace the payload column immediately
+(the binary column never travels further down the pipeline).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("n_frames", pa.int32()),
+    ]
+)
+
+_FAKE_MAGIC = b"FAKEIMG1"
+
+
+def encode_fake_image(width: int, height: int, seed: int) -> bytes:
+    """Deterministic fake image codec: header + seeded byte pattern."""
+    rng = np.random.RandomState(seed)
+    body = rng.randint(0, 256, size=width * height, dtype=np.uint8).tobytes()
+    return _FAKE_MAGIC + struct.pack("<II", width, height) + body
+
+
+def synthesize_media(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic media table for tests/benchmarks."""
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(n):
+        w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
+        rows["media_id"].append(i)
+        rows["kind"].append("image")
+        rows["payload"].append(encode_fake_image(w, h, seed + i))
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["sample_rate"].append(0)
+        rows["n_frames"].append(1)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class ImageDecoder:
+    """Actor stage: decode + feature-extract image payloads.
+
+    Real deployments pass ``codec="pillow"`` (model/codec loaded once
+    per actor in __init__); this sandbox has no image libraries, so
+    only the deterministic ``codec="fake"`` path is implemented and the
+    real one raises NotImplementedError at construction — the stage
+    shape (schema in/out, batching, actor pool) is identical either
+    way."""
+
+    def __init__(self, codec: str = "fake"):
+        if codec != "fake":
+            raise NotImplementedError(
+                f"codec {codec!r} requires image libraries not present in "
+                "this environment; use codec='fake'"
+            )
+        self.codec = codec
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if not payload.startswith(_FAKE_MAGIC):
+            raise ValueError("bad fake-image magic")
+        w, h = struct.unpack("<II", payload[8:16])
+        return np.frombuffer(payload[16 : 16 + w * h], dtype=np.uint8).reshape(h, w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means, stds, phashes = [], [], []
+        for payload in batch["payload"].to_pylist():
+            img = self._decode(payload)
+            means.append(float(img.mean()))
+            stds.append(float(img.std()))
+            phashes.append(
+                int.from_bytes(hashlib.sha1(img.tobytes()).digest()[:8], "big")
+            )
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "mean_intensity": pa.array(means, pa.float64()),
+                "std_intensity": pa.array(stds, pa.float64()),
+                "phash": pa.array(np.asarray(phashes, dtype=np.uint64)),
+            }
+        )
+
+
+def decode_images(
+    media_ds: ray.data.Dataset, codec: str = "fake", concurrency=(1, 4)
+) -> ray.data.Dataset:
+    """Feature-extraction stage over a media Dataset; drops the binary
+    payload column in its output."""
+    return media_ds.map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs={"codec": codec},
+        batch_format="pyarrow",
+        batch_size=64,  # wide binary rows → small batches
+        concurrency=concurrency,
+    )
+
+
+class Resizer:
+    """Actor stage stub for image resize: real codec unavailable; the
+    fake path downsamples the deterministic byte grid by striding."""
+
+    def __init__(self, target: int = 8, codec: str = "fake"):
+        if codec != "fake":
+            raise NotImplementedError("resize requires image libraries; use fake codec")
+        self.target = target
+        self._decoder = ImageDecoder(codec)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for payload in batch["payload"].to_pylist():
+            img = self._decoder._decode(payload)
+            sy = max(1, img.shape[0] // self.target)
+            sx = max(1, img.shape[1] // self.target)
+            small = img[::sy, ::sx][: self.target, : self.target]
+            out.append(small.flatten().astype(np.float32) / 255.0)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "thumb": pa.array([v.tolist() for v in out], pa.list_(pa.float32())),
+            }
+        )
+
+
+def frame_sample(media_ds: ray.data.Dataset, every_n: int = 2) -> ray.data.Dataset:
+    """Video frame-sampling stub: keeps every-nth media row (the real
+    implementation samples frames inside the payload; the plumbing —
+    pushdown-friendly filter before decode — is what matters here)."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        idx = [i for i, m in enumerate(batch["media_id"].to_pylist()) if m % every_n == 0]
+        return batch.take(idx)
+
+    return media_ds.map_batches(sample, batch_format="pyarrow")

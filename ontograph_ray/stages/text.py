@@ -1,0 +1,135 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All stages are Dataset→Dataset batch transforms over the ``documents``
+schema (doc_id, text, lang, source, n_chars): token counting, quality
+scoring, language identification (n-gram/function-word heuristic), and
+64-bit document fingerprinting. Hot paths are Arrow/pandas kernels; the
+language profiles are compiled once per actor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# BPE-ish token pattern: word pieces or single non-space symbols.
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized token counting: whitespace tokens + BPE-ish tokens +
+    char length."""
+    text = batch["text"]
+    ws_tokens = pc.list_value_length(pc.split_pattern(text, " "))
+    bpe_tokens = pc.count_substring_regex(text, BPE_TOKEN_RE)
+    n_chars = pc.utf8_length(text)
+    return batch.append_column("n_tokens", pc.cast(ws_tokens, pa.int64())).append_column(
+        "n_bpe_tokens", pc.cast(bpe_tokens, pa.int64())
+    ).append_column("n_chars_computed", pc.cast(n_chars, pa.int64()))
+
+
+def token_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow")
+
+
+class QualityScorer:
+    """Actor stage: length / punctuation / stopword-ratio quality
+    scoring (regexes compiled once per actor)."""
+
+    def __init__(self, stopwords=STOPWORDS):
+        import re
+
+        self.stop = frozenset(stopwords)
+        self.punct_re = re.compile(r"[^\w\s]")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        text = df["text"]
+        n_chars = text.str.len().clip(lower=1)
+        tokens = text.str.split(" ")
+        n_tokens = tokens.str.len().clip(lower=1)
+        punct = text.str.count(r"[^\w\s]")
+        stop_hits = tokens.map(lambda ts: sum(t in self.stop for t in ts))
+        df["punct_ratio"] = (punct / n_chars).astype("float64")
+        df["stopword_ratio"] = (stop_hits / n_tokens).astype("float64")
+        df["mean_token_len"] = ((n_chars - (n_tokens - 1)) / n_tokens).astype("float64")
+        # heuristic quality score in [0,1]: long-enough docs with some
+        # stopwords and low punctuation score high
+        df["quality"] = (
+            np.clip(n_tokens / 64.0, 0, 1) * 0.5
+            + np.clip(df["stopword_ratio"] * 4.0, 0, 1) * 0.3
+            + (1.0 - np.clip(df["punct_ratio"] * 10.0, 0, 1)) * 0.2
+        ).astype("float64")
+        return df
+
+
+def quality_score(ds: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        QualityScorer, batch_format="pandas", batch_size=4096, concurrency=concurrency
+    )
+
+
+# Deterministic per-language function-word profiles (public, tiny):
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+
+class LangId:
+    """Actor stage: n-gram/function-word language-ID heuristic. Profiles
+    compiled once per actor; per batch it's a vectorized membership
+    count. Deterministic tie-break: lexicographic language code wins."""
+
+    def __init__(self, profiles=None):
+        self.profiles = {
+            lang: frozenset(words) for lang, words in (profiles or LANG_PROFILES).items()
+        }
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        tokens = df["text"].str.lower().str.split(" ")
+
+        def best(ts: list[str]) -> str:
+            scores = {
+                lang: sum(t in words for t in ts)
+                for lang, words in self.profiles.items()
+            }
+            mx = max(scores.values())
+            if mx == 0:
+                return "und"
+            return min(lang for lang, s in scores.items() if s == mx)
+
+        df["pred_lang"] = tokens.map(best)
+        return df
+
+
+def lang_id(ds: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        LangId, batch_format="pandas", batch_size=4096, concurrency=concurrency
+    )
+
+
+def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """64-bit content fingerprint per document — deterministic, C-speed
+    (pandas 64-bit sip-like row hash). Equal texts ⇒ equal fingerprints;
+    used by exact dedup and dup-group analytics."""
+    df = df.copy()
+    df["fingerprint"] = pd.util.hash_pandas_object(df["text"], index=False).astype(
+        "uint64"
+    )
+    return df
+
+
+def fingerprint(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(fingerprint_batch, batch_format="pandas")

@@ -1,0 +1,178 @@
+"""Training-data stage tests: text analysis, dedup family, ANN,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ontograph_ray.stages import ann, dedup, multimodal, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def docs(ray_session):
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture
+def embs(ray_session):
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+class TestText:
+    def test_token_stats(self, docs):
+        out = text.token_stats(docs).take(5)
+        for r in out:
+            assert r["n_tokens"] == len(r["text"].split(" "))
+            assert r["n_chars_computed"] == len(r["text"])
+
+    def test_quality_score_bounds(self, docs):
+        out = text.quality_score(docs).take_all()
+        for r in out:
+            assert 0.0 <= r["quality"] <= 1.0
+            assert 0.0 <= r["stopword_ratio"] <= 1.0
+
+    def test_lang_id_deterministic(self, ray_session):
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": "the cat and the dog is fast"},
+                {"doc_id": 1, "text": "der hund und die katze ist da"},
+                {"doc_id": 2, "text": "xyzzy plugh"},
+            ]
+        )
+        out = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(ds).take_all()}
+        assert out[0] == "en"
+        assert out[1] == "de"
+        assert out[2] == "und"
+
+    def test_fingerprint_equal_texts(self, ray_session):
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": "same text"},
+                {"doc_id": 1, "text": "same text"},
+                {"doc_id": 2, "text": "different"},
+            ]
+        )
+        out = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(ds).take_all()}
+        assert out[0] == out[1] != out[2]
+
+
+def _dup_corpus(ray_session_unused=None):
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},  # exact dup of 0
+        {"doc_id": 2, "text": base.replace("gamma", "gamma2")},  # near dup
+        {"doc_id": 3, "text": "completely unrelated content about weather patterns"},
+        {"doc_id": 4, "text": "totally distinct corpus entry regarding music theory"},
+    ]
+    return ray.data.from_items(rows)
+
+
+class TestDedup:
+    def test_exact_dedup(self, ray_session):
+        ds = _dup_corpus()
+        out = dedup.exact_dedup(ds, num_buckets=4)
+        kept = sorted(r["doc_id"] for r in out.take_all())
+        assert kept == [0, 2, 3, 4]  # doc 1 (exact dup, larger id) dropped
+
+    def test_minhash_dedup_drops_near_dups(self, ray_session):
+        ds = _dup_corpus()
+        out = dedup.minhash_dedup(ds, threshold=0.7, num_buckets=4)
+        kept = sorted(r["doc_id"] for r in out.take_all())
+        assert 0 in kept  # representative survives
+        assert 1 not in kept  # exact dup dropped
+        assert 2 not in kept  # near dup dropped
+        assert 3 in kept and 4 in kept
+
+    def test_jaccard_exact(self):
+        a = dedup._shingles("abcdefg", 3)
+        assert dedup.jaccard(a, a) == 1.0
+        b = dedup._shingles("zzzzzzz", 3)
+        assert dedup.jaccard(a, b) < 0.2
+
+    def test_simhash_near_dup_pairs(self, ray_session):
+        ds = _dup_corpus()
+        pairs = dedup.simhash_near_dup_pairs(ds, max_hamming=3, num_buckets=4)
+        got = {(r["src_id"], r["dst_id"]) for r in pairs.take_all()}
+        assert (0, 1) in got  # identical docs: hamming 0
+        assert all(s < d for s, d in got)
+
+    def test_ngram_jaccard_pairs(self, ray_session):
+        ds = _dup_corpus()
+        pairs = dedup.ngram_jaccard_pairs(ds, threshold=0.7)
+        got = {(r["src_id"], r["dst_id"]): r["jaccard"] for r in pairs.take_all()}
+        assert got[(0, 1)] == 1.0
+        assert (0, 2) in got
+
+
+class TestANN:
+    def test_brute_force_topk_matches_numpy(self, embs):
+        rows = embs.take(8)
+        qids = [r["vec_id"] for r in rows[:3]]
+        qvecs = np.asarray([r["embedding"] for r in rows[:3]], dtype=np.float32)
+        df = ann.brute_force_topk(embs, qids, qvecs, k=5)
+        # query vector must be its own best match with score ≈ 1
+        for qid in qids:
+            top = df[df["query_id"] == qid].iloc[0]
+            assert top["vec_id"] == qid
+            assert top["score"] > 0.999
+        assert (df.groupby("query_id").size() == 5).all()
+
+    def test_ivf_topk_recall(self, embs):
+        rows = embs.take(4)
+        qids = [r["vec_id"] for r in rows]
+        qvecs = np.asarray([r["embedding"] for r in rows], dtype=np.float32)
+        exact = ann.brute_force_topk(embs, qids, qvecs, k=5)
+        approx = ann.ivf_topk(embs, qids, qvecs, k=5, n_clusters=8, nprobe=4)
+        # recall@5 of the approximate index should be decent with nprobe=half
+        recall = 0
+        for qid in qids:
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            a = set(approx[approx["query_id"] == qid]["vec_id"])
+            recall += len(e & a) / len(e)
+        assert recall / len(qids) >= 0.5
+
+    def test_self_similarity_identity(self, ray_session):
+        vecs = [
+            {"vec_id": 0, "embedding": [1.0, 0.0, 0.0]},
+            {"vec_id": 1, "embedding": [1.0, 0.001, 0.0]},
+            {"vec_id": 2, "embedding": [0.0, 1.0, 0.0]},
+        ]
+        ds = ray.data.from_items(vecs)
+        pairs = ann.self_similarity_pairs(ds, threshold=0.99)
+        got = {(r["src_id"], r["dst_id"]) for r in pairs.take_all()}
+        assert got == {(0, 1)}
+
+
+class TestMultimodal:
+    def test_decode_features(self, ray_session):
+        tbl = multimodal.synthesize_media(20)
+        ds = ray.data.from_arrow(tbl)
+        out = multimodal.decode_images(ds).take_all()
+        assert len(out) == 20
+        for r in out:
+            assert 0 <= r["mean_intensity"] <= 255
+            assert "payload" not in r  # binary column dropped
+        # determinism
+        out2 = multimodal.decode_images(ray.data.from_arrow(tbl)).take_all()
+        assert {r["media_id"]: r["phash"] for r in out} == {
+            r["media_id"]: r["phash"] for r in out2
+        }
+
+    def test_real_codec_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.ImageDecoder(codec="pillow")
+
+    def test_frame_sample(self, ray_session):
+        ds = ray.data.from_arrow(multimodal.synthesize_media(10))
+        out = multimodal.frame_sample(ds, every_n=2)
+        assert sorted(r["media_id"] for r in out.take_all()) == [0, 2, 4, 6, 8]
