@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native ontograph engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline (P1-P7) on
+sf0.001. ``queries()`` exposes one callable per implemented operator /
+pipeline from SURVEY.md §2 (GraphStore ops, term codecs, ontology
+queries, the KG pipeline stages, and the training-data operators);
+``oracle_sql()`` gives the DuckDB ground truth for every
+SQL-expressible entry (the rest get the driver's rows-only check).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import — nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +18,55 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: pages → extract →
+    mentions → relations → link → canonicalize → dedup'd triples."""
+    from ontograph_ray.pipelines.kg import build_kg
+
+    return build_kg("/root/testdata/sf0.001").triples
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ontograph_ray import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # GraphStore / term operators (SURVEY §2.1-2.2)
+        "triples_from_tables": q.q_triples_from_tables,
+        "match_all": q.q_match_all,
+        "match_first": q.q_match_first,
+        "delete_matches": q.q_delete_matches,
+        "add_unchecked_dedup": q.q_add_unchecked_dedup,
+        "delete_unchecked_antijoin": q.q_delete_unchecked_antijoin,
+        "size": q.q_size,
+        "distinct_predicates": q.q_distinct_predicates,
+        "term_accessors": q.q_term_accessors,
+        "validate_triples": q.q_validate_triples,
+        # Ontology layer (SURVEY §2.4)
+        "get_individuals_filtered": q.q_get_individuals_filtered,
+        "pivot_individuals_summary": q.q_pivot_individuals_summary,
+        # KG pipeline (SURVEY §2.7)
+        "kg_extract_text": q.q_kg_extract_text,
+        "kg_mentions": q.q_kg_mentions,
+        "kg_triples": q.q_kg_triples,
+        "kg_sameas_components": q.q_kg_sameas_components,
+        # Training-data operators
+        "dedup_exact": q.q_dedup_exact,
+        "fingerprint_groups": q.q_fingerprint_groups,
+        "token_stats": q.q_token_stats,
+        "text_quality_counts": q.q_text_quality_counts,
+        "lang_id": q.q_lang_id,
+        "ann_topk": q.q_ann_topk,
+        "minhash_dedup": q.q_minhash_dedup,
+        "simhash_pairs": q.q_simhash_pairs,
+        "embedding_near_dup": q.q_embedding_near_dup,
+        "multimodal_features": q.q_multimodal_features,
+        # Relational breadth
+        "events_window": q.q_events_window,
+        "top_nations_by_customers": q.q_top_nations_by_customers,
+        "lineitem_pricing": q.q_lineitem_pricing,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ontograph_ray.oracles import oracle_sql as _sqls
+
+    return _sqls()

@@ -1,0 +1,152 @@
+"""DuckDB oracle SQL for each registry query (driver correctness gate).
+
+Every SQL string runs over the pre-registered views (region nation
+customer supplier part orders lineitem events documents embeddings) and
+must produce the same column names and values as the matching callable
+in ontograph_ray.queries. Queries without an entry here are
+rows-only-checked by the driver (non-SQL-expressible: model scoring,
+sketch internals, stubs).
+"""
+
+from __future__ import annotations
+
+from . import constants as C
+from .pipelines.kg import kg_oracle_sql, GAZETTEER
+from .queries import (
+    ACCTBAL,
+    CUST_CLASS,
+    IN_NATION,
+    IN_REGION,
+    N_CLASS,
+    RDF_TYPE_T,
+    SEGMENT,
+    TRIPLES_SQL,
+)
+
+_T = f"WITH t AS ({TRIPLES_SQL})"
+
+_GAZ = ", ".join(f"'{g}'" for g in GAZETTEER)
+_URLP = "https://docs.example.org/page/"
+
+_MENTION_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x IN ({_GAZ})) AS l
+  FROM documents
+),
+mention AS (SELECT DISTINCT doc_id, lang, unnest(l) AS surface FROM toks)
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    onto = "https://kg.example.org/onto"
+    return {
+        "triples_from_tables": TRIPLES_SQL,
+        "match_all": f"{_T} SELECT * FROM t WHERE predicate = '<{IN_NATION}>'",
+        "match_first": (
+            f"{_T} SELECT * FROM t WHERE predicate = '<{IN_NATION}>' "
+            "ORDER BY subject, predicate, object LIMIT 1"
+        ),
+        "delete_matches": f"{_T} SELECT * FROM t WHERE predicate != '{RDF_TYPE_T}'",
+        "add_unchecked_dedup": f"{_T} SELECT DISTINCT * FROM t",
+        "delete_unchecked_antijoin": (
+            f"{_T} SELECT * FROM t EXCEPT SELECT * FROM t "
+            f"WHERE predicate = '{RDF_TYPE_T}' AND object = '<{N_CLASS}>'"
+        ),
+        "size": f"{_T} SELECT COUNT(*) AS n FROM t",
+        "distinct_predicates": f"{_T} SELECT DISTINCT predicate FROM t",
+        "term_accessors": f"""{_T}, obj AS (SELECT DISTINCT object AS term FROM t)
+SELECT term,
+  CASE
+    WHEN term LIKE '<%>' AND length(term) > 2 THEN substr(term, 2, length(term) - 2)
+    WHEN term LIKE '"%"' AND length(term) > 2 THEN substr(term, 2, length(term) - 2)
+    WHEN term LIKE '"%' AND contains(term, '"@') THEN regexp_extract(term, '^"(.*).@[^@]*$', 1)
+    WHEN term LIKE '"%' AND contains(term, '"^^') THEN regexp_extract(term, '^"(.*)"\\^\\^', 1)
+    ELSE '' END AS value,
+  CASE WHEN term LIKE '"%' AND contains(term, '"@')
+       THEN regexp_extract(term, '@([^@]*)$', 1) ELSE '' END AS language,
+  CASE WHEN term LIKE '"%' AND contains(term, '"^^')
+       THEN regexp_extract(term, '\\^\\^<(.*)>$', 1) ELSE '' END AS datatype,
+  (length(term) > 2 AND term LIKE '<%>') AS is_resource,
+  (length(term) > 2 AND term LIKE '"%' AND
+   (term LIKE '%"' OR contains(term, '"@') OR contains(term, '"^^'))) AS is_literal
+FROM obj""",
+        "validate_triples": f"""
+SELECT CASE WHEN n_nationkey % 2 = 1 THEN 'urn:og:nation/' || n_nationkey
+            ELSE '<urn:og:nation/' || n_nationkey || '>' END AS subject,
+       '{RDF_TYPE_T}' AS predicate,
+       '<{N_CLASS}>' AS object,
+       (n_nationkey % 2 = 0) AS valid
+FROM nation""",
+        "get_individuals_filtered": (
+            "SELECT '<urn:og:cust/' || c_custkey || '>' AS subject FROM customer "
+            "WHERE c_mktsegment = 'BUILDING'"
+        ),
+        "pivot_individuals_summary": f"""{_T}
+SELECT subject,
+       COUNT(*) AS n_triples,
+       CAST(SUM(CASE WHEN object LIKE '"%' THEN 1 ELSE 0 END) AS BIGINT) AS n_literal_objects,
+       CAST(SUM(CASE WHEN object LIKE '"%' THEN 0 ELSE 1 END) AS BIGINT) AS n_resource_objects
+FROM t GROUP BY subject""",
+        "kg_extract_text": (
+            f"SELECT '{_URLP}' || doc_id AS url, text, lang FROM documents"
+        ),
+        "kg_mentions": (
+            f"{_MENTION_CTE} SELECT DISTINCT '{_URLP}' || doc_id AS url, surface FROM mention"
+        ),
+        "kg_triples": kg_oracle_sql(),
+        "kg_sameas_components": f"""{_MENTION_CTE}
+SELECT DISTINCT '{onto}#ent_' || surface || '__' || lang AS node,
+                '{onto}#ent_' || surface AS component FROM mention
+UNION
+SELECT DISTINCT '{onto}#ent_' || surface, '{onto}#ent_' || surface FROM mention""",
+        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "fingerprint_groups": (
+            "SELECT doc_id, COUNT(*) OVER (PARTITION BY text) AS dup_group_size "
+            "FROM documents"
+        ),
+        "token_stats": r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars_computed
+FROM documents""",
+        "text_quality_counts": r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b')) AS stop_hits,
+       len(regexp_extract_all(text, '[^\w\s]')) AS punct_chars
+FROM documents""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id FROM ranked WHERE rn <= 10""",
+        "embedding_near_dup": """
+SELECT a.vec_id AS src_id, b.vec_id AS dst_id
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+        "events_window": """
+SELECT user_id, epoch_us(ts) // 3600000000 AS win,
+       COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY user_id, win""",
+        "top_nations_by_customers": """
+SELECT n.n_nationkey, n.n_name, COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_nationkey, n.n_name
+ORDER BY n_customers DESC, n.n_nationkey LIMIT 10""",
+        "lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    }

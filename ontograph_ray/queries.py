@@ -1,0 +1,577 @@
+"""Operator registry: named query callables + DuckDB oracle SQL.
+
+Each entry exposes one implemented operator/pipeline from SURVEY.md §2
+as a callable(sf_dir) → Dataset/DataFrame/Table, paired (where
+SQL-expressible) with an ANSI-SQL string that DuckDB runs over the same
+parquet tables to produce the identical result (same column names, same
+values). The driver compares them order-insensitively.
+
+Conventions for comparability:
+- floats that aggregate across rows are rounded on both sides, or
+  avoided in favor of integer counts / min / max
+- triples built from the TPC-H tables encode numeric literals as
+  integer cents so string formatting is language-independent
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from . import constants as C
+from . import terms
+from .store.dataset import dedup
+
+# URIs used by the table-derived triple corpus
+N_CLASS = "urn:og:class/Nation"
+CUST_CLASS = "urn:og:class/Customer"
+IN_NATION = "urn:og:rel/inNation"
+IN_REGION = "urn:og:rel/inRegion"
+SEGMENT = "urn:og:attr/mktsegment"
+ACCTBAL = "urn:og:attr/acctbalCents"
+RDF_TYPE_T = f"<{C.RDF_TYPE}>"
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _typed_pandas(ds: ray.data.Dataset, columns: list[str]) -> pd.DataFrame:
+    """Materialize small results keeping the declared schema even when
+    the result is empty (an empty Dataset loses its column names)."""
+    df = ds.to_pandas()
+    if df.empty:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in columns})
+    return df[columns]
+
+
+# ---------------------------------------------------------------------------
+# Triple corpus derived from customer + nation (used by the GraphStore
+# operator queries). Both the Ray and SQL sides build it identically.
+# ---------------------------------------------------------------------------
+
+
+def _customer_triples_batch(batch: pa.Table) -> pa.Table:
+    key = pc.cast(batch["c_custkey"], pa.string())
+    subj = pc.binary_join_element_wise(pa.scalar("<urn:og:cust/"), key, pa.scalar(">"), "")
+    nk = pc.cast(batch["c_nationkey"], pa.string())
+    nation_obj = pc.binary_join_element_wise(
+        pa.scalar("<urn:og:nation/"), nk, pa.scalar(">"), ""
+    )
+    seg_lit = terms.v_new_literal_term(batch["c_mktsegment"])
+    cents = pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100.0)), pa.int64())
+    bal_lit = terms.v_new_literal_term(
+        pc.cast(cents, pa.string()), None, C.XSD_INTEGER
+    )
+    n = batch.num_rows
+
+    def const(s):
+        return pa.array([s] * n, pa.string())
+
+    return pa.concat_tables(
+        [
+            pa.table({"subject": subj, "predicate": const(RDF_TYPE_T), "object": const(f"<{CUST_CLASS}>")}),
+            pa.table({"subject": subj, "predicate": const(f"<{IN_NATION}>"), "object": nation_obj}),
+            pa.table({"subject": subj, "predicate": const(f"<{SEGMENT}>"), "object": seg_lit}),
+            pa.table({"subject": subj, "predicate": const(f"<{ACCTBAL}>"), "object": bal_lit}),
+        ]
+    )
+
+
+def _nation_triples_batch(batch: pa.Table) -> pa.Table:
+    nk = pc.cast(batch["n_nationkey"], pa.string())
+    subj = pc.binary_join_element_wise(pa.scalar("<urn:og:nation/"), nk, pa.scalar(">"), "")
+    rk = pc.cast(batch["n_regionkey"], pa.string())
+    region_obj = pc.binary_join_element_wise(
+        pa.scalar("<urn:og:region/"), rk, pa.scalar(">"), ""
+    )
+    name_lit = terms.v_new_literal_term(batch["n_name"], "en", None)
+    n = batch.num_rows
+
+    def const(s):
+        return pa.array([s] * n, pa.string())
+
+    return pa.concat_tables(
+        [
+            pa.table({"subject": subj, "predicate": const(RDF_TYPE_T), "object": const(f"<{N_CLASS}>")}),
+            pa.table({"subject": subj, "predicate": const(f"<{IN_REGION}>"), "object": region_obj}),
+            pa.table({"subject": subj, "predicate": const(f"<{C.RDFS_LABEL}>"), "object": name_lit}),
+        ]
+    )
+
+
+def table_triples(sf_dir: str) -> ray.data.Dataset:
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"])
+    nat = _read(sf_dir, "nation")
+    return cust.map_batches(_customer_triples_batch, batch_format="pyarrow").union(
+        nat.map_batches(_nation_triples_batch, batch_format="pyarrow")
+    )
+
+
+TRIPLES_SQL = f"""
+SELECT '<urn:og:cust/' || c_custkey || '>' AS subject,
+       '{RDF_TYPE_T}' AS predicate, '<{CUST_CLASS}>' AS object FROM customer
+UNION ALL
+SELECT '<urn:og:cust/' || c_custkey || '>', '<{IN_NATION}>',
+       '<urn:og:nation/' || c_nationkey || '>' FROM customer
+UNION ALL
+SELECT '<urn:og:cust/' || c_custkey || '>', '<{SEGMENT}>',
+       '"' || c_mktsegment || '"' FROM customer
+UNION ALL
+SELECT '<urn:og:cust/' || c_custkey || '>', '<{ACCTBAL}>',
+       '"' || CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) || '"^^<{C.XSD_INTEGER}>' FROM customer
+UNION ALL
+SELECT '<urn:og:nation/' || n_nationkey || '>', '{RDF_TYPE_T}', '<{N_CLASS}>' FROM nation
+UNION ALL
+SELECT '<urn:og:nation/' || n_nationkey || '>', '<{IN_REGION}>',
+       '<urn:og:region/' || n_regionkey || '>' FROM nation
+UNION ALL
+SELECT '<urn:og:nation/' || n_nationkey || '>', '<{C.RDFS_LABEL}>',
+       '"' || n_name || '"@en' FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# GraphStore operator queries (G2-G17)
+# ---------------------------------------------------------------------------
+
+
+def q_triples_from_tables(sf_dir: str):
+    return table_triples(sf_dir)
+
+
+def q_match_all(sf_dir: str):
+    """G3: wildcard pattern filter (predicate bound)."""
+    from .store.dataset import DatasetGraphStore
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return store.matches("", f"<{IN_NATION}>", "")
+
+
+def q_match_first(sf_dir: str):
+    """G2 with deterministic tie-break: lexicographic min triple."""
+    ds = q_match_all(sf_dir)
+    return ds.sort(["subject", "predicate", "object"]).limit(1)
+
+
+def q_delete_matches(sf_dir: str):
+    """G4: negated pattern filter (drop all rdf:type rows)."""
+    from .store.dataset import DatasetGraphStore
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return store.without_matches("", RDF_TYPE_T, "").dataset
+
+
+def q_add_unchecked_dedup(sf_dir: str):
+    """G9+G17: union with a duplicate copy, exact dedup restores set."""
+    ds = table_triples(sf_dir)
+    return dedup(ds.union(table_triples(sf_dir)))
+
+
+def q_delete_unchecked_antijoin(sf_dir: str):
+    """G13: anti-join removal of all nation-class triples."""
+    from .store.dataset import DatasetGraphStore
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    remove = [
+        t for t in store.matches("", RDF_TYPE_T, f"<{N_CLASS}>").take_all()
+    ]
+    import pyarrow as pa
+
+    from .triples import TRIPLE_SCHEMA
+
+    remove_tbl = pa.Table.from_pylist(remove, schema=TRIPLE_SCHEMA)
+    return store.delete_triples_unchecked(remove_tbl).dataset
+
+
+def q_size(sf_dir: str):
+    """G16: triple count as a 1-row table."""
+    n = table_triples(sf_dir).count()
+    return pd.DataFrame({"n": [n]})
+
+
+def q_distinct_predicates(sf_dir: str):
+    """E7-shape: DISTINCT over a column (graph listing analogue)."""
+    ds = table_triples(sf_dir)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table({"predicate": batch["predicate"]})
+            .group_by(["predicate"], use_threads=False)
+            .aggregate([])
+        )
+
+    local = ds.map_batches(proj, batch_format="pyarrow")
+    return local.groupby("predicate").map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def q_term_accessors(sf_dir: str):
+    """T4-T8 over the corpus object terms: vectorized value/language/
+    datatype extraction + shape predicates."""
+    ds = table_triples(sf_dir)
+
+    def accessors(batch: pa.Table) -> pa.Table:
+        o = batch["object"]
+        return pa.table(
+            {
+                "term": o,
+                "value": terms.v_value(o),
+                "language": terms.v_language(o),
+                "datatype": terms.v_datatype(o),
+                "is_resource": terms.v_is_resource(o),
+                "is_literal": terms.v_is_literal(o),
+            }
+        )
+
+    out = ds.map_batches(accessors, batch_format="pyarrow")
+    # distinct terms so the result is a set (objects repeat across rows)
+    def distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(batch.column_names, use_threads=False).aggregate([])
+
+    return out.map_batches(distinct, batch_format="pyarrow").groupby("term").map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def q_validate_triples(sf_dir: str):
+    """T9: vectorized NewTriple validation over a corpus with injected
+    malformed rows (odd nation keys get a bracketless subject)."""
+    nat = _read(sf_dir, "nation")
+
+    def build(batch: pa.Table) -> pa.Table:
+        nk = batch["n_nationkey"]
+        key = pc.cast(nk, pa.string())
+        good = pc.binary_join_element_wise(pa.scalar("<urn:og:nation/"), key, pa.scalar(">"), "")
+        bad = pc.binary_join_element_wise(pa.scalar("urn:og:nation/"), key, "")
+        odd = pc.equal(pc.bit_wise_and(pc.cast(nk, pa.int64()), 1), 1)
+        subj = pc.if_else(odd, bad, good)
+        n = batch.num_rows
+        tbl = pa.table(
+            {
+                "subject": subj,
+                "predicate": pa.array([RDF_TYPE_T] * n, pa.string()),
+                "object": pa.array([f"<{N_CLASS}>"] * n, pa.string()),
+            }
+        )
+        from .triples import v_valid_mask
+
+        return tbl.append_column("valid", v_valid_mask(tbl).combine_chunks())
+
+    return nat.map_batches(build, batch_format="pyarrow")
+
+
+def q_get_individuals_filtered(sf_dir: str):
+    """O14 flagship: subjects matching mktsegment='BUILDING' AND
+    nation=<urn:og:nation/1> (AND = semi-join intersection)."""
+    from .ontology.query import candidate_subjects
+    from .store.dataset import DatasetGraphStore
+    from .triples import Triple
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    filters = [
+        [
+            Triple("", RDF_TYPE_T, f"<{CUST_CLASS}>"),
+            Triple("", f"<{SEGMENT}>", '"BUILDING"'),
+        ]
+    ]
+    out = candidate_subjects(store, filters, num_buckets=16)
+    return _typed_pandas(out, ["subject"])
+
+
+def q_pivot_individuals_summary(sf_dir: str):
+    """O13-shape: groupby-subject pivot summarized to flat counts
+    (n_triples, n_literal_objects, n_resource_objects) per subject."""
+    ds = table_triples(sf_dir)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        is_lit = terms.v_is_literal(batch["object"])
+        return pa.table(
+            {
+                "subject": batch["subject"],
+                "lit": pc.cast(is_lit, pa.int64()),
+                "res": pc.cast(pc.invert(is_lit), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    flat = ds.map_batches(counts, batch_format="pyarrow")
+    return flat.groupby("subject").aggregate(
+        Count(alias_name="n_triples"),
+        Sum("lit", alias_name="n_literal_objects"),
+        Sum("res", alias_name="n_resource_objects"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries
+# ---------------------------------------------------------------------------
+
+
+def q_kg_extract_text(sf_dir: str):
+    from .pipelines import pages
+
+    extracted = pages.read_pages(sf_dir).map_batches(
+        pages.extract_text_batch, batch_format="pyarrow"
+    )
+    return extracted.select_columns(["url", "text", "lang"])
+
+
+def q_kg_mentions(sf_dir: str):
+    """P3: distinct (url, surface) gazetteer mentions."""
+    from .pipelines import pages
+    from .pipelines.kg import mentions_stage
+
+    extracted = pages.read_pages(sf_dir).map_batches(
+        pages.extract_text_batch, batch_format="pyarrow"
+    )
+    m = mentions_stage(extracted)
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        t = pa.table({"url": batch["url"], "surface": batch["surface"]})
+        return t.group_by(["url", "surface"], use_threads=False).aggregate([])
+
+    local = m.map_batches(distinct, batch_format="pyarrow")
+    return local.groupby(["url", "surface"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def q_kg_triples(sf_dir: str):
+    from .pipelines.kg import build_kg
+
+    return build_kg(sf_dir).triples
+
+
+def q_kg_sameas_components(sf_dir: str):
+    """P6: union-find output over the pipeline's sameAs edges."""
+    from .pipelines import pages
+    from .pipelines.kg import mentions_stage, ONTO
+    from .pipelines.canonicalize import connected_components
+
+    extracted = pages.read_pages(sf_dir).map_batches(
+        pages.extract_text_batch, batch_format="pyarrow"
+    )
+    m = mentions_stage(extracted)
+
+    def edges(batch: pa.Table) -> pa.Table:
+        canon = pc.binary_join_element_wise(
+            pa.scalar(f"{ONTO}#ent_"), batch["surface"], ""
+        )
+        t = pa.table({"src": batch["alias"], "dst": canon})
+        return t.group_by(["src", "dst"], use_threads=False).aggregate([])
+
+    e = m.map_batches(edges, batch_format="pyarrow")
+    return connected_components(e, num_buckets=16)
+
+
+# ---------------------------------------------------------------------------
+# Training-data queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    from .stages.dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(docs)
+    return out.select_columns(["doc_id"])
+
+
+def q_fingerprint_groups(sf_dir: str):
+    """Dup-group analytics: every doc with the size of its exact-dup
+    group (fingerprint grouping ≡ text grouping)."""
+    from .stages.text import fingerprint
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    fp = fingerprint(docs)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (df["fingerprint"] % 16).astype("int64")
+        return df
+
+    def group_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("fingerprint")["doc_id"].transform("size")
+        return pd.DataFrame({"doc_id": df["doc_id"], "dup_group_size": sizes.astype("int64")})
+
+    return (
+        fp.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(group_sizes, batch_format="pandas")
+    )
+
+
+def q_token_stats(sf_dir: str):
+    from .stages.text import token_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return token_stats(docs).select_columns(
+        ["doc_id", "n_tokens", "n_bpe_tokens", "n_chars_computed"]
+    )
+
+
+def q_text_quality_counts(sf_dir: str):
+    """Integer quality ingredients (SQL-safe): tokens, stopword hits,
+    punctuation chars."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_tokens = pc.list_value_length(pc.split_pattern(text, " "))
+        stop_hits = pc.add(
+            pc.count_substring_regex(text, r"\bthe\b"),
+            pc.count_substring_regex(text, r"\ba\b"),
+        )
+        punct = pc.count_substring_regex(text, r"[^\w\s]")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+                "stop_hits": pc.cast(stop_hits, pa.int64()),
+                "punct_chars": pc.cast(punct, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(counts, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    from .stages.text import lang_id
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lang_id(docs).select_columns(["doc_id", "pred_lang"])
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for queries = vec_id 0..4; returns
+    (query_id, vec_id) — ids only, so float formatting can't skew the
+    comparison; ordering is handled by the driver's sorted hash."""
+    from .stages.ann import brute_force_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = [r for r in emb.take_all() if r["vec_id"] < 5]
+    qids = [r["vec_id"] for r in qrows]
+    qvecs = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    df = brute_force_topk(emb, qids, qvecs, k=10)
+    return df[["query_id", "vec_id"]]
+
+
+def q_minhash_dedup(sf_dir: str):
+    from .stages.dedup import minhash_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup(docs, threshold=0.85).select_columns(["doc_id"])
+
+
+def q_simhash_pairs(sf_dir: str):
+    from .stages.dedup import simhash_near_dup_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dup_pairs(docs, max_hamming=2)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from .stages.ann import self_similarity_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = self_similarity_pairs(emb, threshold=0.4)
+
+    def ids_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"src_id": batch["src_id"], "dst_id": batch["dst_id"]})
+
+    return _typed_pandas(
+        pairs.map_batches(ids_only, batch_format="pyarrow"), ["src_id", "dst_id"]
+    )
+
+
+def q_multimodal_features(sf_dir: str):
+    from .stages.multimodal import decode_images, synthesize_media
+
+    ds = ray.data.from_arrow(synthesize_media(200))
+    out = decode_images(ds)
+    return out.select_columns(["media_id", "width", "height", "phash"])
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth (aggregate / join / window / sort+limit)
+# ---------------------------------------------------------------------------
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1h window per user: count + exact min/max (no float
+    summation ambiguity)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["win"] = (df["ts"].astype("int64") // (3600 * 1_000_000)).astype("int64")
+        return df[["user_id", "win", "value"]]
+
+    from ray.data.aggregate import Count, Max, Min
+
+    return (
+        ev.map_batches(win, batch_format="pandas")
+        .groupby(["user_id", "win"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+    )
+
+
+def q_top_nations_by_customers(sf_dir: str):
+    """Join + groupby + sort + limit: nations ranked by customer count."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    from ray.data.aggregate import Count
+
+    counts = cust.groupby("c_nationkey").aggregate(Count(alias_name="n_customers"))
+    df = counts.to_pandas()
+    nat = _read(sf_dir, "nation").to_pandas()
+    out = df.merge(nat[["n_nationkey", "n_name"]], left_on="c_nationkey", right_on="n_nationkey")
+    out = out.sort_values(
+        ["n_customers", "n_nationkey"], ascending=[False, True], kind="stable"
+    ).head(10)
+    return out[["n_nationkey", "n_name", "n_customers"]].reset_index(drop=True)
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shape grouped aggregate with partial pre-aggregation
+    inside map_batches before the (tiny) global groupby; money sums
+    carried as integer cents — exact, no float drift."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty_cents": (df["l_quantity"] * 100.0).round().astype("int64"),
+                "sum_price_cents": (df["l_extendedprice"] * 100.0).round().astype("int64"),
+                "sum_disc_cents": (df["l_discount"] * 100.0).round().astype("int64"),
+                "n_rows": 1,
+            }
+        )
+        return tmp.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    parts = li.map_batches(partial, batch_format="pandas")
+    return parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+        Sum("sum_price_cents", alias_name="sum_price_cents"),
+        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+        Sum("n_rows", alias_name="n_rows"),
+    )

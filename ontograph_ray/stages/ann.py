@@ -24,7 +24,9 @@ import ray.data
 
 
 def _as_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
-    return np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
+    # float64 so scores are bit-comparable with SQL oracles (duckdb
+    # computes cosine in double); 64-dim vectors keep this cheap
+    return np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -40,7 +42,7 @@ class _PartialTopK:
     def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
         q = ray.get(queries_ref)
         self.qids = np.asarray(q["ids"])
-        self.qmat = _normalize(np.asarray(q["vecs"], dtype=np.float32)).T  # d × nq
+        self.qmat = _normalize(np.asarray(q["vecs"], dtype=np.float64)).T  # d × nq
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
@@ -140,7 +142,7 @@ def _kmeans(
             counts[row["cluster"]] += row["count"]
         nonzero = counts > 0
         centroids = centroids.copy()
-        centroids[nonzero] = (sums[nonzero] / counts[nonzero, None]).astype(np.float32)
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
     return centroids
 
 
@@ -160,7 +162,7 @@ def ivf_topk(
     brute_force_topk."""
     centroids = _kmeans(emb_ds, n_clusters, kmeans_iters, vec_col)
     cref = ray.put(centroids)
-    qn = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
     # buckets each query probes
     cn = _normalize(centroids)
     probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]  # nq × nprobe
@@ -221,7 +223,7 @@ def self_similarity_pairs(
     IVF-bucketed blocks."""
     rows = emb_ds.select_columns([id_col, vec_col]).take_all()
     ids = np.asarray([r[id_col] for r in rows])
-    mat = _normalize(np.asarray([r[vec_col] for r in rows], dtype=np.float32))
+    mat = _normalize(np.asarray([r[vec_col] for r in rows], dtype=np.float64))
     ref = ray.put({"ids": ids, "mat": mat})
 
     class PairFinder:
