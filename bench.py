@@ -1,0 +1,198 @@
+"""Benchmark harness for the Ray-Data-native ontograph engine.
+
+Headline pipeline: the P1-P7 web-page → triple-store KG construction
+(`ontograph_ray.pipelines.kg.build_kg`) over ``$GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``), with the page table amplified
+``$GRAFT_AMPLIFY``× (default 20) so the run is compute-bound enough to
+measure — the sandbox stand-in for a real crawl shard. Also times a
+representative subset of the `queries()` registry.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "triples": T,
+     "triples_per_sec": R}
+
+``--scaling``: runs the headline pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs plus scaling efficiency = (thr_32/thr_8) / (32/8)
+(the sandbox proxy for the north rule's N-vs-4N-node cluster run).
+
+This script OWNS its Ray session (ray.init/ray.shutdown); the library
+and __ray_entry__ never do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+AMPLIFY = int(os.environ.get("GRAFT_AMPLIFY", "20"))
+# Larger input for the scaling proof so compute dominates fixed
+# per-stage latency at both CPU counts.
+AMPLIFY_SCALING = int(os.environ.get("GRAFT_AMPLIFY_SCALING", "100"))
+
+# Timed subset of the queries() registry (heavier, shuffle-bearing ops).
+BENCH_QUERIES = [
+    "get_individuals_filtered",
+    "dedup_exact",
+    "minhash_dedup",
+    "ann_topk",
+    "events_window",
+    "lineitem_pricing",
+    "kg_sameas_components",
+]
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # Smaller target blocks → more, shorter tasks per stage. The
+    # default 128 MiB leaves wide stages with a handful of long tasks
+    # (poor overlap, straggler-bound); 32 MiB keeps every CPU fed at
+    # the data sizes this bench runs.
+    ctx.target_max_block_size = 32 * 1024 * 1024
+    return ray
+
+
+def _consume(result) -> int:
+    """Drain a query result; return its row count."""
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.count()
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    return len(result)
+
+
+def run_headline(num_cpus: int, amplify: int) -> dict:
+    from ontograph_ray.pipelines.kg import build_kg
+
+    # Warm the worker pool first (a tiny end-to-end run) so the timed
+    # section measures steady-state throughput, not the one-time
+    # Python-import cold start of num_cpus worker processes — a real
+    # long-lived cluster is always warm.
+    build_kg("/root/testdata/sf0.001", amplify=1).triples.count()
+
+    t0 = time.time()
+    res = build_kg(SF_DIR, amplify=amplify, dedup_buckets=max(16, num_cpus * 2))
+    triples = res.triples.count()
+    wall = time.time() - t0
+    return {
+        "sec": round(wall, 3),
+        "triples": triples,
+        "triples_per_sec": round(triples / wall, 1),
+        "amplify": amplify,
+    }
+
+
+def run_queries() -> dict:
+    import __ray_entry__ as entrymod
+
+    registry = entrymod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        t0 = time.time()
+        _consume(fn(SF_DIR))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_bench() -> None:
+    _init_ray(NUM_CPUS)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    head = run_headline(NUM_CPUS, AMPLIFY)
+    queries = run_queries()
+    import ray
+
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_e2e_sec",
+                "value": head["sec"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "amplify": head["amplify"],
+                "triples": head["triples"],
+                "triples_per_sec": head["triples_per_sec"],
+            }
+        )
+    )
+
+
+def main_child(num_cpus: int) -> None:
+    """Scaling child: headline only, fresh Ray session, one JSON line."""
+    _init_ray(num_cpus)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    head = run_headline(num_cpus, AMPLIFY_SCALING)
+    import ray
+
+    ray.shutdown()
+    print(json.dumps({"num_cpus": num_cpus, **head}))
+
+
+def main_scaling() -> None:
+    lo, hi = 8, 32
+    runs = {}
+    for n in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child-cpus", str(n)],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        runs[n] = json.loads(line)
+    thr_lo = runs[lo]["triples_per_sec"]
+    thr_hi = runs[hi]["triples_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "sf": SF_DIR,
+                "amplify": AMPLIFY_SCALING,
+                "runs": {
+                    str(n): {
+                        "sec": runs[n]["sec"],
+                        "triples": runs[n]["triples"],
+                        "triples_per_sec": runs[n]["triples_per_sec"],
+                    }
+                    for n in (lo, hi)
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif "--child-cpus" in sys.argv:
+        main_child(int(sys.argv[sys.argv.index("--child-cpus") + 1]))
+    else:
+        main_bench()

@@ -33,6 +33,35 @@ import ray
 import ray.data
 
 
+def _local_components(edges2: ray.data.Dataset) -> ray.data.Dataset:
+    """Driver-side union-find over the deduped doubled edge list —
+    the small-graph cutover of connected_components (same output
+    contract: Dataset(node, component), component = min label)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes: set[str] = set()
+    for row in edges2.select_columns(["key", "nbr"]).iter_rows():
+        k, n = row["key"], row["nbr"]
+        nodes.add(k)
+        nodes.add(n)
+        a, b = find(k), find(n)
+        if a != b:
+            # min label wins so the representative is deterministic
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    out = pd.DataFrame({"node": sorted(nodes)})
+    out["component"] = [find(n) for n in out["node"]]
+    return ray.data.from_pandas(out)
+
+
 def _bucket_of(series: pd.Series, num_buckets: int) -> pd.Series:
     return (pd.util.hash_pandas_object(series, index=False) % num_buckets).astype(
         "int64"
@@ -58,9 +87,20 @@ def connected_components(
     dst: str = "dst",
     max_iters: int = 25,
     num_buckets: int = 64,
+    small_threshold: int = 200_000,
 ) -> ray.data.Dataset:
     """Edges (src,dst string columns) → Dataset(node, component) where
-    component is the lexicographic min node label of the component."""
+    component is the lexicographic min node label of the component.
+
+    Adaptive physical plan: after the global edge dedup, if the
+    DISTINCT edge count is ≤ ``small_threshold`` the component labels
+    are computed with a driver-side union-find over the (already
+    shuffled-small) edge set — identical output, none of the
+    per-iteration shuffle latency. Above the threshold the iterative
+    min-label-propagation loop below is the scale path (this is the
+    standard size cutover: a graph whose deduped edges fit the driver
+    needs no distributed fixpoint). Tests pin both paths
+    (small_threshold=0 forces the distributed loop)."""
 
     def doubled(df: pd.DataFrame) -> pd.DataFrame:
         fwd = pd.DataFrame({"key": df[src].astype(str), "nbr": df[dst].astype(str)})
@@ -72,7 +112,22 @@ def connected_components(
         out["__bucket"] = _bucket_of(out["key"], num_buckets)
         return out[_COLS]
 
-    edges2 = _as_arrow(edges.map_batches(doubled, batch_format="pandas")).materialize()
+    # Global edge dedup before iterating: per-batch drop_duplicates is
+    # only a combiner; the bucketed exchange + per-bucket distinct makes
+    # it global, so a heavily duplicated edge list (e.g. one sameAs edge
+    # re-emitted per mention) is shuffled ONCE here instead of once per
+    # propagation iteration.
+    edges2 = _as_arrow(
+        edges.map_batches(doubled, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(
+            lambda df: df.drop_duplicates(subset=["key", "nbr"]),
+            batch_format="pandas",
+        )
+    ).materialize()
+
+    if edges2.count() <= small_threshold:
+        return _local_components(edges2)
 
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
         nodes = pd.concat(

@@ -31,7 +31,6 @@ which is the canonical URI by construction).
 
 from __future__ import annotations
 
-import re
 import time
 from dataclasses import dataclass, field
 
@@ -45,7 +44,7 @@ import ray.data
 
 from .. import constants as C
 from ..terms import new_literal_term, new_resource_term
-from ..store.dataset import dedup, write_ntriples
+from ..store.dataset import dedup, distinct_on, write_ntriples
 from .canonicalize import connected_components
 from .checkpoint import CheckpointedRun
 from .pages import extract_text_batch, read_pages
@@ -70,6 +69,14 @@ IN_LANGUAGE_PROP = f"{ONTO}#inLanguage"
 PAGE_CLASS = f"{ONTO}#Page"
 
 
+def auto_concurrency() -> tuple[int, int]:
+    """Actor-pool size scaled to the cluster: (1, #CPUs). A fixed cap
+    would pin these stages' parallelism regardless of cluster size —
+    the classic non-scaling mistake the two-cluster-size criterion
+    catches."""
+    return (1, max(4, int(ray.cluster_resources().get("CPU", 8))))
+
+
 def canonical_uri(surface: str) -> str:
     return f"{ONTO}#ent_{surface}"
 
@@ -78,59 +85,131 @@ def alias_uri(surface: str, lang: str) -> str:
     return f"{ONTO}#ent_{surface}__{lang}"
 
 
+def _tokenize(text_col):
+    """Vectorized whitespace tokenizer: text column → (flat token
+    array, per-token parent row index, per-token position-in-doc).
+    Pure Arrow/numpy — no Python loop over rows or tokens."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    toks = pc.split_pattern(text_col, " ")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    parents = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    pos = np.arange(len(flat), dtype=np.int64) - starts[parents]
+    return flat, parents, pos
+
+
 class MentionDetector:
     """P3+P5 actor stage: tokenizer + gazetteer lookup, state compiled
-    once per actor in __init__ (regex + dict), applied per batch.
+    once per actor in __init__ (gazetteer value-set Arrow array),
+    applied per batch with is_in/take kernels — no per-row Python.
 
     Emits one row per gazetteer token occurrence:
     (url, lang, pos, surface, alias) — alias is the language-local
     entity URI the linker scored for this mention."""
 
     def __init__(self, gazetteer_ref=None):
-        self.gazetteer = frozenset(
-            ray.get(gazetteer_ref) if gazetteer_ref is not None else GAZETTEER
-        )
-        self.token_re = re.compile(r"[^\s]+")
+        gaz = ray.get(gazetteer_ref) if gazetteer_ref is not None else GAZETTEER
+        self.gaz_arr = pa.array(sorted(set(gaz)), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls, langs, positions, surfaces = [], [], [], []
-        url_col = batch["url"].to_pylist()
-        lang_col = batch["lang"].to_pylist()
-        text_col = batch["text"].to_pylist()
-        gaz = self.gazetteer
-        for url, lang, text in zip(url_col, lang_col, text_col):
-            pos = 0
-            for tok in text.split(" "):
-                if tok in gaz:
-                    urls.append(url)
-                    langs.append(lang)
-                    positions.append(pos)
-                    surfaces.append(tok)
-                pos += 1
-        surfaces_arr = pa.array(surfaces, pa.string())
-        langs_arr = pa.array(langs, pa.string())
+        flat, parents, pos = _tokenize(batch["text"])
+        mask = pc.is_in(flat, value_set=self.gaz_arr).to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(mask)
+        sel_arr = pa.array(sel, pa.int64())
+        surfaces_arr = pc.take(flat, sel_arr)
+        par_arr = pa.array(parents[sel], pa.int64())
+        langs_arr = pc.take(batch["lang"], par_arr)
         alias = pc.binary_join_element_wise(
             pa.scalar(f"{ONTO}#ent_"), surfaces_arr, pa.scalar("__"), langs_arr, ""
         )
         return pa.table(
             {
-                "url": pa.array(urls, pa.string()),
+                "url": pc.take(batch["url"], par_arr),
                 "lang": langs_arr,
-                "pos": pa.array(positions, pa.int64()),
+                "pos": pa.array(pos[sel], pa.int64()),
                 "surface": surfaces_arr,
                 "alias": alias,
             }
         )
 
 
-def mentions_stage(pages: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
+# Per-worker-process cache of constructed stage objects keyed by the
+# broadcast ObjectRef — tasks get actor-like "load state once per
+# worker" behavior without actor-pool startup/queueing overhead.
+_STAGE_CACHE: dict = {}
+
+
+def _cached_stage(cls, ref):
+    key = (cls.__name__, ref.hex() if hasattr(ref, "hex") else id(ref))
+    inst = _STAGE_CACHE.get(key)
+    if inst is None:
+        inst = _STAGE_CACHE[key] = cls(ref)
+    return inst
+
+
+def _mentions_batch(batch: pa.Table, gaz_ref=None) -> pa.Table:
+    return _cached_stage(MentionDetector, gaz_ref)(batch)
+
+
+def _mentions_distinct_batch(batch: pa.Table, gaz_ref=None) -> pa.Table:
+    """Fused mention-detect + per-page distinct in ONE UDF. The
+    distinct MUST happen inside the same call that sees the whole
+    page: page rows are atomic in the input batch, but any separate
+    downstream pass would see dynamically re-split blocks, where one
+    page's mention rows can straddle a block boundary and batch-local
+    distinct silently under-deduplicates (caught as a varying triple
+    count between benchmark runs)."""
+    m = _cached_stage(MentionDetector, gaz_ref)(batch)
+    if m.num_rows == 0:
+        return m.select(["url", "lang", "surface"])
+    return (
+        m.select(["url", "lang", "surface"])
+        .group_by(["url", "lang", "surface"], use_threads=False)
+        .aggregate([])
+    )
+
+
+def mentions_distinct_stage(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """P3+P5 with the (url, lang, surface) distinct fused in — globally
+    distinct output with NO exchange (url functionally determines its
+    page's batch)."""
     gaz_ref = ray.put(list(GAZETTEER))
     return pages.map_batches(
-        MentionDetector,
-        fn_constructor_args=(gaz_ref,),
+        _mentions_distinct_batch,
+        fn_kwargs={"gaz_ref": gaz_ref},
         batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=concurrency,
+        batch_size=None,
+    )
+
+
+def _relations_batch(batch: pa.Table, gaz_ref=None) -> pa.Table:
+    return _cached_stage(RelationExtractor, gaz_ref)(batch)
+
+
+def mentions_stage(
+    pages: ray.data.Dataset, concurrency=None, use_actors: bool = False
+) -> ray.data.Dataset:
+    """P3+P5. Default physical form is a TASK pool with per-worker
+    cached state: the gazetteer is a tiny broadcast (ray.put) and Ray
+    Data actor pools cost several seconds of startup/queueing that
+    tasks don't. ``use_actors=True`` selects the actor-pool form — the
+    right shape when the per-actor state is heavy (a real NER model)."""
+    gaz_ref = ray.put(list(GAZETTEER))
+    if use_actors:
+        return pages.map_batches(
+            MentionDetector,
+            fn_constructor_args=(gaz_ref,),
+            batch_format="pyarrow",
+            batch_size=8192,
+            concurrency=concurrency or auto_concurrency(),
+        )
+    return pages.map_batches(
+        _mentions_batch,
+        fn_kwargs={"gaz_ref": gaz_ref},
+        batch_format="pyarrow",
+        batch_size=None,
     )
 
 
@@ -139,38 +218,65 @@ class RelationExtractor:
     co-occurrence pairs. Runs per page (pages are never split across
     batches, so no boundary pairs are lost), emitting
     (src_alias, dst_alias) for consecutive mentions with different
-    surface forms. State (gazetteer set) compiled once per actor."""
+    surface forms. Vectorized: gazetteer hits are selected with is_in,
+    then adjacent-pair masks are numpy comparisons over the selected
+    token stream (same-parent ∧ different-surface)."""
 
     def __init__(self, gazetteer_ref=None):
-        self.gazetteer = frozenset(
-            ray.get(gazetteer_ref) if gazetteer_ref is not None else GAZETTEER
-        )
+        gaz = ray.get(gazetteer_ref) if gazetteer_ref is not None else GAZETTEER
+        self.gaz_arr = pa.array(sorted(set(gaz)), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        srcs, dsts = [], []
-        gaz = self.gazetteer
-        for lang, text in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
-            prev = None
-            for tok in text.split(" "):
-                if tok not in gaz:
-                    continue
-                if prev is not None and prev != tok:
-                    srcs.append(f"{ONTO}#ent_{prev}__{lang}")
-                    dsts.append(f"{ONTO}#ent_{tok}__{lang}")
-                prev = tok
+        flat, parents, _ = _tokenize(batch["text"])
+        mask = pc.is_in(flat, value_set=self.gaz_arr).to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(mask)
+        empty = pa.table(
+            {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+        )
+        if len(sel) < 2:
+            return empty
+        surf = pc.take(flat, pa.array(sel, pa.int64()))
+        par = parents[sel]
+        same_parent = par[1:] == par[:-1]
+        m = len(surf)
+        differs = pc.not_equal(surf.slice(0, m - 1), surf.slice(1, m - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        keep = np.flatnonzero(same_parent & differs)
+        if len(keep) == 0:
+            return empty
+        src_surf = pc.take(surf, pa.array(keep, pa.int64()))
+        dst_surf = pc.take(surf, pa.array(keep + 1, pa.int64()))
+        lang = pc.take(batch["lang"], pa.array(par[keep], pa.int64()))
+        ent = pa.scalar(f"{ONTO}#ent_")
+        sep = pa.scalar("__")
         return pa.table(
-            {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())}
+            {
+                "src": pc.binary_join_element_wise(ent, src_surf, sep, lang, ""),
+                "dst": pc.binary_join_element_wise(ent, dst_surf, sep, lang, ""),
+            }
         )
 
 
-def relations_stage(extracted: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
+def relations_stage(
+    extracted: ray.data.Dataset, concurrency=None, use_actors: bool = False
+) -> ray.data.Dataset:
+    """P4 — same task-pool-with-cached-state default as
+    mentions_stage (see there for the actor/task tradeoff)."""
     gaz_ref = ray.put(list(GAZETTEER))
+    if use_actors:
+        return extracted.map_batches(
+            RelationExtractor,
+            fn_constructor_args=(gaz_ref,),
+            batch_format="pyarrow",
+            batch_size=8192,
+            concurrency=concurrency or auto_concurrency(),
+        )
     return extracted.map_batches(
-        RelationExtractor,
-        fn_constructor_args=(gaz_ref,),
+        _relations_batch,
+        fn_kwargs={"gaz_ref": gaz_ref},
         batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=concurrency,
+        batch_size=None,
     )
 
 
@@ -197,6 +303,41 @@ def mention_triples_batch(batch: pa.Table) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def mention_link_triples_batch(batch: pa.Table) -> pa.Table:
+    """Distinct (url, lang, surface) mentions → `page mentions alias`
+    triples (one row each — the sameAs/type triples are emitted once
+    per distinct entity by entity_triples_batch, not per mention)."""
+    url_res = pc.binary_join_element_wise(pa.scalar("<"), batch["url"], pa.scalar(">"), "")
+    alias_res = pc.binary_join_element_wise(
+        pa.scalar(f"<{ONTO}#ent_"), batch["surface"], pa.scalar("__"), batch["lang"], pa.scalar(">"), ""
+    )
+    pred = pa.array([f"<{MENTIONS_PROP}>"] * batch.num_rows, pa.string())
+    return pa.table({"subject": url_res, "predicate": pred, "object": alias_res})
+
+
+def entity_triples_batch(batch: pa.Table) -> pa.Table:
+    """Distinct (surface, lang) entities → the per-entity triples:
+    alias owl:sameAs canonical (the canonicalization edge) and alias
+    rdf:type owl:NamedIndividual."""
+    alias_res = pc.binary_join_element_wise(
+        pa.scalar(f"<{ONTO}#ent_"), batch["surface"], pa.scalar("__"), batch["lang"], pa.scalar(">"), ""
+    )
+    canon_res = pc.binary_join_element_wise(
+        pa.scalar(f"<{ONTO}#ent_"), batch["surface"], pa.scalar(">"), ""
+    )
+    n = batch.num_rows
+
+    def const(s):
+        return pa.array([s] * n, pa.string())
+
+    return pa.concat_tables(
+        [
+            pa.table({"subject": alias_res, "predicate": const(f"<{C.OWL_SAME_AS}>"), "object": canon_res}),
+            pa.table({"subject": alias_res, "predicate": const(f"<{C.RDF_TYPE}>"), "object": const(f"<{C.OWL_NAMED_INDIVIDUAL}>")}),
+        ]
+    )
+
+
 def page_triples_batch(batch: pa.Table) -> pa.Table:
     """Per-page metadata triples (from the extracted page table)."""
     url_res = pc.binary_join_element_wise(pa.scalar("<"), batch["url"], pa.scalar(">"), "")
@@ -221,27 +362,46 @@ def relation_triples_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"subject": src, "predicate": pred, "object": dst})
 
 
-class _RewriteWithComponents:
+# Per-worker-process cache of decoded component maps, keyed by the
+# broadcast ObjectRef hex — the map is deserialized once per worker,
+# not once per batch, without paying actor-pool startup.
+_REWRITE_CACHE: dict = {}
+
+
+def _rewrite_batch(batch: pa.Table, comp_ref=None) -> pa.Table:
     """P6 apply-stage: map URIs (in <…> term syntax) through the
     component representative table. owl:sameAs rows are left unrewritten
     — they stay as alias→canonical provenance edges instead of
     collapsing into self-loops. The component map is broadcast via
-    ray.put and fetched once per actor. Partitioning assumption: the
+    ray.put (fetched from the local object store and cached per
+    worker); the per-batch rewrite is a pure Arrow index_in/take/
+    if_else — no Python per row. Partitioning assumption: the
     component map (≈ #distinct alias entities, NOT #pages) fits in
     worker memory; beyond that, swap for the bucketed-join rewrite."""
-
-    def __init__(self, comp_ref):
-        comp: dict[str, str] = ray.get(comp_ref)
-        self.mapping = {f"<{k}>": f"<{v}>" for k, v in comp.items()}
-        self.same_as = f"<{C.OWL_SAME_AS}>"
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        keep = df["predicate"] == self.same_as
-        for col in ("subject", "object"):
-            rewritten = df[col].map(self.mapping).fillna(df[col])
-            df[col] = df[col].where(keep, rewritten)
-        return df
+    if batch.num_rows == 0:
+        return batch
+    key = comp_ref.hex() if hasattr(comp_ref, "hex") else id(comp_ref)
+    cached = _REWRITE_CACHE.get(key)
+    if cached is None:
+        comp: dict[str, str] = ray.get(comp_ref) if hasattr(comp_ref, "hex") else comp_ref
+        cached = (
+            pa.array([f"<{k}>" for k in comp], pa.string()),
+            pa.array([f"<{v}>" for v in comp.values()], pa.string()),
+        )
+        _REWRITE_CACHE[key] = cached
+    keys, vals = cached
+    keep = pc.equal(batch["predicate"], f"<{C.OWL_SAME_AS}>")
+    for col in ("subject", "object"):
+        orig = batch[col]
+        idx = pc.index_in(orig, value_set=keys)
+        taken = pc.take(vals, idx)
+        cond = pc.and_(pc.is_valid(idx), pc.invert(keep))
+        batch = batch.set_column(
+            batch.schema.get_field_index(col),
+            col,
+            pc.if_else(cond, taken, orig),
+        )
+    return batch
 
 
 def kg_oracle_sql() -> str:
@@ -289,9 +449,10 @@ def build_kg(
     sf_dir: str,
     out_dir: str | None = None,
     checkpoint_dir: str | None = None,
-    concurrency=(1, 8),
+    concurrency=None,
     dedup_buckets: int = 64,
     skip_sameas_rewrite: bool = False,
+    amplify: int = 1,
 ) -> KGPipelineResult:
     """Run the full P1-P7 pipeline over ``{sf_dir}/documents.parquet``.
 
@@ -301,52 +462,96 @@ def build_kg(
     from their manifests without recompute.
     """
     t0 = time.time()
+    concurrency = concurrency or auto_concurrency()
     run = CheckpointedRun(checkpoint_dir)
     stats: dict = {}
 
+    # Without a checkpoint dir, stages that fan out to several
+    # consumers are pinned in the object store (materialize) instead of
+    # being recomputed per consumer; with one, CheckpointedRun already
+    # persists each stage as Parquet (the durable variant of the same
+    # cut point — the scale path).
+    def pin(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds if checkpoint_dir else ds.materialize()
+
     def extracted_fn():
-        pages = read_pages(sf_dir)
+        pages = read_pages(sf_dir, amplify=amplify)
         return pages.map_batches(extract_text_batch, batch_format="pyarrow")
 
-    extracted = run.stage(
-        "extract", extracted_fn, config={"sf_dir": sf_dir, "v": "1"},
-        inputs=[f"{sf_dir}/documents.parquet"],
+    extracted = pin(
+        run.stage(
+            "extract", extracted_fn, config={"sf_dir": sf_dir, "amplify": amplify, "v": "1"},
+            inputs=[f"{sf_dir}/documents.parquet"],
+        )
     )
 
-    mentions = run.stage(
-        "mentions",
-        lambda: mentions_stage(extracted, concurrency),
-        config={"gazetteer": GAZETTEER, "v": "1"},
+    # Early distincts — the scale lever: per-mention rows carry
+    # massive duplication (every page re-mentions the same few
+    # entities), so shrinking BEFORE the triple explosion keeps every
+    # downstream exchange proportional to the DISTINCT result, not the
+    # corpus. For (url, lang, surface) no exchange is needed AT ALL:
+    # the distinct is FUSED into the mention-detection UDF
+    # (mentions_distinct_stage) so it runs on whole pages before any
+    # dynamic block re-splitting, and `url` is unique per page — so
+    # batch-local distinct IS globally distinct. Only keys that cross
+    # pages (entities, relations) need the bucketed global distinct.
+    mentions_d = pin(
+        run.stage(
+            "mentions_distinct",
+            lambda: mentions_distinct_stage(extracted),
+            config={"gazetteer": GAZETTEER, "v": "3"},
+            inputs=["stage=extract"],
+        )
+    )
+    entities_d = pin(
+        run.stage(
+            "entities",
+            lambda: distinct_on(mentions_d, ["surface", "lang"], min(8, dedup_buckets)),
+            config={"v": "1"},
+            inputs=["stage=mentions_distinct"],
+        )
+    )
+    rels_d = run.stage(
+        "relations_distinct",
+        lambda: distinct_on(
+            relations_stage(extracted, concurrency), ["src", "dst"], dedup_buckets
+        ),
+        config={"v": "1"},
         inputs=["stage=extract"],
     )
 
-    def triples_fn():
-        m_triples = mentions.map_batches(mention_triples_batch, batch_format="pyarrow")
+    # P6 + P7: union-find over the distinct owl:sameAs edge set, URI
+    # rewrite to component representatives, then materialize the final
+    # triple set with *dedup pushdown*: the big triple parts are
+    # distinct BY CONSTRUCTION (mention-link triples come from the
+    # global (url,lang,surface) distinct with one functional lang per
+    # url; page triples have unique subjects; the three parts use
+    # disjoint predicates), so they skip the global (s,p,o) exchange
+    # entirely — G17 set semantics hold without shuffling the 99% that
+    # cannot contain duplicates. Only the entity/relation triples can
+    # collapse when the rewrite merges per-language aliases; that small
+    # remainder gets the exact dedup.
+    def final_fn():
+        m_triples = mentions_d.map_batches(mention_link_triples_batch, batch_format="pyarrow")
+        e_triples = entities_d.map_batches(entity_triples_batch, batch_format="pyarrow")
         p_triples = extracted.map_batches(page_triples_batch, batch_format="pyarrow")
-        rels = relations_stage(extracted, concurrency)
-        r_triples = rels.map_batches(relation_triples_batch, batch_format="pyarrow")
-        return m_triples.union(p_triples).union(r_triples)
+        r_triples = rels_d.map_batches(relation_triples_batch, batch_format="pyarrow")
 
-    raw_triples = run.stage(
-        "raw_triples", triples_fn, config={"v": "1"}, inputs=["stage=mentions"]
-    )
+        if skip_sameas_rewrite:
+            raw = m_triples.union(e_triples).union(p_triples).union(r_triples)
+            return dedup(raw, num_buckets=dedup_buckets)
 
-    # P6: union-find over sameAs edges, then rewrite URIs to their
-    # component representative.
-    def canonical_fn():
-        same_as_pred = f"<{C.OWL_SAME_AS}>"
-
-        def sameas_edges(batch: pa.Table) -> pa.Table:
-            from ..terms import v_value
-
-            mask = pc.equal(batch["predicate"], same_as_pred)
-            hit = batch.filter(mask)
-            return pa.table(
-                {"src": v_value(hit["subject"]), "dst": v_value(hit["object"])}
+        def ent_edges(batch: pa.Table) -> pa.Table:
+            alias = pc.binary_join_element_wise(
+                pa.scalar(f"{ONTO}#ent_"), batch["surface"], pa.scalar("__"), batch["lang"], ""
             )
+            canon = pc.binary_join_element_wise(
+                pa.scalar(f"{ONTO}#ent_"), batch["surface"], ""
+            )
+            return pa.table({"src": alias, "dst": canon})
 
-        edges = raw_triples.map_batches(sameas_edges, batch_format="pyarrow")
-        components = connected_components(edges, num_buckets=dedup_buckets)
+        edges = entities_d.map_batches(ent_edges, batch_format="pyarrow")
+        components = connected_components(edges, num_buckets=min(16, dedup_buckets))
         comp_map = {
             r["node"]: r["component"]
             for r in components.take_all()
@@ -354,21 +559,25 @@ def build_kg(
         }
         stats["components_rewritten"] = len(comp_map)
         comp_ref = ray.put(comp_map)
-        return raw_triples.map_batches(
-            _RewriteWithComponents,
-            fn_constructor_args=(comp_ref,),
-            batch_format="pandas",
-            concurrency=concurrency,
-        )
 
-    canonical = (
-        raw_triples
-        if skip_sameas_rewrite
-        else run.stage("canonical", canonical_fn, config={"v": "1"}, inputs=["stage=raw_triples"])
+        def rw(ds: ray.data.Dataset) -> ray.data.Dataset:
+            # task pool (no actor startup): the broadcast map is
+            # fetched from the object store and cached per worker.
+            return ds.map_batches(
+                _rewrite_batch,
+                fn_kwargs={"comp_ref": comp_ref},
+                batch_format="pyarrow",
+                batch_size=65536,
+            )
+
+        big = rw(m_triples.union(p_triples))
+        small = dedup(rw(e_triples.union(r_triples)), num_buckets=min(16, dedup_buckets))
+        return big.union(small)
+
+    final = run.stage(
+        "triples", final_fn, config={"v": "3", "skip_rewrite": skip_sameas_rewrite},
+        inputs=["stage=mentions_distinct", "stage=entities", "stage=relations_distinct", "stage=extract"],
     )
-
-    # P7: global exact dedup (set semantics, G17) → sinks
-    final = dedup(canonical, num_buckets=dedup_buckets)
 
     if out_dir:
         final = final.materialize()

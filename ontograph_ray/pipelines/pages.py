@@ -85,12 +85,79 @@ def synthesize_pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_pages(sf_dir: str, parallelism: int | None = None) -> ray.data.Dataset:
+_AMPLIFY_STRIDE = 10_000_000
+_BROADCAST_CACHE: dict = {}
+
+
+def read_pages(
+    sf_dir: str, parallelism: int | None = None, amplify: int = 1
+) -> ray.data.Dataset:
     """P1: read the documents table (columns pruned at the read) and
-    synthesize the page table."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    )
+    synthesize the page table.
+
+    ``amplify`` > 1 deterministically replicates every document with a
+    doc_id offset of ``replica * 10_000_000`` (distinct urls per
+    replica), standing in for a larger crawl at benchmark time — the
+    sandbox proxy for the 10^12-page table the plan is sized for.
+    """
+    if parallelism is None:
+        # Split the read so every CPU has work: a single small Parquet
+        # file otherwise yields a handful of blocks and caps the whole
+        # pipeline's parallelism at that block count (at real scale the
+        # reader splits across files/row-groups by itself; the explicit
+        # override matters for the few-files case).
+        parallelism = max(16, int(ray.cluster_resources().get("CPU", 8)) * 4)
+
+    if amplify > 1:
+        # Benchmark amplification: the base table is tiny, so read it
+        # ONCE on the driver, broadcast via ray.put, and let every
+        # (replica, chunk) shard be generated independently from
+        # ray.data.range — a single-file read would otherwise funnel
+        # all blocks through one reader task and gate the whole
+        # pipeline behind it.
+        import math
+
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        tbl_ref = ray.put(tbl)
+        chunks = max(1, math.ceil(parallelism / amplify))
+        chunk_rows = math.ceil(tbl.num_rows / chunks)
+        n_tasks = amplify * chunks
+
+        def build_shard(batch: pa.Table, tbl_ref=None) -> pa.Table:
+            base = _BROADCAST_CACHE.get(tbl_ref.hex())
+            if base is None:
+                base = _BROADCAST_CACHE[tbl_ref.hex()] = ray.get(tbl_ref)
+            parts = []
+            for sid in batch["id"].to_pylist():
+                replica, chunk = divmod(sid, chunks)
+                part = base.slice(chunk * chunk_rows, chunk_rows)
+                parts.append(
+                    part.set_column(
+                        part.schema.get_field_index("doc_id"),
+                        "doc_id",
+                        pc.add(part["doc_id"], replica * _AMPLIFY_STRIDE),
+                    )
+                )
+            return pa.concat_tables(parts)
+
+        ds = ray.data.range(
+            n_tasks, override_num_blocks=min(n_tasks, parallelism)
+        ).map_batches(
+            build_shard,
+            fn_kwargs={"tbl_ref": tbl_ref},
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    else:
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang"],
+            override_num_blocks=parallelism,
+        )
     return ds.map_batches(synthesize_pages_batch, batch_format="pyarrow")
 
 

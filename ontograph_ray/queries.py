@@ -38,7 +38,19 @@ RDF_TYPE_T = f"<{C.RDF_TYPE}>"
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Size-aware read: block count scaled to the file (≥ ~512 KiB of
+    Parquet per block, capped at 2×CPU). Ray's default at high CPU
+    counts splits small files into hundreds of sub-thousand-row blocks
+    and every downstream operator — especially sort-based shuffles —
+    then pays per-block overhead that dwarfs the work."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    blocks = max(1, min(cpus * 2, os.path.getsize(path) // (512 * 1024) + 1))
+    return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=int(blocks)
+    )
 
 
 def _typed_pandas(ds: ray.data.Dataset, columns: list[str]) -> pd.DataFrame:
@@ -231,12 +243,18 @@ def q_term_accessors(sf_dir: str):
         )
 
     out = ds.map_batches(accessors, batch_format="pyarrow")
-    # distinct terms so the result is a set (objects repeat across rows)
+    # distinct terms so the result is a set (objects repeat across
+    # rows): per-block combiner then one bucketed exchange — term
+    # determines every other column, so drop_duplicates per bucket is
+    # the global distinct.
+    from .store.dataset import bucketed_group_map
+
     def distinct(batch: pa.Table) -> pa.Table:
         return batch.group_by(batch.column_names, use_threads=False).aggregate([])
 
-    return out.map_batches(distinct, batch_format="pyarrow").groupby("term").map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    local = out.map_batches(distinct, batch_format="pyarrow")
+    return bucketed_group_map(
+        local, ["term"], lambda df: df.drop_duplicates(subset=["term"]), num_buckets=32
     )
 
 
@@ -300,14 +318,23 @@ def q_pivot_individuals_summary(sf_dir: str):
             }
         )
 
-    from ray.data.aggregate import Count, Sum
+    from .store.dataset import bucketed_group_map
 
     flat = ds.map_batches(counts, batch_format="pyarrow")
-    return flat.groupby("subject").aggregate(
-        Count(alias_name="n_triples"),
-        Sum("lit", alias_name="n_literal_objects"),
-        Sum("res", alias_name="n_resource_objects"),
-    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("subject", sort=False)
+        return (
+            g.agg(
+                n_triples=("lit", "size"),
+                n_literal_objects=("lit", "sum"),
+                n_resource_objects=("res", "sum"),
+            )
+            .astype("int64")
+            .reset_index()
+        )
+
+    return bucketed_group_map(flat, ["subject"], agg, num_buckets=32)
 
 
 # ---------------------------------------------------------------------------
@@ -325,23 +352,18 @@ def q_kg_extract_text(sf_dir: str):
 
 
 def q_kg_mentions(sf_dir: str):
-    """P3: distinct (url, surface) gazetteer mentions."""
+    """P3: distinct (url, surface) gazetteer mentions. The distinct is
+    fused into the detection UDF (see mentions_distinct_stage) so it
+    sees whole pages — a separate pass could observe re-split blocks
+    and under-deduplicate."""
     from .pipelines import pages
-    from .pipelines.kg import mentions_stage
+    from .pipelines.kg import mentions_distinct_stage
 
     extracted = pages.read_pages(sf_dir).map_batches(
         pages.extract_text_batch, batch_format="pyarrow"
     )
-    m = mentions_stage(extracted)
-
-    def distinct(batch: pa.Table) -> pa.Table:
-        t = pa.table({"url": batch["url"], "surface": batch["surface"]})
-        return t.group_by(["url", "surface"], use_threads=False).aggregate([])
-
-    local = m.map_batches(distinct, batch_format="pyarrow")
-    return local.groupby(["url", "surface"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    )
+    md = mentions_distinct_stage(extracted)
+    return md.select_columns(["url", "surface"])
 
 
 def q_kg_triples(sf_dir: str):
@@ -510,21 +532,27 @@ def q_events_window(sf_dir: str):
     summation ambiguity)."""
     ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def win(df: pd.DataFrame) -> pd.DataFrame:
+    from .store.dataset import bucketed_group_map
+
+    def win_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per-block combiner: pre-aggregate before the exchange so the
+        # groupby shuffles one row per (user, window) per block, not
+        # one per event.
         df = df.copy()
         df["win"] = (df["ts"].astype("int64") // (3600 * 1_000_000)).astype("int64")
-        return df[["user_id", "win", "value"]]
+        g = df.groupby(["user_id", "win"], sort=False)["value"]
+        return g.agg(n="count", mn="min", mx="max").reset_index()
 
-    from ray.data.aggregate import Count, Max, Min
+    def win_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "win"], sort=False)
+        out = g.agg(
+            n_events=("n", "sum"), min_value=("mn", "min"), max_value=("mx", "max")
+        ).reset_index()
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
 
-    return (
-        ev.map_batches(win, batch_format="pandas")
-        .groupby(["user_id", "win"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Min("value", alias_name="min_value"),
-            Max("value", alias_name="max_value"),
-        )
+    return bucketed_group_map(
+        ev, ["user_id"], win_final, num_buckets=32, partial_fn=win_partial
     )
 
 

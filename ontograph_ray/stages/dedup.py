@@ -87,17 +87,19 @@ class MinHasher:
         rng = np.random.RandomState(seed)
         self.k = k
         self.num_perm = num_perm
-        self.a = rng.randint(1, self.P, size=num_perm, dtype=np.int64).astype(object)
-        self.b = rng.randint(0, self.P, size=num_perm, dtype=np.int64).astype(object)
+        # a,b < 2^31 so a*x + b with 32-bit shingle hashes stays inside
+        # uint64 (< 2^63 + 2^31) — overflow-free native vector math, no
+        # Python-object bignums in the hot loop.
+        self.a = rng.randint(1, 1 << 31, size=num_perm).astype(np.uint64)
+        self.b = rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
-        sh = np.fromiter(_shingles(text, self.k), dtype=np.int64)
+        sh = np.fromiter(_shingles(text, self.k), dtype=np.int64).astype(np.uint64)
         if len(sh) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
         # (a * x + b) mod p, min over shingles — vectorized outer product
-        x = sh[None, :].astype(object)
-        vals = (self.a[:, None] * x + self.b[:, None]) % self.P
-        return np.min(vals, axis=1).astype(np.uint64)
+        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(self.P)
+        return np.min(vals, axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         sigs = [self.signature(t) for t in df["text"]]
@@ -109,7 +111,11 @@ class MinHasher:
 def minhash_signatures(
     ds: ray.data.Dataset, k: int = 5, num_perm: int = 64, concurrency=(1, 8)
 ) -> ray.data.Dataset:
-    return ds.map_batches(
+    # Explicit repartition between the I/O-bound read (few fat blocks)
+    # and this CPU-bound stage so the actor pool has one block per
+    # slot — the doctrine's read→compute exchange.
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return ds.repartition(cpus * 2).map_batches(
         MinHasher,
         fn_constructor_kwargs={"k": k, "num_perm": num_perm},
         batch_format="pandas",
@@ -149,13 +155,18 @@ def lsh_candidate_pairs(
         return out
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # STAR edges (bucket-min anchor → member), not the full
+        # clique: candidates feed a union-find clustering downstream,
+        # for which k-1 anchor edges give the same connectivity as
+        # k²/2 pairs — on template-heavy corpora (huge LSH buckets)
+        # this is the difference between 10^5 and 10^7 verifications.
         srcs, dsts = [], []
         for _, g in df.groupby(["band_id", "band_hash"], sort=False):
             ids = sorted(g["doc_id"].unique())
-            for i in range(len(ids) - 1):
-                for j in range(i + 1, len(ids)):
-                    srcs.append(ids[i])
-                    dsts.append(ids[j])
+            anchor = ids[0]
+            for other in ids[1:]:
+                srcs.append(anchor)
+                dsts.append(other)
         out = pd.DataFrame({"src_id": srcs, "dst_id": dsts}).drop_duplicates()
         return out
 
@@ -206,7 +217,13 @@ def minhash_dedup(
     LSH → candidate pairs → exact-Jaccard verify → union-find clusters
     → keep the min doc_id per cluster. Returns the surviving rows."""
     sigs = minhash_signatures(ds, k, num_perm, concurrency)
-    cands = lsh_candidate_pairs(sigs, bands, num_buckets)
+    from ..store.dataset import distinct_on
+
+    # the same (anchor, member) pair fires in several bands — one
+    # bucketed distinct so each pair is verified exactly once
+    cands = distinct_on(
+        lsh_candidate_pairs(sigs, bands, num_buckets), ["src_id", "dst_id"], 16
+    )
 
     texts = {r["doc_id"]: r["text"] for r in ds.select_columns(["doc_id", "text"]).take_all()}
     texts_ref = ray.put(texts)

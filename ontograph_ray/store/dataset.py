@@ -268,6 +268,86 @@ def dedup(
     )
 
 
+def distinct_on(
+    ds: ray.data.Dataset, cols: list[str], num_buckets: int = DEDUP_BUCKETS_DEFAULT
+) -> ray.data.Dataset:
+    """Global exact distinct on an arbitrary column list — same
+    3-stage plan as :func:`dedup` (per-block combiner → hash-bucket
+    exchange → per-bucket distinct), generic over the key columns.
+    The combiner is what keeps the shuffle small: a block with heavy
+    duplication (e.g. per-mention rows of a few hundred distinct
+    entities) contributes only its uniques to the exchange."""
+
+    def block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(cols)
+        return batch.select(cols).group_by(cols, use_threads=False).aggregate([])
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[cols[0]].astype(str)
+        for c in cols[1:]:
+            key = key + _SEP + df[c].astype(str)
+        df = df.copy()
+        df["__bucket"] = (
+            pd.util.hash_pandas_object(key, index=False) % num_buckets
+        ).astype("int64")
+        return df
+
+    def within(group: pa.Table) -> pa.Table:
+        out = group.drop_columns(["__bucket"])
+        return out.group_by(cols, use_threads=False).aggregate([])
+
+    return (
+        ds.map_batches(block, batch_format="pyarrow")
+        .map_batches(bucketed, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(within, batch_format="pyarrow")
+    )
+
+
+def bucketed_group_map(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    fn,
+    num_buckets: int = DEDUP_BUCKETS_DEFAULT,
+    partial_fn=None,
+) -> ray.data.Dataset:
+    """Generic high-cardinality group-aggregate: hash-bucket the key →
+    one exchange keyed on a small-int column → apply ``fn`` (a
+    vectorized pandas DataFrame→DataFrame aggregation) once per
+    BUCKET, with every row of a key guaranteed co-located.
+
+    This replaces ``ds.groupby(keys).aggregate(...)`` / ``map_groups``
+    for keys with many distinct values: Ray's named aggregates and
+    per-group UDFs pay Python-level cost per GROUP (~100k groups →
+    minutes), while this pattern pays one vectorized call per bucket.
+    ``partial_fn`` (optional) is a per-block combiner applied before
+    the exchange."""
+    if partial_fn is not None:
+        ds = ds.map_batches(partial_fn, batch_format="pandas")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(__bucket=pd.Series(dtype="int64"))
+        key = df[key_cols[0]].astype(str)
+        for c in key_cols[1:]:
+            key = key + _SEP + df[c].astype(str)
+        df = df.copy()
+        df["__bucket"] = (
+            pd.util.hash_pandas_object(key, index=False) % num_buckets
+        ).astype("int64")
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns=["__bucket"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def write_ntriples(ds: ray.data.Dataset, path: str) -> None:
     """Sink: partitioned N-Triples files, one per block (resumable
     layout — a directory of part files, like write_parquet). Formatting
