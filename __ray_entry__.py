@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_predicates": q.q_distinct_predicates,
         "term_accessors": q.q_term_accessors,
         "validate_triples": q.q_validate_triples,
+        "turtle_roundtrip": q.q_turtle_roundtrip,
         # Ontology layer (SURVEY §2.4)
         "get_individuals_filtered": q.q_get_individuals_filtered,
         "pivot_individuals_summary": q.q_pivot_individuals_summary,
@@ -56,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q.q_lang_id,
         "ann_topk": q.q_ann_topk,
         "minhash_dedup": q.q_minhash_dedup,
+        "ngram_jaccard": q.q_ngram_jaccard,
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_near_dup": q.q_embedding_near_dup,
         "multimodal_features": q.q_multimodal_features,

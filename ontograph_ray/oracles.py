@@ -41,6 +41,8 @@ def oracle_sql() -> dict[str, str]:
     onto = "https://kg.example.org/onto"
     return {
         "triples_from_tables": TRIPLES_SQL,
+        # sink→source round-trip must reproduce the exact triple set
+        "turtle_roundtrip": TRIPLES_SQL,
         "match_all": f"{_T} SELECT * FROM t WHERE predicate = '<{IN_NATION}>'",
         "match_first": (
             f"{_T} SELECT * FROM t WHERE predicate = '<{IN_NATION}>' "

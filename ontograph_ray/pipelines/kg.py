@@ -495,20 +495,34 @@ def build_kg(
     # dynamic block re-splitting, and `url` is unique per page — so
     # batch-local distinct IS globally distinct. Only keys that cross
     # pages (entities, relations) need the bucketed global distinct.
-    mentions_d = pin(
-        run.stage(
+    if checkpoint_dir:
+        # durable cut point: the distinct mention table is a resumable
+        # Parquet stage; downstream reads it back (already distinct, so
+        # re-split blocks are harmless there).
+        mentions_d = run.stage(
             "mentions_distinct",
             lambda: mentions_distinct_stage(extracted),
             config={"gazetteer": GAZETTEER, "v": "3"},
             inputs=["stage=extract"],
         )
-    )
+        entities_src = mentions_d
+    else:
+        # streaming path: the distinct mention table is NOT pinned —
+        # at scale it is ~#pages × #entities-per-page rows, and pinning
+        # it costs a full write+read of the largest intermediate.
+        # Consumers re-derive it from the (small, pinned) extracted
+        # pages; Ray fuses each consumer's detect→distinct→transform
+        # maps into one task chain, so the mention table never hits the
+        # object store at all.
+        mentions_d = mentions_distinct_stage(extracted)
+        entities_src = mentions_distinct_stage(extracted)
+
     entities_d = pin(
         run.stage(
             "entities",
-            lambda: distinct_on(mentions_d, ["surface", "lang"], min(8, dedup_buckets)),
-            config={"v": "1"},
-            inputs=["stage=mentions_distinct"],
+            lambda: distinct_on(entities_src, ["surface", "lang"], min(8, dedup_buckets)),
+            config={"v": "2"},
+            inputs=["stage=mentions_distinct" if checkpoint_dir else "stage=extract"],
         )
     )
     rels_d = run.stage(
@@ -570,7 +584,13 @@ def build_kg(
                 batch_size=65536,
             )
 
-        big = rw(m_triples.union(p_triples))
+        # Rewrite per branch, not over the union: consecutive
+        # map_batches fuse into one task chain, so the mention branch
+        # runs detect→distinct→triples→rewrite without materializing
+        # between maps. Page triples skip the rewrite entirely — their
+        # terms are page URLs, the Page class and lang literals; no
+        # entity URI ever appears in them.
+        big = rw(m_triples).union(p_triples)
         small = dedup(rw(e_triples.union(r_triples)), num_buckets=min(16, dedup_buckets))
         return big.union(small)
 

@@ -157,6 +157,33 @@ def q_triples_from_tables(sf_dir: str):
     return table_triples(sf_dir)
 
 
+def q_turtle_roundtrip(sf_dir: str):
+    """G15+G18 round-trip: write the corpus graph as partitioned
+    N-Triples (sink), parse it back with the distributed line parser
+    (source), and return the triples — oracle is the original triple
+    SQL (set equality proves the round-trip is lossless)."""
+    import tempfile
+
+    from .store.dataset import DatasetGraphStore, write_ntriples
+
+    out = tempfile.mkdtemp(prefix="og_ttl_", dir="/tmp")
+    write_ntriples(table_triples(sf_dir), out)
+    store = DatasetGraphStore.from_ntriples_text("urn:og:graph", out)
+    return store.dataset
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Near-dup candidate pairs with exact n-gram Jaccard ≥ 0.8
+    (MinHash-LSH candidate generation + exact verification)."""
+    from .stages.dedup import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, k=5, threshold=0.8)
+    return _typed_pandas(
+        pairs, ["src_id", "dst_id", "jaccard"]
+    )[["src_id", "dst_id"]]
+
+
 def q_match_all(sf_dir: str):
     """G3: wildcard pattern filter (predicate bound)."""
     from .store.dataset import DatasetGraphStore

@@ -125,12 +125,19 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: ray.data.Dataset, bands: int = 16, num_buckets: int = 64
+    sigs: ray.data.Dataset,
+    bands: int = 16,
+    num_buckets: int = 64,
+    mode: str = "star",
 ) -> ray.data.Dataset:
     """Signatures → (band_id, band_hash) buckets → candidate doc pairs.
-    Pair explosion inside a bucket is quadratic by nature; buckets are
-    capped implicitly by band width (rows per band-hash are true
-    near-dup groups)."""
+
+    ``mode="star"`` (default): k-1 anchor→member edges per bucket —
+    sufficient connectivity when candidates feed a union-find
+    clustering (minhash_dedup), and immune to the quadratic blowup on
+    template-heavy corpora. ``mode="clique"``: all k²/2 in-bucket
+    pairs — required when the *pair list itself* is the result
+    (ngram_jaccard_pairs)."""
 
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
         rows_doc, rows_band, rows_hash = [], [], []
@@ -163,10 +170,16 @@ def lsh_candidate_pairs(
         srcs, dsts = [], []
         for _, g in df.groupby(["band_id", "band_hash"], sort=False):
             ids = sorted(g["doc_id"].unique())
-            anchor = ids[0]
-            for other in ids[1:]:
-                srcs.append(anchor)
-                dsts.append(other)
+            if mode == "clique":
+                for i in range(len(ids) - 1):
+                    for j in range(i + 1, len(ids)):
+                        srcs.append(ids[i])
+                        dsts.append(ids[j])
+            else:
+                anchor = ids[0]
+                for other in ids[1:]:
+                    srcs.append(anchor)
+                    dsts.append(other)
         out = pd.DataFrame({"src_id": srcs, "dst_id": dsts}).drop_duplicates()
         return out
 
@@ -384,7 +397,7 @@ def ngram_jaccard_pairs(
     """All-pairs n-gram Jaccard via MinHash-LSH candidates + exact
     verification (the scalable form of the quadratic baseline)."""
     sigs = minhash_signatures(ds, k=k, concurrency=concurrency)
-    cands = lsh_candidate_pairs(sigs)
+    cands = lsh_candidate_pairs(sigs, mode="clique")
     texts = {r["doc_id"]: r["text"] for r in ds.select_columns(["doc_id", "text"]).take_all()}
     texts_ref = ray.put(texts)
     return cands.map_batches(
