@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_counts": q.q_text_quality_counts,
         "lang_id": q.q_lang_id,
         "ann_topk": q.q_ann_topk,
+        "ann_topk_ivf": q.q_ann_topk_ivf,
         "minhash_dedup": q.q_minhash_dedup,
         "ngram_jaccard": q.q_ngram_jaccard,
         "simhash_pairs": q.q_simhash_pairs,

@@ -513,6 +513,20 @@ def q_ann_topk(sf_dir: str):
     return df[["query_id", "vec_id"]]
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-10 (the ANN scale path): kmeans
+    coarse quantizer, nprobe-bucket search. Rows-only check —
+    approximate recall vs the exact oracle is by construction < 1."""
+    from .stages.ann import ivf_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = [r for r in emb.take_all() if r["vec_id"] < 5]
+    qids = [r["vec_id"] for r in qrows]
+    qvecs = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    df = ivf_topk(emb, qids, qvecs, k=10)
+    return df[["query_id", "vec_id"]]
+
+
 def q_minhash_dedup(sf_dir: str):
     from .stages.dedup import minhash_dedup
 
