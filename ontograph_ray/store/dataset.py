@@ -65,17 +65,38 @@ class DatasetGraphStore:
     def from_ntriples_text(cls, uri: str, paths) -> "DatasetGraphStore":
         """Source: line-oriented N-Triples files — embarrassingly
         parallel per-line parse (reference bootstrap path: G18,
-        memory_store.go:32-60)."""
+        memory_store.go:32-60). The common shape
+        ``<s> <p> <o|"lit"...> .`` is parsed with ONE vectorized
+        extract_regex over the whole batch; only lines that regex
+        can't split (exotic Turtle) fall back to the state-machine
+        parser."""
         lines = ray.data.read_text(paths)
+        _NT = (
+            r"^\s*(?P<s><[^>]*>)\s+(?P<p><[^>]*>)\s+(?P<o>.*?)\s*\.\s*$"
+        )
 
         def parse_lines(batch: pa.Table) -> pa.Table:
-            rows = [
-                turtle.parse_turtle(line)
-                for line in batch["text"].to_pylist()
-                if line.strip() and not line.lstrip().startswith("#")
+            col = batch["text"]
+            hit = pc.extract_regex(col, _NT)
+            ok = pc.is_valid(hit)
+            out = pa.table(
+                {
+                    tr.SUBJECT: pc.struct_field(hit, "s").filter(ok),
+                    tr.PREDICATE: pc.struct_field(hit, "p").filter(ok),
+                    tr.OBJECT: pc.struct_field(hit, "o").filter(ok),
+                },
+                schema=tr.TRIPLE_SCHEMA,
+            )
+            # fallback for non-regular lines (comments/blank are skipped)
+            misses = [
+                line
+                for line, good in zip(col.to_pylist(), pc.invert(ok).to_pylist())
+                if good and line.strip() and not line.lstrip().startswith("#")
             ]
-            flat = [t for triple_list in rows for t in triple_list]
-            return tr.triples_to_table(flat)
+            if misses:
+                flat = [t for line in misses for t in turtle.parse_turtle(line)]
+                out = pa.concat_tables([out, tr.triples_to_table(flat)])
+            return out
 
         return cls(uri, lines.map_batches(parse_lines, batch_format="pyarrow"))
 
