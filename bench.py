@@ -3,7 +3,7 @@
 Headline pipeline: the P1-P7 web-page → triple-store KG construction
 (`ontograph_ray.pipelines.kg.build_kg`) over ``$GRAFT_SF_DIR``
 (default ``/root/testdata/sf0.1``), with the page table amplified
-``$GRAFT_AMPLIFY``× (default 20) so the run is compute-bound enough to
+``$GRAFT_AMPLIFY``× (default 100) so the run is compute-bound enough to
 measure — the sandbox stand-in for a real crawl shard. Also times a
 representative subset of the `queries()` registry.
 
@@ -31,10 +31,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-AMPLIFY = int(os.environ.get("GRAFT_AMPLIFY", "20"))
+AMPLIFY = int(os.environ.get("GRAFT_AMPLIFY", "100"))
 # Larger input for the scaling proof so compute dominates fixed
 # per-stage latency at both CPU counts.
-AMPLIFY_SCALING = int(os.environ.get("GRAFT_AMPLIFY_SCALING", "100"))
+AMPLIFY_SCALING = int(os.environ.get("GRAFT_AMPLIFY_SCALING", "800"))
 
 # Timed subset of the queries() registry (heavier, shuffle-bearing ops).
 BENCH_QUERIES = [

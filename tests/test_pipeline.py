@@ -94,6 +94,17 @@ class TestPipeline:
         assert got == want
         assert len(got) > 10_000
 
+    def test_amplify_count_linearity(self, ray_session):
+        """The benchmark amplification invariant: per-replica triple
+        parts scale linearly with amplify while the entity/relation
+        constant stays fixed — count(k) = c1 + (k-1)·(c2 - c1). A
+        violation means duplicate leakage (e.g. block re-splitting
+        breaking the fused per-page distinct) or dropped rows."""
+        c1 = build_kg(SF, amplify=1).triples.count()
+        c2 = build_kg(SF, amplify=2).triples.count()
+        c3 = build_kg(SF, amplify=3).triples.count()
+        assert c3 == c1 + 2 * (c2 - c1)
+
     def test_checkpoint_resume_no_recompute(self, ray_session, tmp_path):
         ckpt = str(tmp_path / "run1")
         res1 = build_kg(SF, checkpoint_dir=ckpt)
