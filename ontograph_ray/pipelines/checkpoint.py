@@ -79,8 +79,15 @@ class CheckpointedRun:
         t0 = time.time()
         ds = fn()
         ds.write_parquet(tmp_dir)
-        out = ray.data.read_parquet(tmp_dir)
-        rows = out.count()
+        # row count from Parquet footers — metadata only, no second
+        # full read of the stage output.
+        import pyarrow.parquet as pq
+
+        rows = sum(
+            pq.ParquetFile(os.path.join(tmp_dir, f)).metadata.num_rows
+            for f in os.listdir(tmp_dir)
+            if f.endswith(".parquet")
+        )
         manifest = {
             "stage": name,
             "config_hash": chash,

@@ -217,6 +217,20 @@ class _JaccardVerifier:
         return df[df["jaccard"] >= self.threshold]
 
 
+# per-worker cache of verifier instances (holds the broadcast text map
+# and its shingle cache) — task pool gets actor-like state reuse
+# without pool startup.
+_VERIFIER_CACHE: dict = {}
+
+
+def _verify_batch(df: pd.DataFrame, texts_ref=None, k=5, threshold=0.8) -> pd.DataFrame:
+    key = (texts_ref.hex() if hasattr(texts_ref, "hex") else id(texts_ref), k, threshold)
+    v = _VERIFIER_CACHE.get(key)
+    if v is None:
+        v = _VERIFIER_CACHE[key] = _JaccardVerifier(texts_ref, k, threshold)
+    return v(df)
+
+
 def minhash_dedup(
     ds: ray.data.Dataset,
     k: int = 5,
@@ -241,10 +255,9 @@ def minhash_dedup(
     texts = {r["doc_id"]: r["text"] for r in ds.select_columns(["doc_id", "text"]).take_all()}
     texts_ref = ray.put(texts)
     verified = cands.map_batches(
-        _JaccardVerifier,
-        fn_constructor_args=(texts_ref, k, threshold),
+        _verify_batch,
+        fn_kwargs={"texts_ref": texts_ref, "k": k, "threshold": threshold},
         batch_format="pandas",
-        concurrency=concurrency,
     )
 
     def as_str_edges(df: pd.DataFrame) -> pd.DataFrame:
@@ -252,26 +265,24 @@ def minhash_dedup(
             {"src": df["src_id"].astype(str), "dst": df["dst_id"].astype(str)}
         )
 
-    edges = verified.map_batches(as_str_edges, batch_format="pandas")
+    # one execution for the emptiness check AND the component pass
+    edges = verified.map_batches(as_str_edges, batch_format="pandas").materialize()
     if edges.count() == 0:
         return ds
     comps = connected_components(edges, num_buckets=num_buckets)
     # losers: nodes whose component representative is a different doc.
     # Components are keyed by *string* doc ids; min-string == min-int is
     # not guaranteed, but any deterministic representative is valid.
-    losers = {
+    losers = frozenset(
         int(r["node"]) for r in comps.take_all() if r["node"] != r["component"]
-    }
-    losers_ref = ray.put(losers)
+    )
 
-    class DropLosers:
-        def __init__(self):
-            self.losers = ray.get(losers_ref)
+    def drop_losers(df: pd.DataFrame) -> pd.DataFrame:
+        # task map with the (small) loser set captured in the closure —
+        # no actor-pool startup for a membership filter.
+        return df[~df["doc_id"].isin(losers)]
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df[~df["doc_id"].isin(self.losers)]
-
-    return ds.map_batches(DropLosers, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(drop_losers, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
