@@ -592,6 +592,14 @@ def build_kg(
         # entity URI ever appears in them.
         big = rw(m_triples).union(p_triples)
         small = dedup(rw(e_triples.union(r_triples)), num_buckets=min(16, dedup_buckets))
+        if not checkpoint_dir:
+            # Materialize the (tiny) deduped remainder before the final
+            # union: a union that mixes a streaming map branch with an
+            # all-to-all (the dedup's sort) starves the executor at
+            # scale — observed as a >10-minute stall at amplify 1600
+            # where the branches run in <1 minute separately. With the
+            # shuffle pre-run, the consumed plan is pure map + count.
+            small = small.materialize()
         return big.union(small)
 
     final = run.stage(
