@@ -1,0 +1,75 @@
+"""Property-based XSD literal codec tests (hypothesis).
+
+The reference's README admits literal tests are missing
+(README.md:149-150); these properties close that gap for our full
+symmetric codec set: typed value → GenericLiteral → scalar round-trip,
+and scalar ⇔ vectorized encoder agreement.
+"""
+
+from datetime import datetime, timezone
+
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from ontograph_ray import literals as L
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+def test_integer_roundtrip(x):
+    lit = L.xsd_integer(x)
+    assert lit.to_integer() == x
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.booleans())
+def test_boolean_roundtrip(b):
+    assert L.xsd_boolean(b).to_boolean() is b
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(allow_nan=False, allow_infinity=False, width=32))
+def test_decimal_roundtrip(x):
+    # the reference encodes decimals with %f (6 fractional digits,
+    # ontology_literal.go:90); round-trip is exact at that precision
+    got = L.xsd_decimal(float(x)).to_decimal()
+    assert abs(got - float(x)) <= max(1e-6, abs(float(x)) * 1e-6)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.datetimes(
+        min_value=datetime(1900, 1, 1), max_value=datetime(2200, 1, 1)
+    ).map(lambda d: d.replace(tzinfo=timezone.utc, microsecond=0))
+)
+def test_datetime_roundtrip(dt):
+    assert L.xsd_datetime(dt).to_datetime() == dt
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(st.characters(blacklist_characters='"\x00', blacklist_categories=("Cs",)), max_size=40))
+def test_string_roundtrip(s):
+    assert L.xsd_string(s).to_string() == s
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=30))
+def test_vectorized_integer_encode_matches_scalar(xs):
+    got = L.v_encode_integer(pa.array(xs, pa.int64())).to_pylist()
+    want = [str(L.xsd_integer(x)) for x in xs]
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.booleans(), max_size=30))
+def test_vectorized_boolean_encode_matches_scalar(bs):
+    got = L.v_encode_boolean(pa.array(bs, pa.bool_())).to_pylist()
+    want = [str(L.xsd_boolean(b)) for b in bs]
+    assert got == want
+
+
+def test_type_mismatch_raises():
+    import pytest
+
+    with pytest.raises(L.LiteralTypeMismatchError):
+        L.xsd_integer(1).to_boolean()
