@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q.q_embedding_near_dup,
         "multimodal_features": q.q_multimodal_features,
         # Relational breadth
+        "orders_per_segment": q.q_orders_per_segment,
+        "brand_revenue": q.q_brand_revenue,
         "events_window": q.q_events_window,
         "top_nations_by_customers": q.q_top_nations_by_customers,
         "lineitem_pricing": q.q_lineitem_pricing,

@@ -151,4 +151,17 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        COUNT(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "orders_per_segment": """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment""",
+        "brand_revenue": """
+SELECT p.p_brand,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand""",
     }

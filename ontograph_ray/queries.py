@@ -157,6 +157,68 @@ def q_triples_from_tables(sf_dir: str):
     return table_triples(sf_dir)
 
 
+def q_orders_per_segment(sf_dir: str):
+    """Distributed hash join (both sides large): orders ⋈ customer on
+    custkey, then order count + exact total (cents) per market
+    segment."""
+    from .store.dataset import bucketed_group_map, hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"c_custkey": "o_custkey"})
+
+    joined = hash_join(
+        orders, cust.map_batches(rename, batch_format="pandas"), on="o_custkey"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        g = df.groupby("c_mktsegment", sort=False)
+        return g.agg(n_orders=("o_orderkey", "count"), total_cents=("cents", "sum")).reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_mktsegment", sort=False)
+        out = g.agg(n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum")).reset_index()
+        return out.astype({"n_orders": "int64", "total_cents": "int64"})
+
+    return bucketed_group_map(joined, ["c_mktsegment"], final, num_buckets=8, partial_fn=partial)
+
+
+def q_brand_revenue(sf_dir: str):
+    """Broadcast join (small dimension): lineitem ⋈ part on partkey —
+    the part table is ray.put once and merged per batch; revenue
+    (cents, exact) per brand."""
+    from .store.dataset import broadcast_join, bucketed_group_map
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    part = (
+        _read(sf_dir, "part", ["p_partkey", "p_brand"])
+        .to_pandas()
+        .rename(columns={"p_partkey": "l_partkey"})
+    )
+    joined = broadcast_join(li, part, on="l_partkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # exact integer math: price in cents × discount in percent —
+        # float rounding modes (banker's vs half-away) can't diverge
+        df = df.copy()
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        pct = (df["l_discount"] * 100).round().astype("int64")
+        df["rev_c4"] = cents * (100 - pct)
+        g = df.groupby("p_brand", sort=False)
+        return g.agg(n_items=("l_partkey", "count"), revenue_c4=("rev_c4", "sum")).reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_brand", sort=False)
+        out = g.agg(n_items=("n_items", "sum"), revenue_c4=("revenue_c4", "sum")).reset_index()
+        return out.astype({"n_items": "int64", "revenue_c4": "int64"})
+
+    return bucketed_group_map(joined, ["p_brand"], final, num_buckets=8, partial_fn=partial)
+
+
 def q_turtle_roundtrip(sf_dir: str):
     """G15+G18 round-trip: write the corpus graph as partitioned
     N-Triples (sink), parse it back with the distributed line parser

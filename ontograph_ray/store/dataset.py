@@ -326,6 +326,91 @@ def distinct_on(
     )
 
 
+def broadcast_join(
+    big: ray.data.Dataset,
+    small: pd.DataFrame,
+    on,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Join a large Dataset against a SMALL pandas table without any
+    shuffle: the small side is `ray.put` once and merged into every
+    batch (fetched from the local object store and cached per worker).
+    This is the physical plan for every small-dimension join (e.g.
+    fact ⋈ dimension) — the big side streams untouched."""
+    small_ref = ray.put(small)
+    on = [on] if isinstance(on, str) else list(on)
+
+    def merge(df: pd.DataFrame, small_ref=None) -> pd.DataFrame:
+        key = small_ref.hex()
+        rhs = _BCAST_JOIN_CACHE.get(key)
+        if rhs is None:
+            rhs = _BCAST_JOIN_CACHE[key] = ray.get(small_ref)
+        return df.merge(rhs, on=on, how=how)
+
+    return big.map_batches(merge, fn_kwargs={"small_ref": small_ref}, batch_format="pandas")
+
+
+_BCAST_JOIN_CACHE: dict = {}
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on,
+    how: str = "inner",
+    num_buckets: int = DEDUP_BUCKETS_DEFAULT,
+) -> ray.data.Dataset:
+    """Distributed hash equi-join: both sides are tagged, hash-bucketed
+    on the key, exchanged ONCE (groupby on the small-int bucket
+    column), and merged per bucket with a vectorized pandas merge.
+    Rows with equal keys land in the same bucket by construction, so
+    the per-bucket merge is the global join. Use when BOTH sides are
+    large; for a small right side prefer :func:`broadcast_join`
+    (no shuffle at all)."""
+    on = [on] if isinstance(on, str) else list(on)
+    l_cols = left.schema().names
+    r_cols = right.schema().names
+
+    # both sides are widened to one unified schema (missing columns
+    # null) so the tagged union is well-typed; the per-bucket merge
+    # re-selects each side's true columns.
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for c in all_cols:
+                if c not in df.columns:
+                    df[c] = None
+            df = df[all_cols]
+            if len(df):
+                key = df[on[0]].astype(str)
+                for c in on[1:]:
+                    key = key + _SEP + df[c].astype(str)
+                bucket = (
+                    pd.util.hash_pandas_object(key, index=False) % num_buckets
+                ).astype("int64")
+            else:
+                bucket = pd.Series(dtype="int64")
+            df["__side"] = side
+            df["__bucket"] = bucket
+            return df
+
+        return fn
+
+    both = left.map_batches(tag("l"), batch_format="pandas").union(
+        right.map_batches(tag("r"), batch_format="pandas")
+    )
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # restore native dtypes lost to the None-widened union
+        lhs = df.loc[df["__side"] == "l", l_cols].infer_objects()
+        rhs = df.loc[df["__side"] == "r", r_cols].infer_objects()
+        return lhs.merge(rhs, on=on, how=how)
+
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
 def bucketed_group_map(
     ds: ray.data.Dataset,
     key_cols: list[str],

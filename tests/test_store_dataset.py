@@ -83,3 +83,67 @@ def test_to_memory_store(dstore):
     mem = dstore.to_memory_store()
     assert sorted(mem.get_all_triples()) == sorted(TT)
     assert mem.size() == len(TT)
+
+
+class TestJoins:
+    """Distributed join primitives (engine additions; the physical
+    plans behind the reference's semi-/anti-join store ops and the
+    entity-linking broadcast join of SURVEY §2.6)."""
+
+    def test_hash_join_inner(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.store.dataset import hash_join
+
+        left = ray.data.from_pandas(
+            pd.DataFrame({"k": [1, 2, 2, 3], "a": ["x", "y", "z", "w"]})
+        )
+        right = ray.data.from_pandas(
+            pd.DataFrame({"k": [2, 3, 4], "b": [20, 30, 40]})
+        )
+        got = (
+            hash_join(left, right, on="k", num_buckets=4)
+            .to_pandas()
+            .sort_values(["k", "a"])
+            .reset_index(drop=True)
+        )
+        want = pd.DataFrame(
+            {"k": [2, 2, 3], "a": ["y", "z", "w"], "b": [20, 20, 30]}
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_hash_join_left(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.store.dataset import hash_join
+
+        left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "a": ["x", "y"]}))
+        right = ray.data.from_pandas(pd.DataFrame({"k": [2], "b": [20.0]}))
+        got = (
+            hash_join(left, right, on="k", how="left", num_buckets=2)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert got["k"].tolist() == [1, 2]
+        assert got["b"].isna().tolist() == [True, False]
+
+    def test_broadcast_join(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.store.dataset import broadcast_join
+
+        big = ray.data.from_pandas(
+            pd.DataFrame({"k": [1, 2, 3, 2], "v": [10, 20, 30, 21]})
+        )
+        small = pd.DataFrame({"k": [2, 3], "name": ["two", "three"]})
+        got = (
+            broadcast_join(big, small, on="k")
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        assert got["name"].tolist() == ["two", "two", "three"]
