@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q.q_kg_triples,
         "kg_sameas_components": q.q_kg_sameas_components,
         # Training-data operators
+        "sample_hash": q.q_sample_hash,
         "dedup_exact": q.q_dedup_exact,
         "fingerprint_groups": q.q_fingerprint_groups,
         "token_stats": q.q_token_stats,

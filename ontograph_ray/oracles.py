@@ -151,6 +151,9 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        COUNT(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "sample_hash": """
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 20""",
         "orders_per_segment": """
 SELECT c.c_mktsegment,
        COUNT(*) AS n_orders,

@@ -219,6 +219,20 @@ def q_brand_revenue(sf_dir: str):
     return bucketed_group_map(joined, ["p_brand"], final, num_buckets=8, partial_fn=partial)
 
 
+def q_sample_hash(sf_dir: str):
+    """Deterministic hash sampling (training-data staple): keep a doc
+    iff multiplicative-hash(doc_id) lands under the rate — stable
+    across runs, partitions and cluster sizes, no RNG state. 20%
+    rate; returns (doc_id, lang) of survivors."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["doc_id"].astype("uint64") * np.uint64(2654435761)) % np.uint64(2**32)
+        return df[(h % np.uint64(100)) < 20][["doc_id", "lang"]]
+
+    return docs.map_batches(sample, batch_format="pandas")
+
+
 def q_turtle_roundtrip(sf_dir: str):
     """G15+G18 round-trip: write the corpus graph as partitioned
     N-Triples (sink), parse it back with the distributed line parser
