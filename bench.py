@@ -61,11 +61,12 @@ def _init_ray(num_cpus: int):
     )
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    # Smaller target blocks → more, shorter tasks per stage. The
-    # default 128 MiB leaves wide stages with a handful of long tasks
-    # (poor overlap, straggler-bound); 32 MiB keeps every CPU fed at
-    # the data sizes this bench runs.
-    ctx.target_max_block_size = 32 * 1024 * 1024
+    # Target block size adapted to the cluster: at high CPU counts,
+    # smaller blocks (32 MiB) keep every CPU fed; at low counts the
+    # per-block overhead dominates instead, so bigger blocks win
+    # (measured: 8 CPUs at amp800 is 168s with 128 MiB vs 190s with
+    # 32 MiB; 32 CPUs prefers 32 MiB).
+    ctx.target_max_block_size = max(32, 1024 // max(1, num_cpus)) * 1024 * 1024
     return ray
 
 
