@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_segment": q.q_orders_per_segment,
         "brand_revenue": q.q_brand_revenue,
         "events_window": q.q_events_window,
+        "session_windows": q.q_session_windows,
         "top_nations_by_customers": q.q_top_nations_by_customers,
         "lineitem_pricing": q.q_lineitem_pricing,
     }

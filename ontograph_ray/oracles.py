@@ -154,6 +154,26 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "sample_hash": """
 SELECT doc_id, lang FROM documents
 WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 20""",
+        "session_windows": """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us
+FROM sess GROUP BY user_id, session_id""",
         "orders_per_segment": """
 SELECT c.c_mktsegment,
        COUNT(*) AS n_orders,

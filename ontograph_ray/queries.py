@@ -673,6 +673,41 @@ def q_events_window(sf_dir: str):
     )
 
 
+def q_session_windows(sf_dir: str):
+    """Gap-based sessionization (streaming-window custom operator):
+    per user, events more than 30 minutes apart start a new session;
+    emits one row per session with count + start/end (epoch µs).
+    Physical plan: hash-bucket users (all of a user's events
+    co-located), then one vectorized pandas pass per bucket — the
+    standard keyed-window shape on Ray Data."""
+    from .store.dataset import bucketed_group_map
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="stable").copy()
+        ts = df["ts"].astype("int64")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = ts - ts.shift().fillna(0).astype("int64")
+        df["sid"] = (new_user | (gap > gap_us)).cumsum()
+        df["ts_us"] = ts
+        g = df.groupby(["user_id", "sid"], sort=False)
+        out = g.agg(
+            n_events=("ts_us", "count"),
+            start_us=("ts_us", "min"),
+            end_us=("ts_us", "max"),
+        ).reset_index()
+        # session_id = per-user ordinal (1-based, by start time)
+        out = out.sort_values(["user_id", "start_us"], kind="stable")
+        out["session_id"] = out.groupby("user_id", sort=False).cumcount() + 1
+        return out[["user_id", "session_id", "n_events", "start_us", "end_us"]].astype(
+            {"n_events": "int64", "session_id": "int64"}
+        )
+
+    return bucketed_group_map(ev, ["user_id"], sessions, num_buckets=32)
+
+
 def q_top_nations_by_customers(sf_dir: str):
     """Join + groupby + sort + limit: nations ranked by customer count."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
