@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": q.q_brand_revenue,
         "events_window": q.q_events_window,
         "session_windows": q.q_session_windows,
+        "asof_last_order": q.q_asof_last_order,
         "top_nations_by_customers": q.q_top_nations_by_customers,
         "lineitem_pricing": q.q_lineitem_pricing,
     }

@@ -154,6 +154,19 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "sample_hash": """
 SELECT doc_id, lang FROM documents
 WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 20""",
+        "asof_last_order": """
+WITH ded AS (
+  SELECT o_custkey, o_orderdate,
+         arg_max(o_orderkey, o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.user_id,
+       CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+       o.o_orderkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents
+FROM events e ASOF JOIN ded o
+  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""",
         "session_windows": """
 WITH marked AS (
   SELECT user_id, ts,

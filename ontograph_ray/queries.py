@@ -673,6 +673,53 @@ def q_events_window(sf_dir: str):
     )
 
 
+def q_asof_last_order(sf_dir: str):
+    """Backward as-of join: every event matched to the user's most
+    recent order at event time (orders keyed by o_custkey = user_id).
+    Output (user_id, ts_us, o_orderkey, total_cents); oracle is
+    DuckDB's native ASOF JOIN."""
+    from .store.dataset import asof_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+
+    def as_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"})
+
+    # deterministic tie-break: several orders can share (custkey,
+    # orderdate); keep the max orderkey per timestamp so the as-of
+    # match is unique (oracle applies the same rule with arg_max)
+    from .store.dataset import bucketed_group_map
+
+    def keep_max_order(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values("o_orderkey", kind="stable")
+            .groupby(["user_id", "ts"], sort=False)
+            .tail(1)
+        )
+
+    rhs = bucketed_group_map(
+        orders.map_batches(as_keyed, batch_format="pandas"),
+        ["user_id", "ts"],
+        keep_max_order,
+        num_buckets=16,
+    )
+    joined = asof_join(ev, rhs, key="user_id", time_col="ts")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": df["ts"].astype("int64"),
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "total_cents": (df["o_totalprice"] * 100).round().astype("int64"),
+            }
+        )
+        return out
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
 def q_session_windows(sf_dir: str):
     """Gap-based sessionization (streaming-window custom operator):
     per user, events more than 30 minutes apart start a new session;

@@ -411,6 +411,101 @@ def hash_join(
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 
 
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key,
+    time_col: str,
+    num_buckets: int = DEDUP_BUCKETS_DEFAULT,
+) -> ray.data.Dataset:
+    """Distributed backward as-of join (a custom operator Ray Data
+    lacks): for every left row, the right row with the greatest
+    ``time_col`` ≤ the left row's, within the same ``key``. Inner
+    semantics (left rows with no earlier right row are dropped),
+    matching SQL ``ASOF JOIN``.
+
+    Physical plan: tag + widen both sides to one schema, hash-bucket
+    on the KEY only (so all rows of a key co-locate regardless of
+    time), one exchange, then a per-bucket vectorized
+    ``pandas.merge_asof`` over the time-sorted sides. Partitioning
+    assumption: a single key's rows fit in one bucket's memory — salt
+    hot keys upstream if not."""
+    key = [key] if isinstance(key, str) else list(key)
+    l_schema, r_schema = left.schema(), right.schema()
+    l_cols, r_cols = l_schema.names, r_schema.names
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+
+    def _pd_dtypes(schema) -> dict:
+        # Ray's Schema wraps either Arrow types (to_pandas_dtype) or
+        # numpy dtypes (pandas-backed blocks) — accept both.
+        out = {}
+        for name, typ in zip(schema.names, schema.types):
+            try:
+                if hasattr(typ, "to_pandas_dtype"):
+                    out[name] = typ.to_pandas_dtype()
+                else:
+                    out[name] = pd.api.types.pandas_dtype(typ)
+            except (NotImplementedError, TypeError):
+                pass
+        return out
+
+    l_dtypes, r_dtypes = _pd_dtypes(l_schema), _pd_dtypes(r_schema)
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for c in all_cols:
+                if c not in df.columns:
+                    df[c] = None
+            df = df[all_cols]
+            if len(df):
+                k = df[key[0]].astype(str)
+                for c in key[1:]:
+                    k = k + _SEP + df[c].astype(str)
+                bucket = (
+                    pd.util.hash_pandas_object(k, index=False) % num_buckets
+                ).astype("int64")
+            else:
+                bucket = pd.Series(dtype="int64")
+            df["__side"] = side
+            df["__bucket"] = bucket
+            return df
+
+        return fn
+
+    both = left.map_batches(tag("l"), batch_format="pandas").union(
+        right.map_batches(tag("r"), batch_format="pandas")
+    )
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = (
+            df.loc[df["__side"] == "l", l_cols]
+            .astype(l_dtypes)
+            .sort_values(time_col, kind="stable")
+        )
+        rhs = (
+            df.loc[df["__side"] == "r", r_cols]
+            .astype(r_dtypes)
+            .sort_values(time_col, kind="stable")
+            .rename(columns={time_col: f"{time_col}_right"})
+        )
+        if not len(lhs) or not len(rhs):
+            cols = l_cols + [f"{time_col}_right"] + [c for c in r_cols if c not in key and c != time_col]
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+        out = pd.merge_asof(
+            lhs,
+            rhs,
+            left_on=time_col,
+            right_on=f"{time_col}_right",
+            by=key,
+            direction="backward",
+        )
+        # inner semantics: drop left rows with no earlier right row
+        return out[out[f"{time_col}_right"].notna()]
+
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
 def bucketed_group_map(
     ds: ray.data.Dataset,
     key_cols: list[str],

@@ -147,3 +147,36 @@ class TestJoins:
             .reset_index(drop=True)
         )
         assert got["name"].tolist() == ["two", "two", "three"]
+
+    def test_asof_join_interleaved(self, ray_session):
+        """Non-degenerate as-of: right rows interleave with left times,
+        so each left row matches a DIFFERENT most-recent right row;
+        rows before any right row are dropped (inner semantics)."""
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.store.dataset import asof_join
+
+        left = ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "k": [1, 1, 1, 2, 2],
+                    "t": [5, 15, 25, 8, 1],
+                    "ev": ["a", "b", "c", "d", "e"],
+                }
+            )
+        )
+        right = ray.data.from_pandas(
+            pd.DataFrame({"k": [1, 1, 2], "t": [10, 20, 3], "px": [100, 200, 300]})
+        )
+        got = (
+            asof_join(left, right, key="k", time_col="t", num_buckets=4)
+            .to_pandas()
+            .sort_values(["k", "t"])
+            .reset_index(drop=True)
+        )
+        # k=1: t=5 has no earlier right row (dropped); t=15→px 100; t=25→px 200
+        # k=2: t=1 dropped; t=8→px 300
+        assert got["ev"].tolist() == ["b", "c", "d"]
+        assert got["px"].tolist() == [100, 200, 300]
+        assert got["t_right"].tolist() == [10, 20, 3]
