@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sameas_components": q.q_kg_sameas_components,
         # Training-data operators
         "sample_hash": q.q_sample_hash,
+        "kmv_distinct": q.q_kmv_distinct,
         "dedup_exact": q.q_dedup_exact,
         "fingerprint_groups": q.q_fingerprint_groups,
         "token_stats": q.q_token_stats,
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q.q_events_window,
         "session_windows": q.q_session_windows,
         "asof_last_order": q.q_asof_last_order,
+        "range_join_recent_orders": q.q_range_join_recent_orders,
         "top_nations_by_customers": q.q_top_nations_by_customers,
         "lineitem_pricing": q.q_lineitem_pricing,
     }

@@ -167,6 +167,16 @@ SELECT e.user_id,
        CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents
 FROM events e ASOF JOIN ded o
   ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""",
+        "range_join_recent_orders": """
+WITH anchors AS (
+  SELECT o_custkey, MAX(o_orderdate) AS anchor FROM orders GROUP BY o_custkey
+)
+SELECT o.o_custkey, COUNT(*) AS n_recent
+FROM orders o JOIN anchors a
+  ON o.o_custkey = a.o_custkey
+ AND o.o_orderdate > a.anchor - INTERVAL 90 DAY
+ AND o.o_orderdate <= a.anchor
+GROUP BY o.o_custkey""",
         "session_windows": """
 WITH marked AS (
   SELECT user_id, ts,

@@ -219,6 +219,18 @@ def q_brand_revenue(sf_dir: str):
     return bucketed_group_map(joined, ["p_brand"], final, num_buckets=8, partial_fn=partial)
 
 
+def q_kmv_distinct(sf_dir: str):
+    """KMV cardinality sketch over documents.text (rows-only check:
+    an estimate can't value-match exact SQL; the pytest suite pins the
+    ≤10% error bound instead). Returns one row with the estimate and
+    the sketch parameter."""
+    from .stages.sketch import kmv_distinct_count
+
+    docs = _read(sf_dir, "documents", ["text"])
+    est = kmv_distinct_count(docs, "text", k=256)
+    return pd.DataFrame({"estimated_distinct_texts": [est], "k": [256]})
+
+
 def q_sample_hash(sf_dir: str):
     """Deterministic hash sampling (training-data staple): keep a doc
     iff multiplicative-hash(doc_id) lands under the rate — stable
@@ -718,6 +730,34 @@ def q_asof_last_order(sf_dir: str):
         return out
 
     return joined.map_batches(project, batch_format="pandas")
+
+
+def q_range_join_recent_orders(sf_dir: str):
+    """Range join (interval predicate): orders within 90 days BEFORE
+    each customer-summary anchor date, counted per customer. Physical
+    plan: hash-bucket the equi-key (custkey) like hash_join, then the
+    range predicate is a vectorized filter inside the per-bucket
+    merge — the standard equi-key + range-residual decomposition."""
+    from .store.dataset import bucketed_group_map, hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    # anchor = each customer's LAST order date (derived, deterministic)
+    def last_date(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False)["o_orderdate"]
+        return g.max().reset_index().rename(columns={"o_orderdate": "anchor"})
+
+    anchors = bucketed_group_map(orders, ["o_custkey"], last_date, num_buckets=16)
+    joined = hash_join(orders, anchors, on="o_custkey", num_buckets=16)
+
+    def in_range_counts(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["anchor"] - pd.Timedelta(days=90)
+        hit = df[(df["o_orderdate"] > lo) & (df["o_orderdate"] <= df["anchor"])]
+        g = hit.groupby("o_custkey", sort=False)
+        return g.agg(n_recent=("o_orderdate", "count")).reset_index().astype(
+            {"n_recent": "int64"}
+        )
+
+    return bucketed_group_map(joined, ["o_custkey"], in_range_counts, num_buckets=16)
 
 
 def q_session_windows(sf_dir: str):

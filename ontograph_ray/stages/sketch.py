@@ -1,0 +1,58 @@
+"""Distributed cardinality sketch: K-Minimum-Values (KMV).
+
+Estimates the number of distinct values in a column with bounded
+memory: every block contributes its k smallest 32-bit value hashes
+(a vectorized partial — the combiner), the driver merges the tiny
+per-block candidate sets and estimates
+
+    D ≈ (k - 1) / r_k ,   r_k = k-th smallest hash / 2^32
+
+(Bar-Yossef et al., "Counting distinct elements in a data stream",
+RANDOM 2002). Deterministic: crc32 value hashing, no RNG. The
+reference has no approximate aggregates (SURVEY §2.6); this is a
+scale-path addition — exact distinct needs a full shuffle, the sketch
+needs one small gather.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+def _hash_series(s: pd.Series) -> np.ndarray:
+    return np.fromiter(
+        (zlib.crc32(str(v).encode()) for v in s), dtype=np.uint64, count=len(s)
+    )
+
+
+def kmv_partials(ds: ray.data.Dataset, col: str, k: int = 1024) -> ray.data.Dataset:
+    """Per-block k smallest distinct value hashes (the combiner)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"h": pd.Series(dtype="uint64")})
+        h = np.unique(_hash_series(df[col]))
+        return pd.DataFrame({"h": h[:k]})
+
+    return ds.map_batches(partial, batch_format="pandas")
+
+
+def kmv_distinct_count(ds: ray.data.Dataset, col: str, k: int = 1024) -> int:
+    """Merged KMV estimate of the number of distinct values of ``col``."""
+    parts = kmv_partials(ds, col, k)
+    merged = np.unique(
+        np.concatenate(
+            [np.array([r["h"] for r in parts.take_all()], dtype=np.uint64), np.array([], dtype=np.uint64)]
+        )
+    )
+    if len(merged) <= k:
+        # fewer than k distinct hashes seen → the sketch is exact
+        return int(len(merged))
+    kth = merged[k - 1]
+    return int(round((k - 1) / (float(kth) / float(1 << 32))))

@@ -47,8 +47,13 @@ def test_datetime_roundtrip(dt):
 
 
 @settings(max_examples=200, deadline=None)
-@given(st.text(st.characters(blacklist_characters='"\x00', blacklist_categories=("Cs",)), max_size=40))
+@given(st.text(st.characters(blacklist_characters='"@^\x00', blacklist_categories=("Cs",)), max_size=40))
 def test_string_roundtrip(s):
+    # '@' / '^^' inside the lexical value shadow the suffix markers in
+    # the reference's Value() branch order (triple.go:50-68) — e.g.
+    # xsd_string('@') encodes to '"@"^^<…>' whose '"@' prefix takes the
+    # lang-literal branch. We reproduce that faithfully, so the
+    # round-trip property holds only for unambiguous payloads.
     assert L.xsd_string(s).to_string() == s
 
 

@@ -176,3 +176,34 @@ class TestMultimodal:
         ds = ray.data.from_arrow(multimodal.synthesize_media(10))
         out = multimodal.frame_sample(ds, every_n=2)
         assert sorted(r["media_id"] for r in out.take_all()) == [0, 2, 4, 6, 8]
+
+
+class TestSketch:
+    def test_kmv_accuracy_and_determinism(self, ray_session):
+        """KMV estimate within the k-MV error envelope of the exact
+        distinct count, and identical across runs (no RNG)."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.stages.sketch import kmv_distinct_count
+
+        n_distinct = 20_000
+        rng = np.random.RandomState(7)
+        vals = rng.randint(0, n_distinct, size=60_000)  # ~exact distinct ≈ 19.0k
+        df = pd.DataFrame({"v": [f"val-{x}" for x in vals]})
+        exact = df["v"].nunique()
+        ds = ray.data.from_pandas(df).repartition(8)
+        est1 = kmv_distinct_count(ds, "v", k=1024)
+        est2 = kmv_distinct_count(ds, "v", k=1024)
+        assert est1 == est2
+        assert abs(est1 - exact) / exact < 0.10
+
+    def test_kmv_exact_below_k(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.stages.sketch import kmv_distinct_count
+
+        ds = ray.data.from_pandas(pd.DataFrame({"v": ["a", "b", "c", "a", "b"]}))
+        assert kmv_distinct_count(ds, "v", k=64) == 3
