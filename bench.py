@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "ann_topk",
     "events_window",
+    "session_windows",
+    "asof_last_order",
+    "orders_per_segment",
     "lineitem_pricing",
     "kg_sameas_components",
 ]
