@@ -34,7 +34,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 AMPLIFY = int(os.environ.get("GRAFT_AMPLIFY", "100"))
 # Larger input for the scaling proof so compute dominates fixed
 # per-stage latency at both CPU counts.
-AMPLIFY_SCALING = int(os.environ.get("GRAFT_AMPLIFY_SCALING", "800"))
+AMPLIFY_SCALING = int(os.environ.get("GRAFT_AMPLIFY_SCALING", "1600"))
 
 # Timed subset of the queries() registry (heavier, shuffle-bearing ops).
 BENCH_QUERIES = [

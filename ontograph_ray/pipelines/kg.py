@@ -171,6 +171,53 @@ def _mentions_distinct_batch(batch: pa.Table, gaz_ref=None) -> pa.Table:
     )
 
 
+def _ent_rel_partials_batch(batch: pa.Table, gaz_ref=None) -> pa.Table:
+    """ONE detect pass emitting both cross-page distinct partials as
+    kind-tagged rows: kind='e' → per-batch distinct (surface, lang)
+    entities; kind='r' → per-batch distinct (src, dst) relation pairs.
+    Sharing the pass halves the corpus tokenization work the entity
+    and relation stages would otherwise each redo; the outputs are
+    tiny (bounded by the distinct sets, not the corpus)."""
+    det = _cached_stage(MentionDetector, gaz_ref)
+    rel = _cached_stage(RelationExtractor, gaz_ref)
+    m = det(batch)
+    ents = (
+        m.select(["surface", "lang"])
+        .group_by(["surface", "lang"], use_threads=False)
+        .aggregate([])
+    )
+    rels = rel(batch)
+    rels = rels.group_by(["src", "dst"], use_threads=False).aggregate([])
+    n_e, n_r = ents.num_rows, rels.num_rows
+    return pa.table(
+        {
+            "kind": pa.array(["e"] * n_e + ["r"] * n_r, pa.string()),
+            "surface": pa.concat_arrays(
+                [ents["surface"].combine_chunks(), pa.nulls(n_r, pa.string())]
+            ),
+            "lang": pa.concat_arrays(
+                [ents["lang"].combine_chunks(), pa.nulls(n_r, pa.string())]
+            ),
+            "src": pa.concat_arrays(
+                [pa.nulls(n_e, pa.string()), rels["src"].combine_chunks()]
+            ),
+            "dst": pa.concat_arrays(
+                [pa.nulls(n_e, pa.string()), rels["dst"].combine_chunks()]
+            ),
+        }
+    )
+
+
+def ent_rel_partials_stage(pages: ray.data.Dataset) -> ray.data.Dataset:
+    gaz_ref = ray.put(list(GAZETTEER))
+    return pages.map_batches(
+        _ent_rel_partials_batch,
+        fn_kwargs={"gaz_ref": gaz_ref},
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 def mentions_distinct_stage(pages: ray.data.Dataset) -> ray.data.Dataset:
     """P3+P5 with the (url, lang, surface) distinct fused in — globally
     distinct output with NO exchange (url functionally determines its
@@ -505,7 +552,6 @@ def build_kg(
             config={"gazetteer": GAZETTEER, "v": "3"},
             inputs=["stage=extract"],
         )
-        entities_src = mentions_d
     else:
         # streaming path: the distinct mention table is NOT pinned —
         # at scale it is ~#pages × #entities-per-page rows, and pinning
@@ -515,23 +561,38 @@ def build_kg(
         # maps into one task chain, so the mention table never hits the
         # object store at all.
         mentions_d = mentions_distinct_stage(extracted)
-        entities_src = mentions_distinct_stage(extracted)
+
+    # ONE shared detect pass produces the per-batch distinct partials
+    # for BOTH cross-page keys (entities, relation pairs); the global
+    # distincts then run over the tiny partials, not the corpus.
+    partials = pin(
+        run.stage(
+            "ent_rel_partials",
+            lambda: ent_rel_partials_stage(extracted),
+            config={"gazetteer": GAZETTEER, "v": "1"},
+            inputs=["stage=extract"],
+        )
+    )
+
+    def _of_kind(kind: str, cols: list[str]):
+        def filt(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["kind"], kind)).select(cols)
+
+        return partials.map_batches(filt, batch_format="pyarrow")
 
     entities_d = pin(
         run.stage(
             "entities",
-            lambda: distinct_on(entities_src, ["surface", "lang"], min(8, dedup_buckets)),
-            config={"v": "2"},
-            inputs=["stage=mentions_distinct" if checkpoint_dir else "stage=extract"],
+            lambda: distinct_on(_of_kind("e", ["surface", "lang"]), ["surface", "lang"], min(8, dedup_buckets)),
+            config={"v": "3"},
+            inputs=["stage=ent_rel_partials"],
         )
     )
     rels_d = run.stage(
         "relations_distinct",
-        lambda: distinct_on(
-            relations_stage(extracted, concurrency), ["src", "dst"], dedup_buckets
-        ),
-        config={"v": "1"},
-        inputs=["stage=extract"],
+        lambda: distinct_on(_of_kind("r", ["src", "dst"]), ["src", "dst"], min(16, dedup_buckets)),
+        config={"v": "2"},
+        inputs=["stage=ent_rel_partials"],
     )
 
     # P6 + P7: union-find over the distinct owl:sameAs edge set, URI
