@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_segment": q.q_orders_per_segment,
         "brand_revenue": q.q_brand_revenue,
         "events_window": q.q_events_window,
+        "events_hopping": q.q_events_hopping,
+        "top_orders_per_customer": q.q_top_orders_per_customer,
         "session_windows": q.q_session_windows,
         "asof_last_order": q.q_asof_last_order,
         "range_join_recent_orders": q.q_range_join_recent_orders,

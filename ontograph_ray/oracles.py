@@ -139,6 +139,31 @@ WHERE a.vec_id < b.vec_id
 SELECT user_id, epoch_us(ts) // 3600000000 AS win,
        COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
 FROM events GROUP BY user_id, win""",
+        "events_hopping": """
+WITH h AS (
+  SELECT user_id, value, epoch_us(ts) // 1800000000 AS cell FROM events
+),
+exp AS (
+  SELECT user_id, value, cell - i AS win
+  FROM h, generate_series(0, 1) AS t(i)
+)
+SELECT user_id, win, COUNT(*) AS n_events,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM exp GROUP BY user_id, win""",
+        "top_orders_per_customer": """
+WITH c AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+  FROM orders
+),
+ranked AS (
+  SELECT o_custkey, o_orderkey, total_cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY total_cents DESC, o_orderkey) AS rn
+  FROM c
+)
+SELECT o_custkey, o_orderkey, total_cents, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3""",
         "top_nations_by_customers": """
 SELECT n.n_nationkey, n.n_name, COUNT(*) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -685,6 +685,48 @@ def q_events_window(sf_dir: str):
     )
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping (sliding) window per user: 1 h windows starting every
+    30 min — each event counted in 2 overlapping windows. `win` is the
+    window start in 30-min units."""
+    from .stages.windows import hopping_window_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return hopping_window_agg(
+        ev, "user_id", "ts", "value",
+        size_us=3600 * 1_000_000, hop_us=1800 * 1_000_000, num_buckets=32,
+    )
+
+
+def q_top_orders_per_customer(sf_dir: str):
+    """Top-3 orders per customer by price (sort+limit within key):
+    the distributed top-k-per-group operator — per-block top-k
+    combiner, one hash exchange, per-bucket final + row_number."""
+    from .store.dataset import top_k_per_group
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].astype("int64"),
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "total_cents": (df["o_totalprice"] * 100).round().astype("int64"),
+            }
+        )
+
+    cents = orders.map_batches(to_cents, batch_format="pandas")
+    return top_k_per_group(
+        cents,
+        key_cols=["o_custkey"],
+        order_cols=["total_cents", "o_orderkey"],
+        ascending=[False, True],
+        k=3,
+        rank_col="rn",
+        num_buckets=32,
+    )
+
+
 def q_asof_last_order(sf_dir: str):
     """Backward as-of join: every event matched to the user's most
     recent order at event time (orders keyed by o_custkey = user_id).

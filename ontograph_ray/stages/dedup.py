@@ -129,6 +129,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     num_buckets: int = 64,
     mode: str = "star",
+    clique_cap: int = 2048,
 ) -> ray.data.Dataset:
     """Signatures → (band_id, band_hash) buckets → candidate doc pairs.
 
@@ -137,7 +138,13 @@ def lsh_candidate_pairs(
     clustering (minhash_dedup), and immune to the quadratic blowup on
     template-heavy corpora. ``mode="clique"``: all k²/2 in-bucket
     pairs — required when the *pair list itself* is the result
-    (ngram_jaccard_pairs)."""
+    (ngram_jaccard_pairs). Even in clique mode, an LSH bucket larger
+    than ``clique_cap`` docs degrades to star edges: a 10⁵-doc
+    template bucket would otherwise emit 5×10⁹ pairs in ONE reduce
+    task. At that bucket size the docs are near-identical boilerplate
+    and anchor edges preserve the dedup-relevant connectivity; the
+    cap bounds the worst single-bucket output at
+    clique_cap²/2 pairs."""
 
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
         rows_doc, rows_band, rows_hash = [], [], []
@@ -170,7 +177,7 @@ def lsh_candidate_pairs(
         srcs, dsts = [], []
         for _, g in df.groupby(["band_id", "band_hash"], sort=False):
             ids = sorted(g["doc_id"].unique())
-            if mode == "clique":
+            if mode == "clique" and len(ids) <= clique_cap:
                 for i in range(len(ids) - 1):
                     for j in range(i + 1, len(ids)):
                         srcs.append(ids[i])

@@ -1,0 +1,98 @@
+"""Keyed time-window operators: tumbling, hopping (sliding), session.
+
+The reference has no streaming/window operators (SURVEY.md §1.2 —
+strictly batch); these are engine additions for the training-data /
+event-analytics surface, built on the same physical shape as every
+other high-cardinality aggregate here: per-block pre-aggregation
+(combiner) → one hash-bucket exchange keyed on a small-int column →
+one vectorized pandas pass per bucket (`bucketed_group_map`).
+
+Window identity is integer arithmetic on the epoch-µs timestamp, so
+assignment is a vectorized column op — no per-row Python. A hopping
+window of size S and hop H (S divisible by H) assigns each event to
+S/H windows; the explode is a pandas concat of S/H shifted copies of
+the *pre-aggregated* block, not of the raw events.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data
+
+from ..store.dataset import bucketed_group_map
+
+
+def tumbling_window_agg(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    size_us: int,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per (key, window) count/min/max with non-overlapping windows of
+    ``size_us`` µs. ``win`` = window start in units of ``size_us``."""
+    return hopping_window_agg(
+        ds, key_col, ts_col, value_col, size_us=size_us, hop_us=size_us,
+        num_buckets=num_buckets,
+    )
+
+
+def hopping_window_agg(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    size_us: int,
+    hop_us: int,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Hopping (sliding) window aggregate: windows of ``size_us`` µs
+    starting every ``hop_us`` µs (``size_us`` divisible by ``hop_us``).
+    Emits one row per (key, win) with ``n_events`` / ``min_value`` /
+    ``max_value``, where ``win`` is the window START in hop units —
+    the window covers ``[win*hop_us, win*hop_us + size_us)``.
+
+    Scale shape: the per-block combiner first collapses events to one
+    row per (key, hop-cell), THEN replicates that small table S/H
+    times with shifted window ids — so the exchange carries
+    O(keys × cells × S/H) pre-aggregated rows, never raw events."""
+    if size_us % hop_us != 0:
+        raise ValueError("size_us must be a multiple of hop_us")
+    n_shifts = size_us // hop_us
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key_col, ts_col, value_col]].copy()
+        ts = df[ts_col]
+        # normalize to epoch µs regardless of the column's native
+        # resolution (parquet timestamps load as datetime64[us],
+        # in-memory frames often carry datetime64[ns])
+        if pd.api.types.is_datetime64_any_dtype(ts):
+            ts = ts.astype("datetime64[us]").astype("int64")
+        else:
+            ts = ts.astype("int64")
+        df["__cell"] = (ts // hop_us).astype("int64")
+        g = df.groupby([key_col, "__cell"], sort=False)[value_col]
+        cells = g.agg(n="count", mn="min", mx="max").reset_index()
+        # a window starting at cell w contains cells w .. w+n_shifts-1,
+        # so cell c contributes to windows c, c-1, ..., c-(n_shifts-1)
+        parts = []
+        for i in range(n_shifts):
+            p = cells.copy()
+            p["win"] = p["__cell"] - i
+            parts.append(p.drop(columns=["__cell"]))
+        return pd.concat(parts, ignore_index=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key_col, "win"], sort=False)
+        out = g.agg(
+            n_events=("n", "sum"), min_value=("mn", "min"), max_value=("mx", "max")
+        ).reset_index()
+        out["n_events"] = out["n_events"].astype("int64")
+        out["win"] = out["win"].astype("int64")
+        return out
+
+    return bucketed_group_map(
+        ds, [key_col], final, num_buckets=num_buckets, partial_fn=partial
+    )

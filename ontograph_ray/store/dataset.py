@@ -549,6 +549,45 @@ def bucketed_group_map(
     )
 
 
+def top_k_per_group(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    order_cols: list[str],
+    ascending: "bool | list[bool]" = False,
+    k: int = 3,
+    rank_col: Optional[str] = None,
+    num_buckets: int = DEDUP_BUCKETS_DEFAULT,
+) -> ray.data.Dataset:
+    """Top-k rows per group (sort + limit within key), distributed.
+
+    Physical plan: per-block top-k (a valid combiner — the global
+    top-k of a group is a subset of the union of per-block top-ks),
+    then ONE hash-bucket exchange on the key and a final per-bucket
+    top-k. The exchange carries at most k rows per (group, block) —
+    never the full input. ``rank_col`` (optional) adds a 1-based
+    dense ordinal within the group, matching SQL ``row_number()``.
+    Include a unique tie-break column in ``order_cols`` for a
+    deterministic result."""
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, ascending=ascending, kind="stable")
+        return df.groupby(key_cols, sort=False).head(k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, ascending=ascending, kind="stable")
+        out = df.groupby(key_cols, sort=False).head(k)
+        if rank_col is not None:
+            out = out.copy()
+            out[rank_col] = (
+                out.groupby(key_cols, sort=False).cumcount() + 1
+            ).astype("int64")
+        return out
+
+    return bucketed_group_map(
+        ds, key_cols, final, num_buckets=num_buckets, partial_fn=local_topk
+    )
+
+
 def write_ntriples(ds: ray.data.Dataset, path: str) -> None:
     """Sink: partitioned N-Triples files, one per block (resumable
     layout — a directory of part files, like write_parquet). Formatting

@@ -207,3 +207,137 @@ class TestSketch:
 
         ds = ray.data.from_pandas(pd.DataFrame({"v": ["a", "b", "c", "a", "b"]}))
         assert kmv_distinct_count(ds, "v", k=64) == 3
+
+
+class TestWindows:
+    """Hopping/tumbling window operators (stages.windows)."""
+
+    def test_hopping_matches_pandas_reference(self, ray_session):
+        from ontograph_ray.stages.windows import hopping_window_agg
+
+        rng = np.random.RandomState(3)
+        n = 5000
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 20, size=n),
+                "ts": pd.to_datetime(
+                    rng.randint(0, 10 * 3600, size=n), unit="s"
+                ),
+                "v": rng.randn(n),
+            }
+        )
+        size_us, hop_us = 3600 * 1_000_000, 1800 * 1_000_000
+        ds = ray.data.from_pandas([df.iloc[: n // 2], df.iloc[n // 2 :]])
+        got = (
+            hopping_window_agg(ds, "k", "ts", "v", size_us, hop_us, num_buckets=8)
+            .to_pandas()
+            .sort_values(["k", "win"])
+            .reset_index(drop=True)
+        )
+        # reference: explode each event into its 2 windows, then agg
+        ref = df.copy()
+        ref["cell"] = ref["ts"].astype("datetime64[us]").astype("int64") // hop_us
+        exp = pd.concat(
+            [ref.assign(win=ref["cell"]), ref.assign(win=ref["cell"] - 1)],
+            ignore_index=True,
+        )
+        want = (
+            exp.groupby(["k", "win"])["v"]
+            .agg(n_events="count", min_value="min", max_value="max")
+            .reset_index()
+            .astype({"n_events": "int64", "win": "int64"})
+            .sort_values(["k", "win"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["k", "win", "n_events", "min_value", "max_value"]], want
+        )
+
+    def test_tumbling_is_hopping_with_equal_hop(self, ray_session):
+        from ontograph_ray.stages.windows import tumbling_window_agg
+
+        df = pd.DataFrame(
+            {
+                "k": [1, 1, 1],
+                "ts": pd.to_datetime([10, 3590, 3610], unit="s"),
+                "v": [1.0, 2.0, 3.0],
+            }
+        )
+        got = (
+            tumbling_window_agg(
+                ray.data.from_pandas(df), "k", "ts", "v", 3600 * 1_000_000
+            )
+            .to_pandas()
+            .sort_values("win")
+            .reset_index(drop=True)
+        )
+        assert got["win"].tolist() == [0, 1]
+        assert got["n_events"].tolist() == [2, 1]
+
+
+class TestWarc:
+    def test_warc_roundtrip(self, ray_session, tmp_path):
+        from datetime import datetime
+
+        from ontograph_ray.sources.warc import read_warc, write_warc_file
+
+        recs = [
+            {
+                "url": f"https://example.org/p{i}",
+                "ts": datetime(2024, 1, 1, 0, 0, i),
+                "html": f"<html><body>page {i}</body></html>".encode(),
+            }
+            for i in range(5)
+        ]
+        plain = str(tmp_path / "a.warc")
+        gz = str(tmp_path / "b.warc.gz")
+        write_warc_file(plain, recs[:3])
+        write_warc_file(gz, recs[3:])
+        got = (
+            read_warc([plain, gz])
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert got["url"].tolist() == [r["url"] for r in recs]
+        assert got["html"].tolist() == [r["html"] for r in recs]
+        assert got["warc_ts"].tolist() == [pd.Timestamp(r["ts"]) for r in recs]
+
+    def test_warc_skips_non_response_records(self, ray_session, tmp_path):
+        from ontograph_ray.sources.warc import _parse_warc_bytes
+
+        # hand-built warcinfo + response record stream
+        info = b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+        http = b"HTTP/1.1 200 OK\r\n\r\n<html>x</html>"
+        resp = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://e.org/\r\n"
+            b"WARC-Date: 2024-06-01T12:00:00Z\r\n"
+            + f"Content-Length: {len(http)}\r\n\r\n".encode()
+            + http
+            + b"\r\n\r\n"
+        )
+        urls, stamps, bodies = _parse_warc_bytes(info + resp)
+        assert urls == ["https://e.org/"]
+        assert bodies == [b"<html>x</html>"]
+
+
+class TestCliqueCap:
+    def test_clique_cap_degrades_to_star(self, ray_session):
+        """An LSH bucket bigger than clique_cap must emit k-1 star
+        edges, not k²/2 pairs (scale guard for template corpora)."""
+        docs = pd.DataFrame(
+            {"doc_id": range(40), "text": ["identical boilerplate text here"] * 40}
+        )
+        ds = ray.data.from_pandas(docs)
+        sigs = dedup.minhash_signatures(ds, concurrency=(1, 2))
+        capped = dedup.lsh_candidate_pairs(
+            sigs, mode="clique", clique_cap=10
+        ).to_pandas()
+        full = dedup.lsh_candidate_pairs(
+            sigs, mode="clique", clique_cap=2048
+        ).to_pandas()
+        # identical docs → one bucket per band; capped = 39 star edges,
+        # uncapped = 40*39/2 clique pairs
+        assert len(capped.drop_duplicates()) == 39
+        assert len(full.drop_duplicates()) == 40 * 39 // 2

@@ -148,6 +148,72 @@ class TestJoins:
         )
         assert got["name"].tolist() == ["two", "two", "three"]
 
+    def test_hash_join_right(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.store.dataset import hash_join
+
+        left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "a": ["x", "y"]}))
+        right = ray.data.from_pandas(pd.DataFrame({"k": [2, 4], "b": [20.0, 40.0]}))
+        got = (
+            hash_join(left, right, on="k", how="right", num_buckets=2)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert got["k"].tolist() == [2, 4]
+        assert got["a"].isna().tolist() == [False, True]
+        assert got["b"].tolist() == [20.0, 40.0]
+
+    def test_hash_join_full_outer(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.store.dataset import hash_join
+
+        left = ray.data.from_pandas(
+            pd.DataFrame({"k": [1, 2, 3], "a": [1.0, 2.0, 3.0]})
+        )
+        right = ray.data.from_pandas(pd.DataFrame({"k": [2, 4], "b": [20.0, 40.0]}))
+        got = (
+            hash_join(left, right, on="k", how="outer", num_buckets=4)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert got["k"].tolist() == [1, 2, 3, 4]
+        assert got["a"].isna().tolist() == [False, False, False, True]
+        assert got["b"].isna().tolist() == [True, False, True, False]
+
+    def test_top_k_per_group(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.store.dataset import top_k_per_group
+
+        df = pd.DataFrame(
+            {
+                "g": [1, 1, 1, 1, 2, 2, 3],
+                "v": [5, 9, 9, 1, 4, 7, 2],
+                "id": [10, 11, 12, 13, 20, 21, 30],
+            }
+        )
+        # split across blocks so the per-block combiner actually runs
+        ds = ray.data.from_pandas([df.iloc[:3], df.iloc[3:]])
+        got = (
+            top_k_per_group(
+                ds, ["g"], ["v", "id"], ascending=[False, True], k=2,
+                rank_col="rn", num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values(["g", "rn"])
+            .reset_index(drop=True)
+        )
+        # g=1: (9,11),(9,12); g=2: (7,21),(4,20); g=3: (2,30)
+        assert got["id"].tolist() == [11, 12, 21, 20, 30]
+        assert got["rn"].tolist() == [1, 2, 1, 2, 1]
+
     def test_asof_join_interleaved(self, ray_session):
         """Non-degenerate as-of: right rows interleave with left times,
         so each left row matches a DIFFERENT most-recent right row;
