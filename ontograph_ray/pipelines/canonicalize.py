@@ -33,10 +33,12 @@ import ray
 import ray.data
 
 
-def _local_components(edges2: ray.data.Dataset) -> ray.data.Dataset:
-    """Driver-side union-find over the deduped doubled edge list —
-    the small-graph cutover of connected_components (same output
-    contract: Dataset(node, component), component = min label)."""
+def union_find(pairs) -> dict[str, str]:
+    """Driver-side min-label union-find over an iterable of (a, b)
+    string edge pairs → {node: component representative} for every
+    node, where the representative is the lexicographic min of the
+    component (same contract as connected_components). For edge sets
+    known to fit driver memory only."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -48,8 +50,7 @@ def _local_components(edges2: ray.data.Dataset) -> ray.data.Dataset:
         return r
 
     nodes: set[str] = set()
-    for row in edges2.select_columns(["key", "nbr"]).iter_rows():
-        k, n = row["key"], row["nbr"]
+    for k, n in pairs:
         nodes.add(k)
         nodes.add(n)
         a, b = find(k), find(n)
@@ -57,8 +58,19 @@ def _local_components(edges2: ray.data.Dataset) -> ray.data.Dataset:
             # min label wins so the representative is deterministic
             lo, hi = (a, b) if a < b else (b, a)
             parent[hi] = lo
-    out = pd.DataFrame({"node": sorted(nodes)})
-    out["component"] = [find(n) for n in out["node"]]
+    return {n: find(n) for n in nodes}
+
+
+def _local_components(edges2: ray.data.Dataset) -> ray.data.Dataset:
+    """Driver-side union-find over the deduped doubled edge list —
+    the small-graph cutover of connected_components (same output
+    contract: Dataset(node, component), component = min label)."""
+    comp = union_find(
+        (row["key"], row["nbr"])
+        for row in edges2.select_columns(["key", "nbr"]).iter_rows()
+    )
+    out = pd.DataFrame({"node": sorted(comp)})
+    out["component"] = [comp[n] for n in out["node"]]
     return ray.data.from_pandas(out)
 
 

@@ -45,7 +45,7 @@ import ray.data
 from .. import constants as C
 from ..terms import new_literal_term, new_resource_term
 from ..store.dataset import dedup, distinct_on, write_ntriples
-from .canonicalize import connected_components
+from .canonicalize import connected_components, union_find
 from .checkpoint import CheckpointedRun
 from .pages import extract_text_batch, read_pages
 
@@ -62,6 +62,11 @@ GAZETTEER = (
     "part", "query", "row", "scan", "slow", "small", "sort", "spark",
     "stream", "table", "value", "vector", "window",
 )
+
+# Max distinct entity+relation rows the driver finishes locally; past
+# this the distributed small-branch plan (bucketed dedup + broadcast
+# rewrite + connected_components) takes over.
+DRIVER_SMALL_MAX = 2_000_000
 
 MENTIONS_PROP = f"{ONTO}#mentions"
 COOCCURS_PROP = f"{ONTO}#cooccursWith"
@@ -113,13 +118,23 @@ class MentionDetector:
         gaz = ray.get(gazetteer_ref) if gazetteer_ref is not None else GAZETTEER
         self.gaz_arr = pa.array(sorted(set(gaz)), pa.string())
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def hits(self, batch: pa.Table):
+        """One tokenize + gazetteer-select pass → (surfaces, parent row
+        indices, positions). The shared kernel for every detect-shaped
+        stage; callers build only the columns they actually keep —
+        building alias/url URI strings for hits that a downstream
+        distinct immediately collapses is pure allocator traffic, and
+        at 32-way concurrency allocator/memory bandwidth (not CPU) is
+        what these stages contend on."""
         flat, parents, pos = _tokenize(batch["text"])
         mask = pc.is_in(flat, value_set=self.gaz_arr).to_numpy(zero_copy_only=False)
         sel = np.flatnonzero(mask)
         sel_arr = pa.array(sel, pa.int64())
-        surfaces_arr = pc.take(flat, sel_arr)
-        par_arr = pa.array(parents[sel], pa.int64())
+        return pc.take(flat, sel_arr), parents[sel], pos[sel]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        surfaces_arr, par, pos_sel = self.hits(batch)
+        par_arr = pa.array(par, pa.int64())
         langs_arr = pc.take(batch["lang"], par_arr)
         alias = pc.binary_join_element_wise(
             pa.scalar(f"{ONTO}#ent_"), surfaces_arr, pa.scalar("__"), langs_arr, ""
@@ -128,7 +143,7 @@ class MentionDetector:
             {
                 "url": pc.take(batch["url"], par_arr),
                 "lang": langs_arr,
-                "pos": pa.array(pos[sel], pa.int64()),
+                "pos": pa.array(pos_sel, pa.int64()),
                 "surface": surfaces_arr,
                 "alias": alias,
             }
@@ -161,14 +176,19 @@ def _mentions_distinct_batch(batch: pa.Table, gaz_ref=None) -> pa.Table:
     page's mention rows can straddle a block boundary and batch-local
     distinct silently under-deduplicates (caught as a varying triple
     count between benchmark runs)."""
-    m = _cached_stage(MentionDetector, gaz_ref)(batch)
-    if m.num_rows == 0:
-        return m.select(["url", "lang", "surface"])
-    return (
-        m.select(["url", "lang", "surface"])
-        .group_by(["url", "lang", "surface"], use_threads=False)
-        .aggregate([])
+    det = _cached_stage(MentionDetector, gaz_ref)
+    surf, par, _ = det.hits(batch)
+    par_arr = pa.array(par, pa.int64())
+    m = pa.table(
+        {
+            "url": pc.take(batch["url"], par_arr),
+            "lang": pc.take(batch["lang"], par_arr),
+            "surface": surf,
+        }
     )
+    if m.num_rows == 0:
+        return m
+    return m.group_by(["url", "lang", "surface"], use_threads=False).aggregate([])
 
 
 def _ent_rel_partials_batch(batch: pa.Table, gaz_ref=None) -> pa.Table:
@@ -179,15 +199,55 @@ def _ent_rel_partials_batch(batch: pa.Table, gaz_ref=None) -> pa.Table:
     and relation stages would otherwise each redo; the outputs are
     tiny (bounded by the distinct sets, not the corpus)."""
     det = _cached_stage(MentionDetector, gaz_ref)
-    rel = _cached_stage(RelationExtractor, gaz_ref)
-    m = det(batch)
+    surf, par, _ = det.hits(batch)
+    par_arr = pa.array(par, pa.int64())
+    lang = pc.take(batch["lang"], par_arr)
     ents = (
-        m.select(["surface", "lang"])
+        pa.table({"surface": surf, "lang": lang})
         .group_by(["surface", "lang"], use_threads=False)
         .aggregate([])
     )
-    rels = rel(batch)
-    rels = rels.group_by(["src", "dst"], use_threads=False).aggregate([])
+    # relations: adjacent same-page pairs with differing surfaces,
+    # made distinct on the SURFACE key first — the alias-URI strings
+    # are only built for the (tiny) distinct set, not per occurrence
+    m = len(surf)
+    if m >= 2:
+        same_parent = par[1:] == par[:-1]
+        differs = pc.not_equal(surf.slice(0, m - 1), surf.slice(1, m - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        keep = np.flatnonzero(same_parent & differs)
+    else:
+        keep = np.empty(0, dtype=np.int64)
+    if len(keep):
+        keep_arr = pa.array(keep, pa.int64())
+        keep1_arr = pa.array(keep + 1, pa.int64())
+        rel_surf = pa.table(
+            {
+                "src_s": pc.take(surf, keep_arr),
+                "dst_s": pc.take(surf, keep1_arr),
+                "lang": pc.take(lang, keep_arr),
+            }
+        ).group_by(["src_s", "dst_s", "lang"], use_threads=False).aggregate([])
+        ent = pa.scalar(f"{ONTO}#ent_")
+        sep = pa.scalar("__")
+        rels = pa.table(
+            {
+                "src": pc.binary_join_element_wise(
+                    ent, rel_surf["src_s"].combine_chunks(), sep,
+                    rel_surf["lang"].combine_chunks(), ""
+                ),
+                "dst": pc.binary_join_element_wise(
+                    ent, rel_surf["dst_s"].combine_chunks(), sep,
+                    rel_surf["lang"].combine_chunks(), ""
+                ),
+            }
+        )
+        rels = rels.group_by(["src", "dst"], use_threads=False).aggregate([])
+    else:
+        rels = pa.table(
+            {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+        )
     n_e, n_r = ents.num_rows, rels.num_rows
     return pa.table(
         {
@@ -513,6 +573,15 @@ def build_kg(
     run = CheckpointedRun(checkpoint_dir)
     stats: dict = {}
 
+    # The final plan unions three map branches. Ray Data's per-operator
+    # resource reservation carves the budget across ALL operators in
+    # the DAG, which starves the one hot branch once a union widens the
+    # DAG — measured 4× wall-time at 8 CPUs / amplify 1600 (152s with
+    # reservation vs 38s without). Every branch here is a bounded
+    # streaming map (no OOM-risk all-to-all behind the union), so the
+    # reservation only hurts; disable it for this session.
+    ray.data.DataContext.get_current().op_resource_reservation_enabled = False
+
     # Without a checkpoint dir, stages that fan out to several
     # consumers are pinned in the object store (materialize) instead of
     # being recomputed per consumer; with one, CheckpointedRun already
@@ -532,20 +601,19 @@ def build_kg(
         )
     )
 
-    # Early distincts — the scale lever: per-mention rows carry
-    # massive duplication (every page re-mentions the same few
-    # entities), so shrinking BEFORE the triple explosion keeps every
-    # downstream exchange proportional to the DISTINCT result, not the
-    # corpus. For (url, lang, surface) no exchange is needed AT ALL:
-    # the distinct is FUSED into the mention-detection UDF
-    # (mentions_distinct_stage) so it runs on whole pages before any
-    # dynamic block re-splitting, and `url` is unique per page — so
-    # batch-local distinct IS globally distinct. Only keys that cross
-    # pages (entities, relations) need the bucketed global distinct.
+    # The distinct mention table (url, lang, surface): the distinct is
+    # FUSED into the detection UDF (mentions_distinct_stage) so it runs
+    # on whole pages before any dynamic block re-splitting, and `url`
+    # is unique per page — so batch-local distinct IS globally
+    # distinct, with NO exchange. The streaming path deliberately does
+    # NOT pin this table: it is the pipeline's largest intermediate
+    # (~#pages × #entities-per-page rows), and measured at amplify 1600
+    # pushing it through the object store costs MORE than re-running
+    # the (vectorized, hits()-based) detect pass fused into the
+    # consumer chain — 49s to materialize vs ~7s to recompute at 32
+    # CPUs. With a checkpoint dir it IS persisted (durable Parquet),
+    # trading that cost for resumability.
     if checkpoint_dir:
-        # durable cut point: the distinct mention table is a resumable
-        # Parquet stage; downstream reads it back (already distinct, so
-        # re-split blocks are harmless there).
         mentions_d = run.stage(
             "mentions_distinct",
             lambda: mentions_distinct_stage(extracted),
@@ -553,85 +621,116 @@ def build_kg(
             inputs=["stage=extract"],
         )
     else:
-        # streaming path: the distinct mention table is NOT pinned —
-        # at scale it is ~#pages × #entities-per-page rows, and pinning
-        # it costs a full write+read of the largest intermediate.
-        # Consumers re-derive it from the (small, pinned) extracted
-        # pages; Ray fuses each consumer's detect→distinct→transform
-        # maps into one task chain, so the mention table never hits the
-        # object store at all.
         mentions_d = mentions_distinct_stage(extracted)
 
     # ONE shared detect pass produces the per-batch distinct partials
-    # for BOTH cross-page keys (entities, relation pairs); the global
-    # distincts then run over the tiny partials, not the corpus.
-    partials = pin(
-        run.stage(
-            "ent_rel_partials",
-            lambda: ent_rel_partials_stage(extracted),
-            config={"gazetteer": GAZETTEER, "v": "1"},
-            inputs=["stage=extract"],
-        )
+    # for BOTH cross-page keys (entities, relation pairs), kind-tagged
+    # so a SINGLE bucketed global distinct covers both (their column
+    # sets are disjoint, so the composite-key distinct is per-kind
+    # distinct). The exchange carries the tiny partials, not the
+    # corpus.
+    partials = run.stage(
+        "ent_rel_partials",
+        lambda: ent_rel_partials_stage(extracted),
+        config={"gazetteer": GAZETTEER, "v": "2"},
+        inputs=["stage=extract"],
     )
 
-    def _of_kind(kind: str, cols: list[str]):
-        def filt(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.equal(batch["kind"], kind)).select(cols)
-
-        return partials.map_batches(filt, batch_format="pyarrow")
-
-    entities_d = pin(
-        run.stage(
-            "entities",
-            lambda: distinct_on(_of_kind("e", ["surface", "lang"]), ["surface", "lang"], min(8, dedup_buckets)),
-            config={"v": "3"},
-            inputs=["stage=ent_rel_partials"],
-        )
-    )
-    rels_d = run.stage(
-        "relations_distinct",
-        lambda: distinct_on(_of_kind("r", ["src", "dst"]), ["src", "dst"], min(16, dedup_buckets)),
-        config={"v": "2"},
+    er_cols = ["kind", "surface", "lang", "src", "dst"]
+    er_dist = run.stage(
+        "ent_rel_distinct",
+        lambda: distinct_on(partials, er_cols, min(16, dedup_buckets)),
+        config={"v": "4"},
         inputs=["stage=ent_rel_partials"],
     )
 
-    # P6 + P7: union-find over the distinct owl:sameAs edge set, URI
-    # rewrite to component representatives, then materialize the final
-    # triple set with *dedup pushdown*: the big triple parts are
-    # distinct BY CONSTRUCTION (mention-link triples come from the
-    # global (url,lang,surface) distinct with one functional lang per
-    # url; page triples have unique subjects; the three parts use
-    # disjoint predicates), so they skip the global (s,p,o) exchange
-    # entirely — G17 set semantics hold without shuffling the 99% that
-    # cannot contain duplicates. Only the entity/relation triples can
-    # collapse when the rewrite merges per-language aliases; that small
-    # remainder gets the exact dedup.
+    # The distinct entity/relation sets are bounded by the gazetteer
+    # (|dict|×|langs| entities, |dict|²×|langs| relation pairs) — the
+    # same "dictionary fits in memory" assumption the broadcast rewrite
+    # already makes — so the whole small branch (entity + relation
+    # triples, union-find, rewrite, dedup) finishes ON THE DRIVER: four
+    # distributed stages' worth of fixed executor latency collapse into
+    # microseconds of local pandas. DRIVER_SMALL_MAX guards the
+    # assumption: past it, the distributed branch below takes over.
+    if not checkpoint_dir:
+        er_dist = er_dist.materialize()
+    n_er = er_dist.count()
+    use_driver_small = n_er <= DRIVER_SMALL_MAX
+
+    def _er_kind(kind: str, cols: list[str]) -> ray.data.Dataset:
+        def filt(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["kind"], kind)).select(cols)
+
+        return er_dist.map_batches(filt, batch_format="pyarrow")
+
+    if use_driver_small:
+        er_tbl = pa.Table.from_pylist(er_dist.take_all())
+        if er_tbl.num_rows:
+            ents_tbl = er_tbl.filter(pc.equal(er_tbl["kind"], "e")).select(
+                ["surface", "lang"]
+            )
+            rels_tbl = er_tbl.filter(pc.equal(er_tbl["kind"], "r")).select(
+                ["src", "dst"]
+            )
+        else:
+            ents_tbl = pa.table(
+                {"surface": pa.array([], pa.string()), "lang": pa.array([], pa.string())}
+            )
+            rels_tbl = pa.table(
+                {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+            )
+
+    # P6: union-find over the owl:sameAs edge set (alias → canonical
+    # per distinct entity). The edge list is the distinct entity set —
+    # driver-sized here; `connected_components` remains the scale path
+    # and is exercised by kg_sameas_components / its tests.
     def final_fn():
-        m_triples = mentions_d.map_batches(mention_link_triples_batch, batch_format="pyarrow")
-        e_triples = entities_d.map_batches(entity_triples_batch, batch_format="pyarrow")
+        m_triples = mentions_d.map_batches(
+            mention_link_triples_batch, batch_format="pyarrow"
+        )
         p_triples = extracted.map_batches(page_triples_batch, batch_format="pyarrow")
-        r_triples = rels_d.map_batches(relation_triples_batch, batch_format="pyarrow")
 
         if skip_sameas_rewrite:
+            if use_driver_small:
+                e_triples = ray.data.from_arrow(entity_triples_batch(ents_tbl))
+                r_triples = ray.data.from_arrow(relation_triples_batch(rels_tbl))
+            else:
+                e_triples = _er_kind("e", ["surface", "lang"]).map_batches(
+                    entity_triples_batch, batch_format="pyarrow"
+                )
+                r_triples = _er_kind("r", ["src", "dst"]).map_batches(
+                    relation_triples_batch, batch_format="pyarrow"
+                )
             raw = m_triples.union(e_triples).union(p_triples).union(r_triples)
             return dedup(raw, num_buckets=dedup_buckets)
 
-        def ent_edges(batch: pa.Table) -> pa.Table:
-            alias = pc.binary_join_element_wise(
-                pa.scalar(f"{ONTO}#ent_"), batch["surface"], pa.scalar("__"), batch["lang"], ""
+        if use_driver_small:
+            comp = union_find(
+                (alias_uri(s, l), canonical_uri(s))
+                for s, l in zip(
+                    ents_tbl["surface"].to_pylist(), ents_tbl["lang"].to_pylist()
+                )
             )
-            canon = pc.binary_join_element_wise(
-                pa.scalar(f"{ONTO}#ent_"), batch["surface"], ""
-            )
-            return pa.table({"src": alias, "dst": canon})
+            comp_map = {n: c for n, c in comp.items() if n != c}
+        else:
+            def ent_edges(batch: pa.Table) -> pa.Table:
+                alias = pc.binary_join_element_wise(
+                    pa.scalar(f"{ONTO}#ent_"), batch["surface"], pa.scalar("__"), batch["lang"], ""
+                )
+                canon = pc.binary_join_element_wise(
+                    pa.scalar(f"{ONTO}#ent_"), batch["surface"], ""
+                )
+                return pa.table({"src": alias, "dst": canon})
 
-        edges = entities_d.map_batches(ent_edges, batch_format="pyarrow")
-        components = connected_components(edges, num_buckets=min(16, dedup_buckets))
-        comp_map = {
-            r["node"]: r["component"]
-            for r in components.take_all()
-            if r["node"] != r["component"]
-        }
+            edges = _er_kind("e", ["surface", "lang"]).map_batches(
+                ent_edges, batch_format="pyarrow"
+            )
+            components = connected_components(edges, num_buckets=min(16, dedup_buckets))
+            comp_map = {
+                r["node"]: r["component"]
+                for r in components.take_all()
+                if r["node"] != r["component"]
+            }
         stats["components_rewritten"] = len(comp_map)
         comp_ref = ray.put(comp_map)
 
@@ -645,27 +744,55 @@ def build_kg(
                 batch_size=65536,
             )
 
-        # Rewrite per branch, not over the union: consecutive
-        # map_batches fuse into one task chain, so the mention branch
-        # runs detect→distinct→triples→rewrite without materializing
-        # between maps. Page triples skip the rewrite entirely — their
-        # terms are page URLs, the Page class and lang literals; no
-        # entity URI ever appears in them.
+        # P7 with *dedup pushdown*: the big triple parts are distinct
+        # BY CONSTRUCTION (mention-link triples come from the global
+        # (url,lang,surface) distinct with one functional lang per url;
+        # page triples have unique subjects; the parts use disjoint
+        # predicates), so they skip the global (s,p,o) exchange
+        # entirely — G17 set semantics hold without shuffling the 99%
+        # that cannot contain duplicates. Only entity/relation triples
+        # can collapse when the rewrite merges per-language aliases;
+        # that small remainder gets the exact dedup. Page triples skip
+        # the rewrite too — no entity URI ever appears in them.
         big = rw(m_triples).union(p_triples)
-        small = dedup(rw(e_triples.union(r_triples)), num_buckets=min(16, dedup_buckets))
-        if not checkpoint_dir:
-            # Materialize the (tiny) deduped remainder before the final
-            # union: a union that mixes a streaming map branch with an
-            # all-to-all (the dedup's sort) starves the executor at
-            # scale — observed as a >10-minute stall at amplify 1600
-            # where the branches run in <1 minute separately. With the
-            # shuffle pre-run, the consumed plan is pure map + count.
-            small = small.materialize()
+
+        if use_driver_small:
+            # the driver-side small branch: build, rewrite, dedup the
+            # entity/relation triples locally (tiny), ship as one block
+            sdf = pa.concat_tables(
+                [entity_triples_batch(ents_tbl), relation_triples_batch(rels_tbl)]
+            ).to_pandas()
+            mapping = {f"<{k}>": f"<{v}>" for k, v in comp_map.items()}
+            movable = sdf["predicate"] != f"<{C.OWL_SAME_AS}>"
+            for col in ("subject", "object"):
+                moved = sdf.loc[movable, col].map(mapping)
+                sdf.loc[movable, col] = moved.fillna(sdf.loc[movable, col])
+            sdf = sdf.drop_duplicates()
+            small = ray.data.from_arrow(
+                pa.Table.from_pandas(sdf, preserve_index=False)
+            )
+        else:
+            e_triples = _er_kind("e", ["surface", "lang"]).map_batches(
+                entity_triples_batch, batch_format="pyarrow"
+            )
+            r_triples = _er_kind("r", ["src", "dst"]).map_batches(
+                relation_triples_batch, batch_format="pyarrow"
+            )
+            small = dedup(
+                rw(e_triples.union(r_triples)), num_buckets=min(16, dedup_buckets)
+            )
+            if not checkpoint_dir:
+                # Materialize the deduped remainder before the final
+                # union: a union mixing a streaming map branch with an
+                # all-to-all (the dedup's sort) starves the executor at
+                # scale — observed as a >10-minute stall at amplify
+                # 1600 where the branches run in <1 minute separately.
+                small = small.materialize()
         return big.union(small)
 
     final = run.stage(
-        "triples", final_fn, config={"v": "3", "skip_rewrite": skip_sameas_rewrite},
-        inputs=["stage=mentions_distinct", "stage=entities", "stage=relations_distinct", "stage=extract"],
+        "triples", final_fn, config={"v": "4", "skip_rewrite": skip_sameas_rewrite},
+        inputs=["stage=mentions_distinct", "stage=ent_rel_distinct", "stage=extract"],
     )
 
     if out_dir:

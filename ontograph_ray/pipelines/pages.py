@@ -123,7 +123,20 @@ def read_pages(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
         )
         tbl_ref = ray.put(tbl)
-        chunks = max(1, math.ceil(parallelism / amplify))
+        # Shard count is bounded by BOTH the CPU count (enough shards
+        # to feed every slot) and a per-shard row target: downstream
+        # stages explode each page into ~24 triple strings, so a shard
+        # sized to the CPU count alone grows linearly with amplify and
+        # its task's working set (token arrays + mention table + triple
+        # columns) goes superlinear in wall time under heap pressure —
+        # measured at 8 CPUs: amp800→1600 made the final phase 2.8×
+        # slower instead of 2×. ~50k pages/shard keeps per-task output
+        # near the 128 MiB block target regardless of amplify.
+        target_shard_rows = 50_000
+        want_shards = max(
+            parallelism, math.ceil(amplify * tbl.num_rows / target_shard_rows)
+        )
+        chunks = max(1, math.ceil(want_shards / amplify))
         chunk_rows = math.ceil(tbl.num_rows / chunks)
         n_tasks = amplify * chunks
 
@@ -145,7 +158,7 @@ def read_pages(
             return pa.concat_tables(parts)
 
         ds = ray.data.range(
-            n_tasks, override_num_blocks=min(n_tasks, parallelism)
+            n_tasks, override_num_blocks=min(n_tasks, want_shards)
         ).map_batches(
             build_shard,
             fn_kwargs={"tbl_ref": tbl_ref},
