@@ -164,6 +164,11 @@ ranked AS (
 )
 SELECT o_custkey, o_orderkey, total_cents, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= 3""",
+        "user_value_quantiles": """
+SELECT user_id, COUNT(*) AS n,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90
+FROM events GROUP BY user_id""",
         "top_nations_by_customers": """
 SELECT n.n_nationkey, n.n_name, COUNT(*) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -611,7 +611,7 @@ def q_ann_topk_ivf(sf_dir: str):
     qrows = [r for r in emb.take_all() if r["vec_id"] < 5]
     qids = [r["vec_id"] for r in qrows]
     qvecs = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
-    df = ivf_topk(emb, qids, qvecs, k=10)
+    df = ivf_topk(emb, qids, qvecs, k=10, n_clusters=16, nprobe=8)
     return df[["query_id", "vec_id"]]
 
 
@@ -724,6 +724,19 @@ def q_top_orders_per_customer(sf_dir: str):
         k=3,
         rank_col="rn",
         num_buckets=32,
+    )
+
+
+def q_user_value_quantiles(sf_dir: str):
+    """Exact per-user discrete quantiles of event value (p50/p90) —
+    the distributed grouped-quantile operator; SQL quantile_disc is
+    the oracle (discrete semantics ⇒ results are stored doubles, no
+    interpolation-arithmetic drift)."""
+    from .store.dataset import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    return grouped_quantiles(
+        ev, ["user_id"], "value", {"p50": 0.5, "p90": 0.9}, num_buckets=32
     )
 
 

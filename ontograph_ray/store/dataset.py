@@ -588,6 +588,56 @@ def top_k_per_group(
     )
 
 
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    qs: "dict[str, float]",
+    num_buckets: int = DEDUP_BUCKETS_DEFAULT,
+) -> ray.data.Dataset:
+    """Exact per-group DISCRETE quantiles (the element at sorted
+    position ``ceil(q·n)−1`` — SQL ``quantile_disc`` semantics, so the
+    result is always a stored value, never an interpolated float).
+
+    ``qs`` maps output column name → quantile, e.g.
+    ``{"p50": 0.5, "p90": 0.9}``. Output: key columns + ``n`` + one
+    column per quantile.
+
+    Physical plan: one hash-bucket exchange on the key (all rows of a
+    group co-located), then a fully VECTORIZED per-bucket pass — one
+    sort, group sizes via cumsum, and positional takes; no per-group
+    Python. Quantiles cannot be pre-aggregated per block (a quantile
+    of quantiles is not the quantile), so unlike sums there is no
+    combiner; the exchange carries raw (key, value) rows — select only
+    those columns upstream."""
+    import numpy as np
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            cols = {c: df[c] for c in key_cols}
+            cols["n"] = pd.Series(dtype="int64")
+            for name in qs:
+                cols[name] = pd.Series(dtype=df[value_col].dtype)
+            return pd.DataFrame(cols)
+        df = df.sort_values([*key_cols, value_col], kind="stable")
+        sizes = df.groupby(key_cols, sort=False).size().to_numpy()
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        out = {c: df[c].to_numpy()[starts] for c in key_cols}
+        out["n"] = sizes.astype("int64")
+        vals = df[value_col].to_numpy()
+        for name, q in qs.items():
+            idx = starts + np.maximum(0, np.ceil(q * sizes).astype("int64") - 1)
+            out[name] = vals[idx]
+        return pd.DataFrame(out)
+
+    return bucketed_group_map(
+        ds.select_columns([*key_cols, value_col]),
+        key_cols,
+        per_bucket,
+        num_buckets=num_buckets,
+    )
+
+
 def write_ntriples(ds: ray.data.Dataset, path: str) -> None:
     """Sink: partitioned N-Triples files, one per block (resumable
     layout — a directory of part files, like write_parquet). Formatting

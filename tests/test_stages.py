@@ -341,3 +341,113 @@ class TestCliqueCap:
         # uncapped = 40*39/2 clique pairs
         assert len(capped.drop_duplicates()) == 39
         assert len(full.drop_duplicates()) == 40 * 39 // 2
+
+
+class TestRegistryInvariants:
+    """Stronger-than-rows-only checks for the registry queries the
+    driver can't oracle with SQL: each invariant recomputes ground
+    truth independently of the pipeline under test."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_kmv_registry_error_bound(self, ray_session):
+        from ontograph_ray.queries import q_kmv_distinct
+
+        est = int(q_kmv_distinct(self.SF)["estimated_distinct_texts"].iloc[0])
+        exact = (
+            ray.data.read_parquet(f"{self.SF}/documents.parquet")
+            .to_pandas()["text"]
+            .nunique()
+        )
+        # k=256 → relative std ≈ 1/√256 ≈ 6.25%; 20% is a >3σ bound
+        assert abs(est - exact) / exact < 0.20
+
+    def test_lang_id_registry_domain_and_determinism(self, ray_session):
+        """The synthetic corpus draws every language's text from the
+        SAME vocabulary (verified: lang is statistically independent
+        of text), so accuracy against the lang column is not a
+        meaningful target here — TestText covers discrimination on
+        genuinely language-distinct sentences. The registry invariant
+        is: total coverage, a closed prediction domain, and exact
+        determinism across runs."""
+        from ontograph_ray.queries import q_lang_id
+        from ontograph_ray.stages.text import LANG_PROFILES
+
+        pred = q_lang_id(self.SF).to_pandas().sort_values("doc_id")
+        truth = ray.data.read_parquet(f"{self.SF}/documents.parquet").to_pandas()
+        assert len(pred) == len(truth)
+        allowed = set(LANG_PROFILES) | {"und"}
+        assert set(pred["pred_lang"]) <= allowed
+        again = q_lang_id(self.SF).to_pandas().sort_values("doc_id")
+        pd.testing.assert_frame_equal(
+            pred.reset_index(drop=True), again.reset_index(drop=True)
+        )
+
+    def test_minhash_dedup_registry_losers_are_near_dups(self, ray_session):
+        from ontograph_ray.queries import q_minhash_dedup
+        from ontograph_ray.stages.dedup import _shingles, jaccard
+
+        docs = ray.data.read_parquet(f"{self.SF}/documents.parquet").to_pandas()
+        survivors = set(q_minhash_dedup(self.SF).to_pandas()["doc_id"])
+        all_ids = set(docs["doc_id"])
+        losers = all_ids - survivors
+        assert survivors <= all_ids and survivors
+        texts = dict(zip(docs["doc_id"], docs["text"]))
+        sh = {d: _shingles(texts[d], 5) for d in all_ids}
+        # every dropped doc was dropped because a verified ≥0.85 exact
+        # Jaccard edge connected it into a cluster — so it must have a
+        # true near-dup partner somewhere in the corpus
+        for d in losers:
+            best = max(jaccard(sh[d], sh[o]) for o in all_ids if o != d)
+            assert best >= 0.85, (d, best)
+
+    def test_simhash_registry_pairs_have_valid_hamming(self, ray_session):
+        from ontograph_ray.queries import q_simhash_pairs
+        from ontograph_ray.stages.dedup import SimHasher
+
+        pairs = q_simhash_pairs(self.SF).to_pandas()
+        assert len(pairs)
+        docs = ray.data.read_parquet(f"{self.SF}/documents.parquet").to_pandas()
+        texts = dict(zip(docs["doc_id"], docs["text"]))
+        hasher = SimHasher()
+        for _, row in pairs.iterrows():
+            ha = hasher.simhash(texts[row["src_id"]])
+            hb = hasher.simhash(texts[row["dst_id"]])
+            d = bin(ha ^ hb).count("1")
+            assert d == row["hamming"] and d <= 2, (row.to_dict(), d)
+
+    def test_ngram_jaccard_registry_pairs_verified(self, ray_session):
+        from ontograph_ray.queries import q_ngram_jaccard
+        from ontograph_ray.stages.dedup import _shingles, jaccard
+
+        pairs = q_ngram_jaccard(self.SF)
+        assert len(pairs)
+        docs = ray.data.read_parquet(f"{self.SF}/documents.parquet").to_pandas()
+        texts = dict(zip(docs["doc_id"], docs["text"]))
+        for _, row in pairs.iterrows():
+            jj = jaccard(
+                _shingles(texts[row["src_id"]], 5), _shingles(texts[row["dst_id"]], 5)
+            )
+            assert jj >= 0.8, (row.to_dict(), jj)
+
+    def test_ann_ivf_registry_recall_vs_exact(self, ray_session):
+        from ontograph_ray.queries import q_ann_topk, q_ann_topk_ivf
+
+        exact = q_ann_topk(self.SF)
+        approx = q_ann_topk_ivf(self.SF)
+        exact_df = exact.to_pandas() if not isinstance(exact, pd.DataFrame) else exact
+        approx_df = approx.to_pandas() if not isinstance(approx, pd.DataFrame) else approx
+        recalls = []
+        for qid, grp in exact_df.groupby("query_id"):
+            want = set(grp["vec_id"])
+            got = set(approx_df[approx_df["query_id"] == qid]["vec_id"])
+            recalls.append(len(want & got) / len(want))
+        assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+    def test_multimodal_registry_deterministic(self, ray_session):
+        from ontograph_ray.queries import q_multimodal_features
+
+        a = q_multimodal_features(self.SF).to_pandas().sort_values("media_id")
+        b = q_multimodal_features(self.SF).to_pandas().sort_values("media_id")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+        assert (a["width"] > 0).all() and (a["height"] > 0).all()
