@@ -488,24 +488,32 @@ def q_kg_triples(sf_dir: str):
 
 
 def q_kg_sameas_components(sf_dir: str):
-    """P6: union-find output over the pipeline's sameAs edges."""
+    """P6: union-find output over the pipeline's sameAs edges,
+    exercising the DISTRIBUTED min-label-propagation path
+    (connected_components). Edges come from the shared detect-partials
+    pass (per-batch distinct entities), so URI strings are built only
+    on the distinct sets — same discipline as the pipeline itself."""
     from .pipelines import pages
-    from .pipelines.kg import mentions_stage, ONTO
+    from .pipelines.kg import ent_rel_partials_stage, ONTO
     from .pipelines.canonicalize import connected_components
 
     extracted = pages.read_pages(sf_dir).map_batches(
         pages.extract_text_batch, batch_format="pyarrow"
     )
-    m = mentions_stage(extracted)
+    partials = ent_rel_partials_stage(extracted)
 
     def edges(batch: pa.Table) -> pa.Table:
-        canon = pc.binary_join_element_wise(
-            pa.scalar(f"{ONTO}#ent_"), batch["surface"], ""
+        e = batch.filter(pc.equal(batch["kind"], "e"))
+        alias = pc.binary_join_element_wise(
+            pa.scalar(f"{ONTO}#ent_"), e["surface"].combine_chunks(),
+            pa.scalar("__"), e["lang"].combine_chunks(), ""
         )
-        t = pa.table({"src": batch["alias"], "dst": canon})
-        return t.group_by(["src", "dst"], use_threads=False).aggregate([])
+        canon = pc.binary_join_element_wise(
+            pa.scalar(f"{ONTO}#ent_"), e["surface"].combine_chunks(), ""
+        )
+        return pa.table({"src": alias, "dst": canon})
 
-    e = m.map_batches(edges, batch_format="pyarrow")
+    e = partials.map_batches(edges, batch_format="pyarrow")
     return connected_components(e, num_buckets=16)
 
 
