@@ -164,6 +164,14 @@ ranked AS (
 )
 SELECT o_custkey, o_orderkey, total_cents, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= 3""",
+        "stratified_sample": """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= 5""",
         "user_value_quantiles": """
 SELECT user_id, COUNT(*) AS n,
        quantile_disc(value, 0.5) AS p50,

@@ -735,6 +735,36 @@ def q_top_orders_per_customer(sf_dir: str):
     )
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: 5 documents per language,
+    chosen by smallest Knuth multiplicative hash of doc_id — the
+    hash-ordered top-k-per-group composition, reproducible in SQL
+    (same formula as sample_hash) so the oracle is exact."""
+    from .store.dataset import top_k_per_group
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["h"] = (df["doc_id"].astype("int64") * 2654435761) % 4294967296
+        return df
+
+    hashed = docs.map_batches(add_hash, batch_format="pandas")
+    out = top_k_per_group(
+        hashed,
+        key_cols=["lang"],
+        order_cols=["h", "doc_id"],
+        ascending=[True, True],
+        k=5,
+        num_buckets=8,
+    )
+
+    def drop_h(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "lang"]].astype({"doc_id": "int64"})
+
+    return out.map_batches(drop_h, batch_format="pandas")
+
+
 def q_user_value_quantiles(sf_dir: str):
     """Exact per-user discrete quantiles of event value (p50/p90) —
     the distributed grouped-quantile operator; SQL quantile_disc is

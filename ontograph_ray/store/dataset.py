@@ -406,7 +406,19 @@ def hash_join(
         # restore native dtypes lost to the None-widened union
         lhs = df.loc[df["__side"] == "l", l_cols].infer_objects()
         rhs = df.loc[df["__side"] == "r", r_cols].infer_objects()
-        return lhs.merge(rhs, on=on, how=how)
+        # SQL join semantics: NULL keys never match (pandas merge
+        # matches NaN==NaN, which silently diverges from every SQL
+        # engine). Null-key rows are withheld from the match and added
+        # back only where the outer side keeps unmatched rows.
+        l_null = lhs[on].isna().any(axis=1)
+        r_null = rhs[on].isna().any(axis=1)
+        out = lhs[~l_null].merge(rhs[~r_null], on=on, how=how)
+        parts = [out]
+        if how in ("left", "outer") and l_null.any():
+            parts.append(lhs[l_null].reindex(columns=out.columns))
+        if how in ("right", "outer") and r_null.any():
+            parts.append(rhs[r_null].reindex(columns=out.columns))
+        return pd.concat(parts, ignore_index=True) if len(parts) > 1 else out
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 

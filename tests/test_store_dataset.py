@@ -214,6 +214,33 @@ class TestJoins:
         assert got["id"].tolist() == [11, 12, 21, 20, 30]
         assert got["rn"].tolist() == [1, 2, 1, 2, 1]
 
+    def test_hash_join_null_keys_never_match(self, ray_session):
+        """SQL semantics: NULL join keys match nothing (pandas merge
+        would match NaN==NaN); outer sides still keep their null-key
+        rows unmatched."""
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.store.dataset import hash_join
+
+        left = ray.data.from_pandas(
+            pd.DataFrame({"k": [1.0, None, 2.0], "a": ["x", "y", "z"]})
+        )
+        right = ray.data.from_pandas(
+            pd.DataFrame({"k": [1.0, None], "b": [10.0, 99.0]})
+        )
+        inner = hash_join(left, right, on="k", num_buckets=2).to_pandas()
+        assert inner["a"].tolist() == ["x"] and inner["b"].tolist() == [10.0]
+        outer = (
+            hash_join(left, right, on="k", how="outer", num_buckets=2)
+            .to_pandas()
+            .sort_values(["a", "b"], na_position="last")
+        )
+        # 1 match + unmatched: left None-key, left k=2, right None-key
+        assert len(outer) == 4
+        assert outer["b"].isna().sum() == 2  # left rows with no match
+        assert outer["a"].isna().sum() == 1  # right null-key row kept
+
     def test_asof_join_interleaved(self, ray_session):
         """Non-degenerate as-of: right rows interleave with left times,
         so each left row matches a DIFFERENT most-recent right row;
