@@ -31,7 +31,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-AMPLIFY = int(os.environ.get("GRAFT_AMPLIFY", "100"))
+AMPLIFY = int(os.environ.get("GRAFT_AMPLIFY", "400"))
 # Larger input for the scaling proof so compute dominates fixed
 # per-stage latency at both CPU counts.
 AMPLIFY_SCALING = int(os.environ.get("GRAFT_AMPLIFY_SCALING", "1600"))
