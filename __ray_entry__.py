@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": q.q_top_orders_per_customer,
         "user_value_quantiles": q.q_user_value_quantiles,
         "stratified_sample": q.q_stratified_sample,
+        "customers_without_orders": q.q_customers_without_orders,
         "session_windows": q.q_session_windows,
         "asof_last_order": q.q_asof_last_order,
         "range_join_recent_orders": q.q_range_join_recent_orders,

@@ -164,6 +164,13 @@ ranked AS (
 )
 SELECT o_custkey, o_orderkey, total_cents, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= 3""",
+        "customers_without_orders": """
+SELECT c.c_nationkey, COUNT(*) AS n_customers_no_orders
+FROM customer c LEFT JOIN (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+) o ON c.c_custkey = o.o_custkey
+WHERE o.o_custkey IS NULL
+GROUP BY c.c_nationkey""",
         "stratified_sample": """
 WITH ranked AS (
   SELECT doc_id, lang,

@@ -735,6 +735,43 @@ def q_top_orders_per_customer(sf_dir: str):
     )
 
 
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join via distributed left outer join: customers with no
+    URGENT order, counted per nation (exercises hash_join's outer
+    semantics under the driver gate, incl. null-key discipline)."""
+    from .store.dataset import bucketed_group_map, hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def order_keys(df: pd.DataFrame) -> pd.DataFrame:
+        # combiner: filter + one row per custkey per block pre-join
+        hit = df[df["o_orderpriority"] == "1-URGENT"]
+        return hit[["o_custkey"]].drop_duplicates().rename(
+            columns={"o_custkey": "c_custkey"}
+        ).assign(has_order=1)
+
+    keys = orders.map_batches(order_keys, batch_format="pandas")
+    joined = hash_join(cust, keys, on="c_custkey", how="left", num_buckets=16)
+
+    def count_missing(df: pd.DataFrame) -> pd.DataFrame:
+        # a custkey can appear once per block in `keys`; any non-null
+        # has_order means the customer ordered
+        g = df.groupby(["c_nationkey", "c_custkey"], sort=False)["has_order"]
+        per_cust = g.max().reset_index()
+        miss = per_cust[per_cust["has_order"].isna()]
+        out = (
+            miss.groupby("c_nationkey", sort=False)
+            .size()
+            .reset_index(name="n_customers_no_orders")
+        )
+        return out.astype(
+            {"c_nationkey": "int64", "n_customers_no_orders": "int64"}
+        )
+
+    return bucketed_group_map(joined, ["c_nationkey"], count_missing, num_buckets=8)
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic stratified sampling: 5 documents per language,
     chosen by smallest Knuth multiplicative hash of doc_id — the
