@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_near_dup": q.q_embedding_near_dup,
         "multimodal_features": q.q_multimodal_features,
+        "audio_features": q.q_audio_features,
         # Relational breadth
         "orders_per_segment": q.q_orders_per_segment,
         "brand_revenue": q.q_brand_revenue,

@@ -651,6 +651,16 @@ def q_embedding_near_dup(sf_dir: str):
     )
 
 
+def q_audio_features(sf_dir: str):
+    """Audio featurization plumbing (fake codec — see
+    stages/multimodal.py stub discipline): duration/RMS/ZCR per clip.
+    Rows-only check; determinism + value bounds pinned in pytest."""
+    from .stages.multimodal import featurize_audio, synthesize_audio
+
+    ds = ray.data.from_arrow(synthesize_audio(200))
+    return featurize_audio(ds)
+
+
 def q_multimodal_features(sf_dir: str):
     from .stages.multimodal import decode_images, synthesize_media
 

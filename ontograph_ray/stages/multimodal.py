@@ -146,6 +146,104 @@ class Resizer:
         )
 
 
+def resize_images(
+    media_ds: ray.data.Dataset, target: int = 8, codec: str = "fake", concurrency=(1, 4)
+) -> ray.data.Dataset:
+    """Resize/thumbnail stage: actor pool (decoder state per actor),
+    small batches for wide binary rows; output drops the payload and
+    carries the normalized ``thumb`` vector (list<float32>) — the
+    layout an embedding model would consume next."""
+    return media_ds.map_batches(
+        Resizer,
+        fn_constructor_kwargs={"target": target, "codec": codec},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+
+
+_FAKE_AUDIO_MAGIC = b"FAKEAUD1"
+
+
+def encode_fake_audio(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    """Deterministic fake audio codec: header + seeded int16 PCM."""
+    rng = np.random.RandomState(seed)
+    body = rng.randint(-(1 << 14), 1 << 14, size=n_samples, dtype=np.int16).tobytes()
+    return _FAKE_AUDIO_MAGIC + struct.pack("<II", n_samples, sample_rate) + body
+
+
+class AudioFeaturizer:
+    """Actor stage: decode + feature-extract audio payloads (duration,
+    RMS level, zero-crossing rate). Same stub discipline as
+    ImageDecoder: only the deterministic ``codec="fake"`` path runs in
+    this sandbox; a real codec (ffmpeg/soundfile) raises
+    NotImplementedError at construction, with the stage shape —
+    per-actor setup, small batches, payload dropped on output —
+    unchanged."""
+
+    def __init__(self, codec: str = "fake"):
+        if codec != "fake":
+            raise NotImplementedError(
+                f"codec {codec!r} requires audio libraries not present in "
+                "this environment; use codec='fake'"
+            )
+
+    def _decode(self, payload: bytes):
+        if not payload.startswith(_FAKE_AUDIO_MAGIC):
+            raise ValueError("bad fake-audio magic")
+        n, sr = struct.unpack("<II", payload[8:16])
+        pcm = np.frombuffer(payload[16 : 16 + 2 * n], dtype=np.int16)
+        return pcm, sr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        durs, rms, zcr = [], [], []
+        for payload in batch["payload"].to_pylist():
+            pcm, sr = self._decode(payload)
+            x = pcm.astype(np.float64) / (1 << 15)
+            durs.append(len(pcm) / max(1, sr))
+            rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+            zcr.append(
+                float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                if len(x) > 1
+                else 0.0
+            )
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "duration_sec": pa.array(durs, pa.float64()),
+                "rms": pa.array(rms, pa.float64()),
+                "zero_crossing_rate": pa.array(zcr, pa.float64()),
+            }
+        )
+
+
+def featurize_audio(
+    media_ds: ray.data.Dataset, codec: str = "fake", concurrency=(1, 4)
+) -> ray.data.Dataset:
+    return media_ds.map_batches(
+        AudioFeaturizer,
+        fn_constructor_kwargs={"codec": codec},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+
+
+def synthesize_audio(n: int, seed: int = 7) -> pa.Table:
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(n):
+        sr = 8000
+        samples = sr * (1 + i % 3)
+        rows["media_id"].append(i)
+        rows["kind"].append("audio")
+        rows["payload"].append(encode_fake_audio(samples, sr, seed + i))
+        rows["width"].append(0)
+        rows["height"].append(0)
+        rows["sample_rate"].append(sr)
+        rows["n_frames"].append(0)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(media_ds: ray.data.Dataset, every_n: int = 2) -> ray.data.Dataset:
     """Video frame-sampling stub: keeps every-nth media row (the real
     implementation samples frames inside the payload; the plumbing —

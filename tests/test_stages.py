@@ -451,3 +451,38 @@ class TestRegistryInvariants:
         b = q_multimodal_features(self.SF).to_pandas().sort_values("media_id")
         pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
         assert (a["width"] > 0).all() and (a["height"] > 0).all()
+
+
+class TestMultimodalExtended:
+    def test_resize_images(self, ray_session):
+        from ontograph_ray.stages import multimodal
+
+        ds = ray.data.from_arrow(multimodal.synthesize_media(12))
+        out = multimodal.resize_images(ds, target=8).take_all()
+        assert len(out) == 12
+        for r in out:
+            assert len(r["thumb"]) <= 64
+            assert all(0.0 <= v <= 1.0 for v in r["thumb"])
+        # determinism
+        out2 = multimodal.resize_images(
+            ray.data.from_arrow(multimodal.synthesize_media(12)), target=8
+        ).take_all()
+        assert [r["thumb"] for r in out] == [r["thumb"] for r in out2]
+
+    def test_audio_features(self, ray_session):
+        from ontograph_ray.stages import multimodal
+
+        ds = ray.data.from_arrow(multimodal.synthesize_audio(9))
+        out = {r["media_id"]: r for r in multimodal.featurize_audio(ds).take_all()}
+        assert len(out) == 9
+        for i, r in out.items():
+            assert r["duration_sec"] == 1 + i % 3  # sr*(1+i%3) samples at sr Hz
+            assert 0.0 < r["rms"] < 1.0
+            assert 0.0 < r["zero_crossing_rate"] < 1.0
+
+    def test_audio_real_codec_is_stubbed(self):
+        from ontograph_ray.stages import multimodal
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            multimodal.AudioFeaturizer(codec="ffmpeg")
