@@ -623,6 +623,20 @@ def q_ann_topk_ivf(sf_dir: str):
     return df[["query_id", "vec_id"]]
 
 
+def q_ann_topk_lsh(sf_dir: str):
+    """Random-hyperplane multi-probe LSH top-10 (the second ANN scale
+    path next to IVF). Rows-only; self-match + recall pinned in
+    pytest."""
+    from .stages.ann import lsh_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = [r for r in emb.take_all() if r["vec_id"] < 5]
+    qids = [r["vec_id"] for r in qrows]
+    qvecs = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    df = lsh_topk(emb, qids, qvecs, k=10, n_planes=6, max_probe_hamming=2)
+    return df[["query_id", "vec_id"]]
+
+
 def q_minhash_dedup(sf_dir: str):
     from .stages.dedup import minhash_dedup
 

@@ -210,6 +210,93 @@ def ivf_topk(
     return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
 
 
+def lsh_topk(
+    emb_ds: ray.data.Dataset,
+    query_ids: list[int],
+    query_vecs: np.ndarray,
+    k: int = 10,
+    n_planes: int = 6,
+    max_probe_hamming: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH (the
+    alternative scale path to IVF): each vector's bucket is the sign
+    bit-code of its projections onto ``n_planes`` fixed random
+    hyperplanes; a query probes every bucket within
+    ``max_probe_hamming`` bit flips of its own code (multi-probe LSH).
+    Deterministic (seeded planes). Same output schema as
+    brute_force_topk; a query's own vector always shares its exact
+    code, so self-matches are guaranteed."""
+    rng = np.random.RandomState(seed)
+    qv = np.asarray(query_vecs, dtype=np.float64)
+    d = qv.shape[1]
+    planes = rng.randn(d, n_planes)
+    qn = _normalize(qv)
+
+    def codes_of(m: np.ndarray) -> np.ndarray:
+        bits = (m @ planes) > 0
+        return (bits @ (1 << np.arange(n_planes))).astype(np.int64)
+
+    qcodes = codes_of(qn)
+    # multi-probe: all codes within hamming ≤ r of the query's code
+    flips = [0]
+    if max_probe_hamming >= 1:
+        flips += [1 << b for b in range(n_planes)]
+    if max_probe_hamming >= 2:
+        flips += [
+            (1 << a) | (1 << b)
+            for a in range(n_planes)
+            for b in range(a + 1, n_planes)
+        ]
+    probe = [np.asarray(sorted({int(c) ^ f for f in flips})) for c in qcodes]
+    ref = ray.put(
+        {"ids": list(query_ids), "qmat": qn, "probe": probe, "planes": planes}
+    )
+
+    class LshTopK:
+        def __init__(self):
+            q = ray.get(ref)
+            self.qids, self.qmat, self.probe = q["ids"], q["qmat"], q["probe"]
+            self.planes = q["planes"]
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_as_matrix(batch, vec_col))
+            ids = np.asarray(batch[id_col].to_pylist())
+            bits = (m @ self.planes) > 0
+            codes = (bits @ (1 << np.arange(self.planes.shape[1]))).astype(np.int64)
+            out_q, out_id, out_score = [], [], []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(codes, self.probe[qi])
+                if not mask.any():
+                    continue
+                sims = m[mask] @ self.qmat[qi]
+                sub_ids = ids[mask]
+                kk = min(self.k, len(sims))
+                rows = np.argpartition(-sims, kth=kk - 1)[:kk]
+                out_q.extend([int(qid)] * kk)
+                out_id.extend(sub_ids[rows].tolist())
+                out_score.extend(sims[rows].astype(float).tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    id_col: pa.array(out_id, pa.int64()),
+                    "score": pa.array(out_score, pa.float64()),
+                }
+            )
+
+    partial = emb_ds.map_batches(
+        LshTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    )
+    df = partial.to_pandas()
+    df = df.sort_values(
+        ["query_id", "score", id_col], ascending=[True, False, True], kind="stable"
+    )
+    return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
 def self_similarity_pairs(
     emb_ds: ray.data.Dataset,
     threshold: float,

@@ -486,3 +486,27 @@ class TestMultimodalExtended:
 
         with _pytest.raises(NotImplementedError):
             multimodal.AudioFeaturizer(codec="ffmpeg")
+
+
+class TestLshAnn:
+    def test_lsh_topk_self_match_and_recall(self, ray_session, embs):
+        from ontograph_ray.stages import ann
+
+        rows = embs.take(5)
+        qids = [r["vec_id"] for r in rows]
+        qvecs = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+        exact = ann.brute_force_topk(embs, qids, qvecs, k=5)
+        got = ann.lsh_topk(embs, qids, qvecs, k=5, n_planes=6, max_probe_hamming=2)
+        # a query shares its own exact code → always retrieved as top-1
+        for qid in qids:
+            top = got[got["query_id"] == qid].iloc[0]
+            assert top["vec_id"] == qid and top["score"] > 0.999
+        recall = 0
+        for qid in qids:
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            a = set(got[got["query_id"] == qid]["vec_id"])
+            recall += len(e & a) / len(e)
+        assert recall / len(qids) >= 0.4
+        # determinism (seeded planes)
+        again = ann.lsh_topk(embs, qids, qvecs, k=5, n_planes=6, max_probe_hamming=2)
+        pd.testing.assert_frame_equal(got, again)
