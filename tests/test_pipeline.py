@@ -116,6 +116,28 @@ class TestPipeline:
         assert n1 == n2
         assert all(c["resumed"] for c in res2.stats["counters"].values()), res2.stats
 
+    def test_checkpoint_partial_failure_recomputes_only_lost_stage(
+        self, ray_session, tmp_path
+    ):
+        """Kill-between-stages semantics: wipe ONE stage's checkpoint
+        (as if the job died mid-write and its tmp dir was discarded);
+        the re-run must recompute exactly that stage, resume every
+        other from its manifest, and produce the identical result."""
+        import shutil
+
+        ckpt = str(tmp_path / "run1")
+        n1 = build_kg(SF, checkpoint_dir=ckpt).triples.count()
+        shutil.rmtree(f"{ckpt}/stage=triples")
+
+        res = build_kg(SF, checkpoint_dir=ckpt)
+        n2 = res.triples.count()
+        assert n1 == n2
+        c = res.stats["counters"]
+        assert not c["triples"]["resumed"]
+        for name, counters in c.items():
+            if name != "triples":
+                assert counters["resumed"], (name, counters)
+
     def test_outputs_written(self, ray_session, tmp_path):
         out = str(tmp_path / "out")
         build_kg(SF, out_dir=out)
