@@ -108,19 +108,46 @@ class MinHasher:
         return out
 
 
+# Per-worker cache of MinHasher instances keyed by parameters — task
+# pools get actor-like "state built once per worker" without paying
+# the several seconds of Ray Data actor-pool startup/queueing (the
+# permutation coefficients are tiny and seeded, so every worker builds
+# the identical state).
+_MINHASHER_CACHE: dict = {}
+
+
+def _minhash_batch(df: pd.DataFrame, k=5, num_perm=64) -> pd.DataFrame:
+    key = (k, num_perm)
+    h = _MINHASHER_CACHE.get(key)
+    if h is None:
+        h = _MINHASHER_CACHE[key] = MinHasher(k=k, num_perm=num_perm)
+    return h(df)
+
+
 def minhash_signatures(
-    ds: ray.data.Dataset, k: int = 5, num_perm: int = 64, concurrency=(1, 8)
+    ds: ray.data.Dataset, k: int = 5, num_perm: int = 64, concurrency=None
 ) -> ray.data.Dataset:
-    # Explicit repartition between the I/O-bound read (few fat blocks)
-    # and this CPU-bound stage so the actor pool has one block per
-    # slot — the doctrine's read→compute exchange.
+    """Per-doc MinHash signatures. Task pool with per-worker cached
+    state (see _MINHASHER_CACHE); pass ``concurrency`` to force the
+    actor-pool form instead — the right shape only when per-actor
+    state is heavy. Explicit repartition between the I/O-bound read
+    (few fat blocks) and this CPU-bound stage so every slot has
+    work — the doctrine's read→compute exchange."""
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return ds.repartition(cpus * 2).map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"k": k, "num_perm": num_perm},
+    ds = ds.repartition(cpus * 2)
+    if concurrency is not None:
+        return ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs={"k": k, "num_perm": num_perm},
+            batch_format="pandas",
+            batch_size=1024,
+            concurrency=concurrency,
+        )
+    return ds.map_batches(
+        _minhash_batch,
+        fn_kwargs={"k": k, "num_perm": num_perm},
         batch_format="pandas",
         batch_size=1024,
-        concurrency=concurrency,
     )
 
 
@@ -245,7 +272,7 @@ def minhash_dedup(
     bands: int = 16,
     threshold: float = 0.8,
     num_buckets: int = 64,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     """Full MinHash-LSH near-dup removal: shingle → minhash → banded
     LSH → candidate pairs → exact-Jaccard verify → union-find clusters
@@ -410,19 +437,20 @@ def simhash_near_dup_pairs(
 
 
 def ngram_jaccard_pairs(
-    ds: ray.data.Dataset, k: int = 5, threshold: float = 0.8, concurrency=(1, 8)
+    ds: ray.data.Dataset, k: int = 5, threshold: float = 0.8, concurrency=None
 ) -> ray.data.Dataset:
     """All-pairs n-gram Jaccard via MinHash-LSH candidates + exact
-    verification (the scalable form of the quadratic baseline)."""
+    verification (the scalable form of the quadratic baseline).
+    Verification is a task pool with the per-worker cached broadcast
+    text map (_verify_batch) — same shape as minhash_dedup."""
     sigs = minhash_signatures(ds, k=k, concurrency=concurrency)
     cands = lsh_candidate_pairs(sigs, mode="clique")
     texts = {r["doc_id"]: r["text"] for r in ds.select_columns(["doc_id", "text"]).take_all()}
     texts_ref = ray.put(texts)
     return cands.map_batches(
-        _JaccardVerifier,
-        fn_constructor_args=(texts_ref, k, threshold),
+        _verify_batch,
+        fn_kwargs={"texts_ref": texts_ref, "k": k, "threshold": threshold},
         batch_format="pandas",
-        concurrency=concurrency,
     )
 
 
