@@ -656,6 +656,12 @@ def build_kg(
         er_dist = er_dist.materialize()
     n_er = er_dist.count()
     use_driver_small = n_er <= DRIVER_SMALL_MAX
+    # streaming mode has no manifest counters; fill in the row counts
+    # that are free (metadata of already-materialized stages) so the
+    # lineage story holds on both paths
+    if not checkpoint_dir:
+        run.counters["extract"]["rows"] = extracted.count()
+        run.counters["ent_rel_distinct"]["rows"] = n_er
 
     def _er_kind(kind: str, cols: list[str]) -> ray.data.Dataset:
         def filt(batch: pa.Table) -> pa.Table:
