@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": q.q_sample_hash,
         "kmv_distinct": q.q_kmv_distinct,
         "dedup_exact": q.q_dedup_exact,
+        "curate_corpus": q.q_curate_corpus,
+        "curate_full": q.q_curate_full,
         "fingerprint_groups": q.q_fingerprint_groups,
         "token_stats": q.q_token_stats,
         "text_quality_counts": q.q_text_quality_counts,

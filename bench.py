@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "get_individuals_filtered",
     "dedup_exact",
     "minhash_dedup",
+    "curate_full",
     "ann_topk",
     "events_window",
     "session_windows",

@@ -11,6 +11,7 @@ sketch internals, stubs).
 from __future__ import annotations
 
 from . import constants as C
+from .pipelines.curate import curate_oracle_sql as _curate_sql
 from .pipelines.kg import kg_oracle_sql, GAZETTEER
 from .queries import (
     ACCTBAL,
@@ -102,6 +103,7 @@ SELECT DISTINCT '{onto}#ent_' || surface || '__' || lang AS node,
 UNION
 SELECT DISTINCT '{onto}#ent_' || surface, '{onto}#ent_' || surface FROM mention""",
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "curate_corpus": _curate_sql(),
         "fingerprint_groups": (
             "SELECT doc_id, COUNT(*) OVER (PARTITION BY text) AS dup_group_size "
             "FROM documents"

@@ -522,6 +522,34 @@ def q_kg_sameas_components(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_curate_corpus(sf_dir: str):
+    """Training-data curation pipeline, exact path (features →
+    quality filter → exact dedup) — full SQL oracle."""
+    from .pipelines.curate import curate
+
+    out = curate(sf_dir, near_dup=False)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            ["doc_id", "lang", "n_tokens", "punct_chars", "n_chars"]
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def q_curate_full(sf_dir: str):
+    """Full curation incl. MinHash near-dup removal (rows-only; the
+    near-dup tail is pinned by pytest invariants)."""
+    from .pipelines.curate import curate
+
+    out = curate(sf_dir, near_dup=True)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "lang", "n_tokens"])
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_dedup_exact(sf_dir: str):
     from .stages.dedup import exact_dedup
 

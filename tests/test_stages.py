@@ -510,3 +510,38 @@ class TestLshAnn:
         # determinism (seeded planes)
         again = ann.lsh_topk(embs, qids, qvecs, k=5, n_planes=6, max_probe_hamming=2)
         pd.testing.assert_frame_equal(got, again)
+
+
+class TestCuratePipeline:
+    def test_curate_exact_filters_and_dedups(self, ray_session):
+        from ontograph_ray.pipelines.curate import (
+            MIN_TOKENS, PUNCT_DEN, PUNCT_NUM, curate,
+        )
+
+        rows = [
+            {"doc_id": 0, "text": "alpha beta gamma delta epsilon", "lang": "en"},
+            {"doc_id": 1, "text": "alpha beta gamma delta epsilon", "lang": "en"},  # dup
+            {"doc_id": 2, "text": "too short", "lang": "en"},  # < MIN_TOKENS
+            {"doc_id": 3, "text": "!!! ??? ;;; ::: ,,, ...", "lang": "en"},  # punct
+            {"doc_id": 4, "text": "one two three four five six", "lang": "de"},
+        ]
+        import pyarrow.parquet as pq
+
+        import tempfile, os
+
+        d = tempfile.mkdtemp()
+        pq.write_table(pa.Table.from_pylist(rows), os.path.join(d, "documents.parquet"))
+        out = curate(d, near_dup=False).to_pandas().sort_values("doc_id")
+        assert out["doc_id"].tolist() == [0, 4]
+        for _, r in out.iterrows():
+            assert r["n_tokens"] >= MIN_TOKENS
+            assert r["punct_chars"] * PUNCT_NUM <= r["n_chars"] * PUNCT_DEN
+
+    def test_curate_full_subset_of_exact(self, ray_session):
+        from ontograph_ray.queries import q_curate_corpus, q_curate_full
+
+        sf = "/root/testdata/sf0.001"
+        exact_ids = set(q_curate_corpus(sf).to_pandas()["doc_id"])
+        full_ids = set(q_curate_full(sf).to_pandas()["doc_id"])
+        assert full_ids <= exact_ids
+        assert len(full_ids) >= 1
