@@ -276,7 +276,13 @@ def minhash_dedup(
 ) -> ray.data.Dataset:
     """Full MinHash-LSH near-dup removal: shingle → minhash → banded
     LSH → candidate pairs → exact-Jaccard verify → union-find clusters
-    → keep the min doc_id per cluster. Returns the surviving rows."""
+    → keep the min doc_id per cluster. Returns the surviving rows.
+
+    The input is consumed three times (signatures, the verify-side
+    text broadcast, the final survivor filter); pin it once so a lazy
+    upstream chain (e.g. a filter + dedup shuffle feeding this stage)
+    is not recomputed per consumer."""
+    ds = ds.materialize()
     sigs = minhash_signatures(ds, k, num_perm, concurrency)
     from ..store.dataset import distinct_on
 
