@@ -43,7 +43,6 @@ import ray
 import ray.data
 
 from .. import constants as C
-from ..terms import new_literal_term, new_resource_term
 from ..store.dataset import dedup, distinct_on, write_ntriples
 from .canonicalize import connected_components, union_find
 from .checkpoint import CheckpointedRun
@@ -385,29 +384,6 @@ def relations_stage(
         batch_format="pyarrow",
         batch_size=None,
     )
-
-
-def mention_triples_batch(batch: pa.Table) -> pa.Table:
-    """Flatten mention rows into raw (pre-canonicalization) triples."""
-    url_res = pc.binary_join_element_wise(pa.scalar("<"), batch["url"], pa.scalar(">"), "")
-    alias_res = pc.binary_join_element_wise(pa.scalar("<"), batch["alias"], pa.scalar(">"), "")
-    canon = pc.binary_join_element_wise(
-        pa.scalar(f"<{ONTO}#ent_"), batch["surface"], pa.scalar(">"), ""
-    )
-    n = batch.num_rows
-
-    def const(s):
-        return pa.array([s] * n, pa.string())
-
-    parts = [
-        # page mentions alias
-        pa.table({"subject": url_res, "predicate": const(f"<{MENTIONS_PROP}>"), "object": alias_res}),
-        # alias sameAs canonical (the canonicalization edge)
-        pa.table({"subject": alias_res, "predicate": const(f"<{C.OWL_SAME_AS}>"), "object": canon}),
-        # alias is a NamedIndividual
-        pa.table({"subject": alias_res, "predicate": const(f"<{C.RDF_TYPE}>"), "object": const(f"<{C.OWL_NAMED_INDIVIDUAL}>")}),
-    ]
-    return pa.concat_tables(parts)
 
 
 def mention_link_triples_batch(batch: pa.Table) -> pa.Table:
