@@ -623,6 +623,22 @@ def q_lang_id(sf_dir: str):
     return lang_id(docs).select_columns(["doc_id", "pred_lang"])
 
 
+def _ann_query_vectors(sf_dir: str, n: int = 5):
+    """Query-vector prep with PREDICATE PUSHDOWN: the row filter runs
+    inside the Parquet scan (pyarrow dataset filter), so only the n
+    query rows ever leave storage — no full-table take_all on the
+    driver."""
+    rows = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < n,
+    ).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    qids = [r["vec_id"] for r in rows]
+    qvecs = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    return qids, qvecs
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 for queries = vec_id 0..4; returns
     (query_id, vec_id) — ids only, so float formatting can't skew the
@@ -630,9 +646,7 @@ def q_ann_topk(sf_dir: str):
     from .stages.ann import brute_force_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = [r for r in emb.take_all() if r["vec_id"] < 5]
-    qids = [r["vec_id"] for r in qrows]
-    qvecs = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qids, qvecs = _ann_query_vectors(sf_dir)
     df = brute_force_topk(emb, qids, qvecs, k=10)
     return df[["query_id", "vec_id"]]
 
@@ -644,9 +658,7 @@ def q_ann_topk_ivf(sf_dir: str):
     from .stages.ann import ivf_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = [r for r in emb.take_all() if r["vec_id"] < 5]
-    qids = [r["vec_id"] for r in qrows]
-    qvecs = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qids, qvecs = _ann_query_vectors(sf_dir)
     df = ivf_topk(emb, qids, qvecs, k=10, n_clusters=16, nprobe=8)
     return df[["query_id", "vec_id"]]
 
@@ -658,9 +670,7 @@ def q_ann_topk_lsh(sf_dir: str):
     from .stages.ann import lsh_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = [r for r in emb.take_all() if r["vec_id"] < 5]
-    qids = [r["vec_id"] for r in qrows]
-    qvecs = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qids, qvecs = _ann_query_vectors(sf_dir)
     df = lsh_topk(emb, qids, qvecs, k=10, n_planes=6, max_probe_hamming=2)
     return df[["query_id", "vec_id"]]
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -297,47 +298,121 @@ def lsh_topk(
     return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
 
 
+def _block_matrix(tbl: pa.Table, id_col: str, vec_col: str):
+    """(ids int64 array, n×d float64 matrix) from a prepped block whose
+    vector column is a FixedSizeList of float64 — the flat values
+    buffer reshapes zero-copy, no per-row Python."""
+    ids = tbl[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    vecs = tbl[vec_col].combine_chunks()
+    d = vecs.type.list_size
+    flat = vecs.values.to_numpy(zero_copy_only=False)
+    return ids, flat.reshape(len(tbl), d)
+
+
+@ray.remote
+def _block_meta(tbl: pa.Table, id_col: str, vec_col: str):
+    """Tiny per-block summary for angular pruning: unit centroid
+    direction + angular radius (max angle of a member to the
+    centroid). Rows are already unit-normalized."""
+    _, m = _block_matrix(tbl, id_col, vec_col)
+    if len(m) == 0:
+        return None
+    c = m.mean(axis=0)
+    norm = np.linalg.norm(c)
+    if norm == 0:
+        # degenerate centroid: radius π disables pruning for this block
+        return np.zeros(m.shape[1]), float(np.pi)
+    c = c / norm
+    cos_to_c = np.clip(m @ c, -1.0, 1.0)
+    return c, float(np.arccos(cos_to_c).max())
+
+
+@ray.remote
+def _block_pair_sims(
+    ta: pa.Table, tb: pa.Table, same: bool, threshold: float, id_col: str, vec_col: str
+) -> pa.Table:
+    """One exact matmul between two (pre-normalized) blocks, emitting
+    qualifying pairs oriented src_id < dst_id."""
+    ids_a, ma = _block_matrix(ta, id_col, vec_col)
+    ids_b, mb = _block_matrix(tb, id_col, vec_col)
+    sims = ma @ mb.T
+    ii, jj = np.nonzero(sims >= threshold)
+    if same:
+        keep = ids_a[ii] < ids_b[jj]
+    else:
+        keep = ids_a[ii] != ids_b[jj]
+    ii, jj = ii[keep], jj[keep]
+    a_ids, b_ids = ids_a[ii], ids_b[jj]
+    src = np.minimum(a_ids, b_ids)
+    dst = np.maximum(a_ids, b_ids)
+    return pa.table(
+        {
+            "src_id": pa.array(src.astype(np.int64), pa.int64()),
+            "dst_id": pa.array(dst.astype(np.int64), pa.int64()),
+            "score": pa.array(sims[ii, jj].astype(np.float64), pa.float64()),
+        }
+    )
+
+
 def self_similarity_pairs(
     emb_ds: ray.data.Dataset,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_block_rows: int = 4096,
 ) -> ray.data.Dataset:
-    """All (a,b) corpus pairs with cosine ≥ threshold, a<b. The corpus
-    matrix is normalized once, broadcast, and each batch does one
-    blocked matmul against it. O(n²) compute but O(n·d) memory per
-    task; for corpora beyond broadcast size swap the right side for
-    IVF-bucketed blocks."""
-    rows = emb_ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.asarray([r[id_col] for r in rows])
-    mat = _normalize(np.asarray([r[vec_col] for r in rows], dtype=np.float64))
-    ref = ray.put({"ids": ids, "mat": mat})
+    """All (a,b) corpus pairs with cosine ≥ threshold, a<b — EXACT.
 
-    class PairFinder:
-        def __init__(self):
-            data = ray.get(ref)
-            self.all_ids, self.all_mat = data["ids"], data["mat"]
+    Physical plan (no driver-side corpus materialization): vectors are
+    normalized + packed to FixedSizeList float64 in one map_batches
+    pass, re-blocked to ~``target_block_rows`` rows, and pinned in the
+    object store as Arrow block refs. Every surviving block PAIR
+    (i ≤ j) is one raw Ray task doing a blocked matmul — a self
+    cross-join is the one shape the Dataset API can't express, so this
+    is the documented drop-to-raw-tasks case; the driver holds only
+    ObjectRefs and per-block metas, each task's working set is two
+    blocks. Exactness-preserving pruning: for blocks A, B with unit
+    centroids cA, cB and angular radii rA, rB, every cross pair has
+    angle ≥ angle(cA,cB) − rA − rB (angular triangle inequality), so a
+    block pair whose lower bound exceeds arccos(threshold) cannot
+    contain a qualifying pair and is skipped without being read.
+    Compute is O(n²/block) tasks in the worst case — inherent to an
+    exact all-pairs result; when approximate recall is acceptable, the
+    LSH/IVF candidate generators in this module are the cheaper path."""
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.int64())
+        m = _normalize(_as_matrix(batch, vec_col))
+        flat = pa.array(m.reshape(-1), pa.float64())
+        vecs = pa.FixedSizeListArray.from_arrays(flat, m.shape[1] if len(m) else 1)
+        return pa.table({id_col: ids, vec_col: vecs})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_as_matrix(batch, vec_col))
-            bids = np.asarray(batch[id_col].to_pylist())
-            sims = m @ self.all_mat.T
-            src, dst, score = [], [], []
-            for i in range(len(bids)):
-                hits = np.where(sims[i] >= threshold)[0]
-                for j in hits:
-                    if self.all_ids[j] > bids[i]:  # upper triangle only
-                        src.append(int(bids[i]))
-                        dst.append(int(self.all_ids[j]))
-                        score.append(float(sims[i, j]))
-            return pa.table(
-                {
-                    "src_id": pa.array(src, pa.int64()),
-                    "dst_id": pa.array(dst, pa.int64()),
-                    "score": pa.array(score, pa.float64()),
-                }
-            )
-
-    return emb_ds.map_batches(
-        PairFinder, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8)
+    blocks = (
+        emb_ds.select_columns([id_col, vec_col])
+        .map_batches(prep, batch_format="pyarrow", batch_size=target_block_rows)
+        .materialize()
     )
+    refs = blocks.to_arrow_refs()
+    metas = ray.get([_block_meta.remote(r, id_col, vec_col) for r in refs])
+    live = [(r, m) for r, m in zip(refs, metas) if m is not None]
+    max_angle = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+
+    out_refs = []
+    for i, (ra, (ca, rad_a)) in enumerate(live):
+        for j in range(i, len(live)):
+            rb, (cb, rad_b) = live[j]
+            ang = float(np.arccos(np.clip(np.dot(ca, cb), -1.0, 1.0)))
+            if ang - rad_a - rad_b > max_angle:
+                continue  # provably no qualifying cross pair
+            out_refs.append(
+                _block_pair_sims.remote(ra, rb, i == j, threshold, id_col, vec_col)
+            )
+    if not out_refs:
+        empty = pa.table(
+            {
+                "src_id": pa.array([], pa.int64()),
+                "dst_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        return ray.data.from_arrow(empty)
+    return ray.data.from_arrow_refs(out_refs)

@@ -15,6 +15,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -60,19 +61,59 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
-def _shingles(text: str, k: int) -> set[int]:
-    """Character k-gram shingle set, hashed to stable 32-bit ints
-    (crc32 — deterministic across processes, unlike built-in hash)."""
-    if len(text) < k:
-        return {zlib.crc32(text.encode())} if text else set()
-    data = text.encode()
-    return {zlib.crc32(data[i : i + k]) for i in range(len(data) - k + 1)}
+def _make_crc32_table() -> np.ndarray:
+    """The standard CRC-32 (zlib polynomial 0xEDB88320) lookup table —
+    lets the shingle kernel compute byte-exact zlib.crc32 values with k
+    vectorized numpy ops per document instead of a Python loop per
+    k-gram."""
+    table = np.empty(256, dtype=np.uint32)
+    for i in range(256):
+        c = np.uint32(i)
+        for _ in range(8):
+            c = (c >> np.uint32(1)) ^ (
+                np.uint32(0xEDB88320) if c & np.uint32(1) else np.uint32(0)
+            )
+        table[i] = c
+    return table
 
 
-def jaccard(a: set, b: set) -> float:
-    if not a and not b:
+_CRC32_TABLE = _make_crc32_table()
+
+
+def _shingles(text: str, k: int) -> np.ndarray:
+    """Character (byte) k-gram shingle set as a sorted unique uint32
+    array of crc32 hashes — value-identical to ``zlib.crc32`` over each
+    byte window (deterministic across processes, unlike built-in hash),
+    but computed with a numpy sliding window + table-driven CRC: k
+    vectorized passes over all windows at once, no per-window Python."""
+    data = np.frombuffer(text.encode(), dtype=np.uint8)
+    if len(data) < k:
+        if not text:
+            return np.empty(0, dtype=np.uint32)
+        return np.array([zlib.crc32(bytes(data))], dtype=np.uint32)
+    win = np.lib.stride_tricks.sliding_window_view(data, k)
+    crc = np.full(len(win), 0xFFFFFFFF, dtype=np.uint32)
+    for j in range(k):
+        crc = (crc >> np.uint32(8)) ^ _CRC32_TABLE[
+            (crc ^ win[:, j]) & np.uint32(0xFF)
+        ]
+    return np.unique(crc ^ np.uint32(0xFFFFFFFF))
+
+
+def jaccard(a, b) -> float:
+    """Exact Jaccard over two shingle collections (unique uint32 arrays
+    from :func:`_shingles`; plain sets also accepted)."""
+    if isinstance(a, (set, frozenset)) or isinstance(b, (set, frozenset)):
+        a, b = set(a.tolist() if isinstance(a, np.ndarray) else a), set(
+            b.tolist() if isinstance(b, np.ndarray) else b
+        )
+        if not a and not b:
+            return 1.0
+        return len(a & b) / max(1, len(a | b))
+    if len(a) == 0 and len(b) == 0:
         return 1.0
-    return len(a & b) / max(1, len(a | b))
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / max(1, len(a) + len(b) - inter)
 
 
 class MinHasher:
@@ -94,7 +135,7 @@ class MinHasher:
         self.b = rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
-        sh = np.fromiter(_shingles(text, self.k), dtype=np.int64).astype(np.uint64)
+        sh = _shingles(text, self.k).astype(np.uint64)
         if len(sh) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
         # (a * x + b) mod p, min over shingles — vectorized outer product
@@ -160,18 +201,27 @@ def lsh_candidate_pairs(
 ) -> ray.data.Dataset:
     """Signatures → (band_id, band_hash) buckets → candidate doc pairs.
 
-    ``mode="star"`` (default): k-1 anchor→member edges per bucket —
-    sufficient connectivity when candidates feed a union-find
-    clustering (minhash_dedup), and immune to the quadratic blowup on
-    template-heavy corpora. ``mode="clique"``: all k²/2 in-bucket
-    pairs — required when the *pair list itself* is the result
-    (ngram_jaccard_pairs). Even in clique mode, an LSH bucket larger
-    than ``clique_cap`` docs degrades to star edges: a 10⁵-doc
-    template bucket would otherwise emit 5×10⁹ pairs in ONE reduce
-    task. At that bucket size the docs are near-identical boilerplate
-    and anchor edges preserve the dedup-relevant connectivity; the
-    cap bounds the worst single-bucket output at
-    clique_cap²/2 pairs."""
+    ``mode="star"`` (default): anchor→member edges PLUS consecutive
+    member↔member chain edges per bucket (2(k-1) edges total) —
+    linear in bucket size, so immune to the quadratic blowup on
+    template-heavy corpora, while feeding enough edges to a union-find
+    clustering (minhash_dedup). The chain edges exist because the
+    downstream exact-Jaccard verify can FAIL an anchor edge: with star
+    edges alone, two true near-dups whose anchor edges both fail
+    (J(A,B)=0.7, J(A,C)=0.7, J(B,C)=0.9 at threshold 0.8) would never
+    be compared; the chain pairs adjacent members directly. Residual
+    caveat (documented, inherent to sub-quadratic candidates): a
+    member pair that is neither anchor-adjacent nor chain-adjacent in
+    any shared bucket is still never verified, so star mode can
+    under-merge relative to ``mode="clique"``, which verifies all
+    k²/2 in-bucket pairs and is required when the *pair list itself*
+    is the result (ngram_jaccard_pairs). Even in clique mode, an LSH
+    bucket larger than ``clique_cap`` docs degrades to star+chain
+    edges: a 10⁵-doc template bucket would otherwise emit 5×10⁹ pairs
+    in ONE reduce task. At that bucket size the docs are
+    near-identical boilerplate and linear edges preserve the
+    dedup-relevant connectivity; the cap bounds the worst
+    single-bucket output at clique_cap²/2 pairs."""
 
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
         rows_doc, rows_band, rows_hash = [], [], []
@@ -196,11 +246,12 @@ def lsh_candidate_pairs(
         return out
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # STAR edges (bucket-min anchor → member), not the full
-        # clique: candidates feed a union-find clustering downstream,
-        # for which k-1 anchor edges give the same connectivity as
-        # k²/2 pairs — on template-heavy corpora (huge LSH buckets)
-        # this is the difference between 10^5 and 10^7 verifications.
+        # STAR+CHAIN edges (anchor→member plus adjacent member pairs),
+        # not the full clique: 2(k-1) edges per bucket — on
+        # template-heavy corpora (huge LSH buckets) this is the
+        # difference between 10^5 and 10^7 verifications. The chain
+        # half protects against verify-failed anchor edges (see
+        # docstring).
         srcs, dsts = [], []
         for _, g in df.groupby(["band_id", "band_hash"], sort=False):
             ids = sorted(g["doc_id"].unique())
@@ -214,6 +265,9 @@ def lsh_candidate_pairs(
                 for other in ids[1:]:
                     srcs.append(anchor)
                     dsts.append(other)
+                for a, b in zip(ids[1:], ids[2:]):
+                    srcs.append(a)
+                    dsts.append(b)
         out = pd.DataFrame({"src_id": srcs, "dst_id": dsts}).drop_duplicates()
         return out
 
@@ -221,48 +275,184 @@ def lsh_candidate_pairs(
     return banded.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
 
 
-class _JaccardVerifier:
-    """Actor stage: verify candidate pairs with exact n-gram Jaccard.
-    Holds the (broadcast) doc_id→text map — candidate verification is a
-    small-side lookup, not a shuffle. Partitioning assumption: the text
-    corpus of candidate docs fits the object store / worker heap; at
-    larger scale replace with a bucketed join on doc_id."""
-
-    def __init__(self, texts_ref, k: int, threshold: float):
-        self.texts = ray.get(texts_ref)
-        self.k = k
-        self.threshold = threshold
-        self.cache: dict = {}
-
-    def _sh(self, doc_id):
-        s = self.cache.get(doc_id)
-        if s is None:
-            s = _shingles(self.texts.get(doc_id, ""), self.k)
-            self.cache[doc_id] = s
-        return s
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sims = [
-            jaccard(self._sh(s), self._sh(d))
-            for s, d in zip(df["src_id"], df["dst_id"])
-        ]
-        df = df.copy()
-        df["jaccard"] = sims
-        return df[df["jaccard"] >= self.threshold]
+# Per-worker text→shingle-array cache for the join-based verifier:
+# a doc that appears in many candidate pairs is shingled once per
+# worker, not once per pair. Keyed by the TEXT (not doc_id — ids
+# collide across datasets sharing one Ray session). Bounded (cleared
+# past _SHINGLE_CACHE_MAX) so a worker that streams millions of
+# candidate rows can't grow an unbounded heap.
+_SHINGLE_CACHE: dict = {}
+_SHINGLE_CACHE_MAX = 16384
 
 
-# per-worker cache of verifier instances (holds the broadcast text map
-# and its shingle cache) — task pool gets actor-like state reuse
-# without pool startup.
-_VERIFIER_CACHE: dict = {}
+def _cached_shingles(text, k: int) -> np.ndarray:
+    key = (k, text)
+    s = _SHINGLE_CACHE.get(key)
+    if s is None:
+        if len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
+            _SHINGLE_CACHE.clear()
+        s = _SHINGLE_CACHE[key] = _shingles("" if text is None else text, k)
+    return s
 
 
-def _verify_batch(df: pd.DataFrame, texts_ref=None, k=5, threshold=0.8) -> pd.DataFrame:
-    key = (texts_ref.hex() if hasattr(texts_ref, "hex") else id(texts_ref), k, threshold)
-    v = _VERIFIER_CACHE.get(key)
-    if v is None:
-        v = _VERIFIER_CACHE[key] = _JaccardVerifier(texts_ref, k, threshold)
-    return v(df)
+def _verify_joined_batch(df: pd.DataFrame, k=5, threshold=0.8) -> pd.DataFrame:
+    """Verify kernel over already-joined candidate rows
+    (src_id, dst_id, src_text, dst_text): exact Jaccard per pair, keep
+    rows at or above the threshold. The texts arrive WITH the pair via
+    the bucketed hash-joins in :func:`verify_pairs` — no driver-side
+    corpus map, no broadcast."""
+    if not len(df):
+        return pd.DataFrame(
+            {
+                "src_id": pd.Series(dtype=df["src_id"].dtype if "src_id" in df else "int64"),
+                "dst_id": pd.Series(dtype=df["dst_id"].dtype if "dst_id" in df else "int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+    sims = [
+        jaccard(_cached_shingles(st, k), _cached_shingles(dt, k))
+        for st, dt in zip(df["src_text"], df["dst_text"])
+    ]
+    out = df[["src_id", "dst_id"]].copy()
+    out["jaccard"] = pd.Series(sims, index=df.index, dtype="float64")
+    return out[out["jaccard"] >= threshold]
+
+
+# Past this many candidate PAIRS the id-set semi-join prefilter is
+# skipped (the id broadcast would no longer be "small-side"): the
+# joins then run against the full corpus — still bucketed exchanges,
+# never a text broadcast.
+SEMI_FILTER_MAX_PAIRS = 2_000_000
+
+# Below this many DISTINCT candidate member docs, verification skips
+# the join shuffles entirely: only the member texts (selected by a
+# pushed-down membership filter — never the corpus) are broadcast once
+# and pairs verify in a pure map. Same size-cutover discipline as the
+# KG pipeline's DRIVER_SMALL_MAX; the join path above the bound is
+# pinned by tests.
+SMALL_VERIFY_MAX_MEMBERS = 100_000
+
+
+def _verify_broadcast_batch(
+    df: pd.DataFrame, texts_ref=None, k=5, threshold=0.8
+) -> pd.DataFrame:
+    """Small-branch verify kernel: texts of candidate MEMBERS (not the
+    corpus) fetched once per worker from the broadcast ref."""
+    key = texts_ref.hex()
+    texts = _MEMBER_CACHE.get(key)
+    if texts is None:
+        texts = _MEMBER_CACHE[key] = ray.get(texts_ref)
+    sims = [
+        jaccard(
+            _cached_shingles(texts.get(s, ""), k), _cached_shingles(texts.get(d, ""), k)
+        )
+        for s, d in zip(df["src_id"], df["dst_id"])
+    ]
+    out = df[["src_id", "dst_id"]].copy()
+    out["jaccard"] = pd.Series(sims, index=df.index, dtype="float64")
+    return out[out["jaccard"] >= threshold]
+
+
+def verify_pairs(
+    cands: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    k: int = 5,
+    threshold: float = 0.8,
+    num_buckets: int = 64,
+    small_max_members: int = SMALL_VERIFY_MAX_MEMBERS,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification of candidate (src_id, dst_id) pairs
+    with NO whole-corpus materialization, adaptive in the candidate
+    size (both paths produce identical rows; tests pin the fallback):
+
+    - SMALL (≤ ``small_max_members`` distinct member docs — the normal
+      LSH regime): the candidate id set (ints) selects member texts
+      via a pushed-down membership filter; only THOSE texts cross the
+      wire, broadcast once, and pairs verify in one streaming map with
+      no extra exchange. Bounded by the candidate set, not the corpus.
+    - LARGE: two bucketed hash-joins (candidates ⋈ texts on src_id,
+      then dst_id) ship each pair its two texts; the shingle/Jaccard
+      kernel runs inside the merged buckets. Both exchanges key on a
+      small-int hash bucket; the corpus streams. A semi-join id
+      prefilter (guarded by SEMI_FILTER_MAX_PAIRS) shrinks the docs
+      side to candidate members before the exchanges when the pair
+      count allows broadcasting the ids.
+
+    This replaces the round-1 driver-side whole-corpus text broadcast:
+    in every branch, what crosses the wire is bounded by the CANDIDATE
+    set (ids or member texts), never by corpus size."""
+    from ..store.dataset import hash_join
+
+    cands = cands.materialize()
+    n_pairs = cands.count()
+
+    id_set = None
+    if n_pairs <= SEMI_FILTER_MAX_PAIRS:
+        def ids_of(batch: pa.Table) -> pa.Table:
+            both = pa.concat_arrays(
+                [
+                    batch["src_id"].combine_chunks().cast(pa.int64()),
+                    batch["dst_id"].combine_chunks().cast(pa.int64()),
+                ]
+            )
+            return pa.table({"doc_id": both.unique()})
+
+        id_rows = cands.map_batches(ids_of, batch_format="pyarrow").take_all()
+        id_set = pa.array(
+            np.unique(np.asarray([r["doc_id"] for r in id_rows], dtype=np.int64))
+        )
+
+    if id_set is not None:
+        ids_ref = ray.put(id_set)
+
+        def member_docs(batch: pa.Table, ids_ref=None) -> pa.Table:
+            wanted = _MEMBER_CACHE.get(ids_ref.hex())
+            if wanted is None:
+                wanted = _MEMBER_CACHE[ids_ref.hex()] = ray.get(ids_ref)
+            mask = pc.is_in(pc.cast(batch["doc_id"], pa.int64()), value_set=wanted)
+            return batch.filter(mask)
+
+        members = docs.map_batches(
+            member_docs, fn_kwargs={"ids_ref": ids_ref}, batch_format="pyarrow"
+        )
+        if len(id_set) <= small_max_members:
+            # SMALL branch: gather member texts (bounded by candidates)
+            # and verify in one map — no join exchanges.
+            texts = {
+                r["doc_id"]: r["text"]
+                for r in members.select_columns(["doc_id", "text"]).take_all()
+            }
+            texts_ref = ray.put(texts)
+            return cands.map_batches(
+                _verify_broadcast_batch,
+                fn_kwargs={"texts_ref": texts_ref, "k": k, "threshold": threshold},
+                batch_format="pandas",
+            )
+        docs = members
+
+    def as_src(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "text"]].rename(
+            columns={"doc_id": "src_id", "text": "src_text"}
+        )
+
+    def as_dst(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "text"]].rename(
+            columns={"doc_id": "dst_id", "text": "dst_text"}
+        )
+
+    src_side = docs.map_batches(as_src, batch_format="pandas")
+    dst_side = docs.map_batches(as_dst, batch_format="pandas")
+    with_src = hash_join(cands, src_side, on="src_id", num_buckets=num_buckets)
+    with_both = hash_join(with_src, dst_side, on="dst_id", num_buckets=num_buckets)
+    return with_both.map_batches(
+        _verify_joined_batch,
+        fn_kwargs={"k": k, "threshold": threshold},
+        batch_format="pandas",
+    )
+
+
+# per-worker cache of broadcast candidate-id / member-text objects
+_MEMBER_CACHE: dict = {}
 
 
 def minhash_dedup(
@@ -275,11 +465,12 @@ def minhash_dedup(
     concurrency=None,
 ) -> ray.data.Dataset:
     """Full MinHash-LSH near-dup removal: shingle → minhash → banded
-    LSH → candidate pairs → exact-Jaccard verify → union-find clusters
-    → keep the min doc_id per cluster. Returns the surviving rows.
+    LSH → candidate pairs → exact-Jaccard verify (bucketed text joins,
+    see verify_pairs) → union-find clusters → keep the min doc_id per
+    cluster. Returns the surviving rows.
 
     The input is consumed three times (signatures, the verify-side
-    text broadcast, the final survivor filter); pin it once so a lazy
+    text joins, the final survivor filter); pin it once so a lazy
     upstream chain (e.g. a filter + dedup shuffle feeding this stage)
     is not recomputed per consumer."""
     ds = ds.materialize()
@@ -292,13 +483,7 @@ def minhash_dedup(
         lsh_candidate_pairs(sigs, bands, num_buckets), ["src_id", "dst_id"], 16
     )
 
-    texts = {r["doc_id"]: r["text"] for r in ds.select_columns(["doc_id", "text"]).take_all()}
-    texts_ref = ray.put(texts)
-    verified = cands.map_batches(
-        _verify_batch,
-        fn_kwargs={"texts_ref": texts_ref, "k": k, "threshold": threshold},
-        batch_format="pandas",
-    )
+    verified = verify_pairs(cands, ds, k=k, threshold=threshold, num_buckets=num_buckets)
 
     def as_str_edges(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -330,9 +515,48 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _string_array_segments(arr):
+    """Zero-copy view of a string array's UTF-8 buffer as
+    (data bytes, per-string start offsets, per-string byte lengths)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    starts = offsets[:-1]
+    return data, starts, offsets[1:] - starts
+
+
+def _crc32_of_strings(arr) -> np.ndarray:
+    """zlib.crc32 of every string in an Arrow string array — table-driven
+    CRC, vectorized across ALL strings at once: max_len passes, each a
+    masked gather + table lookup over the still-running strings."""
+    data, starts, lens = _string_array_segments(arr)
+    n = len(starts)
+    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    for j in range(int(lens.max()) if n else 0):
+        active = lens > j
+        c = crc[active]
+        b = data[starts[active] + j]
+        crc[active] = (c >> np.uint32(8)) ^ _CRC32_TABLE[(c ^ b) & np.uint32(0xFF)]
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
 class SimHasher:
-    """Actor stage: 64-bit SimHash over whitespace tokens (crc32 token
-    hashes, bit-vote aggregation — vectorized with numpy bit tricks)."""
+    """64-bit SimHash over whitespace tokens (crc32 token hashes,
+    bit-vote aggregation). ``__call__`` is the batch-vectorized form:
+    one Arrow tokenize per batch, table-driven crc32 over ALL tokens at
+    once (max-token-length masked passes), and a per-doc segment-sum of
+    bit votes — no Python loop over docs or tokens. ``simhash`` is the
+    per-doc reference kernel the batch form is pinned against in
+    tests."""
 
     def __init__(self):
         self.bit_weights = 1 << np.arange(64, dtype=np.uint64)
@@ -351,16 +575,50 @@ class SimHasher:
         votes = bits.sum(axis=0) * 2 - len(toks)
         return int(((votes > 0).astype(np.uint64) * self.bit_weights).sum())
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["simhash"] = [np.uint64(self.simhash(t)) for t in df["text"]]
-        return out
+    def batch_simhash(self, text_col) -> np.ndarray:
+        if isinstance(text_col, pa.ChunkedArray):
+            text_col = text_col.combine_chunks()
+        toks = pc.split_pattern(text_col, " ")
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return np.zeros(len(counts), dtype=np.uint64)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        fwd = _crc32_of_strings(flat)
+        # token[::-1] reverses CODEPOINTS; utf8_reverse matches that
+        # (byte reversal would diverge on multi-byte UTF-8)
+        rev = _crc32_of_strings(pc.utf8_reverse(flat))
+        hashes = fwd.astype(np.uint64) | (rev.astype(np.uint64) << np.uint64(32))
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        # doc_idx is sorted, so the per-doc vote sum is one reduceat
+        # over contiguous segments
+        seg_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        votes = np.add.reduceat(bits, seg_starts, axis=0)
+        votes = votes * 2 - counts[:, None]
+        return ((votes > 0).astype(np.uint64) * self.bit_weights[None, :]).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = self.batch_simhash(batch["text"])
+        return batch.append_column("simhash", pa.array(sh, pa.uint64()))
 
 
-def simhash_signatures(ds: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
-    return ds.map_batches(
-        SimHasher, batch_format="pandas", batch_size=1024, concurrency=concurrency
-    )
+_SIMHASHER = SimHasher()
+
+
+def _simhash_batch_fn(batch: pa.Table) -> pa.Table:
+    return _SIMHASHER(batch)
+
+
+def simhash_signatures(ds: ray.data.Dataset, concurrency=None) -> ray.data.Dataset:
+    """Task pool by default (the kernel state is two tiny arrays —
+    actor-pool startup would dominate); pass ``concurrency`` for the
+    actor-pool form."""
+    if concurrency is not None:
+        return ds.map_batches(
+            SimHasher, batch_format="pyarrow", batch_size=1024, concurrency=concurrency
+        )
+    return ds.map_batches(_simhash_batch_fn, batch_format="pyarrow", batch_size=1024)
 
 
 def simhash_near_dup_pairs(
@@ -447,17 +705,19 @@ def ngram_jaccard_pairs(
 ) -> ray.data.Dataset:
     """All-pairs n-gram Jaccard via MinHash-LSH candidates + exact
     verification (the scalable form of the quadratic baseline).
-    Verification is a task pool with the per-worker cached broadcast
-    text map (_verify_batch) — same shape as minhash_dedup."""
+    Verification ships texts to candidate pairs with two bucketed
+    hash-joins (verify_pairs) — same shape as minhash_dedup; the
+    corpus never materializes on the driver. The candidate distinct
+    matters doubly here: the same pair fires in several bands and
+    would otherwise be joined and verified once per band."""
+    from ..store.dataset import distinct_on
+
+    ds = ds.materialize()
     sigs = minhash_signatures(ds, k=k, concurrency=concurrency)
-    cands = lsh_candidate_pairs(sigs, mode="clique")
-    texts = {r["doc_id"]: r["text"] for r in ds.select_columns(["doc_id", "text"]).take_all()}
-    texts_ref = ray.put(texts)
-    return cands.map_batches(
-        _verify_batch,
-        fn_kwargs={"texts_ref": texts_ref, "k": k, "threshold": threshold},
-        batch_format="pandas",
+    cands = distinct_on(
+        lsh_candidate_pairs(sigs, mode="clique"), ["src_id", "dst_id"], 16
     )
+    return verify_pairs(cands, ds, k=k, threshold=threshold)
 
 
 def embedding_near_dup_pairs(

@@ -87,37 +87,50 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 
 
 class LangId:
-    """Actor stage: n-gram/function-word language-ID heuristic. Profiles
-    compiled once per actor; per batch it's a vectorized membership
-    count. Deterministic tie-break: lexicographic language code wins."""
+    """Function-word language-ID heuristic, fully vectorized: ONE
+    tokenize+explode per batch, one isin membership pass per profile
+    (|profiles| vectorized passes total), then a numpy argmax across
+    the per-language count columns — no Python closure per row.
+    Deterministic tie-break: the profile columns are iterated in
+    sorted language order, so argmax's first-max rule IS the
+    lexicographic-min winner; zero hits anywhere → 'und'."""
 
     def __init__(self, profiles=None):
-        self.profiles = {
-            lang: frozenset(words) for lang, words in (profiles or LANG_PROFILES).items()
-        }
+        profs = profiles or LANG_PROFILES
+        self.langs = sorted(profs)
+        self.profiles = {lang: frozenset(profs[lang]) for lang in self.langs}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        tokens = df["text"].str.lower().str.split(" ")
-
-        def best(ts: list[str]) -> str:
-            scores = {
-                lang: sum(t in words for t in ts)
-                for lang, words in self.profiles.items()
-            }
-            mx = max(scores.values())
-            if mx == 0:
-                return "und"
-            return min(lang for lang, s in scores.items() if s == mx)
-
-        df["pred_lang"] = tokens.map(best)
+        toks = df["text"].str.lower().str.split(" ").explode()
+        counts = np.zeros((len(df), len(self.langs)), dtype=np.int64)
+        for i, lang in enumerate(self.langs):
+            hits = toks[toks.isin(self.profiles[lang])]
+            if len(hits):
+                per_row = hits.groupby(level=0).size()
+                counts[df.index.get_indexer(per_row.index), i] = per_row.to_numpy()
+        pred = np.asarray(self.langs, dtype=object)[counts.argmax(axis=1)]
+        pred[counts.max(axis=1) == 0] = "und"
+        df["pred_lang"] = pred
         return df
 
 
-def lang_id(ds: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
-    return ds.map_batches(
-        LangId, batch_format="pandas", batch_size=4096, concurrency=concurrency
-    )
+_LANG_ID = LangId()
+
+
+def _lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
+    return _LANG_ID(df)
+
+
+def lang_id(ds: ray.data.Dataset, concurrency=None) -> ray.data.Dataset:
+    """Task pool by default (the profile state is a handful of
+    frozensets — actor-pool startup would dominate); pass
+    ``concurrency`` for the actor-pool form."""
+    if concurrency is not None:
+        return ds.map_batches(
+            LangId, batch_format="pandas", batch_size=4096, concurrency=concurrency
+        )
+    return ds.map_batches(_lang_id_batch, batch_format="pandas", batch_size=4096)
 
 
 def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:

@@ -186,18 +186,11 @@ class DatasetGraphStore:
         re-shipped per batch."""
         if not isinstance(remove, pa.Table):
             remove = tr.triples_to_table(remove)
-        keys = set(
-            zip(
-                remove[tr.SUBJECT].to_pylist(),
-                remove[tr.PREDICATE].to_pylist(),
-                remove[tr.OBJECT].to_pylist(),
-            )
-        )
-        keys_ref = ray.put(keys)
+        keys_ref = ray.put(_composite_key(remove).combine_chunks())
         out = self._ds.map_batches(
             _BroadcastAntiJoin,
             fn_constructor_args=(keys_ref,),
-            batch_format="pandas",
+            batch_format="pyarrow",
             concurrency=(1, 4),
         )
         return DatasetGraphStore(self._uri, out)
@@ -225,19 +218,29 @@ class DatasetGraphStore:
         return MemoryGraphStore.from_table(self._uri, tbl)
 
 
+def _composite_key(batch: pa.Table) -> pa.ChunkedArray:
+    """(s,p,o) as ONE string key column — a vectorized join with an
+    unambiguous separator, the Arrow-native composite membership key."""
+    return pc.binary_join_element_wise(
+        batch[tr.SUBJECT], batch[tr.PREDICATE], batch[tr.OBJECT], _SEP
+    )
+
+
 class _BroadcastAntiJoin:
-    """Actor-pool stage: drop rows whose (s,p,o) is in the broadcast key
-    set; set fetched from the object store once per actor."""
+    """Actor-pool stage: drop rows whose (s,p,o) is in the broadcast
+    key set — fully Arrow-native: the key set is a pyarrow string array
+    fetched once per actor, the per-batch test is one composite-key
+    build (binary_join_element_wise) + one is_in kernel. No per-row
+    Python, no pandas conversion on the triple path."""
 
     def __init__(self, keys_ref):
         self.keys = ray.get(keys_ref)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return df
-        joined = list(zip(df[tr.SUBJECT], df[tr.PREDICATE], df[tr.OBJECT]))
-        mask = [k not in self.keys for k in joined]
-        return df[pd.Series(mask, index=df.index)]
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        key = _composite_key(batch)
+        return batch.filter(pc.invert(pc.is_in(key, value_set=self.keys)))
 
 
 # ---------------------------------------------------------------------------

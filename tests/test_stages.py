@@ -99,6 +99,35 @@ class TestDedup:
         b = dedup._shingles("zzzzzzz", 3)
         assert dedup.jaccard(a, b) < 0.2
 
+    def test_vectorized_shingles_pin_crc32(self):
+        """The numpy sliding-window shingle kernel must emit the exact
+        crc32 value set of the per-window reference implementation it
+        replaced (before/after equality pin)."""
+        import zlib
+
+        def reference(text, k):
+            if len(text) < k:
+                return {zlib.crc32(text.encode())} if text else set()
+            data = text.encode()
+            return {zlib.crc32(data[i : i + k]) for i in range(len(data) - k + 1)}
+
+        for t in ["", "ab", "abcdefg", "hello world hello",
+                  "übermäßig groß ärger", "the quick brown fox " * 7]:
+            for k in (3, 5):
+                assert set(dedup._shingles(t, k).tolist()) == reference(t, k)
+
+    def test_batch_simhash_pins_per_doc_kernel(self):
+        """The batch-vectorized SimHash (Arrow tokenize + table-driven
+        crc32 + reduceat votes) must equal the per-doc reference kernel
+        bit-for-bit, including empty text and multi-byte UTF-8 (where
+        codepoint reversal ≠ byte reversal)."""
+        h = dedup.SimHasher()
+        texts = ["", "one", "one two three", "the quick brown fox",
+                 "übermäßig groß", "x " * 50, "a b a b a"]
+        got = h.batch_simhash(pa.array(texts, pa.string()))
+        for t, v in zip(texts, got):
+            assert h.simhash(t) == int(v)
+
     def test_simhash_near_dup_pairs(self, ray_session):
         ds = _dup_corpus()
         pairs = dedup.simhash_near_dup_pairs(ds, max_hamming=3, num_buckets=4)
@@ -112,6 +141,32 @@ class TestDedup:
         got = {(r["src_id"], r["dst_id"]): r["jaccard"] for r in pairs.take_all()}
         assert got[(0, 1)] == 1.0
         assert (0, 2) in got
+
+    def test_verify_pairs_join_path_matches_small_path(self, ray_session):
+        """The distributed hash-join verify branch must emit exactly
+        the same verified pairs as the small member-broadcast branch
+        (small_max_members=0 forces the join path)."""
+        ds = _dup_corpus().materialize()
+        sigs = dedup.minhash_signatures(ds, concurrency=(1, 2))
+        cands = dedup.lsh_candidate_pairs(sigs, mode="clique")
+        small = (
+            dedup.verify_pairs(cands, ds, threshold=0.5)
+            .to_pandas()
+            .sort_values(["src_id", "dst_id"])
+            .reset_index(drop=True)
+        )
+        joined = (
+            dedup.verify_pairs(cands, ds, threshold=0.5, small_max_members=0)
+            .to_pandas()
+            .sort_values(["src_id", "dst_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            small[["src_id", "dst_id", "jaccard"]],
+            joined[["src_id", "dst_id", "jaccard"]],
+            check_dtype=False,
+        )
+        assert len(small) > 0
 
 
 class TestANN:
@@ -324,8 +379,9 @@ class TestWarc:
 
 class TestCliqueCap:
     def test_clique_cap_degrades_to_star(self, ray_session):
-        """An LSH bucket bigger than clique_cap must emit k-1 star
-        edges, not k²/2 pairs (scale guard for template corpora)."""
+        """An LSH bucket bigger than clique_cap must emit linear
+        star+chain edges, not k²/2 pairs (scale guard for template
+        corpora)."""
         docs = pd.DataFrame(
             {"doc_id": range(40), "text": ["identical boilerplate text here"] * 40}
         )
@@ -337,10 +393,34 @@ class TestCliqueCap:
         full = dedup.lsh_candidate_pairs(
             sigs, mode="clique", clique_cap=2048
         ).to_pandas()
-        # identical docs → one bucket per band; capped = 39 star edges,
-        # uncapped = 40*39/2 clique pairs
-        assert len(capped.drop_duplicates()) == 39
+        # identical docs → one bucket per band; capped = 39 star edges
+        # + 38 chain edges, uncapped = 40*39/2 clique pairs
+        assert len(capped.drop_duplicates()) == 39 + 38
         assert len(full.drop_duplicates()) == 40 * 39 // 2
+
+    def test_star_mode_chain_edges_recover_failed_anchor(self, ray_session):
+        """ADVICE regression: members B,C of a bucket whose anchor A
+        fails exact-Jaccard verification must still merge when
+        J(B,C) ≥ threshold — the chain edge B→C carries the merge."""
+        base = "the quick brown fox jumps over the lazy dog " * 6
+        b = base + "alpha beta gamma"
+        c = base + "alpha beta gamme"
+        # A shares enough shingles to share LSH buckets (8 of 16 bands
+        # with both B and C) but fails the high exact threshold; B and
+        # C are mutual near-dups.
+        a = base + "alpha beta zzz qqq"
+        thr = 0.9
+        assert dedup.jaccard(dedup._shingles(b, 5), dedup._shingles(c, 5)) >= thr
+        assert dedup.jaccard(dedup._shingles(a, 5), dedup._shingles(b, 5)) < thr
+        assert dedup.jaccard(dedup._shingles(a, 5), dedup._shingles(c, 5)) < thr
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": [0, 1, 2], "text": [a, b, c]})
+        )
+        out = dedup.minhash_dedup(ds, threshold=thr, num_buckets=4)
+        survivors = set(out.to_pandas()["doc_id"])
+        # A survives (no verified edge); exactly one of B/C survives
+        assert 0 in survivors
+        assert len(survivors & {1, 2}) == 1
 
 
 class TestRegistryInvariants:
