@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_first": q.q_match_first,
         "delete_matches": q.q_delete_matches,
         "add_unchecked_dedup": q.q_add_unchecked_dedup,
+        "add_checked_atomic": q.q_add_checked_atomic,
         "delete_unchecked_antijoin": q.q_delete_unchecked_antijoin,
         "size": q.q_size,
         "distinct_predicates": q.q_distinct_predicates,

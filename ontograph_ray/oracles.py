@@ -51,6 +51,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "delete_matches": f"{_T} SELECT * FROM t WHERE predicate != '{RDF_TYPE_T}'",
         "add_unchecked_dedup": f"{_T} SELECT DISTINCT * FROM t",
+        "add_checked_atomic": f"""{TRIPLES_SQL}
+UNION ALL
+SELECT '<urn:og:region/' || r_regionkey || '>', '{RDF_TYPE_T}',
+       '<urn:og:class/Region>' FROM region
+UNION ALL
+SELECT '<urn:og:region/' || r_regionkey || '>', '<{C.RDFS_LABEL}>',
+       '"' || r_name || '"@en' FROM region""",
         "delete_unchecked_antijoin": (
             f"{_T} SELECT * FROM t EXCEPT SELECT * FROM t "
             f"WHERE predicate = '{RDF_TYPE_T}' AND object = '<{N_CLASS}>'"

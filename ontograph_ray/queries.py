@@ -117,6 +117,26 @@ def _nation_triples_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+R_CLASS = "urn:og:class/Region"
+
+
+def _region_triples_batch(batch: pa.Table) -> pa.Table:
+    rk = pc.cast(batch["r_regionkey"], pa.string())
+    subj = pc.binary_join_element_wise(pa.scalar("<urn:og:region/"), rk, pa.scalar(">"), "")
+    name_lit = terms.v_new_literal_term(batch["r_name"], "en", None)
+    n = batch.num_rows
+
+    def const(s):
+        return pa.array([s] * n, pa.string())
+
+    return pa.concat_tables(
+        [
+            pa.table({"subject": subj, "predicate": const(RDF_TYPE_T), "object": const(f"<{R_CLASS}>")}),
+            pa.table({"subject": subj, "predicate": const(f"<{C.RDFS_LABEL}>"), "object": name_lit}),
+        ]
+    )
+
+
 def table_triples(sf_dir: str) -> ray.data.Dataset:
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"])
     nat = _read(sf_dir, "nation")
@@ -298,6 +318,25 @@ def q_add_unchecked_dedup(sf_dir: str):
     """G9+G17: union with a duplicate copy, exact dedup restores set."""
     ds = table_triples(sf_dir)
     return dedup(ds.union(table_triples(sf_dir)))
+
+
+def q_add_checked_atomic(sf_dir: str):
+    """G7 at scale, under the oracle: all-or-nothing batch add on the
+    Dataset backend via the fully distributed validate-then-commit plan
+    (bucketed distinct for in-batch duplicates, bucketed hash-join for
+    store overlap — no driver materialization; reference semantics
+    memory_store.go:137-157). The batch (region-derived triples) is
+    disjoint from the base graph, so validation passes and the result
+    is the plain union — the conflict/abort paths are pytest-pinned
+    (tests/test_store_dataset.py::TestCheckedBatchOps and
+    TestVersionedStorage for the durable manifest-swap commit)."""
+    from .store.dataset import DatasetGraphStore
+
+    base = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    batch = _read(sf_dir, "region").map_batches(
+        _region_triples_batch, batch_format="pyarrow"
+    )
+    return base.add_triples_checked(batch).dataset
 
 
 def q_delete_unchecked_antijoin(sf_dir: str):

@@ -7,3 +7,4 @@ from .dataset import DatasetGraphStore, dedup, write_ntriples  # noqa: F401
 from .memory import MemoryGraphStore  # noqa: F401
 from .namespace import Namespace, NamespaceManager  # noqa: F401
 from .turtle import parse_turtle, parse_turtle_with_base, serialize  # noqa: F401
+from .versioned import StoreDroppedError, VersionedGraphStorage  # noqa: F401

@@ -35,6 +35,7 @@ import ray.data
 from .. import triples as tr
 from ..triples import Triple
 from . import turtle
+from .base import TripleAlreadyExistsError, TripleDoesNotExistError
 
 DEDUP_BUCKETS_DEFAULT = 64
 _SEP = "\x1f"
@@ -46,6 +47,7 @@ class DatasetGraphStore:
     def __init__(self, uri: str, ds: ray.data.Dataset):
         self._uri = uri
         self._ds = ds
+        self._dropped = False
 
     # -- constructors ------------------------------------------------------
 
@@ -105,11 +107,17 @@ class DatasetGraphStore:
     def get_uri(self) -> str:
         return self._uri
 
+    def _check_usable(self) -> None:
+        if getattr(self, "_dropped", False):
+            raise RuntimeError("GraphStore has been dropped (G14)")
+
     @property
     def dataset(self) -> ray.data.Dataset:
+        self._check_usable()
         return self._ds
 
     def size(self) -> int:
+        self._check_usable()
         return self._ds.count()
 
     # -- pattern matching --------------------------------------------------
@@ -118,6 +126,7 @@ class DatasetGraphStore:
         self, subject: str = "", predicate: str = "", object: str = ""
     ) -> ray.data.Dataset:
         """All triples matching the wildcard pattern, as a lazy Dataset."""
+        self._check_usable()
         if subject == "" and predicate == "" and object == "":
             return self._ds
         pattern = (subject, predicate, object)
@@ -169,6 +178,7 @@ class DatasetGraphStore:
         self, new: "ray.data.Dataset | pa.Table | Sequence[Triple]"
     ) -> "DatasetGraphStore":
         """Idempotent bulk insert: union + global exact dedup (G9+G17)."""
+        self._check_usable()
         if isinstance(new, pa.Table):
             new_ds = ray.data.from_arrow(new)
         elif isinstance(new, ray.data.Dataset):
@@ -184,6 +194,7 @@ class DatasetGraphStore:
         (small) incoming key set goes into the object store once
         (ray.put) and is read once per actor in __init__ — never
         re-shipped per batch."""
+        self._check_usable()
         if not isinstance(remove, pa.Table):
             remove = tr.triples_to_table(remove)
         keys_ref = ray.put(_composite_key(remove).combine_chunks())
@@ -194,6 +205,134 @@ class DatasetGraphStore:
             concurrency=(1, 4),
         )
         return DatasetGraphStore(self._uri, out)
+
+    # -- checked / all-or-nothing batch operations (G6/G7, G10/G11) ---------
+
+    def add_triples_checked(
+        self, new: "ray.data.Dataset | pa.Table | Sequence[Triple]",
+        num_buckets: int = DEDUP_BUCKETS_DEFAULT,
+    ) -> "DatasetGraphStore":
+        """All-or-nothing distributed batch add (G7): any conflict —
+        a triple already in the store, or duplicated within the batch —
+        raises TripleAlreadyExistsError and the store is untouched
+        (this method never mutates; it returns the post-add graph only
+        when validation passes). Replaces the reference's sequential
+        add-then-rollback compensation loop (memory_store.go:137-157)
+        with validate-then-commit.
+
+        Physical plan, size-adaptive like every small-side op here:
+        a Table/sequence batch (the common API call) broadcasts its
+        composite (s,p,o) keys once (ray.put); in-batch duplicates are
+        a local uniqueness check on that key array; store overlap is
+        one streaming is_in pass over the graph (count aggregate, no
+        exchange). A Dataset batch (bulk load) stays distributed:
+        in-batch uniqueness via the bucketed global distinct count,
+        overlap via one bucketed hash-join count — two exchanges, no
+        driver materialization. On success the result is a plain
+        union — validation proved disjointness and batch-uniqueness,
+        so NO dedup exchange is needed (the G17 invariant is preserved
+        by construction)."""
+        self._check_usable()
+        if isinstance(new, ray.data.Dataset):
+            new_ds = new.materialize()
+            n = new_ds.count()
+            if n == 0:
+                return DatasetGraphStore(self._uri, self._ds)
+            if distinct_on(new_ds, tr.COLUMNS, num_buckets).count() < n:
+                raise TripleAlreadyExistsError(
+                    "Duplicate triple within checked batch add"
+                )
+            overlap = hash_join(
+                self._ds, new_ds, on=tr.COLUMNS, num_buckets=num_buckets
+            ).count()
+            if overlap:
+                raise TripleAlreadyExistsError(
+                    f"{overlap} triple(s) already exist; batch add aborted"
+                )
+            return DatasetGraphStore(self._uri, self._ds.union(new_ds))
+
+        new_tbl = new if isinstance(new, pa.Table) else tr.triples_to_table(new)
+        if new_tbl.num_rows == 0:
+            return DatasetGraphStore(self._uri, self._ds)
+        keys = _composite_key(new_tbl)
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        if len(keys.unique()) < len(keys):
+            raise TripleAlreadyExistsError(
+                "Duplicate triple within checked batch add"
+            )
+        keys_ref = ray.put(keys)
+
+        def count_conflicts(batch: pa.Table, keys_ref=None) -> pa.Table:
+            wanted = ray.get(keys_ref)
+            n = pc.sum(pc.is_in(_composite_key(batch), value_set=wanted)).as_py() or 0
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+        conflicts = (
+            self._ds.map_batches(
+                count_conflicts, fn_kwargs={"keys_ref": keys_ref},
+                batch_format="pyarrow",
+            ).sum("n")
+            or 0
+        )
+        if conflicts:
+            raise TripleAlreadyExistsError(
+                f"{conflicts} triple(s) already exist; batch add aborted"
+            )
+        return DatasetGraphStore(
+            self._uri, self._ds.union(ray.data.from_arrow(new_tbl))
+        )
+
+    def delete_triples_checked(
+        self, remove: "pa.Table | Sequence[Triple]"
+    ) -> "DatasetGraphStore":
+        """All-or-nothing distributed batch delete (G11): every triple
+        must exist or TripleDoesNotExistError is raised and nothing is
+        deleted (validate-then-commit replacing the reference's
+        delete-then-restore loop, memory_store.go:193-213).
+
+        Existence check: the remove keys are broadcast; each store
+        batch emits the SUBSET of keys it matched (bounded by the
+        remove set, not the batch), and a global distinct count equals
+        the remove-key count iff every key exists. The delete itself
+        is the same broadcast anti-join as the unchecked path."""
+        self._check_usable()
+        if not isinstance(remove, pa.Table):
+            remove = tr.triples_to_table(remove)
+        if remove.num_rows == 0:
+            return DatasetGraphStore(self._uri, self._ds)
+        keys = _composite_key(remove)
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        keys = keys.unique()
+        keys_ref = ray.put(keys)
+
+        def matched_keys(batch: pa.Table, keys_ref=None) -> pa.Table:
+            wanted = ray.get(keys_ref)
+            k = _composite_key(batch)
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            hit = k.filter(pc.is_in(k, value_set=wanted))
+            return pa.table({"key": hit.unique()})
+
+        matched = self._ds.map_batches(
+            matched_keys, fn_kwargs={"keys_ref": keys_ref}, batch_format="pyarrow"
+        )
+        n_matched = distinct_on(matched, ["key"], num_buckets=16).count()
+        if n_matched < len(keys):
+            raise TripleDoesNotExistError(
+                f"{len(keys) - n_matched} triple(s) do not exist; batch delete aborted"
+            )
+        return self.delete_triples_unchecked(remove)
+
+    # -- drop (G14) ----------------------------------------------------------
+
+    def drop(self) -> None:
+        """Clear the store and render it unusable (G14; reference
+        memory_store.go:235-239). The durable counterpart — deleting
+        output partitions and writing a tombstone manifest — lives in
+        store.versioned.VersionedGraphStorage.drop."""
+        self._uri = ""
+        self._ds = None
+        self._dropped = True
 
     def union(self, other: "DatasetGraphStore") -> "DatasetGraphStore":
         return DatasetGraphStore(self._uri, self._ds.union(other._ds))

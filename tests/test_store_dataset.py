@@ -273,3 +273,190 @@ class TestJoins:
         assert got["ev"].tolist() == ["b", "c", "d"]
         assert got["px"].tolist() == [100, 200, 300]
         assert got["t_right"].tolist() == [10, 20, 3]
+
+
+class TestCheckedBatchOps:
+    """All-or-nothing distributed batch add/delete (G7/G11) on the
+    Dataset backend — same conformance corpus as the memory backend
+    (reference memory_store_test.go:139-354), validate-then-commit
+    instead of mutate-then-rollback."""
+
+    def _new(self, g=G):
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r = terms.new_resource_term
+        return [
+            new_triple(r(f"{g}#x"), r(f"{g}#rel-9"), r(f"{g}#y")),
+            new_triple(r(f"{g}#y"), r(f"{g}#rel-9"), r(f"{g}#z")),
+        ]
+
+    def test_add_checked_ok(self, dstore):
+        out = dstore.add_triples_checked(self._new())
+        assert out.size() == 9
+        assert dstore.size() == 7  # immutable: original untouched
+
+    def test_add_checked_conflict_with_store(self, dstore):
+        from ontograph_ray.store import TripleAlreadyExistsError
+
+        with pytest.raises(TripleAlreadyExistsError):
+            dstore.add_triples_checked(self._new() + [TT[3]])
+
+    def test_add_checked_duplicate_within_batch(self, dstore):
+        from ontograph_ray.store import TripleAlreadyExistsError
+
+        new = self._new()
+        with pytest.raises(TripleAlreadyExistsError):
+            dstore.add_triples_checked(new + [new[0]])
+
+    def test_add_checked_dataset_path(self, dstore):
+        """Bulk (Dataset) batches take the fully-distributed plan:
+        bucketed distinct for in-batch dups, bucketed hash-join for
+        overlap."""
+        import ray.data
+
+        from ontograph_ray.store import TripleAlreadyExistsError
+
+        ok = ray.data.from_arrow(triples_to_table(self._new()))
+        assert dstore.add_triples_checked(ok).size() == 9
+
+        overlap = ray.data.from_arrow(triples_to_table(self._new() + [TT[0]]))
+        with pytest.raises(TripleAlreadyExistsError):
+            dstore.add_triples_checked(overlap)
+
+        in_dup = ray.data.from_arrow(
+            triples_to_table(self._new() + [self._new()[1]])
+        )
+        with pytest.raises(TripleAlreadyExistsError):
+            dstore.add_triples_checked(in_dup)
+
+    def test_add_checked_empty_batch_noop(self, dstore):
+        assert dstore.add_triples_checked([]).size() == 7
+
+    def test_delete_checked_ok(self, dstore):
+        out = dstore.delete_triples_checked([TT[0], TT[4]])
+        assert out.size() == 5
+        assert dstore.size() == 7
+
+    def test_delete_checked_missing_aborts(self, dstore):
+        from ontograph_ray.store import TripleDoesNotExistError
+
+        with pytest.raises(TripleDoesNotExistError):
+            dstore.delete_triples_checked([TT[0], self._new()[0]])
+        assert dstore.size() == 7
+
+    def test_drop_renders_unusable(self, dstore):
+        dstore.drop()
+        with pytest.raises(RuntimeError):
+            dstore.size()
+        with pytest.raises(RuntimeError):
+            dstore.matches()
+
+
+class TestVersionedStorage:
+    """Durable staged-write + manifest-swap commit (SURVEY §4's scale
+    replacement for the reference's compensation loops)."""
+
+    def _storage(self, tmp_path):
+        from ontograph_ray.store import VersionedGraphStorage
+
+        return VersionedGraphStorage(str(tmp_path / "graph"), G)
+
+    def test_commit_load_roundtrip(self, ray_session, tmp_path):
+        vs = self._storage(tmp_path)
+        assert vs.current_version() == 0
+        assert vs.load().size() == 0
+
+        v = vs.add_triples_unchecked(fixture_triples())
+        assert v == 1
+        assert vs.current_version() == 1
+        assert vs.load().size() == 7
+        assert vs.versions()["1"]["rows"] == 7
+
+    def test_checked_add_conflict_leaves_store_untouched(
+        self, ray_session, tmp_path
+    ):
+        from ontograph_ray.store import TripleAlreadyExistsError
+
+        vs = self._storage(tmp_path)
+        vs.add_triples_unchecked(fixture_triples())
+        with pytest.raises(TripleAlreadyExistsError):
+            vs.add_triples_checked([TT[2]])
+        assert vs.current_version() == 1
+        assert vs.load().size() == 7
+
+    def test_checked_add_and_delete_advance_versions(
+        self, ray_session, tmp_path
+    ):
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        vs = self._storage(tmp_path)
+        vs.add_triples_unchecked(fixture_triples())
+        r = terms.new_resource_term
+        extra = new_triple(r(f"{G}#q"), r(f"{G}#rel-8"), r(f"{G}#w"))
+        assert vs.add_triples_checked([extra]) == 2
+        assert vs.load().size() == 8
+        assert vs.delete_triples_checked([extra, TT[6]]) == 3
+        assert vs.load().size() == 6
+        # time travel: historical versions stay readable until gc
+        assert vs.load(version=1).size() == 7
+
+    def test_checked_delete_missing_leaves_store_untouched(
+        self, ray_session, tmp_path
+    ):
+        from ontograph_ray import terms
+        from ontograph_ray.store import TripleDoesNotExistError
+        from ontograph_ray.triples import new_triple
+
+        vs = self._storage(tmp_path)
+        vs.add_triples_unchecked(fixture_triples())
+        r = terms.new_resource_term
+        ghost = new_triple(r(f"{G}#no"), r(f"{G}#rel-0"), r(f"{G}#no"))
+        with pytest.raises(TripleDoesNotExistError):
+            vs.delete_triples_checked([TT[0], ghost])
+        assert vs.current_version() == 1
+        assert vs.load().size() == 7
+
+    def test_crashed_commit_is_invisible_and_cleaned(
+        self, ray_session, tmp_path
+    ):
+        """A v=N.tmp left by a crash is never read and is replaced by
+        the next successful commit."""
+        vs = self._storage(tmp_path)
+        vs.add_triples_unchecked(fixture_triples())
+        stale = tmp_path / "graph" / "v=000002.tmp"
+        stale.mkdir()
+        (stale / "part-0.parquet").write_bytes(b"garbage")
+        assert vs.current_version() == 1
+        assert vs.load().size() == 7
+        assert vs.add_triples_checked(
+            TestCheckedBatchOps()._new()
+        ) == 2
+        assert vs.load().size() == 9
+
+    def test_drop_tombstone(self, ray_session, tmp_path):
+        from ontograph_ray.store import StoreDroppedError
+
+        vs = self._storage(tmp_path)
+        vs.add_triples_unchecked(fixture_triples())
+        vs.drop()
+        with pytest.raises(StoreDroppedError):
+            vs.load()
+        with pytest.raises(StoreDroppedError):
+            vs.current_version()
+        vs.drop()  # idempotent
+        # partitions actually deleted
+        assert not any(
+            p.name.startswith("v=") for p in (tmp_path / "graph").iterdir()
+        )
+
+    def test_gc_keeps_newest(self, ray_session, tmp_path):
+        vs = self._storage(tmp_path)
+        vs.add_triples_unchecked(fixture_triples()[:3])
+        vs.add_triples_unchecked(fixture_triples()[3:])
+        assert vs.current_version() == 2
+        assert vs.gc(keep=1) == [1]
+        assert vs.load().size() == 7
+        with pytest.raises(KeyError):
+            vs.load(version=1)
