@@ -12,10 +12,16 @@ Prints ONE JSON line:
      "queries": {...}, "sf": ..., "num_cpus": N, "triples": T,
      "triples_per_sec": R}
 
-``--scaling``: runs the headline pipeline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input and reports both
-throughputs plus scaling efficiency = (thr_32/thr_8) / (32/8)
-(the sandbox proxy for the north rule's N-vs-4N-node cluster run).
+``--scaling``: runs the headline pipeline in FRESH processes at the
+N-vs-4N pair ``$GRAFT_SCALE_LO`` / ``$GRAFT_SCALE_HI`` CPUs (default
+2 vs 8 — see SCALE_LO below for why not 8 vs 32 on this single box),
+``$GRAFT_SCALE_REPEATS`` times each (default 3), and reports the
+median throughput of both legs plus scaling efficiency =
+(thr_hi/thr_lo) / (hi/lo) — the sandbox proxy for the north rule's
+N-vs-4N-node cluster run. One extra leg at ``$GRAFT_SCALE_EXTRA``
+CPUs (default 32) is always run and reported under "throttled" so the
+memory-bandwidth-bound hi-vs-32 ratio stays visible alongside the
+headline pair.
 
 This script OWNS its Ray session (ray.init/ray.shutdown); the library
 and __ray_entry__ never do.
@@ -44,6 +50,12 @@ AMPLIFY_SCALING = int(os.environ.get("GRAFT_AMPLIFY_SCALING", "1600"))
 # bandwidth analysis are recorded in BASELINE.md.
 SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "8"))
+# Host-noise on this box swings single readings by ±15%; the pair is
+# reported as median-of-N fresh-process repeats.
+SCALE_REPEATS = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
+# The DRAM-saturated leg — run once and REPORTED (not gated) so the
+# throttled single-box number stays visible next to the headline pair.
+SCALE_EXTRA = int(os.environ.get("GRAFT_SCALE_EXTRA", "32"))
 
 # Timed subset of the queries() registry (heavier, shuffle-bearing ops).
 BENCH_QUERIES = [
@@ -170,41 +182,63 @@ def main_child(num_cpus: int) -> None:
     print(json.dumps({"num_cpus": num_cpus, **head}))
 
 
-def main_scaling() -> None:
-    lo, hi = SCALE_LO, SCALE_HI
-    runs = {}
-    for n in (lo, hi):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child-cpus", str(n)],
-            capture_output=True,
-            text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
-        )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        runs[n] = json.loads(line)
-    thr_lo = runs[lo]["triples_per_sec"]
-    thr_hi = runs[hi]["triples_per_sec"]
-    eff = (thr_hi / thr_lo) / (hi / lo)
-    print(
-        json.dumps(
-            {
-                "metric": "scaling_efficiency",
-                "value": round(eff, 3),
-                "unit": "ratio",
-                "sf": SF_DIR,
-                "amplify": AMPLIFY_SCALING,
-                "runs": {
-                    str(n): {
-                        "sec": runs[n]["sec"],
-                        "triples": runs[n]["triples"],
-                        "triples_per_sec": runs[n]["triples_per_sec"],
-                    }
-                    for n in (lo, hi)
-                },
-            }
-        )
+def _scaling_child(n: int) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child-cpus", str(n)],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
     )
+    line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main_scaling() -> None:
+    import statistics
+
+    lo, hi = SCALE_LO, SCALE_HI
+    # Interleave the legs (lo, hi, lo, hi, ...) so slow host-noise
+    # drift hits both legs equally rather than biasing one.
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(SCALE_REPEATS):
+        for n in (lo, hi):
+            runs[n].append(_scaling_child(n))
+    med = {
+        n: statistics.median(r["triples_per_sec"] for r in runs[n])
+        for n in (lo, hi)
+    }
+    eff = (med[hi] / med[lo]) / (hi / lo)
+
+    out = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": SF_DIR,
+        "amplify": AMPLIFY_SCALING,
+        "repeats": SCALE_REPEATS,
+        "runs": {
+            str(n): {
+                "median_triples_per_sec": round(med[n], 1),
+                "triples": runs[n][0]["triples"],
+                "sec": [r["sec"] for r in runs[n]],
+                "triples_per_sec": [r["triples_per_sec"] for r in runs[n]],
+            }
+            for n in (lo, hi)
+        },
+    }
+    if SCALE_EXTRA and SCALE_EXTRA != hi:
+        extra = _scaling_child(SCALE_EXTRA)
+        out["throttled"] = {
+            "num_cpus": SCALE_EXTRA,
+            "sec": extra["sec"],
+            "triples_per_sec": extra["triples_per_sec"],
+            f"eff_{hi}v{SCALE_EXTRA}": round(
+                (extra["triples_per_sec"] / med[hi]) / (SCALE_EXTRA / hi), 3
+            ),
+            "note": "single-box DRAM-bandwidth-bound; see BASELINE.md",
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -536,6 +536,7 @@ def build_kg(
     dedup_buckets: int = 64,
     skip_sameas_rewrite: bool = False,
     amplify: int = 1,
+    unique_urls: bool = True,
 ) -> KGPipelineResult:
     """Run the full P1-P7 pipeline over ``{sf_dir}/documents.parquet``.
 
@@ -543,20 +544,37 @@ def build_kg(
     per-stage counters. When ``out_dir`` is set, writes partitioned
     N-Triples + Parquet. When ``checkpoint_dir`` is set, stages resume
     from their manifests without recompute.
+
+    ``unique_urls`` is the dedup-pushdown boundary contract: the
+    mention/page triple branches skip the global (s,p,o) exchange on
+    the guarantee that every url appears in exactly ONE input row.
+    ``read_pages`` synthesizes such a table (amplify replicas get
+    distinct urls), so the default holds here; crawl-shaped input
+    (WARC/Common-Crawl via sources.warc, where re-crawled urls recur
+    across files) must pass ``unique_urls=False``, which routes those
+    branches through the full exact dedup and keeps the G17 set
+    semantics at the cost of the wide exchange. Checkpointed runs
+    verify the claim (a url-distinct count over the extracted stage —
+    one narrow-column exchange a durable run can afford) and fail fast
+    on a violation instead of silently emitting duplicate triples.
     """
     t0 = time.time()
     concurrency = concurrency or auto_concurrency()
     run = CheckpointedRun(checkpoint_dir)
     stats: dict = {}
 
-    # The final plan unions three map branches. Ray Data's per-operator
-    # resource reservation carves the budget across ALL operators in
-    # the DAG, which starves the one hot branch once a union widens the
-    # DAG — measured 4× wall-time at 8 CPUs / amplify 1600 (152s with
-    # reservation vs 38s without). Every branch here is a bounded
-    # streaming map (no OOM-risk all-to-all behind the union), so the
-    # reservation only hurts; disable it for this session.
-    ray.data.DataContext.get_current().op_resource_reservation_enabled = False
+    # NOTE for session owners: the final plan unions three map
+    # branches, and Ray Data's per-operator resource reservation carves
+    # the budget across ALL operators in the DAG, starving the one hot
+    # branch once a union widens the DAG — measured 4× wall-time at 8
+    # CPUs / amplify 1600 (152s with reservation vs 38s without).
+    # Every branch here is a bounded streaming map (no OOM-risk
+    # all-to-all behind the union), so sessions running this pipeline
+    # should set DataContext.op_resource_reservation_enabled = False.
+    # The library itself does NOT mutate the session-global context
+    # (that would silently change executor policy for every unrelated
+    # Dataset the caller runs afterward); bench.py, scripts/ and the
+    # test fixture — the session owners — each set it.
 
     # Without a checkpoint dir, stages that fan out to several
     # consumers are pinned in the object store (materialize) instead of
@@ -576,6 +594,20 @@ def build_kg(
             inputs=[f"{sf_dir}/documents.parquet"],
         )
     )
+
+    if unique_urls and checkpoint_dir:
+        # Durable runs verify the pushdown contract instead of trusting
+        # it: distinct-url count must equal the page count.
+        n_pages = extracted.count()
+        n_urls = distinct_on(
+            extracted.select_columns(["url"]), ["url"], min(16, dedup_buckets)
+        ).count()
+        if n_urls != n_pages:
+            raise ValueError(
+                f"build_kg(unique_urls=True) but {n_pages - n_urls} duplicate "
+                "url row(s) found; pass unique_urls=False for crawl-shaped "
+                "input so mention/page triples take the full dedup path"
+            )
 
     # The distinct mention table (url, lang, surface): the distinct is
     # FUSED into the detection UDF (mentions_distinct_stage) so it runs
@@ -737,6 +769,13 @@ def build_kg(
         # that small remainder gets the exact dedup. Page triples skip
         # the rewrite too — no entity URI ever appears in them.
         big = rw(m_triples).union(p_triples)
+        if not unique_urls:
+            # Crawl-shaped input: duplicate urls break the
+            # distinct-by-construction argument above, so the big
+            # branches pay the exact dedup after all. (The parts stay
+            # mutually disjoint — predicates differ — so one exchange
+            # over their union suffices.)
+            big = dedup(big, num_buckets=dedup_buckets)
 
         if use_driver_small:
             # the driver-side small branch: build, rewrite, dedup the
@@ -773,7 +812,8 @@ def build_kg(
         return big.union(small)
 
     final = run.stage(
-        "triples", final_fn, config={"v": "4", "skip_rewrite": skip_sameas_rewrite},
+        "triples", final_fn,
+        config={"v": "4", "skip_rewrite": skip_sameas_rewrite, "unique_urls": unique_urls},
         inputs=["stage=mentions_distinct", "stage=ent_rel_distinct", "stage=extract"],
     )
 

@@ -55,7 +55,10 @@ def main() -> int:
         )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # union-widened map DAGs (build_kg) starve under per-op reservation
+    ctx.op_resource_reservation_enabled = False
 
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod

@@ -42,7 +42,10 @@ def main() -> int:
         ray.init(include_dashboard=False, ignore_reinit_error=True)
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # union-widened map DAGs (build_kg) starve under per-op reservation
+    ctx.op_resource_reservation_enabled = False
 
     sys.path.insert(0, "/root/repo")
     from ontograph_ray.pipelines.kg import build_kg

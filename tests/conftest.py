@@ -17,5 +17,7 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # union-widened map DAGs (build_kg) starve under per-op reservation
+    ctx.op_resource_reservation_enabled = False
     yield
     ray.shutdown()

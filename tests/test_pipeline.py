@@ -147,3 +147,42 @@ class TestPipeline:
         pq_files = os.listdir(f"{out}/parquet")
         assert any(f.endswith(".nt") for f in nt_files)
         assert any(f.endswith(".parquet") for f in pq_files)
+
+
+class TestUniqueUrlsContract:
+    """The dedup-pushdown boundary contract: duplicate urls (normal in
+    crawl-shaped WARC input) must either fail fast (checkpointed runs
+    verify the claim) or take the full-dedup path (unique_urls=False),
+    never silently emit duplicate triples."""
+
+    def _dup_sf(self, tmp_path, n=20):
+        import pyarrow as pa
+
+        base = pq.read_table(f"{SF}/documents.parquet").slice(0, n)
+        dup = pa.concat_tables([base, base.slice(0, 3)])
+        sf = tmp_path / "sf_dup"
+        sf.mkdir()
+        pq.write_table(dup, sf / "documents.parquet")
+        base_sf = tmp_path / "sf_base"
+        base_sf.mkdir()
+        pq.write_table(base, base_sf / "documents.parquet")
+        return str(sf), str(base_sf)
+
+    def test_checkpointed_run_fails_fast_on_duplicate_urls(
+        self, ray_session, tmp_path
+    ):
+        sf, _ = self._dup_sf(tmp_path)
+        with pytest.raises(ValueError, match="duplicate url"):
+            build_kg(sf, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    def test_full_dedup_path_restores_set_semantics(
+        self, ray_session, tmp_path
+    ):
+        sf, base_sf = self._dup_sf(tmp_path)
+        got = build_kg(sf, unique_urls=False).triples.to_pandas()
+        want = build_kg(base_sf).triples.to_pandas()
+        key = ["subject", "predicate", "object"]
+        got_s = got.sort_values(key).reset_index(drop=True)
+        want_s = want.sort_values(key).reset_index(drop=True)
+        assert not got_s.duplicated().any()
+        assert got_s.equals(want_s)
