@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Ontology layer (SURVEY §2.4)
         "get_individuals_filtered": q.q_get_individuals_filtered,
         "pivot_individuals_summary": q.q_pivot_individuals_summary,
+        "individuals_flat": q.q_individuals_flat,
         # KG pipeline (SURVEY §2.7)
         "kg_extract_text": q.q_kg_extract_text,
         "kg_mentions": q.q_kg_mentions,

@@ -26,6 +26,18 @@ from .queries import (
 
 _T = f"WITH t AS ({TRIPLES_SQL})"
 
+# Golden-fixture oracles (scripts/gen_fixtures.py): queries whose ground
+# truth is deterministic but involves sha1/crc32 — not ANSI-SQL kernels.
+# Each fixture is computed by an INDEPENDENT plain-Python implementation
+# (no numpy, no ontograph_ray.stages imports), so the comparison still
+# cross-checks the vectorized engine kernels. The simhash fixture is
+# exhaustive all-pairs over the sf0.01 documents table — an exact oracle
+# for the banding implementation because 4-way 16-bit chunking has
+# recall 1.0 at hamming<=3 by pigeonhole — and is only valid at the
+# driver's correctness scale (sf=0.01); regenerate with the script if
+# the test data changes.
+_FIXTURES = "/root/repo/fixtures"
+
 _GAZ = ", ".join(f"'{g}'" for g in GAZETTEER)
 _URLP = "https://docs.example.org/page/"
 
@@ -97,6 +109,34 @@ SELECT subject,
        CAST(SUM(CASE WHEN object LIKE '"%' THEN 1 ELSE 0 END) AS BIGINT) AS n_literal_objects,
        CAST(SUM(CASE WHEN object LIKE '"%' THEN 0 ELSE 1 END) AS BIGINT) AS n_resource_objects
 FROM t GROUP BY subject""",
+        "individuals_flat": f"""
+SELECT 'urn:og:cust/' || c_custkey AS uri, 'type' AS kind, '' AS prop,
+       '{CUST_CLASS}' AS value FROM customer
+UNION ALL
+SELECT 'urn:og:cust/' || c_custkey, 'object_prop', '{IN_NATION}',
+       'urn:og:nation/' || c_nationkey FROM customer
+UNION ALL
+SELECT 'urn:og:cust/' || c_custkey, 'data_prop', '{SEGMENT}',
+       '"' || c_mktsegment || '"' FROM customer
+UNION ALL
+SELECT 'urn:og:cust/' || c_custkey, 'data_prop', '{ACCTBAL}',
+       '"' || CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) || '"^^<{C.XSD_INTEGER}>' FROM customer
+UNION ALL
+SELECT 'urn:og:nation/' || n_nationkey, 'type', '', '{N_CLASS}' FROM nation
+UNION ALL
+SELECT 'urn:og:nation/' || n_nationkey, 'object_prop', '{IN_REGION}',
+       'urn:og:region/' || n_regionkey FROM nation
+UNION ALL
+SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
+        "simhash_pairs": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/simhash_pairs_sf001_h2.parquet')"
+        ),
+        "multimodal_features": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/multimodal_features_n200.parquet')"
+        ),
+        "audio_features": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/audio_features_n200.parquet')"
+        ),
         "kg_extract_text": (
             f"SELECT '{_URLP}' || doc_id AS url, text, lang FROM documents"
         ),
@@ -110,6 +150,30 @@ SELECT DISTINCT '{onto}#ent_' || surface || '__' || lang AS node,
 UNION
 SELECT DISTINCT '{onto}#ent_' || surface, '{onto}#ent_' || surface FROM mention""",
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        # lang_id: per-profile function-word counts, winner = first max
+        # over langs in sorted order (de,en,es,fr,zh) — the same
+        # deterministic tie-break as LangId's argmax; zero hits → 'und'
+        "lang_id": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+counts AS (
+  SELECT doc_id,
+    count(*) FILTER (tok IN ('der','die','das','und','ist')) AS c_de,
+    count(*) FILTER (tok IN ('the','and','of','to','is'))    AS c_en,
+    count(*) FILTER (tok IN ('el','la','de','que','es'))     AS c_es,
+    count(*) FILTER (tok IN ('le','la','et','les','est'))    AS c_fr,
+    count(*) FILTER (tok IN ('的','是','了','在','和'))      AS c_zh
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+  CASE WHEN greatest(c_de,c_en,c_es,c_fr,c_zh) = 0 THEN 'und'
+       WHEN c_de = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'de'
+       WHEN c_en = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'en'
+       WHEN c_es = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'es'
+       WHEN c_fr = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'fr'
+       ELSE 'zh' END AS pred_lang
+FROM counts""",
         "curate_corpus": _curate_sql(),
         "fingerprint_groups": (
             "SELECT doc_id, COUNT(*) OVER (PARTITION BY text) AS dup_group_size "

@@ -491,6 +491,65 @@ def q_pivot_individuals_summary(sf_dir: str):
     return bucketed_group_map(flat, ["subject"], agg, num_buckets=32)
 
 
+def q_individuals_flat(sf_dir: str):
+    """O13 full-output projection under the hash gate: the distributed
+    GetIndividuals pivot (reference ontology_graph.go:532-611) over the
+    table-derived graph plus owl:NamedIndividual markers, flattened
+    from the struct schema to (uri, kind, prop, value) rows — one row
+    per type / sameAs / object-property target / data-property literal
+    / label / comment, which is exactly the information the reference's
+    individual struct carries."""
+    from . import constants as Cm
+    from .ontology.query import get_individuals_dataset
+    from .store.dataset import DatasetGraphStore
+
+    marker_obj = f"<{Cm.OWL_NAMED_INDIVIDUAL}>"
+
+    def markers(batch: pa.Table, keycol: str, prefix: str) -> pa.Table:
+        key = pc.cast(batch[keycol], pa.string())
+        subj = pc.binary_join_element_wise(pa.scalar(prefix), key, pa.scalar(">"), "")
+        n = batch.num_rows
+        return pa.table(
+            {
+                "subject": subj,
+                "predicate": pa.array([RDF_TYPE_T] * n, pa.string()),
+                "object": pa.array([marker_obj] * n, pa.string()),
+            }
+        )
+
+    cust_m = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: markers(b, "c_custkey", "<urn:og:cust/"), batch_format="pyarrow"
+    )
+    nat_m = _read(sf_dir, "nation", ["n_nationkey"]).map_batches(
+        lambda b: markers(b, "n_nationkey", "<urn:og:nation/"), batch_format="pyarrow"
+    )
+    graph = table_triples(sf_dir).union(cust_m).union(nat_m)
+    store = DatasetGraphStore("urn:og:graph", graph)
+    individuals = get_individuals_dataset(store)
+
+    def flatten(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in df.itertuples(index=False):
+            u = r.uri
+            for t in r.types:
+                rows.append((u, "type", "", t))
+            for s in r.same_as:
+                rows.append((u, "same_as", "", s))
+            for op in r.object_props:
+                for tgt in op["targets"]:
+                    rows.append((u, "object_prop", op["prop"], tgt))
+            for dp in r.data_props:
+                for lit in dp["literals"]:
+                    rows.append((u, "data_prop", dp["prop"], lit))
+            for lb in r.labels:
+                rows.append((u, "label", lb["lang"], lb["text"]))
+            for cm in r.comments:
+                rows.append((u, "comment", cm["lang"], cm["text"]))
+        return pd.DataFrame(rows, columns=["uri", "kind", "prop", "value"])
+
+    return individuals.map_batches(flatten, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries
 # ---------------------------------------------------------------------------
@@ -744,12 +803,24 @@ def q_embedding_near_dup(sf_dir: str):
 
 def q_audio_features(sf_dir: str):
     """Audio featurization plumbing (fake codec — see
-    stages/multimodal.py stub discipline): duration/RMS/ZCR per clip.
-    Rows-only check; determinism + value bounds pinned in pytest."""
+    stages/multimodal.py stub discipline): duration/RMS/ZCR per clip,
+    rounded to 9 dp so the value-hash gate tolerates summation-order
+    ulps vs the independent plain-Python oracle
+    (scripts/gen_fixtures.py → fixtures/audio_features_n200.parquet)."""
     from .stages.multimodal import featurize_audio, synthesize_audio
 
     ds = ray.data.from_arrow(synthesize_audio(200))
-    return featurize_audio(ds)
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        for col in ("duration_sec", "rms", "zero_crossing_rate"):
+            batch = batch.set_column(
+                batch.schema.get_field_index(col),
+                col,
+                pc.round(batch[col], ndigits=9),
+            )
+        return batch
+
+    return featurize_audio(ds).map_batches(rounded, batch_format="pyarrow")
 
 
 def q_multimodal_features(sf_dir: str):
