@@ -20,9 +20,12 @@ from typing import Any
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: pages → extract →
     mentions → relations → link → canonicalize → dedup'd triples."""
-    from ontograph_ray.pipelines.kg import build_kg
+    from ontograph_ray.pipelines.kg import build_kg, decode_triples_batch
 
-    return build_kg("/root/testdata/sf0.001").triples
+    # decode boundary: flat string columns for the driver's schema check
+    return build_kg("/root/testdata/sf0.001").triples.map_batches(
+        decode_triples_batch, batch_format="pyarrow"
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -386,14 +386,85 @@ def relations_stage(
     )
 
 
-def mention_link_triples_batch(batch: pa.Table) -> pa.Table:
+def _const_dict(value: str, n: int) -> pa.DictionaryArray:
+    """Constant column as a 1-entry dictionary: 4 bytes/row instead of
+    len(value) — predicates are the worst repeated-string offenders."""
+    return pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, dtype=np.int32)), pa.array([value], pa.string())
+    )
+
+
+def _decorated_url_dict(url_col) -> pa.DictionaryArray:
+    """``<url>`` subject column built by dictionary-encoding the url
+    column FIRST and decorating only the (distinct) dictionary values —
+    a page's url repeats once per mention, so the angle-bracket strings
+    are built ~|mentions-per-page|× fewer times and the block carries
+    int32 indices instead of ~40-byte strings."""
+    enc = pc.dictionary_encode(
+        url_col.combine_chunks() if isinstance(url_col, pa.ChunkedArray) else url_col
+    )
+    vals = pc.binary_join_element_wise(
+        pa.scalar("<"), enc.dictionary, pa.scalar(">"), ""
+    )
+    return pa.DictionaryArray.from_arrays(enc.indices, vals)
+
+
+def _dict_encode_col(col) -> pa.DictionaryArray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_dictionary(col.type):
+        return col
+    return pc.dictionary_encode(col)
+
+
+def decode_triples_batch(batch: pa.Table) -> pa.Table:
+    """Inverse boundary: dictionary-encoded triple columns back to
+    plain strings (for sinks/consumers that need flat string columns —
+    N-Triples lines, driver-oracle comparison, dedup exchanges)."""
+    for i, name in enumerate(batch.schema.names):
+        if pa.types.is_dictionary(batch.schema.field(i).type):
+            batch = batch.set_column(
+                i, name, pc.cast(batch.column(i), pa.string())
+            )
+    return batch
+
+
+def encode_triples_batch(batch: pa.Table) -> pa.Table:
+    """Dictionary-encode every plain string column (schema homogenizer:
+    the small entity/relation branch must match the encoded big
+    branches so the final union has ONE schema)."""
+    for i, name in enumerate(batch.schema.names):
+        if pa.types.is_string(batch.schema.field(i).type):
+            batch = batch.set_column(
+                i, name, _dict_encode_col(batch.column(i))
+            )
+    return batch
+
+
+def mention_link_triples_batch(batch: pa.Table, encode: bool = False) -> pa.Table:
     """Distinct (url, lang, surface) mentions → `page mentions alias`
     triples (one row each — the sameAs/type triples are emitted once
-    per distinct entity by entity_triples_batch, not per mention)."""
-    url_res = pc.binary_join_element_wise(pa.scalar("<"), batch["url"], pa.scalar(">"), "")
+    per distinct entity by entity_triples_batch, not per mention).
+
+    ``encode=True`` emits dictionary-encoded columns — same logical
+    table, ~8-10× fewer bytes per block. At 32-way concurrency these
+    blocks are what saturates DRAM bandwidth (identical work costs ~2×
+    CPU at 32 vs 8 workers; BASELINE.md), so shrinking the physical
+    representation is the single-box scaling lever. The indices are
+    per-block, so any downstream exchange ships the small dictionary
+    with each block — no global coordination needed."""
     alias_res = pc.binary_join_element_wise(
         pa.scalar(f"<{ONTO}#ent_"), batch["surface"], pa.scalar("__"), batch["lang"], pa.scalar(">"), ""
     )
+    if encode:
+        return pa.table(
+            {
+                "subject": _decorated_url_dict(batch["url"]),
+                "predicate": _const_dict(f"<{MENTIONS_PROP}>", batch.num_rows),
+                "object": _dict_encode_col(alias_res),
+            }
+        )
+    url_res = pc.binary_join_element_wise(pa.scalar("<"), batch["url"], pa.scalar(">"), "")
     pred = pa.array([f"<{MENTIONS_PROP}>"] * batch.num_rows, pa.string())
     return pa.table({"subject": url_res, "predicate": pred, "object": alias_res})
 
@@ -421,10 +492,35 @@ def entity_triples_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def page_triples_batch(batch: pa.Table) -> pa.Table:
-    """Per-page metadata triples (from the extracted page table)."""
-    url_res = pc.binary_join_element_wise(pa.scalar("<"), batch["url"], pa.scalar(">"), "")
+def page_triples_batch(batch: pa.Table, encode: bool = False) -> pa.Table:
+    """Per-page metadata triples (from the extracted page table).
+    ``encode=True``: dictionary-encoded columns (see
+    mention_link_triples_batch)."""
     n = batch.num_rows
+    if encode:
+        subj = _decorated_url_dict(batch["url"])
+        lang_lit = _dict_encode_col(
+            pc.binary_join_element_wise(pa.scalar('"'), batch["lang"], pa.scalar('"'), "")
+        )
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "subject": subj,
+                        "predicate": _const_dict(f"<{C.RDF_TYPE}>", n),
+                        "object": _const_dict(f"<{PAGE_CLASS}>", n),
+                    }
+                ),
+                pa.table(
+                    {
+                        "subject": subj,
+                        "predicate": _const_dict(f"<{IN_LANGUAGE_PROP}>", n),
+                        "object": lang_lit,
+                    }
+                ),
+            ]
+        )
+    url_res = pc.binary_join_element_wise(pa.scalar("<"), batch["url"], pa.scalar(">"), "")
 
     def const(s):
         return pa.array([s] * n, pa.string())
@@ -473,17 +569,62 @@ def _rewrite_batch(batch: pa.Table, comp_ref=None) -> pa.Table:
         )
         _REWRITE_CACHE[key] = cached
     keys, vals = cached
-    keep = pc.equal(batch["predicate"], f"<{C.OWL_SAME_AS}>")
+
+    pred = batch["predicate"]
+    if isinstance(pred, pa.ChunkedArray):
+        pred = pred.combine_chunks()
+    sameas = f"<{C.OWL_SAME_AS}>"
+    if pa.types.is_dictionary(pred.type):
+        # Dictionary-encoded predicate: test the (tiny) dictionary, not
+        # the rows. Conservative: a sameAs entry in the dictionary counts
+        # as "sameAs rows present" even if unreferenced.
+        has_keep = pc.any(pc.equal(pred.dictionary, sameas)).as_py()
+        keep = (
+            pc.take(pc.equal(pred.dictionary, sameas), pred.indices)
+            if has_keep
+            else None
+        )
+    else:
+        keep = pc.equal(pred, sameas)
+        has_keep = pc.any(keep).as_py() is True
+
     for col in ("subject", "object"):
         orig = batch[col]
+        if isinstance(orig, pa.ChunkedArray):
+            orig = orig.combine_chunks()
+        i = batch.schema.get_field_index(col)
+        if pa.types.is_dictionary(orig.type):
+            if not has_keep:
+                # Dictionary-level rewrite: index_in/take/if_else over
+                # the ~10²-value dictionary instead of the ~10⁵-row
+                # column — the whole point of the encoded triple path.
+                # (Duplicate post-rewrite dictionary values are legal
+                # Arrow; nothing downstream assumes dictionary
+                # uniqueness.)
+                d = orig.dictionary
+                idx = pc.index_in(d, value_set=keys)
+                new_d = pc.if_else(pc.is_valid(idx), pc.take(vals, idx), d)
+                # re-unify: the rewrite can map two aliases to the same
+                # canonical, and duplicate dictionary values break
+                # pandas Categorical consumers. dictionary_encode over
+                # the (tiny) dictionary gives unique values + an
+                # old→new position map; remapping rows is one int take.
+                uniq = pc.dictionary_encode(new_d)
+                batch = batch.set_column(
+                    i,
+                    col,
+                    pa.DictionaryArray.from_arrays(
+                        pc.take(uniq.indices, orig.indices), uniq.dictionary
+                    ),
+                )
+                continue
+            # sameAs rows present → the rewrite is row-conditional;
+            # decode and fall through to the row-level path.
+            orig = pc.cast(orig, pa.string())
         idx = pc.index_in(orig, value_set=keys)
         taken = pc.take(vals, idx)
-        cond = pc.and_(pc.is_valid(idx), pc.invert(keep))
-        batch = batch.set_column(
-            batch.schema.get_field_index(col),
-            col,
-            pc.if_else(cond, taken, orig),
-        )
+        cond = pc.and_(pc.is_valid(idx), pc.invert(keep)) if has_keep else pc.is_valid(idx)
+        batch = batch.set_column(i, col, pc.if_else(cond, taken, orig))
     return batch
 
 
@@ -537,6 +678,7 @@ def build_kg(
     skip_sameas_rewrite: bool = False,
     amplify: int = 1,
     unique_urls: bool = True,
+    encode_triples: bool = True,
 ) -> KGPipelineResult:
     """Run the full P1-P7 pipeline over ``{sf_dir}/documents.parquet``.
 
@@ -557,6 +699,19 @@ def build_kg(
     verify the claim (a url-distinct count over the extracted stage —
     one narrow-column exchange a durable run can afford) and fail fast
     on a violation instead of silently emitting duplicate triples.
+
+    ``encode_triples`` (default on) emits the triple columns
+    dictionary-encoded on the dedup-pushdown fast path: constant
+    predicates become 1-entry dictionaries, each page url is decorated
+    once instead of once per mention, and the sameAs rewrite runs over
+    per-block dictionaries (~10² values) instead of rows (~10⁵). Same
+    logical table, ~8-10× fewer bytes per block — the single-box
+    32-way scaling lever (BASELINE.md's DRAM-bandwidth diagnosis).
+    Consumers that need flat strings decode at their boundary with
+    ``decode_triples_batch``. The full-dedup paths
+    (``skip_sameas_rewrite`` / ``unique_urls=False``) stay plain —
+    they pay a global (s,p,o) exchange anyway and the dedup kernels
+    key on plain strings.
     """
     t0 = time.time()
     concurrency = concurrency or auto_concurrency()
@@ -699,10 +854,15 @@ def build_kg(
     # driver-sized here; `connected_components` remains the scale path
     # and is exercised by kg_sameas_components / its tests.
     def final_fn():
+        enc = encode_triples and unique_urls and not skip_sameas_rewrite
         m_triples = mentions_d.map_batches(
-            mention_link_triples_batch, batch_format="pyarrow"
+            mention_link_triples_batch,
+            fn_kwargs={"encode": enc},
+            batch_format="pyarrow",
         )
-        p_triples = extracted.map_batches(page_triples_batch, batch_format="pyarrow")
+        p_triples = extracted.map_batches(
+            page_triples_batch, fn_kwargs={"encode": enc}, batch_format="pyarrow"
+        )
 
         if skip_sameas_rewrite:
             if use_driver_small:
@@ -809,11 +969,20 @@ def build_kg(
                 # scale — observed as a >10-minute stall at amplify
                 # 1600 where the branches run in <1 minute separately.
                 small = small.materialize()
+        if enc:
+            # homogenize: the union must carry ONE schema (the big
+            # branches are dictionary-encoded)
+            small = small.map_batches(encode_triples_batch, batch_format="pyarrow")
         return big.union(small)
 
     final = run.stage(
         "triples", final_fn,
-        config={"v": "4", "skip_rewrite": skip_sameas_rewrite, "unique_urls": unique_urls},
+        config={
+            "v": "5",
+            "skip_rewrite": skip_sameas_rewrite,
+            "unique_urls": unique_urls,
+            "enc": encode_triples,
+        },
         inputs=["stage=mentions_distinct", "stage=ent_rel_distinct", "stage=extract"],
     )
 

@@ -580,9 +580,13 @@ def q_kg_mentions(sf_dir: str):
 
 
 def q_kg_triples(sf_dir: str):
-    from .pipelines.kg import build_kg
+    from .pipelines.kg import build_kg, decode_triples_batch
 
-    return build_kg(sf_dir).triples
+    # decode boundary: the pipeline's triple blocks are
+    # dictionary-encoded; the driver-oracle compare hashes flat strings
+    return build_kg(sf_dir).triples.map_batches(
+        decode_triples_batch, batch_format="pyarrow"
+    )
 
 
 def q_kg_sameas_components(sf_dir: str):

@@ -806,6 +806,12 @@ def write_ntriples(ds: ray.data.Dataset, path: str) -> None:
 
         def write_block_to_file(self, block: BlockAccessor, file) -> None:
             tbl = block.to_arrow()
+            for i, f in enumerate(tbl.schema):
+                # accept dictionary-encoded triple blocks (the KG
+                # pipeline's compact representation) — the join kernel
+                # needs flat strings
+                if pa.types.is_dictionary(f.type):
+                    tbl = tbl.set_column(i, f.name, pc.cast(tbl.column(i), pa.string()))
             lines = pc.binary_join_element_wise(
                 tbl[tr.SUBJECT], tbl[tr.PREDICATE], tbl[tr.OBJECT], " "
             )

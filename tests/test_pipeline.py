@@ -149,6 +149,32 @@ class TestPipeline:
         assert any(f.endswith(".parquet") for f in pq_files)
 
 
+class TestEncodedTriples:
+    def test_encoded_equals_plain(self, ray_session):
+        """The dictionary-encoded fast path is a pure representation
+        change: decoded triple SET identical to encode_triples=False,
+        and the default path's schema is dictionary-encoded (the
+        compact blocks actually happen)."""
+        from ontograph_ray.pipelines.kg import decode_triples_batch
+        import pyarrow as pa_
+
+        enc_ds = build_kg(SF).triples
+        assert all(
+            pa_.types.is_dictionary(f.type) for f in enc_ds.schema().base_schema
+        )
+        enc = {
+            (r["subject"], r["predicate"], r["object"])
+            for r in enc_ds.map_batches(
+                decode_triples_batch, batch_format="pyarrow"
+            ).take_all()
+        }
+        plain = {
+            (r["subject"], r["predicate"], r["object"])
+            for r in build_kg(SF, encode_triples=False).triples.take_all()
+        }
+        assert enc == plain
+
+
 class TestUniqueUrlsContract:
     """The dedup-pushdown boundary contract: duplicate urls (normal in
     crawl-shaped WARC input) must either fail fast (checkpointed runs
@@ -180,7 +206,9 @@ class TestUniqueUrlsContract:
     ):
         sf, base_sf = self._dup_sf(tmp_path)
         got = build_kg(sf, unique_urls=False).triples.to_pandas()
-        want = build_kg(base_sf).triples.to_pandas()
+        # default path emits dictionary-encoded columns (pandas
+        # categorical); normalize dtypes for the strict .equals compare
+        want = build_kg(base_sf).triples.to_pandas().astype(str)
         key = ["subject", "predicate", "object"]
         got_s = got.sort_values(key).reset_index(drop=True)
         want_s = want.sort_values(key).reset_index(drop=True)
