@@ -131,6 +131,20 @@ SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
         "simhash_pairs": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/simhash_pairs_sf001_h2.parquet')"
         ),
+        # full plain-Python near-dup chain (shingle→minhash→LSH→verify→
+        # union-find) reimplemented independently in gen_fixtures.py
+        "minhash_dedup": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/minhash_dedup_sf001.parquet')"
+        ),
+        "ngram_jaccard": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/ngram_jaccard_sf001.parquet')"
+        ),
+        "curate_full": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/curate_full_sf001.parquet')"
+        ),
+        "kmv_distinct": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/kmv_distinct_sf001.parquet')"
+        ),
         "multimodal_features": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/multimodal_features_n200.parquet')"
         ),

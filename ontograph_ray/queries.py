@@ -240,10 +240,11 @@ def q_brand_revenue(sf_dir: str):
 
 
 def q_kmv_distinct(sf_dir: str):
-    """KMV cardinality sketch over documents.text (rows-only check:
-    an estimate can't value-match exact SQL; the pytest suite pins the
-    ≤10% error bound instead). Returns one row with the estimate and
-    the sketch parameter."""
+    """KMV cardinality sketch over documents.text. Deterministic
+    (crc32+splitmix64, no RNG), so the estimate is pinned exactly by an
+    independent plain-Python fixture oracle (gen_fixtures.py); the
+    pytest suite additionally pins the ≤10% error bound. Returns one
+    row with the estimate and the sketch parameter."""
     from .stages.sketch import kmv_distinct_count
 
     docs = _read(sf_dir, "documents", ["text"])
@@ -282,7 +283,9 @@ def q_turtle_roundtrip(sf_dir: str):
 
 def q_ngram_jaccard(sf_dir: str):
     """Near-dup candidate pairs with exact n-gram Jaccard ≥ 0.8
-    (MinHash-LSH candidate generation + exact verification)."""
+    (MinHash-LSH candidate generation + exact verification).
+    Value-pinned by an independent plain-Python reimplementation of the
+    whole chain (gen_fixtures.py fixture oracle)."""
     from .stages.dedup import ngram_jaccard_pairs
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -640,8 +643,9 @@ def q_curate_corpus(sf_dir: str):
 
 
 def q_curate_full(sf_dir: str):
-    """Full curation incl. MinHash near-dup removal (rows-only; the
-    near-dup tail is pinned by pytest invariants)."""
+    """Full curation incl. MinHash near-dup removal. Value-pinned by an
+    independent plain-Python fixture oracle (gen_fixtures.py) plus the
+    pytest near-dup invariants."""
     from .pipelines.curate import curate
 
     out = curate(sf_dir, near_dup=True)
@@ -778,6 +782,9 @@ def q_ann_topk_lsh(sf_dir: str):
 
 
 def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-dup removal survivors. Value-pinned by an
+    independent plain-Python reimplementation of the whole chain
+    (gen_fixtures.py fixture oracle)."""
     from .stages.dedup import minhash_dedup
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])

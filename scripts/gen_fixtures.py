@@ -156,8 +156,221 @@ def gen_audio_features(n: int = 200) -> str:
     return f"{path}: {n} rows"
 
 
+# -- independent MinHash / LSH / n-gram-Jaccard pipeline ---------------------
+# Plain-Python reimplementation of the whole near-dup chain (shingle →
+# minhash → banded LSH → candidates → exact-Jaccard verify → min-label
+# union-find). Kernel math is Python ints/sets; numpy appears ONLY to
+# obtain the seeded permutation coefficients, which are algorithm
+# PARAMETERS (like the CRC polynomial), not kernel computation.
+
+P61 = (1 << 61) - 1
+
+
+def shingles_py(text: str, k: int = 5) -> frozenset:
+    data = text.encode()
+    if not text:
+        return frozenset()
+    if len(data) < k:
+        return frozenset([zlib.crc32(data)])
+    return frozenset(zlib.crc32(data[i : i + k]) for i in range(len(data) - k + 1))
+
+
+def jaccard_py(a: frozenset, b: frozenset) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / max(1, len(a | b))
+
+
+def minhash_coeffs(num_perm: int = 64, seed: int = 42):
+    import numpy as np  # parameters only (seeded MT19937 constants)
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 31, size=num_perm).tolist()
+    b = rng.randint(0, 1 << 31, size=num_perm).tolist()
+    return a, b
+
+
+def signature_py(sh: frozenset, a: list, b: list) -> list:
+    if not sh:
+        return [0] * len(a)
+    shl = list(sh)
+    return [min((ai * x + bi) % P61 for x in shl) for ai, bi in zip(a, b)]
+
+
+def lsh_pairs_py(
+    sigs: dict, bands: int = 16, mode: str = "star", clique_cap: int = 2048
+) -> set:
+    """(band_id, band_hash) buckets → candidate pairs. band_hash =
+    crc32 of the signature chunk as little-endian uint64 bytes (what
+    np.uint64.tobytes() produces on the engine side)."""
+    buckets: dict = {}
+    for doc_id, sig in sigs.items():
+        r = len(sig) // bands
+        for bnd in range(bands):
+            chunk = sig[bnd * r : (bnd + 1) * r]
+            h = zlib.crc32(struct.pack(f"<{r}Q", *chunk))
+            buckets.setdefault((bnd, h), []).append(doc_id)
+    pairs: set = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        if len(ids) < 2:
+            continue
+        if mode == "clique" and len(ids) <= clique_cap:
+            for i in range(len(ids) - 1):
+                for j in range(i + 1, len(ids)):
+                    pairs.add((ids[i], ids[j]))
+        else:
+            anchor = ids[0]
+            for other in ids[1:]:
+                pairs.add((anchor, other))
+            for x, y in zip(ids[1:], ids[2:]):
+                pairs.add((x, y))
+    return pairs
+
+
+def verified_pairs_py(docs: dict, k: float, threshold: float, mode: str) -> list:
+    """docs: {doc_id: text} → sorted verified candidate pairs."""
+    a, b = minhash_coeffs()
+    sh = {i: shingles_py(t, k) for i, t in docs.items()}
+    sigs = {i: signature_py(s, a, b) for i, s in sh.items()}
+    cands = lsh_pairs_py(sigs, mode=mode)
+    return sorted(
+        (s, d) for s, d in cands if jaccard_py(sh[s], sh[d]) >= threshold
+    )
+
+
+def minhash_survivors_py(docs: dict, k: int = 5, threshold: float = 0.85) -> list:
+    """minhash_dedup semantics: verified edges → min-STRING-label
+    union-find (component ids are stringified doc ids in the engine) →
+    drop non-representative members."""
+    edges = verified_pairs_py(docs, k, threshold, mode="star")
+    parent: dict = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        ra, rb = find(str(s)), find(str(d))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    losers = {int(n) for n in parent if find(n) != n}
+    return sorted(i for i in docs if i not in losers)
+
+
+def gen_minhash_dedup() -> str:
+    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
+    dmap = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    survivors = minhash_survivors_py(dmap, threshold=0.85)
+    path = os.path.join(FIXTURES_DIR, "minhash_dedup_sf001.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(survivors, pa.int64())}), path)
+    return f"{path}: {len(survivors)} survivors"
+
+
+def gen_ngram_jaccard() -> str:
+    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
+    dmap = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    pairs = verified_pairs_py(dmap, k=5, threshold=0.8, mode="clique")
+    path = os.path.join(FIXTURES_DIR, "ngram_jaccard_sf001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "src_id": pa.array([p[0] for p in pairs], pa.int64()),
+                "dst_id": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(pairs)} pairs"
+
+
+def gen_curate_full() -> str:
+    """Quality filter (ASCII \\w/\\s — RE2 semantics, matching the
+    engine's pyarrow regex) → min-doc_id exact dedup on text → MinHash
+    near-dup removal at threshold 0.85 → (doc_id, lang, n_tokens)."""
+    import re
+
+    docs = pq.read_table(
+        f"{SF001}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    rows = list(
+        zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["lang"].to_pylist())
+    )
+    punct_re = re.compile(r"[^\w\s]", re.ASCII)
+    filt = [
+        (i, t, l)
+        for i, t, l in rows
+        if len(t.split(" ")) >= 5 and 10 * len(punct_re.findall(t)) <= 3 * len(t)
+    ]
+    best: dict = {}
+    for i, t, l in filt:
+        if t not in best or i < best[t][0]:
+            best[t] = (i, l)
+    winners = {i: (t, l) for t, (i, l) in best.items()}
+    survivors = minhash_survivors_py(
+        {i: t for i, (t, _) in winners.items()}, threshold=0.85
+    )
+    path = os.path.join(FIXTURES_DIR, "curate_full_sf001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(survivors, pa.int64()),
+                "lang": pa.array([winners[i][1] for i in survivors], pa.string()),
+                "n_tokens": pa.array(
+                    [len(winners[i][0].split(" ")) for i in survivors], pa.int64()
+                ),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(survivors)} rows"
+
+
+# -- independent KMV sketch estimate -----------------------------------------
+
+
+def splitmix64_py(v: int) -> int:
+    m = 0xFFFFFFFFFFFFFFFF
+    v = (v + 0x9E3779B97F4A7C15) & m
+    v ^= v >> 30
+    v = (v * 0xBF58476D1CE4E5B9) & m
+    v ^= v >> 27
+    v = (v * 0x94D049BB133111EB) & m
+    v ^= v >> 31
+    return v
+
+
+def gen_kmv_distinct(k: int = 256) -> str:
+    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["text"])
+    hashes = sorted(
+        {splitmix64_py(zlib.crc32(str(t).encode())) for t in docs["text"].to_pylist()}
+    )
+    if len(hashes) < k:
+        est = len(hashes)
+    else:
+        est = int(round((k - 1) / (float(hashes[k - 1]) / float(1 << 64))))
+    path = os.path.join(FIXTURES_DIR, "kmv_distinct_sf001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "estimated_distinct_texts": pa.array([est], pa.int64()),
+                "k": pa.array([k], pa.int64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: estimate {est}"
+
+
 if __name__ == "__main__":
     os.makedirs(FIXTURES_DIR, exist_ok=True)
     print(gen_simhash_pairs())
     print(gen_multimodal_features())
     print(gen_audio_features())
+    print(gen_minhash_dedup())
+    print(gen_ngram_jaccard())
+    print(gen_curate_full())
+    print(gen_kmv_distinct())
