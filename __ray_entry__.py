@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q.q_embedding_near_dup,
         "multimodal_features": q.q_multimodal_features,
         "audio_features": q.q_audio_features,
+        "decontaminate": q.q_decontaminate,
+        "pii_scrub": q.q_pii_scrub,
+        "pack_sequences": q.q_pack_sequences,
         # Relational breadth
         "orders_per_segment": q.q_orders_per_segment,
         "brand_revenue": q.q_brand_revenue,

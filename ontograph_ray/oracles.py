@@ -329,6 +329,67 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
        CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us
 FROM sess GROUP BY user_id, session_id""",
+        # decontamination: 4-gram overlap vs the every-25th-doc
+        # benchmark subset (same parameters as q_decontaminate)
+        "decontaminate": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+ex AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(l) - 2),
+         i -> array_to_string(list_slice(l, i, i + 3), ' '))) AS ng
+  FROM toks
+),
+bng AS (SELECT DISTINCT ng FROM ex WHERE doc_id % 25 = 0),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n FROM ex
+  WHERE doc_id % 25 != 0 AND ng IN (SELECT ng FROM bng)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(h.n, 0) AS n_contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 25 != 0) d
+LEFT JOIN hits h USING (doc_id)""",
+        # PII scrub over documents with deterministic PII injected into
+        # every even doc (same injection as q_pii_scrub); the
+        # replacement chain order (email → phone → ip) is the contract
+        "pii_scrub": r"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || ' contact user' || doc_id
+                   || '@mail.example.com call 555-010-' || (doc_id % 9000 + 1000)
+                   || ' from 10.0.' || (doc_id % 256) || '.1'
+              ELSE text END AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM injected
+),
+s2 AS (
+  SELECT doc_id, c1,
+         len(regexp_extract_all(t, '\+?\d{3}[- .]\d{3,4}[- .]\d{4}')) AS c2,
+         regexp_replace(t, '\+?\d{3}[- .]\d{3,4}[- .]\d{4}', '<PHONE>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, c1, c2,
+         len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c3,
+         regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, t AS clean_text, CAST(c1 + c2 + c3 AS BIGINT) AS n_redactions FROM s3""",
+        # concat-and-chunk sequence packing, window 512, ascending
+        # doc_id order (the distributed two-pass prefix sum's contract)
+        "pack_sequences": """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+  FROM t
+)
+SELECT doc_id, n_tokens, cb // 512 AS seq_id, cb % 512 AS offset FROM c""",
         "orders_per_segment": """
 SELECT c.c_mktsegment,
        COUNT(*) AS n_orders,

@@ -1155,3 +1155,77 @@ def q_lineitem_pricing(sf_dir: str):
         Sum("sum_disc_cents", alias_name="sum_disc_cents"),
         Sum("n_rows", alias_name="n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-preparation operators: decontamination, PII scrubbing, packing
+# ---------------------------------------------------------------------------
+
+# decontamination parameters shared by the Ray and SQL sides: benchmark
+# = every 25th doc, 4-token n-gram overlap (chosen so the synthetic
+# corpus has a non-trivial contaminated subset to check against)
+DECONTAM_N = 4
+DECONTAM_BENCH_MOD = 25
+
+
+def q_decontaminate(sf_dir: str):
+    """Test-set decontamination: per TRAINING doc, the number of token
+    4-gram windows shared with the (broadcast) benchmark subset."""
+    from .stages.decontam import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return batch.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
+
+    def train_part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return batch.filter(pa.array(ids % DECONTAM_BENCH_MOD != 0))
+
+    bench = docs.map_batches(bench_part, batch_format="pyarrow")
+    train = docs.map_batches(train_part, batch_format="pyarrow")
+    return decontaminate(train, bench, n=DECONTAM_N)
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction over the corpus with deterministic PII injected
+    into every even doc (the synthetic table has no real PII; the
+    injection is part of the query definition, mirrored in SQL, so the
+    redaction chain is actually exercised end-to-end)."""
+    from .stages.scrub import scrub_pii
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        did = pc.cast(batch["doc_id"], pa.string())
+        phone = pa.array((ids % 9000 + 1000).astype(str))
+        octet = pa.array((ids % 256).astype(str))
+        decorated = pc.binary_join_element_wise(
+            batch["text"].combine_chunks()
+            if isinstance(batch["text"], pa.ChunkedArray)
+            else batch["text"],
+            pa.scalar(" contact user"),
+            did,
+            pa.scalar("@mail.example.com call 555-010-"),
+            phone,
+            pa.scalar(" from 10.0."),
+            octet,
+            pa.scalar(".1"),
+            "",
+        )
+        text = pc.if_else(pa.array(ids % 2 == 0), decorated, batch["text"])
+        return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+    return scrub_pii(docs.map_batches(inject, batch_format="pyarrow"))
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing (window 512) via the
+    distributed two-pass prefix sum; bucket_width 128 forces several
+    range buckets through the exchange even at test scale."""
+    from .stages.packing import pack_sequences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(docs, window=512, bucket_width=128)

@@ -625,3 +625,103 @@ class TestCuratePipeline:
         full_ids = set(q_curate_full(sf).to_pandas()["doc_id"])
         assert full_ids <= exact_ids
         assert len(full_ids) >= 1
+
+
+class TestCorpusPrep:
+    """decontam / scrub / packing stages vs brute-force Python oracles."""
+
+    def _prep_corpus(self):
+        rows = [
+            {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog"},
+            {"doc_id": 1, "text": "pack my box with five dozen liquor jugs"},
+            {"doc_id": 2, "text": "the quick brown fox sat still"},  # shares a 4-gram with 0
+            {"doc_id": 3, "text": "tiny"},  # shorter than n — zero windows
+            {"doc_id": 4, "text": "jumps over the lazy dog indeed"},  # shares with 0
+        ]
+        return rows, ray.data.from_items(rows)
+
+    @staticmethod
+    def _ngrams(text: str, n: int) -> list[str]:
+        toks = text.split(" ")
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    def test_decontaminate_counts_match_bruteforce(self, ray_session):
+        from ontograph_ray.stages.decontam import decontaminate
+
+        rows, ds = self._prep_corpus()
+        bench_rows = [rows[0]]
+        train_rows = rows[1:]
+        bench = ray.data.from_items(bench_rows)
+        train = ray.data.from_items(train_rows)
+        n = 4
+        bench_ngrams = {g for r in bench_rows for g in self._ngrams(r["text"], n)}
+        expect = {
+            r["doc_id"]: sum(g in bench_ngrams for g in self._ngrams(r["text"], n))
+            for r in train_rows
+        }
+        got = {
+            r["doc_id"]: r["n_contaminated"]
+            for r in decontaminate(train, bench, n=n).take_all()
+        }
+        assert got == expect
+        assert got[2] > 0 and got[4] > 0 and got[3] == 0 and got[1] == 0
+
+    def test_decontaminate_no_cross_doc_windows(self, ray_session):
+        # two docs that only form a shared 4-gram if windows straddled
+        # the doc boundary in the flattened token array
+        from ontograph_ray.stages.decontam import decontaminate
+
+        bench = ray.data.from_items([{"doc_id": 0, "text": "a b c d"}])
+        train = ray.data.from_items(
+            [{"doc_id": 1, "text": "x y a b"}, {"doc_id": 2, "text": "c d z w"}]
+        )
+        out = {r["doc_id"]: r["n_contaminated"] for r in decontaminate(train, bench).take_all()}
+        assert out == {1: 0, 2: 0}
+
+    def test_scrub_pii_redacts_and_counts(self, ray_session):
+        from ontograph_ray.stages.scrub import scrub_pii
+
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": "mail me at bob.smith+x@corp.example.org now"},
+                {"doc_id": 1, "text": "call +1 555-010-2345 or 555 0102 3456"},
+                {"doc_id": 2, "text": "server at 192.168.0.1 and 10.0.255.254"},
+                {"doc_id": 3, "text": "nothing sensitive here"},
+            ]
+        )
+        out = {r["doc_id"]: r for r in scrub_pii(ds).take_all()}
+        assert out[0]["clean_text"] == "mail me at <EMAIL> now"
+        assert out[0]["n_redactions"] == 1
+        assert "<PHONE>" in out[1]["clean_text"]
+        assert "555" not in out[1]["clean_text"]
+        assert out[2]["clean_text"] == "server at <IP> and <IP>"
+        assert out[2]["n_redactions"] == 2
+        assert out[3]["clean_text"] == "nothing sensitive here"
+        assert out[3]["n_redactions"] == 0
+
+    def test_pack_sequences_matches_cumsum(self, ray_session):
+        from ontograph_ray.stages.packing import pack_sequences
+
+        rows, ds = self._prep_corpus()
+        window = 8
+        # brute force: concat in doc_id order, chunk
+        lens = {r["doc_id"]: len(r["text"].split(" ")) for r in rows}
+        cum = 0
+        expect = {}
+        for did in sorted(lens):
+            expect[did] = (cum // window, cum % window, lens[did])
+            cum += lens[did]
+        # bucket_width=2 forces 3 buckets through the exchange
+        out = pack_sequences(ds, window=window, bucket_width=2).take_all()
+        got = {r["doc_id"]: (r["seq_id"], r["offset"], r["n_tokens"]) for r in out}
+        assert got == expect
+
+    def test_pack_sequences_single_bucket_equivalent(self, ray_session):
+        from ontograph_ray.stages.packing import pack_sequences
+
+        _, ds = self._prep_corpus()
+        a = {r["doc_id"]: (r["seq_id"], r["offset"])
+             for r in pack_sequences(ds, window=5, bucket_width=1 << 20).take_all()}
+        b = {r["doc_id"]: (r["seq_id"], r["offset"])
+             for r in pack_sequences(ds, window=5, bucket_width=2).take_all()}
+        assert a == b
