@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "orders_per_segment",
     "lineitem_pricing",
     "kg_sameas_components",
+    "decontaminate",
+    "pack_sequences",
 ]
 
 
