@@ -76,6 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q.q_decontaminate,
         "pii_scrub": q.q_pii_scrub,
         "pack_sequences": q.q_pack_sequences,
+        "repetition_stats": q.q_repetition_stats,
+        "export_shards": q.q_export_shards,
+        "vocab_coverage": q.q_vocab_coverage,
         # Relational breadth
         "orders_per_segment": q.q_orders_per_segment,
         "brand_revenue": q.q_brand_revenue,

@@ -38,6 +38,32 @@ _T = f"WITH t AS ({TRIPLES_SQL})"
 # the test data changes.
 _FIXTURES = "/root/repo/fixtures"
 
+# --- splitmix64 in ANSI-ish SQL -------------------------------------------
+# DuckDB's HUGEINT is a signed 128-bit integer, so (uint64 × uint64)
+# overflows; each modular multiply is split into 32-bit halves:
+# (a·b) mod 2^64 = ((a mod 2^32)·b + ((⌊a/2^32⌋·b) mod 2^32)·2^32) mod 2^64,
+# every intermediate ≤ 2^97. Bit-compatible with stages/export.splitmix64
+# (validated against the numpy kernel for ids 0..9 and the sf0.01 table).
+_M64 = 1 << 64
+_M32 = 1 << 32
+
+
+def _mulmod64(a_expr: str, b_const: int) -> str:
+    return (
+        f"CAST((((CAST({a_expr} AS HUGEINT) % {_M32}) * {b_const} "
+        f"+ (((CAST({a_expr} AS HUGEINT) // {_M32}) * {b_const}) % {_M32}) * {_M32}"
+        f") % {_M64}) AS UBIGINT)"
+    )
+
+
+def _splitmix64_ctes(src: str, col: str, out: str) -> str:
+    """CTE chain ``out`` = ``src`` plus column ``h`` = splitmix64(col)."""
+    return f"""
+sm0_{out} AS (SELECT *, CAST((CAST({col} AS HUGEINT) + {0x9E3779B97F4A7C15}) % {_M64} AS UBIGINT) AS __z0 FROM {src}),
+sm1_{out} AS (SELECT *, {_mulmod64('xor(__z0, __z0 >> 30)', 0xBF58476D1CE4E5B9)} AS __z1 FROM sm0_{out}),
+sm2_{out} AS (SELECT *, {_mulmod64('xor(__z1, __z1 >> 27)', 0x94D049BB133111EB)} AS __z2 FROM sm1_{out}),
+{out} AS (SELECT * EXCLUDE (__z0, __z1, __z2), xor(__z2, __z2 >> 31) AS h FROM sm2_{out})"""
+
 _GAZ = ", ".join(f"'{g}'" for g in GAZETTEER)
 _URLP = "https://docs.example.org/page/"
 
@@ -390,6 +416,51 @@ c AS (
   FROM t
 )
 SELECT doc_id, n_tokens, cb // 512 AS seq_id, cb % 512 AS offset FROM c""",
+        # Gopher-style repetition counts (integer, bit-exact): bigram
+        # windows via 1-based list indexing, dup = occurrences of
+        # bigrams appearing more than once within the doc
+        "repetition_stats": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(l)) AS BIGINT) AS n_unique_tokens,
+         CAST(greatest(len(l) - 1, 0) AS BIGINT) AS n_2grams
+  FROM toks
+),
+ng AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(l)),
+         i -> l[i] || ' ' || l[i + 1])) AS g
+  FROM toks
+),
+gc AS (SELECT doc_id, g, COUNT(*) AS c FROM ng GROUP BY doc_id, g),
+agg AS (
+  SELECT doc_id, MAX(c) AS top_2gram_count,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_2gram_count
+  FROM gc GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_unique_tokens, b.n_2grams,
+       CAST(COALESCE(a.top_2gram_count, 0) AS BIGINT) AS top_2gram_count,
+       CAST(COALESCE(a.dup_2gram_count, 0) AS BIGINT) AS dup_2gram_count
+FROM base b LEFT JOIN agg a USING (doc_id)""",
+        # deterministic shuffle-export assignment: splitmix64(doc_id
+        # XOR seed), shard = h mod 32, sort_key = h div 32 (seed 7 and
+        # 32 shards mirror q_export_shards)
+        "export_shards": f"""
+WITH src AS (SELECT doc_id, xor(CAST(doc_id AS UBIGINT), 7) AS x FROM documents),
+{_splitmix64_ctes('src', 'x', 'hashed')}
+SELECT doc_id, CAST(h % 32 AS BIGINT) AS shard,
+       CAST(h // 32 AS BIGINT) AS sort_key
+FROM hashed""",
+        # corpus-global top-100 vocabulary coverage; top-K ties break
+        # by (count DESC, token ASC) on both sides
+        "vocab_coverage": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+vocab AS (SELECT t FROM cnt ORDER BY c DESC, t ASC LIMIT 100)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN t IN (SELECT t FROM vocab) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_vocab
+FROM tok GROUP BY doc_id""",
         "orders_per_segment": """
 SELECT c.c_mktsegment,
        COUNT(*) AS n_orders,

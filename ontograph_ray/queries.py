@@ -1229,3 +1229,28 @@ def q_pack_sequences(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return pack_sequences(docs, window=512, bucket_width=128)
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition counts (integer, shuffle-free)."""
+    from .stages.repetition import repetition_stats
+
+    return repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_export_shards(sf_dir: str):
+    """Deterministic shuffle-export assignment: splitmix64(doc_id^7),
+    32 shards — the no-all-to-all replacement for random_shuffle."""
+    from .stages.export import shard_assignments
+
+    return shard_assignments(
+        _read(sf_dir, "documents", ["doc_id"]), num_shards=32, seed=7
+    )
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Per-doc coverage by the corpus-global top-100 vocabulary (the
+    corpus-statistics broadcast pattern)."""
+    from .stages.vocab import vocab_coverage
+
+    return vocab_coverage(_read(sf_dir, "documents", ["doc_id", "text"]), k=100)

@@ -1,0 +1,100 @@
+"""Deterministic shuffle-sharding for training-data export.
+
+The last step of a corpus pipeline: assign every document a shard and
+an intra-shard position so the training job reads well-mixed data,
+WITHOUT a materialized `random_shuffle` (an all-to-all exchange of
+every byte — the single most expensive op at 100 TB). Instead each doc
+gets a seeded splitmix64 hash of its id:
+
+    shuffle_key = splitmix64(doc_id XOR seed)   (uniform, avalanche)
+    shard       = shuffle_key % num_shards
+    sort_key    = shuffle_key // num_shards     (order WITHIN a shard)
+
+Reading shards in shard order, each sorted by ``sort_key``, is a
+uniform pseudo-random permutation of the corpus — same mixing quality
+as a true shuffle, reproducible across runs/processes (no RNG state),
+and resumable (a failed export re-runs only missing shards).
+
+Scale shape: the assignment is one streaming ``map_batches`` (pure
+numpy uint64 arithmetic, no Python per row, no shuffle). The actual
+export then partitions by ``shard`` — a single bucketed exchange that
+moves each byte once; sorting happens per shard, never globally.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+_M = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (the same mixer as
+    stages/sketch.py; kept bit-compatible with the SQL oracle's
+    32-bit-split modular-multiply formulation)."""
+    h = x.astype(np.uint64)
+    h = (h + np.uint64(0x9E3779B97F4A7C15)) & _M
+    h ^= h >> np.uint64(30)
+    h = (h * np.uint64(0xBF58476D1CE4E5B9)) & _M
+    h ^= h >> np.uint64(27)
+    h = (h * np.uint64(0x94D049BB133111EB)) & _M
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def _assign_batch(batch: pa.Table, num_shards: int, seed: int) -> pa.Table:
+    ids = batch["doc_id"].to_numpy().astype(np.uint64)
+    h = splitmix64(ids ^ np.uint64(seed))
+    shard = (h % np.uint64(num_shards)).astype(np.int64)
+    sort_key = (h // np.uint64(num_shards)).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "shard": pa.array(shard, pa.int64()),
+            "sort_key": pa.array(sort_key, pa.int64()),
+        }
+    )
+
+
+def shard_assignments(
+    docs: ray.data.Dataset, num_shards: int = 1024, seed: int = 0
+) -> ray.data.Dataset:
+    """(doc_id, shard, sort_key) for every document — the deterministic
+    shuffle-export layout (see module doc)."""
+    return docs.map_batches(
+        _assign_batch,
+        fn_kwargs={"num_shards": num_shards, "seed": seed},
+        batch_format="pyarrow",
+    )
+
+
+def write_shards(
+    docs: ray.data.Dataset,
+    out_dir: str,
+    num_shards: int = 1024,
+    seed: int = 0,
+) -> None:
+    """Export the corpus as shard-partitioned Parquet: one directory
+    per shard (resumable — a partial run leaves whole-shard units),
+    rows within a shard ordered by ``sort_key``. One bucketed exchange
+    (the groupby); no global sort."""
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> pa.Table:
+        a = _assign_batch(batch, num_shards, seed)
+        return batch.append_column("shard", a["shard"]).append_column(
+            "sort_key", a["sort_key"]
+        )
+
+    def order_shard(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("sort_key", kind="stable")
+
+    (
+        docs.map_batches(tag, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(order_shard, batch_format="pandas")
+        .write_parquet(out_dir, partition_cols=["shard"])
+    )

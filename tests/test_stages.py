@@ -725,3 +725,87 @@ class TestCorpusPrep:
         b = {r["doc_id"]: (r["seq_id"], r["offset"])
              for r in pack_sequences(ds, window=5, bucket_width=2).take_all()}
         assert a == b
+
+
+class TestCorpusStats:
+    """repetition / export-shuffle / vocab-coverage stages."""
+
+    def test_repetition_counts_bruteforce(self, ray_session):
+        from collections import Counter
+
+        from ontograph_ray.stages.repetition import repetition_stats
+
+        rows = [
+            {"doc_id": 0, "text": "a b a b a b"},       # heavy bigram repeat
+            {"doc_id": 1, "text": "x y z w"},           # all unique
+            {"doc_id": 2, "text": "solo"},              # one token, no bigrams
+            {"doc_id": 3, "text": "p p p p"},           # one repeated token
+        ]
+        out = {r["doc_id"]: r for r in repetition_stats(ray.data.from_items(rows)).take_all()}
+        for row in rows:
+            toks = row["text"].split(" ")
+            grams = Counter(zip(toks, toks[1:]))
+            r = out[row["doc_id"]]
+            assert r["n_tokens"] == len(toks)
+            assert r["n_unique_tokens"] == len(set(toks))
+            assert r["n_2grams"] == max(len(toks) - 1, 0)
+            assert r["top_2gram_count"] == (max(grams.values()) if grams else 0)
+            assert r["dup_2gram_count"] == sum(c for c in grams.values() if c > 1)
+
+    def test_splitmix64_matches_scalar_reference(self, ray_session):
+        import numpy as np
+
+        from ontograph_ray.stages.export import splitmix64
+
+        def ref(v: int) -> int:
+            m = (1 << 64) - 1
+            v = (v + 0x9E3779B97F4A7C15) & m
+            v = ((v ^ (v >> 30)) * 0xBF58476D1CE4E5B9) & m
+            v = ((v ^ (v >> 27)) * 0x94D049BB133111EB) & m
+            return v ^ (v >> 31)
+
+        xs = np.array([0, 1, 2, 7, 10**12, (1 << 63) + 5], dtype=np.uint64)
+        got = splitmix64(xs)
+        assert [int(g) for g in got] == [ref(int(x)) for x in xs]
+
+    def test_shard_assignments_deterministic_and_balanced(self, docs):
+        from ontograph_ray.stages.export import shard_assignments
+
+        a = shard_assignments(docs, num_shards=8, seed=3).to_pandas()
+        b = shard_assignments(docs, num_shards=8, seed=3).to_pandas()
+        assert a.sort_values("doc_id").equals(b.sort_values("doc_id"))
+        sizes = a.groupby("shard").size()
+        assert len(sizes) == 8  # every shard populated on 50 docs is luck;
+        # at least: no shard holds more than half the corpus (uniformity smoke)
+        assert sizes.max() <= len(a) // 2
+
+    def test_write_shards_roundtrip_ordered(self, docs, tmp_path):
+        import pyarrow.parquet as pq
+
+        from ontograph_ray.stages.export import shard_assignments, write_shards
+
+        out = str(tmp_path / "shards")
+        write_shards(docs, out, num_shards=4, seed=1)
+        back = pq.read_table(out).to_pandas()
+        assert sorted(back["doc_id"]) == sorted(docs.to_pandas()["doc_id"])
+        want = shard_assignments(docs, num_shards=4, seed=1).to_pandas()
+        merged = back.merge(want, on="doc_id", suffixes=("", "_w"))
+        assert (merged["sort_key"] == merged["sort_key_w"]).all()
+        # within each shard file, rows are sorted by sort_key
+        for _, grp in back.groupby("shard"):
+            sk = grp["sort_key"].to_numpy()
+            assert (sk[:-1] <= sk[1:]).all()
+
+    def test_top_vocab_tiebreak_and_coverage(self, ray_session):
+        from ontograph_ray.stages.vocab import top_vocab, vocab_coverage
+
+        rows = [
+            {"doc_id": 0, "text": "aa bb aa cc"},
+            {"doc_id": 1, "text": "bb dd ee ff"},
+        ]
+        ds = ray.data.from_items(rows)
+        # counts: aa=2 bb=2 cc=1 dd=1 ee=1 ff=1 → top3 = aa, bb, cc (ties asc)
+        assert top_vocab(ds, k=3) == ["aa", "bb", "cc"]
+        out = {r["doc_id"]: r for r in vocab_coverage(ds, k=3).take_all()}
+        assert out[0]["n_in_vocab"] == 4  # aa bb aa cc all in vocab
+        assert out[1]["n_in_vocab"] == 1  # only bb
