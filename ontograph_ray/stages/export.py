@@ -80,7 +80,12 @@ def write_shards(
     """Export the corpus as shard-partitioned Parquet: one directory
     per shard (resumable — a partial run leaves whole-shard units),
     rows within a shard ordered by ``sort_key``. One bucketed exchange
-    (the groupby); no global sort."""
+    (the groupby); no global sort.
+
+    Partitioning assumption (documented contract): size ``num_shards``
+    so ONE shard fits a worker's heap — the in-shard ordering sort is
+    per-group pandas. corpus_bytes / num_shards ≲ 2 GiB (e.g. 100 TB →
+    65536 shards); shard count does not affect the mixing quality."""
     import pandas as pd
 
     def tag(batch: pa.Table) -> pa.Table:

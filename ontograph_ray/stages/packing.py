@@ -86,9 +86,13 @@ def pack_sequences(
     """(doc_id, n_tokens, seq_id, offset): the packed-window id and
     in-window start position of every document under concat-and-chunk
     packing in ascending doc_id order."""
+    # Consumed twice (partial sums + assignment), so pin it — but note
+    # the pinned table is 3 int64 columns (text is dropped in
+    # _tokens_batch): ~24 bytes/doc, metadata-sized next to the corpus,
+    # and cheaper than a second full-corpus tokenize pass.
     toks = docs.map_batches(
         _tokens_batch, fn_kwargs={"bucket_width": bucket_width}, batch_format="pyarrow"
-    ).materialize()  # consumed twice: partial sums + the assignment pass
+    ).materialize()
 
     partial_rows = toks.map_batches(_bucket_partials, batch_format="pyarrow").take_all()
     sums: dict[int, int] = {}
