@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q.q_repetition_stats,
         "export_shards": q.q_export_shards,
         "vocab_coverage": q.q_vocab_coverage,
+        "sparql_select": q.q_sparql_select,
         # Relational breadth
         "orders_per_segment": q.q_orders_per_segment,
         "brand_revenue": q.q_brand_revenue,

@@ -88,6 +88,16 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY subject, predicate, object LIMIT 1"
         ),
         "delete_matches": f"{_T} SELECT * FROM t WHERE predicate != '{RDF_TYPE_T}'",
+        # E8 SPARQL passthrough: the 3-pattern BGP of q_sparql_select
+        # as a subject self-join over the triple view
+        "sparql_select": f"""{_T}
+SELECT t2.subject AS cust, t2.object AS nation
+FROM t t1
+JOIN t t2 ON t2.subject = t1.subject
+JOIN t t3 ON t3.subject = t1.subject
+WHERE t1.predicate = '{RDF_TYPE_T}' AND t1.object = '<{CUST_CLASS}>'
+  AND t2.predicate = '<{IN_NATION}>'
+  AND t3.predicate = '<{SEGMENT}>' AND t3.object = '"BUILDING"'""",
         "add_unchecked_dedup": f"{_T} SELECT DISTINCT * FROM t",
         "add_checked_atomic": f"""{TRIPLES_SQL}
 UNION ALL

@@ -1254,3 +1254,25 @@ def q_vocab_coverage(sf_dir: str):
     from .stages.vocab import vocab_coverage
 
     return vocab_coverage(_read(sf_dir, "documents", ["doc_id", "text"]), k=100)
+
+
+def q_sparql_select(sf_dir: str):
+    """E8: SPARQL SELECT passthrough — a 3-pattern BGP (type + join +
+    literal constraint) compiled onto matches() scans and distributed
+    hash joins (store/sparql.py)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX rel: <urn:og:rel/>
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?cust ?nation WHERE {{
+          ?cust a <{CUST_CLASS}> .
+          ?cust rel:inNation ?nation .
+          ?cust attr:mktsegment "BUILDING" .
+        }}
+        """,
+    )

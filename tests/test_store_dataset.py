@@ -460,3 +460,82 @@ class TestVersionedStorage:
         assert vs.load().size() == 7
         with pytest.raises(KeyError):
             vs.load(version=1)
+
+
+class TestSparql:
+    """E8 passthrough: SPARQL SELECT subset over the 7-triple fixture."""
+
+    def _q(self, dstore, text):
+        from ontograph_ray.store.sparql import sparql_select
+
+        return sparql_select(dstore, text).to_pandas()
+
+    def test_bgp_join(self, dstore):
+        # ?x rel-1 ?y joined with ?y rel-2 ?z → the a→b chain
+        out = self._q(
+            dstore,
+            f"PREFIX f: <{G}#> SELECT ?x ?y ?z WHERE "
+            "{ ?x f:rel-1 ?y . ?y f:rel-2 ?z . }",
+        )
+        assert out.values.tolist() == [[f"<{G}>", f"<{G}#a>", f"<{G}#b>"]]
+
+    def test_literal_and_lang_terms(self, dstore):
+        out = self._q(
+            dstore, 'SELECT ?s WHERE { ?s ?p "lit2"@de . }'
+        )
+        assert out["s"].tolist() == [f"<{G}#c>"]
+        out2 = self._q(
+            dstore,
+            f'PREFIX f: <{G}#> SELECT ?s WHERE {{ ?s ?p "lit3"^^f:datatype . }}',
+        )
+        assert out2["s"].tolist() == [f"<{G}#c>"]
+
+    def test_distinct_order_limit(self, dstore):
+        out = self._q(
+            dstore,
+            f"SELECT DISTINCT ?s WHERE {{ ?s ?p ?o . }} ORDER BY ?s LIMIT 2",
+        )
+        assert out["s"].tolist() == sorted(
+            {f"<{G}>", f"<{G}#a>", f"<{G}#c>"}
+        )[:2]
+
+    def test_select_star_binds_in_pattern_order(self, dstore):
+        out = self._q(
+            dstore, f"PREFIX f: <{G}#> SELECT * WHERE {{ ?s f:rel-3 ?o . }}"
+        )
+        assert list(out.columns) == ["s", "o"]
+        assert out.values.tolist() == [[f"<{G}#c>", '"lit1"']]
+
+    def test_repeated_variable_in_one_pattern(self, ray_session):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r = terms.new_resource_term
+        trps = [
+            new_triple(r("urn:n1"), r("urn:loves"), r("urn:n1")),  # self-loop
+            new_triple(r("urn:n1"), r("urn:loves"), r("urn:n2")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        out = self._q(ds, "SELECT ?x WHERE { ?x <urn:loves> ?x . }")
+        assert out["x"].tolist() == ["<urn:n1>"]
+
+    def test_errors(self, dstore):
+        from ontograph_ray.store.sparql import (
+            SparqlSyntaxError,
+            SparqlUnsupportedError,
+            sparql_select,
+        )
+
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(dstore, "SELECT WHERE { ?s ?p ?o . }")
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(dstore, "SELECT ?s WHERE { ?s unknown:x ?o . }")
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(
+                dstore, "SELECT ?a WHERE { ?a ?p ?b . ?c ?q ?d . }"
+            )
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(dstore, "SELECT ?s WHERE { ?s ?p ?o . } OFFSET 5")
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(dstore, "SELECT ?z WHERE { ?s ?p ?o . }")
