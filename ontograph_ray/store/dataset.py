@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -495,6 +496,83 @@ def broadcast_join(
 _BCAST_JOIN_CACHE: dict = {}
 
 
+def _arrow_type_of(typ) -> pa.DataType:
+    """Normalize a Ray Schema entry (Arrow DataType or numpy dtype) to
+    a concrete Arrow type; numpy object columns are strings in every
+    internal caller. Dictionary columns are decoded to their value
+    type so Acero key comparisons and the tagged union stay typed."""
+    if isinstance(typ, pa.DataType):
+        t = typ
+    else:
+        try:
+            t = pa.from_numpy_dtype(typ)
+        except (pa.ArrowNotImplementedError, TypeError, ValueError):
+            t = pa.string()
+    if pa.types.is_dictionary(t):
+        t = t.value_type
+    return t
+
+
+def _unified_arrow_types(l_schema, r_schema) -> dict:
+    """One Arrow type per column across both join sides (left wins on
+    shared columns, i.e. the join keys) — both sides are cast to this
+    so the tagged union has a single exact schema."""
+    out = {}
+    for schema in (r_schema, l_schema):
+        for name, typ in zip(schema.names, schema.types):
+            out[name] = _arrow_type_of(typ)
+    return out
+
+
+def _arrow_tag(all_cols, types, on, side_code: int, num_buckets: int):
+    """Arrow-native tag stage shared by hash_join/asof_join: widen the
+    batch to the unified schema with TYPED nulls (no pandas, no
+    object-dtype columns crossing the exchange), compute the key hash
+    bucket vectorized, and mark the side with an int8 — the exchange
+    then moves compact typed columns instead of pickled objects."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for c in all_cols:
+            if c in t.column_names:
+                arr = t[c]
+                if arr.type != types[c]:
+                    arr = pc.cast(arr, types[c])
+            else:
+                arr = pa.nulls(n, type=types[c])
+            cols[c] = arr
+        parts = [pc.cast(cols[c], pa.string()) for c in on]
+        if len(parts) == 1:
+            key = parts[0]
+        else:
+            # partially-null composite keys keep a real bucket (they
+            # never match, but outer joins must retain the rows)
+            key = pc.binary_join_element_wise(
+                *parts, _SEP, null_handling="replace", null_replacement="\x00"
+            )
+        bucket = (
+            pd.util.hash_pandas_object(
+                pd.Series(key.to_pandas() if n else [], dtype="object"),
+                index=False,
+            ).to_numpy()
+            % num_buckets
+        ).astype("int64")
+        cols["__side"] = pa.array(np.full(n, side_code, dtype="int8"))
+        cols["__bucket"] = pa.array(bucket)
+        return pa.table(cols)
+
+    return fn
+
+
+_ACERO_JOIN_TYPE = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "outer": "full outer",
+}
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -504,65 +582,43 @@ def hash_join(
 ) -> ray.data.Dataset:
     """Distributed hash equi-join: both sides are tagged, hash-bucketed
     on the key, exchanged ONCE (groupby on the small-int bucket
-    column), and merged per bucket with a vectorized pandas merge.
-    Rows with equal keys land in the same bucket by construction, so
-    the per-bucket merge is the global join. Use when BOTH sides are
-    large; for a small right side prefer :func:`broadcast_join`
-    (no shuffle at all)."""
+    column), and merged per bucket with Arrow's native hash join
+    (Acero ``Table.join``). Rows with equal keys land in the same
+    bucket by construction, so the per-bucket join is the global join.
+    Acero follows SQL NULL semantics (NULL keys never match; outer
+    sides keep their unmatched rows), so no pandas NaN-matching
+    workaround is needed. The whole path is Arrow-native — typed null
+    widening, int8 side tag — so the exchange ships compact typed
+    buffers, not object-dtype pickles. Use when BOTH sides are large;
+    for a small right side prefer :func:`broadcast_join` (no shuffle
+    at all)."""
     on = [on] if isinstance(on, str) else list(on)
-    l_cols = left.schema().names
-    r_cols = right.schema().names
-
-    # both sides are widened to one unified schema (missing columns
-    # null) so the tagged union is well-typed; the per-bucket merge
-    # re-selects each side's true columns.
+    l_schema, r_schema = left.schema(), right.schema()
+    l_cols, r_cols = l_schema.names, r_schema.names
+    overlap = [c for c in l_cols if c in r_cols and c not in on]
+    if overlap:
+        # Acero silently coalesces duplicate output names — refuse
+        raise ValueError(f"non-key columns appear on both sides: {overlap}")
     all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+    types = _unified_arrow_types(l_schema, r_schema)
+    join_type = _ACERO_JOIN_TYPE[how]
 
-    def tag(side: str):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            for c in all_cols:
-                if c not in df.columns:
-                    df[c] = None
-            df = df[all_cols]
-            if len(df):
-                key = df[on[0]].astype(str)
-                for c in on[1:]:
-                    key = key + _SEP + df[c].astype(str)
-                bucket = (
-                    pd.util.hash_pandas_object(key, index=False) % num_buckets
-                ).astype("int64")
-            else:
-                bucket = pd.Series(dtype="int64")
-            df["__side"] = side
-            df["__bucket"] = bucket
-            return df
-
-        return fn
-
-    both = left.map_batches(tag("l"), batch_format="pandas").union(
-        right.map_batches(tag("r"), batch_format="pandas")
+    both = left.map_batches(
+        _arrow_tag(all_cols, types, on, 0, num_buckets), batch_format="pyarrow"
+    ).union(
+        right.map_batches(
+            _arrow_tag(all_cols, types, on, 1, num_buckets),
+            batch_format="pyarrow",
+        )
     )
 
-    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # restore native dtypes lost to the None-widened union
-        lhs = df.loc[df["__side"] == "l", l_cols].infer_objects()
-        rhs = df.loc[df["__side"] == "r", r_cols].infer_objects()
-        # SQL join semantics: NULL keys never match (pandas merge
-        # matches NaN==NaN, which silently diverges from every SQL
-        # engine). Null-key rows are withheld from the match and added
-        # back only where the outer side keeps unmatched rows.
-        l_null = lhs[on].isna().any(axis=1)
-        r_null = rhs[on].isna().any(axis=1)
-        out = lhs[~l_null].merge(rhs[~r_null], on=on, how=how)
-        parts = [out]
-        if how in ("left", "outer") and l_null.any():
-            parts.append(lhs[l_null].reindex(columns=out.columns))
-        if how in ("right", "outer") and r_null.any():
-            parts.append(rhs[r_null].reindex(columns=out.columns))
-        return pd.concat(parts, ignore_index=True) if len(parts) > 1 else out
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        side = t["__side"]
+        lhs = t.filter(pc.equal(side, 0)).select(l_cols)
+        rhs = t.filter(pc.equal(side, 1)).select(r_cols)
+        return lhs.join(rhs, keys=on, join_type=join_type).select(all_cols)
 
-    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 def asof_join(
@@ -588,67 +644,47 @@ def asof_join(
     l_schema, r_schema = left.schema(), right.schema()
     l_cols, r_cols = l_schema.names, r_schema.names
     all_cols = l_cols + [c for c in r_cols if c not in l_cols]
-
-    def _pd_dtypes(schema) -> dict:
-        # Ray's Schema wraps either Arrow types (to_pandas_dtype) or
-        # numpy dtypes (pandas-backed blocks) — accept both.
-        out = {}
-        for name, typ in zip(schema.names, schema.types):
-            try:
-                if hasattr(typ, "to_pandas_dtype"):
-                    out[name] = typ.to_pandas_dtype()
-                else:
-                    out[name] = pd.api.types.pandas_dtype(typ)
-            except (NotImplementedError, TypeError):
-                pass
-        return out
-
-    l_dtypes, r_dtypes = _pd_dtypes(l_schema), _pd_dtypes(r_schema)
-
-    def tag(side: str):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            for c in all_cols:
-                if c not in df.columns:
-                    df[c] = None
-            df = df[all_cols]
-            if len(df):
-                k = df[key[0]].astype(str)
-                for c in key[1:]:
-                    k = k + _SEP + df[c].astype(str)
-                bucket = (
-                    pd.util.hash_pandas_object(k, index=False) % num_buckets
-                ).astype("int64")
-            else:
-                bucket = pd.Series(dtype="int64")
-            df["__side"] = side
-            df["__bucket"] = bucket
-            return df
-
-        return fn
-
-    both = left.map_batches(tag("l"), batch_format="pandas").union(
-        right.map_batches(tag("r"), batch_format="pandas")
+    types = _unified_arrow_types(l_schema, r_schema)
+    out_cols = (
+        l_cols
+        + [f"{time_col}_right"]
+        + [c for c in r_cols if c not in key and c != time_col]
     )
 
-    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        lhs = (
-            df.loc[df["__side"] == "l", l_cols]
-            .astype(l_dtypes)
-            .sort_values(time_col, kind="stable")
+    both = left.map_batches(
+        _arrow_tag(all_cols, types, key, 0, num_buckets), batch_format="pyarrow"
+    ).union(
+        right.map_batches(
+            _arrow_tag(all_cols, types, key, 1, num_buckets),
+            batch_format="pyarrow",
         )
-        rhs = (
-            df.loc[df["__side"] == "r", r_cols]
-            .astype(r_dtypes)
+    )
+
+    # typed empty result so every bucket's output block has one schema
+    _empty = pa.table(
+        {
+            c: pa.nulls(0, type=types[time_col if c == f"{time_col}_right" else c])
+            for c in out_cols
+        }
+    )
+
+    def merge_bucket(t: pa.Table) -> pd.DataFrame:
+        # split sides and select in Arrow FIRST — the per-side pandas
+        # frames then carry native dtypes (no object widening to undo)
+        side = t["__side"]
+        lhs = t.filter(pc.equal(side, 0)).select(l_cols)
+        rhs = t.filter(pc.equal(side, 1)).select(r_cols)
+        if not lhs.num_rows or not rhs.num_rows:
+            return _empty.to_pandas()
+        ldf = lhs.to_pandas().sort_values(time_col, kind="stable")
+        rdf = (
+            rhs.to_pandas()
             .sort_values(time_col, kind="stable")
             .rename(columns={time_col: f"{time_col}_right"})
         )
-        if not len(lhs) or not len(rhs):
-            cols = l_cols + [f"{time_col}_right"] + [c for c in r_cols if c not in key and c != time_col]
-            return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
         out = pd.merge_asof(
-            lhs,
-            rhs,
+            ldf,
+            rdf,
             left_on=time_col,
             right_on=f"{time_col}_right",
             by=key,
@@ -657,7 +693,7 @@ def asof_join(
         # inner semantics: drop left rows with no earlier right row
         return out[out[f"{time_col}_right"].notna()]
 
-    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 def bucketed_group_map(
