@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q.q_decontaminate,
         "pii_scrub": q.q_pii_scrub,
         "pack_sequences": q.q_pack_sequences,
+        "incremental_dedup": q.q_incremental_dedup,
+        "classifier_score": q.q_classifier_score,
         "repetition_stats": q.q_repetition_stats,
         "export_shards": q.q_export_shards,
         "vocab_coverage": q.q_vocab_coverage,

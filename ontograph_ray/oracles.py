@@ -235,6 +235,21 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
        length(text) AS n_chars_computed
 FROM documents""",
+        "incremental_dedup": """
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 3 != 0
+  AND NOT EXISTS (SELECT 1 FROM documents s
+                  WHERE s.doc_id % 3 = 0 AND s.text = d.text)""",
+        # same integer feature counts as text_quality_counts; weights
+        # (3, 10, -5, -1) + bias 200 are the query's contract
+        "classifier_score": r"""
+SELECT doc_id,
+       3 * len(string_split(text, ' '))
+       + 10 * (len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b')))
+       - 5 * len(regexp_extract_all(text, '[^\w\s]'))
+       - 1 * len(text) + 200 AS score,
+       CAST(score >= 0 AS BIGINT) AS keep
+FROM documents""",
         "text_quality_counts": r"""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,

@@ -1276,3 +1276,35 @@ def q_sparql_select(sf_dir: str):
         }}
         """,
     )
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Seen-before filter: docs outside the snapshot (doc_id % 3 != 0)
+    whose text does not occur in the snapshot (doc_id % 3 == 0) —
+    ONE bucketed fingerprint anti-join, no driver materialization."""
+    from .stages.dedup import incremental_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def snapshot(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return batch.filter(pa.array(ids % 3 == 0))
+
+    def fresh(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return batch.filter(pa.array(ids % 3 != 0))
+
+    seen = docs.map_batches(snapshot, batch_format="pyarrow")
+    new = docs.map_batches(fresh, batch_format="pyarrow")
+    return incremental_dedup(new, seen).select_columns(["doc_id"])
+
+
+def q_classifier_score(sf_dir: str):
+    """Broadcast linear quality classifier: integer weights over exact
+    token/stopword/punctuation/char counts; keep = score >= 0."""
+    from .stages.text import classifier_score
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return classifier_score(
+        docs, weights=[3, 10, -5, -1], bias=200, threshold=0
+    )

@@ -732,3 +732,44 @@ def embedding_near_dup_pairs(
     from .ann import self_similarity_pairs
 
     return self_similarity_pairs(emb_ds, threshold, id_col=id_col, vec_col=vec_col)
+
+
+def incremental_dedup(
+    new: ray.data.Dataset,
+    seen: ray.data.Dataset,
+    key: str = "text",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Cross-snapshot dedup — the "seen before" filter of a continuous
+    crawl: rows of ``new`` whose ``key`` content does not already occur
+    in the ``seen`` corpus.
+
+    Scale shape: both sides are reduced to 64-bit content fingerprints
+    (one vectorized row hash per block; the seen side additionally
+    drops to per-block DISTINCT fingerprints as a combiner), then ONE
+    bucketed anti-join on the fingerprint removes the survivors. The
+    seen corpus is never materialized on the driver and never
+    broadcast — at 100 TB each side streams into its fingerprint
+    column and only those 8-byte keys cross the exchange. Rows of
+    ``new`` that duplicate each other are all kept (compose with
+    :func:`exact_dedup` for within-batch dedup).
+    """
+    from ..store.dataset import hash_join
+
+    def fp_of(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["fingerprint"] = pd.util.hash_pandas_object(
+            df[key], index=False
+        ).astype("int64")
+        return df
+
+    def seen_fps(df: pd.DataFrame) -> pd.DataFrame:
+        fps = pd.util.hash_pandas_object(df[key], index=False).astype("int64")
+        return pd.DataFrame({"fingerprint": fps.unique()})
+
+    fp_new = new.map_batches(fp_of, batch_format="pandas")
+    fp_seen = seen.map_batches(seen_fps, batch_format="pandas")
+    out = hash_join(
+        fp_new, fp_seen, on="fingerprint", how="anti", num_buckets=num_buckets
+    )
+    return out.drop_columns(["fingerprint"])

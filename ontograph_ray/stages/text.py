@@ -146,3 +146,73 @@ def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
 
 def fingerprint(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(fingerprint_batch, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Broadcast linear quality classifier (fasttext-style filter stage shape)
+# ---------------------------------------------------------------------------
+
+_MODEL_CACHE: dict = {}
+
+# feature order of the classifier: whitespace tokens, stopword hits
+# ("the"/"a" word matches), punctuation chars, total chars — all exact
+# integer counts so the score is integer and SQL-oracle-able.
+CLASSIFIER_FEATURES = ("n_tokens", "stop_hits", "punct_chars", "n_chars")
+
+
+def _classifier_features(text) -> np.ndarray:
+    """(4, n) int64 feature matrix for a batch — one Arrow kernel per
+    feature, no per-row Python."""
+    n_tokens = pc.list_value_length(pc.split_pattern(text, " "))
+    stop_hits = pc.add(
+        pc.count_substring_regex(text, r"\bthe\b"),
+        pc.count_substring_regex(text, r"\ba\b"),
+    )
+    punct = pc.count_substring_regex(text, r"[^\w\s]")
+    n_chars = pc.utf8_length(text)
+    return np.stack(
+        [
+            pc.cast(f, pa.int64()).to_numpy(zero_copy_only=False)
+            for f in (n_tokens, stop_hits, punct, n_chars)
+        ]
+    )
+
+
+def classifier_score(
+    ds: ray.data.Dataset,
+    weights,
+    bias: int = 0,
+    threshold: int = 0,
+) -> ray.data.Dataset:
+    """Model-scoring stage shape for quality filtering: the (tiny)
+    linear model is ``ray.put`` ONCE and fetched once per worker (the
+    module-level cache keyed on the ref), each batch is scored with one
+    vectorized feature build + dot product. Integer weights over
+    integer counts keep the score exact across engines. Emits
+    (doc_id, score, keep) where keep = score >= threshold.
+
+    The same shape carries a real model at scale: swap the weight
+    vector for model bytes in ``ray.put`` and the dot product for
+    batched inference in ``__call__`` of an actor-pool class — the
+    plumbing (broadcast once, vectorized batch scoring, no driver
+    materialization) is identical."""
+    w = np.asarray(weights, dtype=np.int64)
+    if w.shape != (len(CLASSIFIER_FEATURES),):
+        raise ValueError(f"expected {len(CLASSIFIER_FEATURES)} weights")
+    w_ref = ray.put(w)
+
+    def score(batch: pa.Table, w_ref=None) -> pa.Table:
+        wts = _MODEL_CACHE.get(w_ref.hex())
+        if wts is None:
+            wts = _MODEL_CACHE[w_ref.hex()] = ray.get(w_ref)
+        feats = _classifier_features(batch["text"])
+        s = wts @ feats + bias
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "score": pa.array(s, pa.int64()),
+                "keep": pa.array((s >= threshold).astype("int64")),
+            }
+        )
+
+    return ds.map_batches(score, fn_kwargs={"w_ref": w_ref}, batch_format="pyarrow")

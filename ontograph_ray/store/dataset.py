@@ -570,6 +570,11 @@ _ACERO_JOIN_TYPE = {
     "left": "left outer",
     "right": "right outer",
     "outer": "full outer",
+    # NOT EXISTS / EXISTS: output is the LEFT columns only; null-key
+    # left rows match nothing (kept by anti, dropped by semi) — exactly
+    # SQL's NOT EXISTS, not the NOT IN null trap
+    "anti": "left anti",
+    "semi": "left semi",
 }
 
 
@@ -602,6 +607,7 @@ def hash_join(
     all_cols = l_cols + [c for c in r_cols if c not in l_cols]
     types = _unified_arrow_types(l_schema, r_schema)
     join_type = _ACERO_JOIN_TYPE[how]
+    out_cols = l_cols if how in ("anti", "semi") else all_cols
 
     both = left.map_batches(
         _arrow_tag(all_cols, types, on, 0, num_buckets), batch_format="pyarrow"
@@ -616,7 +622,7 @@ def hash_join(
         side = t["__side"]
         lhs = t.filter(pc.equal(side, 0)).select(l_cols)
         rhs = t.filter(pc.equal(side, 1)).select(r_cols)
-        return lhs.join(rhs, keys=on, join_type=join_type).select(all_cols)
+        return lhs.join(rhs, keys=on, join_type=join_type).select(out_cols)
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 

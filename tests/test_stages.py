@@ -809,3 +809,63 @@ class TestCorpusStats:
         out = {r["doc_id"]: r for r in vocab_coverage(ds, k=3).take_all()}
         assert out[0]["n_in_vocab"] == 4  # aa bb aa cc all in vocab
         assert out[1]["n_in_vocab"] == 1  # only bb
+
+
+class TestIncrementalAndClassifier:
+    """incremental_dedup / classifier_score vs brute-force oracles."""
+
+    def test_incremental_dedup_filters_seen_text(self, ray_session):
+        from ontograph_ray.stages.dedup import incremental_dedup
+
+        seen = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": "alpha beta"},
+                {"doc_id": 3, "text": "gamma delta"},
+            ]
+        )
+        new = ray.data.from_items(
+            [
+                {"doc_id": 10, "text": "alpha beta"},   # seen → dropped
+                {"doc_id": 11, "text": "epsilon zeta"},  # fresh → kept
+                {"doc_id": 12, "text": "gamma delta"},   # seen → dropped
+                {"doc_id": 13, "text": "epsilon zeta"},  # dup within new → kept
+            ]
+        )
+        out = incremental_dedup(new, seen, num_buckets=4).to_pandas()
+        assert sorted(out["doc_id"]) == [11, 13]
+        assert sorted(out.columns) == ["doc_id", "text"]
+
+    def test_incremental_dedup_empty_seen_keeps_all(self, ray_session):
+        from ontograph_ray.stages.dedup import incremental_dedup
+
+        seen = ray.data.from_items([{"doc_id": 0, "text": "never matched"}])
+        new = ray.data.from_items(
+            [{"doc_id": i, "text": f"doc {i}"} for i in range(5)]
+        )
+        out = incremental_dedup(new, seen, num_buckets=4).to_pandas()
+        assert sorted(out["doc_id"]) == list(range(5))
+
+    def test_classifier_score_matches_bruteforce(self, ray_session):
+        import re
+
+        from ontograph_ray.stages.text import classifier_score
+
+        rows = [
+            {"doc_id": 0, "text": "the cat sat on a mat."},
+            {"doc_id": 1, "text": "x!!! y??? z..."},
+            {"doc_id": 2, "text": "a plain sentence with the usual words"},
+        ]
+        w, bias, thr = [3, 10, -5, -1], 200, 0
+
+        def expect(text):
+            n_tokens = len(text.split(" "))
+            stop = len(re.findall(r"\bthe\b", text)) + len(re.findall(r"\ba\b", text))
+            punct = len(re.findall(r"[^\w\s]", text))
+            s = 3 * n_tokens + 10 * stop - 5 * punct - len(text) + bias
+            return s, int(s >= thr)
+
+        ds = ray.data.from_items(rows)
+        out = {r["doc_id"]: (r["score"], r["keep"])
+               for r in classifier_score(ds, w, bias=bias, threshold=thr).take_all()}
+        for r in rows:
+            assert out[r["doc_id"]] == expect(r["text"]), r

@@ -241,6 +241,29 @@ class TestJoins:
         assert outer["b"].isna().sum() == 2  # left rows with no match
         assert outer["a"].isna().sum() == 1  # right null-key row kept
 
+    def test_hash_join_anti_semi(self, ray_session):
+        """anti = NOT EXISTS, semi = EXISTS: output is the left columns
+        only; null-key left rows match nothing (anti keeps them, semi
+        drops them) — NOT the SQL NOT-IN null trap."""
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.store.dataset import hash_join
+
+        left = ray.data.from_pandas(
+            pd.DataFrame({"k": [1.0, 2.0, None, 3.0], "a": ["w", "x", "y", "z"]})
+        )
+        right = ray.data.from_pandas(
+            pd.DataFrame({"k": [2.0, 2.0, None], "b": [20.0, 21.0, 99.0]})
+        )
+        anti = hash_join(left, right, on="k", how="anti", num_buckets=2).to_pandas()
+        assert list(anti.columns) == ["k", "a"]
+        assert sorted(anti["a"]) == ["w", "y", "z"]
+        semi = hash_join(left, right, on="k", how="semi", num_buckets=2).to_pandas()
+        assert list(semi.columns) == ["k", "a"]
+        # semi does not multiply matches: k=2 appears twice on the right
+        assert sorted(semi["a"]) == ["x"]
+
     def test_asof_join_interleaved(self, ray_session):
         """Non-degenerate as-of: right rows interleave with left times,
         so each left row matches a DIFFERENT most-recent right row;
