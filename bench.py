@@ -56,6 +56,12 @@ SCALE_REPEATS = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
 # The DRAM-saturated leg — run once and REPORTED (not gated) so the
 # throttled single-box number stays visible next to the headline pair.
 SCALE_EXTRA = int(os.environ.get("GRAFT_SCALE_EXTRA", "32"))
+# Same-code headline runs minutes apart have measured 18s vs 28s on
+# this shared box — the headline is the MEDIAN of N back-to-back runs
+# (all walls disclosed in the JSON) so one noisy window doesn't decide
+# the graded number. Scaling children keep 1 (they have their own
+# median-of-repeats discipline across fresh processes).
+HEADLINE_REPEATS = int(os.environ.get("GRAFT_HEADLINE_REPEATS", "3"))
 
 # Timed subset of the queries() registry (heavier, shuffle-bearing ops).
 BENCH_QUERIES = [
@@ -114,7 +120,9 @@ def _consume(result) -> int:
     return len(result)
 
 
-def run_headline(num_cpus: int, amplify: int) -> dict:
+def run_headline(num_cpus: int, amplify: int, repeats: int = 1) -> dict:
+    import statistics
+
     from ontograph_ray.pipelines.kg import build_kg
 
     # Warm the worker pool first (a tiny end-to-end run) so the timed
@@ -123,16 +131,26 @@ def run_headline(num_cpus: int, amplify: int) -> dict:
     # long-lived cluster is always warm.
     build_kg("/root/testdata/sf0.001", amplify=1).triples.count()
 
-    t0 = time.time()
-    res = build_kg(SF_DIR, amplify=amplify, dedup_buckets=max(16, num_cpus * 2))
-    triples = res.triples.count()
-    wall = time.time() - t0
-    return {
-        "sec": round(wall, 3),
+    walls, triples = [], None
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        res = build_kg(SF_DIR, amplify=amplify, dedup_buckets=max(16, num_cpus * 2))
+        n = res.triples.count()
+        walls.append(round(time.time() - t0, 3))
+        if triples is None:
+            triples = n
+        elif n != triples:  # determinism check across repeats, for free
+            raise AssertionError(f"triple count drifted across runs: {triples} vs {n}")
+    wall = statistics.median(walls)
+    out = {
+        "sec": wall,
         "triples": triples,
         "triples_per_sec": round(triples / wall, 1),
         "amplify": amplify,
     }
+    if len(walls) > 1:
+        out["repeats_sec"] = walls
+    return out
 
 
 def run_queries() -> dict:
@@ -151,7 +169,7 @@ def run_queries() -> dict:
 def main_bench() -> None:
     _init_ray(NUM_CPUS)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    head = run_headline(NUM_CPUS, AMPLIFY)
+    head = run_headline(NUM_CPUS, AMPLIFY, repeats=HEADLINE_REPEATS)
     queries = run_queries()
     import ray
 
@@ -168,6 +186,11 @@ def main_bench() -> None:
                 "amplify": head["amplify"],
                 "triples": head["triples"],
                 "triples_per_sec": head["triples_per_sec"],
+                **(
+                    {"repeats_sec": head["repeats_sec"]}
+                    if "repeats_sec" in head
+                    else {}
+                ),
             }
         )
     )
