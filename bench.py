@@ -3,7 +3,7 @@
 Headline pipeline: the P1-P7 web-page → triple-store KG construction
 (`ontograph_ray.pipelines.kg.build_kg`) over ``$GRAFT_SF_DIR``
 (default ``/root/testdata/sf0.1``), with the page table amplified
-``$GRAFT_AMPLIFY``× (default 100) so the run is compute-bound enough to
+``$GRAFT_AMPLIFY``× (default 400) so the run is compute-bound enough to
 measure — the sandbox stand-in for a real crawl shard. Also times a
 representative subset of the `queries()` registry.
 

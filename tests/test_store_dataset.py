@@ -264,6 +264,33 @@ class TestJoins:
         # semi does not multiply matches: k=2 appears twice on the right
         assert sorted(semi["a"]) == ["x"]
 
+    def test_hash_join_dictionary_encoded_inputs(self, ray_session):
+        """The KG fast path emits dictionary-encoded string columns;
+        joins must decode them (unified-type cast) and still match a
+        plain-string join exactly."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from ontograph_ray.store.dataset import hash_join
+
+        plain = pa.table({"k": ["a", "b", "c"], "v": [1, 2, 3]})
+        encoded = pa.table(
+            {"k": pa.array(["a", "b", "c"]).dictionary_encode(), "v": [1, 2, 3]}
+        )
+        right = ray.data.from_arrow(pa.table({"k": ["a", "c"], "w": [10, 30]}))
+
+        def run(tbl):
+            return (
+                hash_join(ray.data.from_arrow(tbl), right, on="k", num_buckets=2)
+                .to_pandas()
+                .sort_values("k")
+                .reset_index(drop=True)
+            )
+
+        pd.testing.assert_frame_equal(run(plain), run(encoded))
+        assert sorted(run(encoded)["w"]) == [10, 30]
+
     def test_asof_join_interleaved(self, ray_session):
         """Non-degenerate as-of: right rows interleave with left times,
         so each left row matches a DIFFERENT most-recent right row;
