@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.q_pack_sequences,
         "incremental_dedup": q.q_incremental_dedup,
         "classifier_score": q.q_classifier_score,
+        "domain_cap": q.q_domain_cap,
         "repetition_stats": q.q_repetition_stats,
         "export_shards": q.q_export_shards,
         "vocab_coverage": q.q_vocab_coverage,

@@ -1308,3 +1308,12 @@ def q_classifier_score(sf_dir: str):
     return classifier_score(
         docs, weights=[3, 10, -5, -1], bias=200, threshold=0
     )
+
+
+def q_domain_cap(sf_dir: str):
+    """Per-domain cap: at most 10 docs per source, smallest doc_ids
+    win (deterministic, RNG-free)."""
+    from .stages.dedup import group_cap
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return group_cap(docs, key="source", cap=10, order_col="doc_id")

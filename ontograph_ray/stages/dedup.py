@@ -773,3 +773,50 @@ def incremental_dedup(
         fp_new, fp_seen, on="fingerprint", how="anti", num_buckets=num_buckets
     )
     return out.drop_columns(["fingerprint"])
+
+
+def group_cap(
+    ds: ray.data.Dataset,
+    key: str = "source",
+    cap: int = 10,
+    order_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-group cap sampling — the per-domain cap of Common-Crawl-style
+    corpus prep (at most ``cap`` documents per domain/source, so no
+    single site dominates the training mix). Keeps the first ``cap``
+    rows of each ``key`` group in ascending ``order_col`` order — a
+    deterministic winner set, no RNG.
+
+    Same scale shape as :func:`exact_dedup` (which is the cap=1 case on
+    a content key): a per-block combiner keeps at most ``cap`` rows per
+    key (a superset of the global winners, since the global first-cap
+    of a group is contained in the union of per-block first-caps), then
+    ONE bucketed exchange co-locates each key and re-applies the same
+    rule. Only ≤ cap rows per key per block cross the wire."""
+
+    def local_cap(df: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            df.sort_values(order_col, kind="stable")
+            .groupby(key, sort=False)
+            .head(cap)
+            .copy()
+        )
+        df["__bucket"] = (
+            pd.util.hash_pandas_object(df[key], index=False) % num_buckets
+        ).astype("int64")
+        return df
+
+    def bucket_cap(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.sort_values(order_col, kind="stable")
+            .groupby(key, sort=False)
+            .head(cap)
+        )
+        return out.drop(columns=["__bucket"])
+
+    return (
+        ds.map_batches(local_cap, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(bucket_cap, batch_format="pandas")
+    )

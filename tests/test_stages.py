@@ -869,3 +869,29 @@ class TestIncrementalAndClassifier:
                for r in classifier_score(ds, w, bias=bias, threshold=thr).take_all()}
         for r in rows:
             assert out[r["doc_id"]] == expect(r["text"]), r
+
+
+class TestGroupCap:
+    def test_group_cap_matches_bruteforce(self, ray_session):
+        from ontograph_ray.stages.dedup import group_cap
+
+        rows = [
+            {"doc_id": i, "source": f"s{i % 3}"} for i in range(20)
+        ]
+        ds = ray.data.from_items(rows).repartition(4)
+        out = group_cap(ds, key="source", cap=2, order_col="doc_id").to_pandas()
+        # brute force: first 2 ids per source
+        expect = {}
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            expect.setdefault(r["source"], []).append(r["doc_id"])
+        want = sorted(i for ids in expect.values() for i in ids[:2])
+        assert sorted(out["doc_id"]) == want
+
+    def test_group_cap_larger_than_group_keeps_all(self, ray_session):
+        from ontograph_ray.stages.dedup import group_cap
+
+        ds = ray.data.from_items(
+            [{"doc_id": i, "source": "only"} for i in range(5)]
+        )
+        out = group_cap(ds, key="source", cap=100).to_pandas()
+        assert sorted(out["doc_id"]) == list(range(5))
