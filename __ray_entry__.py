@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q.q_incremental_dedup,
         "classifier_score": q.q_classifier_score,
         "domain_cap": q.q_domain_cap,
+        "jsonl_roundtrip": q.q_jsonl_roundtrip,
         "repetition_stats": q.q_repetition_stats,
         "export_shards": q.q_export_shards,
         "vocab_coverage": q.q_vocab_coverage,

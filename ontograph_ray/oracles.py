@@ -235,6 +235,9 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
        length(text) AS n_chars_computed
 FROM documents""",
+        "jsonl_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
         "domain_cap": """
 SELECT doc_id, source FROM documents
 QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10""",

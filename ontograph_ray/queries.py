@@ -1317,3 +1317,16 @@ def q_domain_cap(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "source"])
     return group_cap(docs, key="source", cap=10, order_col="doc_id")
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL interchange round-trip: documents → partitioned JSONL sink
+    → typed reader; oracle is the original table (set equality proves
+    losslessness, the G15/G18 pattern applied to the corpus format)."""
+    import tempfile
+
+    from .sources.jsonl import read_documents_jsonl, write_documents_jsonl
+
+    out = tempfile.mkdtemp(prefix="og_jsonl_", dir="/tmp")
+    write_documents_jsonl(_read(sf_dir, "documents"), out)
+    return read_documents_jsonl(out)

@@ -895,3 +895,38 @@ class TestGroupCap:
         )
         out = group_cap(ds, key="source", cap=100).to_pandas()
         assert sorted(out["doc_id"]) == list(range(5))
+
+
+class TestJsonlSource:
+    def test_jsonl_roundtrip_exact(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from ontograph_ray.sources.jsonl import (
+            read_documents_jsonl,
+            write_documents_jsonl,
+        )
+
+        rows = [
+            {"doc_id": i, "text": f"doc {i} text", "lang": "en",
+             "source": f"s{i % 2}", "n_chars": 10 + i}
+            for i in range(7)
+        ]
+        ds = ray.data.from_items(rows).repartition(3)
+        out = str(tmp_path / "jsonl")
+        write_documents_jsonl(ds, out)
+        back = read_documents_jsonl(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        want = pd.DataFrame(rows)
+        pd.testing.assert_frame_equal(back, want)
+
+    def test_jsonl_reader_column_pruning(self, ray_session, tmp_path):
+        from ontograph_ray.sources.jsonl import (
+            read_documents_jsonl,
+            write_documents_jsonl,
+        )
+
+        rows = [{"doc_id": 1, "text": "t", "lang": "en", "source": "s", "n_chars": 1}]
+        out = str(tmp_path / "jsonl")
+        write_documents_jsonl(ray.data.from_items(rows), out)
+        got = read_documents_jsonl(out, columns=["doc_id", "lang"]).to_pandas()
+        assert list(got.columns) == ["doc_id", "lang"]
+        assert got["doc_id"].tolist() == [1]
