@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "kg_sameas_components",
     "decontaminate",
     "pack_sequences",
+    "incremental_dedup",
+    "domain_cap",
 ]
 
 
