@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_score": q.q_classifier_score,
         "domain_cap": q.q_domain_cap,
         "jsonl_roundtrip": q.q_jsonl_roundtrip,
+        "sparql_filter": q.q_sparql_filter,
         "repetition_stats": q.q_repetition_stats,
         "export_shards": q.q_export_shards,
         "vocab_coverage": q.q_vocab_coverage,

@@ -98,6 +98,13 @@ JOIN t t3 ON t3.subject = t1.subject
 WHERE t1.predicate = '{RDF_TYPE_T}' AND t1.object = '<{CUST_CLASS}>'
   AND t2.predicate = '<{IN_NATION}>'
   AND t3.predicate = '<{SEGMENT}>' AND t3.object = '"BUILDING"'""",
+        "sparql_filter": f"""{_T}
+SELECT t2.subject AS cust, t2.object AS seg
+FROM t t1
+JOIN t t2 ON t2.subject = t1.subject
+WHERE t1.predicate = '{RDF_TYPE_T}' AND t1.object = '<{CUST_CLASS}>'
+  AND t2.predicate = '<{SEGMENT}>' AND t2.object != '"BUILDING"'
+  AND regexp_matches(t2.object, '^.(AUTO|HOUSE)')""",
         "add_unchecked_dedup": f"{_T} SELECT DISTINCT * FROM t",
         "add_checked_atomic": f"""{TRIPLES_SQL}
 UNION ALL

@@ -1330,3 +1330,25 @@ def q_jsonl_roundtrip(sf_dir: str):
     out = tempfile.mkdtemp(prefix="og_jsonl_", dir="/tmp")
     write_documents_jsonl(_read(sf_dir, "documents"), out)
     return read_documents_jsonl(out)
+
+
+def q_sparql_filter(sf_dir: str):
+    """E8 extension: FILTER(!= term) + FILTER regex applied after the
+    BGP join — streaming vectorized kernels over the encoded terms."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX rel: <urn:og:rel/>
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?cust ?seg WHERE {{
+          ?cust a <{CUST_CLASS}> .
+          ?cust attr:mktsegment ?seg .
+          FILTER ( ?seg != "BUILDING" ) .
+          FILTER regex ( ?seg , "^.(AUTO|HOUSE)" )
+        }}
+        """,
+    )

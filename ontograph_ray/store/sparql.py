@@ -21,6 +21,9 @@ silently misanswering):
                                       | "lit" | "lit"@lang
                                       | "lit"^^<dt> | "lit"^^pfx:local
                                       | a  (= rdf:type, predicate slot)
+      FILTER ( ?v = term )            (term equality on the encoded term)
+      FILTER ( ?v != term )
+      FILTER regex ( ?v , "re" )      (RE2 over the encoded term string)
     ORDER BY ?v ...                   (optional)
     LIMIT n                           (optional)
 
@@ -62,7 +65,8 @@ _TOKEN = re.compile(
         (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       | (?P<uri><[^<>\s]*>)
       | (?P<lit>"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+|\^\^(?:<[^<>\s]*>|[A-Za-z_][\w-]*:[\w-]+))?)
-      | (?P<punct>[{}.])
+      | (?P<punct>[{}.(),])
+      | (?P<op>!=|=)
       | (?P<num>\d+)
       | (?P<word>[A-Za-z_][\w-]*(?::[\w-]*)?|\*)
     )""",
@@ -88,6 +92,8 @@ class _Query:
     select: list[str]  # variable names without '?', or ['*']
     distinct: bool
     patterns: list[tuple[str, str, str]]  # encoded term or '?var' per slot
+    filters: list[tuple[str, str, str]] = field(default_factory=list)
+    #         (op, var, value): op ∈ {"eq", "ne", "regex"}
     order_by: list[str] = field(default_factory=list)
     limit: int | None = None
 
@@ -156,7 +162,49 @@ def parse(text: str) -> _Query:
     if take().upper() != "WHERE" or take() != "{":
         raise SparqlSyntaxError("expected WHERE {")
     patterns: list[tuple[str, str, str]] = []
+    filters: list[tuple[str, str, str]] = []
+
+    def take_filter() -> None:
+        # FILTER ( ?v = term ) | FILTER ( ?v != term )
+        # | FILTER regex ( ?v , "pattern" )
+        head = take()
+        if head.lower() == "regex":
+            if take() != "(":
+                raise SparqlSyntaxError("expected ( after FILTER regex")
+            var = take()
+            if not var.startswith("?"):
+                raise SparqlSyntaxError("FILTER regex needs a ?variable")
+            if take() != ",":
+                raise SparqlSyntaxError("expected , in FILTER regex")
+            pat = take()
+            if not (pat.startswith('"') and pat.endswith('"')):
+                raise SparqlSyntaxError("FILTER regex needs a plain \"pattern\"")
+            if take() != ")":
+                raise SparqlSyntaxError("expected ) closing FILTER regex")
+            filters.append(("regex", var[1:], pat[1:-1]))
+            return
+        if head != "(":
+            raise SparqlSyntaxError(f"expected ( or regex after FILTER, got {head!r}")
+        var = take()
+        if not var.startswith("?"):
+            raise SparqlSyntaxError("FILTER needs a ?variable on the left")
+        op = take()
+        if op not in ("=", "!="):
+            raise SparqlUnsupportedError(f"unsupported FILTER operator {op!r}")
+        val = _expand(take(), prefixes, "object")
+        if val.startswith("?"):
+            raise SparqlUnsupportedError("variable-to-variable FILTER not supported")
+        if take() != ")":
+            raise SparqlSyntaxError("expected ) closing FILTER")
+        filters.append(("eq" if op == "=" else "ne", var[1:], val))
+
     while peek() != "}":
+        if peek().upper() == "FILTER":
+            take()
+            take_filter()
+            if peek() == ".":
+                take()
+            continue
         s = _expand(take(), prefixes, "subject")
         p = _expand(take(), prefixes, "predicate")
         o = _expand(take(), prefixes, "object")
@@ -185,7 +233,7 @@ def parse(text: str) -> _Query:
             limit = int(n)
         else:
             raise SparqlUnsupportedError(f"unsupported clause {kw!r}")
-    return _Query(select, distinct, patterns, order_by, limit)
+    return _Query(select, distinct, patterns, filters, order_by, limit)
 
 
 def _pattern_bindings(
@@ -254,6 +302,35 @@ def sparql_select(
             )
         joined = dstore.hash_join(joined, ds, on=shared, how="inner")
         bound += [v for v in vars_ if v not in bound]
+
+    if q.filters:
+        # applied after the BGP joins, while every bound variable is in
+        # scope (filters may reference unselected vars). eq/ne compare
+        # the full NTriples-encoded term (SPARQL term equality); regex
+        # matches the encoded term string — one vectorized kernel per
+        # filter, streaming.
+        bad = [v for _, v, _ in q.filters if v not in bound]
+        if bad:
+            raise SparqlSyntaxError(f"FILTER variables never bound: {bad}")
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        filters = list(q.filters)
+
+        def apply_filters(batch: pa.Table) -> pa.Table:
+            mask = None
+            for op, var, val in filters:
+                col = batch[var]
+                if op == "eq":
+                    m = pc.equal(col, val)
+                elif op == "ne":
+                    m = pc.not_equal(col, val)
+                else:
+                    m = pc.match_substring_regex(col, val)
+                mask = m if mask is None else pc.and_(mask, m)
+            return batch.filter(mask)
+
+        joined = joined.map_batches(apply_filters, batch_format="pyarrow")
 
     cols = bound if q.select == ["*"] else q.select
     missing = [c for c in cols if c not in bound]

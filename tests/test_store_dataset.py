@@ -570,6 +570,50 @@ class TestSparql:
         out = self._q(ds, "SELECT ?x WHERE { ?x <urn:loves> ?x . }")
         assert out["x"].tolist() == ["<urn:n1>"]
 
+    def test_filter_eq_ne_regex(self, dstore):
+        # FILTER(?o = "lit2"@de): term equality on the encoded term
+        out = self._q(
+            dstore,
+            'SELECT ?s ?o WHERE { ?s ?p ?o . FILTER ( ?o = "lit2"@de ) }',
+        )
+        assert out.values.tolist() == [[f"<{G}#c>", '"lit2"@de']]
+        # != drops exactly that binding
+        all_o = self._q(dstore, "SELECT ?o WHERE { ?s ?p ?o . }")
+        ne = self._q(
+            dstore,
+            'SELECT ?o WHERE { ?s ?p ?o . FILTER ( ?o != "lit2"@de ) }',
+        )
+        assert len(ne) == len(all_o) - 1 and '"lit2"@de' not in ne["o"].tolist()
+        # regex over the encoded term string
+        rex = self._q(
+            dstore,
+            'SELECT DISTINCT ?o WHERE { ?s ?p ?o . FILTER regex ( ?o , "lit[12]" ) } ORDER BY ?o',
+        )
+        assert rex["o"].tolist() == ['"lit1"', '"lit2"@de']
+
+    def test_filter_on_unselected_var_and_errors(self, dstore):
+        from ontograph_ray.store.sparql import (
+            SparqlSyntaxError,
+            SparqlUnsupportedError,
+            sparql_select,
+        )
+
+        # filter var need not be selected
+        out = self._q(
+            dstore,
+            f'PREFIX f: <{G}#> SELECT ?s WHERE '
+            '{ ?s ?p ?o . FILTER regex ( ?o , "lit1" ) }',
+        )
+        assert out["s"].tolist() == [f"<{G}#c>"]
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(
+                dstore, 'SELECT ?s WHERE { ?s ?p ?o . FILTER ( ?z = "x" ) }'
+            )
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(
+                dstore, "SELECT ?s WHERE { ?s ?p ?o . FILTER ( ?o != ?s ) }"
+            )
+
     def test_errors(self, dstore):
         from ontograph_ray.store.sparql import (
             SparqlSyntaxError,
