@@ -105,6 +105,12 @@ JOIN t t2 ON t2.subject = t1.subject
 WHERE t1.predicate = '{RDF_TYPE_T}' AND t1.object = '<{CUST_CLASS}>'
   AND t2.predicate = '<{SEGMENT}>' AND t2.object != '"BUILDING"'
   AND regexp_matches(t2.object, '^.(AUTO|HOUSE)')""",
+        "sparql_optional": f"""{_T}
+SELECT t1.subject AS x, t1.object AS t, t2.object AS lbl
+FROM t t1
+LEFT JOIN t t2 ON t2.subject = t1.subject
+  AND t2.predicate = '<http://www.w3.org/2000/01/rdf-schema#label>'
+WHERE t1.predicate = '{RDF_TYPE_T}'""",
         "add_unchecked_dedup": f"{_T} SELECT DISTINCT * FROM t",
         "add_checked_atomic": f"""{TRIPLES_SQL}
 UNION ALL

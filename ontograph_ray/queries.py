@@ -1352,3 +1352,22 @@ def q_sparql_filter(sf_dir: str):
         }}
         """,
     )
+
+
+def q_sparql_optional(sf_dir: str):
+    """E8 extension: OPTIONAL left-join — every typed entity with its
+    rdfs:label where one exists (customers have none → NULL binding)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?x ?t ?lbl WHERE {
+          ?x a ?t .
+          OPTIONAL { ?x rdfs:label ?lbl }
+        }
+        """,
+    )

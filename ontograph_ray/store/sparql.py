@@ -24,6 +24,8 @@ silently misanswering):
       FILTER ( ?v = term )            (term equality on the encoded term)
       FILTER ( ?v != term )
       FILTER regex ( ?v , "re" )      (RE2 over the encoded term string)
+      OPTIONAL { s p o . ... }        (left join; group-only vars NULL
+                                      on unmatched rows; no nesting)
     ORDER BY ?v ...                   (optional)
     LIMIT n                           (optional)
 
@@ -94,6 +96,7 @@ class _Query:
     patterns: list[tuple[str, str, str]]  # encoded term or '?var' per slot
     filters: list[tuple[str, str, str]] = field(default_factory=list)
     #         (op, var, value): op ∈ {"eq", "ne", "regex"}
+    optionals: list[list[tuple[str, str, str]]] = field(default_factory=list)
     order_by: list[str] = field(default_factory=list)
     limit: int | None = None
 
@@ -198,6 +201,16 @@ def parse(text: str) -> _Query:
             raise SparqlSyntaxError("expected ) closing FILTER")
         filters.append(("eq" if op == "=" else "ne", var[1:], val))
 
+    optionals: list[list[tuple[str, str, str]]] = []
+
+    def take_pattern(into: list) -> None:
+        s = _expand(take(), prefixes, "subject")
+        p = _expand(take(), prefixes, "predicate")
+        o = _expand(take(), prefixes, "object")
+        into.append((s, p, o))
+        if peek() == ".":
+            take()
+
     while peek() != "}":
         if peek().upper() == "FILTER":
             take()
@@ -205,12 +218,25 @@ def parse(text: str) -> _Query:
             if peek() == ".":
                 take()
             continue
-        s = _expand(take(), prefixes, "subject")
-        p = _expand(take(), prefixes, "predicate")
-        o = _expand(take(), prefixes, "object")
-        patterns.append((s, p, o))
-        if peek() == ".":
+        if peek().upper() == "OPTIONAL":
             take()
+            if take() != "{":
+                raise SparqlSyntaxError("expected { after OPTIONAL")
+            grp: list[tuple[str, str, str]] = []
+            while peek() != "}":
+                if peek().upper() in ("FILTER", "OPTIONAL"):
+                    raise SparqlUnsupportedError(
+                        "nested FILTER/OPTIONAL inside OPTIONAL is not supported"
+                    )
+                take_pattern(grp)
+            take()  # '}'
+            if not grp:
+                raise SparqlSyntaxError("empty OPTIONAL group")
+            optionals.append(grp)
+            if peek() == ".":
+                take()
+            continue
+        take_pattern(patterns)
     take()  # '}'
     if not patterns:
         raise SparqlSyntaxError("empty graph pattern")
@@ -233,7 +259,7 @@ def parse(text: str) -> _Query:
             limit = int(n)
         else:
             raise SparqlUnsupportedError(f"unsupported clause {kw!r}")
-    return _Query(select, distinct, patterns, filters, order_by, limit)
+    return _Query(select, distinct, patterns, filters, optionals, order_by, limit)
 
 
 def _pattern_bindings(
@@ -269,16 +295,14 @@ def _pattern_bindings(
     return ds.map_batches(project, batch_format="pyarrow"), list(var_cols)
 
 
-def sparql_select(
-    store: "dstore.DatasetGraphStore", query: str
-) -> ray.data.Dataset:
-    """Execute a SPARQL SELECT (see module doc for the subset) against
-    the store; returns a Dataset with one column per selected variable,
-    values in the engine's NTriples term encoding."""
-    q = parse(query)
+def _join_patterns(
+    store: "dstore.DatasetGraphStore", patterns
+) -> tuple[ray.data.Dataset, list[str]]:
+    """Compile a connected pattern group into one bindings Dataset:
+    each pattern scans, then inner hash joins on the shared variables."""
     joined: ray.data.Dataset | None = None
     bound: list[str] = []
-    for pat in q.patterns:
+    for pat in patterns:
         ds, vars_ = _pattern_bindings(store, pat)
         # Pin each pattern's bindings: a BGP join plan that embeds N
         # copies of the store's (possibly union-shaped) build DAG under
@@ -302,6 +326,33 @@ def sparql_select(
             )
         joined = dstore.hash_join(joined, ds, on=shared, how="inner")
         bound += [v for v in vars_ if v not in bound]
+    return joined, bound
+
+
+def sparql_select(
+    store: "dstore.DatasetGraphStore", query: str
+) -> ray.data.Dataset:
+    """Execute a SPARQL SELECT (see module doc for the subset) against
+    the store; returns a Dataset with one column per selected variable,
+    values in the engine's NTriples term encoding (optional-only
+    variables are NULL on rows their group did not match)."""
+    q = parse(query)
+    joined, bound = _join_patterns(store, q.patterns)
+
+    for grp in q.optionals:
+        # OPTIONAL { ... } = left outer join of the (internally inner-
+        # joined) group bindings onto the rows so far; unmatched rows
+        # keep null bindings for the group-only variables — exactly
+        # SPARQL's OPTIONAL semantics for var-disjoint filters.
+        grp_ds, grp_vars = _join_patterns(store, grp)
+        shared = [v for v in grp_vars if v in bound]
+        if not shared:
+            raise SparqlUnsupportedError(
+                "OPTIONAL group shares no variable with the required "
+                "patterns — cartesian products are refused"
+            )
+        joined = dstore.hash_join(joined, grp_ds, on=shared, how="left")
+        bound += [v for v in grp_vars if v not in bound]
 
     if q.filters:
         # applied after the BGP joins, while every bound variable is in

@@ -591,6 +591,51 @@ class TestSparql:
         )
         assert rex["o"].tolist() == ['"lit1"', '"lit2"@de']
 
+    def test_optional_left_join(self, ray_session):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:p1"), r("urn:name"), l("alice")),
+            new_triple(r("urn:p2"), r("urn:name"), l("bob")),
+            new_triple(r("urn:p1"), r("urn:email"), l("a@x")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        out = (
+            self._q(
+                ds,
+                "SELECT ?p ?n ?e WHERE { ?p <urn:name> ?n . "
+                "OPTIONAL { ?p <urn:email> ?e } } ORDER BY ?n",
+            )
+        )
+        assert out["n"].tolist() == ['"alice"', '"bob"']
+        assert out["e"].tolist()[0] == '"a@x"'
+        assert out["e"].isna().tolist() == [False, True]
+
+    def test_optional_errors(self, dstore):
+        from ontograph_ray.store.sparql import (
+            SparqlSyntaxError,
+            SparqlUnsupportedError,
+            sparql_select,
+        )
+
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(
+                dstore,
+                "SELECT ?s WHERE { ?s ?p ?o . OPTIONAL { ?x ?q ?y } }",
+            )
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(
+                dstore, "SELECT ?s WHERE { ?s ?p ?o . OPTIONAL { } }"
+            )
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(
+                dstore,
+                'SELECT ?s WHERE { ?s ?p ?o . OPTIONAL { ?s ?q ?z . FILTER ( ?z = "x" ) } }',
+            )
+
     def test_filter_on_unselected_var_and_errors(self, dstore):
         from ontograph_ray.store.sparql import (
             SparqlSyntaxError,
