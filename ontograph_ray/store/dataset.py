@@ -618,10 +618,16 @@ def hash_join(
         )
     )
 
+    l_schema_pa = pa.schema([(c, types[c]) for c in l_cols])
+    r_schema_pa = pa.schema([(c, types[c]) for c in r_cols])
+
     def merge_bucket(t: pa.Table) -> pa.Table:
         side = t["__side"]
-        lhs = t.filter(pc.equal(side, 0)).select(l_cols)
-        rhs = t.filter(pc.equal(side, 1)).select(r_cols)
+        # re-assert the unified types: the exchange may normalize
+        # blocks through pandas, which turns an all-null typed column
+        # into Arrow `null` — a type Acero refuses in join fields
+        lhs = t.filter(pc.equal(side, 0)).select(l_cols).cast(l_schema_pa)
+        rhs = t.filter(pc.equal(side, 1)).select(r_cols).cast(r_schema_pa)
         return lhs.join(rhs, keys=on, join_type=join_type).select(out_cols)
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
@@ -674,12 +680,17 @@ def asof_join(
         }
     )
 
+    _l_schema_pa = pa.schema([(c, types[c]) for c in l_cols])
+    _r_schema_pa = pa.schema([(c, types[c]) for c in r_cols])
+
     def merge_bucket(t: pa.Table) -> pd.DataFrame:
         # split sides and select in Arrow FIRST — the per-side pandas
-        # frames then carry native dtypes (no object widening to undo)
+        # frames then carry native dtypes (no object widening to undo);
+        # the cast re-asserts unified types against the exchange's
+        # pandas normalization of all-null columns (→ Arrow `null`)
         side = t["__side"]
-        lhs = t.filter(pc.equal(side, 0)).select(l_cols)
-        rhs = t.filter(pc.equal(side, 1)).select(r_cols)
+        lhs = t.filter(pc.equal(side, 0)).select(l_cols).cast(_l_schema_pa)
+        rhs = t.filter(pc.equal(side, 1)).select(r_cols).cast(_r_schema_pa)
         if not lhs.num_rows or not rhs.num_rows:
             return _empty.to_pandas()
         ldf = lhs.to_pandas().sort_values(time_col, kind="stable")

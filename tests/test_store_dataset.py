@@ -291,6 +291,24 @@ class TestJoins:
         pd.testing.assert_frame_equal(run(plain), run(encoded))
         assert sorted(run(encoded)["w"]) == [10, 30]
 
+    def test_hash_join_empty_sides(self, ray_session):
+        """Empty right/left sides: inner joins are empty, left joins
+        keep the non-empty side with typed null columns."""
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.store.dataset import hash_join
+
+        left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "a": ["x", "y"]}))
+        empty = ray.data.from_pandas(pd.DataFrame({"k": pd.Series(dtype="int64"),
+                                                   "b": pd.Series(dtype="int64")}))
+        assert hash_join(left, empty, on="k", num_buckets=2).count() == 0
+        out = hash_join(left, empty, on="k", how="left", num_buckets=2).to_pandas()
+        assert sorted(out["a"]) == ["x", "y"] and out["b"].isna().all()
+        assert hash_join(empty, left.map_batches(
+            lambda df: df.rename(columns={"a": "c"}), batch_format="pandas"
+        ), on="k", num_buckets=2).count() == 0
+
     def test_asof_join_interleaved(self, ray_session):
         """Non-degenerate as-of: right rows interleave with left times,
         so each left row matches a DIFFERENT most-recent right row;
