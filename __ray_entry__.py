@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": q.q_jsonl_roundtrip,
         "sparql_filter": q.q_sparql_filter,
         "sparql_optional": q.q_sparql_optional,
+        "sparql_union": q.q_sparql_union,
         "repetition_stats": q.q_repetition_stats,
         "export_shards": q.q_export_shards,
         "vocab_coverage": q.q_vocab_coverage,

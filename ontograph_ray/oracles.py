@@ -111,6 +111,12 @@ FROM t t1
 LEFT JOIN t t2 ON t2.subject = t1.subject
   AND t2.predicate = '<http://www.w3.org/2000/01/rdf-schema#label>'
 WHERE t1.predicate = '{RDF_TYPE_T}'""",
+        "sparql_union": f"""{_T}
+SELECT subject AS cust, object AS seg FROM t
+WHERE predicate = '<{SEGMENT}>' AND object = '"BUILDING"'
+UNION ALL
+SELECT subject AS cust, object AS seg FROM t
+WHERE predicate = '<{SEGMENT}>' AND object = '"MACHINERY"'""",
         "add_unchecked_dedup": f"{_T} SELECT DISTINCT * FROM t",
         "add_checked_atomic": f"""{TRIPLES_SQL}
 UNION ALL

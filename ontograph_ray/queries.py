@@ -1371,3 +1371,24 @@ def q_sparql_optional(sf_dir: str):
         }
         """,
     )
+
+
+def q_sparql_union(sf_dir: str):
+    """E8 extension: UNION — bag union of two BGP branches (customers
+    in BUILDING plus customers in MACHINERY), each an independent
+    distributed BGP join."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?cust ?seg WHERE {
+          { ?cust attr:mktsegment "BUILDING" . ?cust attr:mktsegment ?seg }
+          UNION
+          { ?cust attr:mktsegment "MACHINERY" . ?cust attr:mktsegment ?seg }
+        }
+        """,
+    )

@@ -26,6 +26,8 @@ silently misanswering):
       FILTER regex ( ?v , "re" )      (RE2 over the encoded term string)
       OPTIONAL { s p o . ... }        (left join; group-only vars NULL
                                       on unmatched rows; no nesting)
+    WHERE { { BGP } UNION { BGP } .. }  (bag union; branches are plain
+                                      BGPs binding the SAME variables)
     ORDER BY ?v ...                   (optional)
     LIMIT n                           (optional)
 
@@ -97,6 +99,8 @@ class _Query:
     filters: list[tuple[str, str, str]] = field(default_factory=list)
     #         (op, var, value): op ∈ {"eq", "ne", "regex"}
     optionals: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    # top-level { g1 } UNION { g2 } ... form: pattern groups, bag union
+    union_groups: list[list[tuple[str, str, str]]] = field(default_factory=list)
     order_by: list[str] = field(default_factory=list)
     limit: int | None = None
 
@@ -211,35 +215,63 @@ def parse(text: str) -> _Query:
         if peek() == ".":
             take()
 
-    while peek() != "}":
-        if peek().upper() == "FILTER":
-            take()
-            take_filter()
-            if peek() == ".":
-                take()
-            continue
-        if peek().upper() == "OPTIONAL":
-            take()
+    # union form: WHERE { { g1 } UNION { g2 } [UNION { g3 } ...] } —
+    # exclusive with the plain-pattern form (strict subset; branches
+    # are plain BGPs, no FILTER/OPTIONAL inside)
+    union_groups: list[list[tuple[str, str, str]]] = []
+    if peek() == "{":
+        while True:
             if take() != "{":
-                raise SparqlSyntaxError("expected { after OPTIONAL")
+                raise SparqlSyntaxError("expected { opening UNION branch")
             grp: list[tuple[str, str, str]] = []
             while peek() != "}":
-                if peek().upper() in ("FILTER", "OPTIONAL"):
+                if peek().upper() in ("FILTER", "OPTIONAL", "UNION"):
                     raise SparqlUnsupportedError(
-                        "nested FILTER/OPTIONAL inside OPTIONAL is not supported"
+                        "UNION branches must be plain graph patterns"
                     )
                 take_pattern(grp)
             take()  # '}'
             if not grp:
-                raise SparqlSyntaxError("empty OPTIONAL group")
-            optionals.append(grp)
-            if peek() == ".":
+                raise SparqlSyntaxError("empty UNION branch")
+            union_groups.append(grp)
+            if peek().upper() == "UNION":
                 take()
-            continue
-        take_pattern(patterns)
-    take()  # '}'
-    if not patterns:
-        raise SparqlSyntaxError("empty graph pattern")
+                continue
+            break
+        if take() != "}":
+            raise SparqlSyntaxError("expected } closing WHERE")
+        if len(union_groups) < 2:
+            raise SparqlSyntaxError("UNION needs at least two branches")
+    else:
+        while peek() != "}":
+            if peek().upper() == "FILTER":
+                take()
+                take_filter()
+                if peek() == ".":
+                    take()
+                continue
+            if peek().upper() == "OPTIONAL":
+                take()
+                if take() != "{":
+                    raise SparqlSyntaxError("expected { after OPTIONAL")
+                grp: list[tuple[str, str, str]] = []
+                while peek() != "}":
+                    if peek().upper() in ("FILTER", "OPTIONAL"):
+                        raise SparqlUnsupportedError(
+                            "nested FILTER/OPTIONAL inside OPTIONAL is not supported"
+                        )
+                    take_pattern(grp)
+                take()  # '}'
+                if not grp:
+                    raise SparqlSyntaxError("empty OPTIONAL group")
+                optionals.append(grp)
+                if peek() == ".":
+                    take()
+                continue
+            take_pattern(patterns)
+        take()  # '}'
+        if not patterns:
+            raise SparqlSyntaxError("empty graph pattern")
 
     order_by: list[str] = []
     limit = None
@@ -259,7 +291,9 @@ def parse(text: str) -> _Query:
             limit = int(n)
         else:
             raise SparqlUnsupportedError(f"unsupported clause {kw!r}")
-    return _Query(select, distinct, patterns, filters, optionals, order_by, limit)
+    return _Query(
+        select, distinct, patterns, filters, optionals, union_groups, order_by, limit
+    )
 
 
 def _pattern_bindings(
@@ -337,7 +371,24 @@ def sparql_select(
     values in the engine's NTriples term encoding (optional-only
     variables are NULL on rows their group did not match)."""
     q = parse(query)
-    joined, bound = _join_patterns(store, q.patterns)
+    if q.union_groups:
+        # bag union (SPARQL UNION keeps duplicates): each branch is an
+        # independent BGP join; the strict subset requires identical
+        # variable sets so the union is well-typed with no null padding
+        branches = [_join_patterns(store, grp) for grp in q.union_groups]
+        bound = branches[0][1]
+        for _, vars_ in branches[1:]:
+            if set(vars_) != set(bound):
+                raise SparqlUnsupportedError(
+                    f"UNION branches bind different variables: "
+                    f"{sorted(bound)} vs {sorted(vars_)}"
+                )
+        aligned = [ds.select_columns(bound) for ds, _ in branches]
+        joined = aligned[0]
+        for ds in aligned[1:]:
+            joined = joined.union(ds)
+    else:
+        joined, bound = _join_patterns(store, q.patterns)
 
     for grp in q.optionals:
         # OPTIONAL { ... } = left outer join of the (internally inner-

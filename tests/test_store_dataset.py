@@ -632,6 +632,48 @@ class TestSparql:
         assert out["e"].tolist()[0] == '"a@x"'
         assert out["e"].isna().tolist() == [False, True]
 
+    def test_union_branches(self, ray_session):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:p1"), r("urn:likes"), l("tea")),
+            new_triple(r("urn:p2"), r("urn:hates"), l("tea")),
+            new_triple(r("urn:p3"), r("urn:likes"), l("mud")),
+            new_triple(r("urn:p1"), r("urn:hates"), l("mud")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        out = self._q(
+            ds,
+            "SELECT ?x WHERE { { ?x <urn:likes> \"tea\" } UNION "
+            "{ ?x <urn:hates> \"mud\" } } ORDER BY ?x",
+        )
+        # bag union: p1 appears twice? p1 likes tea AND hates mud → twice
+        assert out["x"].tolist() == ["<urn:p1>", "<urn:p1>"]
+        dis = self._q(
+            ds,
+            "SELECT DISTINCT ?x WHERE { { ?x <urn:likes> ?o } UNION "
+            "{ ?x <urn:hates> ?o } } ORDER BY ?x",
+        )
+        assert dis["x"].tolist() == ["<urn:p1>", "<urn:p2>", "<urn:p3>"]
+
+    def test_union_errors(self, dstore):
+        from ontograph_ray.store.sparql import (
+            SparqlSyntaxError,
+            SparqlUnsupportedError,
+            sparql_select,
+        )
+
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(
+                dstore,
+                "SELECT ?x WHERE { { ?x ?p ?o } UNION { ?y ?q ?z } }",
+            )
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(dstore, "SELECT ?x WHERE { { ?x ?p ?o } }")
+
     def test_optional_errors(self, dstore):
         from ontograph_ray.store.sparql import (
             SparqlSyntaxError,
