@@ -117,6 +117,11 @@ WHERE predicate = '<{SEGMENT}>' AND object = '"BUILDING"'
 UNION ALL
 SELECT subject AS cust, object AS seg FROM t
 WHERE predicate = '<{SEGMENT}>' AND object = '"MACHINERY"'""",
+        "sparql_group_count": f"""{_T}
+SELECT object AS seg, CAST(COUNT(subject) AS BIGINT) AS n,
+       MIN(subject) AS first
+FROM t WHERE predicate = '<{SEGMENT}>'
+GROUP BY object""",
         "add_unchecked_dedup": f"{_T} SELECT DISTINCT * FROM t",
         "add_checked_atomic": f"""{TRIPLES_SQL}
 UNION ALL

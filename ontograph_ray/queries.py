@@ -1392,3 +1392,22 @@ def q_sparql_union(sf_dir: str):
         }
         """,
     )
+
+
+def q_sparql_group_count(sf_dir: str):
+    """E8 extension: GROUP BY aggregate — customers per market segment,
+    compiled onto the engine's combiner+exchange distributed aggregate
+    (the SPARQL face of orders_per_segment's physical plan)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?seg (COUNT(?cust) AS ?n) (MIN(?cust) AS ?first) WHERE {
+          ?cust attr:mktsegment ?seg .
+        } GROUP BY ?seg ORDER BY ?seg
+        """,
+    )

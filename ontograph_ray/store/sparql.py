@@ -28,6 +28,11 @@ silently misanswering):
                                       on unmatched rows; no nesting)
     WHERE { { BGP } UNION { BGP } .. }  (bag union; branches are plain
                                       BGPs binding the SAME variables)
+    SELECT ?g (COUNT(?v|*) AS ?n) (MIN/MAX(?v) AS ?m) ... GROUP BY ?g ...
+                                      (distributed combiner+exchange
+                                      aggregate; COUNT skips unbound
+                                      OPTIONAL bindings; no GROUP BY →
+                                      one whole-result row)
     ORDER BY ?v ...                   (optional)
     LIMIT n                           (optional)
 
@@ -101,6 +106,10 @@ class _Query:
     optionals: list[list[tuple[str, str, str]]] = field(default_factory=list)
     # top-level { g1 } UNION { g2 } ... form: pattern groups, bag union
     union_groups: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    # (op, var|"*", alias): op ∈ {"count", "min", "max"}; select lists
+    # the alias in position
+    aggregates: list[tuple[str, str, str]] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
     order_by: list[str] = field(default_factory=list)
     limit: int | None = None
 
@@ -160,11 +169,42 @@ def parse(text: str) -> _Query:
         raise SparqlSyntaxError("expected SELECT")
     distinct = peek().upper() == "DISTINCT" and bool(take())
     select: list[str] = []
-    while peek().startswith("?") or peek() == "*":
+    aggregates: list[tuple[str, str, str]] = []
+    while peek().startswith("?") or peek() in ("*", "("):
+        if peek() == "(":
+            # ( COUNT|MIN|MAX ( ?v | * ) AS ?alias )
+            take()
+            op = take().lower()
+            if op not in ("count", "min", "max"):
+                raise SparqlUnsupportedError(f"unsupported aggregate {op!r}")
+            if take() != "(":
+                raise SparqlSyntaxError(f"expected ( after {op.upper()}")
+            arg = take()
+            if arg == "*":
+                if op != "count":
+                    raise SparqlSyntaxError(f"{op.upper()}(*) is not valid")
+            elif not arg.startswith("?"):
+                raise SparqlSyntaxError(f"{op.upper()} needs ?var or *")
+            if take() != ")":
+                raise SparqlSyntaxError(f"expected ) closing {op.upper()}")
+            if take().upper() != "AS":
+                raise SparqlSyntaxError("aggregate needs AS ?alias")
+            alias = take()
+            if not alias.startswith("?"):
+                raise SparqlSyntaxError("aggregate alias must be a ?variable")
+            if take() != ")":
+                raise SparqlSyntaxError("expected ) closing the aggregate")
+            aggregates.append((op, arg if arg == "*" else arg[1:], alias[1:]))
+            select.append(alias[1:])
+            continue
         t = take()
         select.append("*" if t == "*" else t[1:])
     if not select:
         raise SparqlSyntaxError("SELECT needs variables or *")
+    if aggregates and "*" in select:
+        raise SparqlSyntaxError("SELECT * cannot be mixed with aggregates")
+    if aggregates and distinct:
+        raise SparqlUnsupportedError("DISTINCT with aggregates is not supported")
 
     if take().upper() != "WHERE" or take() != "{":
         raise SparqlSyntaxError("expected WHERE {")
@@ -274,10 +314,18 @@ def parse(text: str) -> _Query:
             raise SparqlSyntaxError("empty graph pattern")
 
     order_by: list[str] = []
+    group_by: list[str] = []
     limit = None
     while i < len(toks):
         kw = take().upper()
-        if kw == "ORDER":
+        if kw == "GROUP":
+            if take().upper() != "BY":
+                raise SparqlSyntaxError("expected GROUP BY")
+            while peek().startswith("?"):
+                group_by.append(take()[1:])
+            if not group_by:
+                raise SparqlSyntaxError("GROUP BY needs variables")
+        elif kw == "ORDER":
             if take().upper() != "BY":
                 raise SparqlSyntaxError("expected ORDER BY")
             while peek().startswith("?"):
@@ -291,8 +339,22 @@ def parse(text: str) -> _Query:
             limit = int(n)
         else:
             raise SparqlUnsupportedError(f"unsupported clause {kw!r}")
+    if aggregates and not group_by:
+        # whole-result aggregate (one output row): model as GROUP BY on
+        # no keys — handled in the executor
+        pass
+    if group_by and not aggregates:
+        raise SparqlUnsupportedError("GROUP BY without aggregates")
+    if aggregates:
+        bad = [v for v in select if v not in group_by
+               and v not in {a for _, _, a in aggregates}]
+        if bad:
+            raise SparqlSyntaxError(
+                f"selected variables not in GROUP BY or aggregated: {bad}"
+            )
     return _Query(
-        select, distinct, patterns, filters, optionals, union_groups, order_by, limit
+        select, distinct, patterns, filters, optionals, union_groups,
+        aggregates, group_by, order_by, limit
     )
 
 
@@ -433,6 +495,84 @@ def sparql_select(
             return batch.filter(mask)
 
         joined = joined.map_batches(apply_filters, batch_format="pyarrow")
+
+    if q.aggregates:
+        import pandas as pd
+
+        bad = [v for v in q.group_by if v not in bound] + [
+            v for _, v, _ in q.aggregates if v != "*" and v not in bound
+        ]
+        if bad:
+            raise SparqlSyntaxError(f"aggregate/GROUP BY variables never bound: {bad}")
+        aggs = list(q.aggregates)
+        group_by = list(q.group_by)
+        aliases = [a for _, _, a in aggs]
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            # per-block combiner: count/min/max are algebraic, so each
+            # block shrinks to one row per key before the exchange
+            if not len(df):
+                return pd.DataFrame(columns=group_by + aliases)
+            g = df.groupby(group_by, sort=False, dropna=False)
+            cols = {}
+            for op, var, alias in aggs:
+                if op == "count":
+                    cols[alias] = g.size() if var == "*" else g[var].count()
+                elif op == "min":
+                    cols[alias] = g[var].min()
+                else:
+                    cols[alias] = g[var].max()
+            return pd.DataFrame(cols).reset_index()
+
+        def final(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(group_by, sort=False, dropna=False)
+            cols = {}
+            for op, _, alias in aggs:
+                s = g[alias]
+                cols[alias] = (
+                    s.sum() if op == "count" else (s.min() if op == "min" else s.max())
+                )
+            out = pd.DataFrame(cols).reset_index()
+            for op, _, alias in aggs:
+                if op == "count":
+                    out[alias] = out[alias].astype("int64")
+            return out
+
+        if group_by:
+            joined = dstore.bucketed_group_map(
+                joined, group_by, final, partial_fn=partial
+            )
+        else:
+            # whole-result aggregate: one partial row per block, the
+            # tiny partial table reduces on the driver (result is 1 row)
+            def partial_global(df: pd.DataFrame) -> pd.DataFrame:
+                if not len(df):
+                    return pd.DataFrame(columns=aliases)
+                cols = {}
+                for op, var, alias in aggs:
+                    if op == "count":
+                        cols[alias] = [len(df) if var == "*" else int(df[var].count())]
+                    elif op == "min":
+                        cols[alias] = [df[var].min()]
+                    else:
+                        cols[alias] = [df[var].max()]
+                return pd.DataFrame(cols)
+
+            parts = joined.map_batches(
+                partial_global, batch_format="pandas"
+            ).to_pandas()
+            row = {}
+            for op, _, alias in aggs:
+                if op == "count":
+                    row[alias] = int(parts[alias].sum()) if len(parts) else 0
+                elif op == "min":
+                    row[alias] = parts[alias].min() if len(parts) else None
+                else:
+                    row[alias] = parts[alias].max() if len(parts) else None
+            import ray.data as rd
+
+            joined = rd.from_pandas(pd.DataFrame([row]))
+        bound = group_by + aliases
 
     cols = bound if q.select == ["*"] else q.select
     missing = [c for c in cols if c not in bound]

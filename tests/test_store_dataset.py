@@ -659,6 +659,61 @@ class TestSparql:
         )
         assert dis["x"].tolist() == ["<urn:p1>", "<urn:p2>", "<urn:p3>"]
 
+    def test_aggregates_group_by(self, ray_session):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:p1"), r("urn:likes"), l("tea")),
+            new_triple(r("urn:p1"), r("urn:likes"), l("mud")),
+            new_triple(r("urn:p2"), r("urn:likes"), l("tea")),
+            new_triple(r("urn:p2"), r("urn:email"), l("b@x")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        out = self._q(
+            ds,
+            "SELECT ?x (COUNT(?o) AS ?n) (MIN(?o) AS ?lo) WHERE "
+            "{ ?x <urn:likes> ?o } GROUP BY ?x ORDER BY ?x",
+        )
+        assert out.values.tolist() == [
+            ["<urn:p1>", 2, '"mud"'], ["<urn:p2>", 1, '"tea"'],
+        ]
+        glob = self._q(
+            ds, "SELECT (COUNT(*) AS ?n) (MAX(?o) AS ?hi) WHERE { ?x <urn:likes> ?o }"
+        )
+        assert glob.values.tolist() == [[3, '"tea"']]
+        # COUNT(?optional) skips unbound bindings
+        opt = self._q(
+            ds,
+            "SELECT ?x (COUNT(?e) AS ?n) WHERE { ?x <urn:likes> ?o . "
+            "OPTIONAL { ?x <urn:email> ?e } } GROUP BY ?x ORDER BY ?x",
+        )
+        assert opt["n"].tolist() == [0, 1]
+
+    def test_aggregate_errors(self, dstore):
+        from ontograph_ray.store.sparql import (
+            SparqlSyntaxError,
+            SparqlUnsupportedError,
+            sparql_select,
+        )
+
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(
+                dstore,
+                "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o . }",
+            )  # ?s not grouped
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(
+                dstore,
+                "SELECT (SUM(?o) AS ?n) WHERE { ?s ?p ?o . }",
+            )
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(
+                dstore, "SELECT ?s WHERE { ?s ?p ?o . } GROUP BY ?s"
+            )
+
     def test_union_errors(self, dstore):
         from ontograph_ray.store.sparql import (
             SparqlSyntaxError,
