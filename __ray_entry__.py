@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": q.q_kg_mentions,
         "kg_triples": q.q_kg_triples,
         "kg_sameas_components": q.q_kg_sameas_components,
+        "kg_sameas_salted": q.q_kg_sameas_salted,
         # Training-data operators
         "sample_hash": q.q_sample_hash,
         "kmv_distinct": q.q_kmv_distinct,

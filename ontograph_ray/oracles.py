@@ -223,6 +223,12 @@ SELECT DISTINCT '{onto}#ent_' || surface || '__' || lang AS node,
                 '{onto}#ent_' || surface AS component FROM mention
 UNION
 SELECT DISTINCT '{onto}#ent_' || surface, '{onto}#ent_' || surface FROM mention""",
+        # salted distributed loop must be bucket-/salt-invariant: same oracle
+        "kg_sameas_salted": f"""{_MENTION_CTE}
+SELECT DISTINCT '{onto}#ent_' || surface || '__' || lang AS node,
+                '{onto}#ent_' || surface AS component FROM mention
+UNION
+SELECT DISTINCT '{onto}#ent_' || surface, '{onto}#ent_' || surface FROM mention""",
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         # lang_id: per-profile function-word counts, winner = first max
         # over langs in sorted order (de,en,es,fr,zh) — the same

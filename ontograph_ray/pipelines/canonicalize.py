@@ -11,13 +11,29 @@ Each iteration is two bucketed exchanges: (1) co-group the doubled
 edge list with the label table on the source endpoint (they share one
 unified schema and one bucket column, so the exchange is a single
 groupby) and emit (neighbor, label) messages; (2) group messages by
-node and take the min. Skew handling for head entities (a hub with
-millions of sameAs edges): a per-bucket combiner pre-mins messages per
-(node, is_self) *before* the phase-2 shuffle, so a hot node
-contributes at most one row per bucket instead of its full fan-in —
-partial aggregation playing the role of salting. Convergence is
-detected with a changed-count aggregate; min-label propagation needs
-O(component diameter) iterations ≤ max_iters.
+node and take the min.
+
+Skew handling for head entities (a hub with millions of sameAs edges)
+is two complementary mechanisms:
+
+- **fan-in** (hub as message *receiver*): a per-bucket combiner
+  pre-mins messages per (node, is_self) *before* the phase-2 shuffle,
+  so a hot node receives at most one row per phase-1 bucket instead of
+  its full fan-in.
+- **fan-out** (hub as edge *source*, ``salt > 1``): all of a hub's
+  edges share ``key = hub`` and would hash to ONE phase-1 bucket,
+  making that task a straggler. Salting spreads them: the edge bucket
+  becomes ``hash(key, hash(nbr) % salt)`` — deterministic per edge, so
+  the global edge dedup still co-locates identical (key, nbr) pairs —
+  and each node's label row is replicated to all ``salt`` salted
+  buckets before the phase-1 union (a cheap per-batch map; the label
+  side is one row per node). Phase 2 stays keyed on the unsalted node
+  hash, so labels remain globally unique. ``salt=1`` is the unsalted
+  plan. The output is bucket-invariant: tests pin salted == unsalted
+  == driver union-find.
+
+Convergence is detected with a changed-count aggregate; min-label
+propagation needs O(component diameter) iterations ≤ max_iters.
 
 SameAs semantics anchor: owl:sameAs edges of individuals (reference:
 constants.go:24, ontology_individual.go:7); the reference never
@@ -81,6 +97,7 @@ def _bucket_of(series: pd.Series, num_buckets: int) -> pd.Series:
 
 
 _COLS = ["kind", "node", "label", "key", "nbr", "__bucket"]
+_SALT_SEP = "\x1f"
 
 
 def _as_arrow(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -100,6 +117,7 @@ def connected_components(
     max_iters: int = 25,
     num_buckets: int = 64,
     small_threshold: int = 200_000,
+    salt: int = 1,
 ) -> ray.data.Dataset:
     """Edges (src,dst string columns) → Dataset(node, component) where
     component is the lexicographic min node label of the component.
@@ -112,7 +130,35 @@ def connected_components(
     min-label-propagation loop below is the scale path (this is the
     standard size cutover: a graph whose deduped edges fit the driver
     needs no distributed fixpoint). Tests pin both paths
-    (small_threshold=0 forces the distributed loop)."""
+    (small_threshold=0 forces the distributed loop).
+
+    ``salt > 1`` spreads each node's *outgoing* edges over ``salt``
+    salted buckets and replicates label rows to match (module
+    docstring, "fan-out") — use for graphs with head entities whose
+    degree rivals a whole bucket's fair share. Output is identical for
+    any salt; the cost is a ×salt replication of the (one-row-per-node)
+    label side of each phase-1 exchange."""
+    salt = max(1, int(salt))
+
+    def _edge_bucket(key: pd.Series, nbr: pd.Series) -> pd.Series:
+        if salt == 1:
+            return _bucket_of(key, num_buckets)
+        s = pd.util.hash_pandas_object(nbr, index=False) % salt
+        return _bucket_of(key + _SALT_SEP + s.astype(str), num_buckets)
+
+    def _replicate_labels(df: pd.DataFrame) -> pd.DataFrame:
+        """Re-bucket label rows for phase 1: one replica per salt value
+        so every salted edge bucket holds its source labels. Colliding
+        replicas (two salts of one node hashing to the same bucket) are
+        harmless — phase 1 only needs ≥1 label row per bucket."""
+        if salt == 1:
+            return df
+        reps = []
+        for s in range(salt):
+            r = df.copy()
+            r["__bucket"] = _bucket_of(r["node"] + _SALT_SEP + str(s), num_buckets)
+            reps.append(r)
+        return pd.concat(reps, ignore_index=True)
 
     def doubled(df: pd.DataFrame) -> pd.DataFrame:
         fwd = pd.DataFrame({"key": df[src].astype(str), "nbr": df[dst].astype(str)})
@@ -121,7 +167,7 @@ def connected_components(
         out["kind"] = "edge"
         out["node"] = ""
         out["label"] = ""
-        out["__bucket"] = _bucket_of(out["key"], num_buckets)
+        out["__bucket"] = _edge_bucket(out["key"], out["nbr"])
         return out[_COLS]
 
     # Global edge dedup before iterating: per-batch drop_duplicates is
@@ -161,7 +207,14 @@ def connected_components(
     ).materialize()
 
     for _ in range(max_iters):
-        both = labels.union(edges2)
+        lab_side = (
+            labels
+            if salt == 1
+            else _as_arrow(
+                labels.map_batches(_replicate_labels, batch_format="pandas")
+            )
+        )
+        both = lab_side.union(edges2)
 
         # Phase 1: per bucket, join edges with source labels; emit
         # (node=nbr, label) messages plus tagged self rows; pre-min as

@@ -592,15 +592,13 @@ def q_kg_triples(sf_dir: str):
     )
 
 
-def q_kg_sameas_components(sf_dir: str):
-    """P6: union-find output over the pipeline's sameAs edges,
-    exercising the DISTRIBUTED min-label-propagation path
-    (connected_components). Edges come from the shared detect-partials
-    pass (per-batch distinct entities), so URI strings are built only
-    on the distinct sets — same discipline as the pipeline itself."""
+def _sameas_edges(sf_dir: str):
+    """The pipeline's sameAs edge list (alias URI → canonical URI).
+    Edges come from the shared detect-partials pass (per-batch distinct
+    entities), so URI strings are built only on the distinct sets —
+    same discipline as the pipeline itself."""
     from .pipelines import pages
     from .pipelines.kg import ent_rel_partials_stage, ONTO
-    from .pipelines.canonicalize import connected_components
 
     extracted = pages.read_pages(sf_dir).map_batches(
         pages.extract_text_batch, batch_format="pyarrow"
@@ -618,8 +616,29 @@ def q_kg_sameas_components(sf_dir: str):
         )
         return pa.table({"src": alias, "dst": canon})
 
-    e = partials.map_batches(edges, batch_format="pyarrow")
-    return connected_components(e, num_buckets=16)
+    return partials.map_batches(edges, batch_format="pyarrow")
+
+
+def q_kg_sameas_components(sf_dir: str):
+    """P6: union-find output over the pipeline's sameAs edges
+    (connected_components with the adaptive size cutover)."""
+    from .pipelines.canonicalize import connected_components
+
+    return connected_components(_sameas_edges(sf_dir), num_buckets=16)
+
+
+def q_kg_sameas_salted(sf_dir: str):
+    """P6 under the north rule's explicit skew handling: the SAME
+    component computation forced onto the distributed min-label loop
+    (small_threshold=0) with salted edge buckets (salt=4 — a head
+    entity's out-edges spread over 4 salted buckets, label rows
+    replicated to match). Shares kg_sameas_components' oracle: the
+    output must be bucket- and salt-invariant."""
+    from .pipelines.canonicalize import connected_components
+
+    return connected_components(
+        _sameas_edges(sf_dir), num_buckets=16, small_threshold=0, salt=4
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -78,6 +78,52 @@ class TestUnionFind:
         comps = {r["component"] for r in out.take_all()}
         assert comps == {"hub"}  # 'hub' < 'n000' lexicographically
 
+    def _skewed_graph(self):
+        # one head entity (star fan-out), a long chain (propagation
+        # depth), a disjoint pair, plus duplicate edges (dedup must
+        # stay global under salting)
+        rows = [{"src": "hub", "dst": f"n{i:03d}"} for i in range(150)]
+        rows += [{"src": f"c{i}", "dst": f"c{i+1}"} for i in range(6)]
+        rows += [{"src": "q1", "dst": "q2"}] * 3
+        rows += rows[:40]
+        return ray.data.from_items(rows).repartition(7)
+
+    def test_distributed_loop_matches_driver_path(self, ray_session):
+        edges = self._skewed_graph()
+        want = sorted(
+            (r["node"], r["component"])
+            for r in canonicalize.connected_components(
+                edges, num_buckets=4
+            ).take_all()
+        )
+        dist = sorted(
+            (r["node"], r["component"])
+            for r in canonicalize.connected_components(
+                edges, num_buckets=4, small_threshold=0
+            ).take_all()
+        )
+        assert dist == want
+        assert {c for _, c in want} == {"c0", "hub", "q1"}
+
+    def test_salted_loop_identical_output(self, ray_session):
+        # north-rule skew handling: salt > 1 spreads the hub's edges
+        # across salted buckets; output must be bucket-invariant
+        edges = self._skewed_graph()
+        want = sorted(
+            (r["node"], r["component"])
+            for r in canonicalize.connected_components(
+                edges, num_buckets=4
+            ).take_all()
+        )
+        for s in (2, 5):
+            salted = sorted(
+                (r["node"], r["component"])
+                for r in canonicalize.connected_components(
+                    edges, num_buckets=4, small_threshold=0, salt=s
+                ).take_all()
+            )
+            assert salted == want, f"salt={s} diverged"
+
 
 class TestPipeline:
     def test_matches_oracle_exactly(self, ray_session):
