@@ -503,6 +503,22 @@ SELECT b.doc_id, b.n_tokens, b.n_unique_tokens, b.n_2grams,
        CAST(COALESCE(a.top_2gram_count, 0) AS BIGINT) AS top_2gram_count,
        CAST(COALESCE(a.dup_2gram_count, 0) AS BIGINT) AS dup_2gram_count
 FROM base b LEFT JOIN agg a USING (doc_id)""",
+        # k-min-hash quantile sketch: the deterministic hash sample is
+        # ORDER BY splitmix64(o_orderkey) LIMIT 512 (ties by value);
+        # quantile_disc = element at ceil(q·n)−1, matching the Ray side
+        "quantile_sketch": f"""
+WITH src AS (SELECT CAST(o_orderkey AS UBIGINT) AS x,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+             FROM orders),
+{_splitmix64_ctes('src', 'x', 'hashed')},
+samp AS (SELECT v FROM hashed ORDER BY h, v LIMIT 512)
+SELECT 'p25' AS q_name, 0.25 AS q, quantile_disc(v, 0.25) AS value FROM samp
+UNION ALL
+SELECT 'p50', 0.5, quantile_disc(v, 0.5) FROM samp
+UNION ALL
+SELECT 'p90', 0.9, quantile_disc(v, 0.9) FROM samp
+UNION ALL
+SELECT 'p99', 0.99, quantile_disc(v, 0.99) FROM samp""",
         # deterministic shuffle-export assignment: splitmix64(doc_id
         # XOR seed), shard = h mod 32, sort_key = h div 32 (seed 7 and
         # 32 shards mirror q_export_shards)

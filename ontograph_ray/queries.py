@@ -252,6 +252,36 @@ def q_kmv_distinct(sf_dir: str):
     return pd.DataFrame({"estimated_distinct_texts": [est], "k": [256]})
 
 
+def q_quantile_sketch(sf_dir: str):
+    """k-min-hash quantile sketch over order totals (integer cents):
+    a one-pass bounded-memory approximate quantile whose deterministic
+    hash-sample construction has an exact SQL twin (ORDER BY
+    splitmix64(o_orderkey) LIMIT k), so an APPROXIMATE operator sits
+    under the driver's value-hash gate. Rank error and merge-order
+    invariance are pinned by pytest."""
+    from .stages.sketch import quantile_sketch
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return quantile_sketch(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        value_col="cents",
+        key_col="o_orderkey",
+        qs={"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99},
+        k=512,
+    )
+
+
 def q_sample_hash(sf_dir: str):
     """Deterministic hash sampling (training-data staple): keep a doc
     iff multiplicative-hash(doc_id) lands under the rate — stable

@@ -1,17 +1,29 @@
-"""Distributed cardinality sketch: K-Minimum-Values (KMV).
+"""Distributed sketches: KMV cardinality + k-min-hash quantile sample.
 
-Estimates the number of distinct values in a column with bounded
-memory: every block contributes its k smallest 64-bit value hashes
-(a vectorized partial — the combiner), the driver merges the tiny
-per-block candidate sets and estimates
+**KMV** estimates the number of distinct values in a column with
+bounded memory: every block contributes its k smallest 64-bit value
+hashes (a vectorized partial — the combiner), the driver merges the
+tiny per-block candidate sets and estimates
 
     D ≈ (k - 1) / r_k ,   r_k = k-th smallest hash / 2^64
 
 (Bar-Yossef et al., "Counting distinct elements in a data stream",
-RANDOM 2002). Deterministic: crc32 value hashing, no RNG. The
-reference has no approximate aggregates (SURVEY §2.6); this is a
-scale-path addition — exact distinct needs a full shuffle, the sketch
-needs one small gather.
+RANDOM 2002). Deterministic: crc32 value hashing, no RNG.
+
+**Quantile sketch** estimates column quantiles in one streaming pass
+with bounded memory (exact quantiles need a full shuffle —
+`store.dataset.grouped_quantiles`). The sample is the k rows with the
+smallest ``splitmix64(key)`` hashes: with a unique key column that is
+a uniform random sample (standard rank error O(1/√k)), yet —
+unlike KLL/t-digest, whose merge order depends on block layout — it is
+DETERMINISTIC and mergeable in any order (the k-min set of a union is
+the k-min of the k-min sets), so the same input yields bit-identical
+output at any parallelism AND the whole sketch has an exact SQL twin
+(``ORDER BY splitmix64(key) LIMIT k``), putting an approximate
+operator under the driver's value-hash gate.
+
+The reference has no approximate aggregates (SURVEY §2.6); these are
+scale-path additions — one small gather instead of an exchange.
 """
 
 from __future__ import annotations
@@ -74,3 +86,60 @@ def kmv_distinct_count(ds: ray.data.Dataset, col: str, k: int = 1024) -> int:
         return int(len(merged))
     kth = merged[k - 1]
     return int(round((k - 1) / (float(kth) / float(1 << 64))))
+
+
+def quantile_sample(
+    ds: ray.data.Dataset, value_col: str, key_col: str, k: int = 1024
+) -> np.ndarray:
+    """The k-min-hash row sample (module doc): sorted values of the k
+    rows with the smallest ``splitmix64(key_col)``. ``key_col`` must be
+    unique integers (a row id) for the sample to be uniform.
+
+    Physical plan: a per-block k-min partial (the combiner — each block
+    forwards ≤ k rows), then a sort+limit over the tiny partial table
+    (≤ k·num_blocks rows); k rows reach the driver. Ties in ``h``
+    (hash collisions between distinct keys) break by value so the
+    result stays deterministic and matches the SQL twin's
+    ``ORDER BY h, v``. If the input has ≤ k rows the sample is the
+    whole column and the quantiles are exact."""
+    from .export import splitmix64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "h": splitmix64(df[key_col].to_numpy().astype(np.uint64)),
+                "v": df[value_col].to_numpy(),
+            }
+        )
+        return out.sort_values(["h", "v"], kind="stable").head(k)
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    top = parts.sort(["h", "v"]).limit(k).take_all()
+    return np.sort(np.array([r["v"] for r in top]))
+
+
+def quantile_sketch(
+    ds: ray.data.Dataset,
+    value_col: str,
+    key_col: str,
+    qs: dict[str, float],
+    k: int = 1024,
+) -> pd.DataFrame:
+    """Approximate column quantiles from the k-min-hash sample.
+
+    ``qs`` maps output name → quantile. Output: one row per quantile,
+    columns (q_name, q, value) with ``value`` the sample element at
+    sorted position ``ceil(q·n)−1`` — the same discrete-quantile
+    semantics as ``grouped_quantiles`` / SQL ``quantile_disc``, so the
+    value is always a stored element, never interpolated."""
+    vals = quantile_sample(ds, value_col, key_col, k)
+    n = len(vals)
+    names = sorted(qs)
+    idx = [max(int(np.ceil(qs[name] * n)) - 1, 0) for name in names]
+    return pd.DataFrame(
+        {
+            "q_name": names,
+            "q": [float(qs[name]) for name in names],
+            "value": [vals[i] for i in idx],
+        }
+    )

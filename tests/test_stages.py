@@ -263,6 +263,49 @@ class TestSketch:
         ds = ray.data.from_pandas(pd.DataFrame({"v": ["a", "b", "c", "a", "b"]}))
         assert kmv_distinct_count(ds, "v", k=64) == 3
 
+    def test_quantile_sketch_rank_error_and_merge_invariance(self, ray_session):
+        """The k-min-hash sample quantile is within the sampling rank
+        error of the exact quantile, and — the property KLL/t-digest
+        lack — the output is bit-identical at any partitioning."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.stages.sketch import quantile_sketch
+
+        n, k = 30_000, 1024
+        rng = np.random.RandomState(3)
+        vals = (rng.lognormal(6.0, 1.0, size=n) * 100).astype("int64")  # skewed
+        df = pd.DataFrame({"rid": np.arange(n, dtype="int64"), "v": vals})
+        qs = {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99}
+        outs = []
+        for parts in (3, 17):
+            ds = ray.data.from_pandas(df).repartition(parts)
+            out = quantile_sketch(ds, "v", "rid", qs, k=k)
+            outs.append(out.sort_values("q_name").reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        # rank error: |rank(value)/n − q| ≤ 4·sqrt(q(1−q)/k) (4σ)
+        srt = np.sort(vals)
+        for _, row in outs[0].iterrows():
+            q = row["q"]
+            rank = np.searchsorted(srt, row["value"], side="right") / n
+            bound = 4 * np.sqrt(q * (1 - q) / k)
+            assert abs(rank - q) <= bound, (row["q_name"], rank, q, bound)
+
+    def test_quantile_sketch_exact_below_k(self, ray_session):
+        """≤ k rows → the sample is the whole column: quantile_disc
+        exact (element at ceil(q·n)−1)."""
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.stages.sketch import quantile_sketch
+
+        df = pd.DataFrame({"rid": range(10), "v": [10 * i for i in range(10)]})
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = quantile_sketch(ds, "v", "rid", {"p50": 0.5, "p99": 0.99}, k=64)
+        got = dict(zip(out["q_name"], out["value"]))
+        assert got == {"p50": 40, "p99": 90}
+
 
 class TestWindows:
     """Hopping/tumbling window operators (stages.windows)."""
