@@ -76,6 +76,12 @@ BENCH_QUERIES = [
     "orders_per_segment",
     "lineitem_pricing",
     "kg_sameas_components",
+    # kg_sameas_salted is NOT timed: it forces the distributed fixpoint
+    # (small_threshold=0) on the gazetteer-bounded (~200-edge) sameAs
+    # graph, so its wall is pure per-iteration exchange latency — a
+    # correctness demo (oracle gate + pytest), not a throughput path.
+    "sparql_group_count",
+    "quantile_sketch",
     "decontaminate",
     "pack_sequences",
     "incremental_dedup",
