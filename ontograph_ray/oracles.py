@@ -117,6 +117,14 @@ WHERE predicate = '<{SEGMENT}>' AND object = '"BUILDING"'
 UNION ALL
 SELECT subject AS cust, object AS seg FROM t
 WHERE predicate = '<{SEGMENT}>' AND object = '"MACHINERY"'""",
+        "sparql_update": f"""{_T}
+SELECT DISTINCT * FROM (
+  SELECT * FROM t
+  UNION ALL
+  SELECT '<urn:og:cust/0>', '<urn:og:attr/note>', '"vip"@en'
+  UNION ALL
+  SELECT '<urn:og:cust/0>', '{RDF_TYPE_T}', '<{CUST_CLASS}>'
+) WHERE predicate != '<{IN_REGION}>'""",
         "sparql_group_count": f"""{_T}
 SELECT object AS seg, CAST(COUNT(subject) AS BIGINT) AS n,
        MIN(subject) AS first

@@ -1443,6 +1443,30 @@ def q_sparql_union(sf_dir: str):
     )
 
 
+def q_sparql_update(sf_dir: str):
+    """E8 update passthrough: INSERT DATA (one fresh triple + one
+    duplicate — dedup semantics make the oracle agnostic to whether the
+    duplicate pre-exists) then DELETE WHERE on the inRegion predicate,
+    each producing a new graph version via the engine's bulk set ops."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_update
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    store = sparql_update(
+        store,
+        """
+        INSERT DATA { GRAPH <urn:og:graph> {
+          <urn:og:cust/0> <urn:og:attr/note> "vip"@en .
+          <urn:og:cust/0> a <urn:og:class/Customer> .
+        } }
+        """,
+    )
+    store = sparql_update(
+        store, f"DELETE WHERE {{ ?s <{IN_REGION}> ?o . }}"
+    )
+    return store.dataset
+
+
 def q_sparql_group_count(sf_dir: str):
     """E8 extension: GROUP BY aggregate — customers per market segment,
     compiled onto the engine's combiner+exchange distributed aggregate

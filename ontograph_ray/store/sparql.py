@@ -36,6 +36,16 @@ silently misanswering):
     ORDER BY ?v ...                   (optional)
     LIMIT n                           (optional)
 
+``sparql_update`` accepts the three update forms the reference's own
+store layer GENERATES (blazegraph_store.go:104,166,190,248,272 — the
+complete update surface the reference exercises), compiled onto the
+engine's bulk set operations:
+
+    INSERT DATA { [GRAPH <g> {] t1 . t2 . ... [}] }   → union + dedup
+    DELETE DATA { [GRAPH <g> {] t1 . t2 . ... [}] }   → broadcast anti-join
+    DELETE WHERE { [GRAPH <g> {] s p o . [}] }        → negated pattern
+                                      (one pattern; ?vars = wildcards)
+
 Bindings are the engine's NTriples-encoded term strings (``<uri>`` /
 ``"lit"^^<dt>``), exactly what every other store op exchanges.
 
@@ -52,13 +62,20 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+import pyarrow as pa
+
 import ray.data
 
 from . import dataset as dstore
 from .. import constants as C
 from .. import triples as tr
 
-__all__ = ["SparqlSyntaxError", "SparqlUnsupportedError", "sparql_select"]
+__all__ = [
+    "SparqlSyntaxError",
+    "SparqlUnsupportedError",
+    "sparql_select",
+    "sparql_update",
+]
 
 
 class SparqlSyntaxError(ValueError):
@@ -589,3 +606,131 @@ def sparql_select(
     if q.limit is not None:
         out = out.limit(q.limit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# SPARQL UPDATE subset (module doc: the forms the reference generates)
+# ---------------------------------------------------------------------------
+
+
+def _parse_update(text: str):
+    """→ ("insert_data"|"delete_data", graph|None, [(s,p,o) ground])
+       | ("delete_where", graph|None, [(s,p,o) term-or-'?var')])"""
+    toks = _tokenize(text)
+    i, prefixes = 0, {}
+
+    def peek() -> str:
+        return toks[i] if i < len(toks) else ""
+
+    def take() -> str:
+        nonlocal i
+        if i >= len(toks):
+            raise SparqlSyntaxError("unexpected end of update")
+        i += 1
+        return toks[i - 1]
+
+    while peek().upper() == "PREFIX":
+        take()
+        name = take().rstrip(":")
+        uri = take()
+        if not uri.startswith("<"):
+            raise SparqlSyntaxError(f"PREFIX needs <uri>, got {uri!r}")
+        prefixes[name] = uri[1:-1]
+
+    verb = take().upper()
+    if verb == "INSERT":
+        if take().upper() != "DATA":
+            raise SparqlUnsupportedError("only INSERT DATA is supported")
+        kind = "insert_data"
+    elif verb == "DELETE":
+        nxt = take().upper()
+        if nxt == "DATA":
+            kind = "delete_data"
+        elif nxt == "WHERE":
+            kind = "delete_where"
+        else:
+            raise SparqlUnsupportedError(f"unsupported update DELETE {nxt}")
+    else:
+        raise SparqlUnsupportedError(f"unsupported update verb {verb!r}")
+
+    if take() != "{":
+        raise SparqlSyntaxError("expected { opening the update block")
+    graph = None
+    graph_brace = False
+    if peek().upper() == "GRAPH":
+        take()
+        g = take()
+        if not g.startswith("<"):
+            raise SparqlSyntaxError(f"GRAPH needs <uri>, got {g!r}")
+        graph = g[1:-1]
+        if take() != "{":
+            raise SparqlSyntaxError("expected { after GRAPH <uri>")
+        graph_brace = True
+
+    pats: list[tuple[str, str, str]] = []
+    while peek() not in ("}", ""):
+        s = _expand(take(), prefixes, "subject")
+        p = _expand(take(), prefixes, "predicate")
+        o = _expand(take(), prefixes, "object")
+        pats.append((s, p, o))
+        if peek() == ".":
+            take()
+        elif peek() != "}":
+            raise SparqlSyntaxError("expected '.' or '}' after a triple")
+    if take() != "}":
+        raise SparqlSyntaxError("expected } closing the update block")
+    if graph_brace and take() != "}":
+        raise SparqlSyntaxError("expected } closing the GRAPH block")
+    if i != len(toks):
+        raise SparqlSyntaxError(f"trailing tokens after update: {toks[i:]}")
+    if not pats:
+        raise SparqlSyntaxError("empty update block")
+
+    if kind in ("insert_data", "delete_data"):
+        for pat in pats:
+            if any(t.startswith("?") for t in pat):
+                raise SparqlSyntaxError(f"{kind.upper()} requires ground triples: {pat}")
+    else:
+        if len(pats) != 1:
+            raise SparqlUnsupportedError(
+                "DELETE WHERE supports exactly one pattern (the form the "
+                "reference generates); use several updates for several patterns"
+            )
+        pat = pats[0]
+        seen = [t for t in pat if t.startswith("?")]
+        if len(seen) != len(set(seen)):
+            raise SparqlUnsupportedError(
+                "DELETE WHERE with a repeated variable (slot-equality "
+                "constraint) is not supported"
+            )
+    return kind, graph, pats
+
+
+def sparql_update(
+    store: "dstore.DatasetGraphStore", update: str
+) -> "dstore.DatasetGraphStore":
+    """Apply one SPARQL UPDATE (module-doc subset) and return the new
+    graph version — same functional store discipline as the bulk ops it
+    compiles onto (the input store is never mutated)."""
+    kind, graph, pats = _parse_update(update)
+    if graph is not None and graph != store.get_uri():
+        raise SparqlUnsupportedError(
+            f"update targets GRAPH <{graph}>, store is <{store.get_uri()}>"
+        )
+    if kind == "delete_where":
+        s, p, o = pats[0]
+        return store.without_matches(
+            "" if s.startswith("?") else s,
+            "" if p.startswith("?") else p,
+            "" if o.startswith("?") else o,
+        )
+    tbl = pa.table(
+        {
+            tr.SUBJECT: pa.array([s for s, _, _ in pats], pa.string()),
+            tr.PREDICATE: pa.array([p for _, p, _ in pats], pa.string()),
+            tr.OBJECT: pa.array([o for _, _, o in pats], pa.string()),
+        }
+    )
+    if kind == "insert_data":
+        return store.add_triples_unchecked(tbl)
+    return store.delete_triples_unchecked(tbl)

@@ -530,6 +530,78 @@ class TestVersionedStorage:
             vs.load(version=1)
 
 
+class TestSparqlUpdate:
+    """E8 passthrough: the three update forms the reference generates
+    (blazegraph_store.go:104,166,248), compiled onto the bulk set ops."""
+
+    def _triples(self, store):
+        return {
+            (r["subject"], r["predicate"], r["object"])
+            for r in store.dataset.take_all()
+        }
+
+    def test_insert_data_dedups(self, dstore):
+        from ontograph_ray.store.sparql import sparql_update
+
+        n0 = dstore.size()
+        existing = sorted(self._triples(dstore))[0]
+        out = sparql_update(
+            dstore,
+            f"""PREFIX f: <{G}#> INSERT DATA {{ GRAPH <{G}> {{
+                 <urn:new> f:rel-1 "fresh"@en .
+                 {existing[0]} {existing[1]} {existing[2]} .
+               }} }}""",
+        )
+        assert out.size() == n0 + 1  # existing triple deduped (G17)
+        assert ("<urn:new>", f"<{G}#rel-1>", '"fresh"@en') in self._triples(out)
+        assert dstore.size() == n0  # input store untouched (new version)
+
+    def test_delete_data(self, dstore):
+        from ontograph_ray.store.sparql import sparql_update
+
+        victim = sorted(self._triples(dstore))[0]
+        out = sparql_update(
+            dstore,
+            f"DELETE DATA {{ {victim[0]} {victim[1]} {victim[2]} . "
+            "<urn:absent> <urn:p> <urn:o> . }",  # absent → no-op (idempotent)
+        )
+        assert self._triples(out) == self._triples(dstore) - {victim}
+
+    def test_delete_where_wildcards(self, dstore):
+        from ontograph_ray.store.sparql import sparql_update
+
+        out = sparql_update(
+            dstore,
+            f"PREFIX f: <{G}#> DELETE WHERE {{ GRAPH <{G}> "
+            "{ ?s f:rel-1 ?o . } }",
+        )
+        assert self._triples(out) == {
+            t for t in self._triples(dstore) if t[1] != f"<{G}#rel-1>"
+        }
+
+    def test_update_errors(self, dstore):
+        from ontograph_ray.store.sparql import (
+            SparqlSyntaxError,
+            SparqlUnsupportedError,
+            sparql_update,
+        )
+
+        with pytest.raises(SparqlUnsupportedError):  # wrong target graph
+            sparql_update(
+                dstore, "INSERT DATA { GRAPH <urn:other> { <a> <b> <c> . } }"
+            )
+        with pytest.raises(SparqlSyntaxError):  # DATA must be ground
+            sparql_update(dstore, "INSERT DATA { ?s <b> <c> . }")
+        with pytest.raises(SparqlUnsupportedError):  # one pattern only
+            sparql_update(
+                dstore, "DELETE WHERE { ?s <b> ?o . ?s <c> ?o . }"
+            )
+        with pytest.raises(SparqlUnsupportedError):  # repeated variable
+            sparql_update(dstore, "DELETE WHERE { ?s <b> ?s . }")
+        with pytest.raises(SparqlUnsupportedError):  # INSERT WHERE
+            sparql_update(dstore, "INSERT WHERE { ?s <b> ?o . }")
+
+
 class TestSparql:
     """E8 passthrough: SPARQL SELECT subset over the 7-triple fixture."""
 
