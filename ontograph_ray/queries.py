@@ -612,6 +612,37 @@ def q_kg_mentions(sf_dir: str):
     return md.select_columns(["url", "surface"])
 
 
+def q_entity_pagerank(sf_dir: str):
+    """Graph analytics over the KG: integer fixed-point PageRank
+    (pipelines/pagerank.py) on the doubled page↔entity mention graph.
+    Integer arithmetic commutes exactly, so the iterative shuffle is
+    bit-deterministic at any partitioning — pinned by an independent
+    plain-Python fixture oracle (gen_fixtures.gen_entity_pagerank)."""
+    from .pipelines import pages
+    from .pipelines.kg import mentions_distinct_stage, ONTO
+    from .pipelines.pagerank import pagerank
+
+    extracted = pages.read_pages(sf_dir).map_batches(
+        pages.extract_text_batch, batch_format="pyarrow"
+    )
+    md = mentions_distinct_stage(extracted)
+
+    def doubled_edges(batch: pa.Table) -> pa.Table:
+        url = batch["url"].combine_chunks()
+        ent = pc.binary_join_element_wise(
+            pa.scalar(f"{ONTO}#ent_"), batch["surface"].combine_chunks(), ""
+        )
+        return pa.concat_tables(
+            [
+                pa.table({"src": url, "dst": ent}),
+                pa.table({"src": ent, "dst": url}),
+            ]
+        )
+
+    e = md.map_batches(doubled_edges, batch_format="pyarrow")
+    return pagerank(e, iters=5, num_buckets=16)
+
+
 def q_kg_triples(sf_dir: str):
     from .pipelines.kg import build_kg, decode_triples_batch
 

@@ -365,8 +365,51 @@ def gen_kmv_distinct(k: int = 256) -> str:
     return f"{path}: estimate {est}"
 
 
+def gen_entity_pagerank(iters: int = 5, num: int = 85, den: int = 100) -> str:
+    """Dict-based integer fixed-point PageRank over the doubled
+    page↔entity mention graph (twin of pipelines/pagerank.py +
+    q_entity_pagerank; integer arithmetic makes both sides exactly
+    deterministic). Only the GAZETTEER surface list (data) is shared."""
+    from ontograph_ray.pipelines.kg import GAZETTEER, ONTO  # data only
+
+    scale = 1_000_000_000
+    gaz = set(GAZETTEER)
+    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
+    edges = set()
+    for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        url = f"https://docs.example.org/page/{doc_id}"
+        for surface in {t for t in text.split(" ") if t in gaz}:
+            ent = f"{ONTO}#ent_{surface}"
+            edges.add((url, ent))
+            edges.add((ent, url))
+    edges = sorted(edges)
+    outdeg: dict[str, int] = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    nodes = sorted({n for e in edges for n in e})
+    base = (scale * (den - num)) // den
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += r[u] // outdeg[u]
+        r = {n: base + (num * s[n]) // den for n in nodes}
+    path = os.path.join(FIXTURES_DIR, "entity_pagerank_sf001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.string()),
+                "rank": pa.array([r[n] for n in nodes], pa.int64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(nodes)} nodes, {len(edges)} directed edges"
+
+
 if __name__ == "__main__":
     os.makedirs(FIXTURES_DIR, exist_ok=True)
+    print(gen_entity_pagerank())
     print(gen_simhash_pairs())
     print(gen_multimodal_features())
     print(gen_audio_features())

@@ -125,6 +125,72 @@ class TestUnionFind:
             assert salted == want, f"salt={s} diverged"
 
 
+class TestPagerank:
+    @staticmethod
+    def _pr_py(edges, iters=5, num=85, den=100):
+        """Independent dict-based twin of pipelines.pagerank (integer
+        fixed point, sink mass dropped)."""
+        from ontograph_ray.pipelines.pagerank import SCALE
+
+        edges = sorted(set(edges))
+        outdeg = {}
+        for u, _ in edges:
+            outdeg[u] = outdeg.get(u, 0) + 1
+        nodes = sorted({n for e in edges for n in e})
+        base = (SCALE * (den - num)) // den
+        r = {n: SCALE for n in nodes}
+        for _ in range(iters):
+            s = {n: 0 for n in nodes}
+            for u, v in edges:
+                s[v] += r[u] // outdeg[u]
+            r = {n: base + (num * s[n]) // den for n in nodes}
+        return r
+
+    def test_matches_python_twin_and_partition_invariant(self, ray_session):
+        from ontograph_ray.pipelines.pagerank import pagerank
+
+        rng = __import__("random").Random(11)
+        nodes = [f"n{i:02d}" for i in range(30)]
+        edges = sorted(
+            {
+                (rng.choice(nodes), rng.choice(nodes))
+                for _ in range(150)
+            }
+        )
+        edges = [(u, v) for u, v in edges if u != v]
+        edges += edges[:20]  # duplicates must be ignored
+        want = self._pr_py(edges)
+        for parts, thresh in ((2, 0), (9, 0), (5, 200_000)):
+            # thresh=0 forces the distributed loop; the default takes
+            # the driver cutover — all identical, at any partitioning
+            ds = ray.data.from_items(
+                [{"src": u, "dst": v} for u, v in edges]
+            ).repartition(parts)
+            got = {
+                r["node"]: r["rank"]
+                for r in pagerank(
+                    ds, num_buckets=4, small_threshold=thresh
+                ).take_all()
+            }
+            assert got == want, (parts, thresh)
+
+    def test_sink_and_source_semantics(self, ray_session):
+        from ontograph_ray.pipelines.pagerank import SCALE, pagerank
+
+        # a → b → c: a has no inbound (pure base), c is a sink whose
+        # mass is dropped (never redistributed)
+        ds = ray.data.from_items(
+            [{"src": "a", "dst": "b"}, {"src": "b", "dst": "c"}]
+        )
+        got = {r["node"]: r["rank"] for r in pagerank(ds, iters=3).take_all()}
+        base = (SCALE * 15) // 100
+        assert got["a"] == base
+        assert got == self._pr_py(
+            [("a", "b"), ("b", "c")], iters=3
+        )
+        assert got["c"] > got["b"] > got["a"]
+
+
 class TestPipeline:
     def test_matches_oracle_exactly(self, ray_session):
         res = build_kg(SF)
