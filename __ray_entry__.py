@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sameas_components": q.q_kg_sameas_components,
         "kg_sameas_salted": q.q_kg_sameas_salted,
         "entity_pagerank": q.q_entity_pagerank,
+        "kg_node_degrees": q.q_kg_node_degrees,
         # Training-data operators
         "sample_hash": q.q_sample_hash,
         "kmv_distinct": q.q_kmv_distinct,

@@ -235,6 +235,14 @@ SELECT DISTINCT '{onto}#ent_' || surface || '__' || lang AS node,
                 '{onto}#ent_' || surface AS component FROM mention
 UNION
 SELECT DISTINCT '{onto}#ent_' || surface, '{onto}#ent_' || surface FROM mention""",
+        "kg_node_degrees": f"""{_T},
+o AS (SELECT subject AS node, COUNT(*) AS n FROM t GROUP BY subject),
+i AS (SELECT object AS node, COUNT(*) AS n FROM t
+      WHERE object LIKE '<%' GROUP BY object)
+SELECT COALESCE(o.node, i.node) AS node,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(i.n, 0) AS BIGINT) AS in_deg
+FROM o FULL OUTER JOIN i ON o.node = i.node""",
         # salted distributed loop must be bucket-/salt-invariant: same oracle
         "kg_sameas_salted": f"""{_MENTION_CTE}
 SELECT DISTINCT '{onto}#ent_' || surface || '__' || lang AS node,

@@ -612,6 +612,38 @@ def q_kg_mentions(sf_dir: str):
     return md.select_columns(["url", "surface"])
 
 
+def q_kg_node_degrees(sf_dir: str):
+    """KG analytics: in/out degree per node (hub detection) in ONE
+    pass — each block emits per-node partial (out_deg, in_deg) counts
+    (objects count as in-edges only when they are resources), then a
+    single bucketed exchange sums both columns; no join of two
+    aggregates."""
+    from .store.dataset import bucketed_group_map
+
+    ds = table_triples(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("subject", sort=False).size().rename("out_deg").reset_index()
+        )
+        out.columns = ["node", "out_deg"]
+        out["in_deg"] = 0
+        res = df.loc[df["object"].str.startswith("<"), "object"]
+        inn = res.groupby(res, sort=False).size().rename("in_deg").reset_index()
+        inn.columns = ["node", "in_deg"]
+        inn["out_deg"] = 0
+        both = pd.concat([out, inn], ignore_index=True)
+        return both[["node", "out_deg", "in_deg"]].astype(
+            {"out_deg": "int64", "in_deg": "int64"}
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False, as_index=False)[["out_deg", "in_deg"]]
+        return g.sum().astype({"out_deg": "int64", "in_deg": "int64"})
+
+    return bucketed_group_map(ds, ["node"], final, partial_fn=partial)
+
+
 def q_entity_pagerank(sf_dir: str):
     """Graph analytics over the KG: integer fixed-point PageRank
     (pipelines/pagerank.py) on the doubled page↔entity mention graph.
