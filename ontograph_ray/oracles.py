@@ -125,6 +125,10 @@ SELECT DISTINCT * FROM (
   UNION ALL
   SELECT '<urn:og:cust/0>', '{RDF_TYPE_T}', '<{CUST_CLASS}>'
 ) WHERE predicate != '<{IN_REGION}>'""",
+        "sparql_path": f"""{_T}
+SELECT t1.subject AS cust, t2.object AS region
+FROM t t1 JOIN t t2 ON t1.object = t2.subject
+WHERE t1.predicate = '<{IN_NATION}>' AND t2.predicate = '<{IN_REGION}>'""",
         "sparql_group_count": f"""{_T}
 SELECT object AS seg, CAST(COUNT(subject) AS BIGINT) AS n,
        MIN(subject) AS first

@@ -1530,6 +1530,25 @@ def q_sparql_update(sf_dir: str):
     return store.dataset
 
 
+def q_sparql_path(sf_dir: str):
+    """E8 extension: sequence property path (inNation/inRegion) —
+    rewritten by the parser into a hidden-variable pattern chain, so
+    the physical plan is the same two bucketed hash joins as the
+    explicit BGP."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        SELECT ?cust ?region WHERE {{
+          ?cust <{IN_NATION}>/<{IN_REGION}> ?region .
+        }}
+        """,
+    )
+
+
 def q_sparql_group_count(sf_dir: str):
     """E8 extension: GROUP BY aggregate — customers per market segment,
     compiled onto the engine's combiner+exchange distributed aggregate

@@ -21,6 +21,11 @@ silently misanswering):
                                       | "lit" | "lit"@lang
                                       | "lit"^^<dt> | "lit"^^pfx:local
                                       | a  (= rdf:type, predicate slot)
+      s p1/p2/... o                   (sequence property path: rewritten
+                                      to a chain of patterns through
+                                      hidden ?__ppN variables — ground
+                                      predicates only; ?__pp* names are
+                                      reserved)
       FILTER ( ?v = term )            (term equality on the encoded term)
       FILTER ( ?v != term )
       FILTER regex ( ?v , "re" )      (RE2 over the encoded term string)
@@ -91,7 +96,7 @@ _TOKEN = re.compile(
         (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       | (?P<uri><[^<>\s]*>)
       | (?P<lit>"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+|\^\^(?:<[^<>\s]*>|[A-Za-z_][\w-]*:[\w-]+))?)
-      | (?P<punct>[{}.(),])
+      | (?P<punct>[{}.(),/])
       | (?P<op>!=|=)
       | (?P<num>\d+)
       | (?P<word>[A-Za-z_][\w-]*(?::[\w-]*)?|\*)
@@ -264,11 +269,30 @@ def parse(text: str) -> _Query:
 
     optionals: list[list[tuple[str, str, str]]] = []
 
+    pp_counter = [0]  # fresh hidden vars for property-path chaining
+
     def take_pattern(into: list) -> None:
         s = _expand(take(), prefixes, "subject")
-        p = _expand(take(), prefixes, "predicate")
+        preds = [_expand(take(), prefixes, "predicate")]
+        while peek() == "/":
+            take()
+            preds.append(_expand(take(), prefixes, "predicate"))
         o = _expand(take(), prefixes, "object")
-        into.append((s, p, o))
+        if len(preds) > 1 and any(p.startswith("?") for p in preds):
+            raise SparqlSyntaxError(
+                "property-path elements must be ground predicates, not ?vars"
+            )
+        # sequence path p1/p2/... rewrites to a chain of patterns through
+        # hidden ?__ppN variables (excluded from SELECT * / UNION typing)
+        cur = s
+        for k, p in enumerate(preds):
+            if k == len(preds) - 1:
+                nxt = o
+            else:
+                nxt = f"?__pp{pp_counter[0]}"
+                pp_counter[0] += 1
+            into.append((cur, p, nxt))
+            cur = nxt
         if peek() == ".":
             take()
 
@@ -455,12 +479,15 @@ def sparql_select(
         # independent BGP join; the strict subset requires identical
         # variable sets so the union is well-typed with no null padding
         branches = [_join_patterns(store, grp) for grp in q.union_groups]
-        bound = branches[0][1]
+        # hidden property-path vars (__ppN) are per-branch plumbing and
+        # excluded from the same-variables typing rule and the union
+        bound = [v for v in branches[0][1] if not v.startswith("__pp")]
         for _, vars_ in branches[1:]:
-            if set(vars_) != set(bound):
+            visible = {v for v in vars_ if not v.startswith("__pp")}
+            if visible != set(bound):
                 raise SparqlUnsupportedError(
                     f"UNION branches bind different variables: "
-                    f"{sorted(bound)} vs {sorted(vars_)}"
+                    f"{sorted(bound)} vs {sorted(visible)}"
                 )
         aligned = [ds.select_columns(bound) for ds, _ in branches]
         joined = aligned[0]
@@ -591,7 +618,11 @@ def sparql_select(
             joined = rd.from_pandas(pd.DataFrame([row]))
         bound = group_by + aliases
 
-    cols = bound if q.select == ["*"] else q.select
+    cols = (
+        [v for v in bound if not v.startswith("__pp")]
+        if q.select == ["*"]
+        else q.select
+    )
     missing = [c for c in cols if c not in bound]
     if missing:
         raise SparqlSyntaxError(f"SELECT variables never bound: {missing}")

@@ -764,6 +764,27 @@ class TestSparql:
         )
         assert opt["n"].tolist() == [0, 1]
 
+    def test_property_path(self, dstore):
+        # ?x rel-1/rel-2 ?z ≡ the explicit 2-pattern chain, with the
+        # intermediate variable hidden (SELECT * must not leak __pp0)
+        out = self._q(
+            dstore,
+            f"PREFIX f: <{G}#> SELECT ?x ?z WHERE {{ ?x f:rel-1/f:rel-2 ?z . }}",
+        )
+        assert out.values.tolist() == [[f"<{G}>", f"<{G}#b>"]]
+        star = self._q(
+            dstore, f"PREFIX f: <{G}#> SELECT * WHERE {{ ?x f:rel-1/f:rel-2 ?z . }}"
+        )
+        assert sorted(star.columns) == ["x", "z"]
+
+    def test_property_path_errors(self, dstore):
+        from ontograph_ray.store.sparql import SparqlSyntaxError, sparql_select
+
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(
+                dstore, "SELECT ?x WHERE { ?x ?p/<urn:q> ?z . }"
+            )  # path elements must be ground
+
     def test_aggregate_errors(self, dstore):
         from ontograph_ray.store.sparql import (
             SparqlSyntaxError,
