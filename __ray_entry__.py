@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_group_count": q.q_sparql_group_count,
         "sparql_update": q.q_sparql_update,
         "sparql_path": q.q_sparql_path,
+        "sparql_construct": q.q_sparql_construct,
         "quantile_sketch": q.q_quantile_sketch,
         "repetition_stats": q.q_repetition_stats,
         "export_shards": q.q_export_shards,

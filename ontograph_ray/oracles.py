@@ -129,6 +129,17 @@ SELECT DISTINCT * FROM (
 SELECT t1.subject AS cust, t2.object AS region
 FROM t t1 JOIN t t2 ON t1.object = t2.subject
 WHERE t1.predicate = '<{IN_NATION}>' AND t2.predicate = '<{IN_REGION}>'""",
+        "sparql_construct": f"""{_T},
+typed AS (SELECT subject, object AS typ FROM t WHERE predicate = '{RDF_TYPE_T}'),
+lbl AS (SELECT subject, object AS lbl FROM t
+        WHERE predicate = '<{C.RDFS_LABEL}>')
+SELECT DISTINCT * FROM (
+  SELECT typed.subject AS subject, '<urn:og:rel/labelled>' AS predicate,
+         lbl.lbl AS object
+  FROM typed JOIN lbl ON lbl.subject = typed.subject
+  UNION ALL
+  SELECT subject, '{RDF_TYPE_T}' AS predicate, typ AS object FROM typed
+)""",
         "sparql_group_count": f"""{_T}
 SELECT object AS seg, CAST(COUNT(subject) AS BIGINT) AS n,
        MIN(subject) AS first

@@ -1549,6 +1549,30 @@ def q_sparql_path(sf_dir: str):
     )
 
 
+def q_sparql_construct(sf_dir: str):
+    """E8 extension: CONSTRUCT — template instantiation over SELECT
+    bindings with an OPTIONAL whose unbound rows are skipped per spec
+    (customers carry no rdfs:label, nations/regions do), globally
+    deduped into a triple set."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_construct
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_construct(
+        store,
+        """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        CONSTRUCT {
+          ?x <urn:og:rel/labelled> ?lbl .
+          ?x a ?t .
+        } WHERE {
+          ?x a ?t .
+          OPTIONAL { ?x rdfs:label ?lbl }
+        }
+        """,
+    )
+
+
 def q_sparql_group_count(sf_dir: str):
     """E8 extension: GROUP BY aggregate — customers per market segment,
     compiled onto the engine's combiner+exchange distributed aggregate

@@ -41,6 +41,12 @@ silently misanswering):
     ORDER BY ?v ...                   (optional)
     LIMIT n                           (optional)
 
+``sparql_construct`` supports ``CONSTRUCT { template } WHERE { ... }``
+with the full SELECT-subset WHERE clause: the template instantiates
+per binding row (rows with an unbound OPTIONAL variable in the
+template are omitted, per spec) and the result is the globally deduped
+triple SET — a Dataset ready for ``DatasetGraphStore``.
+
 ``sparql_update`` accepts the three update forms the reference's own
 store layer GENERATES (blazegraph_store.go:104,166,190,248,272 — the
 complete update surface the reference exercises), compiled onto the
@@ -78,6 +84,7 @@ from .. import triples as tr
 __all__ = [
     "SparqlSyntaxError",
     "SparqlUnsupportedError",
+    "sparql_construct",
     "sparql_select",
     "sparql_update",
 ]
@@ -637,6 +644,103 @@ def sparql_select(
     if q.limit is not None:
         out = out.limit(q.limit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# SPARQL CONSTRUCT: template over SELECT bindings → deduped triple set
+# ---------------------------------------------------------------------------
+
+
+def sparql_construct(
+    store: "dstore.DatasetGraphStore", query: str
+) -> ray.data.Dataset:
+    """``CONSTRUCT { template } WHERE { ... }`` → Dataset(subject,
+    predicate, object). The WHERE clause supports the FULL SELECT
+    subset (module doc) — the template is parsed here, then the
+    remaining tokens are re-synthesized into a ``SELECT *`` query so
+    bindings come from the exact same plan as ``sparql_select``.
+    CONSTRUCT returns a SET of triples: templates are instantiated per
+    binding row, rows with an unbound (OPTIONAL-null) template variable
+    are omitted per the spec, and the union is globally deduped."""
+    toks = _tokenize(query)
+    i = 0
+
+    def peek() -> str:
+        return toks[i] if i < len(toks) else ""
+
+    def take() -> str:
+        nonlocal i
+        if i >= len(toks):
+            raise SparqlSyntaxError("unexpected end of query")
+        i += 1
+        return toks[i - 1]
+
+    prefixes: dict[str, str] = {}
+    prefix_toks: list[str] = []
+    while peek().upper() == "PREFIX":
+        prefix_toks.append(take())
+        name = take().rstrip(":")
+        uri = take()
+        if not uri.startswith("<"):
+            raise SparqlSyntaxError(f"PREFIX needs <uri>, got {uri!r}")
+        prefixes[name] = uri[1:-1]
+        prefix_toks += [f"{name}:", uri]
+
+    if take().upper() != "CONSTRUCT" or take() != "{":
+        raise SparqlSyntaxError("expected CONSTRUCT {")
+    templates: list[tuple[str, str, str]] = []
+    while peek() not in ("}", ""):
+        s = _expand(take(), prefixes, "subject")
+        p = _expand(take(), prefixes, "predicate")
+        o = _expand(take(), prefixes, "object")
+        templates.append((s, p, o))
+        if peek() == ".":
+            take()
+    if take() != "}":
+        raise SparqlSyntaxError("expected } closing the CONSTRUCT template")
+    if not templates:
+        raise SparqlSyntaxError("empty CONSTRUCT template")
+    if peek().upper() != "WHERE":
+        raise SparqlSyntaxError("expected WHERE after the CONSTRUCT template")
+
+    select_q = " ".join(prefix_toks + ["SELECT", "*"] + toks[i:])
+    bindings = sparql_select(store, select_q)
+
+    tvars = {t[1:] for pat in templates for t in pat if t.startswith("?")}
+    bound = set(bindings.schema().names)
+    missing = sorted(tvars - bound)
+    if missing:
+        raise SparqlSyntaxError(
+            f"CONSTRUCT template variables never bound: {missing}"
+        )
+
+    import pyarrow.compute as pc
+
+    pats = list(templates)
+
+    def instantiate(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        outs = []
+        for s, p, o in pats:
+            cols = []
+            mask = None
+            for term in (s, p, o):
+                if term.startswith("?"):
+                    col = batch[term[1:]].combine_chunks().cast(pa.string())
+                    m = pc.is_valid(col)
+                    mask = m if mask is None else pc.and_(mask, m)
+                else:
+                    col = pa.nulls(n, pa.string()).fill_null(term)
+                cols.append(col)
+            t = pa.table(
+                {tr.SUBJECT: cols[0], tr.PREDICATE: cols[1], tr.OBJECT: cols[2]}
+            )
+            outs.append(t if mask is None else t.filter(mask))
+        return pa.concat_tables(outs)
+
+    return dstore.dedup(
+        bindings.map_batches(instantiate, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -602,6 +602,52 @@ class TestSparqlUpdate:
             sparql_update(dstore, "INSERT WHERE { ?s <b> ?o . }")
 
 
+class TestSparqlConstruct:
+    def test_construct_set_semantics(self, dstore):
+        from ontograph_ray.store.sparql import sparql_construct
+
+        # two templates; the constant-object one collapses to one triple
+        # per distinct ?x (set semantics), the echo one per (x, y)
+        out = sparql_construct(
+            dstore,
+            f"""PREFIX f: <{G}#> CONSTRUCT {{
+                  ?x <urn:linked> ?y .
+                  ?x <urn:seen> "yes" .
+                }} WHERE {{ ?x f:rel-1 ?y . }}""",
+        )
+        got = {
+            (r["subject"], r["predicate"], r["object"]) for r in out.take_all()
+        }
+        linked = {t for t in got if t[1] == "<urn:linked>"}
+        seen = {t for t in got if t[1] == "<urn:seen>"}
+        assert len(linked) == 3  # three rel-1 edges in the fixture
+        assert {t[0] for t in seen} == {t[0] for t in linked}
+        assert all(t[2] == '"yes"' for t in seen)
+        assert len(got) == len(linked) + len(seen)
+
+    def test_construct_skips_unbound_optional(self, dstore):
+        from ontograph_ray.store.sparql import sparql_construct
+
+        out = sparql_construct(
+            dstore,
+            f"""PREFIX f: <{G}#> CONSTRUCT {{ ?x <urn:has3> ?v . }}
+                WHERE {{ ?x f:rel-1 ?y . OPTIONAL {{ ?y f:rel-2 ?v . }} }}""",
+        )
+        rows = out.take_all()
+        # only the a→b chain binds ?v; unbound rows are omitted per spec
+        assert len(rows) == 1 and rows[0]["object"] == f"<{G}#b>"
+
+    def test_construct_errors(self, dstore):
+        from ontograph_ray.store.sparql import SparqlSyntaxError, sparql_construct
+
+        with pytest.raises(SparqlSyntaxError):
+            sparql_construct(
+                dstore, "CONSTRUCT { ?z <urn:p> ?x . } WHERE { ?x ?p ?o . }"
+            )  # ?z never bound
+        with pytest.raises(SparqlSyntaxError):
+            sparql_construct(dstore, "CONSTRUCT { } WHERE { ?x ?p ?o . }")
+
+
 class TestSparql:
     """E8 passthrough: SPARQL SELECT subset over the 7-triple fixture."""
 
