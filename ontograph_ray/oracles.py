@@ -303,6 +303,9 @@ FROM documents""",
         "jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
+        "csv_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
         "domain_cap": """
 SELECT doc_id, source FROM documents
 QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10""",

@@ -1444,6 +1444,19 @@ def q_jsonl_roundtrip(sf_dir: str):
     return read_documents_jsonl(out)
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV interchange round-trip: documents → partitioned CSV sink →
+    schema-pinned reader; oracle is the original table (set equality
+    proves losslessness through quoting of commas/quotes/newlines)."""
+    import tempfile
+
+    from .sources.csv import read_documents_csv, write_documents_csv
+
+    out = tempfile.mkdtemp(prefix="og_csv_", dir="/tmp")
+    write_documents_csv(_read(sf_dir, "documents"), out)
+    return read_documents_csv(out)
+
+
 def q_sparql_filter(sf_dir: str):
     """E8 extension: FILTER(!= term) + FILTER regex applied after the
     BGP join — streaming vectorized kernels over the encoded terms."""

@@ -961,6 +961,45 @@ class TestJsonlSource:
         want = pd.DataFrame(rows)
         pd.testing.assert_frame_equal(back, want)
 
+    def test_csv_roundtrip_hostile_text(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from ontograph_ray.sources.csv import (
+            read_documents_csv,
+            write_documents_csv,
+        )
+
+        # commas, quotes, and an embedded newline must survive quoting
+        texts = ['a,b,"c"', "line1\nline2", "plain", "", "trailing,"]
+        rows = [
+            {"doc_id": i, "text": t, "lang": "en",
+             "source": f"s{i % 2}", "n_chars": len(t)}
+            for i, t in enumerate(texts)
+        ]
+        ds = ray.data.from_items(rows).repartition(2)
+        out = str(tmp_path / "csv")
+        write_documents_csv(ds, out)
+        back = (
+            read_documents_csv(out)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(back, pd.DataFrame(rows))
+
+    def test_csv_reader_column_pruning(self, ray_session, tmp_path):
+        from ontograph_ray.sources.csv import (
+            read_documents_csv,
+            write_documents_csv,
+        )
+
+        rows = [{"doc_id": 1, "text": "t", "lang": "en", "source": "s", "n_chars": 1}]
+        out = str(tmp_path / "csv")
+        write_documents_csv(ray.data.from_items(rows), out)
+        got = read_documents_csv(out, columns=["doc_id", "lang"]).to_pandas()
+        assert list(got.columns) == ["doc_id", "lang"]
+        assert got["doc_id"].tolist() == [1]
+
     def test_jsonl_reader_column_pruning(self, ray_session, tmp_path):
         from ontograph_ray.sources.jsonl import (
             read_documents_jsonl,
