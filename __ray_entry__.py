@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_update": q.q_sparql_update,
         "sparql_path": q.q_sparql_path,
         "sparql_construct": q.q_sparql_construct,
+        "sparql_ask": q.q_sparql_ask,
         "quantile_sketch": q.q_quantile_sketch,
         "repetition_stats": q.q_repetition_stats,
         "export_shards": q.q_export_shards,

@@ -145,6 +145,41 @@ SELECT object AS seg, CAST(COUNT(subject) AS BIGINT) AS n,
        MIN(subject) AS first
 FROM t WHERE predicate = '<{SEGMENT}>'
 GROUP BY object""",
+        # E8 ASK truth vector: each row is EXISTS over the same triple
+        # view the engine scans; names/order mirror q_sparql_ask
+        "sparql_ask": f"""{_T}
+SELECT * FROM (
+  SELECT 'conjunction' AS ask, CAST(EXISTS(
+    SELECT 1 FROM t t1
+    JOIN t t2 ON t2.subject = t1.subject
+    JOIN t t3 ON t3.subject = t2.object
+    WHERE t1.predicate = '{RDF_TYPE_T}'
+      AND t1.object = '<{CUST_CLASS}>'
+      AND t2.predicate = '<{IN_NATION}>'
+      AND t3.predicate = '<{IN_REGION}>') AS BIGINT) AS result
+  UNION ALL
+  SELECT 'disconnected', CAST(
+    EXISTS(SELECT 1 FROM t WHERE predicate = '{RDF_TYPE_T}'
+           AND object = '<{CUST_CLASS}>')
+    AND EXISTS(SELECT 1 FROM t WHERE predicate = '<{IN_REGION}>')
+    AS BIGINT)
+  UNION ALL
+  SELECT 'graph_nonempty', CAST(EXISTS(SELECT 1 FROM t) AS BIGINT)
+  UNION ALL
+  SELECT 'ground_hit', CAST(EXISTS(
+    SELECT 1 FROM t WHERE subject = '<urn:og:cust/0>'
+    AND predicate = '{RDF_TYPE_T}' AND object = '<{CUST_CLASS}>')
+    AS BIGINT)
+  UNION ALL
+  SELECT 'ground_miss', CAST(EXISTS(
+    SELECT 1 FROM t WHERE subject = '<urn:og:cust/0>'
+    AND predicate = '{RDF_TYPE_T}' AND object = '<urn:og:class/Nope>')
+    AS BIGINT)
+  UNION ALL
+  SELECT 'pattern_miss', CAST(EXISTS(
+    SELECT 1 FROM t WHERE predicate = '<urn:og:attr/nonexistent>')
+    AS BIGINT)
+) ORDER BY ask""",
         "add_unchecked_dedup": f"{_T} SELECT DISTINCT * FROM t",
         "add_checked_atomic": f"""{TRIPLES_SQL}
 UNION ALL

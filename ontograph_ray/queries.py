@@ -1603,3 +1603,41 @@ def q_sparql_group_count(sf_dir: str):
         } GROUP BY ?seg ORDER BY ?seg
         """,
     )
+
+
+def q_sparql_ask(sf_dir: str):
+    """E8: SPARQL ASK — the two existence forms the reference's store
+    layer generates (graph-nonempty, blazegraph_store.go:294; ground
+    triple exists, blazegraph_store.go:419) plus a single-pattern miss,
+    a connected conjunction, and a DISCONNECTED conjunction (allowed in
+    ASK: per-component non-emptiness, no cartesian). Every check
+    short-circuits via limit(1). Returned as a deterministic
+    (ask, result) table so the whole truth vector is one oracle row
+    set."""
+    import pandas as pd
+
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_ask
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    asks = {
+        "graph_nonempty": "ASK WHERE { GRAPH <urn:og:graph> { ?s ?p ?o } }",
+        "ground_hit": f"ASK {{ <urn:og:cust/0> a <{CUST_CLASS}> . }}",
+        "ground_miss": "ASK { <urn:og:cust/0> a <urn:og:class/Nope> . }",
+        "pattern_miss": "ASK WHERE { ?s <urn:og:attr/nonexistent> ?o . }",
+        "conjunction": f"""ASK WHERE {{
+            ?c a <{CUST_CLASS}> . ?c <{IN_NATION}> ?n .
+            ?n <{IN_REGION}> ?r . }}""",
+        "disconnected": f"""ASK WHERE {{
+            ?c a <{CUST_CLASS}> . ?x <{IN_REGION}> ?r . }}""",
+    }
+    names = sorted(asks)
+    return pd.DataFrame(
+        {
+            "ask": names,
+            "result": pd.array(
+                [int(sparql_ask(store, asks[n])) for n in names],
+                dtype="int64",
+            ),
+        }
+    )

@@ -57,6 +57,13 @@ engine's bulk set operations:
     DELETE WHERE { [GRAPH <g> {] s p o . [}] }        → negated pattern
                                       (one pattern; ?vars = wildcards)
 
+``sparql_ask`` accepts ``ASK [WHERE] { [GRAPH <g> {] BGP [}] }`` —
+the existence forms the reference's store layer generates
+(graph-nonempty, blazegraph_store.go:294; ground triple exists,
+blazegraph_store.go:419) plus multi-pattern BGPs. Each condition
+short-circuits via ``limit(1)`` (no full scan); disconnected pattern
+groups are allowed (per-component non-emptiness, no cartesian).
+
 Bindings are the engine's NTriples-encoded term strings (``<uri>`` /
 ``"lit"^^<dt>``), exactly what every other store op exchanges.
 
@@ -84,6 +91,7 @@ from .. import triples as tr
 __all__ = [
     "SparqlSyntaxError",
     "SparqlUnsupportedError",
+    "sparql_ask",
     "sparql_construct",
     "sparql_select",
     "sparql_update",
@@ -741,6 +749,134 @@ def sparql_construct(
     return dstore.dedup(
         bindings.map_batches(instantiate, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# SPARQL ASK — the existence forms the reference's store layer generates
+# ---------------------------------------------------------------------------
+
+
+def _parse_ask(text: str):
+    """→ (graph|None, [(s,p,o)]) — terms NTriples-encoded, ?vars kept."""
+    toks = _tokenize(text)
+    i, prefixes = 0, {}
+
+    def peek() -> str:
+        return toks[i] if i < len(toks) else ""
+
+    def take() -> str:
+        nonlocal i
+        if i >= len(toks):
+            raise SparqlSyntaxError("unexpected end of query")
+        i += 1
+        return toks[i - 1]
+
+    while peek().upper() == "PREFIX":
+        take()
+        name = take().rstrip(":")
+        uri = take()
+        if not uri.startswith("<"):
+            raise SparqlSyntaxError(f"PREFIX needs <uri>, got {uri!r}")
+        prefixes[name] = uri[1:-1]
+
+    if take().upper() != "ASK":
+        raise SparqlSyntaxError("expected ASK")
+    if peek().upper() == "WHERE":
+        take()
+    if take() != "{":
+        raise SparqlSyntaxError("expected { opening the ASK pattern")
+    graph = None
+    graph_brace = False
+    if peek().upper() == "GRAPH":
+        take()
+        g = take()
+        if not g.startswith("<"):
+            raise SparqlSyntaxError(f"GRAPH needs <uri>, got {g!r}")
+        graph = g[1:-1]
+        if take() != "{":
+            raise SparqlSyntaxError("expected { after GRAPH <uri>")
+        graph_brace = True
+
+    pats: list[tuple[str, str, str]] = []
+    while peek() not in ("}", ""):
+        s = _expand(take(), prefixes, "subject")
+        p = _expand(take(), prefixes, "predicate")
+        o = _expand(take(), prefixes, "object")
+        pats.append((s, p, o))
+        if peek() == ".":
+            take()
+        elif peek() != "}":
+            raise SparqlSyntaxError("expected '.' or '}' after a triple")
+    if take() != "}":
+        raise SparqlSyntaxError("expected } closing the ASK pattern")
+    if graph_brace and take() != "}":
+        raise SparqlSyntaxError("expected } closing the GRAPH block")
+    if i != len(toks):
+        raise SparqlSyntaxError(f"trailing tokens after ASK: {toks[i:]}")
+    if not pats:
+        raise SparqlSyntaxError("empty ASK pattern")
+    return graph, pats
+
+
+def sparql_ask(store: "dstore.DatasetGraphStore", query: str) -> bool:
+    """``ASK [WHERE] { [GRAPH <g> {] s p o . ... [}] }`` → bool.
+
+    Covers (and generalizes) the two ASK forms the reference's store
+    layer generates — graph-nonempty (``blazegraph_store.go:294``,
+    backing ``NamespaceExists``/online checks) and ground-triple
+    existence (``blazegraph_store.go:419``, backing the checked
+    add/delete conflict probes) — plus multi-pattern BGPs.
+
+    Scale shape: every check is pruned at the scan and short-circuits
+    at the first empty condition. Ground patterns and single-variable
+    patterns are ``matches()`` scans consumed via ``limit(1)`` (the
+    streaming executor stops producing once one row exists — no full
+    scan, no exchange). Multi-pattern groups are split into connected
+    components on shared variables; each component runs the same
+    bucketed-hash-join plan as SELECT, consumed via ``limit(1)``.
+    Unlike SELECT, DISCONNECTED patterns are allowed: ASK of a
+    conjunction needs only per-component non-emptiness, never the
+    cartesian product of bindings."""
+    graph, pats = _parse_ask(query)
+    if graph is not None and graph != store.get_uri():
+        raise SparqlUnsupportedError(
+            f"ASK targets GRAPH <{graph}>, store is <{store.get_uri()}>"
+        )
+
+    ground = [p for p in pats if not any(t.startswith("?") for t in p)]
+    varpats = [p for p in pats if any(t.startswith("?") for t in p)]
+
+    # cheapest first: ground existence probes (fully pruned scans)
+    for s, p, o in ground:
+        if store.matches(s, p, o).limit(1).count() == 0:
+            return False
+
+    # connected components over shared variables
+    comps: list[list[tuple[str, str, str]]] = []
+    compvars: list[set[str]] = []
+    for pat in varpats:
+        vs = {t[1:] for t in pat if t.startswith("?")}
+        hit = [k for k, cv in enumerate(compvars) if cv & vs]
+        if not hit:
+            comps.append([pat])
+            compvars.append(vs)
+        else:
+            k0 = hit[0]
+            comps[k0].append(pat)
+            compvars[k0] |= vs
+            for k in reversed(hit[1:]):
+                comps[k0] += comps.pop(k)
+                compvars[k0] |= compvars.pop(k)
+
+    for comp in comps:
+        if len(comp) == 1:
+            # single pattern: no join, no materialize — stream + limit(1)
+            bindings, _ = _pattern_bindings(store, comp[0])
+        else:
+            bindings, _ = _join_patterns(store, comp)
+        if bindings.limit(1).count() == 0:
+            return False
+    return True
 
 
 # ---------------------------------------------------------------------------

@@ -530,6 +530,102 @@ class TestVersionedStorage:
             vs.load(version=1)
 
 
+class TestSparqlAsk:
+    """E8 passthrough: the two ASK existence forms the reference's
+    store layer generates (blazegraph_store.go:294,419) plus the BGP
+    generalization."""
+
+    def _ask(self, store, text):
+        from ontograph_ray.store.sparql import sparql_ask
+
+        return sparql_ask(store, text)
+
+    def test_graph_nonempty(self, dstore):
+        # blazegraph_store.go:294 — the exact generated form
+        assert self._ask(
+            dstore, f"ASK WHERE {{ GRAPH <{G}> {{ ?s ?p ?o }} }}"
+        )
+
+    def test_graph_uri_mismatch(self, dstore):
+        from ontograph_ray.store.sparql import (
+            SparqlUnsupportedError,
+            sparql_ask,
+        )
+
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_ask(dstore, "ASK WHERE { GRAPH <urn:other> { ?s ?p ?o } }")
+
+    def test_ground_triple(self, dstore):
+        # blazegraph_store.go:419 — fully-bound existence probe
+        assert self._ask(
+            dstore, f"ASK {{ <{G}#a> <{G}#rel-2> <{G}#b> . }}"
+        )
+        assert not self._ask(
+            dstore, f"ASK {{ <{G}#a> <{G}#rel-2> <{G}#c> . }}"
+        )
+
+    def test_prefix_and_literals(self, dstore):
+        assert self._ask(
+            dstore,
+            f'PREFIX f: <{G}#> ASK WHERE {{ f:c f:rel-4 "lit2"@de . }}',
+        )
+        assert not self._ask(
+            dstore,
+            f'PREFIX f: <{G}#> ASK WHERE {{ f:c f:rel-4 "lit2" . }}',
+        )
+
+    def test_single_pattern_var(self, dstore):
+        assert self._ask(dstore, f"ASK {{ ?s <{G}#rel-2> ?o . }}")
+        assert not self._ask(dstore, f"ASK {{ ?s <{G}#rel-99> ?o . }}")
+
+    def test_connected_conjunction(self, dstore):
+        assert self._ask(
+            dstore,
+            f"ASK WHERE {{ ?x <{G}#rel-1> ?y . ?y <{G}#rel-2> ?z . }}",
+        )
+        assert not self._ask(
+            dstore,
+            f"ASK WHERE {{ ?x <{G}#rel-2> ?y . ?y <{G}#rel-2> ?z . }}",
+        )
+
+    def test_disconnected_conjunction(self, dstore):
+        # unlike SELECT, disconnected groups are per-component checks
+        assert self._ask(
+            dstore,
+            f"ASK {{ ?a <{G}#rel-2> ?b . ?c <{G}#rel-3> ?d . }}",
+        )
+        assert not self._ask(
+            dstore,
+            f"ASK {{ ?a <{G}#rel-2> ?b . ?c <{G}#rel-99> ?d . }}",
+        )
+
+    def test_mixed_ground_and_pattern(self, dstore):
+        assert self._ask(
+            dstore,
+            f"ASK {{ <{G}#a> <{G}#rel-2> <{G}#b> . ?s <{G}#rel-3> ?o . }}",
+        )
+        assert not self._ask(
+            dstore,
+            f"ASK {{ <{G}#a> <{G}#rel-2> <{G}#z> . ?s <{G}#rel-3> ?o . }}",
+        )
+
+    def test_repeated_var_equality(self, dstore):
+        # ?x p ?x within one pattern is an equality constraint
+        assert not self._ask(dstore, f"ASK {{ ?x <{G}#rel-2> ?x . }}")
+
+    def test_syntax_errors(self, dstore):
+        from ontograph_ray.store.sparql import SparqlSyntaxError, sparql_ask
+
+        for bad in (
+            "ASK { }",
+            "ASK ?s ?p ?o",
+            f"ASK {{ ?s ?p ?o . }} LIMIT 1",
+            f"SELECT * WHERE {{ ?s ?p ?o }}",
+        ):
+            with pytest.raises(SparqlSyntaxError):
+                sparql_ask(dstore, bad)
+
+
 class TestSparqlUpdate:
     """E8 passthrough: the three update forms the reference generates
     (blazegraph_store.go:104,166,248), compiled onto the bulk set ops."""
