@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q.q_pii_scrub,
         "pack_sequences": q.q_pack_sequences,
         "incremental_dedup": q.q_incremental_dedup,
+        "line_dedup": q.q_line_dedup,
         "classifier_score": q.q_classifier_score,
         "domain_cap": q.q_domain_cap,
         "jsonl_roundtrip": q.q_jsonl_roundtrip,

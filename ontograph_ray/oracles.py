@@ -145,6 +145,28 @@ SELECT object AS seg, CAST(COUNT(subject) AS BIGINT) AS n,
        MIN(subject) AS first
 FROM t WHERE predicate = '<{SEGMENT}>'
 GROUP BY object""",
+        # C4-style line dedup over the 3-token-line regrouped corpus:
+        # window twin of the combiner+anti-join plan (keep a line iff
+        # unique corpus-wide or it is the first (doc_id, line_no))
+        "line_dedup": """
+WITH p AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+l0 AS (SELECT doc_id, UNNEST(toks) AS tok,
+              UNNEST(generate_series(1, len(toks))) AS i FROM p),
+lines AS (
+  SELECT doc_id, (i - 1) // 3 AS line_no,
+         string_agg(tok, ' ' ORDER BY i) AS line
+  FROM l0 GROUP BY doc_id, (i - 1) // 3
+),
+k AS (
+  SELECT doc_id, line_no, line,
+         COUNT(*) OVER (PARTITION BY line) AS c,
+         ROW_NUMBER() OVER (PARTITION BY line
+                            ORDER BY doc_id, line_no) AS rn
+  FROM lines
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+FROM k WHERE c < 2 OR rn = 1
+GROUP BY doc_id""",
         # E8 ASK truth vector: each row is EXISTS over the same triple
         # view the engine scans; names/order mirror q_sparql_ask
         "sparql_ask": f"""{_T}

@@ -1641,3 +1641,35 @@ def q_sparql_ask(sf_dir: str):
             ),
         }
     )
+
+
+def q_line_dedup(sf_dir: str):
+    """C4/RefinedWeb-style cross-corpus LINE dedup: every line
+    occurring >= 2 times corpus-wide keeps only its globally-first
+    (doc_id, line_no) occurrence; docs are reassembled in line order
+    (stages/dedup.py::line_dedup — combiner-bounded decision exchange +
+    one bucketed anti-join, winners come from the decision rows so
+    there is no second join back). The single-line synthetic docs are
+    first regrouped into 3-token lines (fixture prep, below) so the
+    corpus has real duplicate-line mass (~15% of line keys at
+    sf0.01)."""
+    from .stages.dedup import line_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_lines(df: pd.DataFrame) -> pd.DataFrame:
+        # fixture prep, NOT the operator under test: regroup each doc's
+        # space-separated tokens into 3-token lines so line granularity
+        # exists at all (the synthetic docs are single-line)
+        df = df.copy()
+        df["text"] = [
+            "\n".join(
+                " ".join(toks[i : i + 3]) for i in range(0, len(toks), 3)
+            )
+            for toks in (t.split(" ") for t in df["text"])
+        ]
+        return df
+
+    return line_dedup(
+        docs.map_batches(to_lines, batch_format="pandas"), min_count=2
+    )

@@ -820,3 +820,126 @@ def group_cap(
         .groupby("__bucket")
         .map_groups(bucket_cap, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-corpus line dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    docs: ray.data.Dataset,
+    min_count: int = 2,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Cross-corpus LINE deduplication — the C4/RefinedWeb boilerplate
+    step: any line occurring ``>= min_count`` times across the whole
+    corpus keeps only its globally-first occurrence (lexicographically
+    min ``(doc_id, line_no)``); all other occurrences are removed and
+    documents are reassembled in original line order. A document whose
+    every line is removed drops out of the corpus.
+
+    Scale shape (three bucketed exchanges, nothing on the driver):
+
+    1. explode: ``text`` → ``(doc_id, line_no, line)`` with ONE
+       vectorized ``split_pattern`` + ``list_flatten`` per batch.
+    2. decisions: per-block combiner pre-aggregates each line to
+       ``(count, win_doc, win_line)`` — a hyper-duplicated boilerplate
+       line crosses the wire once per BLOCK, not once per occurrence —
+       then one bucketed exchange merges partials and keeps only the
+       duplicated lines (``count >= min_count``). The decision table is
+       bounded by the number of DISTINCT duplicated lines.
+    3. survivors: one bucketed ANTI-join of the exploded lines against
+       the decision keys drops every duplicated occurrence, then the
+       winners (already materialized IN the decision rows — no second
+       join back) are unioned in.
+    4. reassemble: one bucketed group-map on ``doc_id`` sorts each
+       document's surviving lines and joins with ``\\n``.
+    """
+    from ..store.dataset import bucketed_group_map, hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"].combine_chunks(), "")
+        split = pc.split_pattern(txt, "\n")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        doc_ids = batch["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        total = int(lens.sum())
+        # per-doc 0-based line numbers: arange minus each row's start
+        starts = np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        line_no = np.arange(total, dtype=np.int64) - starts
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_ids, lens)),
+                "line_no": pa.array(line_no),
+                "line": pc.list_flatten(split),
+            }
+        )
+
+    lines = docs.map_batches(explode, batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "line": pd.Series(dtype="object"),
+                    "count": pd.Series(dtype="int64"),
+                    "win_doc": pd.Series(dtype="int64"),
+                    "win_line": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["doc_id", "line_no"], kind="stable")
+        g = df.groupby("line", sort=False)
+        return g.agg(
+            count=("doc_id", "size"),
+            win_doc=("doc_id", "first"),
+            win_line=("line_no", "first"),
+        ).reset_index()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["win_doc", "win_line"], kind="stable")
+        g = df.groupby("line", sort=False)
+        out = g.agg(
+            count=("count", "sum"),
+            win_doc=("win_doc", "first"),
+            win_line=("win_line", "first"),
+        ).reset_index()
+        return out[out["count"] >= min_count]
+
+    decisions = bucketed_group_map(
+        lines, ["line"], merge, num_buckets=num_buckets, partial_fn=partial
+    ).materialize()  # tiny after the combiner: distinct dup lines only
+
+    uniq = hash_join(
+        lines,
+        decisions.select_columns(["line"]),
+        on="line",
+        how="anti",
+        num_buckets=num_buckets,
+    )
+    winners = decisions.select_columns(["win_doc", "win_line", "line"]).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["win_doc"], pa.int64()),
+                "line_no": pc.cast(t["win_line"], pa.int64()),
+                "line": t["line"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "line_no"], kind="stable")
+        out = (
+            df.groupby("doc_id", sort=False)["line"]
+            .agg("\n".join)
+            .reset_index()
+            .rename(columns={"line": "text"})
+        )
+        return out
+
+    return bucketed_group_map(
+        uniq.union(winners), ["doc_id"], rebuild, num_buckets=num_buckets
+    )

@@ -1012,3 +1012,60 @@ class TestJsonlSource:
         got = read_documents_jsonl(out, columns=["doc_id", "lang"]).to_pandas()
         assert list(got.columns) == ["doc_id", "lang"]
         assert got["doc_id"].tolist() == [1]
+
+
+class TestLineDedup:
+    """C4-style cross-corpus line dedup (stages/dedup.py::line_dedup)."""
+
+    def _docs(self):
+        import ray.data
+
+        return ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "home\nalpha beta\nfooter"},
+                {"doc_id": 2, "text": "home\ngamma delta\nfooter"},
+                {"doc_id": 3, "text": "home\nepsilon"},
+                {"doc_id": 4, "text": "home"},  # only line is a dup
+            ]
+        )
+
+    def _run(self, min_count=2):
+        from ontograph_ray.stages.dedup import line_dedup
+
+        rows = line_dedup(self._docs(), min_count=min_count).take_all()
+        return {r["doc_id"]: r["text"] for r in rows}
+
+    def test_keeps_first_occurrence_only(self, ray_session):
+        out = self._run()
+        # 'home' (4×) and 'footer' (2×) keep only their (min doc, min
+        # line_no) occurrence; unique lines survive everywhere
+        assert out[1] == "home\nalpha beta\nfooter"
+        assert out[2] == "gamma delta"
+        assert out[3] == "epsilon"
+        # doc 4's only line was deduped away → doc drops out
+        assert 4 not in out
+
+    def test_line_multiset_invariant(self, ray_session):
+        # corpus-wide: each dup line exactly once, unique lines unchanged
+        out = self._run()
+        all_lines = [ln for t in out.values() for ln in t.split("\n")]
+        assert sorted(all_lines) == sorted(
+            ["home", "footer", "alpha beta", "gamma delta", "epsilon"]
+        )
+
+    def test_min_count_loosens(self, ray_session):
+        # min_count=3: 'footer' (2×) now survives everywhere
+        out = self._run(min_count=3)
+        assert out[2] == "gamma delta\nfooter"
+        assert 4 not in out  # 'home' occurs 4× >= 3, still deduped
+
+    def test_order_preserved_within_doc(self, ray_session):
+        import ray.data
+
+        from ontograph_ray.stages.dedup import line_dedup
+
+        docs = ray.data.from_items(
+            [{"doc_id": 7, "text": "z\na\nm\nb"}]
+        )
+        rows = line_dedup(docs, min_count=2).take_all()
+        assert rows[0]["text"] == "z\na\nm\nb"  # original order, not sorted
