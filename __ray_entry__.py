@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.q_pack_sequences,
         "incremental_dedup": q.q_incremental_dedup,
         "line_dedup": q.q_line_dedup,
+        "inverted_index": q.q_inverted_index,
         "classifier_score": q.q_classifier_score,
         "domain_cap": q.q_domain_cap,
         "jsonl_roundtrip": q.q_jsonl_roundtrip,

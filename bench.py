@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "incremental_dedup",
     "domain_cap",
+    "line_dedup",
 ]
 
 

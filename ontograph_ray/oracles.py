@@ -145,6 +145,21 @@ SELECT object AS seg, CAST(COUNT(subject) AS BIGINT) AS n,
        MIN(subject) AS first
 FROM t WHERE predicate = '<{SEGMENT}>'
 GROUP BY object""",
+        # sharded inverted index: window twin — rank within term by
+        # doc_id, shard = rank // 64, postings/tfs string_agg'd per shard
+        "inverted_index": """
+WITH p AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, UNNEST(toks) AS term FROM p),
+td AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY term, doc_id),
+r AS (SELECT term, doc_id, tf,
+        ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) - 1 AS rk,
+        CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+      FROM td)
+SELECT term, CAST(rk // 64 AS BIGINT) AS shard_no, df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings,
+       string_agg(CAST(tf AS VARCHAR), ',' ORDER BY doc_id) AS tfs
+FROM r GROUP BY term, rk // 64, df""",
         # C4-style line dedup over the 3-token-line regrouped corpus:
         # window twin of the combiner+anti-join plan (keep a line iff
         # unique corpus-wide or it is the first (doc_id, line_no))

@@ -1673,3 +1673,16 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(
         docs.map_batches(to_lines, batch_format="pandas"), min_count=2
     )
+
+
+def q_inverted_index(sf_dir: str):
+    """Sharded inverted-index build (stages/index.py): term →
+    (shard_no, global df, comma-joined postings + aligned tfs), one
+    bucketed exchange after a per-block (term, doc_id, tf) combiner.
+    shard_size=64 is small enough that frequent tokens genuinely
+    multi-shard at sf >= 0.01."""
+    from .stages.index import inverted_index
+
+    return inverted_index(
+        _read(sf_dir, "documents", ["doc_id", "text"]), shard_size=64
+    )

@@ -1069,3 +1069,49 @@ class TestLineDedup:
         )
         rows = line_dedup(docs, min_count=2).take_all()
         assert rows[0]["text"] == "z\na\nm\nb"  # original order, not sorted
+
+
+class TestInvertedIndex:
+    """Sharded inverted-index build (stages/index.py)."""
+
+    def _docs(self):
+        import ray.data
+
+        return ray.data.from_items(
+            [
+                {"doc_id": 10, "text": "a b a c"},
+                {"doc_id": 11, "text": "b b c"},
+                {"doc_id": 12, "text": "a"},
+                {"doc_id": 13, "text": "c a d"},
+            ]
+        )
+
+    def _index(self, **kw):
+        from ontograph_ray.stages.index import inverted_index
+
+        rows = inverted_index(self._docs(), **kw).take_all()
+        return {(r["term"], r["shard_no"]): r for r in rows}
+
+    def test_postings_df_and_tf(self, ray_session):
+        ix = self._index(shard_size=8192)
+        a = ix[("a", 0)]
+        assert a["df"] == 3 and a["postings"] == "10,12,13"
+        assert a["tfs"] == "2,1,1"  # 'a' twice in doc 10
+        b = ix[("b", 0)]
+        assert b["df"] == 2 and b["postings"] == "10,11" and b["tfs"] == "1,2"
+        assert ix[("d", 0)]["postings"] == "13"
+
+    def test_sharding_splits_hot_terms(self, ray_session):
+        ix = self._index(shard_size=2)
+        # 'a' (df=3) splits into shards [10,12] and [13]
+        assert ix[("a", 0)]["postings"] == "10,12"
+        assert ix[("a", 1)]["postings"] == "13"
+        assert ix[("a", 0)]["df"] == 3 == ix[("a", 1)]["df"]  # global df
+        # 'c' (docs 10,11,13) also splits; 'd' (df=1) does not
+        assert ix[("c", 1)]["postings"] == "13"
+        assert ("d", 1) not in ix
+
+    def test_max_df_drops_stopwords(self, ray_session):
+        ix = self._index(shard_size=8192, max_df=2)
+        assert all(term != "a" and term != "c" for term, _ in ix)  # df=3
+        assert ("b", 0) in ix and ("d", 0) in ix
