@@ -145,6 +145,20 @@ SELECT object AS seg, CAST(COUNT(subject) AS BIGINT) AS n,
        MIN(subject) AS first
 FROM t WHERE predicate = '<{SEGMENT}>'
 GROUP BY object""",
+        # integer fixed-point TF-IDF top-k: weight = (N*1e6)//df
+        # (integer division), score = sum(tf*weight); ties (score DESC,
+        # doc_id ASC) — mirrors tfidf_topk exactly, no libm ln anywhere
+        "tfidf_topk": """
+WITH p AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, UNNEST(toks) AS term FROM p),
+q AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+      WHERE term IN ('join', 'table', 'window') GROUP BY doc_id, term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+w AS (SELECT term, ((SELECT n FROM n) * 1000000) // CAST(COUNT(*) AS BIGINT) AS wt
+      FROM q GROUP BY term),
+s AS (SELECT q.doc_id, CAST(SUM(q.tf * w.wt) AS BIGINT) AS score
+      FROM q JOIN w USING (term) GROUP BY q.doc_id)
+SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20""",
         # sharded inverted index: window twin — rank within term by
         # doc_id, shard = rank // 64, postings/tfs string_agg'd per shard
         "inverted_index": """

@@ -1686,3 +1686,18 @@ def q_inverted_index(sf_dir: str):
     return inverted_index(
         _read(sf_dir, "documents", ["doc_id", "text"]), shard_size=64
     )
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Integer fixed-point TF-IDF retrieval (stages/index.py::
+    tfidf_topk): top-20 docs for a 3-term query. The corpus is never
+    exchanged — a vectorized is_in keeps only query-term tokens, df and
+    scores aggregate over that bounded set, ties break (score DESC,
+    doc_id ASC)."""
+    from .stages.index import tfidf_topk
+
+    return tfidf_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        ["join", "table", "window"],
+        k=20,
+    )

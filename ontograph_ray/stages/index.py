@@ -112,3 +112,101 @@ def inverted_index(
     return bucketed_group_map(
         pairs, ["term"], per_bucket, num_buckets=num_buckets
     )
+
+
+def tfidf_topk(
+    docs: ray.data.Dataset,
+    query_terms: list[str],
+    k: int = 20,
+    scale: int = 1_000_000,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """Integer-scaled TF-IDF retrieval: rank documents for a small set
+    of query terms. Same fixed-point discipline as the engine's integer
+    PageRank — ``weight(t) = (N · scale) // df(t)`` (inverse document
+    frequency, integer division), ``score(doc) = Σ tf(doc, t) ·
+    weight(t)`` — so the result is bit-deterministic at any
+    partitioning and has an exact SQL twin (no ``ln`` whose libm
+    rounding could differ between engines).
+
+    Scale shape: the query terms are a broadcast-small set, so the
+    corpus is never exchanged — one vectorized ``is_in`` filter per
+    block keeps only query-term tokens (the per-block combiner), one
+    tiny bucketed aggregate computes each term's global df, and the
+    per-document score sum + global top-k run on the filtered rows
+    only (bounded by query selectivity, not corpus size). Ties break
+    (score DESC, doc_id ASC); exactly ``k`` rows or fewer are
+    returned. The top-k merge happens on the driver over per-block
+    partial top-ks — O(k × blocks) rows, never the corpus.
+    """
+    n_docs = docs.count()
+    terms = pa.array(sorted(set(query_terms)), pa.string())
+
+    def filter_pairs(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"].combine_chunks(), "")
+        toks = pc.split_pattern(txt, " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_ids = batch["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        tab = pa.table(
+            {
+                "term": flat,
+                "doc_id": pa.array(np.repeat(doc_ids, lens.astype(np.int64))),
+            }
+        ).filter(pc.is_in(flat, value_set=terms))
+        g = tab.group_by(["term", "doc_id"], use_threads=False).aggregate(
+            [("term", "count")]
+        )
+        return pa.table(
+            {
+                "term": g["term"],
+                "doc_id": pc.cast(g["doc_id"], pa.int64()),
+                "tf": pc.cast(g["term_count"], pa.int64()),
+            }
+        )
+
+    pairs = docs.map_batches(filter_pairs, batch_format="pyarrow").materialize()
+
+    # global df per query term (tiny: ≤ |terms| rows after the agg)
+    from ..store.dataset import bucketed_group_map
+
+    df_rows = bucketed_group_map(
+        pairs.select_columns(["term", "doc_id"]),
+        ["term"],
+        lambda d: d.groupby("term", sort=False)["doc_id"]
+        .size()
+        .rename("df")
+        .reset_index(),
+        num_buckets=min(num_buckets, 8),
+    ).take_all()
+    weights = {
+        r["term"]: (n_docs * scale) // int(r["df"]) for r in df_rows
+    }
+
+    def score_block(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.copy()
+        d["score"] = (
+            d["tf"] * d["term"].map(weights).astype("int64")
+        ).astype("int64")
+        out = d.groupby("doc_id", sort=False)["score"].sum().reset_index()
+        # per-block partial top-k (a doc's rows are co-located here)
+        return out.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    partials = bucketed_group_map(
+        pairs, ["doc_id"], score_block, num_buckets=num_buckets
+    ).take_all()
+    merged = (
+        pd.DataFrame(partials, columns=["doc_id", "score"])
+        .sort_values(["score", "doc_id"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    merged["doc_id"] = merged["doc_id"].astype("int64")
+    merged["score"] = merged["score"].astype("int64")
+    return merged

@@ -1115,3 +1115,48 @@ class TestInvertedIndex:
         ix = self._index(shard_size=8192, max_df=2)
         assert all(term != "a" and term != "c" for term, _ in ix)  # df=3
         assert ("b", 0) in ix and ("d", 0) in ix
+
+
+class TestTfidfTopk:
+    """Integer fixed-point TF-IDF retrieval (stages/index.py)."""
+
+    def _docs(self):
+        import ray.data
+
+        return ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "cat cat cat dog"},
+                {"doc_id": 2, "text": "cat dog fish"},
+                {"doc_id": 3, "text": "fish fish bird"},
+                {"doc_id": 4, "text": "bird"},
+            ]
+        )
+
+    def test_scores_match_hand_computation(self, ray_session):
+        from ontograph_ray.stages.index import tfidf_topk
+
+        out = tfidf_topk(self._docs(), ["cat", "fish"], k=10, scale=100)
+        got = dict(zip(out["doc_id"], out["score"]))
+        # N=4, df(cat)=2 → w=200, df(fish)=2 → w=200
+        assert got == {1: 3 * 200, 2: 200 + 200, 3: 2 * 200}
+        # ranking: doc 1 (600) > doc 2 (400) > doc 3 (400)? tie broken
+        assert list(out["doc_id"]) == [1, 2, 3]
+
+    def test_k_truncates_with_tiebreak(self, ray_session):
+        from ontograph_ray.stages.index import tfidf_topk
+
+        out = tfidf_topk(self._docs(), ["bird"], k=1)
+        # docs 3 and 4 tie on tf=1 → doc_id ASC wins
+        assert list(out["doc_id"]) == [3]
+
+    def test_rare_term_outweighs_common(self, ray_session):
+        import ray.data
+
+        from ontograph_ray.stages.index import tfidf_topk
+
+        docs = ray.data.from_items(
+            [{"doc_id": i, "text": "common" + (" rare" if i == 9 else "")}
+             for i in range(10)]
+        )
+        out = tfidf_topk(docs, ["common", "rare"], k=3)
+        assert out.iloc[0]["doc_id"] == 9  # the rare-term doc ranks first
