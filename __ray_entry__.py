@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_path": q.q_sparql_path,
         "sparql_construct": q.q_sparql_construct,
         "sparql_ask": q.q_sparql_ask,
+        "sparql_describe": q.q_sparql_describe,
         "quantile_sketch": q.q_quantile_sketch,
         "repetition_stats": q.q_repetition_stats,
         "export_shards": q.q_export_shards,

@@ -231,6 +231,20 @@ SELECT * FROM (
     SELECT 1 FROM t WHERE predicate = '<urn:og:attr/nonexistent>')
     AS BIGINT)
 ) ORDER BY ask""",
+        # DESCRIBE = forward CBD: triples whose subject is a described
+        # resource (nations with a BUILDING customer ∪ {cust/0})
+        "sparql_describe": f"""{_T},
+res AS (
+  SELECT DISTINCT n.object AS s
+  FROM t n JOIN t seg ON seg.subject = n.subject
+  WHERE n.predicate = '<{IN_NATION}>'
+    AND seg.predicate = '<{SEGMENT}>'
+    AND seg.object = '"BUILDING"'
+  UNION
+  SELECT '<urn:og:cust/0>'
+)
+SELECT t.subject, t.predicate, t.object
+FROM t JOIN res ON t.subject = res.s""",
         "add_unchecked_dedup": f"{_T} SELECT DISTINCT * FROM t",
         "add_checked_atomic": f"""{TRIPLES_SQL}
 UNION ALL

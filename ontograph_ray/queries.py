@@ -1643,6 +1643,30 @@ def q_sparql_ask(sf_dir: str):
     )
 
 
+def q_sparql_describe(sf_dir: str):
+    """E8: SPARQL DESCRIBE (fourth query form) — mixed explicit-IRI +
+    variable targets: every triple about nations that have at least
+    one BUILDING-segment customer, plus customer 0's own description.
+    Bindings are never collected: the result is one bucketed semi
+    hash-join of the triple set against the projected resource set
+    (store/sparql.py::sparql_describe)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_describe
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_describe(
+        store,
+        """
+        PREFIX rel: <urn:og:rel/>
+        PREFIX attr: <urn:og:attr/>
+        DESCRIBE <urn:og:cust/0> ?n WHERE {
+          ?c rel:inNation ?n .
+          ?c attr:mktsegment "BUILDING" .
+        }
+        """,
+    )
+
+
 def q_line_dedup(sf_dir: str):
     """C4/RefinedWeb-style cross-corpus LINE dedup: every line
     occurring >= 2 times corpus-wide keeps only its globally-first

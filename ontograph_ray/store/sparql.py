@@ -57,6 +57,12 @@ engine's bulk set operations:
     DELETE WHERE { [GRAPH <g> {] s p o . [}] }        → negated pattern
                                       (one pattern; ?vars = wildcards)
 
+``sparql_describe`` accepts ``DESCRIBE <iri>... [?v ...] [WHERE
+{ ... }]`` (full SELECT-subset WHERE) and returns the forward concise
+bounded description — all triples whose subject is a described
+resource; non-IRI bindings are skipped, blank-node closure does not
+apply (no blank nodes in the term model).
+
 ``sparql_ask`` accepts ``ASK [WHERE] { [GRAPH <g> {] BGP [}] }`` —
 the existence forms the reference's store layer generates
 (graph-nonempty, blazegraph_store.go:294; ground triple exists,
@@ -93,6 +99,7 @@ __all__ = [
     "SparqlUnsupportedError",
     "sparql_ask",
     "sparql_construct",
+    "sparql_describe",
     "sparql_select",
     "sparql_update",
 ]
@@ -877,6 +884,126 @@ def sparql_ask(store: "dstore.DatasetGraphStore", query: str) -> bool:
         if bindings.limit(1).count() == 0:
             return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# SPARQL DESCRIBE — forward concise-bounded description of resources
+# ---------------------------------------------------------------------------
+
+
+def sparql_describe(
+    store: "dstore.DatasetGraphStore", query: str
+) -> ray.data.Dataset:
+    """``DESCRIBE <iri>... [?v ...] [WHERE { ... }]`` → Dataset(subject,
+    predicate, object): every triple whose SUBJECT is one of the
+    described resources — the forward (outbound-only) concise bounded
+    description, without blank-node closure (the engine's term model
+    has no blank nodes to chase; documented contract). Completes the
+    fourth SPARQL query form next to SELECT / CONSTRUCT / ASK
+    (reference passthrough surface `blazegraph_endpoint.go:176-244`).
+
+    Targets may be explicit IRIs (full or prefixed) and/or variables;
+    any variable requires a WHERE clause, which supports the full
+    SELECT subset (module doc). Variable bindings that are not IRIs
+    (literals from OPTIONAL/attribute patterns) are skipped per spec —
+    only resources are describable.
+
+    Scale shape: explicit-IRI-only DESCRIBE is a zero-exchange
+    streaming ``is_in`` filter over the triple Dataset (the target set
+    is query-literal, i.e. tiny). With variables, the WHERE bindings
+    run the SELECT plan, each described column is projected to an IRI
+    set WITHOUT driver materialization, and the result is ONE bucketed
+    semi hash-join (triples ⋈ resources on subject) — the binding set
+    is never collected, so a DESCRIBE whose WHERE matches millions of
+    resources still streams."""
+    toks = _tokenize(query)
+    i = 0
+
+    def peek() -> str:
+        return toks[i] if i < len(toks) else ""
+
+    def take() -> str:
+        nonlocal i
+        if i >= len(toks):
+            raise SparqlSyntaxError("unexpected end of query")
+        i += 1
+        return toks[i - 1]
+
+    prefixes: dict[str, str] = {}
+    prefix_toks: list[str] = []
+    while peek().upper() == "PREFIX":
+        prefix_toks.append(take())
+        name = take().rstrip(":")
+        uri = take()
+        if not uri.startswith("<"):
+            raise SparqlSyntaxError(f"PREFIX needs <uri>, got {uri!r}")
+        prefixes[name] = uri[1:-1]
+        prefix_toks += [f"{name}:", uri]
+
+    if take().upper() != "DESCRIBE":
+        raise SparqlSyntaxError("expected DESCRIBE")
+
+    iris: list[str] = []
+    vars_: list[str] = []
+    while peek() and peek().upper() != "WHERE":
+        tok = peek()
+        if tok.startswith("?"):
+            vars_.append(take()[1:])
+        elif tok.startswith("<") or re.match(r"^[A-Za-z_][\w-]*:[\w-]+$", tok):
+            iris.append(_expand(take(), prefixes, "subject"))
+        else:
+            raise SparqlSyntaxError(f"unexpected DESCRIBE target {tok!r}")
+    if not iris and not vars_:
+        raise SparqlSyntaxError("DESCRIBE needs at least one target")
+    if vars_ and peek().upper() != "WHERE":
+        raise SparqlSyntaxError("DESCRIBE with variables requires WHERE")
+    if not vars_ and peek():
+        raise SparqlUnsupportedError(
+            "WHERE on an explicit-IRI DESCRIBE binds nothing — refused"
+        )
+
+    triples = store.dataset
+
+    if not vars_:
+        wanted = pa.array(sorted(set(iris)), pa.string())
+
+        def filt(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            subj = batch[tr.SUBJECT].combine_chunks().cast(pa.string())
+            return batch.filter(pc.is_in(subj, value_set=wanted))
+
+        return triples.map_batches(filt, batch_format="pyarrow")
+
+    select_q = " ".join(
+        prefix_toks + ["SELECT"] + ["?" + v for v in vars_] + toks[i:]
+    )
+    bindings = sparql_select(store, select_q)
+
+    def project(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            c = batch[col].combine_chunks().cast(pa.string())
+            keep = pc.and_(pc.is_valid(c), pc.starts_with(c, "<"))
+            return pa.table({tr.SUBJECT: c.filter(keep)})
+
+        return fn
+
+    resources = bindings.map_batches(project(vars_[0]), batch_format="pyarrow")
+    for v in vars_[1:]:
+        resources = resources.union(
+            bindings.map_batches(project(v), batch_format="pyarrow")
+        )
+    if iris:
+        resources = resources.union(
+            ray.data.from_arrow(
+                pa.table({tr.SUBJECT: pa.array(sorted(set(iris)), pa.string())})
+            )
+        )
+    # left-semi keeps each matching triple exactly once regardless of
+    # how many bindings name its subject — no distinct pass needed
+    return dstore.hash_join(triples, resources, on=tr.SUBJECT, how="semi")
 
 
 # ---------------------------------------------------------------------------

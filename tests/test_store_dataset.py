@@ -744,6 +744,64 @@ class TestSparqlConstruct:
             sparql_construct(dstore, "CONSTRUCT { } WHERE { ?x ?p ?o . }")
 
 
+class TestSparqlDescribe:
+    """Fourth query form: forward CBD over the 7-triple fixture."""
+
+    def _d(self, dstore, text):
+        from ontograph_ray.store.sparql import sparql_describe
+
+        rows = sparql_describe(dstore, text).take_all()
+        return sorted(
+            Triple(r["subject"], r["predicate"], r["object"]) for r in rows
+        )
+
+    def test_explicit_single(self, dstore):
+        got = self._d(dstore, f"DESCRIBE <{G}#c>")
+        assert got == sorted(TT[4:7])
+
+    def test_explicit_multi_and_prefixed(self, dstore):
+        got = self._d(dstore, f"PREFIX f: <{G}#> DESCRIBE f:c <{G}#a>")
+        assert got == sorted([TT[3]] + TT[4:7])
+
+    def test_var_where(self, dstore):
+        # ?y ∈ {a,b,c}; b has no outbound triples
+        got = self._d(
+            dstore, f"DESCRIBE ?y WHERE {{ <{G}> <{G}#rel-1> ?y . }}"
+        )
+        assert got == sorted([TT[3]] + TT[4:7])
+
+    def test_literal_bindings_skipped(self, dstore):
+        # objects include literals — only IRI bindings are described
+        got = self._d(dstore, "DESCRIBE ?o WHERE { ?s ?p ?o . }")
+        assert got == sorted([TT[3]] + TT[4:7])
+
+    def test_mixed_explicit_and_var(self, dstore):
+        # ?y binds only b (no outbound) — result is <G>'s own triples
+        got = self._d(
+            dstore,
+            f"DESCRIBE <{G}> ?y WHERE {{ <{G}#a> <{G}#rel-2> ?y . }}",
+        )
+        assert got == sorted(TT[0:3])
+
+    def test_describe_errors(self, dstore):
+        from ontograph_ray.store.sparql import (
+            SparqlSyntaxError,
+            SparqlUnsupportedError,
+            sparql_describe,
+        )
+
+        with pytest.raises(SparqlSyntaxError):  # no targets
+            sparql_describe(dstore, "DESCRIBE")
+        with pytest.raises(SparqlSyntaxError):  # var without WHERE
+            sparql_describe(dstore, "DESCRIBE ?x")
+        with pytest.raises(SparqlUnsupportedError):  # pointless WHERE
+            sparql_describe(
+                dstore, f"DESCRIBE <{G}#c> WHERE {{ ?s ?p ?o . }}"
+            )
+        with pytest.raises(SparqlSyntaxError):  # literal target
+            sparql_describe(dstore, 'DESCRIBE "lit1"')
+
+
 class TestSparql:
     """E8 passthrough: SPARQL SELECT subset over the 7-triple fixture."""
 
