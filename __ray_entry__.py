@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_describe": q.q_sparql_describe,
         "quantile_sketch": q.q_quantile_sketch,
         "repetition_stats": q.q_repetition_stats,
+        "dup_ngrams": q.q_dup_ngrams,
         "export_shards": q.q_export_shards,
         "vocab_coverage": q.q_vocab_coverage,
         "sparql_select": q.q_sparql_select,

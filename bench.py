@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "domain_cap",
     "line_dedup",
+    "dup_ngrams",
 ]
 
 

@@ -641,6 +641,22 @@ SELECT b.doc_id, b.n_tokens, b.n_unique_tokens, b.n_2grams,
        CAST(COALESCE(a.top_2gram_count, 0) AS BIGINT) AS top_2gram_count,
        CAST(COALESCE(a.dup_2gram_count, 0) AS BIGINT) AS dup_2gram_count
 FROM base b LEFT JOIN agg a USING (doc_id)""",
+        # cross-corpus duplicate trigrams: window total and windows
+        # whose trigram occurs >= 2 times corpus-wide; docs with < 3
+        # tokens have no windows and no row (engine contract)
+        "dup_ngrams": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+ng AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+         i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS g
+  FROM toks
+),
+cnt AS (SELECT g, COUNT(*) AS c FROM ng GROUP BY g)
+SELECT ng.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+       CAST(SUM(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams
+FROM ng JOIN cnt USING (g)
+GROUP BY ng.doc_id""",
         # k-min-hash quantile sketch: the deterministic hash sample is
         # ORDER BY splitmix64(o_orderkey) LIMIT 512 (ties by value);
         # quantile_disc = element at ceil(q·n)−1, matching the Ray side

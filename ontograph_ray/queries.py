@@ -1350,6 +1350,17 @@ def q_repetition_stats(sf_dir: str):
     return repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_dup_ngrams(sf_dir: str):
+    """Cross-corpus duplicate trigram counts (Gopher §A1.1 global
+    signal): exact int windows-total + corpus-duplicated windows per
+    doc; two bucketed exchanges (stages/repetition.py::dup_ngram_stats)."""
+    from .stages.repetition import dup_ngram_stats
+
+    return dup_ngram_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=3, min_count=2
+    )
+
+
 def q_export_shards(sf_dir: str):
     """Deterministic shuffle-export assignment: splitmix64(doc_id^7),
     32 shards — the no-all-to-all replacement for random_shuffle."""

@@ -91,3 +91,131 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
 def repetition_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Per-document repetition counts (see module doc for columns)."""
     return docs.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+def dup_ngram_stats(
+    docs: ray.data.Dataset,
+    n: int = 3,
+    min_count: int = 2,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """CROSS-corpus duplicate n-gram statistics — the other half of the
+    Gopher/MassiveText dup-ngram signal (Rae et al. 2021 §A1.1; also
+    the RefinedWeb/C4 boilerplate diagnostic): for every document, how
+    many of its token n-gram windows occur ``>= min_count`` times in
+    the WHOLE corpus. Unlike :func:`repetition_stats` (per-doc, no
+    shuffle) this is a global computation, returned as exact integers:
+
+        doc_id, total_ngrams, dup_ngrams      (int64)
+
+    ``total_ngrams`` = n-gram windows in the doc (len - n + 1);
+    ``dup_ngrams``  = windows whose n-gram is corpus-duplicated.
+    Documents with fewer than ``n`` tokens have no windows and emit no
+    row (documented contract — there is nothing to score).
+
+    Scale shape (two bucketed exchanges, nothing on the driver):
+
+    1. explode+combine: vectorized n-gram build — ``n`` shifted Arrow
+       slices of the flattened token array joined in ONE
+       ``binary_join_element_wise`` call (windows straddling a doc
+       masked by comparing the two endpoint doc indices; valid because
+       the flattened index is doc-monotonic) — then a per-block C++
+       ``group_by`` combiner to ``(doc_id, ngram, m)``: a within-doc
+       repeated gram crosses the wire once per block, not per
+       occurrence.
+    2. ngram exchange: every occurrence of a gram lands in one bucket,
+       so the duplicate decision (corpus count >= min_count) is made
+       in-bucket and only per-doc PARTIALS (doc_id, m, dup_m) leave —
+       the gram strings themselves never cross a second exchange.
+    3. doc exchange: sum partials per doc_id. total_ngrams needs no
+       separate pass: every window is some gram occurrence, so
+       sum(m) per doc IS the window count.
+    """
+    from ..store.dataset import bucketed_group_map
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "ngram": pa.array([], pa.string()),
+            "m": pa.array([], pa.int64()),
+        }
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(pc.fill_null(text, ""), " ")
+        counts = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        total = len(flat)
+        n_wins = total - (n - 1)
+        if n_wins <= 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(ids_np), dtype=np.int64), counts)
+        slices = [flat.slice(s, n_wins) for s in range(n)]
+        grams = pc.binary_join_element_wise(*slices, " ")
+        valid = doc_idx[:n_wins] == doc_idx[n - 1 :]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids_np, counts)[:n_wins]),
+                "ngram": grams,
+            }
+        ).filter(pa.array(valid))
+        gc = tbl.group_by(["doc_id", "ngram"], use_threads=False).aggregate(
+            [("ngram", "count")]
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(gc["doc_id"], pa.int64()),
+                "ngram": gc["ngram"],
+                "m": pc.cast(gc["ngram_count"], pa.int64()),
+            }
+        )
+
+    grams = docs.map_batches(explode, batch_format="pyarrow")
+
+    def decide(df):
+        import pandas as pd
+
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "total_p": pd.Series(dtype="int64"),
+                    "dup_p": pd.Series(dtype="int64"),
+                }
+            )
+        corpus_c = df.groupby("ngram", sort=False)["m"].transform("sum")
+        out = df[["doc_id"]].copy()
+        out["total_p"] = df["m"]
+        out["dup_p"] = np.where(corpus_c >= min_count, df["m"], 0)
+        return (
+            out.groupby("doc_id", sort=False)
+            .sum()
+            .reset_index()
+            .astype({"total_p": "int64", "dup_p": "int64"})
+        )
+
+    partials = bucketed_group_map(
+        grams, ["ngram"], decide, num_buckets=num_buckets
+    )
+
+    def finish(df):
+        g = df.groupby("doc_id", sort=False)
+        out = g.agg(
+            total_ngrams=("total_p", "sum"), dup_ngrams=("dup_p", "sum")
+        ).reset_index()
+        return out.astype({"total_ngrams": "int64", "dup_ngrams": "int64"})
+
+    return bucketed_group_map(
+        partials, ["doc_id"], finish, num_buckets=num_buckets
+    )

@@ -795,6 +795,39 @@ class TestCorpusStats:
             assert r["top_2gram_count"] == (max(grams.values()) if grams else 0)
             assert r["dup_2gram_count"] == sum(c for c in grams.values() if c > 1)
 
+    def test_dup_ngram_stats_bruteforce(self, ray_session):
+        from collections import Counter
+
+        from ontograph_ray.stages.repetition import dup_ngram_stats
+
+        rows = [
+            {"doc_id": 0, "text": "a b c d e a b c"},  # abc twice within doc
+            {"doc_id": 1, "text": "x a b c y"},        # abc shared with doc 0
+            {"doc_id": 2, "text": "q w"},              # < n tokens: no row
+            {"doc_id": 3, "text": "u v w x y z"},      # all windows unique
+        ]
+        n = 3
+        corpus = Counter()
+        per_doc: dict[int, list[str]] = {}
+        for row in rows:
+            toks = row["text"].split(" ")
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            per_doc[row["doc_id"]] = grams
+            corpus.update(grams)
+        out = {
+            r["doc_id"]: r
+            for r in dup_ngram_stats(
+                ray.data.from_items(rows).repartition(3), n=n
+            ).take_all()
+        }
+        assert 2 not in out  # no windows → no row
+        for doc_id, grams in per_doc.items():
+            if not grams:
+                continue
+            r = out[doc_id]
+            assert r["total_ngrams"] == len(grams)
+            assert r["dup_ngrams"] == sum(1 for g in grams if corpus[g] >= 2)
+
     def test_splitmix64_matches_scalar_reference(self, ray_session):
         import numpy as np
 
