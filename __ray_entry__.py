@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Training-data operators
         "sample_hash": q.q_sample_hash,
         "kmv_distinct": q.q_kmv_distinct,
+        "hll_distinct": q.q_hll_distinct,
         "dedup_exact": q.q_dedup_exact,
         "curate_corpus": q.q_curate_corpus,
         "curate_full": q.q_curate_full,

@@ -328,6 +328,9 @@ SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
         "kmv_distinct": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/kmv_distinct_sf001.parquet')"
         ),
+        "hll_distinct": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/hll_distinct_sf001.parquet')"
+        ),
         # integer fixed-point PageRank — dict-based plain-Python twin
         "entity_pagerank": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/entity_pagerank_sf001.parquet')"

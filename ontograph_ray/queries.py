@@ -768,6 +768,19 @@ def q_curate_full(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog cardinality sketch over documents.text (p=10 →
+    1024 registers, ~3.3% standard error). Fully deterministic
+    (stages/sketch.py::hll_distinct_count), so the estimate is pinned
+    exactly by an independent plain-Python fixture oracle; pytest
+    additionally pins the error bound and merge-order invariance."""
+    from .stages.sketch import hll_distinct_count
+
+    docs = _read(sf_dir, "documents", ["text"])
+    est = hll_distinct_count(docs, "text", p=10)
+    return pd.DataFrame({"estimated_distinct_texts": [est], "m": [1024]})
+
+
 def q_dedup_exact(sf_dir: str):
     from .stages.dedup import exact_dedup
 

@@ -365,6 +365,44 @@ def gen_kmv_distinct(k: int = 256) -> str:
     return f"{path}: estimate {est}"
 
 
+def gen_hll_distinct(p: int = 10) -> str:
+    """Independent HyperLogLog: int.bit_length clz, dict-free register
+    loop, the same pinned ascending-index float accumulation the
+    engine documents (stages/sketch.py::hll_estimate contract)."""
+    m = 1 << p
+    mask = (1 << 64) - 1
+    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["text"])
+    regs = [0] * m
+    for t in docs["text"].to_pylist():
+        h = splitmix64_py(zlib.crc32(str(t).encode()))
+        idx = h >> (64 - p)
+        rem = (h << p) & mask
+        rho = (64 - rem.bit_length() + 1) if rem else (64 - p + 1)
+        if rho > regs[idx]:
+            regs[idx] = rho
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = 0.0
+    for v in regs:
+        s += 2.0 ** (-v)
+    e = alpha * m * m / s
+    if e <= 2.5 * m:
+        v0 = sum(1 for v in regs if v == 0)
+        if v0:
+            e = m * math.log(m / v0)
+    est = int(round(e))
+    path = os.path.join(FIXTURES_DIR, "hll_distinct_sf001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "estimated_distinct_texts": pa.array([est], pa.int64()),
+                "m": pa.array([m], pa.int64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: estimate {est}"
+
+
 def gen_entity_pagerank(iters: int = 5, num: int = 85, den: int = 100) -> str:
     """Dict-based integer fixed-point PageRank over the doubled
     page↔entity mention graph (twin of pipelines/pagerank.py +
@@ -417,3 +455,4 @@ if __name__ == "__main__":
     print(gen_ngram_jaccard())
     print(gen_curate_full())
     print(gen_kmv_distinct())
+    print(gen_hll_distinct())

@@ -263,6 +263,52 @@ class TestSketch:
         ds = ray.data.from_pandas(pd.DataFrame({"v": ["a", "b", "c", "a", "b"]}))
         assert kmv_distinct_count(ds, "v", k=64) == 3
 
+    def test_hll_accuracy_and_partition_invariance(self, ray_session):
+        """HLL estimate within the 1.04/√m envelope (with margin) of
+        the exact distinct count, and bit-identical across different
+        block layouts (max-merge is order-invariant)."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.stages.sketch import hll_distinct_count
+
+        n_distinct = 20_000
+        rng = np.random.RandomState(11)
+        vals = rng.randint(0, n_distinct, size=60_000)
+        df = pd.DataFrame({"v": [f"val-{x}" for x in vals]})
+        exact = df["v"].nunique()
+        est8 = hll_distinct_count(ray.data.from_pandas(df).repartition(8), "v", p=10)
+        est2 = hll_distinct_count(ray.data.from_pandas(df).repartition(2), "v", p=10)
+        assert est8 == est2  # partition invariance
+        assert abs(est8 - exact) / exact < 0.10  # ~3σ of 1.04/√1024
+
+    def test_hll_small_range_linear_counting(self, ray_session):
+        """Tiny cardinalities hit the linear-counting branch and are
+        near-exact (every distinct value fills its own register)."""
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.stages.sketch import hll_distinct_count
+
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"v": ["a", "b", "c", "a", "b", "d"]})
+        )
+        assert hll_distinct_count(ds, "v", p=10) == 4
+
+    def test_clz64_matches_bit_length(self):
+        import numpy as np
+
+        from ontograph_ray.stages.sketch import _clz64
+
+        xs = np.array(
+            [1, 2, 3, 2**63, 2**63 + 1, 2**32, 2**32 - 1, 5, 0xFFFFFFFFFFFFFFFF],
+            dtype=np.uint64,
+        )
+        got = _clz64(xs)
+        want = [64 - int(x).bit_length() for x in xs]
+        assert [int(g) for g in got] == want
+
     def test_quantile_sketch_rank_error_and_merge_invariance(self, ray_session):
         """The k-min-hash sample quantile is within the sampling rank
         error of the exact quantile, and — the property KLL/t-digest
