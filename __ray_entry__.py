@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_group_count": q.q_sparql_group_count,
         "sparql_update": q.q_sparql_update,
         "sparql_path": q.q_sparql_path,
+        "sparql_minus": q.q_sparql_minus,
+        "sparql_path_alt": q.q_sparql_path_alt,
+        "sparql_values": q.q_sparql_values,
         "sparql_construct": q.q_sparql_construct,
         "sparql_ask": q.q_sparql_ask,
         "sparql_describe": q.q_sparql_describe,

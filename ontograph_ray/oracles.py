@@ -129,6 +129,27 @@ SELECT DISTINCT * FROM (
 SELECT t1.subject AS cust, t2.object AS region
 FROM t t1 JOIN t t2 ON t1.object = t2.subject
 WHERE t1.predicate = '<{IN_NATION}>' AND t2.predicate = '<{IN_REGION}>'""",
+        # MINUS on the shared ?cust variable = SQL NOT EXISTS
+        "sparql_minus": f"""{_T}
+SELECT t1.subject AS cust, t1.object AS nation
+FROM t t1
+WHERE t1.predicate = '<{IN_NATION}>'
+  AND NOT EXISTS (
+    SELECT 1 FROM t t2
+    WHERE t2.subject = t1.subject
+      AND t2.predicate = '<{SEGMENT}>' AND t2.object = '"BUILDING"')""",
+        # ^inNation = the same rows with subject/object swapped;
+        # (mktsegment|a) = predicate IN (...); ORDER/LIMIT/OFFSET map 1:1
+        "sparql_path_alt": f"""{_T}
+SELECT t1.object AS nation, t1.subject AS cust, t2.object AS v
+FROM t t1 JOIN t t2 ON t2.subject = t1.subject
+WHERE t1.predicate = '<{IN_NATION}>'
+  AND t2.predicate IN ('<{SEGMENT}>', '{RDF_TYPE_T}')
+ORDER BY nation, cust, v LIMIT 200 OFFSET 50""",
+        "sparql_values": f"""{_T}
+SELECT subject AS cust, object AS seg FROM t
+WHERE predicate = '<{SEGMENT}>'
+  AND object IN ('"BUILDING"', '"MACHINERY"')""",
         "sparql_construct": f"""{_T},
 typed AS (SELECT subject, object AS typ FROM t WHERE predicate = '{RDF_TYPE_T}'),
 lbl AS (SELECT subject, object AS lbl FROM t

@@ -1586,6 +1586,69 @@ def q_sparql_path(sf_dir: str):
     )
 
 
+def q_sparql_minus(sf_dir: str):
+    """E8 extension: MINUS — customers with a nation, minus those in
+    the BUILDING segment, compiled onto the distributed Acero
+    anti-join on the shared variable (the group's bindings dedup to
+    distinct keys before the exchange). FILTER NOT EXISTS compiles to
+    the identical plan (pinned equivalent in tests)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?cust ?nation WHERE {{
+          ?cust <{IN_NATION}> ?nation .
+          MINUS {{ ?cust attr:mktsegment "BUILDING" . }}
+        }}
+        """,
+    )
+
+
+def q_sparql_path_alt(sf_dir: str):
+    """E8 extension: inverse + alternative path elements and
+    ORDER/LIMIT/OFFSET — `?nation ^inNation ?cust` scans with the
+    slots swapped (no extra pass), `(mktsegment|a)` is a bag union of
+    two predicate-pruned scans, and the OFFSET head finishes on the
+    driver under the parse-time ORDER BY + LIMIT rule."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?nation ?cust ?v WHERE {{
+          ?nation ^<{IN_NATION}> ?cust .
+          ?cust (attr:mktsegment|a) ?v .
+        }} ORDER BY ?nation ?cust ?v LIMIT 200 OFFSET 50
+        """,
+    )
+
+
+def q_sparql_values(sf_dir: str):
+    """E8 extension: postfix VALUES — inline-data join over the
+    segment variable, one vectorized membership kernel per batch
+    (broadcast, no exchange)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?cust ?seg WHERE {
+          ?cust attr:mktsegment ?seg .
+        } VALUES ?seg { "BUILDING" "MACHINERY" }
+        """,
+    )
+
+
 def q_sparql_construct(sf_dir: str):
     """E8 extension: CONSTRUCT — template instantiation over SELECT
     bindings with an OPTIONAL whose unbound rows are skipped per spec

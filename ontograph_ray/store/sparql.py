@@ -21,14 +21,25 @@ silently misanswering):
                                       | "lit" | "lit"@lang
                                       | "lit"^^<dt> | "lit"^^pfx:local
                                       | a  (= rdf:type, predicate slot)
-      s p1/p2/... o                   (sequence property path: rewritten
+      s e1/e2/... o                   (sequence property path: rewritten
                                       to a chain of patterns through
-                                      hidden ?__ppN variables — ground
-                                      predicates only; ?__pp* names are
-                                      reserved)
+                                      hidden ?__ppN variables; ?__pp*
+                                      names are reserved). Each element
+                                      e is: p | ^p (inverse: scans with
+                                      subject/object swapped) |
+                                      (p1|p2|...) with optional ^ per
+                                      alternative (bag union of
+                                      predicate-pruned scans) — path
+                                      elements must be ground
       FILTER ( ?v = term )            (term equality on the encoded term)
       FILTER ( ?v != term )
       FILTER regex ( ?v , "re" )      (RE2 over the encoded term string)
+      FILTER EXISTS { BGP }           (distributed semi-join on the
+                                      shared variables)
+      FILTER NOT EXISTS { BGP }       (anti-join; ≡ MINUS on this
+      MINUS { BGP }                   subset — groups must share ≥1
+                                      required-bound variable; plain
+                                      BGP bodies only)
       OPTIONAL { s p o . ... }        (left join; group-only vars NULL
                                       on unmatched rows; no nesting)
     WHERE { { BGP } UNION { BGP } .. }  (bag union; branches are plain
@@ -38,8 +49,16 @@ silently misanswering):
                                       aggregate; COUNT skips unbound
                                       OPTIONAL bindings; no GROUP BY →
                                       one whole-result row)
+    VALUES ?v { t ... }               (postfix inline-data join over
+    VALUES (?a ?b) { (t t) ... }      required-bound variables: one
+                                      vectorized membership kernel per
+                                      batch — broadcast, no exchange;
+                                      ground terms only, no UNDEF)
     ORDER BY ?v ...                   (optional)
     LIMIT n                           (optional)
+    OFFSET n                          (requires ORDER BY + LIMIT: the
+                                      ordered ≤offset+limit head
+                                      finishes on the driver)
 
 ``sparql_construct`` supports ``CONSTRUCT { template } WHERE { ... }``
 with the full SELECT-subset WHERE clause: the template instantiates
@@ -118,7 +137,7 @@ _TOKEN = re.compile(
         (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       | (?P<uri><[^<>\s]*>)
       | (?P<lit>"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+|\^\^(?:<[^<>\s]*>|[A-Za-z_][\w-]*:[\w-]+))?)
-      | (?P<punct>[{}.(),/])
+      | (?P<punct>[{}.(),/|^])
       | (?P<op>!=|=)
       | (?P<num>\d+)
       | (?P<word>[A-Za-z_][\w-]*(?::[\w-]*)?|\*)
@@ -148,6 +167,13 @@ class _Query:
     filters: list[tuple[str, str, str]] = field(default_factory=list)
     #         (op, var, value): op ∈ {"eq", "ne", "regex"}
     optionals: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    # MINUS { BGP } and FILTER NOT EXISTS { BGP } — equivalent on this
+    # subset (groups must share ≥1 required-bound variable) — and
+    # FILTER EXISTS { BGP }: anti-/semi-join groups
+    minus_groups: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    exists_groups: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    # postfix VALUES: (vars, ground-term rows) — inline broadcast semi-join
+    values_clause: tuple[list[str], list[tuple[str, ...]]] | None = None
     # top-level { g1 } UNION { g2 } ... form: pattern groups, bag union
     union_groups: list[list[tuple[str, str, str]]] = field(default_factory=list)
     # (op, var|"*", alias): op ∈ {"count", "min", "max"}; select lists
@@ -156,6 +182,7 @@ class _Query:
     group_by: list[str] = field(default_factory=list)
     order_by: list[str] = field(default_factory=list)
     limit: int | None = None
+    offset: int | None = None
 
 
 def _expand(tok: str, prefixes: dict[str, str], slot: str) -> str:
@@ -258,7 +285,16 @@ def parse(text: str) -> _Query:
     def take_filter() -> None:
         # FILTER ( ?v = term ) | FILTER ( ?v != term )
         # | FILTER regex ( ?v , "pattern" )
+        # | FILTER [NOT] EXISTS { BGP }
         head = take()
+        if head.upper() == "NOT":
+            if take().upper() != "EXISTS":
+                raise SparqlSyntaxError("expected EXISTS after FILTER NOT")
+            minus_groups.append(take_group("FILTER NOT EXISTS"))
+            return
+        if head.upper() == "EXISTS":
+            exists_groups.append(take_group("FILTER EXISTS"))
+            return
         if head.lower() == "regex":
             if take() != "(":
                 raise SparqlSyntaxError("expected ( after FILTER regex")
@@ -290,25 +326,67 @@ def parse(text: str) -> _Query:
         filters.append(("eq" if op == "=" else "ne", var[1:], val))
 
     optionals: list[list[tuple[str, str, str]]] = []
+    minus_groups: list[list[tuple[str, str, str]]] = []
+    exists_groups: list[list[tuple[str, str, str]]] = []
 
     pp_counter = [0]  # fresh hidden vars for property-path chaining
 
+    def take_path_elem():
+        # one path element:
+        #   [^]pred                      → str (plain) or 1-choice tuple
+        #   ( [^]pred | [^]pred ... )    → tuple of (pred, inverted)
+        # alternation/inverse elements must be ground predicates
+        if peek() == "(":
+            take()
+            choices: list[tuple[str, bool]] = []
+            while True:
+                inv = peek() == "^" and bool(take())
+                p = _expand(take(), prefixes, "predicate")
+                if p.startswith("?"):
+                    raise SparqlSyntaxError(
+                        "path-alternative elements must be ground "
+                        "predicates, not ?vars"
+                    )
+                choices.append((p, inv))
+                if peek() == "|":
+                    take()
+                    continue
+                break
+            if take() != ")":
+                raise SparqlSyntaxError("expected ) closing the path alternative")
+            if len(choices) < 2:
+                raise SparqlSyntaxError(
+                    "a parenthesized path needs at least two |-alternatives"
+                )
+            return tuple(choices)
+        inv = peek() == "^" and bool(take())
+        p = _expand(take(), prefixes, "predicate")
+        if inv:
+            if p.startswith("?"):
+                raise SparqlSyntaxError("inverse path ^ needs a ground predicate")
+            return ((p, True),)
+        return p
+
     def take_pattern(into: list) -> None:
         s = _expand(take(), prefixes, "subject")
-        preds = [_expand(take(), prefixes, "predicate")]
+        elems = [take_path_elem()]
         while peek() == "/":
             take()
-            preds.append(_expand(take(), prefixes, "predicate"))
+            elems.append(take_path_elem())
         o = _expand(take(), prefixes, "object")
-        if len(preds) > 1 and any(p.startswith("?") for p in preds):
+        if len(elems) > 1 and any(
+            isinstance(p, str) and p.startswith("?") for p in elems
+        ):
             raise SparqlSyntaxError(
                 "property-path elements must be ground predicates, not ?vars"
             )
-        # sequence path p1/p2/... rewrites to a chain of patterns through
-        # hidden ?__ppN variables (excluded from SELECT * / UNION typing)
+        # sequence path e1/e2/... rewrites to a chain of patterns through
+        # hidden ?__ppN variables (excluded from SELECT * / UNION typing);
+        # each element is a plain predicate or a tuple of (pred, inverted)
+        # alternatives resolved per-pattern in _pattern_bindings
         cur = s
-        for k, p in enumerate(preds):
-            if k == len(preds) - 1:
+        for k, p in enumerate(elems):
+            if k == len(elems) - 1:
                 nxt = o
             else:
                 nxt = f"?__pp{pp_counter[0]}"
@@ -317,6 +395,23 @@ def parse(text: str) -> _Query:
             cur = nxt
         if peek() == ".":
             take()
+
+    def take_group(kind: str) -> list[tuple[str, str, str]]:
+        # { plain BGP } — the strict-subset group body for OPTIONAL /
+        # MINUS / FILTER [NOT] EXISTS
+        if take() != "{":
+            raise SparqlSyntaxError(f"expected {{ after {kind}")
+        grp: list[tuple[str, str, str]] = []
+        while peek() != "}":
+            if peek().upper() in ("FILTER", "OPTIONAL", "UNION", "MINUS", "VALUES"):
+                raise SparqlUnsupportedError(
+                    f"{kind} groups must be plain graph patterns"
+                )
+            take_pattern(grp)
+        take()  # '}'
+        if not grp:
+            raise SparqlSyntaxError(f"empty {kind} group")
+        return grp
 
     # union form: WHERE { { g1 } UNION { g2 } [UNION { g3 } ...] } —
     # exclusive with the plain-pattern form (strict subset; branches
@@ -328,7 +423,7 @@ def parse(text: str) -> _Query:
                 raise SparqlSyntaxError("expected { opening UNION branch")
             grp: list[tuple[str, str, str]] = []
             while peek() != "}":
-                if peek().upper() in ("FILTER", "OPTIONAL", "UNION"):
+                if peek().upper() in ("FILTER", "OPTIONAL", "UNION", "MINUS", "VALUES"):
                     raise SparqlUnsupportedError(
                         "UNION branches must be plain graph patterns"
                     )
@@ -355,19 +450,13 @@ def parse(text: str) -> _Query:
                 continue
             if peek().upper() == "OPTIONAL":
                 take()
-                if take() != "{":
-                    raise SparqlSyntaxError("expected { after OPTIONAL")
-                grp: list[tuple[str, str, str]] = []
-                while peek() != "}":
-                    if peek().upper() in ("FILTER", "OPTIONAL"):
-                        raise SparqlUnsupportedError(
-                            "nested FILTER/OPTIONAL inside OPTIONAL is not supported"
-                        )
-                    take_pattern(grp)
-                take()  # '}'
-                if not grp:
-                    raise SparqlSyntaxError("empty OPTIONAL group")
-                optionals.append(grp)
+                optionals.append(take_group("OPTIONAL"))
+                if peek() == ".":
+                    take()
+                continue
+            if peek().upper() == "MINUS":
+                take()
+                minus_groups.append(take_group("MINUS"))
                 if peek() == ".":
                     take()
                 continue
@@ -379,9 +468,49 @@ def parse(text: str) -> _Query:
     order_by: list[str] = []
     group_by: list[str] = []
     limit = None
+    offset = None
+    values_clause = None
     while i < len(toks):
         kw = take().upper()
-        if kw == "GROUP":
+        if kw == "VALUES":
+            # VALUES ?v { t ... } | VALUES ( ?a ?b ) { ( t t ) ... }
+            if values_clause is not None:
+                raise SparqlUnsupportedError("multiple VALUES clauses")
+            vvars: list[str] = []
+            if peek() == "(":
+                take()
+                while peek().startswith("?"):
+                    vvars.append(take()[1:])
+                if take() != ")":
+                    raise SparqlSyntaxError("expected ) closing VALUES variables")
+            elif peek().startswith("?"):
+                vvars.append(take()[1:])
+            if not vvars:
+                raise SparqlSyntaxError("VALUES needs at least one ?variable")
+            if take() != "{":
+                raise SparqlSyntaxError("expected { opening the VALUES block")
+            rows: list[tuple[str, ...]] = []
+            while peek() != "}":
+                if len(vvars) == 1 and peek() != "(":
+                    row = (_expand(take(), prefixes, "object"),)
+                else:
+                    if take() != "(":
+                        raise SparqlSyntaxError("expected ( opening a VALUES row")
+                    row = tuple(
+                        _expand(take(), prefixes, "object") for _ in vvars
+                    )
+                    if take() != ")":
+                        raise SparqlSyntaxError("expected ) closing a VALUES row")
+                if any(t.startswith("?") for t in row):
+                    raise SparqlUnsupportedError(
+                        "UNDEF / variables in VALUES rows are not supported"
+                    )
+                rows.append(row)
+            take()  # '}'
+            if not rows:
+                raise SparqlSyntaxError("VALUES needs at least one row")
+            values_clause = (vvars, rows)
+        elif kw == "GROUP":
             if take().upper() != "BY":
                 raise SparqlSyntaxError("expected GROUP BY")
             while peek().startswith("?"):
@@ -400,8 +529,19 @@ def parse(text: str) -> _Query:
             if not n.isdigit():
                 raise SparqlSyntaxError(f"LIMIT needs an integer, got {n!r}")
             limit = int(n)
+        elif kw == "OFFSET":
+            n = take()
+            if not n.isdigit():
+                raise SparqlSyntaxError(f"OFFSET needs an integer, got {n!r}")
+            offset = int(n)
         else:
             raise SparqlUnsupportedError(f"unsupported clause {kw!r}")
+    if offset is not None and (limit is None or not order_by):
+        # without a total order the skipped prefix is nondeterministic;
+        # without LIMIT the driver-side finish is unbounded
+        raise SparqlUnsupportedError(
+            "OFFSET requires ORDER BY and LIMIT in this subset"
+        )
     if aggregates and not group_by:
         # whole-result aggregate (one output row): model as GROUP BY on
         # no keys — handled in the executor
@@ -416,15 +556,40 @@ def parse(text: str) -> _Query:
                 f"selected variables not in GROUP BY or aggregated: {bad}"
             )
     return _Query(
-        select, distinct, patterns, filters, optionals, union_groups,
-        aggregates, group_by, order_by, limit
+        select, distinct, patterns, filters, optionals,
+        minus_groups, exists_groups, values_clause, union_groups,
+        aggregates, group_by, order_by, limit, offset
     )
 
 
 def _pattern_bindings(
     store: "dstore.DatasetGraphStore", pat: tuple[str, str, str]
 ) -> tuple[ray.data.Dataset, list[str]]:
-    """One triple pattern → Dataset of variable bindings."""
+    """One triple pattern → Dataset of variable bindings.
+
+    The predicate slot may be a tuple of ``(pred, inverted)``
+    alternatives (from ``^p`` / ``(p1|p2)`` path elements): each choice
+    is its own predicate-pruned streaming scan — an inverted choice
+    scans with subject/object swapped — and the choices are bag-unioned
+    (SPARQL path alternation is defined as a union, duplicates kept)."""
+    s, p, o = pat
+    if not isinstance(p, str):
+        # canonical column order: subject-position var first, then the
+        # object var — identical for every choice, so the union is
+        # well-typed
+        ordered = []
+        for t in (s, o):
+            if t.startswith("?") and t[1:] not in ordered:
+                ordered.append(t[1:])
+        parts = []
+        for pred, inv in p:
+            sub = (o, pred, s) if inv else (s, pred, o)
+            ds_c, _ = _pattern_bindings(store, sub)
+            parts.append(ds_c.select_columns(ordered))
+        ds = parts[0]
+        for extra in parts[1:]:
+            ds = ds.union(extra)
+        return ds, ordered
     slots = list(zip(tr.COLUMNS, pat))
     fixed = {col: term for col, term in slots if not term.startswith("?")}
     ds = store.matches(
@@ -518,6 +683,7 @@ def sparql_select(
     else:
         joined, bound = _join_patterns(store, q.patterns)
 
+    opt_only: set[str] = set()
     for grp in q.optionals:
         # OPTIONAL { ... } = left outer join of the (internally inner-
         # joined) group bindings onto the rows so far; unmatched rows
@@ -531,7 +697,9 @@ def sparql_select(
                 "patterns — cartesian products are refused"
             )
         joined = dstore.hash_join(joined, grp_ds, on=shared, how="left")
-        bound += [v for v in grp_vars if v not in bound]
+        new_vars = [v for v in grp_vars if v not in bound]
+        opt_only.update(new_vars)
+        bound += new_vars
 
     if q.filters:
         # applied after the BGP joins, while every bound variable is in
@@ -542,7 +710,6 @@ def sparql_select(
         bad = [v for _, v, _ in q.filters if v not in bound]
         if bad:
             raise SparqlSyntaxError(f"FILTER variables never bound: {bad}")
-        import pyarrow as pa
         import pyarrow.compute as pc
 
         filters = list(q.filters)
@@ -561,6 +728,75 @@ def sparql_select(
             return batch.filter(mask)
 
         joined = joined.map_batches(apply_filters, batch_format="pyarrow")
+
+    for grp, how in [(g, "semi") for g in q.exists_groups] + [
+        (g, "anti") for g in q.minus_groups
+    ]:
+        # FILTER EXISTS → distributed semi-join; MINUS / FILTER NOT
+        # EXISTS → anti-join on the shared variables. On this subset
+        # (≥1 shared variable, required-bound, group vars beyond the
+        # shared ones purely existential) MINUS and NOT EXISTS coincide.
+        # The group's bindings are projected to the shared key and
+        # globally deduped first, so the join exchange ships only
+        # distinct keys.
+        grp_ds, grp_vars = _join_patterns(store, grp)
+        shared = [v for v in grp_vars if v in bound and not v.startswith("__pp")]
+        if not shared:
+            raise SparqlUnsupportedError(
+                "MINUS / FILTER [NOT] EXISTS group shares no variable "
+                "with the outer patterns — the disjoint-domain case is "
+                "refused"
+            )
+        bad = [v for v in shared if v in opt_only]
+        if bad:
+            raise SparqlUnsupportedError(
+                f"MINUS / FILTER [NOT] EXISTS on OPTIONAL-only "
+                f"variables is not supported: {bad}"
+            )
+        keys = dstore.distinct_on(grp_ds.select_columns(shared), shared)
+        joined = dstore.hash_join(joined, keys, on=shared, how=how)
+
+    if q.values_clause:
+        # postfix VALUES = join against the inline table; ground rows
+        # over required-bound variables reduce to one vectorized
+        # membership test per batch — an inline broadcast semi-join,
+        # no exchange.
+        vvars, vrows = q.values_clause
+        missing = [v for v in vvars if v not in bound]
+        if missing:
+            raise SparqlSyntaxError(f"VALUES variables never bound: {missing}")
+        bad = [v for v in vvars if v in opt_only]
+        if bad:
+            raise SparqlUnsupportedError(
+                f"VALUES on OPTIONAL-only variables is not supported: {bad}"
+            )
+        import pyarrow.compute as pc
+
+        if len(vvars) == 1:
+            allowed = pa.array([r[0] for r in vrows], type=pa.string())
+            col = vvars[0]
+
+            def apply_values(batch: pa.Table) -> pa.Table:
+                return batch.filter(pc.is_in(batch[col], value_set=allowed))
+
+        else:
+            # multi-var rows: exact per-row conjunction OR-ed across the
+            # (small, inline) row set — no composite-key encoding, so
+            # literal content can never alias a row boundary
+            rows = list(vrows)
+            cols = list(vvars)
+
+            def apply_values(batch: pa.Table) -> pa.Table:
+                mask = None
+                for row in rows:
+                    m = None
+                    for c, val in zip(cols, row):
+                        eq = pc.equal(batch[c], val)
+                        m = eq if m is None else pc.and_(m, eq)
+                    mask = m if mask is None else pc.or_(mask, m)
+                return batch.filter(pc.fill_null(mask, False))
+
+        joined = joined.map_batches(apply_values, batch_format="pyarrow")
 
     if q.aggregates:
         import pandas as pd
@@ -657,7 +893,18 @@ def sparql_select(
             raise SparqlUnsupportedError(f"ORDER BY on unselected vars: {bad}")
         out = out.sort(q.order_by)
     if q.limit is not None:
-        out = out.limit(q.limit)
+        if q.offset:
+            # OFFSET requires ORDER BY + LIMIT (parse-time rule): the
+            # totally-ordered head is at most offset+limit rows — small
+            # by construction — so the skip finishes on the driver;
+            # Arrow slice keeps the schema even when the result is empty
+            head = pa.Table.from_pandas(
+                out.limit(q.offset + q.limit).to_pandas(),
+                preserve_index=False,
+            )
+            out = ray.data.from_arrow(head.slice(q.offset))
+        else:
+            out = out.limit(q.limit)
     return out
 
 

@@ -1086,3 +1086,170 @@ class TestSparql:
             sparql_select(dstore, "SELECT ?s WHERE { ?s ?p ?o . } OFFSET 5")
         with pytest.raises(SparqlSyntaxError):
             sparql_select(dstore, "SELECT ?z WHERE { ?s ?p ?o . }")
+
+
+class TestSparqlExtensions:
+    """MINUS / FILTER [NOT] EXISTS, inverse + alternative path
+    elements, postfix VALUES, and OFFSET — over a 6-triple people
+    graph."""
+
+    def _people(self):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:p1"), r("urn:name"), l("alice")),
+            new_triple(r("urn:p2"), r("urn:name"), l("bob")),
+            new_triple(r("urn:p3"), r("urn:name"), l("carol")),
+            new_triple(r("urn:p1"), r("urn:email"), l("a@x")),
+            new_triple(r("urn:p1"), r("urn:knows"), r("urn:p2")),
+            new_triple(r("urn:p2"), r("urn:knows"), r("urn:p3")),
+        ]
+        return DatasetGraphStore.from_triples("urn:g", trps)
+
+    def _q(self, dstore, text):
+        from ontograph_ray.store.sparql import sparql_select
+
+        return sparql_select(dstore, text).to_pandas()
+
+    def test_minus_equals_not_exists(self, ray_session):
+        ds = self._people()
+        minus = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            "MINUS { ?p <urn:email> ?e } } ORDER BY ?p",
+        )
+        notex = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            "FILTER NOT EXISTS { ?p <urn:email> ?e } } ORDER BY ?p",
+        )
+        assert minus["p"].tolist() == ["<urn:p2>", "<urn:p3>"]
+        assert notex["p"].tolist() == minus["p"].tolist()
+
+    def test_filter_exists(self, ray_session):
+        ds = self._people()
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            "FILTER EXISTS { ?p <urn:knows> ?q } } ORDER BY ?p",
+        )
+        assert out["p"].tolist() == ["<urn:p1>", "<urn:p2>"]
+
+    def test_inverse_path(self, ray_session):
+        ds = self._people()
+        inv = self._q(
+            ds, "SELECT ?b ?a WHERE { ?b ^<urn:knows> ?a . } ORDER BY ?b"
+        )
+        fwd = self._q(
+            ds, "SELECT ?a ?b WHERE { ?a <urn:knows> ?b . } ORDER BY ?b"
+        )
+        assert inv[["a", "b"]].values.tolist() == fwd[["a", "b"]].values.tolist()
+
+    def test_alternative_path_is_bag_union(self, ray_session):
+        ds = self._people()
+        out = self._q(
+            ds,
+            "SELECT ?s ?v WHERE { ?s (<urn:email>|<urn:knows>) ?v . } "
+            "ORDER BY ?s ?v",
+        )
+        assert out.values.tolist() == [
+            ["<urn:p1>", '"a@x"'],
+            ["<urn:p1>", "<urn:p2>"],
+            ["<urn:p2>", "<urn:p3>"],
+        ]
+
+    def test_sequence_with_inverse_element(self, ray_session):
+        ds = self._people()
+        # knows/^knows: x and y know a common person (includes self)
+        out = self._q(
+            ds,
+            "SELECT ?x ?y WHERE { ?x <urn:knows>/^<urn:knows> ?y . } "
+            "ORDER BY ?x",
+        )
+        assert out.values.tolist() == [
+            ["<urn:p1>", "<urn:p1>"],
+            ["<urn:p2>", "<urn:p2>"],
+        ]
+
+    def test_values_single_and_multi(self, ray_session):
+        ds = self._people()
+        one = self._q(
+            ds,
+            "SELECT ?p ?n WHERE { ?p <urn:name> ?n . } "
+            'VALUES ?n { "alice" "bob" } ORDER BY ?n',
+        )
+        assert one.values.tolist() == [
+            ["<urn:p1>", '"alice"'], ["<urn:p2>", '"bob"'],
+        ]
+        multi = self._q(
+            ds,
+            "SELECT ?p ?n WHERE { ?p <urn:name> ?n . } "
+            'VALUES (?p ?n) { (<urn:p1> "alice") (<urn:p2> "nope") }',
+        )
+        assert multi.values.tolist() == [["<urn:p1>", '"alice"']]
+
+    def test_offset(self, ray_session):
+        ds = self._people()
+        out = self._q(
+            ds,
+            "SELECT ?n WHERE { ?p <urn:name> ?n . } "
+            "ORDER BY ?n LIMIT 2 OFFSET 1",
+        )
+        assert out["n"].tolist() == ['"bob"', '"carol"']
+        # OFFSET past the end → empty Dataset with the schema intact
+        # (Dataset.to_pandas drops columns on 0 rows — assert on the
+        # Dataset itself)
+        from ontograph_ray.store.sparql import sparql_select
+
+        empty = sparql_select(
+            ds,
+            "SELECT ?n WHERE { ?p <urn:name> ?n . } "
+            "ORDER BY ?n LIMIT 5 OFFSET 10",
+        )
+        assert empty.schema().names == ["n"] and empty.count() == 0
+
+    def test_extension_errors(self, ray_session):
+        import pytest
+        from ontograph_ray.store.sparql import (
+            SparqlSyntaxError,
+            SparqlUnsupportedError,
+            sparql_select,
+        )
+
+        ds = self._people()
+        # MINUS group sharing no variable → refused
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(
+                ds,
+                "SELECT ?p WHERE { ?p <urn:name> ?n . "
+                "MINUS { ?x <urn:email> ?e } }",
+            ).to_pandas()
+        # OFFSET without ORDER BY + LIMIT → refused at parse time
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(
+                ds, "SELECT ?n WHERE { ?p <urn:name> ?n . } LIMIT 2 OFFSET 1"
+            )
+        # VALUES over a never-bound variable
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(
+                ds, 'SELECT ?n WHERE { ?p <urn:name> ?n . } VALUES ?z { "x" }'
+            ).to_pandas()
+        # VALUES over an OPTIONAL-only variable → refused
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(
+                ds,
+                "SELECT ?p WHERE { ?p <urn:name> ?n . "
+                "OPTIONAL { ?p <urn:email> ?e } } "
+                'VALUES ?e { "a@x" }',
+            ).to_pandas()
+        # path alternatives / inverse need ground predicates
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(ds, "SELECT ?s WHERE { ?s (<urn:a>|?v) ?o . }")
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(ds, "SELECT ?s WHERE { ?s ^?v ?o . }")
+        # single-branch parenthesized path → syntax error
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(ds, "SELECT ?s WHERE { ?s (<urn:a>) ?o . }")
