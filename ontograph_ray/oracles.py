@@ -388,6 +388,22 @@ SELECT DISTINCT '{onto}#ent_' || surface || '__' || lang AS node,
                 '{onto}#ent_' || surface AS component FROM mention
 UNION
 SELECT DISTINCT '{onto}#ent_' || surface, '{onto}#ent_' || surface FROM mention""",
+        # co-occurrence graph + triangles: the canonical (src<dst)
+        # edge form makes the 3-way self-join emit each triangle once
+        # with a<b<c — identical to the engine's value-canonical rows
+        "copurchase_edges": """
+WITH m AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem)
+SELECT a.p AS src, b.p AS dst, CAST(COUNT(*) AS BIGINT) AS support
+FROM m a JOIN m b ON a.k = b.k AND a.p < b.p
+GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+        "part_triangles": """
+WITH m AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+e AS (SELECT a.p AS src, b.p AS dst FROM m a JOIN m b ON a.k = b.k AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+FROM e e1
+JOIN e e2 ON e2.src = e1.dst
+JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         # lang_id: per-profile function-word counts, winner = first max
         # over langs in sorted order (de,en,es,fr,zh) — the same

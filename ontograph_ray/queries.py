@@ -1649,6 +1649,32 @@ def q_sparql_values(sf_dir: str):
     )
 
 
+def q_copurchase_edges(sf_dir: str):
+    """Market-basket co-occurrence graph: parts sharing an order →
+    support-weighted undirected edges (support ≥ 2). Pair generation
+    is a per-order vectorized self-merge inside ONE order-bucketed
+    exchange (per-order distinct fused in); a second combiner-backed
+    exchange sums support."""
+    from .pipelines.graphstats import cooccurrence_edges
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+def q_part_triangles(sf_dir: str):
+    """Triangle enumeration over the co-purchase graph via
+    degree-ordered orientation (O(m^1.5) wedge bound — a hub's
+    out-neighborhood is capped at O(sqrt m), so skew is handled
+    structurally): wedge self-join on the center + closing semi-join,
+    rows canonicalized to (a < b < c)."""
+    from .pipelines.graphstats import cooccurrence_edges, triangles
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return triangles(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    )
+
+
 def q_sparql_construct(sf_dir: str):
     """E8 extension: CONSTRUCT — template instantiation over SELECT
     bindings with an OPTIONAL whose unbound rows are skipped per spec

@@ -1,0 +1,98 @@
+"""Graph statistics: co-occurrence edge construction and
+degree-ordered triangle enumeration on graphs with known answers."""
+
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from ontograph_ray.pipelines.graphstats import cooccurrence_edges, triangles
+
+
+def _edges_ds(pairs):
+    return rd.from_pandas(
+        pd.DataFrame(pairs, columns=["src", "dst"])
+    )
+
+
+class TestCooccurrenceEdges:
+    def test_pairs_support_and_dedup(self, ray_session):
+        # group 1: {a,b,c}; group 2: {a,b} (with a duplicated row);
+        # group 3: {a} (no pairs)
+        df = pd.DataFrame(
+            {
+                "g": [1, 1, 1, 2, 2, 2, 3],
+                "item": ["a", "b", "c", "a", "b", "a", "a"],
+            }
+        )
+        out = (
+            cooccurrence_edges(rd.from_pandas(df), "g", "item")
+            .to_pandas()
+            .sort_values(["src", "dst"])
+            .reset_index(drop=True)
+        )
+        assert out.values.tolist() == [
+            ["a", "b", 2],
+            ["a", "c", 1],
+            ["b", "c", 1],
+        ]
+
+    def test_min_support_filters(self, ray_session):
+        df = pd.DataFrame(
+            {"g": [1, 1, 2, 2], "item": ["a", "b", "a", "b"]}
+        )
+        out = cooccurrence_edges(
+            rd.from_pandas(df), "g", "item", min_support=3
+        ).to_pandas()
+        assert len(out) == 0
+
+
+class TestTriangles:
+    def _tri(self, pairs):
+        df = triangles(_edges_ds(pairs)).to_pandas()
+        if df.empty:
+            # Dataset.to_pandas drops columns on 0 rows
+            return []
+        return (
+            df.sort_values(["a", "b", "c"])
+            .reset_index(drop=True)
+            .values.tolist()
+        )
+
+    def test_k4_minus_edge(self, ray_session):
+        # K4 on {1,2,3,4} minus edge (1,4): triangles (1,2,3), (2,3,4)
+        pairs = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+        assert self._tri(pairs) == [[1, 2, 3], [2, 3, 4]]
+
+    def test_hub_graph(self, ray_session):
+        # star hub 0 → 1..8 plus closing edges (1,2) and (3,4):
+        # exactly the two hub triangles, despite the degree-8 hub
+        pairs = [(0, i) for i in range(1, 9)] + [(1, 2), (3, 4)]
+        assert self._tri(pairs) == [[0, 1, 2], [0, 3, 4]]
+
+    def test_triangle_free(self, ray_session):
+        # 6-cycle: no triangles
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 6)]
+        assert self._tri(pairs) == []
+
+    def test_string_nodes(self, ray_session):
+        pairs = [("x", "y"), ("x", "z"), ("y", "z"), ("w", "x")]
+        assert self._tri(pairs) == [["x", "y", "z"]]
+
+    def test_matches_brute_force_on_random_graph(self, ray_session):
+        # deterministic pseudo-random graph, brute-force cross-check
+        import itertools
+
+        nodes = list(range(16))
+        pairs = [
+            (u, v)
+            for u, v in itertools.combinations(nodes, 2)
+            if (u * 31 + v * 17) % 5 == 0
+        ]
+        eset = set(pairs)
+        expected = sorted(
+            [a, b, c]
+            for a, b, c in itertools.combinations(nodes, 3)
+            if (a, b) in eset and (b, c) in eset and (a, c) in eset
+        )
+        assert self._tri(pairs) == [list(t) for t in expected]
