@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_group_count": q.q_sparql_group_count,
         "sparql_update": q.q_sparql_update,
         "sparql_path": q.q_sparql_path,
+        "dedup_spans": q.q_dedup_spans,
         "copurchase_edges": q.q_copurchase_edges,
         "part_triangles": q.q_part_triangles,
         "sparql_minus": q.q_sparql_minus,

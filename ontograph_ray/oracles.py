@@ -388,6 +388,34 @@ SELECT DISTINCT '{onto}#ent_' || surface || '__' || lang AS node,
                 '{onto}#ent_' || surface AS component FROM mention
 UNION
 SELECT DISTINCT '{onto}#ent_' || surface, '{onto}#ent_' || surface FROM mention""",
+        # exact duplicate-span removal: windows via a string_agg frame,
+        # duplicated grams by occurrence count, coverage exploded per
+        # offset, survivors re-joined in position order
+        "dedup_spans": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok AS (SELECT doc_id, i AS pos, l[i] AS tok
+        FROM d, UNNEST(range(1, len(l) + 1)) AS u(i)),
+win AS (SELECT doc_id, pos,
+         string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS gram,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS w
+        FROM tok),
+g AS (SELECT doc_id, pos, gram FROM win WHERE w = 5),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+cover AS (SELECT DISTINCT g.doc_id, g.pos + o AS pos
+          FROM g JOIN dup USING (gram), UNNEST(range(0, 5)) AS u(o)),
+kept AS (SELECT t.doc_id, t.pos, t.tok
+         FROM tok t LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.pos = t.pos
+         WHERE c.pos IS NULL),
+rebuilt AS (SELECT doc_id,
+                   COALESCE(string_agg(tok, ' ' ORDER BY pos), '') AS text,
+                   COUNT(*) AS kept_n
+            FROM kept GROUP BY doc_id),
+base AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
+SELECT b.doc_id, COALESCE(r.text, '') AS text,
+       CAST(b.n_tok - COALESCE(r.kept_n, 0) AS BIGINT) AS removed
+FROM base b LEFT JOIN rebuilt r USING (doc_id)""",
         # co-occurrence graph + triangles: the canonical (src<dst)
         # edge form makes the 3-way self-join emit each triangle once
         # with a<b<c — identical to the engine's value-canonical rows

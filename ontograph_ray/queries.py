@@ -1374,6 +1374,19 @@ def q_dup_ngrams(sf_dir: str):
     )
 
 
+def q_dedup_spans(sf_dir: str):
+    """Exact duplicate-span REMOVAL (Lee et al. 2022 substring dedup,
+    token-window form): every position covered by a corpus-duplicated
+    5-gram window is cut, survivors re-joined — two bucketed exchanges
+    (ngram decision, doc rebuild co-group), nothing driver-side
+    (stages/repetition.py::remove_dup_spans)."""
+    from .stages.repetition import remove_dup_spans
+
+    return remove_dup_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=5, min_count=2
+    )
+
+
 def q_export_shards(sf_dir: str):
     """Deterministic shuffle-export assignment: splitmix64(doc_id^7),
     32 shards — the no-all-to-all replacement for random_shuffle."""

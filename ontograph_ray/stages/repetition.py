@@ -219,3 +219,185 @@ def dup_ngram_stats(
     return bucketed_group_map(
         partials, ["doc_id"], finish, num_buckets=num_buckets
     )
+
+
+def remove_dup_spans(
+    docs: ray.data.Dataset,
+    n: int = 5,
+    min_count: int = 2,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """EXACT duplicate-span removal — the token-window form of the
+    "deduplicating training data" substring dedup (Lee et al. 2022,
+    arXiv:2107.06499): every token position covered by ANY n-gram
+    window that occurs >= ``min_count`` times in the whole corpus
+    (occurrences, not documents — a within-doc repeat counts) is
+    removed; the survivors are re-joined with single spaces. Returns
+
+        doc_id, text (cleaned), removed (int64 tokens removed)
+
+    one row per input document (unchanged docs pass through; a fully
+    covered doc comes back with text = '').
+
+    Scale shape (two bucketed exchanges, nothing driver-side):
+
+    1. window explode (streaming map): the dup_ngram_stats Arrow
+       kernel — n shifted slices of the flattened token array, one
+       ``binary_join_element_wise``, doc-boundary windows masked —
+       emitting ONE ROW PER WINDOW (ngram, doc_id, pos). Exactness
+       costs this volume (no 64-bit hashing: at 10^13 windows birthday
+       collisions would silently over-delete; Lee et al. pay the same
+       bill with distributed suffix arrays).
+    2. ngram-bucket exchange: the corpus count per gram is decided
+       in-bucket; only the window STARTS of duplicated grams leave
+       (doc_id, pos) — coverage expansion to n positions happens after
+       the doc exchange, so the wire carries 1 row per dup window, not
+       n.
+    3. doc-bucket exchange co-grouping the original docs with their
+       dup starts (the hash_join tagged-union shape): per bucket, one
+       Arrow tokenize of the docs, a numpy scatter marks covered
+       positions, and the survivors re-join per doc via a C groupby.
+    """
+    from ..store.dataset import bucketed_group_map
+
+    empty = pa.table(
+        {
+            "ngram": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+        }
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(pc.fill_null(text, ""), " ")
+        counts = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        total = len(flat)
+        n_wins = total - (n - 1)
+        if n_wins <= 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(ids_np), dtype=np.int64), counts)
+        slices = [flat.slice(s, n_wins) for s in range(n)]
+        grams = pc.binary_join_element_wise(*slices, " ")
+        valid = doc_idx[:n_wins] == doc_idx[n - 1 :]
+        # 0-based position within the document
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = np.arange(total, dtype=np.int64)[:n_wins] - np.repeat(
+            offsets, counts
+        )[:n_wins]
+        return pa.table(
+            {
+                "ngram": grams,
+                "doc_id": pa.array(np.repeat(ids_np, counts)[:n_wins]),
+                "pos": pa.array(pos),
+            }
+        ).filter(pa.array(valid))
+
+    windows = docs.map_batches(explode, batch_format="pyarrow")
+
+    def dup_starts(df):
+        import pandas as pd
+
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "pos": pd.Series(dtype="int64"),
+                }
+            )
+        c = df.groupby("ngram", sort=False)["ngram"].transform("size")
+        out = df.loc[c >= min_count, ["doc_id", "pos"]]
+        return out.astype({"doc_id": "int64", "pos": "int64"})
+
+    starts = bucketed_group_map(
+        windows, ["ngram"], dup_starts, num_buckets=num_buckets
+    )
+
+    # tagged union (the hash_join shape): doc rows carry pos = -1
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "text": pc.cast(batch["text"], pa.string()),
+                "pos": pa.nulls(m, pa.int64()).fill_null(-1),
+            }
+        )
+
+    def tag_starts(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "text": pa.nulls(m, pa.string()),
+                "pos": pc.cast(batch["pos"], pa.int64()),
+            }
+        )
+
+    both = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        starts.map_batches(tag_starts, batch_format="pyarrow")
+    )
+
+    def rebuild(df):
+        import pandas as pd
+
+        is_doc = df["pos"].to_numpy() < 0
+        dd = df[is_doc]
+        ss = df[~is_doc]
+        if not len(dd):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "text": pd.Series(dtype="object"),
+                    "removed": pd.Series(dtype="int64"),
+                }
+            )
+        text = pa.array(dd["text"].fillna("").to_numpy(), type=pa.string())
+        toks = pc.split_pattern(text, " ")
+        counts = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        total = len(flat)
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ids_np = dd["doc_id"].to_numpy()
+        row_of = pd.Series(np.arange(len(ids_np)), index=ids_np)
+        covered = np.zeros(total, dtype=bool)
+        if len(ss):
+            srow = row_of[ss["doc_id"].to_numpy()].to_numpy()
+            g = offsets[srow] + ss["pos"].to_numpy()
+            idx = (g[:, None] + np.arange(n)).ravel()
+            covered[idx] = True
+        doc_idx = np.repeat(np.arange(len(ids_np), dtype=np.int64), counts)
+        kept = ~covered
+        kept_tok = flat.to_pandas().to_numpy()[kept]
+        kept_idx = doc_idx[kept]
+        joined = (
+            pd.Series(kept_tok)
+            .groupby(kept_idx, sort=False)
+            .agg(" ".join)
+            .reindex(np.arange(len(ids_np)), fill_value="")
+        )
+        removed = counts - np.bincount(kept_idx, minlength=len(ids_np))
+        return pd.DataFrame(
+            {
+                "doc_id": ids_np.astype("int64"),
+                "text": joined.to_numpy(),
+                "removed": removed.astype("int64"),
+            }
+        )
+
+    return bucketed_group_map(both, ["doc_id"], rebuild, num_buckets=num_buckets)

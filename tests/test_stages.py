@@ -874,6 +874,46 @@ class TestCorpusStats:
             assert r["total_ngrams"] == len(grams)
             assert r["dup_ngrams"] == sum(1 for g in grams if corpus[g] >= 2)
 
+    def test_remove_dup_spans_bruteforce(self, ray_session):
+        from collections import Counter
+
+        from ontograph_ray.stages.repetition import remove_dup_spans
+
+        rows = [
+            # "a b c d e" appears in docs 0 and 1 → those 5 positions cut
+            {"doc_id": 0, "text": "a b c d e p q r s t"},
+            {"doc_id": 1, "text": "x a b c d e y"},
+            {"doc_id": 2, "text": "u v w"},            # < n tokens: untouched
+            {"doc_id": 3, "text": "m m m m m m m m m m"},  # self-repeat: all cut
+            {"doc_id": 4, "text": "k l o i j"},        # unique window: untouched
+        ]
+        n, mc = 5, 2
+        corpus = Counter()
+        per_doc = {}
+        for row in rows:
+            toks = row["text"].split(" ")
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            per_doc[row["doc_id"]] = (toks, grams)
+            corpus.update(grams)
+        expect = {}
+        for doc_id, (toks, grams) in per_doc.items():
+            covered = set()
+            for i, g in enumerate(grams):
+                if corpus[g] >= mc:
+                    covered.update(range(i, i + n))
+            kept = [t for i, t in enumerate(toks) if i not in covered]
+            expect[doc_id] = (" ".join(kept), len(toks) - len(kept))
+        out = {
+            r["doc_id"]: (r["text"], r["removed"])
+            for r in remove_dup_spans(
+                ray.data.from_items(rows).repartition(3), n=n, min_count=mc
+            ).take_all()
+        }
+        assert out == expect
+        assert out[0] == ("p q r s t", 5)
+        assert out[2] == ("u v w", 0)
+        assert out[3] == ("", 10)
+
     def test_splitmix64_matches_scalar_reference(self, ray_session):
         import numpy as np
 
