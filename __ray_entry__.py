@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_update": q.q_sparql_update,
         "sparql_path": q.q_sparql_path,
         "dedup_spans": q.q_dedup_spans,
+        "bpe_merges": q.q_bpe_merges,
         "copurchase_edges": q.q_copurchase_edges,
         "part_triangles": q.q_part_triangles,
         "sparql_minus": q.q_sparql_minus,

@@ -352,6 +352,11 @@ SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
         "hll_distinct": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/hll_distinct_sf001.parquet')"
         ),
+        # BPE merge learning — plain-Python twin (Counter histogram +
+        # independent merge loop), valid at the driver scale only
+        "bpe_merges": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/bpe_merges_sf001.parquet')"
+        ),
         # integer fixed-point PageRank — dict-based plain-Python twin
         "entity_pagerank": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/entity_pagerank_sf001.parquet')"

@@ -1405,6 +1405,21 @@ def q_vocab_coverage(sf_dir: str):
     return vocab_coverage(_read(sf_dir, "documents", ["doc_id", "text"]), k=100)
 
 
+def q_bpe_merges(sf_dir: str):
+    """Tokenizer training: BPE merge learning over the corpus — the
+    corpus-sized work is the combiner-backed word histogram exchange;
+    the merge loop runs on the top-200-bounded frequency table
+    (stages/vocab.py::bpe_train). Fixture oracle: independent
+    plain-Python twin (scripts/gen_fixtures.py::gen_bpe_merges)."""
+    from .stages.vocab import bpe_train
+
+    return bpe_train(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        num_merges=30,
+        top_words=200,
+    )
+
+
 def q_sparql_select(sf_dir: str):
     """E8: SPARQL SELECT passthrough — a 3-pattern BGP (type + join +
     literal constraint) compiled onto matches() scans and distributed

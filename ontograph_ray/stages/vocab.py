@@ -109,3 +109,95 @@ def vocab_coverage(docs: ray.data.Dataset, k: int = 100) -> ray.data.Dataset:
     return docs.map_batches(
         _coverage_batch, fn_kwargs={"vocab_ref": vocab_ref}, batch_format="pyarrow"
     )
+
+
+def word_histogram_top(
+    docs: ray.data.Dataset, m: int
+) -> list[tuple[str, int]]:
+    """Top-``m`` (token, count) rows by global count, ties by token
+    ascending — the same one-exchange plan as :func:`top_vocab`, kept
+    with counts (BPE training needs the frequencies)."""
+    from ..store.dataset import bucketed_group_map
+
+    counts = bucketed_group_map(
+        docs.map_batches(_partial_counts, batch_format="pyarrow"),
+        ["token"],
+        _sum_bucket,
+    )
+    cand = counts.map_batches(
+        _block_topk, fn_kwargs={"k": m}, batch_format="pyarrow"
+    ).take_all()
+    df = pd.DataFrame(cand).sort_values(
+        ["c", "token"], ascending=[False, True], kind="stable"
+    )
+    return list(df.head(m).itertuples(index=False, name=None))
+
+
+def bpe_train(
+    docs: ray.data.Dataset, num_merges: int = 30, top_words: int = 200
+) -> ray.data.Dataset:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016,
+    arXiv:1508.07909) over the corpus — tokenizer training as a
+    pipeline stage. Returns one row per learned merge:
+
+        rank (int64, 0-based), left, right (string), freq (int64)
+
+    where ``freq`` is the weighted count of the (left, right) adjacent
+    symbol pair at the moment it was merged. Deterministic contract:
+    words are the global top-``top_words`` whitespace tokens by
+    (count DESC, token ASC); initial symbols are the word's unicode
+    characters with NO end-of-word marker; each round merges the pair
+    with the highest frequency-weighted count, ties broken by
+    (left ASC, right ASC); training stops early when the best pair's
+    weighted count drops below 2 (nothing left to compress).
+
+    Scale shape: the corpus-sized work is the word histogram — one
+    bucketed exchange with a map-side combiner (the SentencePiece /
+    subword-nmt formulation trains on the frequency table, never the
+    running text). The merge loop runs on the driver over the
+    ``top_words``-bounded table — the repo's driver-small pattern: the
+    loop's input is capped by a parameter, not the corpus."""
+    hist = word_histogram_top(docs, top_words)
+    seqs: list[tuple[list[str], int]] = [
+        (list(word), cnt) for word, cnt in hist
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, cnt in seqs:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + cnt
+        if not pairs:
+            break
+        # deterministic: max count, then lexicographically smallest pair
+        bc = max(pairs.values())
+        best_pair = min(p for p, c in pairs.items() if c == bc)
+        if bc < 2:
+            break
+        merged = "".join(best_pair)
+        for k, (syms, cnt) in enumerate(seqs):
+            i, out = 0, []
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best_pair[0]
+                    and syms[i + 1] == best_pair[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[k] = (out, cnt)
+        merges.append((rank, best_pair[0], best_pair[1], bc))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array([m_[0] for m_ in merges], pa.int64()),
+                "left": pa.array([m_[1] for m_ in merges], pa.string()),
+                "right": pa.array([m_[2] for m_ in merges], pa.string()),
+                "freq": pa.array([m_[3] for m_ in merges], pa.int64()),
+            }
+        )
+    )

@@ -445,6 +445,62 @@ def gen_entity_pagerank(iters: int = 5, num: int = 85, den: int = 100) -> str:
     return f"{path}: {len(nodes)} nodes, {len(edges)} directed edges"
 
 
+def gen_bpe_merges(num_merges: int = 30, top_words: int = 200) -> str:
+    """Plain-Python BPE merge-learning twin of stages/vocab.py::
+    bpe_train — histogram via collections.Counter straight off the
+    parquet (no Arrow kernels, no engine imports), same documented
+    contract: top-``top_words`` by (count DESC, token ASC), character
+    symbols without an end-of-word marker, merge = (max weighted count,
+    then lexicographically smallest pair), stop below count 2."""
+    from collections import Counter
+
+    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["text"])
+    counts: Counter = Counter()
+    for text in docs["text"].to_pylist():
+        counts.update((text or "").split(" "))
+    hist = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_words]
+    seqs = [(list(w), c) for w, c in hist]
+    rows = []
+    for rank in range(num_merges):
+        pairs: Counter = Counter()
+        for syms, c in seqs:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        bc = max(pairs.values())
+        if bc < 2:
+            break
+        left, right = min(p for p, c in pairs.items() if c == bc)
+        merged = left + right
+        new_seqs = []
+        for syms, c in seqs:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_seqs.append((out, c))
+        seqs = new_seqs
+        rows.append((rank, left, right, bc))
+    path = os.path.join(FIXTURES_DIR, "bpe_merges_sf001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "rank": pa.array([r[0] for r in rows], pa.int64()),
+                "left": pa.array([r[1] for r in rows], pa.string()),
+                "right": pa.array([r[2] for r in rows], pa.string()),
+                "freq": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(rows)} merges"
+
+
 if __name__ == "__main__":
     os.makedirs(FIXTURES_DIR, exist_ok=True)
     print(gen_entity_pagerank())
@@ -456,3 +512,4 @@ if __name__ == "__main__":
     print(gen_curate_full())
     print(gen_kmv_distinct())
     print(gen_hll_distinct())
+    print(gen_bpe_merges())

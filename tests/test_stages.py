@@ -914,6 +914,30 @@ class TestCorpusStats:
         assert out[2] == ("u v w", 0)
         assert out[3] == ("", 10)
 
+    def test_bpe_train_hand_computed(self, ray_session):
+        from ontograph_ray.stages.vocab import bpe_train
+
+        # histogram: aaab x2, cccc x1
+        rows = [
+            {"doc_id": 0, "text": "aaab cccc"},
+            {"doc_id": 1, "text": "aaab"},
+        ]
+        out = bpe_train(
+            ray.data.from_items(rows), num_merges=10, top_words=10
+        ).to_pandas().values.tolist()
+        # r0: (a,a)=4 wins; aaab -> [aa,a,b] (greedy left-to-right)
+        # r1: (c,c)=3; cccc -> [cc,cc]
+        # r2: tie at 2 between (aa,a) and (a,b) -> lexicographically
+        #     smallest pair ('a','b') wins; aaab -> [aa,ab]
+        # r3: (aa,ab)=2
+        # r4: best is (cc,cc)=1 < 2 -> stop
+        assert out == [
+            [0, "a", "a", 4],
+            [1, "c", "c", 3],
+            [2, "a", "b", 2],
+            [3, "aa", "ab", 2],
+        ]
+
     def test_splitmix64_matches_scalar_reference(self, ray_session):
         import numpy as np
 
