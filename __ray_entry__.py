@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_path": q.q_sparql_path,
         "dedup_spans": q.q_dedup_spans,
         "bpe_merges": q.q_bpe_merges,
+        "bpe_token_counts": q.q_bpe_token_counts,
         "copurchase_edges": q.q_copurchase_edges,
         "part_triangles": q.q_part_triangles,
         "sparql_minus": q.q_sparql_minus,

@@ -357,6 +357,9 @@ SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
         "bpe_merges": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/bpe_merges_sf001.parquet')"
         ),
+        "bpe_token_counts": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/bpe_token_counts_sf001.parquet')"
+        ),
         # integer fixed-point PageRank — dict-based plain-Python twin
         "entity_pagerank": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/entity_pagerank_sf001.parquet')"

@@ -1420,6 +1420,19 @@ def q_bpe_merges(sf_dir: str):
     )
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """Real-BPE token counting: learned merges broadcast once, applied
+    per DISTINCT word per batch (Zipf combiner), pieces summed per doc
+    (stages/vocab.py::bpe_token_counts)."""
+    from .stages.vocab import bpe_token_counts
+
+    return bpe_token_counts(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        num_merges=30,
+        top_words=200,
+    )
+
+
 def q_sparql_select(sf_dir: str):
     """E8: SPARQL SELECT passthrough — a 3-pattern BGP (type + join +
     literal constraint) compiled onto matches() scans and distributed

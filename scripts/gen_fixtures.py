@@ -445,13 +445,30 @@ def gen_entity_pagerank(iters: int = 5, num: int = 85, den: int = 100) -> str:
     return f"{path}: {len(nodes)} nodes, {len(edges)} directed edges"
 
 
-def gen_bpe_merges(num_merges: int = 30, top_words: int = 200) -> str:
-    """Plain-Python BPE merge-learning twin of stages/vocab.py::
-    bpe_train — histogram via collections.Counter straight off the
-    parquet (no Arrow kernels, no engine imports), same documented
-    contract: top-``top_words`` by (count DESC, token ASC), character
-    symbols without an end-of-word marker, merge = (max weighted count,
-    then lexicographically smallest pair), stop below count 2."""
+def _bpe_apply_word(word: str, merges: list) -> int:
+    syms = list(word)
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+        if len(syms) == 1:
+            break
+    return max(len(syms), 1)
+
+
+def _bpe_learn(num_merges: int, top_words: int):
+    """Plain-Python BPE merge learning straight off the parquet (no
+    Arrow kernels, no engine imports), same documented contract as
+    stages/vocab.py::bpe_train: top-``top_words`` by (count DESC,
+    token ASC), character symbols without an end-of-word marker, merge
+    = (max weighted count, then lexicographically smallest pair), stop
+    below count 2."""
     from collections import Counter
 
     docs = pq.read_table(f"{SF001}/documents.parquet", columns=["text"])
@@ -486,6 +503,11 @@ def gen_bpe_merges(num_merges: int = 30, top_words: int = 200) -> str:
             new_seqs.append((out, c))
         seqs = new_seqs
         rows.append((rank, left, right, bc))
+    return rows
+
+
+def gen_bpe_merges(num_merges: int = 30, top_words: int = 200) -> str:
+    rows = _bpe_learn(num_merges, top_words)
     path = os.path.join(FIXTURES_DIR, "bpe_merges_sf001.parquet")
     pq.write_table(
         pa.table(
@@ -501,6 +523,39 @@ def gen_bpe_merges(num_merges: int = 30, top_words: int = 200) -> str:
     return f"{path}: {len(rows)} merges"
 
 
+def gen_bpe_token_counts(num_merges: int = 30, top_words: int = 200) -> str:
+    """Per-document BPE piece counts: the learned merges applied in
+    rank order, greedy left-to-right per word, pieces summed per doc
+    (empty-string token = 1 piece) — twin of bpe_token_counts."""
+    merges = [(r[1], r[2]) for r in _bpe_learn(num_merges, top_words)]
+    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
+    ids, n_tok, n_bpe = [], [], []
+    cache: dict = {}
+    for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        toks = (text or "").split(" ")
+        total = 0
+        for w in toks:
+            p = cache.get(w)
+            if p is None:
+                p = cache[w] = _bpe_apply_word(w, merges)
+            total += p
+        ids.append(doc_id)
+        n_tok.append(len(toks))
+        n_bpe.append(total)
+    path = os.path.join(FIXTURES_DIR, "bpe_token_counts_sf001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_bpe_pieces": pa.array(n_bpe, pa.int64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(ids)} docs"
+
+
 if __name__ == "__main__":
     os.makedirs(FIXTURES_DIR, exist_ok=True)
     print(gen_entity_pagerank())
@@ -513,3 +568,4 @@ if __name__ == "__main__":
     print(gen_kmv_distinct())
     print(gen_hll_distinct())
     print(gen_bpe_merges())
+    print(gen_bpe_token_counts())

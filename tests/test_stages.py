@@ -938,6 +938,25 @@ class TestCorpusStats:
             [3, "aa", "ab", 2],
         ]
 
+    def test_bpe_token_counts_hand_computed(self, ray_session):
+        from ontograph_ray.stages.vocab import bpe_token_counts
+
+        rows = [
+            {"doc_id": 0, "text": "aaab cccc"},
+            {"doc_id": 1, "text": "aaab"},
+        ]
+        # learned merges (see test_bpe_train_hand_computed):
+        # a+a, c+c, a+b, aa+ab  →  aaab = [aaab]? no: apply in rank
+        # order: aaab → [aa,a,b] → (c,c no-op) → [aa,ab] → [aaab] = 1
+        # piece; cccc → (a,a no-op) → [cc,cc] → 2 pieces
+        out = {
+            r["doc_id"]: (r["n_tokens"], r["n_bpe_pieces"])
+            for r in bpe_token_counts(
+                ray.data.from_items(rows), num_merges=10, top_words=10
+            ).take_all()
+        }
+        assert out == {0: (2, 3), 1: (1, 1)}
+
     def test_splitmix64_matches_scalar_reference(self, ray_session):
         import numpy as np
 
