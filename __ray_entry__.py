@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_optional": q.q_sparql_optional,
         "sparql_union": q.q_sparql_union,
         "sparql_group_count": q.q_sparql_group_count,
+        "sparql_group_sum": q.q_sparql_group_sum,
         "sparql_update": q.q_sparql_update,
         "sparql_path": q.q_sparql_path,
         "dedup_spans": q.q_dedup_spans,

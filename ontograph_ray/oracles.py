@@ -166,6 +166,13 @@ SELECT object AS seg, CAST(COUNT(subject) AS BIGINT) AS n,
        MIN(subject) AS first
 FROM t WHERE predicate = '<{SEGMENT}>'
 GROUP BY object""",
+        "sparql_group_sum": f"""{_T}
+SELECT t1.object AS seg,
+       CAST(SUM(CAST(regexp_extract(t2.object, '^"(-?\\d+)"', 1) AS BIGINT)) AS BIGINT) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM t t1 JOIN t t2 ON t2.subject = t1.subject
+WHERE t1.predicate = '<{SEGMENT}>' AND t2.predicate = '<{ACCTBAL}>'
+GROUP BY t1.object""",
         # integer fixed-point TF-IDF top-k: weight = (N*1e6)//df
         # (integer division), score = sum(tf*weight); ties (score DESC,
         # doc_id ASC) — mirrors tfidf_topk exactly, no libm ln anywhere

@@ -1759,6 +1759,26 @@ def q_sparql_group_count(sf_dir: str):
     )
 
 
+def q_sparql_group_sum(sf_dir: str):
+    """E8 extension: SUM over xsd:integer literals — account balance
+    cents summed per market segment, exact int64 end to end (the
+    integer-cents convention keeps the DuckDB oracle bit-identical)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?seg (SUM(?bal) AS ?total) (COUNT(?c) AS ?n) WHERE {
+          ?c attr:mktsegment ?seg .
+          ?c attr:acctbalCents ?bal .
+        } GROUP BY ?seg ORDER BY ?seg
+        """,
+    )
+
+
 def q_sparql_ask(sf_dir: str):
     """E8: SPARQL ASK — the two existence forms the reference's store
     layer generates (graph-nonempty, blazegraph_store.go:294; ground

@@ -44,11 +44,15 @@ silently misanswering):
                                       on unmatched rows; no nesting)
     WHERE { { BGP } UNION { BGP } .. }  (bag union; branches are plain
                                       BGPs binding the SAME variables)
-    SELECT ?g (COUNT(?v|*) AS ?n) (MIN/MAX(?v) AS ?m) ... GROUP BY ?g ...
+    SELECT ?g (COUNT(?v|*) AS ?n) (MIN/MAX(?v) AS ?m)
+           (SUM(?v) AS ?s) ...  GROUP BY ?g ...
                                       (distributed combiner+exchange
                                       aggregate; COUNT skips unbound
-                                      OPTIONAL bindings; no GROUP BY →
-                                      one whole-result row)
+                                      OPTIONAL bindings; SUM requires
+                                      xsd-integer-typed literal
+                                      bindings — exact int64, anything
+                                      else raises; no GROUP BY → one
+                                      whole-result row)
     VALUES ?v { t ... }               (postfix inline-data join over
     VALUES (?a ?b) { (t t) ... }      required-bound variables: one
                                       vectorized membership kernel per
@@ -246,7 +250,7 @@ def parse(text: str) -> _Query:
             # ( COUNT|MIN|MAX ( ?v | * ) AS ?alias )
             take()
             op = take().lower()
-            if op not in ("count", "min", "max"):
+            if op not in ("count", "min", "max", "sum"):
                 raise SparqlUnsupportedError(f"unsupported aggregate {op!r}")
             if take() != "(":
                 raise SparqlSyntaxError(f"expected ( after {op.upper()}")
@@ -810,16 +814,37 @@ def sparql_select(
         group_by = list(q.group_by)
         aliases = [a for _, _, a in aggs]
 
+        def int_lit(s: "pd.Series") -> "pd.Series":
+            # SUM is defined over xsd-integer-typed literals — the only
+            # numeric literals this engine's term model emits; anything
+            # else (IRIs, plain/lang literals, unbound OPTIONAL vars)
+            # is a strict-subset error, not a silent 0
+            v = s.str.extract(r'^"(-?\d+)"\^\^<', expand=False)
+            if v.isna().any():
+                bad = s[v.isna()].iloc[0] if s[v.isna()].notna().any() else None
+                raise ValueError(
+                    f"SUM needs integer-typed literal bindings, got {bad!r}"
+                )
+            return v.astype("int64")
+
+        def with_sum_cols(df: pd.DataFrame) -> pd.DataFrame:
+            for op, var, alias in aggs:
+                if op == "sum":
+                    df = df.assign(**{f"__i_{alias}": int_lit(df[var])})
+            return df
+
         def partial(df: pd.DataFrame) -> pd.DataFrame:
-            # per-block combiner: count/min/max are algebraic, so each
-            # block shrinks to one row per key before the exchange
+            # per-block combiner: count/min/max/sum are algebraic, so
+            # each block shrinks to one row per key before the exchange
             if not len(df):
                 return pd.DataFrame(columns=group_by + aliases)
-            g = df.groupby(group_by, sort=False, dropna=False)
+            g = with_sum_cols(df).groupby(group_by, sort=False, dropna=False)
             cols = {}
             for op, var, alias in aggs:
                 if op == "count":
                     cols[alias] = g.size() if var == "*" else g[var].count()
+                elif op == "sum":
+                    cols[alias] = g[f"__i_{alias}"].sum()
                 elif op == "min":
                     cols[alias] = g[var].min()
                 else:
@@ -832,11 +857,13 @@ def sparql_select(
             for op, _, alias in aggs:
                 s = g[alias]
                 cols[alias] = (
-                    s.sum() if op == "count" else (s.min() if op == "min" else s.max())
+                    s.sum()
+                    if op in ("count", "sum")
+                    else (s.min() if op == "min" else s.max())
                 )
             out = pd.DataFrame(cols).reset_index()
             for op, _, alias in aggs:
-                if op == "count":
+                if op in ("count", "sum"):
                     out[alias] = out[alias].astype("int64")
             return out
 
@@ -854,6 +881,8 @@ def sparql_select(
                 for op, var, alias in aggs:
                     if op == "count":
                         cols[alias] = [len(df) if var == "*" else int(df[var].count())]
+                    elif op == "sum":
+                        cols[alias] = [int(int_lit(df[var]).sum())]
                     elif op == "min":
                         cols[alias] = [df[var].min()]
                     else:
@@ -865,7 +894,7 @@ def sparql_select(
             ).to_pandas()
             row = {}
             for op, _, alias in aggs:
-                if op == "count":
+                if op in ("count", "sum"):
                     row[alias] = int(parts[alias].sum()) if len(parts) else 0
                 elif op == "min":
                     row[alias] = parts[alias].min() if len(parts) else None

@@ -1211,6 +1211,42 @@ class TestSparqlExtensions:
         )
         assert empty.schema().names == ["n"] and empty.count() == 0
 
+    def test_sum_aggregate(self, ray_session):
+        import pytest
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+        from ontograph_ray.store.sparql import sparql_select
+        from ontograph_ray.constants import XSD_INTEGER
+
+        r = terms.new_resource_term
+        il = lambda n: terms.new_literal_term(str(n), datatype=XSD_INTEGER)
+        trps = [
+            new_triple(r("urn:p1"), r("urn:score"), il(10)),
+            new_triple(r("urn:p1"), r("urn:score"), il(-3)),
+            new_triple(r("urn:p2"), r("urn:score"), il(5)),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        out = sparql_select(
+            ds,
+            "SELECT ?p (SUM(?s) AS ?total) WHERE { ?p <urn:score> ?s } "
+            "GROUP BY ?p ORDER BY ?p",
+        ).to_pandas()
+        assert out.values.tolist() == [["<urn:p1>", 7], ["<urn:p2>", 5]]
+        glob = sparql_select(
+            ds, "SELECT (SUM(?s) AS ?total) WHERE { ?p <urn:score> ?s }"
+        ).to_pandas()
+        assert glob["total"].tolist() == [12]
+        # SUM over a non-integer literal is a strict error, not 0
+        bad = DatasetGraphStore.from_triples(
+            "urn:g2",
+            [new_triple(r("urn:p1"), r("urn:score"), terms.new_literal_term("x"))],
+        )
+        with pytest.raises(Exception):
+            sparql_select(
+                bad, "SELECT (SUM(?s) AS ?t) WHERE { ?p <urn:score> ?s }"
+            ).to_pandas()
+
     def test_extension_errors(self, ray_session):
         import pytest
         from ontograph_ray.store.sparql import (
