@@ -88,6 +88,12 @@ BENCH_QUERIES = [
     "domain_cap",
     "line_dedup",
     "dup_ngrams",
+    "dedup_spans",
+    "bpe_token_counts",
+    # part_triangles is NOT timed for the same reason as
+    # kg_sameas_salted: at sf0.1 the support>=2 co-purchase graph is
+    # near-empty (1 triangle), so its wall is ~7 exchanges of fixed
+    # latency — correctness lives under the oracle gate at sf0.01.
 ]
 
 
