@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangles": q.q_part_triangles,
         "sparql_minus": q.q_sparql_minus,
         "sparql_path_alt": q.q_sparql_path_alt,
+        "sparql_path_closure": q.q_sparql_path_closure,
         "sparql_values": q.q_sparql_values,
         "sparql_construct": q.q_sparql_construct,
         "sparql_ask": q.q_sparql_ask,

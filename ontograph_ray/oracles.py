@@ -150,6 +150,17 @@ ORDER BY nation, cust, v LIMIT 200 OFFSET 50""",
 SELECT subject AS cust, object AS seg FROM t
 WHERE predicate = '<{SEGMENT}>'
   AND object IN ('"BUILDING"', '"MACHINERY"')""",
+        # arbitrary-length path + = recursive CTE reachability (UNION
+        # dedups, matching the engine's distinct pair set)
+        "sparql_path_closure": f"""WITH RECURSIVE t AS ({TRIPLES_SQL}),
+e AS (SELECT subject AS s, object AS o FROM t
+      WHERE predicate IN ('<{IN_NATION}>', '<{IN_REGION}>')),
+reach AS (
+  SELECT s, o FROM e
+  UNION
+  SELECT r.s, e.o FROM reach r JOIN e ON e.s = r.o
+)
+SELECT s AS x, o AS y FROM reach""",
         "sparql_construct": f"""{_T},
 typed AS (SELECT subject, object AS typ FROM t WHERE predicate = '{RDF_TYPE_T}'),
 lbl AS (SELECT subject, object AS lbl FROM t

@@ -37,7 +37,7 @@ import ray.data
 
 from ..store.dataset import bucketed_group_map, hash_join
 
-__all__ = ["cooccurrence_edges", "triangles"]
+__all__ = ["cooccurrence_edges", "transitive_closure", "triangles"]
 
 
 def _renamed(ds: ray.data.Dataset, mapping: dict[str, str]) -> ray.data.Dataset:
@@ -209,3 +209,57 @@ def triangles(edges: ray.data.Dataset) -> ray.data.Dataset:
         return pd.DataFrame(vals, columns=["a", "b", "c"])
 
     return closed.map_batches(canonical, batch_format="pandas")
+
+
+def transitive_closure(
+    edges: ray.data.Dataset, max_iters: int = 25
+) -> ray.data.Dataset:
+    """All (src, dst) pairs connected by a directed path of length >= 1
+    — the semi-naive Datalog fixpoint, distributed: each round joins
+    only the FRONTIER (pairs discovered last round) against the base
+    edges, dedups, and anti-joins against everything already known, so
+    work per round is proportional to the new pairs, not the closure.
+    Cycles terminate naturally (a revisited pair is dropped by the
+    anti-join). Raises if the fixpoint needs more than ``max_iters``
+    rounds — path length is bounded by the round count, so this is a
+    graph-diameter cap, not a heuristic.
+
+    Per-round plan: one bucketed hash join (frontier.dst = edges.src),
+    one distinct, one anti-join; the accumulator is pinned each round
+    (the CC-loop convention for iterative shuffles). Partitioning
+    assumption: the closure itself fits in the object store (it is the
+    OUTPUT — any engine pays this), and one join key's rows fit a
+    bucket worker."""
+    from ..store.dataset import distinct_on
+
+    base = distinct_on(edges.select_columns(["src", "dst"]), ["src", "dst"])
+    base = base.materialize()
+    acc = base
+    frontier = base
+    for _ in range(max_iters):
+        stepped = hash_join(
+            _renamed(frontier, {"dst": "mid"}),
+            _renamed(base, {"src": "mid", "dst": "dst"}),
+            on="mid",
+        ).select_columns(["src", "dst"])
+        # pin the deduped step result: hash_join needs a concrete
+        # schema, and the anti-join exchange would materialize the
+        # (new-pairs-bounded) table anyway
+        cand = distinct_on(stepped, ["src", "dst"]).materialize()
+        if cand.count() == 0:
+            # frontier dead-ended: no paths extend, fixpoint reached
+            return acc
+        fresh = hash_join(
+            cand,
+            acc,
+            on=["src", "dst"],
+            how="anti",
+        ).materialize()
+        if fresh.count() == 0:
+            return acc
+        acc = acc.union(fresh).materialize()
+        frontier = fresh
+    raise ValueError(
+        f"transitive_closure did not converge within {max_iters} rounds "
+        "(graph diameter exceeds the cap)"
+    )

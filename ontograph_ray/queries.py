@@ -1671,6 +1671,27 @@ def q_sparql_path_alt(sf_dir: str):
     )
 
 
+def q_sparql_path_closure(sf_dir: str):
+    """E8 extension: arbitrary-length property path + — the
+    distributed semi-naive transitive closure (frontier-only join per
+    round, anti-join dedup, pinned accumulator) of the
+    (inNation|inRegion) relation: cust→nation, nation→region and the
+    2-hop cust→region pairs. Oracle is a recursive CTE."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX rel: <urn:og:rel/>
+        SELECT ?x ?y WHERE {{
+          ?x (rel:inNation|rel:inRegion)+ ?y .
+        }}
+        """,
+    )
+
+
 def q_sparql_values(sf_dir: str):
     """E8 extension: postfix VALUES — inline-data join over the
     segment variable, one vectorized membership kernel per batch

@@ -29,7 +29,14 @@ silently misanswering):
                                       subject/object swapped) |
                                       (p1|p2|...) with optional ^ per
                                       alternative (bag union of
-                                      predicate-pruned scans) — path
+                                      predicate-pruned scans) | e+
+                                      (arbitrary-length path: the
+                                      distributed semi-naive transitive
+                                      closure of the element's edge
+                                      relation; ground endpoints filter
+                                      the pair set after the fixpoint;
+                                      * is refused — the zero-length
+                                      path binds every term) — path
                                       elements must be ground
       FILTER ( ?v = term )            (term equality on the encoded term)
       FILTER ( ?v != term )
@@ -110,6 +117,7 @@ import re
 from dataclasses import dataclass, field
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -141,7 +149,7 @@ _TOKEN = re.compile(
         (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       | (?P<uri><[^<>\s]*>)
       | (?P<lit>"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+|\^\^(?:<[^<>\s]*>|[A-Za-z_][\w-]*:[\w-]+))?)
-      | (?P<punct>[{}.(),/|^])
+      | (?P<punct>[{}.(),/|^+])
       | (?P<op>!=|=)
       | (?P<num>\d+)
       | (?P<word>[A-Za-z_][\w-]*(?::[\w-]*)?|\*)
@@ -371,12 +379,30 @@ def parse(text: str) -> _Query:
             return ((p, True),)
         return p
 
+    def take_elem() -> object:
+        e = take_path_elem()
+        if peek() == "+":
+            take()
+            if isinstance(e, str):
+                if e.startswith("?"):
+                    raise SparqlSyntaxError(
+                        "path closure + needs ground predicates"
+                    )
+                e = ((e, False),)
+            return ("closure", e)
+        if peek() == "*":
+            raise SparqlUnsupportedError(
+                "zero-or-more path * is not supported (a zero-length "
+                "path binds every term in the graph); use +"
+            )
+        return e
+
     def take_pattern(into: list) -> None:
         s = _expand(take(), prefixes, "subject")
-        elems = [take_path_elem()]
+        elems = [take_elem()]
         while peek() == "/":
             take()
-            elems.append(take_path_elem())
+            elems.append(take_elem())
         o = _expand(take(), prefixes, "object")
         if len(elems) > 1 and any(
             isinstance(p, str) and p.startswith("?") for p in elems
@@ -577,6 +603,64 @@ def _pattern_bindings(
     scans with subject/object swapped — and the choices are bag-unioned
     (SPARQL path alternation is defined as a union, duplicates kept)."""
     s, p, o = pat
+    if not isinstance(p, str) and len(p) == 2 and p[0] == "closure":
+        # arbitrary-length path e+ : the base relation is the union of
+        # the element's predicate-pruned scans (inverse choices swap
+        # slots), its transitive closure runs as the distributed
+        # semi-naive fixpoint (pipelines/graphstats.py), and the
+        # pattern's subject/object terms apply AFTER the closure —
+        # ground endpoints become vectorized filters on the pair set
+
+        from ..pipelines.graphstats import transitive_closure
+
+        def edge_proj(inv: bool):
+            src_col = tr.OBJECT if inv else tr.SUBJECT
+            dst_col = tr.SUBJECT if inv else tr.OBJECT
+
+            def f(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {"src": batch[src_col], "dst": batch[dst_col]}
+                )
+
+            return f
+
+        parts = [
+            store.matches("", pred, "").map_batches(
+                edge_proj(inv), batch_format="pyarrow"
+            )
+            for pred, inv in p[1]
+        ]
+        base = parts[0]
+        for extra in parts[1:]:
+            base = base.union(extra)
+        closure = transitive_closure(base)
+
+        out_vars: list[str] = []
+        if s.startswith("?"):
+            out_vars.append(s[1:])
+        if o.startswith("?") and o != s:
+            out_vars.append(o[1:])
+        if not out_vars:
+            raise SparqlUnsupportedError(
+                "fully-bound patterns (ASK semantics) are not supported"
+            )
+
+        def finish(batch: pa.Table) -> pa.Table:
+            t = batch
+            if not s.startswith("?"):
+                t = t.filter(pc.equal(t["src"], s))
+            if not o.startswith("?"):
+                t = t.filter(pc.equal(t["dst"], o))
+            elif o == s:
+                t = t.filter(pc.equal(t["src"], t["dst"]))
+            cols = {}
+            if s.startswith("?"):
+                cols[s[1:]] = t["src"]
+            if o.startswith("?") and o != s:
+                cols[o[1:]] = t["dst"]
+            return pa.table(cols)
+
+        return closure.map_batches(finish, batch_format="pyarrow"), out_vars
     if not isinstance(p, str):
         # canonical column order: subject-position var first, then the
         # object var — identical for every choice, so the union is
@@ -606,8 +690,6 @@ def _pattern_bindings(
         if term.startswith("?"):
             var_cols.setdefault(term[1:], []).append(col)
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
 
     def project(batch: pa.Table) -> pa.Table:
         # repeated variable within one pattern (?x ?p ?x) → equality
@@ -714,7 +796,6 @@ def sparql_select(
         bad = [v for _, v, _ in q.filters if v not in bound]
         if bad:
             raise SparqlSyntaxError(f"FILTER variables never bound: {bad}")
-        import pyarrow.compute as pc
 
         filters = list(q.filters)
 
@@ -774,7 +855,6 @@ def sparql_select(
             raise SparqlUnsupportedError(
                 f"VALUES on OPTIONAL-only variables is not supported: {bad}"
             )
-        import pyarrow.compute as pc
 
         if len(vvars) == 1:
             allowed = pa.array([r[0] for r in vrows], type=pa.string())
@@ -1005,7 +1085,6 @@ def sparql_construct(
             f"CONSTRUCT template variables never bound: {missing}"
         )
 
-    import pyarrow.compute as pc
 
     pats = list(templates)
 
@@ -1244,8 +1323,7 @@ def sparql_describe(
         wanted = pa.array(sorted(set(iris)), pa.string())
 
         def filt(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
+    
             subj = batch[tr.SUBJECT].combine_chunks().cast(pa.string())
             return batch.filter(pc.is_in(subj, value_set=wanted))
 
@@ -1258,8 +1336,7 @@ def sparql_describe(
 
     def project(col: str):
         def fn(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
+    
             c = batch[col].combine_chunks().cast(pa.string())
             keep = pc.and_(pc.is_valid(c), pc.starts_with(c, "<"))
             return pa.table({tr.SUBJECT: c.filter(keep)})

@@ -96,3 +96,33 @@ class TestTriangles:
             if (a, b) in eset and (b, c) in eset and (a, c) in eset
         )
         assert self._tri(pairs) == [list(t) for t in expected]
+
+
+class TestTransitiveClosure:
+    def _tc(self, pairs, **kw):
+        from ontograph_ray.pipelines.graphstats import transitive_closure
+
+        return sorted(
+            map(
+                tuple,
+                transitive_closure(_edges_ds(pairs), **kw)
+                .to_pandas()
+                .values.tolist(),
+            )
+        )
+
+    def test_chain_and_cycle(self, ray_session):
+        got = self._tc([(1, 2), (2, 3), (3, 4), (5, 6), (6, 5)])
+        assert got == [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            (5, 5), (5, 6), (6, 5), (6, 6),
+        ]
+
+    def test_dedup_of_input(self, ray_session):
+        assert self._tc([(1, 2), (1, 2)]) == [(1, 2)]
+
+    def test_diameter_cap_raises(self, ray_session):
+        import pytest
+
+        with pytest.raises(ValueError):
+            self._tc([(1, 2), (2, 3), (3, 4)], max_iters=1)

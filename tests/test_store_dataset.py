@@ -1000,8 +1000,8 @@ class TestSparql:
         with pytest.raises(SparqlUnsupportedError):
             sparql_select(
                 dstore,
-                "SELECT (SUM(?o) AS ?n) WHERE { ?s ?p ?o . }",
-            )
+                "SELECT (AVG(?o) AS ?n) WHERE { ?s ?p ?o . }",
+            )  # AVG stays unsupported (SUM is exact int64; AVG is not)
         with pytest.raises(SparqlUnsupportedError):
             sparql_select(
                 dstore, "SELECT ?s WHERE { ?s ?p ?o . } GROUP BY ?s"
@@ -1246,6 +1246,50 @@ class TestSparqlExtensions:
             sparql_select(
                 bad, "SELECT (SUM(?s) AS ?t) WHERE { ?p <urn:score> ?s }"
             ).to_pandas()
+
+    def test_path_closure(self, ray_session):
+        import pytest
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+        from ontograph_ray.store.sparql import (
+            SparqlUnsupportedError,
+            sparql_select,
+        )
+
+        r = terms.new_resource_term
+        trps = [
+            new_triple(r("urn:a"), r("urn:sub"), r("urn:b")),
+            new_triple(r("urn:b"), r("urn:sub"), r("urn:c")),
+            new_triple(r("urn:c"), r("urn:sub"), r("urn:d")),
+            new_triple(r("urn:x"), r("urn:other"), r("urn:a")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        out = self._q(
+            ds, "SELECT ?x ?y WHERE { ?x <urn:sub>+ ?y . } ORDER BY ?x ?y"
+        )
+        assert out.values.tolist() == [
+            ["<urn:a>", "<urn:b>"], ["<urn:a>", "<urn:c>"],
+            ["<urn:a>", "<urn:d>"], ["<urn:b>", "<urn:c>"],
+            ["<urn:b>", "<urn:d>"], ["<urn:c>", "<urn:d>"],
+        ]
+        # ground subject filters the pair set after the fixpoint
+        g = self._q(
+            ds, "SELECT ?y WHERE { <urn:a> <urn:sub>+ ?y . } ORDER BY ?y"
+        )
+        assert g["y"].tolist() == ["<urn:b>", "<urn:c>", "<urn:d>"]
+        # closure element inside a sequence
+        sq = self._q(
+            ds,
+            "SELECT ?x ?y WHERE { ?x <urn:other>/<urn:sub>+ ?y . } ORDER BY ?y",
+        )
+        assert sq.values.tolist() == [
+            ["<urn:x>", "<urn:b>"], ["<urn:x>", "<urn:c>"],
+            ["<urn:x>", "<urn:d>"],
+        ]
+        # * is refused (zero-length path binds every term)
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(ds, "SELECT ?x ?y WHERE { ?x <urn:sub>* ?y . }")
 
     def test_extension_errors(self, ray_session):
         import pytest
