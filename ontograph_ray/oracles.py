@@ -370,6 +370,10 @@ SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
         "hll_distinct": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/hll_distinct_sf001.parquet')"
         ),
+        # k-core of the co-purchase graph — plain-Python peeling twin
+        "part_kcore": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/part_kcore_sf001.parquet')"
+        ),
         # BPE merge learning — plain-Python twin (Counter histogram +
         # independent merge loop), valid at the driver scale only
         "bpe_merges": (

@@ -37,7 +37,7 @@ import ray.data
 
 from ..store.dataset import bucketed_group_map, hash_join
 
-__all__ = ["cooccurrence_edges", "transitive_closure", "triangles"]
+__all__ = ["cooccurrence_edges", "k_core", "transitive_closure", "triangles"]
 
 
 def _renamed(ds: ray.data.Dataset, mapping: dict[str, str]) -> ray.data.Dataset:
@@ -263,3 +263,85 @@ def transitive_closure(
         f"transitive_closure did not converge within {max_iters} rounds "
         "(graph diameter exceeds the cap)"
     )
+
+
+def _local_k_core(edges_df: pd.DataFrame, k: int) -> ray.data.Dataset:
+    """Driver-side peel for edge sets small enough to collect — same
+    output as the distributed loop, none of the per-round exchange
+    latency (the peel depth can be O(V) rounds on chain-like graphs,
+    each costing three exchanges in the distributed plan)."""
+    adj: dict = {}
+    for a, b in zip(edges_df["src"], edges_df["dst"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    queue = [n for n, nbrs in adj.items() if len(nbrs) < k]
+    while queue:
+        n = queue.pop()
+        nbrs = adj.pop(n, None)
+        if nbrs is None:
+            continue
+        for m in nbrs:
+            mn = adj.get(m)
+            if mn is not None:
+                mn.discard(n)
+                if len(mn) == k - 1:
+                    queue.append(m)
+    node_type = pa.Table.from_pandas(edges_df[["src"]]).schema.field("src").type
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(sorted(adj), node_type)})
+    )
+
+
+def k_core(
+    edges: ray.data.Dataset,
+    k: int,
+    max_iters: int = 200,
+    small_threshold: int = 200_000,
+) -> ray.data.Dataset:
+    """Nodes of the k-core — the maximal subgraph in which every node
+    has degree >= ``k`` — of an undirected canonical edge list
+    (``src < dst``, distinct). Returns one ``node`` column.
+
+    Adaptive physical plan (same cutover as
+    ``canonicalize.connected_components``): if the edge count is
+    ≤ ``small_threshold`` the peel runs driver-side over the collected
+    edge list (a bucket-queue peel, O(E)); above it, the classic
+    iterative peel runs distributedly — each round recomputes degrees
+    (one combiner-backed exchange), drops under-degree nodes, and
+    semi-joins the edge list down to survivors (two bucketed
+    exchanges); the fixpoint is reached when no node is dropped. Work
+    per round shrinks with the surviving subgraph. ``max_iters`` is a
+    peel-depth cap for the distributed loop (each round removes >= 1
+    node, so V rounds bound it; the cap guards pathological chains).
+    Tests pin both paths (small_threshold=0 forces the distributed
+    loop)."""
+    cur = edges.select_columns(["src", "dst"]).materialize()
+    if cur.count() <= small_threshold:
+        return _local_k_core(cur.to_pandas(), k)
+    n_nodes = None
+    for _ in range(max_iters):
+        deg = _degrees(cur).materialize()
+
+        def keep_batch(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.greater_equal(batch["deg"], k))
+            return t.select(["node"])
+
+        keep = deg.map_batches(keep_batch, batch_format="pyarrow").materialize()
+        m = keep.count()
+        if m == 0:
+            return keep
+        if n_nodes is not None and m == n_nodes:
+            return keep
+        n_nodes = m
+        cur = hash_join(
+            hash_join(
+                cur,
+                _renamed(keep, {"node": "src"}),
+                on="src",
+                how="semi",
+            ).materialize(),
+            _renamed(keep, {"node": "dst"}),
+            on="dst",
+            how="semi",
+        ).materialize()
+    raise ValueError(f"k_core did not converge within {max_iters} rounds")

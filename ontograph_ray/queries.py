@@ -1627,6 +1627,19 @@ def q_sparql_path(sf_dir: str):
     )
 
 
+def q_part_kcore(sf_dir: str):
+    """3-core of the co-purchase graph: iterative distributed peel —
+    degrees exchange + two semi-joins per round, work shrinking with
+    the surviving subgraph (pipelines/graphstats.py::k_core). Fixture
+    oracle: plain-Python dict/set peeling."""
+    from .pipelines.graphstats import cooccurrence_edges, k_core
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return k_core(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2), k=3
+    )
+
+
 def q_sparql_minus(sf_dir: str):
     """E8 extension: MINUS — customers with a nation, minus those in
     the BUILDING segment, compiled onto the distributed Acero

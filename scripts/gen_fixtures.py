@@ -556,6 +556,43 @@ def gen_bpe_token_counts(num_merges: int = 30, top_words: int = 200) -> str:
     return f"{path}: {len(ids)} docs"
 
 
+def gen_part_kcore(k: int = 3, min_support: int = 2) -> str:
+    """Plain-Python k-core of the co-purchase graph (parts sharing an
+    order, support >= min_support) — dict/set peeling twin of
+    pipelines/graphstats.py::k_core + q_part_kcore."""
+    from collections import Counter, defaultdict
+
+    li = pq.read_table(
+        f"{SF001}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    per_order = defaultdict(set)
+    for o, p in zip(li["l_orderkey"].to_pylist(), li["l_partkey"].to_pylist()):
+        per_order[o].add(p)
+    support: Counter = Counter()
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                support[(ps[i], ps[j])] += 1
+    adj = defaultdict(set)
+    for (a, b), c in support.items():
+        if c >= min_support:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    nodes = sorted(adj)
+    path = os.path.join(FIXTURES_DIR, "part_kcore_sf001.parquet")
+    pq.write_table(pa.table({"node": pa.array(nodes, pa.int64())}), path)
+    return f"{path}: {len(nodes)} nodes in the {k}-core"
+
+
 if __name__ == "__main__":
     os.makedirs(FIXTURES_DIR, exist_ok=True)
     print(gen_entity_pagerank())
@@ -569,3 +606,4 @@ if __name__ == "__main__":
     print(gen_hll_distinct())
     print(gen_bpe_merges())
     print(gen_bpe_token_counts())
+    print(gen_part_kcore())

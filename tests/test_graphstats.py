@@ -98,6 +98,73 @@ class TestTriangles:
         assert self._tri(pairs) == [list(t) for t in expected]
 
 
+@pytest.fixture(params=[200_000, 0], ids=["driver", "distributed"])
+def kcore_threshold(request):
+    # 0 forces the distributed peel loop; the default takes the
+    # driver-side cutover on these tiny graphs
+    return request.param
+
+
+class TestKCore:
+    def _kcore(self, pairs, k, small_threshold=200_000):
+        from ontograph_ray.pipelines.graphstats import k_core
+
+        df = k_core(
+            _edges_ds(pairs), k=k, small_threshold=small_threshold
+        ).to_pandas()
+        return sorted(df["node"].tolist()) if len(df) else []
+
+    @staticmethod
+    def _peel(pairs, k):
+        # plain-Python reference peel
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+        return sorted(adj)
+
+    def test_triangle_with_tail(self, ray_session, kcore_threshold):
+        # triangle {1,2,3} plus tail 3-4: the 2-core is the triangle
+        pairs = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        assert self._kcore(pairs, 2, kcore_threshold) == [1, 2, 3]
+
+    def test_chain_has_empty_2core(self, ray_session, kcore_threshold):
+        assert self._kcore([(1, 2), (2, 3), (3, 4)], 2, kcore_threshold) == []
+
+    def test_k4_is_3core(self, ray_session, kcore_threshold):
+        import itertools
+
+        pairs = list(itertools.combinations([1, 2, 3, 4], 2)) + [(4, 5)]
+        assert self._kcore(pairs, 3, kcore_threshold) == [1, 2, 3, 4]
+
+    def test_cascading_peel(self, ray_session, kcore_threshold):
+        # removing leaf 5 drops 4 below degree 2 → cascade into the cycle
+        pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+        assert self._kcore(pairs, 2, kcore_threshold) == [1, 2, 3]
+
+    def test_matches_brute_force_on_random_graph(
+        self, ray_session, kcore_threshold
+    ):
+        import itertools
+
+        nodes = list(range(18))
+        pairs = [
+            (u, v)
+            for u, v in itertools.combinations(nodes, 2)
+            if (u * 29 + v * 13) % 4 == 0
+        ]
+        for k in (2, 3, 4):
+            assert self._kcore(pairs, k, kcore_threshold) == self._peel(pairs, k)
+
+
 class TestTransitiveClosure:
     def _tc(self, pairs, **kw):
         from ontograph_ray.pipelines.graphstats import transitive_closure
