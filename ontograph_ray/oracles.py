@@ -161,6 +161,29 @@ reach AS (
   SELECT r.s, e.o FROM reach r JOIN e ON e.s = r.o
 )
 SELECT s AS x, o AS y FROM reach""",
+        # zero-or-more path * = the + reachability UNION the
+        # zero-length path, which over two variable endpoints binds
+        # every graph node (all subjects and objects, literals too)
+        "sparql_path_star": f"""WITH RECURSIVE t AS ({TRIPLES_SQL}),
+e AS (SELECT subject AS s, object AS o FROM t
+      WHERE predicate IN ('<{IN_NATION}>', '<{IN_REGION}>')),
+reach AS (
+  SELECT s, o FROM e
+  UNION
+  SELECT r.s, e.o FROM reach r JOIN e ON e.s = r.o
+),
+nodes AS (SELECT subject AS n FROM t UNION SELECT object FROM t)
+SELECT s AS x, o AS y FROM reach
+UNION
+SELECT n, n FROM nodes""",
+        # zero-or-one path ? = the edge relation UNION the zero-length
+        # path (distinct pairs)
+        "sparql_path_opt": f"""{_T},
+nodes AS (SELECT subject AS n FROM t UNION SELECT object FROM t)
+SELECT subject AS x, object AS y FROM t
+WHERE predicate = '<{IN_NATION}>'
+UNION
+SELECT n, n FROM nodes""",
         "sparql_construct": f"""{_T},
 typed AS (SELECT subject, object AS typ FROM t WHERE predicate = '{RDF_TYPE_T}'),
 lbl AS (SELECT subject, object AS lbl FROM t

@@ -1705,6 +1705,47 @@ def q_sparql_path_closure(sf_dir: str):
     )
 
 
+def q_sparql_path_star(sf_dir: str):
+    """E8 extension: zero-or-more property path * — the distributed
+    transitive closure of the (inNation|inRegion) relation (includes
+    the 2-hop cust→region pairs) UNION the zero-length path, which for
+    two variable endpoints binds every node of the graph (one global
+    distinct exchange over subjects+objects, literals included, per
+    the SPARQL ZeroLengthPath evaluation)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX rel: <urn:og:rel/>
+        SELECT ?x ?y WHERE {{
+          ?x (rel:inNation|rel:inRegion)* ?y .
+        }}
+        """,
+    )
+
+
+def q_sparql_path_opt(sf_dir: str):
+    """E8 extension: zero-or-one property path ? — the inNation edge
+    relation UNION the zero-length path over every graph node; no
+    fixpoint, one distinct exchange."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX rel: <urn:og:rel/>
+        SELECT ?x ?y WHERE {{
+          ?x rel:inNation? ?y .
+        }}
+        """,
+    )
+
+
 def q_sparql_values(sf_dir: str):
     """E8 extension: postfix VALUES — inline-data join over the
     segment variable, one vectorized membership kernel per batch

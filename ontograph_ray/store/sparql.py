@@ -34,9 +34,14 @@ silently misanswering):
                                       distributed semi-naive transitive
                                       closure of the element's edge
                                       relation; ground endpoints filter
-                                      the pair set after the fixpoint;
-                                      * is refused — the zero-length
-                                      path binds every term) — path
+                                      the pair set after the fixpoint)
+                                      | e* (the closure plus the
+                                      zero-length path: a ground
+                                      endpoint reflexively matches
+                                      itself, two variable endpoints
+                                      bind every graph node) | e?
+                                      (zero-or-one: the element's edges
+                                      plus the zero-length path) — path
                                       elements must be ground
       FILTER ( ?v = term )            (term equality on the encoded term)
       FILTER ( ?v != term )
@@ -149,7 +154,7 @@ _TOKEN = re.compile(
         (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       | (?P<uri><[^<>\s]*>)
       | (?P<lit>"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+|\^\^(?:<[^<>\s]*>|[A-Za-z_][\w-]*:[\w-]+))?)
-      | (?P<punct>[{}.(),/|^+])
+      | (?P<punct>[{}.(),/|^+?])
       | (?P<op>!=|=)
       | (?P<num>\d+)
       | (?P<word>[A-Za-z_][\w-]*(?::[\w-]*)?|\*)
@@ -381,20 +386,17 @@ def parse(text: str) -> _Query:
 
     def take_elem() -> object:
         e = take_path_elem()
-        if peek() == "+":
+        mod = peek()
+        if mod in ("+", "*", "?"):
             take()
             if isinstance(e, str):
                 if e.startswith("?"):
                     raise SparqlSyntaxError(
-                        "path closure + needs ground predicates"
+                        f"path modifier {mod} needs ground predicates"
                     )
                 e = ((e, False),)
-            return ("closure", e)
-        if peek() == "*":
-            raise SparqlUnsupportedError(
-                "zero-or-more path * is not supported (a zero-length "
-                "path binds every term in the graph); use +"
-            )
+            kind = {"+": "closure", "*": "closure0", "?": "zeroone"}[mod]
+            return (kind, e)
         return e
 
     def take_pattern(into: list) -> None:
@@ -603,15 +605,30 @@ def _pattern_bindings(
     scans with subject/object swapped — and the choices are bag-unioned
     (SPARQL path alternation is defined as a union, duplicates kept)."""
     s, p, o = pat
-    if not isinstance(p, str) and len(p) == 2 and p[0] == "closure":
-        # arbitrary-length path e+ : the base relation is the union of
-        # the element's predicate-pruned scans (inverse choices swap
-        # slots), its transitive closure runs as the distributed
-        # semi-naive fixpoint (pipelines/graphstats.py), and the
-        # pattern's subject/object terms apply AFTER the closure —
-        # ground endpoints become vectorized filters on the pair set
+    if (
+        not isinstance(p, str)
+        and len(p) == 2
+        and p[0] in ("closure", "closure0", "zeroone")
+    ):
+        # property-path modifiers over a ground element:
+        #   e+ (closure)   — the base relation is the union of the
+        #     element's predicate-pruned scans (inverse choices swap
+        #     slots); its transitive closure runs as the distributed
+        #     semi-naive fixpoint (pipelines/graphstats.py)
+        #   e* (closure0)  — the closure UNION the zero-length path
+        #   e? (zeroone)   — the base relation UNION the zero-length path
+        # The zero-length path follows the SPARQL ZeroLengthPath
+        # evaluation: a ground endpoint reflexively matches itself
+        # (graph membership not required), while two variable endpoints
+        # bind to EVERY node of the active graph (all subjects and
+        # objects, not just the element's endpoints) — that global
+        # node set is one distinct exchange. The pattern's
+        # subject/object terms apply AFTER the pair set is built —
+        # ground endpoints become vectorized filters.
 
         from ..pipelines.graphstats import transitive_closure
+
+        kind = p[0]
 
         def edge_proj(inv: bool):
             src_col = tr.OBJECT if inv else tr.SUBJECT
@@ -633,7 +650,7 @@ def _pattern_bindings(
         base = parts[0]
         for extra in parts[1:]:
             base = base.union(extra)
-        closure = transitive_closure(base)
+        closure = base if kind == "zeroone" else transitive_closure(base)
 
         out_vars: list[str] = []
         if s.startswith("?"):
@@ -643,6 +660,47 @@ def _pattern_bindings(
         if not out_vars:
             raise SparqlUnsupportedError(
                 "fully-bound patterns (ASK semantics) are not supported"
+            )
+
+        if kind in ("closure0", "zeroone"):
+            if not s.startswith("?"):
+                zero = ray.data.from_arrow(
+                    pa.table({"src": [s], "dst": [s]})
+                )
+            elif not o.startswith("?"):
+                zero = ray.data.from_arrow(
+                    pa.table({"src": [o], "dst": [o]})
+                )
+            else:
+
+                def node_proj(batch: pa.Table) -> pa.Table:
+                    n = pa.chunked_array(
+                        [
+                            *batch[tr.SUBJECT].chunks,
+                            *batch[tr.OBJECT].chunks,
+                        ]
+                    )
+                    return pa.table({"src": n})
+
+                nodes = dstore.distinct_on(
+                    store.matches("", "", "").map_batches(
+                        node_proj, batch_format="pyarrow"
+                    ),
+                    ["src"],
+                )
+
+                def reflexive(batch: pa.Table) -> pa.Table:
+                    return pa.table(
+                        {"src": batch["src"], "dst": batch["src"]}
+                    )
+
+                zero = nodes.map_batches(reflexive, batch_format="pyarrow")
+            # the zero-length pair can coincide with a cycle in the
+            # closure (or a self-loop edge), and alternative choices
+            # can emit one pair twice — path modifiers are defined on
+            # DISTINCT node pairs, so dedup the union
+            closure = dstore.distinct_on(
+                closure.union(zero), ["src", "dst"]
             )
 
         def finish(batch: pa.Table) -> pa.Table:

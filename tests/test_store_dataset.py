@@ -1287,9 +1287,63 @@ class TestSparqlExtensions:
             ["<urn:x>", "<urn:b>"], ["<urn:x>", "<urn:c>"],
             ["<urn:x>", "<urn:d>"],
         ]
-        # * is refused (zero-length path binds every term)
-        with pytest.raises(SparqlUnsupportedError):
-            sparql_select(ds, "SELECT ?x ?y WHERE { ?x <urn:sub>* ?y . }")
+    def test_path_star_and_zero_or_one(self, ray_session):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r = terms.new_resource_term
+        trps = [
+            new_triple(r("urn:a"), r("urn:sub"), r("urn:b")),
+            new_triple(r("urn:b"), r("urn:sub"), r("urn:c")),
+            new_triple(r("urn:c"), r("urn:sub"), r("urn:d")),
+            new_triple(r("urn:x"), r("urn:other"), r("urn:a")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        nodes = ["<urn:a>", "<urn:b>", "<urn:c>", "<urn:d>", "<urn:x>"]
+
+        # var-var *: the 6 closure pairs plus identity over EVERY
+        # graph node (including x, which has no urn:sub edge)
+        out = self._q(
+            ds, "SELECT ?x ?y WHERE { ?x <urn:sub>* ?y . } ORDER BY ?x ?y"
+        )
+        expected = sorted(
+            [["<urn:a>", "<urn:b>"], ["<urn:a>", "<urn:c>"],
+             ["<urn:a>", "<urn:d>"], ["<urn:b>", "<urn:c>"],
+             ["<urn:b>", "<urn:d>"], ["<urn:c>", "<urn:d>"]]
+            + [[n, n] for n in nodes]
+        )
+        assert out.values.tolist() == expected
+
+        # ground subject *: reflexive match plus the closure
+        g = self._q(
+            ds, "SELECT ?y WHERE { <urn:a> <urn:sub>* ?y . } ORDER BY ?y"
+        )
+        assert g["y"].tolist() == ["<urn:a>", "<urn:b>", "<urn:c>", "<urn:d>"]
+
+        # ground subject NOT in the graph still reflexively matches
+        # (SPARQL ZeroLengthPath needs no graph membership)
+        z = self._q(ds, "SELECT ?y WHERE { <urn:z> <urn:sub>* ?y . }")
+        assert z["y"].tolist() == ["<urn:z>"]
+
+        # var-var ?: the 3 base edges plus identity over every node
+        q1 = self._q(
+            ds, "SELECT ?x ?y WHERE { ?x <urn:sub>? ?y . } ORDER BY ?x ?y"
+        )
+        expected_q = sorted(
+            [["<urn:a>", "<urn:b>"], ["<urn:b>", "<urn:c>"],
+             ["<urn:c>", "<urn:d>"]]
+            + [[n, n] for n in nodes]
+        )
+        assert q1.values.tolist() == expected_q
+
+        # zero-or-one element inside a sequence
+        sq = self._q(
+            ds,
+            "SELECT ?y WHERE { <urn:x> <urn:other>/<urn:sub>? ?y . } "
+            "ORDER BY ?y",
+        )
+        assert sq["y"].tolist() == ["<urn:a>", "<urn:b>"]
 
     def test_extension_errors(self, ray_session):
         import pytest
