@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q.q_ngram_jaccard,
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_near_dup": q.q_embedding_near_dup,
+        "kmeans_clusters": q.q_kmeans_clusters,
+        "semdedup": q.q_semdedup,
         "multimodal_features": q.q_multimodal_features,
         "audio_features": q.q_audio_features,
         "decontaminate": q.q_decontaminate,

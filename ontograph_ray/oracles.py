@@ -563,6 +563,24 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id FROM ranked WHERE rn <= 10""",
+        # int64 fixed-point k-means — plain-numpy twin (exact integer
+        # arithmetic is block-layout invariant, unlike float Lloyd)
+        "kmeans_clusters": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/kmeans_clusters_sf001.parquet')"
+        ),
+        # SemDeDup prune: assignments from the fixture, the
+        # exists-a-lower-id-neighbor rule re-derived by DuckDB
+        "semdedup": f"""
+WITH a AS (
+  SELECT * FROM read_parquet('{_FIXTURES}/kmeans_clusters_sf001.parquet')
+)
+SELECT e.vec_id, a.cluster
+FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings e2 JOIN a a2 ON a2.vec_id = e2.vec_id
+  WHERE a2.cluster = a.cluster AND e2.vec_id < e.vec_id
+    AND list_cosine_similarity(e2.embedding, e.embedding) >= 0.4
+)""",
         "embedding_near_dup": """
 SELECT a.vec_id AS src_id, b.vec_id AS dst_id
 FROM embeddings a CROSS JOIN embeddings b

@@ -923,6 +923,31 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_near_dup_pairs(docs, max_hamming=2)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Deterministic int64 fixed-point k-means (stages/cluster.py):
+    smallest-id init, 10 Lloyd rounds of broadcast-down /
+    combiner-rows-up, exact integer centroid updates — bit-identical
+    for any block layout, so it carries a fixture oracle (the float
+    variant could not)."""
+    from .stages.cluster import assign_clusters, kmeans_fixed_point
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_fixed_point(emb, k=8, iters=10)
+    return assign_clusters(emb, cents)
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup-style semantic dedup: k-means-cluster the embeddings,
+    then within each cluster drop every vector with a lower-id
+    cosine-0.4 neighbor. Cluster assignment under the fixture oracle;
+    the prune rule re-derived independently by DuckDB
+    (list_cosine_similarity EXISTS anti-join)."""
+    from .stages.cluster import semdedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(emb, k=8, iters=10, threshold=0.4)
+
+
 def q_embedding_near_dup(sf_dir: str):
     from .stages.ann import self_similarity_pairs
 

@@ -1,0 +1,263 @@
+"""Deterministic distributed clustering over embedding columns.
+
+Two operators a 100 TB curation pipeline needs between "exact dedup"
+and "near-dup dedup":
+
+- ``kmeans_fixed_point``: Lloyd's k-means run entirely in int64
+  fixed-point arithmetic. Embeddings are quantized once
+  (``round(x · 2^scale_bits)``), distances / per-cluster sums /
+  centroid updates are exact integer ops — addition is associative and
+  commutative, so the result is BIT-IDENTICAL for any block layout,
+  task order, or parallelism (the float version of this loop was
+  rejected as a fixture oracle for exactly that reason). Init is the
+  k vectors with the smallest ids (deterministic, layout-independent).
+  The driver holds only the k×d centroid table; per-iteration traffic
+  is one broadcast down (``ray.put``, fetched once per worker via the
+  module cache) and ≤ k combiner rows per block up.
+
+- ``semdedup``: SemDeDup-style semantic dedup (Abbas et al. 2023,
+  arXiv:2303.09540 — cluster, then prune within clusters): assign
+  every vector to its k-means cluster, then drop a vector iff a
+  LOWER-ID vector in the SAME cluster has cosine ≥ threshold. The
+  "exists a lower-id neighbor" rule (rather than a greedy chain over
+  the kept set) keeps the operator order-free and gives it an exact
+  SQL twin. Pairwise work is confined to one cluster per task — the
+  scale knob is k: at corpus scale pick k ≈ n/10⁴ so a cluster's
+  similarity block fits a worker (the SemDeDup paper's regime);
+  cross-cluster pairs are never formed.
+
+The reference engine (kahefi/ontograph) has no clustering; these are
+north-rule training-data operators built on the engine's broadcast +
+combiner-exchange primitives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+__all__ = ["kmeans_fixed_point", "assign_clusters", "semdedup"]
+
+_CENTROID_CACHE: dict = {}
+
+
+def _quantize(mat: np.ndarray, scale_bits: int) -> np.ndarray:
+    return np.rint(np.asarray(mat, dtype=np.float64) * (1 << scale_bits)).astype(
+        np.int64
+    )
+
+
+def _vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    return np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+
+
+def _fsl_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """FixedSizeList column → (n, d) int64 matrix, zero-copy via
+    flatten() (which respects slice offsets)."""
+    arr = col.combine_chunks()
+    d = arr.type.list_size
+    return arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+
+
+def _assign(xq: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest centroid per row, all int64: squared L2 via the 3-D
+    difference tensor (n×k×d — bounded by the batch size), ties broken
+    to the LOWEST cluster index (np.argmin's first-occurrence rule)."""
+    diff = xq[:, None, :] - cents[None, :, :]
+    d2 = np.einsum("nkd,nkd->nk", diff, diff)
+    return np.argmin(d2, axis=1)
+
+
+def _get_cached(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    val = _CENTROID_CACHE.get(key)
+    if val is None:
+        val = _CENTROID_CACHE[key] = ray.get(ref)
+    return val
+
+
+def kmeans_fixed_point(
+    emb_ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 10,
+    scale_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Fit k int64 fixed-point centroids; returns the (k, d) centroid
+    matrix. The quantized corpus is materialized once and re-scanned
+    per iteration (the object store spills it at scale — the
+    alternative, re-reading + re-quantizing from Parquet per round, is
+    the cheaper path when storage bandwidth beats spill volume; both
+    give identical results). Per iteration: broadcast centroids, one
+    combiner map emitting ≤ k (cluster, int64-sum-vector, count) rows
+    per block, tiny driver reduce. An empty cluster keeps its previous
+    centroid. Centroid update is exact integer floor division."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.int64())
+        m = _quantize(_vec_matrix(batch, vec_col), scale_bits)
+        d = m.shape[1] if len(m) else 1
+        flat = pa.array(m.reshape(-1), pa.int64())
+        vecs = pa.FixedSizeListArray.from_arrays(flat, d)
+        return pa.table({id_col: ids, "q": vecs})
+
+    prepped = (
+        emb_ds.select_columns([id_col, vec_col])
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # deterministic init: the k smallest-id vectors — per-block k-min
+    # combiner, global k-min on the tiny gather
+    def kmin(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(idx, pa.int64()))
+
+    seed_rows = prepped.map_batches(kmin, batch_format="pyarrow").take_all()
+    seed_rows.sort(key=lambda r: r[id_col])
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} exceeds the corpus size {len(seed_rows)}")
+    cents = np.asarray([r["q"] for r in seed_rows[:k]], dtype=np.int64)
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partials(batch: pa.Table, ref=None) -> pa.Table:
+            c = _get_cached(ref)
+            xq = _fsl_matrix(batch["q"]) if batch.num_rows else np.empty((0, 1))
+            if not len(xq):
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "sum": pa.array([], pa.list_(pa.int64())),
+                        "count": pa.array([], pa.int64()),
+                    }
+                )
+            a = _assign(xq, c)
+            sums = np.zeros((len(c), xq.shape[1]), dtype=np.int64)
+            np.add.at(sums, a, xq)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            live = np.flatnonzero(counts)
+            return pa.table(
+                {
+                    "cluster": pa.array(live, pa.int64()),
+                    "sum": pa.array(sums[live].tolist(), pa.list_(pa.int64())),
+                    "count": pa.array(counts[live], pa.int64()),
+                }
+            )
+
+        rows = prepped.map_batches(
+            partials, fn_kwargs={"ref": ref}, batch_format="pyarrow"
+        ).take_all()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["sum"], dtype=np.int64)
+            counts[r["cluster"]] += r["count"]
+        live = counts > 0
+        cents = cents.copy()
+        cents[live] = sums[live] // counts[live, None]
+    return cents
+
+
+def assign_clusters(
+    emb_ds: ray.data.Dataset,
+    cents: np.ndarray,
+    scale_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """(id, cluster) for every vector — one broadcast + one streaming
+    map over the raw embedding table."""
+    ref = ray.put(np.asarray(cents, dtype=np.int64))
+
+    def assign(batch: pa.Table, ref=None) -> pa.Table:
+        c = _get_cached(ref)
+        xq = _quantize(_vec_matrix(batch, vec_col), scale_bits)
+        a = (
+            _assign(xq, c)
+            if len(xq)
+            else np.array([], dtype=np.int64)
+        )
+        return pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "cluster": pa.array(a, pa.int64()),
+            }
+        )
+
+    return emb_ds.select_columns([id_col, vec_col]).map_batches(
+        assign, fn_kwargs={"ref": ref}, batch_format="pyarrow"
+    )
+
+
+def semdedup(
+    emb_ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 10,
+    threshold: float = 0.4,
+    scale_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Semantic dedup survivors: (id, cluster) rows for every vector
+    with NO lower-id vector of cosine ≥ ``threshold`` in its k-means
+    cluster. One broadcast-assign pass tags each vector with its
+    cluster, one cluster-bucketed exchange co-locates each cluster,
+    and the per-cluster prune is a single float64 normalized matmul
+    (cosine is computed in double so the threshold comparison is
+    bit-comparable with the SQL twin's ``list_cosine_similarity``).
+    Partitioning assumption: one cluster's similarity block fits a
+    worker — scale k with the corpus (see module docstring)."""
+    cents = kmeans_fixed_point(
+        emb_ds, k=k, iters=iters, scale_bits=scale_bits,
+        id_col=id_col, vec_col=vec_col,
+    )
+    ref = ray.put(cents)
+
+    def tag(batch: pa.Table, ref=None) -> pa.Table:
+        c = _get_cached(ref)
+        m = _vec_matrix(batch, vec_col)
+        if not len(m):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "nvec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        a = _assign(_quantize(m, scale_bits), c)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        nvec = m / norms
+        return pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "cluster": pa.array(a, pa.int64()),
+                "nvec": pa.array(nvec.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    tagged = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        tag, fn_kwargs={"ref": ref}, batch_format="pyarrow"
+    )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="stable").reset_index(drop=True)
+        m = np.asarray(df["nvec"].tolist(), dtype=np.float64)
+        sims = m @ m.T
+        # row i removed iff any j < i with sims[j, i] >= threshold
+        removed = (np.tril(sims, k=-1) >= threshold).any(axis=1)
+        out = df.loc[~removed, [id_col, "cluster"]]
+        return out
+
+    return tagged.groupby("cluster").map_groups(prune, batch_format="pandas")

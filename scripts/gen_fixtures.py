@@ -593,6 +593,48 @@ def gen_part_kcore(k: int = 3, min_support: int = 2) -> str:
     return f"{path}: {len(nodes)} nodes in the {k}-core"
 
 
+def gen_kmeans_clusters(k: int = 8, iters: int = 10, scale_bits: int = 16) -> str:
+    """Plain-numpy twin of stages/cluster.py::kmeans_fixed_point +
+    assign_clusters: int64 fixed-point Lloyd with smallest-id init,
+    first-occurrence argmin ties, floor-division centroid update —
+    every op exact integer, so the twin is bit-identical regardless
+    of the engine's block layout."""
+    import numpy as np
+
+    emb = pq.read_table(
+        f"{SF001}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    xq = np.rint(m * (1 << scale_bits)).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, xq = ids[order], xq[order]
+    cents = xq[:k].copy()
+
+    def nearest(c):
+        diff = xq[:, None, :] - c[None, :, :]
+        return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+
+    for _ in range(iters):
+        a = nearest(cents)
+        for j in range(k):
+            sel = xq[a == j]
+            if len(sel):
+                cents[j] = sel.sum(axis=0) // len(sel)
+    a = nearest(cents)
+    path = os.path.join(FIXTURES_DIR, "kmeans_clusters_sf001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(ids)} vectors, {len(np.unique(a))} live clusters"
+
+
 if __name__ == "__main__":
     os.makedirs(FIXTURES_DIR, exist_ok=True)
     print(gen_entity_pagerank())
@@ -607,3 +649,4 @@ if __name__ == "__main__":
     print(gen_bpe_merges())
     print(gen_bpe_token_counts())
     print(gen_part_kcore())
+    print(gen_kmeans_clusters())

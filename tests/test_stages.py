@@ -1322,3 +1322,94 @@ class TestTfidfTopk:
         )
         out = tfidf_topk(docs, ["common", "rare"], k=3)
         assert out.iloc[0]["doc_id"] == 9  # the rare-term doc ranks first
+
+
+class TestCluster:
+    """Int64 fixed-point k-means + SemDeDup semantic dedup."""
+
+    def _assignments(self, ds, k=4, iters=5):
+        from ontograph_ray.stages.cluster import (
+            assign_clusters,
+            kmeans_fixed_point,
+        )
+
+        cents = kmeans_fixed_point(ds, k=k, iters=iters)
+        df = assign_clusters(ds, cents).to_pandas()
+        return df.sort_values("vec_id").reset_index(drop=True), cents
+
+    def test_layout_invariance(self, embs):
+        # the fixed-point loop must be bit-identical for any block
+        # layout — the float version of this property is false
+        a1, c1 = self._assignments(embs)
+        a2, c2 = self._assignments(embs.repartition(7))
+        assert (c1 == c2).all()
+        assert a1["cluster"].tolist() == a2["cluster"].tolist()
+
+    def test_matches_plain_twin(self, ray_session):
+        # 40 vectors in 3 well-separated blobs + plain-numpy twin
+        rng = np.random.default_rng(7)
+        centers = np.array([[10.0, 0, 0], [0, 10.0, 0], [0, 0, 10.0]])
+        m = np.vstack(
+            [c + rng.normal(0, 0.3, (13, 3)) for c in centers]
+            + [np.zeros((1, 3))]
+        )
+        ids = np.arange(len(m), dtype=np.int64)
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"vec_id": ids, "embedding": list(map(list, m))})
+        )
+        got, cents = self._assignments(ds, k=3, iters=6)
+
+        xq = np.rint(m * (1 << 16)).astype(np.int64)
+        tw = xq[:3].copy()
+
+        def near(c):
+            diff = xq[:, None, :] - c[None, :, :]
+            return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+
+        for _ in range(6):
+            a = near(tw)
+            for j in range(3):
+                sel = xq[a == j]
+                if len(sel):
+                    tw[j] = sel.sum(axis=0) // len(sel)
+        assert (cents == tw).all()
+        assert got["cluster"].tolist() == near(tw).tolist()
+
+    def test_semdedup_rule_brute_force(self, embs):
+        from ontograph_ray.stages.cluster import semdedup
+
+        k, iters, tau = 4, 5, 0.4
+        out = semdedup(embs, k=k, iters=iters, threshold=tau).to_pandas()
+        assigned, _ = self._assignments(embs, k=k, iters=iters)
+
+        df = embs.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        m = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        m = m / n
+        sims = m @ m.T
+        ids = df["vec_id"].to_numpy()
+        clus = assigned["cluster"].to_numpy()
+        expected = []
+        for i in range(len(ids)):
+            lower = (
+                (ids < ids[i]) & (clus == clus[i]) & (sims[i] >= tau)
+            )
+            if not lower.any():
+                expected.append(int(ids[i]))
+        assert sorted(out["vec_id"].tolist()) == expected
+
+    def test_semdedup_keeps_lowest_id_per_dup_set(self, ray_session):
+        from ontograph_ray.stages.cluster import semdedup
+
+        # two identical vectors + one orthogonal: the lower id survives
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": [5, 9, 11],
+                    "embedding": [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+                }
+            )
+        )
+        out = semdedup(ds, k=2, iters=3, threshold=0.9).to_pandas()
+        assert sorted(out["vec_id"].tolist()) == [5, 11]
