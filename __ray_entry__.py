@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_near_dup": q.q_embedding_near_dup,
         "kmeans_clusters": q.q_kmeans_clusters,
+        "bloom_seen": q.q_bloom_seen,
         "semdedup": q.q_semdedup,
         "multimodal_features": q.q_multimodal_features,
         "audio_features": q.q_audio_features,

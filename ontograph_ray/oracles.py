@@ -563,6 +563,30 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id FROM ranked WHERE rn <= 10""",
+        # Bloom filter: every bit position recomputed in SQL via the
+        # splitmix64 CTE chains (one per seed); membership = both
+        # probe positions present in the snapshot's position set —
+        # reproduces the engine's false positives exactly
+        "bloom_seen": f"""
+WITH snap0 AS (SELECT xor(CAST(doc_id AS UBIGINT), {0x5173}) AS x
+               FROM documents WHERE doc_id % 3 = 0),
+{_splitmix64_ctes('snap0', 'x', 'bsh0')},
+snap1 AS (SELECT xor(CAST(doc_id AS UBIGINT), {0xA5A5}) AS x
+          FROM documents WHERE doc_id % 3 = 0),
+{_splitmix64_ctes('snap1', 'x', 'bsh1')},
+bits AS (SELECT h % 512 AS pos FROM bsh0
+         UNION SELECT h % 512 FROM bsh1),
+pr0 AS (SELECT doc_id, xor(CAST(doc_id AS UBIGINT), {0x5173}) AS x
+        FROM documents),
+{_splitmix64_ctes('pr0', 'x', 'bph0')},
+pr1 AS (SELECT doc_id, xor(CAST(doc_id AS UBIGINT), {0xA5A5}) AS x
+        FROM documents),
+{_splitmix64_ctes('pr1', 'x', 'bph1')}
+SELECT a.doc_id,
+       CAST(CASE WHEN a.h % 512 IN (SELECT pos FROM bits)
+                  AND b.h % 512 IN (SELECT pos FROM bits)
+            THEN 1 ELSE 0 END AS BIGINT) AS maybe_seen
+FROM bph0 a JOIN bph1 b USING (doc_id)""",
         # int64 fixed-point k-means — plain-numpy twin (exact integer
         # arithmetic is block-layout invariant, unlike float Lloyd)
         "kmeans_clusters": (

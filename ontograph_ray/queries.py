@@ -923,6 +923,25 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_near_dup_pairs(docs, max_hamming=2)
 
 
+def q_bloom_seen(sf_dir: str):
+    """Bloom-filter seen-before probe: build a 512-bit filter over the
+    doc_id%3==0 snapshot (per-block OR combiner → word exchange → tiny
+    gather), broadcast it, probe every document. m is deliberately
+    small so real false positives appear; the splitmix64 SQL twin
+    recomputes every bit position, so even the false positives
+    hash-match."""
+    from .stages.sketch import bloom_build, bloom_probe
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def snap_only(df):
+        return df[df["doc_id"] % 3 == 0]
+
+    snap = docs.map_batches(snap_only, batch_format="pandas")
+    bits = bloom_build(snap, "doc_id", m_bits=512)
+    return bloom_probe(docs, bits, "doc_id", m_bits=512)
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Deterministic int64 fixed-point k-means (stages/cluster.py):
     smallest-id init, 10 Lloyd rounds of broadcast-down /

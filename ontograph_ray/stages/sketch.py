@@ -224,3 +224,115 @@ def quantile_sketch(
             "value": [vals[i] for i in idx],
         }
     )
+
+
+# --- Bloom filter -----------------------------------------------------------
+#
+# The scale path of the "seen before?" probe (cross-snapshot dedup,
+# decontamination): instead of shipping the full key set into an
+# anti-join exchange, build an m-bit Bloom filter ONCE and broadcast
+# it (m/8 bytes) to a streaming probe. A Bloom filter's bit array is
+# the OR of per-key bit patterns — OR is associative and commutative,
+# so the build is a per-block combiner + one word-level OR exchange,
+# DETERMINISTIC for any block layout, and the probe result (with its
+# false positives) is bit-reproducible: even this approximate operator
+# sits under an exact SQL oracle (the splitmix64 CTE chain recomputes
+# every bit position in DuckDB). Hash family: position_j =
+# splitmix64(key XOR seed_j) mod m — j independent finalizer calls
+# rather than double hashing, which keeps the SQL twin one CTE chain
+# per seed. False-negative-free by construction; the false-positive
+# rate is the standard (1 - e^(-kn/m))^k.
+
+_BLOOM_CACHE: dict = {}
+
+_U64 = np.uint64
+
+
+def bloom_build(
+    ds: ray.data.Dataset,
+    col: str,
+    m_bits: int = 1 << 20,
+    seeds: tuple = (0x5173, 0xA5A5),
+) -> np.ndarray:
+    """Build the filter over an int64 key column → int64 word array of
+    length m_bits/64. Per-block combiner emits only NONZERO words
+    (word_idx, word); the bucketed exchange ORs duplicates per word so
+    the driver gather is ≤ m/64 rows regardless of corpus size."""
+    from .export import splitmix64
+    from ..store.dataset import bucketed_group_map
+
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    words = m_bits // 64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bitmap = np.zeros(words, dtype=np.uint64)
+        if len(df):
+            keys = df[col].to_numpy().astype(np.uint64)
+            for seed in seeds:
+                pos = splitmix64(keys ^ _U64(seed)) % _U64(m_bits)
+                np.bitwise_or.at(
+                    bitmap,
+                    (pos >> _U64(6)).astype(np.int64),
+                    _U64(1) << (pos & _U64(63)),
+                )
+        nz = np.flatnonzero(bitmap)
+        return pd.DataFrame(
+            {
+                "word_idx": nz.astype(np.int64),
+                "word": bitmap[nz].view(np.int64),
+            }
+        )
+
+    def or_words(df: pd.DataFrame) -> pd.DataFrame:
+        # bitwise OR is exact on int64 two's complement
+        out = df.groupby("word_idx", sort=False)["word"].agg(
+            lambda s: np.bitwise_or.reduce(s.to_numpy())
+        )
+        return out.reset_index()
+
+    rows = bucketed_group_map(
+        ds.select_columns([col]), ["word_idx"], or_words, partial_fn=partial
+    ).take_all()
+    bits = np.zeros(words, dtype=np.int64)
+    for r in rows:
+        bits[r["word_idx"]] |= r["word"]
+    return bits
+
+
+def bloom_probe(
+    ds: ray.data.Dataset,
+    bits: np.ndarray,
+    col: str,
+    m_bits: int = 1 << 20,
+    seeds: tuple = (0x5173, 0xA5A5),
+    out_col: str = "maybe_seen",
+) -> ray.data.Dataset:
+    """(key, maybe_seen) for every row — the filter words are
+    ``ray.put`` once and fetched once per worker; each batch is one
+    vectorized position-compute + gather + bit test per seed."""
+    from .export import splitmix64
+
+    ref = ray.put(np.asarray(bits, dtype=np.int64))
+
+    def probe(df: pd.DataFrame, ref=None) -> pd.DataFrame:
+        key = ref.hex() if hasattr(ref, "hex") else id(ref)
+        w = _BLOOM_CACHE.get(key)
+        if w is None:
+            w = _BLOOM_CACHE[key] = ray.get(ref).view(np.uint64)
+        out = pd.DataFrame({col: df[col]})
+        if not len(df):
+            out[out_col] = pd.Series(dtype="int64")
+            return out
+        keys = df[col].to_numpy().astype(np.uint64)
+        hit = np.ones(len(keys), dtype=bool)
+        for seed in seeds:
+            pos = splitmix64(keys ^ _U64(seed)) % _U64(m_bits)
+            word = w[(pos >> _U64(6)).astype(np.int64)]
+            hit &= ((word >> (pos & _U64(63))) & _U64(1)).astype(bool)
+        out[out_col] = hit.astype("int64")
+        return out
+
+    return ds.select_columns([col]).map_batches(
+        probe, fn_kwargs={"ref": ref}, batch_format="pandas"
+    )

@@ -1413,3 +1413,67 @@ class TestCluster:
         )
         out = semdedup(ds, k=2, iters=3, threshold=0.9).to_pandas()
         assert sorted(out["vec_id"].tolist()) == [5, 11]
+
+
+class TestBloom:
+    SEEDS = (0x5173, 0xA5A5)
+
+    def _twin_bits(self, keys, m_bits):
+        from ontograph_ray.stages.export import splitmix64
+
+        bits = np.zeros(m_bits // 64, dtype=np.uint64)
+        for k in keys:
+            for s in self.SEEDS:
+                pos = int(splitmix64(np.array([k ^ s], dtype=np.uint64))[0]) % m_bits
+                bits[pos // 64] |= np.uint64(1) << np.uint64(pos % 64)
+        return bits.view(np.int64)
+
+    def test_layout_invariant_and_twin(self, ray_session):
+        from ontograph_ray.stages.sketch import bloom_build
+
+        keys = list(range(0, 900, 3))
+        ds = ray.data.from_pandas(pd.DataFrame({"k": keys}))
+        b1 = bloom_build(ds, "k", m_bits=1024)
+        b2 = bloom_build(ds.repartition(7), "k", m_bits=1024)
+        assert (b1 == b2).all()
+        assert (b1 == self._twin_bits(keys, 1024)).all()
+
+    def test_no_false_negatives(self, ray_session):
+        from ontograph_ray.stages.sketch import bloom_build, bloom_probe
+
+        keys = [3, 17, 99, 1024, 777777]
+        snap = ray.data.from_pandas(pd.DataFrame({"k": keys}))
+        bits = bloom_build(snap, "k", m_bits=256)
+        out = bloom_probe(snap, bits, "k", m_bits=256).to_pandas()
+        assert out["maybe_seen"].tolist() == [1] * len(keys)
+
+    def test_probe_matches_twin_with_false_positives(self, ray_session):
+        from ontograph_ray.stages.export import splitmix64
+        from ontograph_ray.stages.sketch import bloom_build, bloom_probe
+
+        m = 128  # tiny filter → dense → deterministic false positives
+        snap_keys = list(range(0, 60, 2))
+        all_keys = list(range(60))
+        snap = ray.data.from_pandas(pd.DataFrame({"k": snap_keys}))
+        allds = ray.data.from_pandas(pd.DataFrame({"k": all_keys}))
+        bits = bloom_build(snap, "k", m_bits=m)
+        out = (
+            bloom_probe(allds, bits, "k", m_bits=m)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        w = self._twin_bits(snap_keys, m).view(np.uint64)
+
+        def twin_probe(k):
+            ok = True
+            for s in self.SEEDS:
+                pos = int(splitmix64(np.array([k ^ s], dtype=np.uint64))[0]) % m
+                ok &= bool((w[pos // 64] >> np.uint64(pos % 64)) & np.uint64(1))
+            return int(ok)
+
+        expected = [twin_probe(k) for k in all_keys]
+        assert out["maybe_seen"].tolist() == expected
+        # the point of the tiny filter: at least one genuine false positive
+        odd = [e for k, e in zip(all_keys, expected) if k % 2 == 1]
+        assert sum(odd) > 0
