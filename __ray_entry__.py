@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": q.q_domain_cap,
         "jsonl_roundtrip": q.q_jsonl_roundtrip,
         "csv_roundtrip": q.q_csv_roundtrip,
+        "warc_roundtrip": q.q_warc_roundtrip,
         "sparql_filter": q.q_sparql_filter,
         "sparql_optional": q.q_sparql_optional,
         "sparql_union": q.q_sparql_union,

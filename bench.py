@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "dup_ngrams",
     "dedup_spans",
     "bpe_token_counts",
+    "semdedup",
+    "bloom_seen",
     # part_triangles is NOT timed for the same reason as
     # kg_sameas_salted: at sf0.1 the support>=2 co-purchase graph is
     # near-empty (1 triangle), so its wall is ~7 exchanges of fixed

@@ -415,6 +415,17 @@ SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
         "audio_features": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/audio_features_n200.parquet')"
         ),
+        # WARC round-trip: rebuild the synthesized page html + the
+        # second-granular WARC-Date timestamp in SQL (escape order &
+        # then < then >, matching pipelines/pages._escape)
+        "warc_roundtrip": f"""
+SELECT '{_URLP}' || doc_id AS url,
+       make_timestamp(doc_id * 1000000 + 1704067200000000) AS warc_ts,
+       '<html><head><meta charset="utf-8"><title>' || doc_id
+       || '</title></head><body><nav>boilerplate nav | links | footer</nav><main><p>'
+       || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+       || '</p></main><footer>crawl boilerplate</footer></body></html>' AS html
+FROM documents""",
         "kg_extract_text": (
             f"SELECT '{_URLP}' || doc_id AS url, text, lang FROM documents"
         ),

@@ -1566,6 +1566,34 @@ def q_csv_roundtrip(sf_dir: str):
     return read_documents_csv(out)
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC interchange round-trip: synthesized pages → partitioned
+    gzip'd WARC/1.0 sink (content-hash file names, resumable) →
+    byte-scanning WARC reader. Output is the raw page half
+    (url, warc_ts, html-as-string); the oracle rebuilds the html and
+    the second-granular timestamp in SQL, so a hash match proves the
+    real Common-Crawl input path is byte-lossless."""
+    import tempfile
+
+    from .pipelines.pages import read_pages
+    from .sources.warc import read_warc, write_warc
+
+    out = tempfile.mkdtemp(prefix="og_warc_", dir="/tmp")
+    pages = read_pages(sf_dir).select_columns(["url", "warc_ts", "html"])
+    write_warc(pages, out)
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "html": pc.cast(batch["html"], pa.string()),
+            }
+        )
+
+    return read_warc(out).map_batches(to_str, batch_format="pyarrow")
+
+
 def q_sparql_filter(sf_dir: str):
     """E8 extension: FILTER(!= term) + FILTER regex applied after the
     BGP join — streaming vectorized kernels over the encoded terms."""

@@ -129,3 +129,35 @@ def write_warc_file(path: str, records: list[dict]) -> None:
         data = gzip.compress(data)
     with open(path, "wb") as f:
         f.write(data)
+
+
+def write_warc(ds: ray.data.Dataset, out_dir: str) -> int:
+    """Partitioned WARC/1.0 sink: one ``part-<sha1>.warc.gz`` file per
+    input block, named by a content hash of the block's URLs so a
+    re-run overwrites its own outputs idempotently (resumable; never
+    one giant file). Returns the number of records written."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64())})
+        urls = batch["url"].to_pylist()
+        stamps = batch["warc_ts"].to_pylist()
+        html = batch["html"].to_pylist()
+        name = hashlib.sha1("\n".join(urls).encode()).hexdigest()[:16]
+        write_warc_file(
+            os.path.join(out_dir, f"part-{name}.warc.gz"),
+            [
+                {"url": u, "ts": t, "html": h}
+                for u, t, h in zip(urls, stamps, html)
+            ],
+        )
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    return sum(
+        r["n"]
+        for r in ds.map_batches(sink, batch_format="pyarrow").take_all()
+    )

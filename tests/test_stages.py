@@ -1477,3 +1477,39 @@ class TestBloom:
         # the point of the tiny filter: at least one genuine false positive
         odd = [e for k, e in zip(all_keys, expected) if k % 2 == 1]
         assert sum(odd) > 0
+
+
+class TestWarcSink:
+    def test_distributed_sink_roundtrip_and_idempotent(
+        self, ray_session, tmp_path
+    ):
+        import os
+        from datetime import datetime
+
+        from ontograph_ray.sources.warc import read_warc, write_warc
+
+        df = pd.DataFrame(
+            {
+                "url": [f"https://example.org/p{i}" for i in range(20)],
+                "warc_ts": [datetime(2024, 1, 1, 0, 0, i) for i in range(20)],
+                "html": [f"<html>page {i} &<>'s</html>".encode() for i in range(20)],
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(3)
+        out = str(tmp_path / "warc")
+        n = write_warc(ds, out)
+        assert n == 20
+        files = sorted(os.listdir(out))
+        # idempotent: a re-run rewrites the same content-hash names
+        assert write_warc(ds, out) == 20
+        assert sorted(os.listdir(out)) == files
+
+        back = read_warc(out).to_pandas()
+        got = {
+            (r.url, r.warc_ts, bytes(r.html)) for r in back.itertuples()
+        }
+        want = {
+            (r.url, r.warc_ts.to_pydatetime(), r.html)
+            for r in df.itertuples()
+        }
+        assert got == want
