@@ -15,6 +15,7 @@ from .pipelines.curate import curate_oracle_sql as _curate_sql
 from .pipelines.kg import kg_oracle_sql, GAZETTEER
 from .queries import (
     ACCTBAL,
+    ACCTBAL,
     CUST_CLASS,
     IN_NATION,
     IN_REGION,
@@ -161,6 +162,13 @@ reach AS (
   SELECT r.s, e.o FROM reach r JOIN e ON e.s = r.o
 )
 SELECT s AS x, o AS y FROM reach""",
+        # ORDER BY DESC on the ENCODED term string (the subset's
+        # documented order), ties by cust ascending; LIMIT makes the
+        # direction observable
+        "sparql_order_desc": f"""{_T}
+SELECT subject AS cust, object AS bal FROM t
+WHERE predicate = '<{ACCTBAL}>'
+ORDER BY bal DESC, cust LIMIT 100""",
         # zero-or-more path * = the + reachability UNION the
         # zero-length path, which over two variable endpoints binds
         # every graph node (all subjects and objects, literals too)

@@ -1818,6 +1818,27 @@ def q_sparql_path_opt(sf_dir: str):
     )
 
 
+def q_sparql_order_desc(sf_dir: str):
+    """E8 extension: ORDER BY DESC(?v) ?v2 — mixed-direction
+    distributed sort over the encoded terms; the LIMIT head makes the
+    direction observable under the hash gate (the driver re-sorts rows
+    before hashing, so direction only matters through head
+    selection)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?cust ?bal WHERE {{
+          ?cust attr:acctbalCents ?bal .
+        }} ORDER BY DESC(?bal) ?cust LIMIT 100
+        """,
+    )
+
+
 def q_sparql_values(sf_dir: str):
     """E8 extension: postfix VALUES — inline-data join over the
     segment variable, one vectorized membership kernel per batch

@@ -70,7 +70,7 @@ silently misanswering):
                                       vectorized membership kernel per
                                       batch — broadcast, no exchange;
                                       ground terms only, no UNDEF)
-    ORDER BY ?v ...                   (optional)
+    ORDER BY (?v | ASC(?v) | DESC(?v)) ...   (optional)
     LIMIT n                           (optional)
     OFFSET n                          (requires ORDER BY + LIMIT: the
                                       ordered ≤offset+limit head
@@ -197,7 +197,8 @@ class _Query:
     # the alias in position
     aggregates: list[tuple[str, str, str]] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
-    order_by: list[str] = field(default_factory=list)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)
+    #          (var, descending) — from ?v / ASC(?v) / DESC(?v)
     limit: int | None = None
     offset: int | None = None
 
@@ -497,7 +498,7 @@ def parse(text: str) -> _Query:
         if not patterns:
             raise SparqlSyntaxError("empty graph pattern")
 
-    order_by: list[str] = []
+    order_by: list[tuple[str, bool]] = []
     group_by: list[str] = []
     limit = None
     offset = None
@@ -545,15 +546,35 @@ def parse(text: str) -> _Query:
         elif kw == "GROUP":
             if take().upper() != "BY":
                 raise SparqlSyntaxError("expected GROUP BY")
-            while peek().startswith("?"):
+            while peek().startswith("?") and len(peek()) > 1:
                 group_by.append(take()[1:])
             if not group_by:
                 raise SparqlSyntaxError("GROUP BY needs variables")
         elif kw == "ORDER":
             if take().upper() != "BY":
                 raise SparqlSyntaxError("expected ORDER BY")
-            while peek().startswith("?"):
-                order_by.append(take()[1:])
+            while True:
+                t = peek()
+                if t.startswith("?") and len(t) > 1:
+                    order_by.append((take()[1:], False))
+                elif t.upper() in ("ASC", "DESC"):
+                    direction = take().upper()
+                    if take() != "(":
+                        raise SparqlSyntaxError(
+                            f"expected ( after {direction}"
+                        )
+                    v = take()
+                    if not (v.startswith("?") and len(v) > 1):
+                        raise SparqlSyntaxError(
+                            f"{direction}() needs a variable"
+                        )
+                    if take() != ")":
+                        raise SparqlSyntaxError(
+                            f"expected ) closing {direction}()"
+                        )
+                    order_by.append((v[1:], direction == "DESC"))
+                else:
+                    break
             if not order_by:
                 raise SparqlSyntaxError("ORDER BY needs variables")
         elif kw == "LIMIT":
@@ -1055,10 +1076,11 @@ def sparql_select(
     if q.distinct:
         out = dstore.distinct_on(out, cols)
     if q.order_by:
-        bad = [v for v in q.order_by if v not in cols]
+        ob_vars = [v for v, _ in q.order_by]
+        bad = [v for v in ob_vars if v not in cols]
         if bad:
             raise SparqlUnsupportedError(f"ORDER BY on unselected vars: {bad}")
-        out = out.sort(q.order_by)
+        out = out.sort(ob_vars, descending=[d for _, d in q.order_by])
     if q.limit is not None:
         if q.offset:
             # OFFSET requires ORDER BY + LIMIT (parse-time rule): the

@@ -1387,3 +1387,62 @@ class TestSparqlExtensions:
         # single-branch parenthesized path → syntax error
         with pytest.raises(SparqlSyntaxError):
             sparql_select(ds, "SELECT ?s WHERE { ?s (<urn:a>) ?o . }")
+
+
+class TestSparqlOrderDesc:
+    def _people(self):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r(f"urn:p{i}"), r("urn:score"), l(s))
+            for i, s in enumerate(["b", "c", "a", "c"])
+        ]
+        return DatasetGraphStore.from_triples("urn:g", trps)
+
+    def _q(self, ds, text):
+        from ontograph_ray.store.sparql import sparql_select
+
+        return sparql_select(ds, text).to_pandas()
+
+    def test_desc_with_limit(self, ray_session):
+        ds = self._people()
+        out = self._q(
+            ds,
+            "SELECT ?p ?s WHERE { ?p <urn:score> ?s . } "
+            "ORDER BY DESC(?s) ?p LIMIT 3",
+        )
+        # descending score, ties broken by subject ascending
+        assert out.values.tolist() == [
+            ["<urn:p1>", '"c"'],
+            ["<urn:p3>", '"c"'],
+            ["<urn:p0>", '"b"'],
+        ]
+
+    def test_asc_explicit_equals_plain(self, ray_session):
+        ds = self._people()
+        plain = self._q(
+            ds, "SELECT ?s WHERE { ?p <urn:score> ?s . } ORDER BY ?s LIMIT 2"
+        )
+        asc = self._q(
+            ds,
+            "SELECT ?s WHERE { ?p <urn:score> ?s . } ORDER BY ASC(?s) LIMIT 2",
+        )
+        assert plain["s"].tolist() == asc["s"].tolist()
+
+    def test_desc_errors(self, ray_session):
+        import pytest
+        from ontograph_ray.store.sparql import SparqlSyntaxError, sparql_select
+
+        ds = self._people()
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(
+                ds, "SELECT ?s WHERE { ?p <urn:score> ?s . } ORDER BY DESC ?s"
+            )
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(
+                ds,
+                'SELECT ?s WHERE { ?p <urn:score> ?s . } ORDER BY DESC("x")',
+            )
