@@ -162,6 +162,11 @@ reach AS (
   SELECT r.s, e.o FROM reach r JOIN e ON e.s = r.o
 )
 SELECT s AS x, o AS y FROM reach""",
+        # negated property set: every triple whose predicate is not
+        # rdf:type / inNation
+        "sparql_path_negset": f"""{_T}
+SELECT subject AS x, object AS y FROM t
+WHERE predicate NOT IN ('{RDF_TYPE_T}', '<{IN_NATION}>')""",
         # ORDER BY DESC on the ENCODED term string (the subset's
         # documented order), ties by cust ascending; LIMIT makes the
         # direction observable

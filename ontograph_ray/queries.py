@@ -1818,6 +1818,26 @@ def q_sparql_path_opt(sf_dir: str):
     )
 
 
+def q_sparql_path_negset(sf_dir: str):
+    """E8 extension: negated property set !(a|rel:inNation) — any
+    predicate except those listed, compiled as a hidden predicate
+    variable plus one vectorized != filter per exclusion (no new
+    executor machinery; the scan stays a single streaming pass)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX rel: <urn:og:rel/>
+        SELECT ?x ?y WHERE {{
+          ?x !(a|rel:inNation) ?y .
+        }}
+        """,
+    )
+
+
 def q_sparql_order_desc(sf_dir: str):
     """E8 extension: ORDER BY DESC(?v) ?v2 — mixed-direction
     distributed sort over the encoded terms; the LIMIT head makes the

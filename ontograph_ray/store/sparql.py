@@ -41,8 +41,14 @@ silently misanswering):
                                       itself, two variable endpoints
                                       bind every graph node) | e?
                                       (zero-or-one: the element's edges
-                                      plus the zero-length path) — path
-                                      elements must be ground
+                                      plus the zero-length path) | !p /
+                                      !(p1|p2|...) (negated property
+                                      set: any predicate EXCEPT those
+                                      listed — rewritten to a hidden
+                                      predicate variable + != filters;
+                                      top-level patterns only, no
+                                      inverse members / modifiers) —
+                                      path elements must be ground
       FILTER ( ?v = term )            (term equality on the encoded term)
       FILTER ( ?v != term )
       FILTER regex ( ?v , "re" )      (RE2 over the encoded term string)
@@ -154,6 +160,7 @@ _TOKEN = re.compile(
         (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       | (?P<uri><[^<>\s]*>)
       | (?P<lit>"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+|\^\^(?:<[^<>\s]*>|[A-Za-z_][\w-]*:[\w-]+))?)
+      | (?P<neg>!(?!=))
       | (?P<punct>[{}.(),/|^+?])
       | (?P<op>!=|=)
       | (?P<num>\d+)
@@ -353,7 +360,35 @@ def parse(text: str) -> _Query:
         # one path element:
         #   [^]pred                      → str (plain) or 1-choice tuple
         #   ( [^]pred | [^]pred ... )    → tuple of (pred, inverted)
+        #   !pred | !(p1|p2|...)         → ("negset", (p1, p2, ...))
         # alternation/inverse elements must be ground predicates
+        if peek() == "!":
+            take()
+            preds: list[str] = []
+            multi = peek() == "("
+            if multi:
+                take()
+            while True:
+                if peek() == "^":
+                    raise SparqlUnsupportedError(
+                        "inverse members in a negated property set "
+                        "are not supported"
+                    )
+                np_ = _expand(take(), prefixes, "predicate")
+                if np_.startswith("?"):
+                    raise SparqlSyntaxError(
+                        "negated property sets need ground predicates"
+                    )
+                preds.append(np_)
+                if multi and peek() == "|":
+                    take()
+                    continue
+                break
+            if multi and take() != ")":
+                raise SparqlSyntaxError(
+                    "expected ) closing the negated property set"
+                )
+            return ("negset", tuple(preds))
         if peek() == "(":
             take()
             choices: list[tuple[str, bool]] = []
@@ -389,6 +424,11 @@ def parse(text: str) -> _Query:
         e = take_path_elem()
         mod = peek()
         if mod in ("+", "*", "?"):
+            if not isinstance(e, str) and len(e) == 2 and e[0] == "negset":
+                raise SparqlUnsupportedError(
+                    f"path modifier {mod} over a negated property set "
+                    "is not supported"
+                )
             take()
             if isinstance(e, str):
                 if e.startswith("?"):
@@ -424,7 +464,24 @@ def parse(text: str) -> _Query:
             else:
                 nxt = f"?__pp{pp_counter[0]}"
                 pp_counter[0] += 1
-            into.append((cur, p, nxt))
+            if not isinstance(p, str) and len(p) == 2 and p[0] == "negset":
+                # negated property set: rewrite to a hidden predicate
+                # variable plus one != filter per excluded predicate —
+                # filters run on the joined bindings BEFORE the hidden
+                # ?__pp columns are dropped, so no new executor
+                # machinery is needed
+                if into is not patterns:
+                    raise SparqlUnsupportedError(
+                        "negated property sets are only supported in "
+                        "the top-level pattern"
+                    )
+                pv = f"?__pp{pp_counter[0]}"
+                pp_counter[0] += 1
+                into.append((cur, pv, nxt))
+                for pred in p[1]:
+                    filters.append(("ne", pv[1:], pred))
+            else:
+                into.append((cur, p, nxt))
             cur = nxt
         if peek() == ".":
             take()

@@ -1446,3 +1446,74 @@ class TestSparqlOrderDesc:
                 ds,
                 'SELECT ?s WHERE { ?p <urn:score> ?s . } ORDER BY DESC("x")',
             )
+
+
+class TestSparqlNegset:
+    def _people(self):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:p1"), r("urn:name"), l("alice")),
+            new_triple(r("urn:p1"), r("urn:email"), l("a@x")),
+            new_triple(r("urn:p1"), r("urn:knows"), r("urn:p2")),
+            new_triple(r("urn:p2"), r("urn:name"), l("bob")),
+        ]
+        return DatasetGraphStore.from_triples("urn:g", trps)
+
+    def _q(self, ds, text):
+        from ontograph_ray.store.sparql import sparql_select
+
+        return sparql_select(ds, text).to_pandas()
+
+    def test_single_negation(self, ray_session):
+        ds = self._people()
+        out = self._q(
+            ds,
+            "SELECT ?s ?o WHERE { ?s !<urn:name> ?o . } ORDER BY ?o",
+        )
+        assert out.values.tolist() == [
+            ["<urn:p1>", '"a@x"'],
+            ["<urn:p1>", "<urn:p2>"],
+        ]
+
+    def test_negset_alternatives(self, ray_session):
+        ds = self._people()
+        out = self._q(
+            ds,
+            "SELECT ?s ?o WHERE { ?s !(<urn:name>|<urn:email>) ?o . }",
+        )
+        assert out.values.tolist() == [["<urn:p1>", "<urn:p2>"]]
+
+    def test_negset_in_sequence(self, ray_session):
+        ds = self._people()
+        # anything-but-name from p1, then name of the target
+        out = self._q(
+            ds,
+            "SELECT ?n WHERE { <urn:p1> !(<urn:name>|<urn:email>)/<urn:name> ?n . }",
+        )
+        assert out["n"].tolist() == ['"bob"']
+
+    def test_negset_errors(self, ray_session):
+        import pytest
+        from ontograph_ray.store.sparql import (
+            SparqlSyntaxError,
+            SparqlUnsupportedError,
+            sparql_select,
+        )
+
+        ds = self._people()
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(ds, "SELECT ?s WHERE { ?s !(^<urn:name>) ?o . }")
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(ds, "SELECT ?s WHERE { ?s !?v ?o . }")
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(ds, "SELECT ?s WHERE { ?s !<urn:name>+ ?o . }")
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(
+                ds,
+                "SELECT ?s WHERE { ?s <urn:knows> ?o . "
+                "MINUS { ?s !<urn:name> ?o } }",
+            )
