@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q.q_embedding_near_dup,
         "kmeans_clusters": q.q_kmeans_clusters,
         "bloom_seen": q.q_bloom_seen,
+        "chunk_documents": q.q_chunk_documents,
         "semdedup": q.q_semdedup,
         "multimodal_features": q.q_multimodal_features,
         "audio_features": q.q_audio_features,

@@ -587,6 +587,18 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id FROM ranked WHERE rn <= 10""",
+        # sliding-window chunking: chunk i covers 1-based token
+        # positions i*48+1 .. min(i*48+64, n); ceil(n/48) chunks/doc
+        "chunk_documents": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+c AS (SELECT doc_id, l, len(l) AS n FROM toks),
+e AS (SELECT doc_id, l, n,
+             unnest(generate_series(0, CAST((n + 47) // 48 AS BIGINT) - 1)) AS i
+      FROM c)
+SELECT doc_id, i AS chunk_id,
+       CAST(least(i * 48 + 64, n) - i * 48 AS BIGINT) AS n_tokens,
+       array_to_string(l[i * 48 + 1 : least(i * 48 + 64, n)], ' ') AS chunk_text
+FROM e""",
         # Bloom filter: every bit position recomputed in SQL via the
         # splitmix64 CTE chains (one per seed); membership = both
         # probe positions present in the snapshot's position set —

@@ -923,6 +923,16 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_near_dup_pairs(docs, max_hamming=2)
 
 
+def q_chunk_documents(sf_dir: str):
+    """RAG-style sliding-window chunking (window 64, stride 48 —
+    25% overlap): one streaming flat expansion per batch, no exchange
+    (stages/packing.py::chunk_documents)."""
+    from .stages.packing import chunk_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(docs, window=64, stride=48)
+
+
 def q_bloom_seen(sf_dir: str):
     """Bloom-filter seen-before probe: build a 512-bit filter over the
     doc_id%3==0 snapshot (per-block OR combiner → word exchange → tiny

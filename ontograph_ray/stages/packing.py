@@ -110,3 +110,67 @@ def pack_sequences(
         fn_kwargs={"offsets_ref": offsets_ref, "window": window},
         batch_format="pandas",
     )
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """RAG-style sliding-window chunking: each document's whitespace
+    tokens are cut into ``window``-token chunks every ``stride`` tokens
+    (overlap = window − stride). Purely per-document — one streaming
+    ``map_batches`` flat expansion, no exchange, embarrassingly
+    parallel at any scale. Chunk ``i`` covers tokens
+    ``[i·stride, min(i·stride+window, n))``; a document emits
+    ``ceil(n/stride)`` chunks (the short tail is kept, so every token
+    is in ≥1 chunk). Output (doc_id, chunk_id, n_tokens, chunk_text).
+
+    Tokens are ``text.split(' ')`` — the same single-space convention
+    as token_stats / vocab_coverage, so the SQL twin's
+    ``string_split(text, ' ')`` is exact."""
+    if not (0 < stride <= window):
+        raise ValueError("need 0 < stride <= window")
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "chunk_id": pd.Series(dtype="int64"),
+                    "n_tokens": pd.Series(dtype="int64"),
+                    "chunk_text": pd.Series(dtype="object"),
+                }
+            )
+        toks = df[text_col].str.split(" ")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        n_chunks = (lens + stride - 1) // stride
+        n_chunks = np.maximum(n_chunks, 1)
+        doc_idx = np.repeat(np.arange(len(df)), n_chunks)
+        # chunk index within its doc: arange minus each row's start
+        starts = np.repeat(
+            np.concatenate(([0], np.cumsum(n_chunks)[:-1])), n_chunks
+        )
+        chunk_id = np.arange(len(doc_idx), dtype=np.int64) - starts
+        tok_lists = toks.to_numpy()
+        texts = [
+            " ".join(tok_lists[d][c * stride : c * stride + window])
+            for d, c in zip(doc_idx, chunk_id)
+        ]
+        n_tok = np.minimum(
+            lens[doc_idx] - chunk_id * stride, window
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy()[doc_idx],
+                "chunk_id": chunk_id,
+                "n_tokens": n_tok,
+                "chunk_text": texts,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        expand, batch_format="pandas"
+    )

@@ -1513,3 +1513,54 @@ class TestWarcSink:
             for r in df.itertuples()
         }
         assert got == want
+
+
+class TestChunkDocuments:
+    def _chunk(self, texts, window, stride):
+        from ontograph_ray.stages.packing import chunk_documents
+
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        return (
+            chunk_documents(ds, window=window, stride=stride)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+
+    def test_windows_and_overlap(self, ray_session):
+        toks = [f"t{i}" for i in range(10)]
+        out = self._chunk([" ".join(toks)], window=4, stride=3)
+        # starts 0,3,6,9 → ceil(10/3)=4 chunks
+        assert out["chunk_id"].tolist() == [0, 1, 2, 3]
+        assert out["chunk_text"].tolist() == [
+            "t0 t1 t2 t3",
+            "t3 t4 t5 t6",
+            "t6 t7 t8 t9",
+            "t9",
+        ]
+        assert out["n_tokens"].tolist() == [4, 4, 4, 1]
+
+    def test_short_and_empty_docs(self, ray_session):
+        out = self._chunk(["a b", ""], window=4, stride=3)
+        # "" splits to [''] → one 1-token chunk of the empty string
+        assert out.values.tolist() == [
+            [0, 0, 2, "a b"],
+            [1, 0, 1, ""],
+        ]
+
+    def test_every_token_covered(self, ray_session):
+        toks = [f"w{i}" for i in range(17)]
+        out = self._chunk([" ".join(toks)], window=5, stride=5)  # no overlap
+        joined = " ".join(out["chunk_text"])
+        assert joined == " ".join(toks)
+
+    def test_bad_stride_raises(self, ray_session):
+        from ontograph_ray.stages.packing import chunk_documents
+
+        ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+        with pytest.raises(ValueError):
+            chunk_documents(ds, window=4, stride=5)
+        with pytest.raises(ValueError):
+            chunk_documents(ds, window=4, stride=0)
