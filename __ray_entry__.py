@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_path_star": q.q_sparql_path_star,
         "sparql_order_desc": q.q_sparql_order_desc,
         "sparql_path_negset": q.q_sparql_path_negset,
+        "sparql_filter_numeric": q.q_sparql_filter_numeric,
         "sparql_path_opt": q.q_sparql_path_opt,
         "sparql_values": q.q_sparql_values,
         "sparql_construct": q.q_sparql_construct,

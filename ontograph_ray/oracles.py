@@ -162,6 +162,13 @@ reach AS (
   SELECT r.s, e.o FROM reach r JOIN e ON e.s = r.o
 )
 SELECT s AS x, o AS y FROM reach""",
+        # numeric FILTER on xsd:integer literals: decode the lexical
+        # value, integer compare
+        "sparql_filter_numeric": f"""{_T}
+SELECT subject AS cust, object AS bal FROM t
+WHERE predicate = '<{ACCTBAL}>'
+  AND CAST(regexp_extract(object, '"([+-]?\\d+)"', 1) AS BIGINT) >= 500000
+  AND CAST(regexp_extract(object, '"([+-]?\\d+)"', 1) AS BIGINT) < 900000""",
         # negated property set: every triple whose predicate is not
         # rdf:type / inNation
         "sparql_path_negset": f"""{_T}

@@ -1848,6 +1848,28 @@ def q_sparql_path_negset(sf_dir: str):
     )
 
 
+def q_sparql_filter_numeric(sf_dir: str):
+    """E8 extension: numeric FILTER over xsd:integer typed literals —
+    the lexical value is extracted and cast per batch (one vectorized
+    regex+cast kernel), non-integer terms drop per the SPARQL
+    type-error rule."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?cust ?bal WHERE {{
+          ?cust attr:acctbalCents ?bal .
+          FILTER ( ?bal >= 500000 ) .
+          FILTER ( ?bal < 900000 )
+        }}
+        """,
+    )
+
+
 def q_sparql_order_desc(sf_dir: str):
     """E8 extension: ORDER BY DESC(?v) ?v2 — mixed-direction
     distributed sort over the encoded terms; the LIMIT head makes the

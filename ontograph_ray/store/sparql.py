@@ -51,6 +51,10 @@ silently misanswering):
                                       path elements must be ground
       FILTER ( ?v = term )            (term equality on the encoded term)
       FILTER ( ?v != term )
+      FILTER ( ?v < n | > n | <= n | >= n )   (numeric compare on
+                                      xsd:integer literals; non-integer
+                                      terms are dropped — the SPARQL
+                                      type-error rule)
       FILTER regex ( ?v , "re" )      (RE2 over the encoded term string)
       FILTER EXISTS { BGP }           (distributed semi-join on the
                                       shared variables)
@@ -161,8 +165,8 @@ _TOKEN = re.compile(
       | (?P<uri><[^<>\s]*>)
       | (?P<lit>"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+|\^\^(?:<[^<>\s]*>|[A-Za-z_][\w-]*:[\w-]+))?)
       | (?P<neg>!(?!=))
-      | (?P<punct>[{}.(),/|^+?])
-      | (?P<op>!=|=)
+      | (?P<punct>[{}.(),/|^+?-])
+      | (?P<op><=|>=|!=|=|<|>)
       | (?P<num>\d+)
       | (?P<word>[A-Za-z_][\w-]*(?::[\w-]*)?|\*)
     )""",
@@ -341,6 +345,23 @@ def parse(text: str) -> _Query:
         if not var.startswith("?"):
             raise SparqlSyntaxError("FILTER needs a ?variable on the left")
         op = take()
+        if op in ("<", ">", "<=", ">="):
+            # numeric comparison over xsd:integer typed literals: the
+            # right side is a bare integer; rows whose term is not an
+            # integer literal are dropped (the SPARQL type-error rule)
+            n = take()
+            neg = n == "-"
+            if neg:
+                n = take()
+            if not n.isdigit():
+                raise SparqlSyntaxError(
+                    f"numeric FILTER needs an integer, got {n!r}"
+                )
+            if take() != ")":
+                raise SparqlSyntaxError("expected ) closing FILTER")
+            key = {"<": "lt", ">": "gt", "<=": "le", ">=": "ge"}[op]
+            filters.append((key, var[1:], -int(n) if neg else int(n)))
+            return
         if op not in ("=", "!="):
             raise SparqlUnsupportedError(f"unsupported FILTER operator {op!r}")
         val = _expand(take(), prefixes, "object")
@@ -927,13 +948,20 @@ def sparql_select(
         # applied after the BGP joins, while every bound variable is in
         # scope (filters may reference unselected vars). eq/ne compare
         # the full NTriples-encoded term (SPARQL term equality); regex
-        # matches the encoded term string — one vectorized kernel per
-        # filter, streaming.
+        # matches the encoded term string; lt/gt/le/ge decode the
+        # xsd:integer lexical value (non-integer terms → null → row
+        # dropped, SPARQL's type-error rule) — one vectorized kernel
+        # per filter, streaming.
         bad = [v for _, v, _ in q.filters if v not in bound]
         if bad:
             raise SparqlSyntaxError(f"FILTER variables never bound: {bad}")
 
         filters = list(q.filters)
+        int_lit_re = (
+            r'^"(?P<v>[+-]?\d+)"\^\^<' + re.escape(C.XSD_INTEGER) + r">$"
+        )
+        num_ops = {"lt": pc.less, "gt": pc.greater, "le": pc.less_equal,
+                   "ge": pc.greater_equal}
 
         def apply_filters(batch: pa.Table) -> pa.Table:
             mask = None
@@ -943,6 +971,11 @@ def sparql_select(
                     m = pc.equal(col, val)
                 elif op == "ne":
                     m = pc.not_equal(col, val)
+                elif op in num_ops:
+                    lex = pc.struct_field(
+                        pc.extract_regex(col, int_lit_re), "v"
+                    )
+                    m = num_ops[op](pc.cast(lex, pa.int64()), val)
                 else:
                     m = pc.match_substring_regex(col, val)
                 mask = m if mask is None else pc.and_(mask, m)

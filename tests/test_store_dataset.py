@@ -1517,3 +1517,73 @@ class TestSparqlNegset:
                 "SELECT ?s WHERE { ?s <urn:knows> ?o . "
                 "MINUS { ?s !<urn:name> ?o } }",
             )
+
+
+class TestSparqlFilterNumeric:
+    def _store(self):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import constants as C
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r = terms.new_resource_term
+        l = terms.new_literal_term
+        trps = [
+            new_triple(
+                r(f"urn:p{i}"),
+                r("urn:val"),
+                l(str(v), datatype=C.XSD_INTEGER),
+            )
+            for i, v in enumerate([-5, 0, 7, 42])
+        ] + [
+            # plain (untyped) literal: dropped by numeric filters
+            new_triple(r("urn:px"), r("urn:val"), l("99")),
+        ]
+        return DatasetGraphStore.from_triples("urn:g", trps)
+
+    def _q(self, ds, text):
+        from ontograph_ray.store.sparql import sparql_select
+
+        return sparql_select(ds, text).to_pandas()
+
+    def test_comparisons(self, ray_session):
+        ds = self._store()
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:val> ?v . FILTER ( ?v > 0 ) } "
+            "ORDER BY ?p",
+        )
+        assert out["p"].tolist() == ["<urn:p2>", "<urn:p3>"]
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:val> ?v . FILTER ( ?v <= 0 ) } "
+            "ORDER BY ?p",
+        )
+        assert out["p"].tolist() == ["<urn:p0>", "<urn:p1>"]
+
+    def test_negative_constant(self, ray_session):
+        ds = self._store()
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:val> ?v . FILTER ( ?v < -1 ) }",
+        )
+        assert out["p"].tolist() == ["<urn:p0>"]
+
+    def test_untyped_literal_dropped(self, ray_session):
+        ds = self._store()
+        # "99" (plain literal) never passes a numeric filter
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:val> ?v . FILTER ( ?v >= 50 ) }",
+        )
+        assert len(out) == 0
+
+    def test_bad_operand_raises(self, ray_session):
+        import pytest
+        from ontograph_ray.store.sparql import SparqlSyntaxError, sparql_select
+
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(
+                self._store(),
+                'SELECT ?p WHERE { ?p <urn:val> ?v . FILTER ( ?v > "x" ) }',
+            )
