@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q.q_kmeans_clusters,
         "bloom_seen": q.q_bloom_seen,
         "chunk_documents": q.q_chunk_documents,
+        "events_lag": q.q_events_lag,
         "semdedup": q.q_semdedup,
         "multimodal_features": q.q_multimodal_features,
         "audio_features": q.q_audio_features,

@@ -653,6 +653,11 @@ SELECT a.vec_id AS src_id, b.vec_id AS dst_id
 FROM embeddings a CROSS JOIN embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+        "events_lag": """
+SELECT user_id, event_id, value,
+       LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS prev_value
+FROM events""",
         "events_window": """
 SELECT user_id, epoch_us(ts) // 3600000000 AS win,
        COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value

@@ -923,6 +923,22 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_near_dup_pairs(docs, max_hamming=2)
 
 
+def q_events_lag(sf_dir: str):
+    """LAG window function: each event's previous value within its
+    user partition, ordered by (ts, event_id) — one key-bucketed
+    exchange + vectorized groupby-shift per bucket
+    (stages/windows.py::lag_over)."""
+    from .stages.windows import lag_over
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = lag_over(ev, ["user_id"], ["ts", "event_id"], "value")
+
+    def project(df):
+        return df[["user_id", "event_id", "value", "prev_value"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def q_chunk_documents(sf_dir: str):
     """RAG-style sliding-window chunking (window 64, stride 48 —
     25% overlap): one streaming flat expansion per batch, no exchange

@@ -96,3 +96,31 @@ def hopping_window_agg(
     return bucketed_group_map(
         ds, [key_col], final, num_buckets=num_buckets, partial_fn=partial
     )
+
+
+def lag_over(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    periods: int = 1,
+    out_col: str = "prev_value",
+) -> ray.data.Dataset:
+    """SQL ``LAG(value, periods) OVER (PARTITION BY keys ORDER BY
+    order_cols)`` (``periods < 0`` = LEAD): one key-bucketed exchange
+    co-locates each partition, then one vectorized sort + groupby-shift
+    per bucket — the ordered-window primitive behind
+    previous-value/delta features. ``order_cols`` must totally order
+    each partition (include a unique tiebreaker) or the shift is
+    nondeterministic. The first ``periods`` rows of each partition get
+    a null ``out_col``."""
+    cols = list(dict.fromkeys(key_cols + order_cols + [value_col]))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(key_cols + order_cols, kind="stable")
+        df[out_col] = df.groupby(key_cols, sort=False)[value_col].shift(
+            periods
+        )
+        return df
+
+    return bucketed_group_map(ds.select_columns(cols), key_cols, per_bucket)

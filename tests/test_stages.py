@@ -1564,3 +1564,38 @@ class TestChunkDocuments:
             chunk_documents(ds, window=4, stride=5)
         with pytest.raises(ValueError):
             chunk_documents(ds, window=4, stride=0)
+
+
+class TestLagOver:
+    def test_lag_and_lead(self, ray_session):
+        from ontograph_ray.stages.windows import lag_over
+
+        df = pd.DataFrame(
+            {
+                "u": [1, 1, 1, 2, 2],
+                "t": [3, 1, 2, 5, 4],
+                "id": [30, 10, 20, 50, 40],
+                "v": [3.0, 1.0, 2.0, 50.0, 40.0],
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(3)
+        lag = (
+            lag_over(ds, ["u"], ["t", "id"], "v")
+            .to_pandas()
+            .sort_values(["u", "t"])
+            .reset_index(drop=True)
+        )
+        assert lag["v"].tolist() == [1.0, 2.0, 3.0, 40.0, 50.0]
+        got = lag["prev_value"].tolist()
+        assert got[0] != got[0] or pd.isna(got[0])  # NaN first per group
+        assert got[1:3] == [1.0, 2.0]
+        assert pd.isna(got[3]) and got[4] == 40.0
+
+        lead = (
+            lag_over(ds, ["u"], ["t", "id"], "v", periods=-1, out_col="nxt")
+            .to_pandas()
+            .sort_values(["u", "t"])
+            .reset_index(drop=True)
+        )
+        assert lead["nxt"].tolist()[:2] == [2.0, 3.0]
+        assert pd.isna(lead["nxt"].tolist()[2])
