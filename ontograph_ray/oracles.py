@@ -653,6 +653,14 @@ SELECT a.vec_id AS src_id, b.vec_id AS dst_id
 FROM embeddings a CROSS JOIN embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+        "lang_by_source": """
+SELECT source,
+       CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+       CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+       CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
+FROM documents GROUP BY source""",
         "events_lag": """
 SELECT user_id, event_id, value,
        LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -923,6 +923,18 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_near_dup_pairs(docs, max_hamming=2)
 
 
+def q_lang_by_source(sf_dir: str):
+    """Distributed crosstab: per-source language counts (5 static
+    category columns) — per-block pivot combiner, pre-aggregated
+    exchange (store/dataset.py::crosstab_counts)."""
+    from .store.dataset import crosstab_counts
+
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+    return crosstab_counts(
+        docs, "source", "lang", ["de", "en", "es", "fr", "zh"]
+    )
+
+
 def q_events_lag(sf_dir: str):
     """LAG window function: each event's previous value within its
     user partition, ordered by (ts, event_id) — one key-bucketed

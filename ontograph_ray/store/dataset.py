@@ -873,3 +873,49 @@ def write_ntriples(ds: ray.data.Dataset, path: str) -> None:
             file.write(data.encode("utf-8"))
 
     ds.write_datasink(NTriplesDatasink(path))
+
+
+def crosstab_counts(
+    ds: ray.data.Dataset,
+    row_col: str,
+    col_col: str,
+    categories: list[str],
+    prefix: str = "n_",
+    num_buckets: int = DEDUP_BUCKETS_DEFAULT,
+) -> ray.data.Dataset:
+    """Distributed crosstab (pivot-count): one output row per distinct
+    ``row_col`` value with a ``{prefix}{category}`` count column per
+    listed ``col_col`` category. The per-block combiner pivots each
+    block down to ≤ one row per distinct key before the bucketed
+    exchange, so the shuffle ships pre-aggregated counts — the same
+    shape as every high-cardinality aggregate here. ``categories`` is
+    an explicit list so the output schema is static and
+    layout-independent (values outside it are ignored; a dynamic
+    column set would make the schema depend on which blocks were
+    seen)."""
+    cols = [f"{prefix}{c}" for c in categories]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=[row_col] + cols)
+        piv = (
+            df.groupby([row_col, col_col], sort=False)
+            .size()
+            .unstack(fill_value=0)
+        )
+        piv = piv.reindex(columns=categories, fill_value=0)
+        piv.columns = cols
+        return piv.reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(row_col, sort=False)[cols].sum().reset_index()
+        out[cols] = out[cols].astype("int64")
+        return out
+
+    return bucketed_group_map(
+        ds.select_columns([row_col, col_col]),
+        [row_col],
+        final,
+        num_buckets=num_buckets,
+        partial_fn=partial,
+    )

@@ -1587,3 +1587,32 @@ class TestSparqlFilterNumeric:
                 self._store(),
                 'SELECT ?p WHERE { ?p <urn:val> ?v . FILTER ( ?v > "x" ) }',
             )
+
+
+class TestCrosstab:
+    def test_counts_and_unknown_ignored(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.store.dataset import crosstab_counts
+
+        df = pd.DataFrame(
+            {
+                "g": ["a", "a", "a", "b", "b", "c"],
+                "v": ["x", "x", "y", "y", "zz", "x"],
+            }
+        )
+        out = (
+            crosstab_counts(
+                ray.data.from_pandas(df).repartition(3), "g", "v", ["x", "y"]
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        # "zz" not in the category list → ignored
+        assert out.values.tolist() == [
+            ["a", 2, 1],
+            ["b", 0, 1],
+            ["c", 1, 0],
+        ]
