@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_union": q.q_sparql_union,
         "sparql_group_count": q.q_sparql_group_count,
         "sparql_group_sum": q.q_sparql_group_sum,
+        "sparql_group_avg": q.q_sparql_group_avg,
         "sparql_update": q.q_sparql_update,
         "sparql_path": q.q_sparql_path,
         "dedup_spans": q.q_dedup_spans,

@@ -227,6 +227,15 @@ SELECT t1.object AS seg,
 FROM t t1 JOIN t t2 ON t2.subject = t1.subject
 WHERE t1.predicate = '<{SEGMENT}>' AND t2.predicate = '<{ACCTBAL}>'
 GROUP BY t1.object""",
+        # AVG = exact integer SUM cast to double, divided by COUNT —
+        # the same single float64 division the engine does per group
+        "sparql_group_avg": f"""{_T}
+SELECT t1.object AS seg,
+       CAST(SUM(CAST(regexp_extract(t2.object, '^"(-?\\d+)"', 1) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) AS avg_bal
+FROM t t1 JOIN t t2 ON t2.subject = t1.subject
+WHERE t1.predicate = '<{SEGMENT}>' AND t2.predicate = '<{ACCTBAL}>'
+GROUP BY t1.object""",
         # integer fixed-point TF-IDF top-k: weight = (N*1e6)//df
         # (integer division), score = sum(tf*weight); ties (score DESC,
         # doc_id ASC) — mirrors tfidf_topk exactly, no libm ln anywhere

@@ -2027,6 +2027,28 @@ def q_sparql_group_sum(sf_dir: str):
     )
 
 
+def q_sparql_group_avg(sf_dir: str):
+    """E8 extension: AVG over xsd:integer literals — algebraic
+    (sum, count) int64 partials through the combiner+exchange, ONE
+    float64 division per group at the end, so the result is
+    layout-invariant and bit-identical to the SQL twin's
+    SUM(x)::DOUBLE / COUNT(x)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?seg (AVG(?bal) AS ?avg_bal) WHERE {
+          ?c attr:mktsegment ?seg .
+          ?c attr:acctbalCents ?bal .
+        } GROUP BY ?seg
+        """,
+    )
+
+
 def q_sparql_ask(sf_dir: str):
     """E8: SPARQL ASK — the two existence forms the reference's store
     layer generates (graph-nonempty, blazegraph_store.go:294; ground

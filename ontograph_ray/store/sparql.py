@@ -67,13 +67,15 @@ silently misanswering):
     WHERE { { BGP } UNION { BGP } .. }  (bag union; branches are plain
                                       BGPs binding the SAME variables)
     SELECT ?g (COUNT(?v|*) AS ?n) (MIN/MAX(?v) AS ?m)
-           (SUM(?v) AS ?s) ...  GROUP BY ?g ...
+           (SUM/AVG(?v) AS ?s) ...  GROUP BY ?g ...
                                       (distributed combiner+exchange
                                       aggregate; COUNT skips unbound
-                                      OPTIONAL bindings; SUM requires
+                                      OPTIONAL bindings; SUM/AVG require
                                       xsd-integer-typed literal
-                                      bindings — exact int64, anything
-                                      else raises; no GROUP BY → one
+                                      bindings — exact int64 partials,
+                                      anything else raises; AVG = one
+                                      float64 division per group from
+                                      exact (sum, count); no GROUP BY → one
                                       whole-result row)
     VALUES ?v { t ... }               (postfix inline-data join over
     VALUES (?a ?b) { (t t) ... }      required-bound variables: one
@@ -272,10 +274,10 @@ def parse(text: str) -> _Query:
     aggregates: list[tuple[str, str, str]] = []
     while peek().startswith("?") or peek() in ("*", "("):
         if peek() == "(":
-            # ( COUNT|MIN|MAX ( ?v | * ) AS ?alias )
+            # ( COUNT|MIN|MAX|SUM|AVG ( ?v | * ) AS ?alias )
             take()
             op = take().lower()
-            if op not in ("count", "min", "max", "sum"):
+            if op not in ("count", "min", "max", "sum", "avg"):
                 raise SparqlUnsupportedError(f"unsupported aggregate {op!r}")
             if take() != "(":
                 raise SparqlSyntaxError(f"expected ( after {op.upper()}")
@@ -1078,15 +1080,25 @@ def sparql_select(
 
         def with_sum_cols(df: pd.DataFrame) -> pd.DataFrame:
             for op, var, alias in aggs:
-                if op == "sum":
+                if op in ("sum", "avg"):
                     df = df.assign(**{f"__i_{alias}": int_lit(df[var])})
             return df
 
+        # AVG is algebraic as a (sum, count) pair: the combiner carries
+        # exact int64 partials and ONE float64 division happens per
+        # group at the end — so the result is bit-identical at any
+        # block layout AND to the SQL twin's SUM(x)::DOUBLE / COUNT(x)
+        partial_cols = []
+        for op_, _, alias_ in aggs:
+            partial_cols += (
+                [f"__s_{alias_}", f"__c_{alias_}"] if op_ == "avg" else [alias_]
+            )
+
         def partial(df: pd.DataFrame) -> pd.DataFrame:
-            # per-block combiner: count/min/max/sum are algebraic, so
-            # each block shrinks to one row per key before the exchange
+            # per-block combiner: count/min/max/sum/avg are algebraic,
+            # so each block shrinks to one row per key pre-exchange
             if not len(df):
-                return pd.DataFrame(columns=group_by + aliases)
+                return pd.DataFrame(columns=group_by + partial_cols)
             g = with_sum_cols(df).groupby(group_by, sort=False, dropna=False)
             cols = {}
             for op, var, alias in aggs:
@@ -1094,6 +1106,9 @@ def sparql_select(
                     cols[alias] = g.size() if var == "*" else g[var].count()
                 elif op == "sum":
                     cols[alias] = g[f"__i_{alias}"].sum()
+                elif op == "avg":
+                    cols[f"__s_{alias}"] = g[f"__i_{alias}"].sum()
+                    cols[f"__c_{alias}"] = g[f"__i_{alias}"].count()
                 elif op == "min":
                     cols[alias] = g[var].min()
                 else:
@@ -1104,6 +1119,11 @@ def sparql_select(
             g = df.groupby(group_by, sort=False, dropna=False)
             cols = {}
             for op, _, alias in aggs:
+                if op == "avg":
+                    s = g[f"__s_{alias}"].sum().astype("int64")
+                    c = g[f"__c_{alias}"].sum().astype("int64")
+                    cols[alias] = s / c
+                    continue
                 s = g[alias]
                 cols[alias] = (
                     s.sum()
@@ -1132,6 +1152,10 @@ def sparql_select(
                         cols[alias] = [len(df) if var == "*" else int(df[var].count())]
                     elif op == "sum":
                         cols[alias] = [int(int_lit(df[var]).sum())]
+                    elif op == "avg":
+                        iv = int_lit(df[var])
+                        cols[f"__s_{alias}"] = [int(iv.sum())]
+                        cols[f"__c_{alias}"] = [int(iv.count())]
                     elif op == "min":
                         cols[alias] = [df[var].min()]
                     else:
@@ -1145,6 +1169,11 @@ def sparql_select(
             for op, _, alias in aggs:
                 if op in ("count", "sum"):
                     row[alias] = int(parts[alias].sum()) if len(parts) else 0
+                elif op == "avg":
+                    c = int(parts[f"__c_{alias}"].sum()) if len(parts) else 0
+                    row[alias] = (
+                        int(parts[f"__s_{alias}"].sum()) / c if c else None
+                    )
                 elif op == "min":
                     row[alias] = parts[alias].min() if len(parts) else None
                 else:

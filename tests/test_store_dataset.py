@@ -1616,3 +1616,79 @@ class TestCrosstab:
             ["b", 0, 1],
             ["c", 1, 0],
         ]
+
+
+class TestSparqlGroupAvg:
+    def test_avg_exact_and_layout_invariant(self, ray_session):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import constants as C
+        from ontograph_ray import terms
+        from ontograph_ray.store.sparql import sparql_select
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        vals = {"a": [1, 2, 4], "b": [10]}
+        trps = []
+        i = 0
+        for g, vs in vals.items():
+            for v in vs:
+                trps.append(
+                    new_triple(r(f"urn:x{i}"), r("urn:grp"), l(g))
+                )
+                trps.append(
+                    new_triple(
+                        r(f"urn:x{i}"), r("urn:val"),
+                        l(str(v), datatype=C.XSD_INTEGER),
+                    )
+                )
+                i += 1
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        out = (
+            sparql_select(
+                ds,
+                "SELECT ?g (AVG(?v) AS ?m) WHERE { ?x <urn:grp> ?g . "
+                "?x <urn:val> ?v . } GROUP BY ?g",
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        assert out["m"].tolist() == [7 / 3, 10.0]
+
+    def test_avg_whole_result(self, ray_session):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import constants as C
+        from ontograph_ray import terms
+        from ontograph_ray.store.sparql import sparql_select
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(
+                r(f"urn:x{i}"), r("urn:val"),
+                l(str(v), datatype=C.XSD_INTEGER),
+            )
+            for i, v in enumerate([1, 2])
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        out = sparql_select(
+            ds,
+            "SELECT (AVG(?v) AS ?m) WHERE { ?x <urn:val> ?v . }",
+        ).to_pandas()
+        assert out["m"].tolist() == [1.5]
+
+    def test_avg_on_non_integer_raises(self, ray_session):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.store.sparql import sparql_select
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        ds = DatasetGraphStore.from_triples(
+            "urn:g",
+            [new_triple(r("urn:x"), r("urn:val"), l("oops"))],
+        )
+        with pytest.raises(Exception):
+            sparql_select(
+                ds, "SELECT (AVG(?v) AS ?m) WHERE { ?x <urn:val> ?v . }"
+            ).to_pandas()
