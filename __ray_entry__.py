@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_seen": q.q_bloom_seen,
         "chunk_documents": q.q_chunk_documents,
         "events_lag": q.q_events_lag,
+        "overlapping_sessions": q.q_overlapping_sessions,
         "lang_by_source": q.q_lang_by_source,
         "semdedup": q.q_semdedup,
         "multimodal_features": q.q_multimodal_features,

@@ -762,6 +762,34 @@ FROM orders o JOIN anchors a
  AND o.o_orderdate > a.anchor - INTERVAL 90 DAY
  AND o.o_orderdate <= a.anchor
 GROUP BY o.o_custkey""",
+        # interval-overlap self-join over the gap-sessions (closed
+        # intervals), distinct cross-user pairs counted
+        "overlapping_sessions": """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+s AS (
+  SELECT user_id, CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+         CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_overlaps
+FROM s a JOIN s b
+  ON a.user_id < b.user_id
+ AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+GROUP BY a.user_id, b.user_id""",
         "session_windows": """
 WITH marked AS (
   SELECT user_id, ts,

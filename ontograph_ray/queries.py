@@ -935,6 +935,55 @@ def q_lang_by_source(sf_dir: str):
     )
 
 
+def q_overlapping_sessions(sf_dir: str):
+    """Banded interval-overlap self-join: pairs of DIFFERENT users
+    whose gap-sessions intersect in time, counted per user pair. Each
+    session replicates to the 1-hour cells it touches, one cell
+    exchange, per-cell cross-join with first-shared-cell dedup
+    (store/dataset.py::interval_overlap_join) — no all-pairs stage."""
+    from .store.dataset import bucketed_group_map, interval_overlap_join
+
+    sess = q_session_windows(sf_dir)
+
+    def slim(df):
+        return df[["user_id", "start_us", "end_us"]]
+
+    s = sess.map_batches(slim, batch_format="pandas")
+    pairs = interval_overlap_join(s, s, band_us=3_600_000_000)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["user_id_l"] < df["user_id_r"]]
+        return pd.DataFrame(
+            {"user_a": df["user_id_l"], "user_b": df["user_id_r"]}
+        )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=["user_a", "user_b", "n_overlaps"])
+        return (
+            df.groupby(["user_a", "user_b"], sort=False)
+            .size()
+            .rename("n_overlaps")
+            .reset_index()
+        )
+
+    def count_final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["user_a", "user_b"], sort=False)["n_overlaps"]
+            .sum()
+            .reset_index()
+        )
+        out["n_overlaps"] = out["n_overlaps"].astype("int64")
+        return out
+
+    return bucketed_group_map(
+        pairs.map_batches(project, batch_format="pandas"),
+        ["user_a", "user_b"],
+        count_final,
+        partial_fn=count_partial,
+    )
+
+
 def q_events_lag(sf_dir: str):
     """LAG window function: each event's previous value within its
     user partition, ordered by (ts, event_id) — one key-bucketed

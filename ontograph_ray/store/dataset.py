@@ -919,3 +919,86 @@ def crosstab_counts(
         num_buckets=num_buckets,
         partial_fn=partial,
     )
+
+
+def interval_overlap_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    band_us: int,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    suffixes: tuple = ("_l", "_r"),
+    num_buckets: int = DEDUP_BUCKETS_DEFAULT,
+) -> ray.data.Dataset:
+    """Banded interval-overlap join: every (L, R) row pair whose closed
+    intervals intersect (``L.start <= R.end AND R.start <= L.end``),
+    with NO all-pairs stage. Both sides must share one schema
+    (id columns + ``start_col`` + ``end_col``, int64); every output
+    column appears twice with ``suffixes``.
+
+    Physical plan: each interval is replicated to the time cells
+    ``start//band .. end//band`` it touches (a vectorized repeat), the
+    cells are hash-bucket exchanged ONCE, and each cell cross-joins
+    only its residents. A pair alive in several shared cells is
+    emitted exactly once — by the cell holding ``max(starts)`` (the
+    first cell where both are alive; the standard banded-join dedup,
+    no post-exchange distinct needed). ``band_us`` trades replication
+    (long intervals touch many cells) against per-cell fan-in — pick
+    it near the typical interval length. Partitioning assumption: the
+    intervals alive in one cell fit a worker (bounded concurrency).
+    For a self-join pass the same Dataset twice and filter the output
+    on an id ordering (e.g. ``id_l < id_r``) to keep unordered pairs
+    once."""
+
+    def explode(side: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                out = df.copy()
+                out["__cell"] = pd.Series(dtype="int64")
+                out["__side"] = pd.Series(dtype="object")
+                return out
+            s = df[start_col].to_numpy(np.int64)
+            e = df[end_col].to_numpy(np.int64)
+            c0, c1 = s // band_us, e // band_us
+            counts = (c1 - c0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(df)), counts)
+            first = np.repeat(
+                np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+            )
+            cells = np.repeat(c0, counts) + (
+                np.arange(idx.size, dtype=np.int64) - first
+            )
+            out = df.iloc[idx].reset_index(drop=True)
+            out["__cell"] = cells
+            out["__side"] = side
+            return out
+
+        return f
+
+    both = left.map_batches(explode("l"), batch_format="pandas").union(
+        right.map_batches(explode("r"), batch_format="pandas")
+    )
+    sl, sr = suffixes
+    ls, le = start_col + sl, end_col + sl
+    rs, re_ = start_col + sr, end_col + sr
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["__side"] == "l"].drop(columns="__side")
+        rhs = df[df["__side"] == "r"].drop(columns="__side")
+        lhs = lhs.rename(
+            columns={c: c + sl for c in lhs.columns if c != "__cell"}
+        )
+        rhs = rhs.rename(
+            columns={c: c + sr for c in rhs.columns if c != "__cell"}
+        )
+        m = lhs.merge(rhs, on="__cell")
+        if not len(m):
+            return m.drop(columns="__cell")
+        keep = (
+            (m[ls] <= m[re_])
+            & (m[rs] <= m[le])
+            & (np.maximum(m[ls], m[rs]) // band_us == m["__cell"])
+        )
+        return m.loc[keep].drop(columns="__cell")
+
+    return bucketed_group_map(both, ["__cell"], per_bucket, num_buckets)

@@ -1692,3 +1692,44 @@ class TestSparqlGroupAvg:
             sparql_select(
                 ds, "SELECT (AVG(?v) AS ?m) WHERE { ?x <urn:val> ?v . }"
             ).to_pandas()
+
+
+class TestIntervalOverlapJoin:
+    def _join(self, rows_l, rows_r, band):
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.store.dataset import interval_overlap_join
+
+        mk = lambda rows: ray.data.from_pandas(
+            pd.DataFrame(rows, columns=["id", "start_us", "end_us"])
+        ).repartition(2)
+        out = interval_overlap_join(
+            mk(rows_l), mk(rows_r), band_us=band
+        ).to_pandas()
+        if not len(out):
+            return []
+        return sorted(zip(out["id_l"], out["id_r"]))
+
+    def test_pairs_match_brute_force(self, ray_session):
+        # deterministic intervals with multi-cell spans and touches
+        L = [(i, i * 7 % 50, i * 7 % 50 + (i * 3) % 20) for i in range(25)]
+        R = [(i, i * 11 % 60, i * 11 % 60 + (i * 5) % 15) for i in range(25)]
+        expected = sorted(
+            (a, b)
+            for a, s1, e1 in L
+            for b, s2, e2 in R
+            if s1 <= e2 and s2 <= e1
+        )
+        for band in (5, 17, 100):  # dedup must hold at any band size
+            assert self._join(L, R, band) == expected
+
+    def test_closed_interval_touch(self, ray_session):
+        # end == start counts as overlap (closed intervals)
+        assert self._join([(1, 0, 10)], [(2, 10, 20)], 4) == [(1, 2)]
+        assert self._join([(1, 0, 9)], [(2, 10, 20)], 4) == []
+
+    def test_pair_emitted_once_across_shared_cells(self, ray_session):
+        # both intervals span many shared cells → still one output row
+        got = self._join([(1, 0, 100)], [(2, 0, 100)], 3)
+        assert got == [(1, 2)]
