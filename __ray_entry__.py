@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag": q.q_events_lag,
         "overlapping_sessions": q.q_overlapping_sessions,
         "lang_by_source": q.q_lang_by_source,
+        "length_outliers": q.q_length_outliers,
         "semdedup": q.q_semdedup,
         "multimodal_features": q.q_multimodal_features,
         "audio_features": q.q_audio_features,

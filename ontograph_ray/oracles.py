@@ -662,6 +662,16 @@ SELECT a.vec_id AS src_id, b.vec_id AS dst_id
 FROM embeddings a CROSS JOIN embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+        # sketch-thresholded outlier filter: the SAME deterministic
+        # k-min-hash sample picks the P90 threshold, then a plain filter
+        "length_outliers": f"""
+WITH tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents),
+src AS (SELECT CAST(doc_id AS UBIGINT) AS x, n_tokens AS v FROM tok),
+{_splitmix64_ctes('src', 'x', 'lo_hashed')},
+samp AS (SELECT v FROM lo_hashed ORDER BY h, v LIMIT 512),
+thr AS (SELECT quantile_disc(v, 0.90) AS t FROM samp)
+SELECT doc_id, n_tokens FROM tok WHERE n_tokens > (SELECT t FROM thr)""",
         "lang_by_source": """
 SELECT source,
        CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,

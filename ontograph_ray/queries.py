@@ -923,6 +923,39 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_near_dup_pairs(docs, max_hamming=2)
 
 
+def q_length_outliers(sf_dir: str):
+    """Two-pass global-statistic filter: documents whose token count
+    exceeds the corpus P90. The threshold comes from the deterministic
+    k-min-hash quantile sketch (tiny gather, no global sort — a
+    constant-key exact quantile would funnel the whole corpus through
+    one worker), then one streaming filter pass. Both passes are
+    deterministic, so the SQL twin recomputes the identical threshold."""
+    from .stages.sketch import quantile_sketch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    tok = docs.map_batches(toks, batch_format="pyarrow")
+    thr = int(
+        quantile_sketch(tok, "n_tokens", "doc_id", {"p90": 0.9}, k=512)[
+            "value"
+        ][0]
+    )
+
+    def over(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["n_tokens"], thr))
+
+    return tok.map_batches(over, batch_format="pyarrow")
+
+
 def q_lang_by_source(sf_dir: str):
     """Distributed crosstab: per-source language counts (5 static
     category columns) — per-block pivot combiner, pre-aggregated

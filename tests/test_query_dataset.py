@@ -82,3 +82,26 @@ def test_struct_contents(ray_session, corpus):
     ]
     dp = {d["prop"]: d["literals"] for d in i3["data_props"]}
     assert dp == {"http://abc.com#dataprop2": [L.xsd_integer(42).term]}
+
+
+class TestLengthOutliers:
+    def test_threshold_and_determinism(self, ray_session):
+        from ontograph_ray.queries import q_length_outliers
+
+        a = (
+            q_length_outliers("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            q_length_outliers("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+        assert len(a) > 0
+        # every surviving doc is over the threshold implied by the
+        # smallest survivor (monotone filter sanity)
+        assert a["n_tokens"].min() > 0
