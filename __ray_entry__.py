@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlapping_sessions": q.q_overlapping_sessions,
         "lang_by_source": q.q_lang_by_source,
         "length_outliers": q.q_length_outliers,
+        "source_mix": q.q_source_mix,
         "semdedup": q.q_semdedup,
         "multimodal_features": q.q_multimodal_features,
         "audio_features": q.q_audio_features,

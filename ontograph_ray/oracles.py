@@ -662,6 +662,15 @@ SELECT a.vec_id AS src_id, b.vec_id AS dst_id
 FROM embeddings a CROSS JOIN embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+        # deterministic source-mixing sampler: splitmix64 keep rule
+        # re-derived per row; weights srcN = 500 + 400*N basis points
+        "source_mix": f"""
+WITH src AS (SELECT doc_id, source,
+                    xor(CAST(doc_id AS UBIGINT), 11) AS x FROM documents),
+{_splitmix64_ctes('src', 'x', 'mix_hashed')}
+SELECT doc_id, source FROM mix_hashed
+WHERE CAST(h % 10000 AS BIGINT)
+      < 500 + 400 * CAST(substr(source, 4) AS BIGINT)""",
         # sketch-thresholded outlier filter: the SAME deterministic
         # k-min-hash sample picks the P90 threshold, then a plain filter
         "length_outliers": f"""

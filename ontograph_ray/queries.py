@@ -923,6 +923,18 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_near_dup_pairs(docs, max_hamming=2)
 
 
+def q_source_mix(sf_dir: str):
+    """Deterministic per-source mixing sampler (Pile/Dolma-style
+    domain weights, reproducible): srcN keeps at (500 + 400·N) basis
+    points via splitmix64(doc_id^11) — one streaming pass, no RNG
+    (stages/export.py::weighted_source_sample)."""
+    from .stages.export import weighted_source_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    weights = {f"src{i}": 500 + 400 * i for i in range(20)}
+    return weighted_source_sample(docs, weights, seed=11)
+
+
 def q_length_outliers(sf_dir: str):
     """Two-pass global-statistic filter: documents whose token count
     exceeds the corpus P90. The threshold comes from the deterministic

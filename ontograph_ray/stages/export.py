@@ -24,6 +24,7 @@ moves each byte once; sorting happens per shard, never globally.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -103,3 +104,34 @@ def write_shards(
         .map_groups(order_shard, batch_format="pandas")
         .write_parquet(out_dir, partition_cols=["shard"])
     )
+
+
+def weighted_source_sample(
+    ds: ray.data.Dataset,
+    weights_bp: dict,
+    seed: int = 11,
+    key_col: str = "doc_id",
+    group_col: str = "source",
+) -> ray.data.Dataset:
+    """Deterministic data-mixing sampler: keep a row iff
+    ``splitmix64(key XOR seed) % 10000 <`` its group's weight in
+    basis points (The-Pile/Dolma-style per-source mixing ratios,
+    made reproducible — no RNG, no shuffle, one streaming pass;
+    a group absent from ``weights_bp`` is dropped). Rates are exact
+    in expectation and the SELECTION is exactly reproducible: the
+    splitmix64 SQL twin re-derives every keep decision."""
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        h = splitmix64(df[key_col].to_numpy().astype(np.uint64) ^ np.uint64(seed))
+        thr = (
+            df[group_col]
+            .map(weights_bp)
+            .fillna(0)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        return df[(h % np.uint64(10000)).astype(np.int64) < thr]
+
+    return ds.map_batches(keep, batch_format="pandas")

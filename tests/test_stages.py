@@ -1599,3 +1599,40 @@ class TestLagOver:
         )
         assert lead["nxt"].tolist()[:2] == [2.0, 3.0]
         assert pd.isna(lead["nxt"].tolist()[2])
+
+
+class TestWeightedSourceSample:
+    def test_rates_and_determinism(self, ray_session):
+        from ontograph_ray.stages.export import (
+            splitmix64,
+            weighted_source_sample,
+        )
+
+        n = 4000
+        df = pd.DataFrame(
+            {
+                "doc_id": range(n),
+                "source": ["a" if i % 2 == 0 else "b" for i in range(n)],
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(5)
+        w = {"a": 2500, "b": 7500}
+        out = weighted_source_sample(ds, w, seed=3).to_pandas()
+        # exact twin: recompute every keep decision
+        h = splitmix64(df["doc_id"].to_numpy().astype(np.uint64) ^ np.uint64(3))
+        thr = df["source"].map(w).to_numpy()
+        expect = df[(h % np.uint64(10000)).astype(np.int64) < thr]
+        assert sorted(out["doc_id"]) == sorted(expect["doc_id"])
+        # rates land near the weights (law of large numbers, fixed seed)
+        ra = (out["source"] == "a").sum() / (n / 2)
+        rb = (out["source"] == "b").sum() / (n / 2)
+        assert abs(ra - 0.25) < 0.05 and abs(rb - 0.75) < 0.05
+
+    def test_unlisted_source_dropped(self, ray_session):
+        from ontograph_ray.stages.export import weighted_source_sample
+
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2], "source": ["x", "y"]})
+        )
+        out = weighted_source_sample(ds, {"x": 10000}).to_pandas()
+        assert out["source"].tolist() == ["x"]
