@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_group_count": q.q_sparql_group_count,
         "sparql_group_sum": q.q_sparql_group_sum,
         "sparql_group_avg": q.q_sparql_group_avg,
+        "sparql_count_distinct": q.q_sparql_count_distinct,
         "sparql_update": q.q_sparql_update,
         "sparql_path": q.q_sparql_path,
         "dedup_spans": q.q_dedup_spans,

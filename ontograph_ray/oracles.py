@@ -227,6 +227,11 @@ SELECT t1.object AS seg,
 FROM t t1 JOIN t t2 ON t2.subject = t1.subject
 WHERE t1.predicate = '<{SEGMENT}>' AND t2.predicate = '<{ACCTBAL}>'
 GROUP BY t1.object""",
+        "sparql_count_distinct": f"""{_T}
+SELECT t1.object AS n, CAST(COUNT(DISTINCT t2.object) AS BIGINT) AS n_segs
+FROM t t1 JOIN t t2 ON t2.subject = t1.subject
+WHERE t1.predicate = '<{IN_NATION}>' AND t2.predicate = '<{SEGMENT}>'
+GROUP BY t1.object""",
         # AVG = exact integer SUM cast to double, divided by COUNT —
         # the same single float64 division the engine does per group
         "sparql_group_avg": f"""{_T}

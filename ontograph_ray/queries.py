@@ -2143,6 +2143,27 @@ def q_sparql_group_avg(sf_dir: str):
     )
 
 
+def q_sparql_count_distinct(sf_dir: str):
+    """E8 extension: COUNT(DISTINCT ?v) — the combiner keeps per-block
+    DISTINCT (key, v) pairs (not collapsed counts), one bucketed
+    exchange co-locates each group, nunique per group at the end."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX rel: <urn:og:rel/>
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?n (COUNT(DISTINCT ?seg) AS ?n_segs) WHERE {{
+          ?c rel:inNation ?n .
+          ?c attr:mktsegment ?seg .
+        }} GROUP BY ?n
+        """,
+    )
+
+
 def q_sparql_ask(sf_dir: str):
     """E8: SPARQL ASK — the two existence forms the reference's store
     layer generates (graph-nonempty, blazegraph_store.go:294; ground

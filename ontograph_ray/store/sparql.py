@@ -66,7 +66,7 @@ silently misanswering):
                                       on unmatched rows; no nesting)
     WHERE { { BGP } UNION { BGP } .. }  (bag union; branches are plain
                                       BGPs binding the SAME variables)
-    SELECT ?g (COUNT(?v|*) AS ?n) (MIN/MAX(?v) AS ?m)
+    SELECT ?g (COUNT([DISTINCT] ?v|*) AS ?n) (MIN/MAX(?v) AS ?m)
            (SUM/AVG(?v) AS ?s) ...  GROUP BY ?g ...
                                       (distributed combiner+exchange
                                       aggregate; COUNT skips unbound
@@ -281,6 +281,13 @@ def parse(text: str) -> _Query:
                 raise SparqlUnsupportedError(f"unsupported aggregate {op!r}")
             if take() != "(":
                 raise SparqlSyntaxError(f"expected ( after {op.upper()}")
+            if peek().upper() == "DISTINCT":
+                take()
+                if op != "count":
+                    raise SparqlUnsupportedError(
+                        f"{op.upper()}(DISTINCT ...) is not supported"
+                    )
+                op = "count_distinct"
             arg = take()
             if arg == "*":
                 if op != "count":
@@ -1065,123 +1072,164 @@ def sparql_select(
         group_by = list(q.group_by)
         aliases = [a for _, _, a in aggs]
 
-        def int_lit(s: "pd.Series") -> "pd.Series":
-            # SUM is defined over xsd-integer-typed literals — the only
-            # numeric literals this engine's term model emits; anything
-            # else (IRIs, plain/lang literals, unbound OPTIONAL vars)
-            # is a strict-subset error, not a silent 0
-            v = s.str.extract(r'^"(-?\d+)"\^\^<', expand=False)
-            if v.isna().any():
-                bad = s[v.isna()].iloc[0] if s[v.isna()].notna().any() else None
-                raise ValueError(
-                    f"SUM needs integer-typed literal bindings, got {bad!r}"
+        if any(op == "count_distinct" for op, _, _ in aggs):
+            # COUNT(DISTINCT ?v): the combiner must keep per-block
+            # DISTINCT (key, v) rows — incompatible with the
+            # row-collapsing partials of the other aggregates, so the
+            # subset allows it only as the sole aggregate
+            if len(aggs) != 1:
+                raise SparqlUnsupportedError(
+                    "COUNT(DISTINCT ?v) cannot be mixed with other "
+                    "aggregates"
                 )
-            return v.astype("int64")
+            _, dvar, dalias = aggs[0]
+            if group_by:
+                def dpartial(df: pd.DataFrame) -> pd.DataFrame:
+                    return df[group_by + [dvar]].drop_duplicates()
 
-        def with_sum_cols(df: pd.DataFrame) -> pd.DataFrame:
-            for op, var, alias in aggs:
-                if op in ("sum", "avg"):
-                    df = df.assign(**{f"__i_{alias}": int_lit(df[var])})
-            return df
+                def dfinal(df: pd.DataFrame) -> pd.DataFrame:
+                    out = (
+                        df.groupby(group_by, sort=False, dropna=False)[dvar]
+                        .nunique()
+                        .rename(dalias)
+                        .reset_index()
+                    )
+                    out[dalias] = out[dalias].astype("int64")
+                    return out
 
-        # AVG is algebraic as a (sum, count) pair: the combiner carries
-        # exact int64 partials and ONE float64 division happens per
-        # group at the end — so the result is bit-identical at any
-        # block layout AND to the SQL twin's SUM(x)::DOUBLE / COUNT(x)
-        partial_cols = []
-        for op_, _, alias_ in aggs:
-            partial_cols += (
-                [f"__s_{alias_}", f"__c_{alias_}"] if op_ == "avg" else [alias_]
-            )
-
-        def partial(df: pd.DataFrame) -> pd.DataFrame:
-            # per-block combiner: count/min/max/sum/avg are algebraic,
-            # so each block shrinks to one row per key pre-exchange
-            if not len(df):
-                return pd.DataFrame(columns=group_by + partial_cols)
-            g = with_sum_cols(df).groupby(group_by, sort=False, dropna=False)
-            cols = {}
-            for op, var, alias in aggs:
-                if op == "count":
-                    cols[alias] = g.size() if var == "*" else g[var].count()
-                elif op == "sum":
-                    cols[alias] = g[f"__i_{alias}"].sum()
-                elif op == "avg":
-                    cols[f"__s_{alias}"] = g[f"__i_{alias}"].sum()
-                    cols[f"__c_{alias}"] = g[f"__i_{alias}"].count()
-                elif op == "min":
-                    cols[alias] = g[var].min()
-                else:
-                    cols[alias] = g[var].max()
-            return pd.DataFrame(cols).reset_index()
-
-        def final(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby(group_by, sort=False, dropna=False)
-            cols = {}
-            for op, _, alias in aggs:
-                if op == "avg":
-                    s = g[f"__s_{alias}"].sum().astype("int64")
-                    c = g[f"__c_{alias}"].sum().astype("int64")
-                    cols[alias] = s / c
-                    continue
-                s = g[alias]
-                cols[alias] = (
-                    s.sum()
-                    if op in ("count", "sum")
-                    else (s.min() if op == "min" else s.max())
+                joined = dstore.bucketed_group_map(
+                    joined, group_by, dfinal, partial_fn=dpartial
                 )
-            out = pd.DataFrame(cols).reset_index()
-            for op, _, alias in aggs:
-                if op in ("count", "sum"):
-                    out[alias] = out[alias].astype("int64")
-            return out
+            else:
+                # whole-result distinct count: one global distinct
+                # exchange (per-block combiner inside distinct_on),
+                # then a count — no driver-side value gather
+                n = dstore.distinct_on(
+                    joined.select_columns([dvar]), [dvar]
+                ).count()
+                import ray.data as rd
 
-        if group_by:
-            joined = dstore.bucketed_group_map(
-                joined, group_by, final, partial_fn=partial
-            )
+                joined = rd.from_pandas(pd.DataFrame({dalias: [n]}))
+            bound = group_by + aliases
         else:
-            # whole-result aggregate: one partial row per block, the
-            # tiny partial table reduces on the driver (result is 1 row)
-            def partial_global(df: pd.DataFrame) -> pd.DataFrame:
+
+            def int_lit(s: "pd.Series") -> "pd.Series":
+                # SUM is defined over xsd-integer-typed literals — the only
+                # numeric literals this engine's term model emits; anything
+                # else (IRIs, plain/lang literals, unbound OPTIONAL vars)
+                # is a strict-subset error, not a silent 0
+                v = s.str.extract(r'^"(-?\d+)"\^\^<', expand=False)
+                if v.isna().any():
+                    bad = s[v.isna()].iloc[0] if s[v.isna()].notna().any() else None
+                    raise ValueError(
+                        f"SUM needs integer-typed literal bindings, got {bad!r}"
+                    )
+                return v.astype("int64")
+
+            def with_sum_cols(df: pd.DataFrame) -> pd.DataFrame:
+                for op, var, alias in aggs:
+                    if op in ("sum", "avg"):
+                        df = df.assign(**{f"__i_{alias}": int_lit(df[var])})
+                return df
+
+            # AVG is algebraic as a (sum, count) pair: the combiner carries
+            # exact int64 partials and ONE float64 division happens per
+            # group at the end — so the result is bit-identical at any
+            # block layout AND to the SQL twin's SUM(x)::DOUBLE / COUNT(x)
+            partial_cols = []
+            for op_, _, alias_ in aggs:
+                partial_cols += (
+                    [f"__s_{alias_}", f"__c_{alias_}"] if op_ == "avg" else [alias_]
+                )
+
+            def partial(df: pd.DataFrame) -> pd.DataFrame:
+                # per-block combiner: count/min/max/sum/avg are algebraic,
+                # so each block shrinks to one row per key pre-exchange
                 if not len(df):
-                    return pd.DataFrame(columns=aliases)
+                    return pd.DataFrame(columns=group_by + partial_cols)
+                g = with_sum_cols(df).groupby(group_by, sort=False, dropna=False)
                 cols = {}
                 for op, var, alias in aggs:
                     if op == "count":
-                        cols[alias] = [len(df) if var == "*" else int(df[var].count())]
+                        cols[alias] = g.size() if var == "*" else g[var].count()
                     elif op == "sum":
-                        cols[alias] = [int(int_lit(df[var]).sum())]
+                        cols[alias] = g[f"__i_{alias}"].sum()
                     elif op == "avg":
-                        iv = int_lit(df[var])
-                        cols[f"__s_{alias}"] = [int(iv.sum())]
-                        cols[f"__c_{alias}"] = [int(iv.count())]
+                        cols[f"__s_{alias}"] = g[f"__i_{alias}"].sum()
+                        cols[f"__c_{alias}"] = g[f"__i_{alias}"].count()
                     elif op == "min":
-                        cols[alias] = [df[var].min()]
+                        cols[alias] = g[var].min()
                     else:
-                        cols[alias] = [df[var].max()]
-                return pd.DataFrame(cols)
+                        cols[alias] = g[var].max()
+                return pd.DataFrame(cols).reset_index()
 
-            parts = joined.map_batches(
-                partial_global, batch_format="pandas"
-            ).to_pandas()
-            row = {}
-            for op, _, alias in aggs:
-                if op in ("count", "sum"):
-                    row[alias] = int(parts[alias].sum()) if len(parts) else 0
-                elif op == "avg":
-                    c = int(parts[f"__c_{alias}"].sum()) if len(parts) else 0
-                    row[alias] = (
-                        int(parts[f"__s_{alias}"].sum()) / c if c else None
+            def final(df: pd.DataFrame) -> pd.DataFrame:
+                g = df.groupby(group_by, sort=False, dropna=False)
+                cols = {}
+                for op, _, alias in aggs:
+                    if op == "avg":
+                        s = g[f"__s_{alias}"].sum().astype("int64")
+                        c = g[f"__c_{alias}"].sum().astype("int64")
+                        cols[alias] = s / c
+                        continue
+                    s = g[alias]
+                    cols[alias] = (
+                        s.sum()
+                        if op in ("count", "sum")
+                        else (s.min() if op == "min" else s.max())
                     )
-                elif op == "min":
-                    row[alias] = parts[alias].min() if len(parts) else None
-                else:
-                    row[alias] = parts[alias].max() if len(parts) else None
-            import ray.data as rd
+                out = pd.DataFrame(cols).reset_index()
+                for op, _, alias in aggs:
+                    if op in ("count", "sum"):
+                        out[alias] = out[alias].astype("int64")
+                return out
 
-            joined = rd.from_pandas(pd.DataFrame([row]))
-        bound = group_by + aliases
+            if group_by:
+                joined = dstore.bucketed_group_map(
+                    joined, group_by, final, partial_fn=partial
+                )
+            else:
+                # whole-result aggregate: one partial row per block, the
+                # tiny partial table reduces on the driver (result is 1 row)
+                def partial_global(df: pd.DataFrame) -> pd.DataFrame:
+                    if not len(df):
+                        return pd.DataFrame(columns=aliases)
+                    cols = {}
+                    for op, var, alias in aggs:
+                        if op == "count":
+                            cols[alias] = [len(df) if var == "*" else int(df[var].count())]
+                        elif op == "sum":
+                            cols[alias] = [int(int_lit(df[var]).sum())]
+                        elif op == "avg":
+                            iv = int_lit(df[var])
+                            cols[f"__s_{alias}"] = [int(iv.sum())]
+                            cols[f"__c_{alias}"] = [int(iv.count())]
+                        elif op == "min":
+                            cols[alias] = [df[var].min()]
+                        else:
+                            cols[alias] = [df[var].max()]
+                    return pd.DataFrame(cols)
+
+                parts = joined.map_batches(
+                    partial_global, batch_format="pandas"
+                ).to_pandas()
+                row = {}
+                for op, _, alias in aggs:
+                    if op in ("count", "sum"):
+                        row[alias] = int(parts[alias].sum()) if len(parts) else 0
+                    elif op == "avg":
+                        c = int(parts[f"__c_{alias}"].sum()) if len(parts) else 0
+                        row[alias] = (
+                            int(parts[f"__s_{alias}"].sum()) / c if c else None
+                        )
+                    elif op == "min":
+                        row[alias] = parts[alias].min() if len(parts) else None
+                    else:
+                        row[alias] = parts[alias].max() if len(parts) else None
+                import ray.data as rd
+
+                joined = rd.from_pandas(pd.DataFrame([row]))
+            bound = group_by + aliases
 
     cols = (
         [v for v in bound if not v.startswith("__pp")]

@@ -1733,3 +1733,63 @@ class TestIntervalOverlapJoin:
         # both intervals span many shared cells → still one output row
         got = self._join([(1, 0, 100)], [(2, 0, 100)], 3)
         assert got == [(1, 2)]
+
+
+class TestSparqlCountDistinct:
+    def _store(self):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = []
+        # group a: values x,x,y → 2 distinct; group b: z → 1
+        for i, (g, v) in enumerate(
+            [("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")]
+        ):
+            trps.append(new_triple(r(f"urn:e{i}"), r("urn:grp"), l(g)))
+            trps.append(new_triple(r(f"urn:e{i}"), r("urn:val"), l(v)))
+        return DatasetGraphStore.from_triples("urn:g", trps)
+
+    def test_grouped(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        out = (
+            sparql_select(
+                self._store(),
+                "SELECT ?g (COUNT(DISTINCT ?v) AS ?n) WHERE { "
+                "?e <urn:grp> ?g . ?e <urn:val> ?v . } GROUP BY ?g",
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        assert out.values.tolist() == [['"a"', 2], ['"b"', 1]]
+
+    def test_whole_result(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        out = sparql_select(
+            self._store(),
+            "SELECT (COUNT(DISTINCT ?v) AS ?n) WHERE { ?e <urn:val> ?v . }",
+        ).to_pandas()
+        assert out["n"].tolist() == [3]
+
+    def test_mixing_refused(self, ray_session):
+        import pytest
+        from ontograph_ray.store.sparql import (
+            SparqlUnsupportedError,
+            sparql_select,
+        )
+
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(
+                self._store(),
+                "SELECT ?g (COUNT(DISTINCT ?v) AS ?n) (COUNT(*) AS ?m) "
+                "WHERE { ?e <urn:grp> ?g . ?e <urn:val> ?v . } GROUP BY ?g",
+            ).to_pandas()
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(
+                self._store(),
+                "SELECT (SUM(DISTINCT ?v) AS ?n) WHERE { ?e <urn:val> ?v . }",
+            )
