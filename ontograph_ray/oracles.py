@@ -227,6 +227,10 @@ SELECT t1.object AS seg,
 FROM t t1 JOIN t t2 ON t2.subject = t1.subject
 WHERE t1.predicate = '<{SEGMENT}>' AND t2.predicate = '<{ACCTBAL}>'
 GROUP BY t1.object""",
+        "sparql_having": f"""{_T}
+SELECT object AS n, CAST(COUNT(*) AS BIGINT) AS n_cust
+FROM t WHERE predicate = '<{IN_NATION}>'
+GROUP BY object HAVING COUNT(*) > 60""",
         "sparql_count_distinct": f"""{_T}
 SELECT t1.object AS n, CAST(COUNT(DISTINCT t2.object) AS BIGINT) AS n_segs
 FROM t t1 JOIN t t2 ON t2.subject = t1.subject

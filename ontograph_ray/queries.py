@@ -2143,6 +2143,24 @@ def q_sparql_group_avg(sf_dir: str):
     )
 
 
+def q_sparql_having(sf_dir: str):
+    """E8 extension: HAVING — post-aggregate group filter on the
+    combiner+exchange COUNT, one vectorized compare per batch."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX rel: <urn:og:rel/>
+        SELECT ?n (COUNT(?c) AS ?n_cust) WHERE {{
+          ?c rel:inNation ?n .
+        }} GROUP BY ?n HAVING ( COUNT(?c) > 60 )
+        """,
+    )
+
+
 def q_sparql_count_distinct(sf_dir: str):
     """E8 extension: COUNT(DISTINCT ?v) — the combiner keeps per-block
     DISTINCT (key, v) pairs (not collapsed counts), one bucketed

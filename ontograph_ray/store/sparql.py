@@ -75,7 +75,11 @@ silently misanswering):
                                       bindings — exact int64 partials,
                                       anything else raises; AVG = one
                                       float64 division per group from
-                                      exact (sum, count); no GROUP BY → one
+                                      exact (sum, count); HAVING
+                                      ( AGG(...) cmp int ) filters the
+                                      groups post-aggregate — the
+                                      aggregate must also appear in
+                                      SELECT; no GROUP BY → one
                                       whole-result row)
     VALUES ?v { t ... }               (postfix inline-data join over
     VALUES (?a ?b) { (t t) ... }      required-bound variables: one
@@ -214,6 +218,9 @@ class _Query:
     #          (var, descending) — from ?v / ASC(?v) / DESC(?v)
     limit: int | None = None
     offset: int | None = None
+    # HAVING ( AGG(?v|*) cmp int ): (alias-of-matching-SELECT-agg,
+    # cmp, int) — applied as a post-aggregate filter
+    having: list[tuple[str, str, int]] = field(default_factory=list)
 
 
 def _expand(tok: str, prefixes: dict[str, str], slot: str) -> str:
@@ -587,6 +594,7 @@ def parse(text: str) -> _Query:
 
     order_by: list[tuple[str, bool]] = []
     group_by: list[str] = []
+    having: list[tuple[str, str, int]] = []
     limit = None
     offset = None
     values_clause = None
@@ -637,6 +645,53 @@ def parse(text: str) -> _Query:
                 group_by.append(take()[1:])
             if not group_by:
                 raise SparqlSyntaxError("GROUP BY needs variables")
+        elif kw == "HAVING":
+            if take() != "(":
+                raise SparqlSyntaxError("expected ( after HAVING")
+            hop = take().lower()
+            if hop not in ("count", "min", "max", "sum", "avg"):
+                raise SparqlUnsupportedError(
+                    f"HAVING needs an aggregate, got {hop!r}"
+                )
+            if take() != "(":
+                raise SparqlSyntaxError(f"expected ( after {hop.upper()}")
+            if peek().upper() == "DISTINCT":
+                take()
+                if hop != "count":
+                    raise SparqlUnsupportedError(
+                        f"{hop.upper()}(DISTINCT ...) is not supported"
+                    )
+                hop = "count_distinct"
+            harg = take()
+            if harg != "*" and not harg.startswith("?"):
+                raise SparqlSyntaxError("HAVING aggregate needs ?var or *")
+            if take() != ")":
+                raise SparqlSyntaxError(f"expected ) closing {hop.upper()}")
+            cmp = take()
+            if cmp not in ("<", ">", "<=", ">=", "=", "!="):
+                raise SparqlSyntaxError(f"bad HAVING comparator {cmp!r}")
+            n = take()
+            hneg = n == "-"
+            if hneg:
+                n = take()
+            if not n.isdigit():
+                raise SparqlSyntaxError(
+                    f"HAVING needs an integer bound, got {n!r}"
+                )
+            if take() != ")":
+                raise SparqlSyntaxError("expected ) closing HAVING")
+            key = harg if harg == "*" else harg[1:]
+            match = [
+                a for op_, v_, a in aggregates if op_ == hop and v_ == key
+            ]
+            if not match:
+                raise SparqlUnsupportedError(
+                    "the HAVING aggregate must also appear in SELECT "
+                    "(this subset filters on the selected alias)"
+                )
+            having.append(
+                (match[0], cmp, -int(n) if hneg else int(n))
+            )
         elif kw == "ORDER":
             if take().upper() != "BY":
                 raise SparqlSyntaxError("expected ORDER BY")
@@ -695,10 +750,12 @@ def parse(text: str) -> _Query:
             raise SparqlSyntaxError(
                 f"selected variables not in GROUP BY or aggregated: {bad}"
             )
+    if having and not aggregates:
+        raise SparqlUnsupportedError("HAVING requires aggregates")
     return _Query(
         select, distinct, patterns, filters, optionals,
         minus_groups, exists_groups, values_clause, union_groups,
-        aggregates, group_by, order_by, limit, offset
+        aggregates, group_by, order_by, limit, offset, having=having
     )
 
 
@@ -1230,6 +1287,24 @@ def sparql_select(
 
                 joined = rd.from_pandas(pd.DataFrame([row]))
             bound = group_by + aliases
+
+    if q.having:
+        # post-aggregate filter on the already-computed alias columns
+        # (plain numeric columns, no term decode) — streaming
+        hv = list(q.having)
+        _HCMP = {
+            "<": pc.less, ">": pc.greater, "<=": pc.less_equal,
+            ">=": pc.greater_equal, "=": pc.equal, "!=": pc.not_equal,
+        }
+
+        def apply_having(batch: pa.Table) -> pa.Table:
+            mask = None
+            for alias, cmp, n in hv:
+                m = _HCMP[cmp](batch[alias], n)
+                mask = m if mask is None else pc.and_(mask, m)
+            return batch.filter(mask)
+
+        joined = joined.map_batches(apply_having, batch_format="pyarrow")
 
     cols = (
         [v for v in bound if not v.startswith("__pp")]

@@ -1793,3 +1793,58 @@ class TestSparqlCountDistinct:
                 self._store(),
                 "SELECT (SUM(DISTINCT ?v) AS ?n) WHERE { ?e <urn:val> ?v . }",
             )
+
+
+class TestSparqlHaving:
+    def _store(self):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        # group a: 3 members, b: 1 member
+        trps = [
+            new_triple(r(f"urn:e{i}"), r("urn:grp"), l(g))
+            for i, g in enumerate(["a", "a", "a", "b"])
+        ]
+        return DatasetGraphStore.from_triples("urn:g", trps)
+
+    def test_having_filters_groups(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        out = sparql_select(
+            self._store(),
+            "SELECT ?g (COUNT(?e) AS ?n) WHERE { ?e <urn:grp> ?g . } "
+            "GROUP BY ?g HAVING ( COUNT(?e) >= 2 )",
+        ).to_pandas()
+        assert out.values.tolist() == [['"a"', 3]]
+
+    def test_having_errors(self, ray_session):
+        import pytest
+        from ontograph_ray.store.sparql import (
+            SparqlSyntaxError,
+            SparqlUnsupportedError,
+            sparql_select,
+        )
+
+        ds = self._store()
+        # HAVING aggregate not in SELECT
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(
+                ds,
+                "SELECT ?g (COUNT(?e) AS ?n) WHERE { ?e <urn:grp> ?g . } "
+                "GROUP BY ?g HAVING ( MIN(?e) > 1 )",
+            )
+        # HAVING without aggregates
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(
+                ds,
+                "SELECT ?g WHERE { ?e <urn:grp> ?g . } HAVING ( COUNT(?e) > 1 )",
+            )
+        # non-integer bound
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(
+                ds,
+                "SELECT ?g (COUNT(?e) AS ?n) WHERE { ?e <urn:grp> ?g . } "
+                'GROUP BY ?g HAVING ( COUNT(?e) > "x" )',
+            )
