@@ -477,10 +477,17 @@ def minhash_dedup(
     sigs = minhash_signatures(ds, k, num_perm, concurrency)
     from ..store.dataset import distinct_on
 
-    # the same (anchor, member) pair fires in several bands — one
-    # bucketed distinct so each pair is verified exactly once
+    # the same pair fires in several bands — one bucketed distinct so
+    # each pair is verified exactly once. Clique mode: verifying EVERY
+    # within-bucket pair closes the star-mode under-merge (two true
+    # near-dups sharing a bucket whose anchor edges fail verification
+    # were never merged); cost is bounded by clique_cap²/2 pairs per
+    # bucket, and oversized buckets degrade to star+chain inside
+    # lsh_candidate_pairs
     cands = distinct_on(
-        lsh_candidate_pairs(sigs, bands, num_buckets), ["src_id", "dst_id"], 16
+        lsh_candidate_pairs(sigs, bands, num_buckets, mode="clique"),
+        ["src_id", "dst_id"],
+        16,
     )
 
     verified = verify_pairs(cands, ds, k=k, threshold=threshold, num_buckets=num_buckets)
