@@ -252,11 +252,19 @@ def main_scaling() -> None:
         for n in (lo, hi)
     }
     eff = (med[hi] / med[lo]) / (hi / lo)
+    # best-rep pairing: co-tenant bursts on this shared box can halve
+    # individual reps (the interleaving spreads the risk but cannot
+    # remove it); the max-over-reps pair estimates the uncontended
+    # capability and is reported ALONGSIDE the median headline, never
+    # in place of it
+    best = {n: max(r["triples_per_sec"] for r in runs[n]) for n in (lo, hi)}
+    eff_best = (best[hi] / best[lo]) / (hi / lo)
 
     out = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "value_best_rep": round(eff_best, 3),
         "sf": SF_DIR,
         "amplify": AMPLIFY_SCALING,
         "repeats": SCALE_REPEATS,
