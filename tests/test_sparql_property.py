@@ -28,6 +28,13 @@ _words = st.sampled_from(
         "?s", "?p", "?o", "?x", "*", "{", "}", "(", ")", ".", ",",
         "=", "!=", "7", "<urn:x>", "<https://e.org/p>", '"lit"',
         '"l"@en', '"3"^^<urn:dt>', "pfx:", "pfx:name",
+        # round-2 grammar extensions: path modifiers / negsets,
+        # ORDER direction, HAVING, numeric filters, AVG / DISTINCT
+        # aggregates — the fuzzer must keep the typed-error contract
+        # over these tokens too
+        "SUM", "AVG", "HAVING", "ASC", "DESC", "VALUES", "MINUS",
+        "EXISTS", "NOT", "OFFSET", "+", "?", "!", "^", "/", "|",
+        "<", ">", "<=", ">=", "-", "0", "60",
     ]
 )
 _soup = st.lists(_words, min_size=0, max_size=25).map(" ".join)
