@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     "bpe_token_counts",
     "semdedup",
     "bloom_seen",
+    "chunk_documents",
+    "events_lag",
+    "overlapping_sessions",
+    "source_mix",
     # part_triangles is NOT timed for the same reason as
     # kg_sameas_salted: at sf0.1 the support>=2 co-purchase graph is
     # near-empty (1 triangle), so its wall is ~7 exchanges of fixed

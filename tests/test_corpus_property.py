@@ -78,3 +78,52 @@ def test_splitmix64_vector_matches_scalar(xs):
 
     got = splitmix64(np.asarray(xs, dtype=np.uint64))
     assert got.tolist() == [_splitmix64_scalar(x) for x in xs]
+
+
+class TestChunkDocumentsProperty:
+    """Hypothesis: chunk_documents equals a naive per-document twin for
+    arbitrary texts, windows and strides."""
+
+    def test_matches_naive_twin(self, ray_session):
+        from hypothesis import given, settings, strategies as st
+
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.stages.packing import chunk_documents
+
+        texts_st = st.lists(
+            st.text(
+                alphabet=st.sampled_from("ab x"), min_size=0, max_size=40
+            ),
+            min_size=1,
+            max_size=6,
+        )
+
+        @settings(max_examples=30, deadline=None)
+        @given(
+            texts=texts_st,
+            window=st.integers(1, 8),
+            extra=st.integers(0, 4),
+        )
+        def run(texts, window, extra):
+            stride = max(1, window - extra)
+            ds = ray.data.from_pandas(
+                pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+            )
+            got = (
+                chunk_documents(ds, window=window, stride=stride)
+                .to_pandas()
+                .sort_values(["doc_id", "chunk_id"])
+                .reset_index(drop=True)
+            )
+            rows = []
+            for i, t in enumerate(texts):
+                toks = t.split(" ")
+                n = len(toks)
+                for c in range((n + stride - 1) // stride):
+                    piece = toks[c * stride : c * stride + window]
+                    rows.append((i, c, len(piece), " ".join(piece)))
+            assert [tuple(r) for r in got.values.tolist()] == rows
+
+        run()
