@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_group_avg": q.q_sparql_group_avg,
         "sparql_count_distinct": q.q_sparql_count_distinct,
         "sparql_having": q.q_sparql_having,
+        "sparql_group_concat": q.q_sparql_group_concat,
         "sparql_update": q.q_sparql_update,
         "sparql_path": q.q_sparql_path,
         "dedup_spans": q.q_dedup_spans,

@@ -227,6 +227,12 @@ SELECT t1.object AS seg,
 FROM t t1 JOIN t t2 ON t2.subject = t1.subject
 WHERE t1.predicate = '<{SEGMENT}>' AND t2.predicate = '<{ACCTBAL}>'
 GROUP BY t1.object""",
+        "sparql_group_concat": f"""{_T}
+SELECT t1.object AS r, string_agg(t2.object, '|' ORDER BY t2.object) AS nations
+FROM t t1 JOIN t t2 ON t2.subject = t1.subject
+WHERE t1.predicate = '<{IN_REGION}>'
+  AND t2.predicate = '<{C.RDFS_LABEL}>'
+GROUP BY t1.object""",
         "sparql_having": f"""{_T}
 SELECT object AS n, CAST(COUNT(*) AS BIGINT) AS n_cust
 FROM t WHERE predicate = '<{IN_NATION}>'

@@ -2143,6 +2143,28 @@ def q_sparql_group_avg(sf_dir: str):
     )
 
 
+def q_sparql_group_concat(sf_dir: str):
+    """E8 extension: GROUP_CONCAT with explicit separator — values
+    SORTED within each group (SPARQL leaves the order
+    implementation-defined; sorting makes it deterministic and
+    SQL-twin-exact via string_agg(... ORDER BY ...))."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX rel: <urn:og:rel/>
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?r (GROUP_CONCAT(?lbl; SEPARATOR="|") AS ?nations) WHERE {{
+          ?n rel:inRegion ?r .
+          ?n rdfs:label ?lbl .
+        }} GROUP BY ?r
+        """,
+    )
+
+
 def q_sparql_having(sf_dir: str):
     """E8 extension: HAVING — post-aggregate group filter on the
     combiner+exchange COUNT, one vectorized compare per batch."""

@@ -67,7 +67,9 @@ silently misanswering):
     WHERE { { BGP } UNION { BGP } .. }  (bag union; branches are plain
                                       BGPs binding the SAME variables)
     SELECT ?g (COUNT([DISTINCT] ?v|*) AS ?n) (MIN/MAX(?v) AS ?m)
-           (SUM/AVG(?v) AS ?s) ...  GROUP BY ?g ...
+           (SUM/AVG(?v) AS ?s)
+           (GROUP_CONCAT(?v [; SEPARATOR="s"]) AS ?c)
+           ...  GROUP BY ?g ...
                                       (distributed combiner+exchange
                                       aggregate; COUNT skips unbound
                                       OPTIONAL bindings; SUM/AVG require
@@ -171,7 +173,7 @@ _TOKEN = re.compile(
       | (?P<uri><[^<>\s]*>)
       | (?P<lit>"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+|\^\^(?:<[^<>\s]*>|[A-Za-z_][\w-]*:[\w-]+))?)
       | (?P<neg>!(?!=))
-      | (?P<punct>[{}.(),/|^+?-])
+      | (?P<punct>[{}.(),/|^+?;-])
       | (?P<op><=|>=|!=|=|<|>)
       | (?P<num>\d+)
       | (?P<word>[A-Za-z_][\w-]*(?::[\w-]*)?|\*)
@@ -221,6 +223,8 @@ class _Query:
     # HAVING ( AGG(?v|*) cmp int ): (alias-of-matching-SELECT-agg,
     # cmp, int) — applied as a post-aggregate filter
     having: list[tuple[str, str, int]] = field(default_factory=list)
+    # GROUP_CONCAT separators by alias (default " ")
+    concat_seps: dict = field(default_factory=dict)
 
 
 def _expand(tok: str, prefixes: dict[str, str], slot: str) -> str:
@@ -279,12 +283,13 @@ def parse(text: str) -> _Query:
     distinct = peek().upper() == "DISTINCT" and bool(take())
     select: list[str] = []
     aggregates: list[tuple[str, str, str]] = []
+    concat_seps: dict = {}
     while peek().startswith("?") or peek() in ("*", "("):
         if peek() == "(":
             # ( COUNT|MIN|MAX|SUM|AVG ( ?v | * ) AS ?alias )
             take()
             op = take().lower()
-            if op not in ("count", "min", "max", "sum", "avg"):
+            if op not in ("count", "min", "max", "sum", "avg", "group_concat"):
                 raise SparqlUnsupportedError(f"unsupported aggregate {op!r}")
             if take() != "(":
                 raise SparqlSyntaxError(f"expected ( after {op.upper()}")
@@ -301,6 +306,21 @@ def parse(text: str) -> _Query:
                     raise SparqlSyntaxError(f"{op.upper()}(*) is not valid")
             elif not arg.startswith("?"):
                 raise SparqlSyntaxError(f"{op.upper()} needs ?var or *")
+            sep = " "
+            if op == "group_concat" and peek() == ";":
+                take()
+                if take().upper() != "SEPARATOR":
+                    raise SparqlSyntaxError(
+                        "expected SEPARATOR after ; in GROUP_CONCAT"
+                    )
+                if take() != "=":
+                    raise SparqlSyntaxError("expected = after SEPARATOR")
+                sv = take()
+                if not (sv.startswith('"') and sv.endswith('"')):
+                    raise SparqlSyntaxError(
+                        'GROUP_CONCAT separator must be a plain "string"'
+                    )
+                sep = sv[1:-1]
             if take() != ")":
                 raise SparqlSyntaxError(f"expected ) closing {op.upper()}")
             if take().upper() != "AS":
@@ -311,6 +331,8 @@ def parse(text: str) -> _Query:
             if take() != ")":
                 raise SparqlSyntaxError("expected ) closing the aggregate")
             aggregates.append((op, arg if arg == "*" else arg[1:], alias[1:]))
+            if op == "group_concat":
+                concat_seps[alias[1:]] = sep
             select.append(alias[1:])
             continue
         t = take()
@@ -755,7 +777,8 @@ def parse(text: str) -> _Query:
     return _Query(
         select, distinct, patterns, filters, optionals,
         minus_groups, exists_groups, values_clause, union_groups,
-        aggregates, group_by, order_by, limit, offset, having=having
+        aggregates, group_by, order_by, limit, offset, having=having,
+        concat_seps=concat_seps,
     )
 
 
@@ -1129,7 +1152,46 @@ def sparql_select(
         group_by = list(q.group_by)
         aliases = [a for _, _, a in aggs]
 
-        if any(op == "count_distinct" for op, _, _ in aggs):
+        if any(op == "group_concat" for op, _, _ in aggs):
+            # GROUP_CONCAT: the raw values must reach the final pass
+            # (no combiner can pre-concatenate), so — like
+            # COUNT(DISTINCT) — the subset allows it only as the sole
+            # aggregate, and only WITH a GROUP BY (a whole-corpus
+            # concat into one string is an anti-scale operation).
+            # Order inside each group is SORTED (SPARQL leaves it
+            # implementation-defined; sorting makes the result
+            # deterministic and gives it an exact SQL twin:
+            # string_agg(v, sep ORDER BY v)). Duplicates are kept
+            # (bag semantics).
+            if len(aggs) != 1:
+                raise SparqlUnsupportedError(
+                    "GROUP_CONCAT cannot be mixed with other aggregates"
+                )
+            if not group_by:
+                raise SparqlUnsupportedError(
+                    "GROUP_CONCAT requires GROUP BY in this subset"
+                )
+            _, gvar, galias = aggs[0]
+            gsep = q.concat_seps.get(galias, " ")
+
+            def gc_final(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.sort_values(group_by + [gvar], kind="stable")
+                return (
+                    df.groupby(group_by, sort=False, dropna=False)[gvar]
+                    .agg(gsep.join)
+                    .rename(galias)
+                    .reset_index()
+                )
+
+            joined = dstore.bucketed_group_map(
+                joined.select_columns(
+                    list(dict.fromkeys(group_by + [gvar]))
+                ),
+                group_by,
+                gc_final,
+            )
+            bound = group_by + aliases
+        elif any(op == "count_distinct" for op, _, _ in aggs):
             # COUNT(DISTINCT ?v): the combiner must keep per-block
             # DISTINCT (key, v) rows — incompatible with the
             # row-collapsing partials of the other aggregates, so the

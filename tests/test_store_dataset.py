@@ -1848,3 +1848,65 @@ class TestSparqlHaving:
                 "SELECT ?g (COUNT(?e) AS ?n) WHERE { ?e <urn:grp> ?g . } "
                 'GROUP BY ?g HAVING ( COUNT(?e) > "x" )',
             )
+
+
+class TestSparqlGroupConcat:
+    def _store(self):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = []
+        for i, (g, v) in enumerate(
+            [("a", "z"), ("a", "x"), ("a", "x"), ("b", "q")]
+        ):
+            trps.append(new_triple(r(f"urn:e{i}"), r("urn:grp"), l(g)))
+            trps.append(new_triple(r(f"urn:e{i}"), r("urn:val"), l(v)))
+        return DatasetGraphStore.from_triples("urn:g", trps)
+
+    def test_sorted_bag_concat(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        out = (
+            sparql_select(
+                self._store(),
+                'SELECT ?g (GROUP_CONCAT(?v; SEPARATOR=",") AS ?c) WHERE '
+                "{ ?e <urn:grp> ?g . ?e <urn:val> ?v . } GROUP BY ?g",
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        # sorted within group, duplicates kept
+        assert out.values.tolist() == [
+            ['"a"', '"x","x","z"'],
+            ['"b"', '"q"'],
+        ]
+
+    def test_default_separator_and_errors(self, ray_session):
+        import pytest
+        from ontograph_ray.store.sparql import (
+            SparqlUnsupportedError,
+            sparql_select,
+        )
+
+        out = sparql_select(
+            self._store(),
+            "SELECT ?g (GROUP_CONCAT(?v) AS ?c) WHERE "
+            "{ ?e <urn:grp> ?g . ?e <urn:val> ?v . } GROUP BY ?g",
+        ).to_pandas()
+        assert '"q"' in out["c"].tolist()
+        # no GROUP BY → refused (whole-corpus concat)
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(
+                self._store(),
+                "SELECT (GROUP_CONCAT(?v) AS ?c) WHERE { ?e <urn:val> ?v . }",
+            ).to_pandas()
+        # mixing with other aggregates → refused
+        with pytest.raises(SparqlUnsupportedError):
+            sparql_select(
+                self._store(),
+                "SELECT ?g (GROUP_CONCAT(?v) AS ?c) (COUNT(*) AS ?n) WHERE "
+                "{ ?e <urn:grp> ?g . ?e <urn:val> ?v . } GROUP BY ?g",
+            ).to_pandas()
