@@ -195,6 +195,37 @@ class VersionedGraphStorage:
                 {"graph_uri": self.graph_uri, "dropped_at": time.time()}, f
             )
 
+    def compact(self, target_rows_per_file: int = 1_000_000) -> int:
+        """Rewrite the CURRENT version into right-sized Parquet files —
+        the small-file fix: a long history of little checked batches
+        leaves each version with one file per input block, and readers
+        then pay per-file open/footer cost. One distributed read →
+        ``repartition(ceil(rows/target))`` → the standard staged
+        commit (``op="compact"``, manifest swap; old versions stay
+        readable until :meth:`gc`). Content-identical by construction;
+        the commit's footer-derived row count is asserted against the
+        previous version's so silent loss is impossible."""
+        import math
+
+        self._check_not_dropped()
+        man = self._read_manifest()
+        cur = int(man.get("current", 0))
+        if cur == 0:
+            raise RuntimeError("nothing to compact (no committed version)")
+        prev_rows = int(man["versions"][str(cur)]["rows"])
+        ds = ray.data.read_parquet(self._version_dir(cur))
+        n_files = max(1, math.ceil(prev_rows / target_rows_per_file))
+        new_v = self.commit(
+            DatasetGraphStore(self.graph_uri, ds.repartition(n_files)),
+            op="compact",
+        )
+        new_rows = int(self._read_manifest()["versions"][str(new_v)]["rows"])
+        if new_rows != prev_rows:
+            raise RuntimeError(
+                f"compaction row drift: {prev_rows} -> {new_rows}"
+            )
+        return new_v
+
     def gc(self, keep: int = 1) -> list[int]:
         """Delete all but the newest ``keep`` versions' partitions.
         Returns the version numbers removed."""

@@ -1910,3 +1910,50 @@ class TestSparqlGroupConcat:
                 "SELECT ?g (GROUP_CONCAT(?v) AS ?c) (COUNT(*) AS ?n) WHERE "
                 "{ ?e <urn:grp> ?g . ?e <urn:val> ?v . } GROUP BY ?g",
             ).to_pandas()
+
+
+class TestCompaction:
+    def test_compact_shrinks_files_preserves_triples(
+        self, ray_session, tmp_path
+    ):
+        import os
+
+        from ontograph_ray.store.versioned import VersionedGraphStorage
+        from ontograph_ray.triples import Triple
+
+        from test_store import G
+
+        vs = VersionedGraphStorage(str(tmp_path / "g"), G)
+        # ten tiny checked batches → a fragmented current version
+        for i in range(10):
+            vs.add_triples_unchecked(
+                [Triple(f"<{G}#s{i}-{j}>", f"<{G}#p>", f'"{j}"')
+                 for j in range(20)]
+            )
+        cur = vs.current_version()
+        frag_dir = vs._version_dir(cur)
+        frag_files = [f for f in os.listdir(frag_dir) if f.endswith(".parquet")]
+        before = sorted(vs.load().get_all_matches())
+
+        v2 = vs.compact(target_rows_per_file=1_000)
+        comp_dir = vs._version_dir(v2)
+        comp_files = [f for f in os.listdir(comp_dir) if f.endswith(".parquet")]
+        assert len(comp_files) == 1  # 200 rows → one right-sized file
+        assert len(comp_files) < len(frag_files) or len(frag_files) == 1
+        assert vs.versions()[str(v2)]["op"] == "compact"
+        assert sorted(vs.load().get_all_matches()) == before
+        # old version still loadable until gc
+        assert sorted(vs.load(cur).get_all_matches()) == before
+        vs.gc(keep=1)
+        assert not os.path.isdir(frag_dir)
+
+    def test_compact_empty_raises(self, ray_session, tmp_path):
+        import pytest
+
+        from ontograph_ray.store.versioned import VersionedGraphStorage
+
+        from test_store import G
+
+        vs = VersionedGraphStorage(str(tmp_path / "g"), G)
+        with pytest.raises(RuntimeError):
+            vs.compact()
