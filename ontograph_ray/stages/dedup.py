@@ -574,31 +574,43 @@ def verified_near_dup_edges(
     )
 
     def repair(df: pd.DataFrame) -> pd.DataFrame:
-        srcs, dsts = [], []
+        # vectorized failed×members pair build: per bucket, the cross
+        # product comes from one np.repeat/np.tile — no per-pair Python
+        parts = []
+        chain_src, chain_dst = [], []
         for _, g in df.groupby("bkey", sort=False):
-            ids = sorted(g.loc[g["failed"] == 0, "doc_id"].unique())
-            fids = sorted(g.loc[g["failed"] == 1, "doc_id"].unique())
-            if not fids or len(ids) < 3:
+            ids = np.sort(g.loc[g["failed"] == 0, "doc_id"].unique())
+            fids = np.sort(g.loc[g["failed"] == 1, "doc_id"].unique())
+            if not len(fids) or len(ids) < 3:
                 continue
             anchor = ids[0]
             if len(ids) > clique_cap:
                 # oversized collision bucket: chain the failed members
-                chain = sorted(set(fids) | {anchor})
-                for a, b in zip(chain, chain[1:]):
-                    srcs.append(a)
-                    dsts.append(b)
+                chain = np.union1d(fids, [anchor])
+                chain_src.extend(chain[:-1])
+                chain_dst.extend(chain[1:])
                 continue
-            fset = set(fids)
-            for fm in fids:
-                for other in ids:
-                    if other == fm or other == anchor:
-                        continue
-                    if other in fset and other < fm:
-                        continue  # canonical order among failed pairs
-                    a, b = (fm, other) if fm < other else (other, fm)
-                    srcs.append(a)
-                    dsts.append(b)
-        return pd.DataFrame({"src_id": srcs, "dst_id": dsts}).drop_duplicates()
+            a = np.repeat(fids, len(ids))
+            b = np.tile(ids, len(fids))
+            fset_b = np.isin(b, fids, assume_unique=False)
+            # drop self pairs, anchor pairs (already verified), and the
+            # duplicate orientation of failed-failed pairs
+            keep = (a != b) & (b != anchor) & ~(fset_b & (b < a))
+            a, b = a[keep], b[keep]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            parts.append(pd.DataFrame({"src_id": lo, "dst_id": hi}))
+        if chain_src:
+            parts.append(
+                pd.DataFrame({"src_id": chain_src, "dst_id": chain_dst})
+            )
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "src_id": pd.Series(dtype="int64"),
+                    "dst_id": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(parts, ignore_index=True).drop_duplicates()
 
     from ..store.dataset import bucketed_group_map
 
