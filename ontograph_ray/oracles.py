@@ -654,6 +654,11 @@ SELECT a.doc_id,
                   AND b.h % 512 IN (SELECT pos FROM bits)
             THEN 1 ELSE 0 END AS BIGINT) AS maybe_seen
 FROM bph0 a JOIN bph1 b USING (doc_id)""",
+        # IVF top-k over the fixed-point quantizer — plain-numpy twin
+        # (the float-kmeans version was layout-dependent and rows-only)
+        "ann_topk_ivf": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/ann_ivf_sf001.parquet')"
+        ),
         # int64 fixed-point k-means — plain-numpy twin (exact integer
         # arithmetic is block-layout invariant, unlike float Lloyd)
         "kmeans_clusters": (

@@ -883,9 +883,11 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_topk_ivf(sf_dir: str):
-    """IVF-bucketed approximate top-10 (the ANN scale path): kmeans
-    coarse quantizer, nprobe-bucket search. Rows-only check —
-    approximate recall vs the exact oracle is by construction < 1."""
+    """IVF-bucketed approximate top-10 (the ANN scale path): the int64
+    fixed-point k-means coarse quantizer, nprobe-bucket search. The
+    fixed-point quantizer made this layout-invariant, so the
+    approximate result now sits under an exact fixture oracle
+    (plain-numpy twin; the float-kmeans version was rows-only)."""
     from .stages.ann import ivf_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])

@@ -5,8 +5,8 @@
   *partial* top-k rows, a final small reduce merges them (the partial
   results are k·n_queries rows per block, so the reduce side is tiny
   regardless of corpus size).
-- ``ivf_topk``: the scale path — a coarse k-means (Lloyd iterations as
-  map_batches partial-sum aggregates) assigns each vector to a
+- ``ivf_topk``: the scale path — the int64 fixed-point k-means
+  (stages/cluster.py, layout-invariant) assigns each vector to a
   centroid bucket; queries probe only the ``nprobe`` nearest buckets.
 - ``self_similarity_pairs``: all corpus pairs with cosine ≥ threshold
   (embedding near-dup), blocked matmul against a broadcast normalized
@@ -101,50 +101,6 @@ def brute_force_topk(
 # ---------------------------------------------------------------------------
 
 
-def _kmeans(
-    emb_ds: ray.data.Dataset, n_clusters: int, iters: int, vec_col: str, seed: int = 42
-) -> np.ndarray:
-    """Coarse Lloyd k-means: centroids updated from per-batch partial
-    (sum, count) aggregates — one small reduction per iteration, the
-    corpus streams."""
-    first = _as_matrix(
-        pa.Table.from_pylist(emb_ds.limit(max(n_clusters * 4, 256)).take_all()),
-        vec_col,
-    )
-    rng = np.random.RandomState(seed)
-    centroids = first[rng.choice(len(first), size=n_clusters, replace=False)]
-
-    for _ in range(iters):
-        cref = ray.put(centroids)
-
-        def partial(batch: pa.Table) -> pa.Table:
-            c = ray.get(cref)
-            m = _as_matrix(batch, vec_col)
-            assign = np.argmin(
-                ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1), axis=1
-            )
-            sums = np.zeros_like(c, dtype=np.float64)
-            counts = np.zeros(len(c), dtype=np.int64)
-            np.add.at(sums, assign, m)
-            np.add.at(counts, assign, 1)
-            return pa.table(
-                {
-                    "cluster": pa.array(range(len(c)), pa.int32()),
-                    "sum": pa.array(sums.tolist()),
-                    "count": pa.array(counts, pa.int64()),
-                }
-            )
-
-        parts = emb_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-        sums = np.zeros_like(centroids, dtype=np.float64)
-        counts = np.zeros(len(centroids), dtype=np.int64)
-        for _, row in parts.iterrows():
-            sums[row["cluster"]] += np.asarray(row["sum"])
-            counts[row["cluster"]] += row["count"]
-        nonzero = counts > 0
-        centroids = centroids.copy()
-        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
-    return centroids
 
 
 def ivf_topk(
@@ -160,12 +116,26 @@ def ivf_topk(
 ) -> pd.DataFrame:
     """Approximate cosine top-k: assign vectors to IVF buckets, search
     only the nprobe closest buckets per query. Same output schema as
-    brute_force_topk."""
-    centroids = _kmeans(emb_ds, n_clusters, kmeans_iters, vec_col)
+    brute_force_topk.
+
+    The coarse quantizer is the int64 FIXED-POINT k-means
+    (stages/cluster.py) — exact integer arithmetic makes the centroids,
+    and therefore the bucket assignment, the probe set, and (given
+    distinct scores at the k-boundary, asserted by the fixture twin)
+    the returned top-k, BIT-IDENTICAL at any block layout. The float
+    Lloyd this replaced was layout-dependent, which is what kept this
+    operator rows-only under the driver gate."""
+    from .cluster import _assign, _quantize, kmeans_fixed_point
+
+    scale_bits = 16
+    centroids = kmeans_fixed_point(
+        emb_ds, k=n_clusters, iters=kmeans_iters, scale_bits=scale_bits,
+        id_col=id_col, vec_col=vec_col,
+    )
     cref = ray.put(centroids)
     qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
-    # buckets each query probes
-    cn = _normalize(centroids)
+    # buckets each query probes — centroids dequantized for the cosine
+    cn = _normalize(centroids.astype(np.float64) / (1 << scale_bits))
     probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]  # nq × nprobe
     probe_ref = ray.put({"ids": list(query_ids), "vecs": qn, "probe": probe})
 
@@ -177,11 +147,10 @@ def ivf_topk(
             self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_as_matrix(batch, vec_col))
+            raw = _as_matrix(batch, vec_col)
+            m = _normalize(raw)
             ids = np.asarray(batch[id_col].to_pylist())
-            assign = np.argmin(
-                ((m[:, None, :] - self.centroids[None, :, :]) ** 2).sum(-1), axis=1
-            )
+            assign = _assign(_quantize(raw, scale_bits), self.centroids)
             out_q, out_id, out_score = [], [], []
             for qi, qid in enumerate(self.qids):
                 mask = np.isin(assign, self.probe[qi])

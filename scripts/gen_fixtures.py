@@ -635,6 +635,85 @@ def gen_kmeans_clusters(k: int = 8, iters: int = 10, scale_bits: int = 16) -> st
     return f"{path}: {len(ids)} vectors, {len(np.unique(a))} live clusters"
 
 
+def gen_ann_ivf(
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 8,
+    kmeans_iters: int = 3,
+    scale_bits: int = 16,
+    n_queries: int = 5,
+) -> str:
+    """Plain-numpy twin of stages/ann.py::ivf_topk over the fixed-point
+    quantizer (mirrors q_ann_topk_ivf's parameters): int64 Lloyd with
+    smallest-id init, dequantized-centroid probe ranking, bucket-masked
+    float64 cosine top-k with (score DESC, vec_id ASC) tie-break.
+    Bit-valid as an oracle because every step is either exact integer
+    arithmetic or a pure function of it; the k-boundary distinctness
+    assertion below rejects the one case (an exact float tie at the
+    cut) where per-block partial top-k could differ from this twin."""
+    import numpy as np
+
+    emb = pq.read_table(
+        f"{SF001}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, m = ids[order], m[order]
+    xq = np.rint(m * (1 << scale_bits)).astype(np.int64)
+    cents = xq[:n_clusters].copy()
+
+    def nearest(c):
+        diff = xq[:, None, :] - c[None, :, :]
+        return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+
+    for _ in range(kmeans_iters):
+        a = nearest(cents)
+        for j in range(n_clusters):
+            sel = xq[a == j]
+            if len(sel):
+                cents[j] = sel.sum(axis=0) // len(sel)
+    assign = nearest(cents)
+
+    def norm(v):
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return v / n
+
+    mn = norm(m)
+    qmask = ids < n_queries
+    qids, qn = ids[qmask], mn[qmask]
+    cn = norm(cents.astype(np.float64) / (1 << scale_bits))
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]
+
+    out_q, out_id = [], []
+    for qi, qid in enumerate(qids):
+        mask = np.isin(assign, probe[qi])
+        sims = mn[mask] @ qn[qi]
+        sub = ids[mask]
+        o = np.lexsort((sub, -sims))
+        ranked = sims[o]
+        if len(ranked) > k and ranked[k - 1] == ranked[k]:
+            raise RuntimeError(
+                f"float tie at the k-boundary for query {qid} — "
+                "fixture would not be layout-safe"
+            )
+        for i in o[:k]:
+            out_q.append(int(qid))
+            out_id.append(int(sub[i]))
+    path = os.path.join(FIXTURES_DIR, "ann_ivf_sf001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(out_q)} rows ({len(qids)} queries × top-{k})"
+
+
 if __name__ == "__main__":
     os.makedirs(FIXTURES_DIR, exist_ok=True)
     print(gen_entity_pagerank())
@@ -650,3 +729,4 @@ if __name__ == "__main__":
     print(gen_bpe_token_counts())
     print(gen_part_kcore())
     print(gen_kmeans_clusters())
+    print(gen_ann_ivf())
