@@ -659,6 +659,12 @@ FROM bph0 a JOIN bph1 b USING (doc_id)""",
         "ann_topk_ivf": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/ann_ivf_sf001.parquet')"
         ),
+        # multi-probe LSH top-k — plain-numpy twin (seeded hyperplanes
+        # and sign codes are pure deterministic functions; k-boundary
+        # distinctness asserted at fixture-gen time)
+        "ann_topk_lsh": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/ann_lsh_sf001.parquet')"
+        ),
         # int64 fixed-point k-means — plain-numpy twin (exact integer
         # arithmetic is block-layout invariant, unlike float Lloyd)
         "kmeans_clusters": (

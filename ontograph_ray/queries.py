@@ -898,8 +898,11 @@ def q_ann_topk_ivf(sf_dir: str):
 
 def q_ann_topk_lsh(sf_dir: str):
     """Random-hyperplane multi-probe LSH top-10 (the second ANN scale
-    path next to IVF). Rows-only; self-match + recall pinned in
-    pytest."""
+    path next to IVF). Seeded hyperplanes + sign codes are pure
+    deterministic functions and the selection is tie-broken, so the
+    approximate result sits under an exact fixture oracle (plain-numpy
+    twin with a k-boundary distinctness assertion); self-match +
+    recall additionally pinned in pytest."""
     from .stages.ann import lsh_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])

@@ -714,6 +714,85 @@ def gen_ann_ivf(
     return f"{path}: {len(out_q)} rows ({len(qids)} queries × top-{k})"
 
 
+def gen_ann_lsh(
+    k: int = 10,
+    n_planes: int = 6,
+    max_probe_hamming: int = 2,
+    seed: int = 42,
+    n_queries: int = 5,
+) -> str:
+    """Plain-numpy twin of stages/ann.py::lsh_topk (mirrors
+    q_ann_topk_lsh): the seeded hyperplanes, sign codes, multi-probe
+    mask and float64 cosine ranking are all pure deterministic
+    functions, so — with the same k-boundary distinctness assertion as
+    the IVF twin — the approximate result is bit-reproducible and can
+    carry a fixture oracle. (RandomState(seed).randn is part of
+    numpy's frozen legacy stream: stable across versions.)"""
+    import numpy as np
+
+    emb = pq.read_table(
+        f"{SF001}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, m = ids[order], m[order]
+
+    def norm(v):
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return v / n
+
+    mn = norm(m)
+    qmask = ids < n_queries
+    qids, qn = ids[qmask], mn[qmask]
+    d = m.shape[1]
+    planes = np.random.RandomState(seed).randn(d, n_planes)
+
+    def codes_of(v):
+        bits = (v @ planes) > 0
+        return (bits @ (1 << np.arange(n_planes))).astype(np.int64)
+
+    codes = codes_of(mn)
+    qcodes = codes_of(qn)
+    flips = [0]
+    if max_probe_hamming >= 1:
+        flips += [1 << b for b in range(n_planes)]
+    if max_probe_hamming >= 2:
+        flips += [
+            (1 << a) | (1 << b)
+            for a in range(n_planes)
+            for b in range(a + 1, n_planes)
+        ]
+    out_q, out_id = [], []
+    for qi, qid in enumerate(qids):
+        probe = np.asarray(sorted({int(qcodes[qi]) ^ f for f in flips}))
+        mask = np.isin(codes, probe)
+        sims = mn[mask] @ qn[qi]
+        sub = ids[mask]
+        o = np.lexsort((sub, -sims))
+        ranked = sims[o]
+        if len(ranked) > k and ranked[k - 1] == ranked[k]:
+            raise RuntimeError(
+                f"float tie at the k-boundary for query {qid} — "
+                "fixture would not be layout-safe"
+            )
+        for i in o[:k]:
+            out_q.append(int(qid))
+            out_id.append(int(sub[i]))
+    path = os.path.join(FIXTURES_DIR, "ann_lsh_sf001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(out_q)} rows ({len(qids)} queries × ≤top-{k})"
+
+
 if __name__ == "__main__":
     os.makedirs(FIXTURES_DIR, exist_ok=True)
     print(gen_entity_pagerank())
@@ -730,3 +809,4 @@ if __name__ == "__main__":
     print(gen_part_kcore())
     print(gen_kmeans_clusters())
     print(gen_ann_ivf())
+    print(gen_ann_lsh())
