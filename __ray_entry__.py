@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag": q.q_events_lag,
         "overlapping_sessions": q.q_overlapping_sessions,
         "lang_by_source": q.q_lang_by_source,
+        "orders_rollup": q.q_orders_rollup,
         "length_outliers": q.q_length_outliers,
         "source_mix": q.q_source_mix,
         "semdedup": q.q_semdedup,

@@ -707,6 +707,11 @@ src AS (SELECT CAST(doc_id AS UBIGINT) AS x, n_tokens AS v FROM tok),
 samp AS (SELECT v FROM lo_hashed ORDER BY h, v LIMIT 512),
 thr AS (SELECT quantile_disc(v, 0.90) AS t FROM samp)
 SELECT doc_id, n_tokens FROM tok WHERE n_tokens > (SELECT t FROM thr)""",
+        "orders_rollup": """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())""",
         "lang_by_source": """
 SELECT source,
        CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,

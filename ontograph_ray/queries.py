@@ -973,6 +973,20 @@ def q_length_outliers(sf_dir: str):
     return tok.map_batches(over, batch_format="pyarrow")
 
 
+def q_orders_rollup(sf_dir: str):
+    """OLAP GROUPING SETS: order counts at (status, priority),
+    (status), and grand-total granularity in ONE scan — per-block
+    partials for every set, one exchange
+    (store/dataset.py::grouping_sets_count)."""
+    from .store.dataset import grouping_sets_count
+
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    return grouping_sets_count(
+        orders,
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+    )
+
+
 def q_lang_by_source(sf_dir: str):
     """Distributed crosstab: per-source language counts (5 static
     category columns) — per-block pivot combiner, pre-aggregated

@@ -1002,3 +1002,75 @@ def interval_overlap_join(
         return m.loc[keep].drop(columns="__cell")
 
     return bucketed_group_map(both, ["__cell"], per_bucket, num_buckets)
+
+
+def grouping_sets_count(
+    ds: ray.data.Dataset,
+    sets: "list[list[str]]",
+    num_buckets: int = DEDUP_BUCKETS_DEFAULT,
+) -> ray.data.Dataset:
+    """OLAP ``GROUP BY GROUPING SETS`` counts in ONE input pass: the
+    per-block combiner emits a partial count row per (grouping set,
+    key) — every set's partials come from the same block scan, so N
+    sets do NOT cost N scans — then one bucketed exchange keyed on the
+    set id + key columns sums the partials. Columns absent from a
+    row's set are NULL, matching the SQL semantics. ``sets`` must be
+    distinct (two identical sets would double-count, exactly as in
+    SQL); the empty set ``[]`` is the grand total. Output: the union
+    of all key columns (in first-appearance order) plus ``n``."""
+    seen = set()
+    all_cols: list[str] = []
+    for s in sets:
+        key = tuple(s)
+        if key in seen:
+            raise ValueError(f"duplicate grouping set {s!r}")
+        seen.add(key)
+        for c in s:
+            if c not in all_cols:
+                all_cols.append(c)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for gi, s in enumerate(sets):
+            if not len(df):
+                continue
+            if s:
+                g = (
+                    df.groupby(list(s), sort=False, dropna=False)
+                    .size()
+                    .rename("n")
+                    .reset_index()
+                )
+            else:
+                g = pd.DataFrame({"n": [len(df)]})
+            for c in all_cols:
+                if c not in g.columns:
+                    g[c] = None
+            g["__gset"] = gi
+            parts.append(g[["__gset"] + all_cols + ["n"]])
+        if not parts:
+            return pd.DataFrame(columns=["__gset"] + all_cols + ["n"])
+        return pd.concat(parts, ignore_index=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["__gset"] + all_cols, sort=False, dropna=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        out = out.drop(columns="__gset")
+        # groupby's index turns None keys into NaN — restore true
+        # nulls so the Arrow conversion emits SQL-comparable NULLs
+        for c in all_cols:
+            col = out[c].astype(object)
+            out[c] = col.where(pd.notna(col), None)
+        return out
+
+    return bucketed_group_map(
+        ds.select_columns(all_cols),
+        ["__gset"] + all_cols,
+        final,
+        num_buckets=num_buckets,
+        partial_fn=partial,
+    )

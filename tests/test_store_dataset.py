@@ -1957,3 +1957,42 @@ class TestCompaction:
         vs = VersionedGraphStorage(str(tmp_path / "g"), G)
         with pytest.raises(RuntimeError):
             vs.compact()
+
+
+class TestGroupingSets:
+    def test_counts_per_set_and_nulls(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.store.dataset import grouping_sets_count
+
+        df = pd.DataFrame(
+            {
+                "a": ["x", "x", "y", "y", "y"],
+                "b": ["1", "2", "1", "1", "2"],
+            }
+        )
+        out = grouping_sets_count(
+            ray.data.from_pandas(df).repartition(3),
+            [["a", "b"], ["a"], []],
+        ).to_pandas()
+        # grand total: one row with both keys null
+        gt = out[out["a"].isna() & out["b"].isna()]
+        assert gt["n"].tolist() == [5]
+        # per-a subtotals
+        pa_ = out[out["a"].notna() & out["b"].isna()].sort_values("a")
+        assert pa_.values.tolist() == [["x", None, 2], ["y", None, 3]]
+        # finest level
+        fine = out[out["b"].notna()].sort_values(["a", "b"])
+        assert fine["n"].tolist() == [1, 1, 2, 1]
+        assert len(out) == 1 + 2 + 4
+
+    def test_duplicate_set_rejected(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from ontograph_ray.store.dataset import grouping_sets_count
+
+        ds = ray.data.from_pandas(pd.DataFrame({"a": ["x"]}))
+        with pytest.raises(ValueError):
+            grouping_sets_count(ds, [["a"], ["a"]])
