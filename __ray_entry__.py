@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q.q_chunk_documents,
         "events_lag": q.q_events_lag,
         "overlapping_sessions": q.q_overlapping_sessions,
+        "lineitem_rank": q.q_lineitem_rank,
         "lang_by_source": q.q_lang_by_source,
         "orders_rollup": q.q_orders_rollup,
         "length_outliers": q.q_length_outliers,

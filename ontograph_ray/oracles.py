@@ -720,6 +720,11 @@ SELECT source,
        CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
        CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
 FROM documents GROUP BY source""",
+        "lineitem_rank": """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(RANK() OVER (PARTITION BY l_orderkey
+                         ORDER BY l_quantity DESC) AS BIGINT) AS rnk
+FROM lineitem""",
         "events_lag": """
 SELECT user_id, event_id, value,
        LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -999,6 +999,23 @@ def q_lang_by_source(sf_dir: str):
     )
 
 
+def q_lineitem_rank(sf_dir: str):
+    """RANK window function with real tie semantics: lineitems ranked
+    by quantity DESC within their order (integer quantities → many
+    ties → gap ranks exercised). One key-bucketed exchange +
+    vectorized groupby-rank (stages/windows.py::rank_over)."""
+    from .stages.windows import rank_over
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    return rank_over(
+        li,
+        ["l_orderkey"],
+        "l_quantity",
+        ascending=False,
+        extra_cols=["l_linenumber"],
+    )
+
+
 def q_overlapping_sessions(sf_dir: str):
     """Banded interval-overlap self-join: pairs of DIFFERENT users
     whose gap-sessions intersect in time, counted per user pair. Each

@@ -124,3 +124,38 @@ def lag_over(
         return df
 
     return bucketed_group_map(ds.select_columns(cols), key_cols, per_bucket)
+
+
+def rank_over(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    ascending: bool = True,
+    dense: bool = False,
+    out_col: str = "rnk",
+    extra_cols: "list[str] | None" = None,
+) -> ray.data.Dataset:
+    """SQL ``RANK()`` / ``DENSE_RANK() OVER (PARTITION BY keys ORDER BY
+    value [DESC])`` — equal values share a rank, plain RANK leaves gaps
+    after ties, DENSE_RANK does not. Same physical shape as
+    :func:`lag_over`: one key-bucketed exchange, one vectorized
+    groupby-rank per bucket. Tie semantics are value-determined, so —
+    unlike LAG — no tiebreaker column is needed for determinism.
+    ``extra_cols`` ride along unmodified (row identity etc.)."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[out_col] = (
+            df.groupby(key_cols, sort=False)[value_col]
+            .rank(method="dense" if dense else "min", ascending=ascending)
+            .astype("int64")
+        )
+        return df
+
+    return bucketed_group_map(
+        ds.select_columns(
+            list(dict.fromkeys(key_cols + [value_col] + (extra_cols or [])))
+        ),
+        key_cols,
+        per_bucket,
+    )

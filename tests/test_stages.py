@@ -1684,3 +1684,32 @@ class TestTwoPhaseVerify:
         assert comps(two) == comps(cl)
         # and every two-phase edge is a true verified near-dup
         assert (two["jaccard"] >= 0.8).all()
+
+
+class TestRankOver:
+    def test_rank_and_dense_rank_ties(self, ray_session):
+        from ontograph_ray.stages.windows import rank_over
+
+        df = pd.DataFrame(
+            {
+                "g": [1, 1, 1, 1, 2],
+                "v": [9.0, 9.0, 5.0, 7.0, 3.0],
+                "id": [10, 11, 12, 13, 20],
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(3)
+        plain = (
+            rank_over(ds, ["g"], "v", ascending=False, extra_cols=["id"])
+            .to_pandas()
+            .sort_values("id")
+        )
+        # 9,9 share rank 1; 7 gets rank 3 (gap); 5 gets rank 4
+        assert plain["rnk"].tolist() == [1, 1, 4, 3, 1]
+        dense = (
+            rank_over(
+                ds, ["g"], "v", ascending=False, dense=True, extra_cols=["id"]
+            )
+            .to_pandas()
+            .sort_values("id")
+        )
+        assert dense["rnk"].tolist() == [1, 1, 3, 2, 1]
