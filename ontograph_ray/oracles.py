@@ -10,11 +10,12 @@ sketch internals, stubs).
 
 from __future__ import annotations
 
+import os
+
 from . import constants as C
 from .pipelines.curate import curate_oracle_sql as _curate_sql
 from .pipelines.kg import kg_oracle_sql, GAZETTEER
 from .queries import (
-    ACCTBAL,
     ACCTBAL,
     CUST_CLASS,
     IN_NATION,
@@ -77,7 +78,16 @@ mention AS (SELECT DISTINCT doc_id, lang, unnest(l) AS surface FROM toks)
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """The driver calls this with no argument (its gate runs at
+    sf0.01); the oracle harness (scripts/check_oracles.py) passes the
+    actual sf dir so the fixture oracles compare against ground truth
+    computed from THAT data (round-2 verdict #5b)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "")
+
+    def _fx(name: str) -> str:
+        return f"SELECT * FROM read_parquet('{_FIXTURES}/{name}_{tag}.parquet')"
+
     onto = "https://kg.example.org/onto"
     return {
         "triples_from_tables": TRIPLES_SQL,
@@ -417,42 +427,22 @@ SELECT 'urn:og:nation/' || n_nationkey, 'object_prop', '{IN_REGION}',
        'urn:og:region/' || n_regionkey FROM nation
 UNION ALL
 SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
-        "simhash_pairs": (
-            f"SELECT * FROM read_parquet('{_FIXTURES}/simhash_pairs_sf001_h2.parquet')"
-        ),
+        "simhash_pairs": _fx("simhash_pairs_h2"),
         # full plain-Python near-dup chain (shingle→minhash→LSH→verify→
         # union-find) reimplemented independently in gen_fixtures.py
-        "minhash_dedup": (
-            f"SELECT * FROM read_parquet('{_FIXTURES}/minhash_dedup_sf001.parquet')"
-        ),
-        "ngram_jaccard": (
-            f"SELECT * FROM read_parquet('{_FIXTURES}/ngram_jaccard_sf001.parquet')"
-        ),
-        "curate_full": (
-            f"SELECT * FROM read_parquet('{_FIXTURES}/curate_full_sf001.parquet')"
-        ),
-        "kmv_distinct": (
-            f"SELECT * FROM read_parquet('{_FIXTURES}/kmv_distinct_sf001.parquet')"
-        ),
-        "hll_distinct": (
-            f"SELECT * FROM read_parquet('{_FIXTURES}/hll_distinct_sf001.parquet')"
-        ),
+        "minhash_dedup": _fx("minhash_dedup"),
+        "ngram_jaccard": _fx("ngram_jaccard"),
+        "curate_full": _fx("curate_full"),
+        "kmv_distinct": _fx("kmv_distinct"),
+        "hll_distinct": _fx("hll_distinct"),
         # k-core of the co-purchase graph — plain-Python peeling twin
-        "part_kcore": (
-            f"SELECT * FROM read_parquet('{_FIXTURES}/part_kcore_sf001.parquet')"
-        ),
+        "part_kcore": _fx("part_kcore"),
         # BPE merge learning — plain-Python twin (Counter histogram +
         # independent merge loop), valid at the driver scale only
-        "bpe_merges": (
-            f"SELECT * FROM read_parquet('{_FIXTURES}/bpe_merges_sf001.parquet')"
-        ),
-        "bpe_token_counts": (
-            f"SELECT * FROM read_parquet('{_FIXTURES}/bpe_token_counts_sf001.parquet')"
-        ),
+        "bpe_merges": _fx("bpe_merges"),
+        "bpe_token_counts": _fx("bpe_token_counts"),
         # integer fixed-point PageRank — dict-based plain-Python twin
-        "entity_pagerank": (
-            f"SELECT * FROM read_parquet('{_FIXTURES}/entity_pagerank_sf001.parquet')"
-        ),
+        "entity_pagerank": _fx("entity_pagerank"),
         "multimodal_features": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/multimodal_features_n200.parquet')"
         ),
@@ -656,25 +646,19 @@ SELECT a.doc_id,
 FROM bph0 a JOIN bph1 b USING (doc_id)""",
         # IVF top-k over the fixed-point quantizer — plain-numpy twin
         # (the float-kmeans version was layout-dependent and rows-only)
-        "ann_topk_ivf": (
-            f"SELECT * FROM read_parquet('{_FIXTURES}/ann_ivf_sf001.parquet')"
-        ),
+        "ann_topk_ivf": _fx("ann_ivf"),
         # multi-probe LSH top-k — plain-numpy twin (seeded hyperplanes
         # and sign codes are pure deterministic functions; k-boundary
         # distinctness asserted at fixture-gen time)
-        "ann_topk_lsh": (
-            f"SELECT * FROM read_parquet('{_FIXTURES}/ann_lsh_sf001.parquet')"
-        ),
+        "ann_topk_lsh": _fx("ann_lsh"),
         # int64 fixed-point k-means — plain-numpy twin (exact integer
         # arithmetic is block-layout invariant, unlike float Lloyd)
-        "kmeans_clusters": (
-            f"SELECT * FROM read_parquet('{_FIXTURES}/kmeans_clusters_sf001.parquet')"
-        ),
+        "kmeans_clusters": _fx("kmeans_clusters"),
         # SemDeDup prune: assignments from the fixture, the
         # exists-a-lower-id-neighbor rule re-derived by DuckDB
         "semdedup": f"""
 WITH a AS (
-  SELECT * FROM read_parquet('{_FIXTURES}/kmeans_clusters_sf001.parquet')
+  {_fx('kmeans_clusters')}
 )
 SELECT e.vec_id, a.cluster
 FROM embeddings e JOIN a ON a.vec_id = e.vec_id

@@ -79,6 +79,10 @@ def _make_crc32_table() -> np.ndarray:
 
 _CRC32_TABLE = _make_crc32_table()
 
+# per-byte popcount lookup — vectorized 64-bit hamming distance is one
+# uint8 view + table gather + row sum (numpy<2 has no bitwise_count)
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
 
 def _shingles(text: str, k: int) -> np.ndarray:
     """Character (byte) k-gram shingle set as a sorted unique uint32
@@ -192,6 +196,26 @@ def minhash_signatures(
     )
 
 
+def auto_bands(num_perm: int, threshold: float) -> int:
+    """Banding aligned with the verify threshold: the LSH s-curve for
+    ``b`` bands of ``r = num_perm // b`` rows fires at
+    ``t ≈ (1/b)^(1/r)``. Pick the SMALLEST band count whose s-curve
+    threshold does not exceed the verify threshold — the fewest
+    candidates that still give high recall at and above the threshold
+    (for num_perm=64: threshold 0.85 → b=8, t≈0.77; threshold 0.5 →
+    b=16, t=0.5). A misaligned banding (e.g. b=16/r=4 firing at J≈0.5
+    under a 0.85 verify bar) floods verification with candidates that
+    then all fail — measured 5.6× on the round-2 bench."""
+    best = num_perm
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        if (1.0 / b) ** (1.0 / r) <= threshold:
+            return b
+    return best
+
+
 def _banded(
     sigs: ray.data.Dataset, bands: int, num_buckets: int
 ) -> ray.data.Dataset:
@@ -262,24 +286,37 @@ def lsh_candidate_pairs(
         # template-heavy corpora (huge LSH buckets) this is the
         # difference between 10^5 and 10^7 verifications. The chain
         # half protects against verify-failed anchor edges (see
-        # docstring).
-        srcs, dsts = [], []
+        # docstring). Pair construction is numpy per group (triu
+        # indices / slicing), no per-pair Python.
+        parts = []
         for _, g in df.groupby(["band_id", "band_hash"], sort=False):
-            ids = sorted(g["doc_id"].unique())
-            if mode == "clique" and len(ids) <= clique_cap:
-                for i in range(len(ids) - 1):
-                    for j in range(i + 1, len(ids)):
-                        srcs.append(ids[i])
-                        dsts.append(ids[j])
+            ids = np.sort(pd.unique(g["doc_id"].to_numpy()))
+            n = len(ids)
+            if n < 2:
+                continue
+            if mode == "clique" and n <= clique_cap:
+                i, j = np.triu_indices(n, k=1)
+                parts.append((ids[i], ids[j]))
             else:
-                anchor = ids[0]
-                for other in ids[1:]:
-                    srcs.append(anchor)
-                    dsts.append(other)
-                for a, b in zip(ids[1:], ids[2:]):
-                    srcs.append(a)
-                    dsts.append(b)
-        out = pd.DataFrame({"src_id": srcs, "dst_id": dsts}).drop_duplicates()
+                parts.append(
+                    (
+                        np.concatenate((np.full(n - 1, ids[0]), ids[1:-1])),
+                        np.concatenate((ids[1:], ids[2:])),
+                    )
+                )
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "src_id": pd.Series(dtype="int64"),
+                    "dst_id": pd.Series(dtype="int64"),
+                }
+            )
+        out = pd.DataFrame(
+            {
+                "src_id": np.concatenate([p[0] for p in parts]),
+                "dst_id": np.concatenate([p[1] for p in parts]),
+            }
+        ).drop_duplicates()
         return out
 
     return banded.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
@@ -370,6 +407,7 @@ def verify_pairs(
     threshold: float = 0.8,
     num_buckets: int = 64,
     small_max_members: int = SMALL_VERIFY_MAX_MEMBERS,
+    texts_ref=None,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification of candidate (src_id, dst_id) pairs
     with NO whole-corpus materialization, adaptive in the candidate
@@ -390,8 +428,22 @@ def verify_pairs(
 
     This replaces the round-1 driver-side whole-corpus text broadcast:
     in every branch, what crosses the wire is bounded by the CANDIDATE
-    set (ids or member texts), never by corpus size."""
+    set (ids or member texts), never by corpus size.
+
+    ``texts_ref``: a caller that ALREADY holds a broadcast
+    {doc_id: text} map covering every candidate member (e.g. the
+    two-phase verifier sharing one gather across both verify rounds)
+    passes its ref here — the kernel runs as one streaming map with no
+    id gathering, no membership filter and no extra plan execution.
+    The caller owns the coverage guarantee."""
     from ..store.dataset import hash_join
+
+    if texts_ref is not None:
+        return cands.map_batches(
+            _verify_broadcast_batch,
+            fn_kwargs={"texts_ref": texts_ref, "k": k, "threshold": threshold},
+            batch_format="pandas",
+        )
 
     cands = cands.materialize()
     n_pairs = cands.count()
@@ -465,6 +517,89 @@ def verify_pairs(
 _MEMBER_CACHE: dict = {}
 
 
+def _repair_pairs(df: pd.DataFrame, clique_cap: int) -> pd.DataFrame:
+    """Phase-2 pair builder shared by the distributed and
+    driver-coordinated two-phase verifiers: per bucket (``bkey``), each
+    FAILED member (failed=1 rows) is re-paired against every other
+    member; buckets larger than ``clique_cap`` chain their failed
+    members instead. Vectorized per bucket (np.repeat/np.tile), no
+    per-pair Python."""
+    parts = []
+    chain_src, chain_dst = [], []
+    for _, g in df.groupby("bkey", sort=False):
+        ids = np.sort(g.loc[g["failed"] == 0, "doc_id"].unique())
+        fids = np.sort(g.loc[g["failed"] == 1, "doc_id"].unique())
+        if not len(fids) or len(ids) < 3:
+            continue
+        anchor = ids[0]
+        if len(ids) > clique_cap:
+            # oversized collision bucket: chain the failed members
+            chain = np.union1d(fids, [anchor])
+            chain_src.extend(chain[:-1])
+            chain_dst.extend(chain[1:])
+            continue
+        a = np.repeat(fids, len(ids))
+        b = np.tile(ids, len(fids))
+        fset_b = np.isin(b, fids, assume_unique=False)
+        # drop self pairs, anchor pairs (already verified), and the
+        # duplicate orientation of failed-failed pairs
+        keep = (a != b) & (b != anchor) & ~(fset_b & (b < a))
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        parts.append(pd.DataFrame({"src_id": lo, "dst_id": hi}))
+    if chain_src:
+        parts.append(pd.DataFrame({"src_id": chain_src, "dst_id": chain_dst}))
+    if not parts:
+        return pd.DataFrame(
+            {
+                "src_id": pd.Series(dtype="int64"),
+                "dst_id": pd.Series(dtype="int64"),
+            }
+        )
+    return pd.concat(parts, ignore_index=True).drop_duplicates()
+
+
+def _anchor_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, band_id, band_hash) bucket rows → per-bucket anchor
+    star edges (bkey, src_id=anchor, dst_id=member), numpy per group."""
+    parts = []
+    for (b, h), g in df.groupby(["band_id", "band_hash"], sort=False):
+        ids = np.sort(pd.unique(g["doc_id"].to_numpy()))
+        n = len(ids)
+        if n < 2:
+            continue
+        key = (int(b) << 32) | int(h)
+        parts.append((np.full(n - 1, key), np.full(n - 1, ids[0]), ids[1:]))
+    if not parts:
+        return pd.DataFrame(
+            {
+                "bkey": pd.Series(dtype="int64"),
+                "src_id": pd.Series(dtype="int64"),
+                "dst_id": pd.Series(dtype="int64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "bkey": np.concatenate([p[0] for p in parts]).astype("int64"),
+            "src_id": np.concatenate([p[1] for p in parts]),
+            "dst_id": np.concatenate([p[2] for p in parts]),
+        }
+    )
+
+
+def _anchor_pairs(
+    sigs: ray.data.Dataset, bands: int, num_buckets: int
+) -> ray.data.Dataset:
+    """Signatures → materialized (bkey, src_id, dst_id) anchor-edge
+    table — the shared phase-1 input of both two-phase verifiers."""
+    return (
+        _banded(sigs, bands, num_buckets)
+        .groupby("__bucket")
+        .map_groups(_anchor_rows, batch_format="pandas")
+        .materialize()
+    )
+
+
 def verified_near_dup_edges(
     ds: ray.data.Dataset,
     sigs: ray.data.Dataset,
@@ -473,6 +608,7 @@ def verified_near_dup_edges(
     bands: int = 16,
     num_buckets: int = 64,
     clique_cap: int = 2048,
+    mem_pairs: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Two-phase, CLIQUE-EQUIVALENT near-dup edge verification at
     near-star cost (the "verify anchor edges and re-pair failures"
@@ -510,48 +646,75 @@ def verified_near_dup_edges(
     99.5% at J=0.90) — the standard b/r trade, left to the caller."""
     from ..store.dataset import distinct_on, hash_join
 
-    banded = _banded(sigs, bands, num_buckets)
+    if mem_pairs is None:
+        mem_pairs = _anchor_pairs(sigs, bands, num_buckets)
 
-    def anchor_rows(df: pd.DataFrame) -> pd.DataFrame:
-        bk, srcs, dsts = [], [], []
-        for (b, h), g in df.groupby(["band_id", "band_hash"], sort=False):
-            ids = sorted(g["doc_id"].unique())
-            anchor = ids[0]
-            key = (int(b) << 32) | int(h)
-            for m in ids[1:]:
-                bk.append(key)
-                srcs.append(anchor)
-                dsts.append(m)
-        return pd.DataFrame(
-            {"bkey": pd.array(bk, dtype="int64"), "src_id": srcs, "dst_id": dsts}
-        )
+    # One member-text gather SHARED by both verify rounds (phase-2
+    # pairs are built from the same bucket members, so the phase-1 id
+    # universe covers them). In the small regime this removes per-round
+    # id gathering, membership filters and the global pair distincts —
+    # a duplicate (src,dst) verified once per shared bucket is cheaper
+    # than the distinct exchange, and downstream union-find is
+    # insensitive to duplicate edges. Above the bounds, fall back to
+    # the round-2 plan: global distinct, then the bucketed-join verify.
+    texts_ref = None
+    if mem_pairs.count() <= SEMI_FILTER_MAX_PAIRS:
+        def ids_of(batch: pa.Table) -> pa.Table:
+            both = pa.concat_arrays(
+                [
+                    batch["src_id"].combine_chunks().cast(pa.int64()),
+                    batch["dst_id"].combine_chunks().cast(pa.int64()),
+                ]
+            )
+            return pa.table({"doc_id": both.unique()})
 
-    mem_pairs = (
-        banded.groupby("__bucket")
-        .map_groups(anchor_rows, batch_format="pandas")
-        .materialize()
-    )
+        id_rows = mem_pairs.map_batches(ids_of, batch_format="pyarrow").take_all()
+        ids = np.unique(np.asarray([r["doc_id"] for r in id_rows], dtype=np.int64))
+        if len(ids) <= SMALL_VERIFY_MAX_MEMBERS:
+            ids_arr = pa.array(ids)
+            ids_ref = ray.put(ids_arr)
+
+            def member_docs(batch: pa.Table, ids_ref=None) -> pa.Table:
+                wanted = _MEMBER_CACHE.get(ids_ref.hex())
+                if wanted is None:
+                    wanted = _MEMBER_CACHE[ids_ref.hex()] = ray.get(ids_ref)
+                mask = pc.is_in(
+                    pc.cast(batch["doc_id"], pa.int64()), value_set=wanted
+                )
+                return batch.filter(mask)
+
+            texts = {
+                r["doc_id"]: r["text"]
+                for r in ds.map_batches(
+                    member_docs, fn_kwargs={"ids_ref": ids_ref},
+                    batch_format="pyarrow",
+                ).select_columns(["doc_id", "text"]).take_all()
+            }
+            texts_ref = ray.put(texts)
 
     def drop_bkey(df: pd.DataFrame) -> pd.DataFrame:
         return df[["src_id", "dst_id"]]
 
-    p1 = distinct_on(
-        mem_pairs.map_batches(drop_bkey, batch_format="pandas"),
-        ["src_id", "dst_id"],
-        num_buckets,
-    )
+    p1 = mem_pairs.map_batches(drop_bkey, batch_format="pandas")
+    if texts_ref is None:
+        p1 = distinct_on(p1, ["src_id", "dst_id"], num_buckets)
     v1 = verify_pairs(
-        p1, ds, k=k, threshold=threshold, num_buckets=num_buckets
+        p1, ds, k=k, threshold=threshold, num_buckets=num_buckets,
+        texts_ref=texts_ref,
     ).materialize()
 
-    # failed anchor pairs → their (bkey, member) rows
+    # failed anchor pairs → their (bkey, member) rows; short-circuit
+    # phase 2 entirely when every anchor edge verified (the common case
+    # once banding is threshold-aligned — buckets are mostly true dups)
     failed = hash_join(
         mem_pairs,
         v1,
         on=["src_id", "dst_id"],
         how="anti",
         num_buckets=num_buckets,
-    )
+    ).materialize()
+    if failed.count() == 0:
+        return v1
 
     def fail_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -574,77 +737,243 @@ def verified_near_dup_edges(
     )
 
     def repair(df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized failed×members pair build: per bucket, the cross
-        # product comes from one np.repeat/np.tile — no per-pair Python
-        parts = []
-        chain_src, chain_dst = [], []
-        for _, g in df.groupby("bkey", sort=False):
-            ids = np.sort(g.loc[g["failed"] == 0, "doc_id"].unique())
-            fids = np.sort(g.loc[g["failed"] == 1, "doc_id"].unique())
-            if not len(fids) or len(ids) < 3:
-                continue
-            anchor = ids[0]
-            if len(ids) > clique_cap:
-                # oversized collision bucket: chain the failed members
-                chain = np.union1d(fids, [anchor])
-                chain_src.extend(chain[:-1])
-                chain_dst.extend(chain[1:])
-                continue
-            a = np.repeat(fids, len(ids))
-            b = np.tile(ids, len(fids))
-            fset_b = np.isin(b, fids, assume_unique=False)
-            # drop self pairs, anchor pairs (already verified), and the
-            # duplicate orientation of failed-failed pairs
-            keep = (a != b) & (b != anchor) & ~(fset_b & (b < a))
-            a, b = a[keep], b[keep]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            parts.append(pd.DataFrame({"src_id": lo, "dst_id": hi}))
-        if chain_src:
-            parts.append(
-                pd.DataFrame({"src_id": chain_src, "dst_id": chain_dst})
-            )
-        if not parts:
-            return pd.DataFrame(
-                {
-                    "src_id": pd.Series(dtype="int64"),
-                    "dst_id": pd.Series(dtype="int64"),
-                }
-            )
-        return pd.concat(parts, ignore_index=True).drop_duplicates()
+        return _repair_pairs(df, clique_cap)
 
     from ..store.dataset import bucketed_group_map
 
-    p2 = distinct_on(
-        bucketed_group_map(tagged, ["bkey"], repair, num_buckets),
-        ["src_id", "dst_id"],
-        num_buckets,
-    )
+    p2 = bucketed_group_map(tagged, ["bkey"], repair, num_buckets)
+    if texts_ref is None:
+        p2 = distinct_on(p2, ["src_id", "dst_id"], num_buckets)
     v2 = verify_pairs(
-        p2, ds, k=k, threshold=threshold, num_buckets=num_buckets
+        p2, ds, k=k, threshold=threshold, num_buckets=num_buckets,
+        texts_ref=texts_ref,
     )
     return v1.union(v2)
+
+
+# Driver-coordination bounds for minhash_dedup's small regime (the
+# same size-cutover discipline as DRIVER_SMALL_MAX in the KG pipeline
+# and connected_components' small_threshold): at or below these, the
+# verify rounds and union-find run driver-coordinated over raw Ray
+# tasks — one streaming execution for candidates, zero join exchanges —
+# instead of ~8 small plan executions whose fixed latency dominates at
+# bench scale. Above them, the fully distributed two-phase plan runs.
+MINHASH_DRIVER_MAX_PAIRS = 2_000_000
+
+
+@ray.remote
+def _member_texts_task(tbl: pa.Table, ids: np.ndarray) -> pa.Table:
+    """Filter one pinned corpus block to the candidate-member rows.
+    Empty blocks out of a groupby can carry an EMPTY schema — treat
+    them as no members."""
+    if tbl.num_rows == 0 or "doc_id" not in tbl.schema.names:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
+    mask = pc.is_in(pc.cast(tbl["doc_id"], pa.int64()), value_set=pa.array(ids))
+    return tbl.filter(mask).select(["doc_id", "text"])
+
+
+@ray.remote
+def _repair_task(df: pd.DataFrame, clique_cap: int) -> pd.DataFrame:
+    return _repair_pairs(df, clique_cap)
+
+
+@ray.remote
+def _verify_pairs_task(
+    src: np.ndarray, dst: np.ndarray, texts_holder: list, k: int, threshold: float
+) -> pd.DataFrame:
+    """Verify one chunk of candidate pairs against the broadcast member
+    texts (ref wrapped in a list so Ray does not auto-deref — the
+    kernel's per-worker cache needs the ref itself)."""
+    df = pd.DataFrame({"src_id": src, "dst_id": dst})
+    return _verify_broadcast_batch(
+        df, texts_ref=texts_holder[0], k=k, threshold=threshold
+    )
+
+
+def _verify_unique_pairs_driver(
+    pairs: pd.DataFrame, texts_ref, k: int, threshold: float, chunk: int | None = None
+) -> pd.DataFrame:
+    """Driver-coordinated exact-Jaccard verify of a deduplicated pair
+    table: chunks fan out as raw Ray tasks (compute is distributed;
+    only the bounded pair table and its verdicts touch the driver).
+    Chunk size targets ~2 tasks per CPU so the per-pair Jaccard kernel
+    parallelizes instead of serializing in one task."""
+    if not len(pairs):
+        return pairs.assign(jaccard=pd.Series(dtype="float64"))
+    if chunk is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        chunk = max(256, len(pairs) // (cpus * 2) + 1)
+    refs = [
+        _verify_pairs_task.remote(
+            pairs["src_id"].to_numpy()[i : i + chunk],
+            pairs["dst_id"].to_numpy()[i : i + chunk],
+            [texts_ref],
+            k,
+            threshold,
+        )
+        for i in range(0, len(pairs), chunk)
+    ]
+    return pd.concat(ray.get(refs), ignore_index=True)
+
+
+def _minhash_dedup_driver(
+    ds: ray.data.Dataset,
+    mem: pd.DataFrame,
+    ids: np.ndarray,
+    k: int,
+    threshold: float,
+    clique_cap: int,
+) -> ray.data.Dataset:
+    """Small-regime minhash_dedup: the SAME two-phase clique-equivalent
+    algorithm as the distributed plan (anchor edges → failed members
+    re-paired via _repair_pairs → min-STRING-label union-find), but
+    coordinated on the driver over the bounded anchor-pair table. Texts
+    gather, pair verification and the final survivor filter all stay
+    distributed (raw tasks / one streaming map); only pair keys and
+    verdicts — bounded by MINHASH_DRIVER_MAX_PAIRS — touch the driver.
+    Output is identical to the distributed path (pinned by
+    TestMinhashPathEquivalence)."""
+    ids_ref = ray.put(ids)
+    texts: dict = {}
+    for t in ray.get(
+        [_member_texts_task.remote(b, ids_ref) for b in ds.to_arrow_refs()]
+    ):
+        texts.update(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    texts_ref = ray.put(texts)
+
+    # phase 1: verify the unique anchor pairs
+    uniq = mem[["src_id", "dst_id"]].drop_duplicates()
+    v1 = _verify_unique_pairs_driver(uniq, texts_ref, k, threshold)
+
+    # phase 2: re-pair members whose anchor edge failed, per bucket
+    merged = mem.merge(
+        v1[["src_id", "dst_id"]], on=["src_id", "dst_id"],
+        how="left", indicator=True,
+    )
+    failed = merged[merged["_merge"] == "left_only"]
+    edges = [v1]
+    if len(failed):
+        members = pd.concat(
+            [
+                mem[["bkey", "src_id"]].rename(columns={"src_id": "doc_id"}),
+                mem[["bkey", "dst_id"]].rename(columns={"dst_id": "doc_id"}),
+            ],
+            ignore_index=True,
+        ).drop_duplicates()
+        members["failed"] = 0
+        frows = failed[["bkey", "dst_id"]].rename(columns={"dst_id": "doc_id"})
+        frows = frows.copy()
+        frows["failed"] = 1
+        tagged = pd.concat([members, frows], ignore_index=True)
+        if len(tagged) > 20_000:
+            # bucket-aligned chunks so each raw task repairs whole
+            # buckets — the per-group pair build parallelizes instead
+            # of serializing on the driver
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            part = (
+                pd.util.hash_pandas_object(tagged["bkey"], index=False) % cpus
+            ).to_numpy()
+            refs = [
+                _repair_task.remote(tagged[part == i], clique_cap)
+                for i in range(cpus)
+            ]
+            p2 = pd.concat(ray.get(refs), ignore_index=True)
+        else:
+            p2 = _repair_pairs(tagged, clique_cap)
+        if len(p2):
+            edges.append(
+                _verify_unique_pairs_driver(
+                    p2.drop_duplicates(), texts_ref, k, threshold
+                )
+            )
+
+    # min-STRING-label union-find — identical representative rule to
+    # connected_components (string node labels), hence to the fixture
+    allv = pd.concat(edges, ignore_index=True)
+    parent: dict = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for s, d in zip(allv["src_id"], allv["dst_id"]):
+        ra, rb = find(str(int(s))), find(str(int(d)))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    losers = np.array(
+        sorted({int(n) for n in parent if find(n) != n}), dtype=np.int64
+    )
+    if not len(losers):
+        return ds
+    losers_ref = ray.put(losers)
+
+    def drop(batch: pa.Table, losers_ref=None) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.schema.names:
+            return batch
+        lo = _MEMBER_CACHE.get(losers_ref.hex())
+        if lo is None:
+            lo = _MEMBER_CACHE[losers_ref.hex()] = ray.get(losers_ref)
+        mask = pc.is_in(
+            pc.cast(batch["doc_id"], pa.int64()), value_set=pa.array(lo)
+        )
+        return batch.filter(pc.invert(mask))
+
+    return ds.map_batches(
+        drop, fn_kwargs={"losers_ref": losers_ref}, batch_format="pyarrow"
+    )
 
 
 def minhash_dedup(
     ds: ray.data.Dataset,
     k: int = 5,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     threshold: float = 0.8,
     num_buckets: int = 64,
     concurrency=None,
+    driver_max_pairs: int = MINHASH_DRIVER_MAX_PAIRS,
 ) -> ray.data.Dataset:
     """Full MinHash-LSH near-dup removal: shingle → minhash → banded
     LSH → candidate pairs → exact-Jaccard verify (bucketed text joins,
     see verify_pairs) → union-find clusters → keep the min doc_id per
     cluster. Returns the surviving rows.
 
+    ``bands=None`` (default) aligns the banding with the verify
+    threshold via :func:`auto_bands` — at num_perm=64 / threshold 0.85
+    that is b=8/r=8 (s-curve ≈0.77), ~25× fewer false candidates than
+    the old fixed b=16/r=4 whose s-curve fired at J≈0.5.
+
     The input is consumed three times (signatures, the verify-side
-    text joins, the final survivor filter); pin it once so a lazy
+    text joins, the final survivor anti-join); pin it once so a lazy
     upstream chain (e.g. a filter + dedup shuffle feeding this stage)
     is not recomputed per consumer."""
+    if bands is None:
+        bands = auto_bands(num_perm, threshold)
     ds = ds.materialize()
     sigs = minhash_signatures(ds, k, num_perm, concurrency)
+
+    # ONE streaming execution builds the anchor-pair table; its size
+    # decides the physical plan (both verified identical by tests)
+    mem_pairs = _anchor_pairs(sigs, bands, num_buckets)
+    if mem_pairs.count() <= driver_max_pairs:
+        mem = mem_pairs.to_pandas()
+        ids = (
+            np.unique(
+                np.concatenate(
+                    [mem["src_id"].to_numpy(), mem["dst_id"].to_numpy()]
+                ).astype(np.int64)
+            )
+            if len(mem)
+            else np.array([], dtype=np.int64)
+        )
+        if len(ids) <= SMALL_VERIFY_MAX_MEMBERS:
+            return _minhash_dedup_driver(ds, mem, ids, k, threshold, 2048)
 
     # two-phase clique-EQUIVALENT verification (anchor edges first,
     # failed members re-paired in-bucket): same components — and
@@ -652,7 +981,7 @@ def minhash_dedup(
     # pair, at near-star cost (see verified_near_dup_edges)
     verified = verified_near_dup_edges(
         ds, sigs, k=k, threshold=threshold, bands=bands,
-        num_buckets=num_buckets,
+        num_buckets=num_buckets, mem_pairs=mem_pairs,
     )
 
     def as_str_edges(df: pd.DataFrame) -> pd.DataFrame:
@@ -668,16 +997,20 @@ def minhash_dedup(
     # losers: nodes whose component representative is a different doc.
     # Components are keyed by *string* doc ids; min-string == min-int is
     # not guaranteed, but any deterministic representative is valid.
-    losers = frozenset(
-        int(r["node"]) for r in comps.take_all() if r["node"] != r["component"]
-    )
+    # Survivors come from ONE distributed bucketed anti-join — the loser
+    # set never materializes on the driver (at 100 TB with a 30-50% dup
+    # rate it is billions of ids; round 2's frozenset + closure filter
+    # was the last driver-side materialization on this path). The
+    # corpus crossing the anti-join exchange once is the price of
+    # routing survivors anyway.
+    from ..store.dataset import hash_join
 
-    def drop_losers(df: pd.DataFrame) -> pd.DataFrame:
-        # task map with the (small) loser set captured in the closure —
-        # no actor-pool startup for a membership filter.
-        return df[~df["doc_id"].isin(losers)]
+    def loser_ids(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["node"] != df["component"]]
+        return pd.DataFrame({"doc_id": m["node"].astype(np.int64)})
 
-    return ds.map_batches(drop_losers, batch_format="pandas")
+    losers = comps.map_batches(loser_ids, batch_format="pandas")
+    return hash_join(ds, losers, on="doc_id", how="anti", num_buckets=num_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -800,19 +1133,21 @@ def simhash_near_dup_pairs(
     sigs = simhash_signatures(ds)
 
     def to_chunks(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for doc_id, sh in zip(df["doc_id"], df["simhash"]):
-            v = int(sh)
-            for c in range(4):
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "simhash": np.uint64(v),
-                        "chunk_id": c,
-                        "chunk_val": (v >> (16 * c)) & 0xFFFF,
-                    }
-                )
-        out = pd.DataFrame(rows)
+        # fully vectorized: 4 chunk rows per doc via repeat/tile, the
+        # 16-bit chunk values from one shift-and-mask over the column
+        v = df["simhash"].to_numpy().astype(np.uint64)
+        n = len(v)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        out = pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), 4),
+                "simhash": np.repeat(v, 4),
+                "chunk_id": np.tile(np.arange(4, dtype=np.int64), n),
+                "chunk_val": (
+                    (v[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
+                ).reshape(-1).astype(np.int64),
+            }
+        )
         out["__bucket"] = (
             pd.util.hash_pandas_object(
                 out["chunk_id"].astype(str) + ":" + out["chunk_val"].astype(str),
@@ -823,19 +1158,40 @@ def simhash_near_dup_pairs(
         return out
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        srcs, dsts, dists = [], [], []
+        # numpy in-bucket pair build: triu index pairs, XOR, and a
+        # byte-table popcount — no per-pair Python (round-2 soft spot)
+        parts = []
         for _, g in df.groupby(["chunk_id", "chunk_val"], sort=False):
-            items = sorted(set(zip(g["doc_id"], g["simhash"].astype(np.uint64))))
-            for i in range(len(items) - 1):
-                for j in range(i + 1, len(items)):
-                    (a, ha), (b, hb) = items[i], items[j]
-                    d = bin(int(ha) ^ int(hb)).count("1")
-                    if d <= max_hamming:
-                        srcs.append(a)
-                        dsts.append(b)
-                        dists.append(d)
+            gd = g.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
+            ids = gd["doc_id"].to_numpy()
+            n = len(ids)
+            if n < 2:
+                continue
+            sigs = gd["simhash"].to_numpy().astype(np.uint64)
+            i, j = np.triu_indices(n, k=1)
+            x = sigs[i] ^ sigs[j]
+            d = (
+                _POPCOUNT8[x.view(np.uint8).reshape(-1, 8)]
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+            keep = d <= max_hamming
+            if keep.any():
+                parts.append((ids[i[keep]], ids[j[keep]], d[keep]))
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "src_id": pd.Series(dtype="int64"),
+                    "dst_id": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int64"),
+                }
+            )
         return pd.DataFrame(
-            {"src_id": srcs, "dst_id": dsts, "hamming": dists}
+            {
+                "src_id": np.concatenate([p[0] for p in parts]),
+                "dst_id": np.concatenate([p[1] for p in parts]),
+                "hamming": np.concatenate([p[2] for p in parts]),
+            }
         ).drop_duplicates(subset=["src_id", "dst_id"])
 
     chunked = sigs.map_batches(to_chunks, batch_format="pandas")

@@ -62,9 +62,16 @@ def main() -> int:
 
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
+    import gen_fixtures
+
+    # fixture oracles are sf-keyed; generate any missing for THIS sf so
+    # the harness is truthful at any scale factor
+    made = gen_fixtures.ensure_fixtures(sf_dir)
+    if made:
+        print(f"generated {len(made)} missing fixtures for {sf_dir}: {made}")
 
     qs = entrymod.queries()
-    sqls = entrymod.oracle_sql()
+    sqls = entrymod.oracle_sql(sf_dir)
 
     con = duckdb.connect()
     for t in TABLES:

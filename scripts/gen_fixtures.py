@@ -29,7 +29,21 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FIXTURES_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
-SF001 = "/root/testdata/sf0.01"
+DEFAULT_SF = "/root/testdata/sf0.01"
+
+
+def tag_of(sf_dir: str) -> str:
+    """Fixture filename tag for an sf dir: basename with dots dropped —
+    "/root/testdata/sf0.01" → "sf001" (the round-1/2 fixture names),
+    "sf0.001" → "sf0001", "sf0.1" → "sf01". Fixtures are therefore
+    keyed by the data they were computed from; running the oracle
+    harness at any sf generates/uses that sf's own fixtures instead of
+    silently comparing against sf0.01 truth (round-2 verdict #5b)."""
+    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "")
+
+
+def _path(name: str, sf_dir: str) -> str:
+    return os.path.join(FIXTURES_DIR, f"{name}_{tag_of(sf_dir)}.parquet")
 
 
 # -- independent simhash (matches stages/dedup.SimHasher's contract:
@@ -52,14 +66,14 @@ def simhash_py(text: str) -> int:
     return out
 
 
-def gen_simhash_pairs(max_hamming: int = 2) -> str:
+def gen_simhash_pairs(sf_dir: str = DEFAULT_SF, max_hamming: int = 2) -> str:
     """Brute-force ALL-pairs simhash near-dups over the sf0.01
     documents table. Valid as an EXACT oracle for
     simhash_near_dup_pairs(max_hamming<=3): 4-way 16-bit chunk banding
     has recall 1.0 by pigeonhole (hamming<=3 over 4 chunks forces one
     identical chunk), so banding and brute force produce the same
     set."""
-    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ids = docs["doc_id"].to_pylist()
     sigs = [simhash_py(t) for t in docs["text"].to_pylist()]
     order = sorted(range(len(ids)), key=lambda i: ids[i])
@@ -73,7 +87,7 @@ def gen_simhash_pairs(max_hamming: int = 2) -> str:
                 srcs.append(ids[ia])
                 dsts.append(ids[ib])
                 hams.append(d)
-    path = os.path.join(FIXTURES_DIR, "simhash_pairs_sf001_h2.parquet")
+    path = _path("simhash_pairs_h2", sf_dir)
     pq.write_table(
         pa.table(
             {
@@ -90,7 +104,7 @@ def gen_simhash_pairs(max_hamming: int = 2) -> str:
 # -- independent fake-image features ----------------------------------------
 
 
-def gen_multimodal_features(n: int = 200) -> str:
+def gen_multimodal_features(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     from ontograph_ray.stages.multimodal import encode_fake_image  # encoder only
 
     media_ids, widths, heights, phashes = [], [], [], []
@@ -124,7 +138,7 @@ def gen_multimodal_features(n: int = 200) -> str:
 # -- independent fake-audio features ----------------------------------------
 
 
-def gen_audio_features(n: int = 200) -> str:
+def gen_audio_features(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     from ontograph_ray.stages.multimodal import encode_fake_audio  # encoder only
 
     media_ids, durs, rmss, zcrs = [], [], [], []
@@ -228,22 +242,47 @@ def lsh_pairs_py(
     return pairs
 
 
-def verified_pairs_py(docs: dict, k: float, threshold: float, mode: str) -> list:
+def auto_bands_py(num_perm: int, threshold: float) -> int:
+    """Parameter rule shared with stages/dedup.auto_bands (a knob, like
+    the CRC polynomial — not kernel computation): smallest band count
+    whose LSH s-curve threshold (1/b)^(b/num_perm) does not exceed the
+    verify threshold."""
+    for b in range(1, num_perm + 1):
+        if num_perm % b == 0 and (1.0 / b) ** (b / num_perm) <= threshold:
+            return b
+    return num_perm
+
+
+def verified_pairs_py(
+    docs: dict, k: float, threshold: float, mode: str, bands: int = 16
+) -> list:
     """docs: {doc_id: text} → sorted verified candidate pairs."""
     a, b = minhash_coeffs()
     sh = {i: shingles_py(t, k) for i, t in docs.items()}
     sigs = {i: signature_py(s, a, b) for i, s in sh.items()}
-    cands = lsh_pairs_py(sigs, mode=mode)
+    cands = lsh_pairs_py(sigs, bands=bands, mode=mode)
     return sorted(
         (s, d) for s, d in cands if jaccard_py(sh[s], sh[d]) >= threshold
     )
 
 
-def minhash_survivors_py(docs: dict, k: int = 5, threshold: float = 0.85) -> list:
+def minhash_survivors_py(
+    docs: dict, k: int = 5, threshold: float = 0.85, bands: int | None = None
+) -> list:
     """minhash_dedup semantics: verified edges → min-STRING-label
     union-find (component ids are stringified doc ids in the engine) →
-    drop non-representative members."""
-    edges = verified_pairs_py(docs, k, threshold, mode="star")
+    drop non-representative members. Banding auto-aligned with the
+    verify threshold (auto_bands_py), matching the engine default.
+    Candidates are the FULL in-bucket cliques: the engine's two-phase
+    verifier is clique-equivalent at the component level (proof in
+    stages/dedup.verified_near_dup_edges), so clique mode here pins the
+    engine's actual semantics rather than the round-2 star+chain
+    approximation that merely coincided on that corpus. (Valid while
+    no LSH bucket exceeds the engine's clique_cap=2048 — always true at
+    fixture scales of ≤5000 docs.)"""
+    if bands is None:
+        bands = auto_bands_py(64, threshold)
+    edges = verified_pairs_py(docs, k, threshold, mode="clique", bands=bands)
     parent: dict = {}
 
     def find(x: str) -> str:
@@ -261,20 +300,20 @@ def minhash_survivors_py(docs: dict, k: int = 5, threshold: float = 0.85) -> lis
     return sorted(i for i in docs if i not in losers)
 
 
-def gen_minhash_dedup() -> str:
-    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
+def gen_minhash_dedup(sf_dir: str = DEFAULT_SF) -> str:
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     dmap = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
     survivors = minhash_survivors_py(dmap, threshold=0.85)
-    path = os.path.join(FIXTURES_DIR, "minhash_dedup_sf001.parquet")
+    path = _path("minhash_dedup", sf_dir)
     pq.write_table(pa.table({"doc_id": pa.array(survivors, pa.int64())}), path)
     return f"{path}: {len(survivors)} survivors"
 
 
-def gen_ngram_jaccard() -> str:
-    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
+def gen_ngram_jaccard(sf_dir: str = DEFAULT_SF) -> str:
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     dmap = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
     pairs = verified_pairs_py(dmap, k=5, threshold=0.8, mode="clique")
-    path = os.path.join(FIXTURES_DIR, "ngram_jaccard_sf001.parquet")
+    path = _path("ngram_jaccard", sf_dir)
     pq.write_table(
         pa.table(
             {
@@ -287,14 +326,14 @@ def gen_ngram_jaccard() -> str:
     return f"{path}: {len(pairs)} pairs"
 
 
-def gen_curate_full() -> str:
+def gen_curate_full(sf_dir: str = DEFAULT_SF) -> str:
     """Quality filter (ASCII \\w/\\s — RE2 semantics, matching the
     engine's pyarrow regex) → min-doc_id exact dedup on text → MinHash
     near-dup removal at threshold 0.85 → (doc_id, lang, n_tokens)."""
     import re
 
     docs = pq.read_table(
-        f"{SF001}/documents.parquet", columns=["doc_id", "text", "lang"]
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     rows = list(
         zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["lang"].to_pylist())
@@ -313,7 +352,7 @@ def gen_curate_full() -> str:
     survivors = minhash_survivors_py(
         {i: t for i, (t, _) in winners.items()}, threshold=0.85
     )
-    path = os.path.join(FIXTURES_DIR, "curate_full_sf001.parquet")
+    path = _path("curate_full", sf_dir)
     pq.write_table(
         pa.table(
             {
@@ -343,8 +382,8 @@ def splitmix64_py(v: int) -> int:
     return v
 
 
-def gen_kmv_distinct(k: int = 256) -> str:
-    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["text"])
+def gen_kmv_distinct(sf_dir: str = DEFAULT_SF, k: int = 256) -> str:
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
     hashes = sorted(
         {splitmix64_py(zlib.crc32(str(t).encode())) for t in docs["text"].to_pylist()}
     )
@@ -352,7 +391,7 @@ def gen_kmv_distinct(k: int = 256) -> str:
         est = len(hashes)
     else:
         est = int(round((k - 1) / (float(hashes[k - 1]) / float(1 << 64))))
-    path = os.path.join(FIXTURES_DIR, "kmv_distinct_sf001.parquet")
+    path = _path("kmv_distinct", sf_dir)
     pq.write_table(
         pa.table(
             {
@@ -365,13 +404,13 @@ def gen_kmv_distinct(k: int = 256) -> str:
     return f"{path}: estimate {est}"
 
 
-def gen_hll_distinct(p: int = 10) -> str:
+def gen_hll_distinct(sf_dir: str = DEFAULT_SF, p: int = 10) -> str:
     """Independent HyperLogLog: int.bit_length clz, dict-free register
     loop, the same pinned ascending-index float accumulation the
     engine documents (stages/sketch.py::hll_estimate contract)."""
     m = 1 << p
     mask = (1 << 64) - 1
-    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["text"])
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
     regs = [0] * m
     for t in docs["text"].to_pylist():
         h = splitmix64_py(zlib.crc32(str(t).encode()))
@@ -390,7 +429,7 @@ def gen_hll_distinct(p: int = 10) -> str:
         if v0:
             e = m * math.log(m / v0)
     est = int(round(e))
-    path = os.path.join(FIXTURES_DIR, "hll_distinct_sf001.parquet")
+    path = _path("hll_distinct", sf_dir)
     pq.write_table(
         pa.table(
             {
@@ -403,7 +442,7 @@ def gen_hll_distinct(p: int = 10) -> str:
     return f"{path}: estimate {est}"
 
 
-def gen_entity_pagerank(iters: int = 5, num: int = 85, den: int = 100) -> str:
+def gen_entity_pagerank(sf_dir: str = DEFAULT_SF, iters: int = 5, num: int = 85, den: int = 100) -> str:
     """Dict-based integer fixed-point PageRank over the doubled
     page↔entity mention graph (twin of pipelines/pagerank.py +
     q_entity_pagerank; integer arithmetic makes both sides exactly
@@ -412,7 +451,7 @@ def gen_entity_pagerank(iters: int = 5, num: int = 85, den: int = 100) -> str:
 
     scale = 1_000_000_000
     gaz = set(GAZETTEER)
-    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     edges = set()
     for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
         url = f"https://docs.example.org/page/{doc_id}"
@@ -432,7 +471,7 @@ def gen_entity_pagerank(iters: int = 5, num: int = 85, den: int = 100) -> str:
         for u, v in edges:
             s[v] += r[u] // outdeg[u]
         r = {n: base + (num * s[n]) // den for n in nodes}
-    path = os.path.join(FIXTURES_DIR, "entity_pagerank_sf001.parquet")
+    path = _path("entity_pagerank", sf_dir)
     pq.write_table(
         pa.table(
             {
@@ -462,7 +501,7 @@ def _bpe_apply_word(word: str, merges: list) -> int:
     return max(len(syms), 1)
 
 
-def _bpe_learn(num_merges: int, top_words: int):
+def _bpe_learn(sf_dir: str, num_merges: int, top_words: int):
     """Plain-Python BPE merge learning straight off the parquet (no
     Arrow kernels, no engine imports), same documented contract as
     stages/vocab.py::bpe_train: top-``top_words`` by (count DESC,
@@ -471,7 +510,7 @@ def _bpe_learn(num_merges: int, top_words: int):
     below count 2."""
     from collections import Counter
 
-    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["text"])
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
     counts: Counter = Counter()
     for text in docs["text"].to_pylist():
         counts.update((text or "").split(" "))
@@ -506,9 +545,9 @@ def _bpe_learn(num_merges: int, top_words: int):
     return rows
 
 
-def gen_bpe_merges(num_merges: int = 30, top_words: int = 200) -> str:
-    rows = _bpe_learn(num_merges, top_words)
-    path = os.path.join(FIXTURES_DIR, "bpe_merges_sf001.parquet")
+def gen_bpe_merges(sf_dir: str = DEFAULT_SF, num_merges: int = 30, top_words: int = 200) -> str:
+    rows = _bpe_learn(sf_dir, num_merges, top_words)
+    path = _path("bpe_merges", sf_dir)
     pq.write_table(
         pa.table(
             {
@@ -523,12 +562,12 @@ def gen_bpe_merges(num_merges: int = 30, top_words: int = 200) -> str:
     return f"{path}: {len(rows)} merges"
 
 
-def gen_bpe_token_counts(num_merges: int = 30, top_words: int = 200) -> str:
+def gen_bpe_token_counts(sf_dir: str = DEFAULT_SF, num_merges: int = 30, top_words: int = 200) -> str:
     """Per-document BPE piece counts: the learned merges applied in
     rank order, greedy left-to-right per word, pieces summed per doc
     (empty-string token = 1 piece) — twin of bpe_token_counts."""
-    merges = [(r[1], r[2]) for r in _bpe_learn(num_merges, top_words)]
-    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
+    merges = [(r[1], r[2]) for r in _bpe_learn(sf_dir, num_merges, top_words)]
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ids, n_tok, n_bpe = [], [], []
     cache: dict = {}
     for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
@@ -542,7 +581,7 @@ def gen_bpe_token_counts(num_merges: int = 30, top_words: int = 200) -> str:
         ids.append(doc_id)
         n_tok.append(len(toks))
         n_bpe.append(total)
-    path = os.path.join(FIXTURES_DIR, "bpe_token_counts_sf001.parquet")
+    path = _path("bpe_token_counts", sf_dir)
     pq.write_table(
         pa.table(
             {
@@ -556,14 +595,14 @@ def gen_bpe_token_counts(num_merges: int = 30, top_words: int = 200) -> str:
     return f"{path}: {len(ids)} docs"
 
 
-def gen_part_kcore(k: int = 3, min_support: int = 2) -> str:
+def gen_part_kcore(sf_dir: str = DEFAULT_SF, k: int = 3, min_support: int = 2) -> str:
     """Plain-Python k-core of the co-purchase graph (parts sharing an
     order, support >= min_support) — dict/set peeling twin of
     pipelines/graphstats.py::k_core + q_part_kcore."""
     from collections import Counter, defaultdict
 
     li = pq.read_table(
-        f"{SF001}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
     per_order = defaultdict(set)
     for o, p in zip(li["l_orderkey"].to_pylist(), li["l_partkey"].to_pylist()):
@@ -588,12 +627,12 @@ def gen_part_kcore(k: int = 3, min_support: int = 2) -> str:
                     adj[m].discard(n)
                 changed = True
     nodes = sorted(adj)
-    path = os.path.join(FIXTURES_DIR, "part_kcore_sf001.parquet")
+    path = _path("part_kcore", sf_dir)
     pq.write_table(pa.table({"node": pa.array(nodes, pa.int64())}), path)
     return f"{path}: {len(nodes)} nodes in the {k}-core"
 
 
-def gen_kmeans_clusters(k: int = 8, iters: int = 10, scale_bits: int = 16) -> str:
+def gen_kmeans_clusters(sf_dir: str = DEFAULT_SF, k: int = 8, iters: int = 10, scale_bits: int = 16) -> str:
     """Plain-numpy twin of stages/cluster.py::kmeans_fixed_point +
     assign_clusters: int64 fixed-point Lloyd with smallest-id init,
     first-occurrence argmin ties, floor-division centroid update —
@@ -602,7 +641,7 @@ def gen_kmeans_clusters(k: int = 8, iters: int = 10, scale_bits: int = 16) -> st
     import numpy as np
 
     emb = pq.read_table(
-        f"{SF001}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
     m = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
@@ -622,7 +661,7 @@ def gen_kmeans_clusters(k: int = 8, iters: int = 10, scale_bits: int = 16) -> st
             if len(sel):
                 cents[j] = sel.sum(axis=0) // len(sel)
     a = nearest(cents)
-    path = os.path.join(FIXTURES_DIR, "kmeans_clusters_sf001.parquet")
+    path = _path("kmeans_clusters", sf_dir)
     pq.write_table(
         pa.table(
             {
@@ -635,7 +674,7 @@ def gen_kmeans_clusters(k: int = 8, iters: int = 10, scale_bits: int = 16) -> st
     return f"{path}: {len(ids)} vectors, {len(np.unique(a))} live clusters"
 
 
-def gen_ann_ivf(
+def gen_ann_ivf(sf_dir: str = DEFAULT_SF, 
     k: int = 10,
     n_clusters: int = 16,
     nprobe: int = 8,
@@ -654,7 +693,7 @@ def gen_ann_ivf(
     import numpy as np
 
     emb = pq.read_table(
-        f"{SF001}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
     m = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
@@ -693,15 +732,20 @@ def gen_ann_ivf(
         sub = ids[mask]
         o = np.lexsort((sub, -sims))
         ranked = sims[o]
-        if len(ranked) > k and ranked[k - 1] == ranked[k]:
+        # any duplicate score within the top-(k+1) — not just at the
+        # global k-boundary — can make a per-block partial top-k
+        # layout-dependent (two equal candidates straddling a
+        # block-local argpartition cut), so reject those outright
+        top = ranked[: k + 1]
+        if len(np.unique(top)) != len(top):
             raise RuntimeError(
-                f"float tie at the k-boundary for query {qid} — "
+                f"duplicate score in the top-{k + 1} for query {qid} — "
                 "fixture would not be layout-safe"
             )
         for i in o[:k]:
             out_q.append(int(qid))
             out_id.append(int(sub[i]))
-    path = os.path.join(FIXTURES_DIR, "ann_ivf_sf001.parquet")
+    path = _path("ann_ivf", sf_dir)
     pq.write_table(
         pa.table(
             {
@@ -714,7 +758,7 @@ def gen_ann_ivf(
     return f"{path}: {len(out_q)} rows ({len(qids)} queries × top-{k})"
 
 
-def gen_ann_lsh(
+def gen_ann_lsh(sf_dir: str = DEFAULT_SF, 
     k: int = 10,
     n_planes: int = 6,
     max_probe_hamming: int = 2,
@@ -731,7 +775,7 @@ def gen_ann_lsh(
     import numpy as np
 
     emb = pq.read_table(
-        f"{SF001}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
     m = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
@@ -772,15 +816,20 @@ def gen_ann_lsh(
         sub = ids[mask]
         o = np.lexsort((sub, -sims))
         ranked = sims[o]
-        if len(ranked) > k and ranked[k - 1] == ranked[k]:
+        # any duplicate score within the top-(k+1) — not just at the
+        # global k-boundary — can make a per-block partial top-k
+        # layout-dependent (two equal candidates straddling a
+        # block-local argpartition cut), so reject those outright
+        top = ranked[: k + 1]
+        if len(np.unique(top)) != len(top):
             raise RuntimeError(
-                f"float tie at the k-boundary for query {qid} — "
+                f"duplicate score in the top-{k + 1} for query {qid} — "
                 "fixture would not be layout-safe"
             )
         for i in o[:k]:
             out_q.append(int(qid))
             out_id.append(int(sub[i]))
-    path = os.path.join(FIXTURES_DIR, "ann_lsh_sf001.parquet")
+    path = _path("ann_lsh", sf_dir)
     pq.write_table(
         pa.table(
             {
@@ -793,20 +842,62 @@ def gen_ann_lsh(
     return f"{path}: {len(out_q)} rows ({len(qids)} queries × ≤top-{k})"
 
 
-if __name__ == "__main__":
+# fixture base name (as used by oracles.fixture_path) → generator.
+# multimodal/audio are keyed by n, not sf — their generator ignores
+# sf_dir and always (re)writes the n-keyed file.
+GENERATORS = {
+    "entity_pagerank": gen_entity_pagerank,
+    "simhash_pairs_h2": gen_simhash_pairs,
+    "minhash_dedup": gen_minhash_dedup,
+    "ngram_jaccard": gen_ngram_jaccard,
+    "curate_full": gen_curate_full,
+    "kmv_distinct": gen_kmv_distinct,
+    "hll_distinct": gen_hll_distinct,
+    "bpe_merges": gen_bpe_merges,
+    "bpe_token_counts": gen_bpe_token_counts,
+    "part_kcore": gen_part_kcore,
+    "kmeans_clusters": gen_kmeans_clusters,
+    "ann_ivf": gen_ann_ivf,
+    "ann_lsh": gen_ann_lsh,
+}
+
+_SF_INDEPENDENT = {
+    "multimodal_features": (gen_multimodal_features, "multimodal_features_n200.parquet"),
+    "audio_features": (gen_audio_features, "audio_features_n200.parquet"),
+}
+
+
+def ensure_fixtures(sf_dir: str = DEFAULT_SF, verbose: bool = False) -> list[str]:
+    """Generate any missing fixture for ``sf_dir`` (sf-keyed filenames)
+    so the oracle harness is truthful at ANY scale factor, not just the
+    sf0.01 the fixtures were first pinned at. Existing files are left
+    alone — regenerate explicitly via the CLI after semantic changes."""
     os.makedirs(FIXTURES_DIR, exist_ok=True)
-    print(gen_entity_pagerank())
-    print(gen_simhash_pairs())
-    print(gen_multimodal_features())
-    print(gen_audio_features())
-    print(gen_minhash_dedup())
-    print(gen_ngram_jaccard())
-    print(gen_curate_full())
-    print(gen_kmv_distinct())
-    print(gen_hll_distinct())
-    print(gen_bpe_merges())
-    print(gen_bpe_token_counts())
-    print(gen_part_kcore())
-    print(gen_kmeans_clusters())
-    print(gen_ann_ivf())
-    print(gen_ann_lsh())
+    made = []
+    for name, fn in GENERATORS.items():
+        if not os.path.exists(_path(name, sf_dir)):
+            msg = fn(sf_dir=sf_dir)
+            made.append(name)
+            if verbose:
+                print(msg)
+    for name, (fn, fname) in _SF_INDEPENDENT.items():
+        if not os.path.exists(os.path.join(FIXTURES_DIR, fname)):
+            msg = fn()
+            made.append(name)
+            if verbose:
+                print(msg)
+    return made
+
+
+if __name__ == "__main__":
+    # usage: gen_fixtures.py [sf_dir] [name ...]  — regenerates (all or
+    # the named) fixtures for sf_dir, overwriting existing files
+    os.makedirs(FIXTURES_DIR, exist_ok=True)
+    argv = sys.argv[1:]
+    sf = argv[0] if argv else DEFAULT_SF
+    names = argv[1:] or list(GENERATORS) + list(_SF_INDEPENDENT)
+    for n in names:
+        if n in GENERATORS:
+            print(GENERATORS[n](sf_dir=sf))
+        else:
+            print(_SF_INDEPENDENT[n][0]())

@@ -1686,6 +1686,43 @@ class TestTwoPhaseVerify:
         assert (two["jaccard"] >= 0.8).all()
 
 
+class TestMinhashPathEquivalence:
+    def test_driver_path_equals_distributed(self, ray_session, docs):
+        """minhash_dedup's driver-coordinated small regime (raw-task
+        verify rounds + driver union-find, bounded by
+        MINHASH_DRIVER_MAX_PAIRS) must return the exact survivor set of
+        the fully distributed two-phase plan (driver_max_pairs=-1
+        forces it)."""
+        from ontograph_ray.stages.dedup import minhash_dedup
+
+        ds = docs.select_columns(["doc_id", "text"]).materialize()
+        small = sorted(
+            r["doc_id"] for r in minhash_dedup(ds, threshold=0.8).take_all()
+        )
+        dist = sorted(
+            r["doc_id"]
+            for r in minhash_dedup(
+                ds, threshold=0.8, driver_max_pairs=-1
+            ).take_all()
+        )
+        assert small == dist
+        assert len(small) < ds.count()  # the corpus does contain near-dups
+
+    def test_auto_bands_rule(self):
+        from ontograph_ray.stages.dedup import auto_bands
+
+        assert auto_bands(64, 0.85) == 8
+        assert auto_bands(64, 0.8) == 8
+        assert auto_bands(64, 0.5) == 16
+        assert auto_bands(64, 0.95) == 4
+        assert auto_bands(64, 1.0) == 1
+        # s-curve threshold of the chosen banding never exceeds the
+        # verify threshold (recall-side alignment)
+        for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+            b = auto_bands(64, t)
+            assert (1.0 / b) ** (b / 64) <= t
+
+
 class TestRankOver:
     def test_rank_and_dense_rank_ties(self, ray_session):
         from ontograph_ray.stages.windows import rank_over
