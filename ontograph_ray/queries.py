@@ -2208,7 +2208,7 @@ def q_sparql_having(sf_dir: str):
     from .store.sparql import sparql_select
 
     store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
-    return sparql_select(
+    out = sparql_select(
         store,
         f"""
         PREFIX rel: <urn:og:rel/>
@@ -2217,6 +2217,11 @@ def q_sparql_having(sf_dir: str):
         }} GROUP BY ?n HAVING ( COUNT(?c) > 60 )
         """,
     )
+    # HAVING can filter every group (it does at sf0.001) — keep the
+    # declared schema AND the count dtype on the empty result
+    df = _typed_pandas(out, ["n", "n_cust"])
+    df["n_cust"] = df["n_cust"].astype("int64")
+    return df
 
 
 def q_sparql_count_distinct(sf_dir: str):

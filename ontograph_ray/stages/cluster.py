@@ -65,18 +65,40 @@ def _fsl_matrix(col: pa.ChunkedArray) -> np.ndarray:
 
 
 def _assign(xq: np.ndarray, cents: np.ndarray) -> np.ndarray:
-    """Nearest centroid per row, all int64: squared L2 via the 3-D
-    difference tensor (n×k×d — bounded by the batch size), ties broken
-    to the LOWEST cluster index (np.argmin's first-occurrence rule)."""
-    diff = xq[:, None, :] - cents[None, :, :]
-    d2 = np.einsum("nkd,nkd->nk", diff, diff)
-    return np.argmin(d2, axis=1)
+    """Nearest centroid per row, all int64: squared L2 expanded as
+    ‖x‖² − 2x·c + ‖c‖² (every term exact in int64 — quantized values
+    are ≤ ~2^20 so the d-term dot products stay ≪ 2^63 — producing the
+    SAME integers as the 3-D difference tensor this replaces, hence the
+    same first-occurrence argmin). The matmul form is O(n·k·d) time but
+    O(n·k) memory instead of the n×k×d tensor, which is what lets the
+    IVF/coherent-blocking paths use hundreds of centroids per batch.
+    Row chunking bounds the n×k buffer."""
+    n = len(xq)
+    out = np.empty(n, dtype=np.int64)
+    c2 = np.einsum("kd,kd->k", cents, cents)
+    chunk = max(1, min(n, 1 << 22) // max(1, len(cents)))
+    for s in range(0, n, chunk):
+        x = xq[s : s + chunk]
+        d2 = (
+            np.einsum("nd,nd->n", x, x)[:, None]
+            - 2 * (x @ cents.T)
+            + c2[None, :]
+        )
+        out[s : s + chunk] = np.argmin(d2, axis=1)
+    return out
+
+
+# Bounded: a long-lived worker running many queries/iterations would
+# otherwise accumulate one entry per broadcast ref forever.
+_CENTROID_CACHE_MAX = 8
 
 
 def _get_cached(ref):
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     val = _CENTROID_CACHE.get(key)
     if val is None:
+        if len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
+            _CENTROID_CACHE.clear()
         val = _CENTROID_CACHE[key] = ray.get(ref)
     return val
 
@@ -200,9 +222,15 @@ def assign_clusters(
     )
 
 
+# auto-k regime: ~50k vectors per cluster (the SemDeDup paper's
+# cluster-size ballpark) keeps each per-cluster similarity pass inside
+# a worker's heap
+SEMDEDUP_ROWS_PER_CLUSTER = 50_000
+
+
 def semdedup(
     emb_ds: ray.data.Dataset,
-    k: int = 8,
+    k: int | None = 8,
     iters: int = 10,
     threshold: float = 0.4,
     scale_bits: int = 16,
@@ -213,11 +241,17 @@ def semdedup(
     with NO lower-id vector of cosine ≥ ``threshold`` in its k-means
     cluster. One broadcast-assign pass tags each vector with its
     cluster, one cluster-bucketed exchange co-locates each cluster,
-    and the per-cluster prune is a single float64 normalized matmul
-    (cosine is computed in double so the threshold comparison is
-    bit-comparable with the SQL twin's ``list_cosine_similarity``).
-    Partitioning assumption: one cluster's similarity block fits a
-    worker — scale k with the corpus (see module docstring)."""
+    and the per-cluster prune is a row-chunked float64 normalized
+    matmul (cosine in double so the threshold comparison is
+    bit-comparable with the SQL twin's ``list_cosine_similarity``;
+    chunking bounds memory at chunk×n_c instead of n_c² without
+    changing the order-free exists-lower-id rule). Partitioning
+    assumption: one cluster's vectors fit a worker — ``k=None``
+    enforces it by scaling k to ~``SEMDEDUP_ROWS_PER_CLUSTER`` rows
+    per cluster instead of trusting the caller to remember."""
+    if k is None:
+        n = emb_ds.count()
+        k = max(8, -(-n // SEMDEDUP_ROWS_PER_CLUSTER))
     cents = kmeans_fixed_point(
         emb_ds, k=k, iters=iters, scale_bits=scale_bits,
         id_col=id_col, vec_col=vec_col,
@@ -254,9 +288,17 @@ def semdedup(
     def prune(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(id_col, kind="stable").reset_index(drop=True)
         m = np.asarray(df["nvec"].tolist(), dtype=np.float64)
-        sims = m @ m.T
-        # row i removed iff any j < i with sims[j, i] >= threshold
-        removed = (np.tril(sims, k=-1) >= threshold).any(axis=1)
+        n = len(m)
+        removed = np.zeros(n, dtype=bool)
+        # row i removed iff any j < i with cosine >= threshold ("exists
+        # a LOWER-ID neighbor", removed or not — order-free, so row
+        # chunks are independent and memory stays at chunk×n_c)
+        chunk = 2048
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sims = m[s:e] @ m[:e].T
+            lower = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            removed[s:e] = ((sims >= threshold) & lower).any(axis=1)
         out = df.loc[~removed, [id_col, "cluster"]]
         return out
 

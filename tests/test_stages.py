@@ -207,6 +207,38 @@ class TestANN:
         got = {(r["src_id"], r["dst_id"]) for r in pairs.take_all()}
         assert got == {(0, 1)}
 
+    def test_self_similarity_coherent_blocks_exact(self, embs):
+        """Cluster-coherent re-blocking is pruning-only: with a tiny
+        target_block_rows (forcing the coherent path: n > 4·target and
+        many block pairs) the pair set must equal the read-order plan's
+        AND a brute-force numpy ground truth."""
+        t = 0.4
+        base = {
+            (r["src_id"], r["dst_id"])
+            for r in ann.self_similarity_pairs(
+                embs, threshold=t, coherent_blocks=False
+            ).take_all()
+        }
+        coh = {
+            (r["src_id"], r["dst_id"])
+            for r in ann.self_similarity_pairs(
+                embs, threshold=t, target_block_rows=100
+            ).take_all()
+        }
+        assert coh == base
+        rows = embs.take_all()
+        ids = np.asarray([r["vec_id"] for r in rows])
+        m = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        i, j = np.nonzero(sims >= t)
+        brute = {
+            (min(a, b), max(a, b))
+            for a, b in zip(ids[i], ids[j])
+            if a != b
+        }
+        assert coh == brute
+
 
 class TestMultimodal:
     def test_decode_features(self, ray_session):
