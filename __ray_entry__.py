@@ -124,6 +124,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_order_desc": q.q_sparql_order_desc,
         "sparql_path_negset": q.q_sparql_path_negset,
         "sparql_filter_numeric": q.q_sparql_filter_numeric,
+        "sparql_filter_lang": q.q_sparql_filter_lang,
+        "sparql_filter_str_dt": q.q_sparql_filter_str_dt,
+        "sparql_filter_bound": q.q_sparql_filter_bound,
+        "sparql_filter_coalesce": q.q_sparql_filter_coalesce,
         "sparql_path_opt": q.q_sparql_path_opt,
         "sparql_values": q.q_sparql_values,
         "sparql_construct": q.q_sparql_construct,

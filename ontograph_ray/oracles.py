@@ -179,6 +179,36 @@ SELECT subject AS cust, object AS bal FROM t
 WHERE predicate = '<{ACCTBAL}>'
   AND CAST(regexp_extract(object, '"([+-]?\\d+)"', 1) AS BIGINT) >= 500000
   AND CAST(regexp_extract(object, '"([+-]?\\d+)"', 1) AS BIGINT) < 900000""",
+        # LANG() builtin: the encoded term's @tag — in this corpus only
+        # the rdfs:label literals carry one
+        "sparql_filter_lang": f"""{_T}
+SELECT subject AS s, object AS o FROM t
+WHERE object LIKE '"%' AND regexp_matches(object, '"@en$')""",
+        # STR()/DATATYPE() builtins: lexical value and ^^<uri> tail of
+        # the encoded term
+        "sparql_filter_str_dt": f"""{_T}
+SELECT subject AS cust, object AS bal FROM t
+WHERE predicate = '<{ACCTBAL}>'
+  AND object LIKE '%^^<{C.XSD_INTEGER}>'
+  AND regexp_extract(object, '^"([^"]*)"', 1) != '0'""",
+        # !BOUND() over an OPTIONAL label: typed subjects with no label
+        "sparql_filter_bound": f"""{_T}
+SELECT t1.subject AS x FROM t t1
+WHERE t1.predicate = '{RDF_TYPE_T}'
+  AND NOT EXISTS (
+    SELECT 1 FROM t t2 WHERE t2.subject = t1.subject
+      AND t2.predicate = '<http://www.w3.org/2000/01/rdf-schema#label>'
+  )""",
+        # COALESCE(?lbl, "none") = "none": same unlabeled set, with the
+        # type column carried through
+        "sparql_filter_coalesce": f"""{_T}
+SELECT t1.subject AS x, t1.object AS t FROM t t1
+WHERE t1.predicate = '{RDF_TYPE_T}'
+  AND COALESCE(
+    (SELECT t2.object FROM t t2 WHERE t2.subject = t1.subject
+       AND t2.predicate = '<http://www.w3.org/2000/01/rdf-schema#label>'
+     LIMIT 1),
+    '"none"') = '"none"'""",
         # negated property set: every triple whose predicate is not
         # rdf:type / inNation
         "sparql_path_negset": f"""{_T}

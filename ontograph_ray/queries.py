@@ -2006,6 +2006,88 @@ def q_sparql_path_negset(sf_dir: str):
     )
 
 
+def q_sparql_filter_lang(sf_dir: str):
+    """E8 extension: LANG() builtin in FILTER — the reference's own
+    label model is per-lang (ontology_graph.go:175-206), so a lang-tag
+    filter is the first builtin a SPARQL user reaches for. Runs the
+    vectorized T7 Language kernel over the bound terms."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        SELECT ?s ?o WHERE {
+          ?s ?p ?o .
+          FILTER ( LANG(?o) = "en" )
+        }
+        """,
+    )
+
+
+def q_sparql_filter_str_dt(sf_dir: str):
+    """E8 extension: STR() and DATATYPE() builtins in one FILTER
+    conjunction — STR strips the term encoding (T6 Value kernel),
+    DATATYPE extracts the ^^<uri> tail (T8)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?cust ?bal WHERE {{
+          ?cust <{ACCTBAL}> ?bal .
+          FILTER ( DATATYPE(?bal) = xsd:integer ) .
+          FILTER ( STR(?bal) != "0" )
+        }}
+        """,
+    )
+
+
+def q_sparql_filter_bound(sf_dir: str):
+    """E8 extension: BOUND()/!BOUND() over an OPTIONAL-introduced
+    variable — the left-join null test (SPARQL's idiom for
+    'subjects without a label')."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?x WHERE {
+          ?x a ?t .
+          OPTIONAL { ?x rdfs:label ?lbl }
+          FILTER ( !BOUND(?lbl) )
+        }
+        """,
+    )
+
+
+def q_sparql_filter_coalesce(sf_dir: str):
+    """E8 extension: COALESCE in FILTER — label with a ground default,
+    kept when the default wins (i.e. unlabeled subjects)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?x ?t WHERE {
+          ?x a ?t .
+          OPTIONAL { ?x rdfs:label ?lbl }
+          FILTER ( COALESCE(?lbl, "none") = "none" )
+        }
+        """,
+    )
+
+
 def q_sparql_filter_numeric(sf_dir: str):
     """E8 extension: numeric FILTER over xsd:integer typed literals —
     the lexical value is extracted and cast per batch (one vectorized

@@ -56,6 +56,19 @@ silently misanswering):
                                       terms are dropped — the SPARQL
                                       type-error rule)
       FILTER regex ( ?v , "re" )      (RE2 over the encoded term string)
+      FILTER ( STR(?v) = "s" )        (term-accessor builtins compiled
+      FILTER ( LANG(?v) = "en" )      onto the vectorized T6/T7/T8
+      FILTER ( DATATYPE(?v) = xsd:t ) kernels; = / != against a ground
+                                      string (IRI for DATATYPE); an
+                                      UNBOUND argument accessor yields
+                                      "" rather than a SPARQL type
+                                      error — documented looser-than-
+                                      spec corner of this subset)
+      FILTER ( BOUND(?v) )            (null test on the binding column,
+      FILTER ( !BOUND(?v) )           for OPTIONAL-introduced vars)
+      FILTER ( COALESCE(?a, ?b, t) = term )   (first bound argument —
+                                      ground-term defaults allowed —
+                                      compared via = / !=)
       FILTER EXISTS { BGP }           (distributed semi-join on the
                                       shared variables)
       FILTER NOT EXISTS { BGP }       (anti-join; ≡ MINUS on this
@@ -380,6 +393,94 @@ def parse(text: str) -> _Query:
         if head != "(":
             raise SparqlSyntaxError(f"expected ( or regex after FILTER, got {head!r}")
         var = take()
+        up = var.upper()
+        if var == "!" or up == "BOUND":
+            # FILTER ( BOUND(?v) ) | FILTER ( !BOUND(?v) ) — null test
+            # on the (possibly OPTIONAL-introduced) binding column
+            want = var != "!"
+            if not want and take().upper() != "BOUND":
+                raise SparqlSyntaxError("expected BOUND after ! in FILTER")
+            if take() != "(":
+                raise SparqlSyntaxError("expected ( after BOUND")
+            v = take()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError("BOUND needs a ?variable")
+            if take() != ")" or take() != ")":
+                raise SparqlSyntaxError("expected ) closing BOUND filter")
+            filters.append(("bound", v[1:], 1 if want else 0))
+            return
+        if up in ("STR", "LANG", "DATATYPE"):
+            # FILTER ( STR(?v) = "s" ) | ( LANG(?v) = "en" )
+            # | ( DATATYPE(?v) = xsd:integer ) — term-accessor builtins
+            # compiled onto the vectorized T6/T7/T8 kernels
+            if take() != "(":
+                raise SparqlSyntaxError(f"expected ( after {up}")
+            v = take()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError(f"{up} needs a ?variable")
+            if take() != ")":
+                raise SparqlSyntaxError(f"expected ) closing {up}")
+            bop = take()
+            if bop not in ("=", "!="):
+                raise SparqlUnsupportedError(
+                    f"{up}() filter supports = and != only, got {bop!r}"
+                )
+            val = take()
+            if up == "DATATYPE":
+                val = _expand(val, prefixes, "object")
+                if not (val.startswith("<") and val.endswith(">")):
+                    raise SparqlSyntaxError("DATATYPE() compares to an IRI")
+                val = val[1:-1]
+            else:
+                if not (val.startswith('"') and val.endswith('"')):
+                    raise SparqlSyntaxError(
+                        f'{up}() compares to a plain "string"'
+                    )
+                val = val[1:-1]
+            if take() != ")":
+                raise SparqlSyntaxError("expected ) closing FILTER")
+            key = {"STR": "str", "LANG": "lang", "DATATYPE": "dt"}[up]
+            filters.append(
+                (f"{key}_{'eq' if bop == '=' else 'ne'}", v[1:], val)
+            )
+            return
+        if up == "COALESCE":
+            # FILTER ( COALESCE(?a, ?b, "default") = term ) — first
+            # bound argument (ground terms allowed as defaults)
+            # compared against a ground term
+            if take() != "(":
+                raise SparqlSyntaxError("expected ( after COALESCE")
+            args: list[str] = []
+            while True:
+                t = take()
+                args.append(t if t.startswith("?") else _expand(t, prefixes, "object"))
+                nxt = take()
+                if nxt == ")":
+                    break
+                if nxt != ",":
+                    raise SparqlSyntaxError("expected , or ) in COALESCE")
+            if not any(a.startswith("?") for a in args):
+                raise SparqlSyntaxError("COALESCE needs at least one ?variable")
+            bop = take()
+            if bop not in ("=", "!="):
+                raise SparqlUnsupportedError(
+                    "COALESCE() filter supports = and != only"
+                )
+            val = _expand(take(), prefixes, "object")
+            if val.startswith("?"):
+                raise SparqlUnsupportedError(
+                    "variable-to-variable FILTER not supported"
+                )
+            if take() != ")":
+                raise SparqlSyntaxError("expected ) closing FILTER")
+            filters.append(
+                (
+                    "coalesce_eq" if bop == "=" else "coalesce_ne",
+                    tuple(args),
+                    val,
+                )
+            )
+            return
         if not var.startswith("?"):
             raise SparqlSyntaxError("FILTER needs a ?variable on the left")
         op = take()
@@ -1041,7 +1142,14 @@ def sparql_select(
         # xsd:integer lexical value (non-integer terms → null → row
         # dropped, SPARQL's type-error rule) — one vectorized kernel
         # per filter, streaming.
-        bad = [v for _, v, _ in q.filters if v not in bound]
+        def _fvars(v):
+            return (
+                [a[1:] for a in v if a.startswith("?")]
+                if isinstance(v, tuple)
+                else [v]
+            )
+
+        bad = [x for _, v, _ in q.filters for x in _fvars(v) if x not in bound]
         if bad:
             raise SparqlSyntaxError(f"FILTER variables never bound: {bad}")
 
@@ -1051,15 +1159,40 @@ def sparql_select(
         )
         num_ops = {"lt": pc.less, "gt": pc.greater, "le": pc.less_equal,
                    "ge": pc.greater_equal}
+        from ..terms import v_datatype, v_language, v_value
+
+        _acc = {"str": v_value, "lang": v_language, "dt": v_datatype}
 
         def apply_filters(batch: pa.Table) -> pa.Table:
             mask = None
             for op, var, val in filters:
+                if op in ("coalesce_eq", "coalesce_ne"):
+                    co = pc.coalesce(
+                        *[
+                            batch[a[1:]] if a.startswith("?") else pa.scalar(a)
+                            for a in var
+                        ]
+                    )
+                    m = (pc.equal if op == "coalesce_eq" else pc.not_equal)(
+                        co, val
+                    )
+                    mask = m if mask is None else pc.and_(mask, m)
+                    continue
                 col = batch[var]
                 if op == "eq":
                     m = pc.equal(col, val)
                 elif op == "ne":
                     m = pc.not_equal(col, val)
+                elif op == "bound":
+                    m = pc.is_valid(col) if val else pc.is_null(col)
+                elif op[:-3] in _acc and op[-3:] in ("_eq", "_ne"):
+                    # STR/LANG/DATATYPE builtins → the vectorized T6/T7/
+                    # T8 term-accessor kernels (truth tables pinned by
+                    # the ported reference test suite)
+                    acc = _acc[op[:-3]](col)
+                    m = (pc.equal if op.endswith("_eq") else pc.not_equal)(
+                        acc, val
+                    )
                 elif op in num_ops:
                     lex = pc.struct_field(
                         pc.extract_regex(col, int_lit_re), "v"

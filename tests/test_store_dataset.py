@@ -1138,6 +1138,75 @@ class TestSparqlExtensions:
         )
         assert out["p"].tolist() == ["<urn:p1>", "<urn:p2>"]
 
+    def test_filter_builtins(self, ray_session):
+        from ontograph_ray import terms
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray.store.sparql import SparqlUnsupportedError
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:p1"), r("urn:name"), l("alice", "en")),
+            new_triple(r("urn:p2"), r("urn:name"), l("bob", "fr")),
+            new_triple(r("urn:p3"), r("urn:name"), l("carol")),
+            new_triple(
+                r("urn:p1"), r("urn:age"),
+                l("30", None, "http://www.w3.org/2001/XMLSchema#integer"),
+            ),
+            new_triple(r("urn:p1"), r("urn:knows"), r("urn:p2")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        # LANG
+        out = self._q(
+            ds, 'SELECT ?p WHERE { ?p <urn:name> ?n . FILTER ( LANG(?n) = "en" ) }'
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]
+        # LANG of a plain literal is "" (reference T7 contract)
+        out = self._q(
+            ds, 'SELECT ?p WHERE { ?p <urn:name> ?n . FILTER ( LANG(?n) = "" ) }'
+        )
+        assert out["p"].tolist() == ["<urn:p3>"]
+        # STR strips the encoding; matches across lang tags
+        out = self._q(
+            ds,
+            'SELECT ?p WHERE { ?p <urn:name> ?n . FILTER ( STR(?n) != "bob" ) } ORDER BY ?p',
+        )
+        assert out["p"].tolist() == ["<urn:p1>", "<urn:p3>"]
+        # DATATYPE against a full IRI
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p ?pred ?v . FILTER ( DATATYPE(?v) = "
+            "<http://www.w3.org/2001/XMLSchema#integer> ) }",
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]
+        # BOUND / !BOUND over OPTIONAL
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            "OPTIONAL { ?p <urn:knows> ?q } FILTER ( BOUND(?q) ) }",
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            "OPTIONAL { ?p <urn:knows> ?q } FILTER ( !BOUND(?q) ) } ORDER BY ?p",
+        )
+        assert out["p"].tolist() == ["<urn:p2>", "<urn:p3>"]
+        # COALESCE with a ground default
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            "OPTIONAL { ?p <urn:knows> ?q } "
+            'FILTER ( COALESCE(?q, <urn:nobody>) = <urn:nobody> ) } ORDER BY ?p',
+        )
+        assert out["p"].tolist() == ["<urn:p2>", "<urn:p3>"]
+        # unsupported comparator stays a typed error
+        with pytest.raises(SparqlUnsupportedError):
+            self._q(
+                ds,
+                'SELECT ?p WHERE { ?p <urn:name> ?n . FILTER ( LANG(?n) < "en" ) }',
+            )
+
     def test_inverse_path(self, ray_session):
         ds = self._people()
         inv = self._q(
