@@ -48,6 +48,9 @@ def _parse_warc_bytes(data: bytes) -> tuple[list, list, list]:
     per-record; ``gzip.decompress`` handles concatenated members)."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
+    if not data.startswith(b"WARC/"):
+        # non-WARC file in the directory (e.g. the sink's _MANIFEST)
+        return [], [], []
     urls, stamps, bodies = [], [], []
     pos = 0
     n = len(data)
@@ -134,30 +137,49 @@ def write_warc_file(path: str, records: list[dict]) -> None:
 def write_warc(ds: ray.data.Dataset, out_dir: str) -> int:
     """Partitioned WARC/1.0 sink: one ``part-<sha1>.warc.gz`` file per
     input block, named by a content hash of the block's URLs so a
-    re-run overwrites its own outputs idempotently (resumable; never
-    one giant file). Returns the number of records written."""
+    re-run overwrites its own outputs, then RECONCILED: after the
+    write, every ``part-*.warc.gz`` in ``out_dir`` that this run did
+    not produce is deleted and the expected file set is recorded in a
+    ``_MANIFEST`` file. Without the reconcile step a re-run under a
+    different block layout would leave the previous layout's part
+    files behind and read_warc would return duplicated records — the
+    content-hash naming alone is only idempotent for identical
+    layouts. Never one giant file. Returns the number of records
+    written."""
     import hashlib
+    import json
     import os
 
     os.makedirs(out_dir, exist_ok=True)
 
     def sink(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"n": pa.array([], pa.int64())})
+            return pa.table(
+                {"n": pa.array([], pa.int64()), "part": pa.array([], pa.string())}
+            )
         urls = batch["url"].to_pylist()
         stamps = batch["warc_ts"].to_pylist()
         html = batch["html"].to_pylist()
-        name = hashlib.sha1("\n".join(urls).encode()).hexdigest()[:16]
+        fname = f"part-{hashlib.sha1(chr(10).join(urls).encode()).hexdigest()[:16]}.warc.gz"
         write_warc_file(
-            os.path.join(out_dir, f"part-{name}.warc.gz"),
+            os.path.join(out_dir, fname),
             [
                 {"url": u, "ts": t, "html": h}
                 for u, t, h in zip(urls, stamps, html)
             ],
         )
-        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "part": pa.array([fname], pa.string()),
+            }
+        )
 
-    return sum(
-        r["n"]
-        for r in ds.map_batches(sink, batch_format="pyarrow").take_all()
-    )
+    rows = ds.map_batches(sink, batch_format="pyarrow").take_all()
+    expected = {r["part"] for r in rows}
+    for f in os.listdir(out_dir):
+        if f.startswith("part-") and f.endswith(".warc.gz") and f not in expected:
+            os.remove(os.path.join(out_dir, f))
+    with open(os.path.join(out_dir, "_MANIFEST"), "w") as mf:
+        json.dump({"parts": sorted(expected)}, mf)
+    return sum(r["n"] for r in rows)

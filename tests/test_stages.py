@@ -1546,6 +1546,16 @@ class TestWarcSink:
         }
         assert got == want
 
+        # reconcile: a re-run under a DIFFERENT block layout must not
+        # leave the previous layout's part files behind (read_warc
+        # would return duplicated records otherwise)
+        assert write_warc(ray.data.from_pandas(df).repartition(5), out) == 20
+        back2 = read_warc(out).to_pandas()
+        assert len(back2) == 20
+        assert {
+            (r.url, r.warc_ts, bytes(r.html)) for r in back2.itertuples()
+        } == want
+
 
 class TestChunkDocuments:
     def _chunk(self, texts, window, stride):
