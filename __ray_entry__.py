@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_filter_str_dt": q.q_sparql_filter_str_dt,
         "sparql_filter_bound": q.q_sparql_filter_bound,
         "sparql_filter_coalesce": q.q_sparql_filter_coalesce,
+        "sparql_bind": q.q_sparql_bind,
+        "sparql_sample": q.q_sparql_sample,
+        "sparql_filter_var": q.q_sparql_filter_var,
         "sparql_path_opt": q.q_sparql_path_opt,
         "sparql_values": q.q_sparql_values,
         "sparql_construct": q.q_sparql_construct,

@@ -209,6 +209,23 @@ WHERE t1.predicate = '{RDF_TYPE_T}'
        AND t2.predicate = '<http://www.w3.org/2000/01/rdf-schema#label>'
      LIMIT 1),
     '"none"') = '"none"'""",
+        # BIND(LANG(?o) AS ?tag) + FILTER on the alias: only the label
+        # triples carry a lang tag; the alias is the encoded plain
+        # literal '"en"'
+        "sparql_bind": f"""{_T}
+SELECT subject AS x, '"en"' AS tag FROM t
+WHERE object LIKE '"%' AND regexp_matches(object, '"@en$')""",
+        # SAMPLE = deterministic min term per group
+        "sparql_sample": f"""{_T}
+SELECT object AS n, min(subject) AS one, COUNT(*) AS members
+FROM t WHERE predicate = '<{IN_NATION}>' GROUP BY object""",
+        # variable-to-variable FILTER: same-nation customer pairs, no
+        # self pairs
+        "sparql_filter_var": f"""{_T}
+SELECT t1.subject AS a, t2.subject AS b
+FROM t t1 JOIN t t2 ON t1.object = t2.object
+WHERE t1.predicate = '<{IN_NATION}>' AND t2.predicate = '<{IN_NATION}>'
+  AND t1.subject != t2.subject""",
         # negated property set: every triple whose predicate is not
         # rdf:type / inNation
         "sparql_path_negset": f"""{_T}

@@ -2088,6 +2088,64 @@ def q_sparql_filter_coalesce(sf_dir: str):
     )
 
 
+def q_sparql_bind(sf_dir: str):
+    """E8 extension: BIND(LANG(?o) AS ?tag) + FILTER on the alias —
+    the bound accessor re-enters term space so the = "en" comparison
+    composes with the ordinary term-equality filter."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        SELECT ?x ?tag WHERE {
+          ?x ?p ?o .
+          BIND ( LANG(?o) AS ?tag )
+          FILTER ( ?tag = "en" )
+        }
+        """,
+    )
+
+
+def q_sparql_sample(sf_dir: str):
+    """E8 extension: SAMPLE aggregate — deterministic engine, so
+    SAMPLE is pinned to the min term (a valid sample under the spec's
+    'arbitrary value from the group', stable at any layout, and
+    therefore carrying an exact min() oracle)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        SELECT ?n (SAMPLE(?c) AS ?one) (COUNT(*) AS ?members) WHERE {{
+          ?c <{IN_NATION}> ?n .
+        }} GROUP BY ?n
+        """,
+    )
+
+
+def q_sparql_filter_var(sf_dir: str):
+    """E8 extension: variable-to-variable FILTER — same-nation customer
+    pairs excluding self-pairs, one column-vs-column kernel."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        SELECT ?a ?b WHERE {{
+          ?a <{IN_NATION}> ?n .
+          ?b <{IN_NATION}> ?n .
+          FILTER ( ?a != ?b )
+        }}
+        """,
+    )
+
+
 def q_sparql_filter_numeric(sf_dir: str):
     """E8 extension: numeric FILTER over xsd:integer typed literals —
     the lexical value is extracted and cast per batch (one vectorized

@@ -65,7 +65,20 @@ silently misanswering):
                                       error — documented looser-than-
                                       spec corner of this subset)
       FILTER ( BOUND(?v) )            (null test on the binding column,
-      FILTER ( !BOUND(?v) )           for OPTIONAL-introduced vars)
+      FILTER ( !BOUND(?v) )           for OPTIONAL- or BIND-introduced
+                                      vars)
+      FILTER ( ?a = ?b | ?a != ?b )   (variable-to-variable term
+                                      comparison, one column-vs-column
+                                      kernel)
+      BIND ( expr AS ?alias )         (expr ∈ STR/LANG/DATATYPE(?v),
+                                      COALESCE(...), ?v, ground term;
+                                      runs post-join pre-FILTER;
+                                      STR/LANG bind plain literals in
+                                      term encoding, DATATYPE binds the
+                                      <uri> term or NULL when absent)
+      (SAMPLE(?v) AS ?s)              (aggregate; deterministic engine →
+                                      pinned to the min term — a valid
+                                      sample, layout-stable, oracle-able)
       FILTER ( COALESCE(?a, ?b, t) = term )   (first bound argument —
                                       ground-term defaults allowed —
                                       compared via = / !=)
@@ -238,6 +251,10 @@ class _Query:
     having: list[tuple[str, str, int]] = field(default_factory=list)
     # GROUP_CONCAT separators by alias (default " ")
     concat_seps: dict = field(default_factory=dict)
+    # BIND(expr AS ?alias): (op, arg, alias) with op ∈ {"str", "lang",
+    # "dt", "coalesce", "copy", "const"} — applied after the BGP joins,
+    # before FILTER/aggregation
+    binds: list[tuple[str, object, str]] = field(default_factory=list)
 
 
 def _expand(tok: str, prefixes: dict[str, str], slot: str) -> str:
@@ -302,8 +319,16 @@ def parse(text: str) -> _Query:
             # ( COUNT|MIN|MAX|SUM|AVG ( ?v | * ) AS ?alias )
             take()
             op = take().lower()
-            if op not in ("count", "min", "max", "sum", "avg", "group_concat"):
+            if op not in (
+                "count", "min", "max", "sum", "avg", "group_concat", "sample",
+            ):
                 raise SparqlUnsupportedError(f"unsupported aggregate {op!r}")
+            if op == "sample":
+                # SPARQL SAMPLE picks an arbitrary group member; this
+                # engine is deterministic everywhere, so SAMPLE is
+                # pinned to the minimum term — a valid sample, stable
+                # at any block layout, and SQL-oracle-able
+                op = "min"
             if take() != "(":
                 raise SparqlSyntaxError(f"expected ( after {op.upper()}")
             if peek().upper() == "DISTINCT":
@@ -504,15 +529,61 @@ def parse(text: str) -> _Query:
         if op not in ("=", "!="):
             raise SparqlUnsupportedError(f"unsupported FILTER operator {op!r}")
         val = _expand(take(), prefixes, "object")
-        if val.startswith("?"):
-            raise SparqlUnsupportedError("variable-to-variable FILTER not supported")
         if take() != ")":
             raise SparqlSyntaxError("expected ) closing FILTER")
+        if val.startswith("?"):
+            # variable-to-variable term comparison: one vectorized
+            # column-vs-column kernel
+            filters.append(("veq" if op == "=" else "vne", (var, val), ""))
+            return
         filters.append(("eq" if op == "=" else "ne", var[1:], val))
 
     optionals: list[list[tuple[str, str, str]]] = []
     minus_groups: list[list[tuple[str, str, str]]] = []
     exists_groups: list[list[tuple[str, str, str]]] = []
+    binds: list[tuple[str, object, str]] = []
+
+    def take_bind() -> None:
+        # BIND ( expr AS ?alias ) with expr one of: STR/LANG/DATATYPE
+        # (?v), COALESCE(arg, ...), ?v (copy), or a ground term (const)
+        if take() != "(":
+            raise SparqlSyntaxError("expected ( after BIND")
+        t = take()
+        up = t.upper()
+        if up in ("STR", "LANG", "DATATYPE"):
+            if take() != "(":
+                raise SparqlSyntaxError(f"expected ( after {up}")
+            v = take()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError(f"{up} needs a ?variable")
+            if take() != ")":
+                raise SparqlSyntaxError(f"expected ) closing {up}")
+            op, arg = {"STR": "str", "LANG": "lang", "DATATYPE": "dt"}[up], v
+        elif up == "COALESCE":
+            if take() != "(":
+                raise SparqlSyntaxError("expected ( after COALESCE")
+            args: list[str] = []
+            while True:
+                a = take()
+                args.append(a if a.startswith("?") else _expand(a, prefixes, "object"))
+                nxt = take()
+                if nxt == ")":
+                    break
+                if nxt != ",":
+                    raise SparqlSyntaxError("expected , or ) in COALESCE")
+            op, arg = "coalesce", tuple(args)
+        elif t.startswith("?"):
+            op, arg = "copy", t
+        else:
+            op, arg = "const", _expand(t, prefixes, "object")
+        if take().upper() != "AS":
+            raise SparqlSyntaxError("BIND needs AS ?alias")
+        alias = take()
+        if not alias.startswith("?"):
+            raise SparqlSyntaxError("BIND alias must be a ?variable")
+        if take() != ")":
+            raise SparqlSyntaxError("expected ) closing BIND")
+        binds.append((op, arg, alias[1:]))
 
     pp_counter = [0]  # fresh hidden vars for property-path chaining
 
@@ -710,6 +781,12 @@ def parse(text: str) -> _Query:
                 if peek() == ".":
                     take()
                 continue
+            if peek().upper() == "BIND":
+                take()
+                take_bind()
+                if peek() == ".":
+                    take()
+                continue
             take_pattern(patterns)
         take()  # '}'
         if not patterns:
@@ -879,7 +956,7 @@ def parse(text: str) -> _Query:
         select, distinct, patterns, filters, optionals,
         minus_groups, exists_groups, values_clause, union_groups,
         aggregates, group_by, order_by, limit, offset, having=having,
-        concat_seps=concat_seps,
+        concat_seps=concat_seps, binds=binds,
     )
 
 
@@ -1134,6 +1211,62 @@ def sparql_select(
         opt_only.update(new_vars)
         bound += new_vars
 
+    if q.binds:
+        # BIND runs after the joins (arguments must be pattern-bound),
+        # before FILTER/aggregation so both can use the alias. Accessor
+        # binds re-enter TERM space: STR/LANG bind a plain literal
+        # ("value" — SPARQL's simple-literal return, in the engine's
+        # encoding, so FILTER ( ?alias = "x" ) composes), DATATYPE
+        # binds the <uri> resource term or NULL (unbound) when the
+        # term carries no datatype — BOUND() then works on it.
+        from ..terms import (
+            v_datatype,
+            v_language,
+            v_new_literal_term,
+            v_value,
+        )
+
+        _bacc = {"str": v_value, "lang": v_language, "dt": v_datatype}
+        for op, arg, alias in q.binds:
+            if alias in bound:
+                raise SparqlSyntaxError(f"BIND alias ?{alias} already bound")
+            args = arg if isinstance(arg, tuple) else (arg,)
+            missing = [
+                a[1:] for a in args if a.startswith("?") and a[1:] not in bound
+            ]
+            if missing and op != "const":
+                raise SparqlSyntaxError(f"BIND arguments never bound: {missing}")
+            bound.append(alias)
+        bind_list = list(q.binds)
+
+        def apply_binds(batch: pa.Table) -> pa.Table:
+            for op, arg, alias in bind_list:
+                if op == "const":
+                    col = pa.array([arg] * batch.num_rows, pa.string())
+                elif op == "copy":
+                    col = batch[arg[1:]]
+                elif op == "coalesce":
+                    col = pc.coalesce(
+                        *[
+                            batch[a[1:]] if a.startswith("?") else pa.scalar(a)
+                            for a in arg
+                        ]
+                    )
+                elif op == "dt":
+                    raw = v_datatype(batch[arg[1:]])
+                    enc = pc.binary_join_element_wise("<", raw, ">", "")
+                    col = pc.if_else(
+                        pc.equal(raw, ""), pa.scalar(None, pa.string()), enc
+                    )
+                else:
+                    col = v_new_literal_term(_bacc[op](batch[arg[1:]]))
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                batch = batch.append_column(alias, col)
+            return batch
+
+        joined = joined.map_batches(apply_binds, batch_format="pyarrow")
+
     if q.filters:
         # applied after the BGP joins, while every bound variable is in
         # scope (filters may reference unselected vars). eq/ne compare
@@ -1166,6 +1299,11 @@ def sparql_select(
         def apply_filters(batch: pa.Table) -> pa.Table:
             mask = None
             for op, var, val in filters:
+                if op in ("veq", "vne"):
+                    a, b = batch[var[0][1:]], batch[var[1][1:]]
+                    m = (pc.equal if op == "veq" else pc.not_equal)(a, b)
+                    mask = m if mask is None else pc.and_(mask, m)
+                    continue
                 if op in ("coalesce_eq", "coalesce_ne"):
                     co = pc.coalesce(
                         *[
