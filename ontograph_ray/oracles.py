@@ -219,6 +219,14 @@ WHERE object LIKE '"%' AND regexp_matches(object, '"@en$')""",
         "sparql_sample": f"""{_T}
 SELECT object AS n, min(subject) AS one, COUNT(*) AS members
 FROM t WHERE predicate = '<{IN_NATION}>' GROUP BY object""",
+        # subquery: per-nation counts joined back to the member rows
+        "sparql_subquery": f"""{_T}
+SELECT t1.subject AS c, t1.object AS n, g.cnt
+FROM t t1
+JOIN (SELECT object, COUNT(*) AS cnt FROM t
+      WHERE predicate = '<{IN_NATION}>' GROUP BY object) g
+  ON g.object = t1.object
+WHERE t1.predicate = '<{IN_NATION}>'""",
         # variable-to-variable FILTER: same-nation customer pairs, no
         # self pairs
         "sparql_filter_var": f"""{_T}

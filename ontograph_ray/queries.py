@@ -2146,6 +2146,29 @@ def q_sparql_filter_var(sf_dir: str):
     )
 
 
+def q_sparql_subquery(sf_dir: str):
+    """E8 extension: { SELECT ... } subquery — per-nation customer
+    counts computed by a nested aggregate SELECT, inner-joined back to
+    every customer row on the shared ?n (the classic
+    'row + its group's aggregate' SPARQL idiom)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX rel: <urn:og:rel/>
+        SELECT ?c ?n ?cnt WHERE {{
+          ?c rel:inNation ?n .
+          {{ SELECT ?n (COUNT(?x) AS ?cnt) WHERE {{
+               ?x rel:inNation ?n .
+             }} GROUP BY ?n }}
+        }}
+        """,
+    )
+
+
 def q_sparql_filter_numeric(sf_dir: str):
     """E8 extension: numeric FILTER over xsd:integer typed literals —
     the lexical value is extracted and cast per batch (one vectorized

@@ -79,6 +79,12 @@ silently misanswering):
       (SAMPLE(?v) AS ?s)              (aggregate; deterministic engine →
                                       pinned to the min term — a valid
                                       sample, layout-stable, oracle-able)
+      { SELECT ... }                  (subquery: executed recursively —
+                                      aggregates/GROUP BY included —
+                                      then ONE bucketed inner hash join
+                                      on the shared variables; must
+                                      share ≥1 variable with the outer
+                                      patterns; SELECT * bodies refused)
       FILTER ( COALESCE(?a, ?b, t) = term )   (first bound argument —
                                       ground-term defaults allowed —
                                       compared via = / !=)
@@ -255,6 +261,10 @@ class _Query:
     # "dt", "coalesce", "copy", "const"} — applied after the BGP joins,
     # before FILTER/aggregation
     binds: list[tuple[str, object, str]] = field(default_factory=list)
+    # { SELECT ... } subqueries, re-synthesized to query text (outer
+    # PREFIXes prepended); each is executed recursively and inner-joined
+    # on the shared variables
+    subqueries: list[str] = field(default_factory=list)
 
 
 def _expand(tok: str, prefixes: dict[str, str], slot: str) -> str:
@@ -542,6 +552,7 @@ def parse(text: str) -> _Query:
     minus_groups: list[list[tuple[str, str, str]]] = []
     exists_groups: list[list[tuple[str, str, str]]] = []
     binds: list[tuple[str, object, str]] = []
+    subqueries: list[str] = []
 
     def take_bind() -> None:
         # BIND ( expr AS ?alias ) with expr one of: STR/LANG/DATATYPE
@@ -787,6 +798,31 @@ def parse(text: str) -> _Query:
                 if peek() == ".":
                     take()
                 continue
+            if peek() == "{":
+                # nested group: only the { SELECT ... } subquery form
+                take()
+                if peek().upper() != "SELECT":
+                    raise SparqlUnsupportedError(
+                        "nested groups other than { SELECT ... } "
+                        "subqueries are not supported"
+                    )
+                depth, sub_toks = 1, []
+                while depth:
+                    t = take()
+                    if t == "{":
+                        depth += 1
+                    elif t == "}":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    sub_toks.append(t)
+                pre = " ".join(
+                    f"PREFIX {n}: <{u}>" for n, u in prefixes.items()
+                )
+                subqueries.append((pre + " " + " ".join(sub_toks)).strip())
+                if peek() == ".":
+                    take()
+                continue
             take_pattern(patterns)
         take()  # '}'
         if not patterns:
@@ -956,7 +992,7 @@ def parse(text: str) -> _Query:
         select, distinct, patterns, filters, optionals,
         minus_groups, exists_groups, values_clause, union_groups,
         aggregates, group_by, order_by, limit, offset, having=having,
-        concat_seps=concat_seps, binds=binds,
+        concat_seps=concat_seps, binds=binds, subqueries=subqueries,
     )
 
 
@@ -1210,6 +1246,27 @@ def sparql_select(
         new_vars = [v for v in grp_vars if v not in bound]
         opt_only.update(new_vars)
         bound += new_vars
+
+    for sub_text in q.subqueries:
+        # { SELECT ... } subquery: executed recursively (full subset —
+        # aggregates, GROUP BY, nested paths all work), then ONE
+        # bucketed inner hash join on the shared variables brings its
+        # projected columns (aggregate aliases included) into the outer
+        # scope for FILTER / BIND / SELECT.
+        sub_q = parse(sub_text)
+        if sub_q.select == ["*"]:
+            raise SparqlUnsupportedError(
+                "SELECT * subqueries are not supported"
+            )
+        shared = [v for v in sub_q.select if v in bound]
+        if not shared:
+            raise SparqlUnsupportedError(
+                "subquery shares no variable with the outer patterns"
+            )
+        joined = dstore.hash_join(
+            joined, sparql_select(store, sub_text), on=shared, how="inner"
+        )
+        bound += [v for v in sub_q.select if v not in bound]
 
     if q.binds:
         # BIND runs after the joins (arguments must be pattern-bound),
