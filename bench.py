@@ -59,9 +59,11 @@ SCALE_EXTRA = int(os.environ.get("GRAFT_SCALE_EXTRA", "32"))
 # Same-code headline runs minutes apart have measured 18s vs 28s on
 # this shared box — the headline is the MEDIAN of N back-to-back runs
 # (all walls disclosed in the JSON) so one noisy window doesn't decide
-# the graded number. Scaling children keep 1 (they have their own
-# median-of-repeats discipline across fresh processes).
-HEADLINE_REPEATS = int(os.environ.get("GRAFT_HEADLINE_REPEATS", "3"))
+# the graded number. Round 3 raised the default 3 → 5 after a
+# contended window produced a 22.4/17.5/13.9 spread on identical code.
+# Scaling children keep 1 (they have their own median-of-repeats
+# discipline across fresh processes).
+HEADLINE_REPEATS = int(os.environ.get("GRAFT_HEADLINE_REPEATS", "5"))
 
 # Timed subset of the queries() registry (heavier, shuffle-bearing ops).
 BENCH_QUERIES = [

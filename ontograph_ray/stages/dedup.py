@@ -633,17 +633,18 @@ def verified_near_dup_edges(
     clique mode's own cap degradation). Returns verified
     (src_id, dst_id, jaccard) edges.
 
-    Measured on the synthetic sf0.1 corpus (an adversarial case: the
-    default b=16/r=4 banding fires at J≈0.5 while verification is at
-    0.8, so ~all anchor edges fail): star 4.0 s / clique 10.5 s /
-    two-phase 14.8 s for minhash_dedup — worst case ≈ clique pairs
-    plus the second verify round's exchange latency. On a corpus where
-    buckets are mostly true duplicates the failed set is small and the
-    cost collapses toward star. To shrink the collision load itself,
-    align the banding with the verify threshold (``bands=8`` with 64
-    perms → LSH s-curve threshold (1/8)^(1/8) ≈ 0.77): candidate
-    volume drops ~25× at the cost of boundary recall (77% at J=0.80,
-    99.5% at J=0.90) — the standard b/r trade, left to the caller."""
+    Round-2 measurement on the synthetic sf0.1 corpus (an adversarial
+    case: a b=16/r=4 banding firing at J≈0.5 under a 0.8 verify bar,
+    so ~all anchor edges failed): star 4.0 s / clique 10.5 s /
+    two-phase 14.8 s — worst case ≈ clique pairs plus the second
+    verify round's exchange latency. On a corpus where buckets are
+    mostly true duplicates the failed set is small and the cost
+    collapses toward star. Round 3 removed the adversarial case at the
+    source: ``minhash_dedup`` now aligns the banding with the verify
+    threshold by default (:func:`auto_bands` — candidate volume ~25×
+    lower at 77% boundary recall, 99.5% at J=0.90), shares ONE
+    member-text gather across both verify rounds, and short-circuits
+    phase 2 when every anchor edge verifies."""
     from ..store.dataset import distinct_on, hash_join
 
     if mem_pairs is None:
