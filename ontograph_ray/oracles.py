@@ -219,6 +219,12 @@ WHERE object LIKE '"%' AND regexp_matches(object, '"@en$')""",
         "sparql_sample": f"""{_T}
 SELECT object AS n, min(subject) AS one, COUNT(*) AS members
 FROM t WHERE predicate = '<{IN_NATION}>' GROUP BY object""",
+        # modify form: BUILDING segment literals rewritten
+        "sparql_update_modify": f"""{_T}
+SELECT subject, predicate,
+       CASE WHEN predicate = '<{SEGMENT}>' AND object = '"BUILDING"'
+            THEN '"BUILDING_ARCHIVED"' ELSE object END AS object
+FROM t""",
         # subquery: per-nation counts joined back to the member rows
         "sparql_subquery": f"""{_T}
 SELECT t1.subject AS c, t1.object AS n, g.cnt

@@ -1848,6 +1848,26 @@ def q_sparql_update(sf_dir: str):
     return store.dataset
 
 
+def q_sparql_update_modify(sf_dir: str):
+    """E8 extension: the SPARQL 1.1 modify form — rewrite every
+    BUILDING segment literal to a fresh marker in one
+    DELETE {} INSERT {} WHERE {} (bindings from a recursive SELECT,
+    deletes one bucketed anti join, inserts union + dedup)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_update
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    store = sparql_update(
+        store,
+        f"""
+        DELETE {{ ?c <{SEGMENT}> "BUILDING" }}
+        INSERT {{ ?c <{SEGMENT}> "BUILDING_ARCHIVED" }}
+        WHERE {{ ?c <{SEGMENT}> "BUILDING" }}
+        """,
+    )
+    return store.dataset
+
+
 def q_sparql_path(sf_dir: str):
     """E8 extension: sequence property path (inNation/inRegion) —
     rewritten by the parser into a hidden-variable pattern chain, so

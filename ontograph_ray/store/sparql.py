@@ -140,6 +140,13 @@ engine's bulk set operations:
     INSERT DATA { [GRAPH <g> {] t1 . t2 . ... [}] }   → union + dedup
     DELETE DATA { [GRAPH <g> {] t1 . t2 . ... [}] }   → broadcast anti-join
     DELETE WHERE { [GRAPH <g> {] s p o . [}] }        → negated pattern
+    DELETE { tpl } INSERT { tpl } WHERE { BGP }       → modify form (either
+                                      template optional): bindings from one
+                                      recursive SELECT against the original
+                                      store, templates instantiated
+                                      vectorized, deletes via one bucketed
+                                      anti hash join, inserts via
+                                      union + dedup
                                       (one pattern; ?vars = wildcards)
 
 ``sparql_describe`` accepts ``DESCRIBE <iri>... [?v ...] [WHERE
@@ -2100,12 +2107,53 @@ def _parse_update(text: str):
             raise SparqlSyntaxError(f"PREFIX needs <uri>, got {uri!r}")
         prefixes[name] = uri[1:-1]
 
+    def take_block(kind: str) -> list[tuple[str, str, str]]:
+        # { s p o . ... } — vars allowed (validated by the caller)
+        if take() != "{":
+            raise SparqlSyntaxError(f"expected {{ opening the {kind} block")
+        out: list[tuple[str, str, str]] = []
+        while peek() not in ("}", ""):
+            s = _expand(take(), prefixes, "subject")
+            p = _expand(take(), prefixes, "predicate")
+            o = _expand(take(), prefixes, "object")
+            out.append((s, p, o))
+            if peek() == ".":
+                take()
+            elif peek() != "}":
+                raise SparqlSyntaxError("expected '.' or '}' after a triple")
+        if take() != "}":
+            raise SparqlSyntaxError(f"expected }} closing the {kind} block")
+        return out
+
     verb = take().upper()
     if verb == "INSERT":
+        if peek() == "{":
+            # modify form: INSERT { tpl } WHERE { pats }
+            ins_tpl = take_block("INSERT")
+            if take().upper() != "WHERE":
+                raise SparqlSyntaxError("expected WHERE after the INSERT template")
+            where = take_block("WHERE")
+            if i != len(toks):
+                raise SparqlSyntaxError(f"trailing tokens after update: {toks[i:]}")
+            return "modify", None, ([], ins_tpl, where)
         if take().upper() != "DATA":
-            raise SparqlUnsupportedError("only INSERT DATA is supported")
+            raise SparqlUnsupportedError("only INSERT DATA / INSERT {} WHERE {} are supported")
         kind = "insert_data"
     elif verb == "DELETE":
+        if peek() == "{":
+            # modify form: DELETE { tpl } [INSERT { tpl }] WHERE { pats }
+            del_tpl = take_block("DELETE")
+            ins_tpl: list[tuple[str, str, str]] = []
+            nxt = take().upper()
+            if nxt == "INSERT":
+                ins_tpl = take_block("INSERT")
+                nxt = take().upper()
+            if nxt != "WHERE":
+                raise SparqlSyntaxError("expected WHERE closing the modify update")
+            where = take_block("WHERE")
+            if i != len(toks):
+                raise SparqlSyntaxError(f"trailing tokens after update: {toks[i:]}")
+            return "modify", None, (del_tpl, ins_tpl, where)
         nxt = take().upper()
         if nxt == "DATA":
             kind = "delete_data"
@@ -2169,6 +2217,101 @@ def _parse_update(text: str):
     return kind, graph, pats
 
 
+def _apply_modify(
+    store: "dstore.DatasetGraphStore",
+    del_tpl: list[tuple[str, str, str]],
+    ins_tpl: list[tuple[str, str, str]],
+    where: list[tuple[str, str, str]],
+) -> "dstore.DatasetGraphStore":
+    """DELETE { tpl } INSERT { tpl } WHERE { BGP } — the SPARQL 1.1
+    modify form (either template may be absent). Bindings come from one
+    recursive SELECT over the template variables against the ORIGINAL
+    store (spec semantics: both templates instantiate against the same
+    pre-update state); templates instantiate vectorized over the
+    binding batches; deletes apply as ONE bucketed anti hash join on
+    the triple key and inserts as union + global dedup. The store is
+    functional — a new version is returned, the input untouched."""
+    tpl_vars = sorted(
+        {t[1:] for trip in del_tpl + ins_tpl for t in trip if t.startswith("?")}
+    )
+    where_vars = {t[1:] for trip in where for t in trip if t.startswith("?")}
+    missing = [v for v in tpl_vars if v not in where_vars]
+    if missing:
+        raise SparqlSyntaxError(
+            f"modify template variables never bound in WHERE: {missing}"
+        )
+    body = " . ".join(f"{s} {p} {o}" for s, p, o in where)
+
+    if not tpl_vars:
+        # ground templates: apply iff the WHERE pattern matches at all
+        if not sparql_ask(store, f"ASK {{ {body} }}"):
+            return store
+        out = store
+        if del_tpl:
+            out = out.delete_triples_unchecked(
+                pa.table(
+                    {
+                        tr.SUBJECT: pa.array([s for s, _, _ in del_tpl]),
+                        tr.PREDICATE: pa.array([p for _, p, _ in del_tpl]),
+                        tr.OBJECT: pa.array([o for _, _, o in del_tpl]),
+                    }
+                )
+            )
+        if ins_tpl:
+            out = out.add_triples_unchecked(
+                pa.table(
+                    {
+                        tr.SUBJECT: pa.array([s for s, _, _ in ins_tpl]),
+                        tr.PREDICATE: pa.array([p for _, p, _ in ins_tpl]),
+                        tr.OBJECT: pa.array([o for _, _, o in ins_tpl]),
+                    }
+                )
+            )
+        return out
+
+    bindings = sparql_select(
+        store, "SELECT " + " ".join(f"?{v}" for v in tpl_vars) + f" WHERE {{ {body} }}"
+    )
+
+    def instantiate(tpl):
+        def build(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            parts = []
+            for s, p, o in tpl:
+                cols = {}
+                for slot, term in (
+                    (tr.SUBJECT, s), (tr.PREDICATE, p), (tr.OBJECT, o),
+                ):
+                    if term.startswith("?"):
+                        col = batch[term[1:]]
+                        cols[slot] = (
+                            col.combine_chunks()
+                            if isinstance(col, pa.ChunkedArray)
+                            else col
+                        )
+                    else:
+                        cols[slot] = pa.array([term] * n, pa.string())
+                parts.append(pa.table(cols))
+            return pa.concat_tables(parts)
+
+        return bindings.map_batches(build, batch_format="pyarrow")
+
+    out_ds = store.matches()
+    if del_tpl:
+        out_ds = dstore.hash_join(
+            out_ds,
+            dstore.distinct_on(
+                instantiate(del_tpl), [tr.SUBJECT, tr.PREDICATE, tr.OBJECT]
+            ),
+            on=[tr.SUBJECT, tr.PREDICATE, tr.OBJECT],
+            how="anti",
+        )
+    out = dstore.DatasetGraphStore(store.get_uri(), out_ds)
+    if ins_tpl:
+        out = out.add_triples_unchecked(instantiate(ins_tpl))
+    return out
+
+
 def sparql_update(
     store: "dstore.DatasetGraphStore", update: str
 ) -> "dstore.DatasetGraphStore":
@@ -2180,6 +2323,8 @@ def sparql_update(
         raise SparqlUnsupportedError(
             f"update targets GRAPH <{graph}>, store is <{store.get_uri()}>"
         )
+    if kind == "modify":
+        return _apply_modify(store, *pats)
     if kind == "delete_where":
         s, p, o = pats[0]
         return store.without_matches(

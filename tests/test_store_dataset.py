@@ -675,6 +675,49 @@ class TestSparqlUpdate:
             t for t in self._triples(dstore) if t[1] != f"<{G}#rel-1>"
         }
 
+    def test_modify_form(self, dstore):
+        from ontograph_ray.store.sparql import (
+            SparqlSyntaxError,
+            sparql_update,
+        )
+
+        before = self._triples(dstore)
+        rel1 = {t for t in before if t[1] == f"<{G}#rel-1>"}
+        assert rel1
+        # rewrite: every rel-1 edge gains a mirrored marker, original kept
+        out = sparql_update(
+            dstore,
+            f"PREFIX f: <{G}#> "
+            "INSERT { ?s f:marked ?o } WHERE { ?s f:rel-1 ?o . }",
+        )
+        assert self._triples(out) == before | {
+            (s, f"<{G}#marked>", o) for s, _, o in rel1
+        }
+        # delete+insert in one modify: predicate rename
+        out2 = sparql_update(
+            dstore,
+            f"PREFIX f: <{G}#> DELETE {{ ?s f:rel-1 ?o }} "
+            "INSERT { ?s f:renamed ?o } WHERE { ?s f:rel-1 ?o . }",
+        )
+        assert self._triples(out2) == (before - rel1) | {
+            (s, f"<{G}#renamed>", o) for s, _, o in rel1
+        }
+        assert self._triples(dstore) == before  # functional store
+        # ground templates gate on the WHERE matching
+        out3 = sparql_update(
+            dstore,
+            "INSERT { <urn:x> <urn:y> <urn:z> } "
+            "WHERE { <urn:nobody> <urn:p> ?o . }",
+        )
+        assert self._triples(out3) == before
+        # template var never bound in WHERE → typed error
+        with pytest.raises(SparqlSyntaxError):
+            sparql_update(
+                dstore,
+                f"PREFIX f: <{G}#> INSERT {{ ?z f:m ?o }} "
+                "WHERE { ?s f:rel-1 ?o . }",
+            )
+
     def test_update_errors(self, dstore):
         from ontograph_ray.store.sparql import (
             SparqlSyntaxError,
