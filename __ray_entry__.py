@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_filter_var": q.q_sparql_filter_var,
         "sparql_subquery": q.q_sparql_subquery,
         "sparql_update_modify": q.q_sparql_update_modify,
+        "sparql_filter_or": q.q_sparql_filter_or,
         "sparql_path_opt": q.q_sparql_path_opt,
         "sparql_values": q.q_sparql_values,
         "sparql_construct": q.q_sparql_construct,

@@ -219,6 +219,15 @@ WHERE object LIKE '"%' AND regexp_matches(object, '"@en$')""",
         "sparql_sample": f"""{_T}
 SELECT object AS n, min(subject) AS one, COUNT(*) AS members
 FROM t WHERE predicate = '<{IN_NATION}>' GROUP BY object""",
+        # || / && FILTER combinations over the decomposed conditions
+        "sparql_filter_or": f"""{_T}
+SELECT t1.subject AS c, t1.object AS s, t2.object AS b
+FROM t t1 JOIN t t2 ON t2.subject = t1.subject
+WHERE t1.predicate = '<{SEGMENT}>'
+  AND t2.predicate = '<{ACCTBAL}>'
+  AND (t1.object = '"BUILDING"' OR t1.object = '"MACHINERY"')
+  AND CAST(regexp_extract(t2.object, '"([+-]?\\d+)"', 1) AS BIGINT) >= 0
+  AND CAST(regexp_extract(t2.object, '"([+-]?\\d+)"', 1) AS BIGINT) < 900000""",
         # modify form: BUILDING segment literals rewritten
         "sparql_update_modify": f"""{_T}
 SELECT subject, predicate,

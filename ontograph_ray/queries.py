@@ -1848,6 +1848,29 @@ def q_sparql_update(sf_dir: str):
     return store.dataset
 
 
+def q_sparql_filter_or(sf_dir: str):
+    """E8 extension: disjunctive FILTER — one || chain over simple
+    conditions, ORing the per-condition masks (null→false error
+    semantics), mixed here with a separate conjunctive numeric
+    FILTER."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?c ?s ?b WHERE {{
+          ?c attr:mktsegment ?s .
+          ?c attr:acctbalCents ?b .
+          FILTER ( ?s = "BUILDING" || ?s = "MACHINERY" ) .
+          FILTER ( ?b >= 0 && ?b < 900000 )
+        }}
+        """,
+    )
+
+
 def q_sparql_update_modify(sf_dir: str):
     """E8 extension: the SPARQL 1.1 modify form — rewrite every
     BUILDING segment literal to a fresh marker in one

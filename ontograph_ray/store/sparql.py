@@ -70,6 +70,13 @@ silently misanswering):
       FILTER ( ?a = ?b | ?a != ?b )   (variable-to-variable term
                                       comparison, one column-vs-column
                                       kernel)
+      FILTER ( c1 || c2 || ... )      (one boolean operator kind per
+      FILTER ( c1 && c2 && ... )      FILTER over the simple conditions
+                                      above; || ORs the per-condition
+                                      masks with null→false error
+                                      semantics, && ≡ separate FILTERs;
+                                      mixing the two needs parentheses —
+                                      refused, split into FILTERs)
       BIND ( expr AS ?alias )         (expr ∈ STR/LANG/DATATYPE(?v),
                                       COALESCE(...), ?v, ground term;
                                       runs post-join pre-FILTER;
@@ -211,6 +218,7 @@ _TOKEN = re.compile(
         (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       | (?P<uri><[^<>\s]*>)
       | (?P<lit>"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+|\^\^(?:<[^<>\s]*>|[A-Za-z_][\w-]*:[\w-]+))?)
+      | (?P<bool>\|\||&&)
       | (?P<neg>!(?!=))
       | (?P<punct>[{}.(),/|^+?;-])
       | (?P<op><=|>=|!=|=|<|>)
@@ -434,126 +442,136 @@ def parse(text: str) -> _Query:
             return
         if head != "(":
             raise SparqlSyntaxError(f"expected ( or regex after FILTER, got {head!r}")
-        var = take()
-        up = var.upper()
-        if var == "!" or up == "BOUND":
-            # FILTER ( BOUND(?v) ) | FILTER ( !BOUND(?v) ) — null test
-            # on the (possibly OPTIONAL-introduced) binding column
-            want = var != "!"
-            if not want and take().upper() != "BOUND":
-                raise SparqlSyntaxError("expected BOUND after ! in FILTER")
-            if take() != "(":
-                raise SparqlSyntaxError("expected ( after BOUND")
-            v = take()
-            if not v.startswith("?"):
-                raise SparqlSyntaxError("BOUND needs a ?variable")
-            if take() != ")" or take() != ")":
-                raise SparqlSyntaxError("expected ) closing BOUND filter")
-            filters.append(("bound", v[1:], 1 if want else 0))
-            return
-        if up in ("STR", "LANG", "DATATYPE"):
-            # FILTER ( STR(?v) = "s" ) | ( LANG(?v) = "en" )
-            # | ( DATATYPE(?v) = xsd:integer ) — term-accessor builtins
-            # compiled onto the vectorized T6/T7/T8 kernels
-            if take() != "(":
-                raise SparqlSyntaxError(f"expected ( after {up}")
-            v = take()
-            if not v.startswith("?"):
-                raise SparqlSyntaxError(f"{up} needs a ?variable")
-            if take() != ")":
-                raise SparqlSyntaxError(f"expected ) closing {up}")
-            bop = take()
-            if bop not in ("=", "!="):
-                raise SparqlUnsupportedError(
-                    f"{up}() filter supports = and != only, got {bop!r}"
-                )
-            val = take()
-            if up == "DATATYPE":
-                val = _expand(val, prefixes, "object")
-                if not (val.startswith("<") and val.endswith(">")):
-                    raise SparqlSyntaxError("DATATYPE() compares to an IRI")
-                val = val[1:-1]
-            else:
-                if not (val.startswith('"') and val.endswith('"')):
-                    raise SparqlSyntaxError(
-                        f'{up}() compares to a plain "string"'
+
+        def parse_cond() -> tuple:
+            # one simple condition, NOT consuming the FILTER's closing )
+            var = take()
+            up = var.upper()
+            if var == "!" or up == "BOUND":
+                # BOUND(?v) | !BOUND(?v) — null test on the (possibly
+                # OPTIONAL-introduced) binding column
+                want = var != "!"
+                if not want and take().upper() != "BOUND":
+                    raise SparqlSyntaxError("expected BOUND after ! in FILTER")
+                if take() != "(":
+                    raise SparqlSyntaxError("expected ( after BOUND")
+                v = take()
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError("BOUND needs a ?variable")
+                if take() != ")":
+                    raise SparqlSyntaxError("expected ) closing BOUND")
+                return ("bound", v[1:], 1 if want else 0)
+            if up in ("STR", "LANG", "DATATYPE"):
+                # term-accessor builtins compiled onto the vectorized
+                # T6/T7/T8 kernels
+                if take() != "(":
+                    raise SparqlSyntaxError(f"expected ( after {up}")
+                v = take()
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError(f"{up} needs a ?variable")
+                if take() != ")":
+                    raise SparqlSyntaxError(f"expected ) closing {up}")
+                bop = take()
+                if bop not in ("=", "!="):
+                    raise SparqlUnsupportedError(
+                        f"{up}() filter supports = and != only, got {bop!r}"
                     )
-                val = val[1:-1]
-            if take() != ")":
-                raise SparqlSyntaxError("expected ) closing FILTER")
-            key = {"STR": "str", "LANG": "lang", "DATATYPE": "dt"}[up]
-            filters.append(
-                (f"{key}_{'eq' if bop == '=' else 'ne'}", v[1:], val)
-            )
-            return
-        if up == "COALESCE":
-            # FILTER ( COALESCE(?a, ?b, "default") = term ) — first
-            # bound argument (ground terms allowed as defaults)
-            # compared against a ground term
-            if take() != "(":
-                raise SparqlSyntaxError("expected ( after COALESCE")
-            args: list[str] = []
-            while True:
-                t = take()
-                args.append(t if t.startswith("?") else _expand(t, prefixes, "object"))
-                nxt = take()
-                if nxt == ")":
-                    break
-                if nxt != ",":
-                    raise SparqlSyntaxError("expected , or ) in COALESCE")
-            if not any(a.startswith("?") for a in args):
-                raise SparqlSyntaxError("COALESCE needs at least one ?variable")
-            bop = take()
-            if bop not in ("=", "!="):
-                raise SparqlUnsupportedError(
-                    "COALESCE() filter supports = and != only"
-                )
-            val = _expand(take(), prefixes, "object")
-            if val.startswith("?"):
-                raise SparqlUnsupportedError(
-                    "variable-to-variable FILTER not supported"
-                )
-            if take() != ")":
-                raise SparqlSyntaxError("expected ) closing FILTER")
-            filters.append(
-                (
+                val = take()
+                if up == "DATATYPE":
+                    val = _expand(val, prefixes, "object")
+                    if not (val.startswith("<") and val.endswith(">")):
+                        raise SparqlSyntaxError("DATATYPE() compares to an IRI")
+                    val = val[1:-1]
+                else:
+                    if not (val.startswith('"') and val.endswith('"')):
+                        raise SparqlSyntaxError(
+                            f'{up}() compares to a plain "string"'
+                        )
+                    val = val[1:-1]
+                key = {"STR": "str", "LANG": "lang", "DATATYPE": "dt"}[up]
+                return (f"{key}_{'eq' if bop == '=' else 'ne'}", v[1:], val)
+            if up == "COALESCE":
+                # COALESCE(?a, ?b, "default") cmp term — first bound
+                # argument (ground-term defaults allowed)
+                if take() != "(":
+                    raise SparqlSyntaxError("expected ( after COALESCE")
+                args: list[str] = []
+                while True:
+                    t = take()
+                    args.append(
+                        t if t.startswith("?") else _expand(t, prefixes, "object")
+                    )
+                    nxt = take()
+                    if nxt == ")":
+                        break
+                    if nxt != ",":
+                        raise SparqlSyntaxError("expected , or ) in COALESCE")
+                if not any(a.startswith("?") for a in args):
+                    raise SparqlSyntaxError(
+                        "COALESCE needs at least one ?variable"
+                    )
+                bop = take()
+                if bop not in ("=", "!="):
+                    raise SparqlUnsupportedError(
+                        "COALESCE() filter supports = and != only"
+                    )
+                val = _expand(take(), prefixes, "object")
+                if val.startswith("?"):
+                    raise SparqlUnsupportedError(
+                        "variable-to-variable COALESCE FILTER not supported"
+                    )
+                return (
                     "coalesce_eq" if bop == "=" else "coalesce_ne",
                     tuple(args),
                     val,
                 )
-            )
-            return
-        if not var.startswith("?"):
-            raise SparqlSyntaxError("FILTER needs a ?variable on the left")
-        op = take()
-        if op in ("<", ">", "<=", ">="):
-            # numeric comparison over xsd:integer typed literals: the
-            # right side is a bare integer; rows whose term is not an
-            # integer literal are dropped (the SPARQL type-error rule)
-            n = take()
-            neg = n == "-"
-            if neg:
+            if not var.startswith("?"):
+                raise SparqlSyntaxError("FILTER needs a ?variable on the left")
+            op = take()
+            if op in ("<", ">", "<=", ">="):
+                # numeric comparison over xsd:integer typed literals;
+                # non-integer terms drop (the SPARQL type-error rule)
                 n = take()
-            if not n.isdigit():
-                raise SparqlSyntaxError(
-                    f"numeric FILTER needs an integer, got {n!r}"
+                neg = n == "-"
+                if neg:
+                    n = take()
+                if not n.isdigit():
+                    raise SparqlSyntaxError(
+                        f"numeric FILTER needs an integer, got {n!r}"
+                    )
+                key = {"<": "lt", ">": "gt", "<=": "le", ">=": "ge"}[op]
+                return (key, var[1:], -int(n) if neg else int(n))
+            if op not in ("=", "!="):
+                raise SparqlUnsupportedError(f"unsupported FILTER operator {op!r}")
+            val = _expand(take(), prefixes, "object")
+            if val.startswith("?"):
+                # variable-to-variable term comparison: one vectorized
+                # column-vs-column kernel
+                return ("veq" if op == "=" else "vne", (var, val), "")
+            return ("eq" if op == "=" else "ne", var[1:], val)
+
+        # one FILTER may combine several conditions with ONE boolean
+        # operator kind: `a || b || c` (an OR of the per-condition
+        # masks) or `a && b && c` (≡ separate FILTERs). Mixing the two
+        # in one FILTER would need precedence parentheses — refused;
+        # split into several FILTERs instead.
+        conds = [parse_cond()]
+        combiner = None
+        while peek() in ("||", "&&"):
+            c = take()
+            if combiner is not None and c != combiner:
+                raise SparqlUnsupportedError(
+                    "mixed && and || in one FILTER is not supported — "
+                    "split into separate FILTERs"
                 )
-            if take() != ")":
-                raise SparqlSyntaxError("expected ) closing FILTER")
-            key = {"<": "lt", ">": "gt", "<=": "le", ">=": "ge"}[op]
-            filters.append((key, var[1:], -int(n) if neg else int(n)))
-            return
-        if op not in ("=", "!="):
-            raise SparqlUnsupportedError(f"unsupported FILTER operator {op!r}")
-        val = _expand(take(), prefixes, "object")
+            combiner = c
+            conds.append(parse_cond())
         if take() != ")":
             raise SparqlSyntaxError("expected ) closing FILTER")
-        if val.startswith("?"):
-            # variable-to-variable term comparison: one vectorized
-            # column-vs-column kernel
-            filters.append(("veq" if op == "=" else "vne", (var, val), ""))
-            return
-        filters.append(("eq" if op == "=" else "ne", var[1:], val))
+        if combiner == "||" and len(conds) > 1:
+            filters.append(("or", tuple(conds), ""))
+        else:
+            filters.extend(conds)
 
     optionals: list[list[tuple[str, str, str]]] = []
     minus_groups: list[list[tuple[str, str, str]]] = []
@@ -1346,7 +1364,14 @@ def sparql_select(
                 else [v]
             )
 
-        bad = [x for _, v, _ in q.filters for x in _fvars(v) if x not in bound]
+        def _all_fvars(op, v):
+            if op == "or":
+                return [x for c in v for x in _all_fvars(c[0], c[1])]
+            return _fvars(v)
+
+        bad = [
+            x for op, v, _ in q.filters for x in _all_fvars(op, v) if x not in bound
+        ]
         if bad:
             raise SparqlSyntaxError(f"FILTER variables never bound: {bad}")
 
@@ -1360,48 +1385,54 @@ def sparql_select(
 
         _acc = {"str": v_value, "lang": v_language, "dt": v_datatype}
 
+        def cond_mask(batch: pa.Table, op, var, val):
+            if op == "or":
+                m = None
+                for c in var:
+                    cm = cond_mask(batch, *c)
+                    # SPARQL || treats an error (null) operand as false
+                    # unless the other side is true — fill_null(False)
+                    # before OR gives exactly that
+                    cm = pc.fill_null(cm, False)
+                    m = cm if m is None else pc.or_(m, cm)
+                return m
+            if op in ("veq", "vne"):
+                a, b = batch[var[0][1:]], batch[var[1][1:]]
+                return (pc.equal if op == "veq" else pc.not_equal)(a, b)
+            if op in ("coalesce_eq", "coalesce_ne"):
+                co = pc.coalesce(
+                    *[
+                        batch[a[1:]] if a.startswith("?") else pa.scalar(a)
+                        for a in var
+                    ]
+                )
+                return (pc.equal if op == "coalesce_eq" else pc.not_equal)(
+                    co, val
+                )
+            col = batch[var]
+            if op == "eq":
+                return pc.equal(col, val)
+            if op == "ne":
+                return pc.not_equal(col, val)
+            if op == "bound":
+                return pc.is_valid(col) if val else pc.is_null(col)
+            if op[:-3] in _acc and op[-3:] in ("_eq", "_ne"):
+                # STR/LANG/DATATYPE builtins → the vectorized T6/T7/T8
+                # term-accessor kernels (truth tables pinned by the
+                # ported reference test suite)
+                acc = _acc[op[:-3]](col)
+                return (pc.equal if op.endswith("_eq") else pc.not_equal)(
+                    acc, val
+                )
+            if op in num_ops:
+                lex = pc.struct_field(pc.extract_regex(col, int_lit_re), "v")
+                return num_ops[op](pc.cast(lex, pa.int64()), val)
+            return pc.match_substring_regex(col, val)
+
         def apply_filters(batch: pa.Table) -> pa.Table:
             mask = None
             for op, var, val in filters:
-                if op in ("veq", "vne"):
-                    a, b = batch[var[0][1:]], batch[var[1][1:]]
-                    m = (pc.equal if op == "veq" else pc.not_equal)(a, b)
-                    mask = m if mask is None else pc.and_(mask, m)
-                    continue
-                if op in ("coalesce_eq", "coalesce_ne"):
-                    co = pc.coalesce(
-                        *[
-                            batch[a[1:]] if a.startswith("?") else pa.scalar(a)
-                            for a in var
-                        ]
-                    )
-                    m = (pc.equal if op == "coalesce_eq" else pc.not_equal)(
-                        co, val
-                    )
-                    mask = m if mask is None else pc.and_(mask, m)
-                    continue
-                col = batch[var]
-                if op == "eq":
-                    m = pc.equal(col, val)
-                elif op == "ne":
-                    m = pc.not_equal(col, val)
-                elif op == "bound":
-                    m = pc.is_valid(col) if val else pc.is_null(col)
-                elif op[:-3] in _acc and op[-3:] in ("_eq", "_ne"):
-                    # STR/LANG/DATATYPE builtins → the vectorized T6/T7/
-                    # T8 term-accessor kernels (truth tables pinned by
-                    # the ported reference test suite)
-                    acc = _acc[op[:-3]](col)
-                    m = (pc.equal if op.endswith("_eq") else pc.not_equal)(
-                        acc, val
-                    )
-                elif op in num_ops:
-                    lex = pc.struct_field(
-                        pc.extract_regex(col, int_lit_re), "v"
-                    )
-                    m = num_ops[op](pc.cast(lex, pa.int64()), val)
-                else:
-                    m = pc.match_substring_regex(col, val)
+                m = cond_mask(batch, op, var, val)
                 mask = m if mask is None else pc.and_(mask, m)
             return batch.filter(mask)
 
