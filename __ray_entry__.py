@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_subquery": q.q_sparql_subquery,
         "sparql_update_modify": q.q_sparql_update_modify,
         "sparql_filter_or": q.q_sparql_filter_or,
+        "orders_running_total": q.q_orders_running_total,
+        "kg_bfs_depth": q.q_kg_bfs_depth,
         "sparql_path_opt": q.q_sparql_path_opt,
         "sparql_values": q.q_sparql_values,
         "sparql_construct": q.q_sparql_construct,

@@ -784,6 +784,26 @@ SELECT user_id, event_id, value,
        LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
          AS prev_value
 FROM events""",
+        # BFS depths over the two-level hierarchy — structurally known
+        "kg_bfs_depth": """
+SELECT '<urn:og:region/0>' AS node, CAST(0 AS BIGINT) AS depth
+UNION ALL
+SELECT '<urn:og:nation/' || n_nationkey || '>', 1
+FROM nation WHERE n_regionkey = 0
+UNION ALL
+SELECT '<urn:og:cust/' || c_custkey || '>', 2
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+WHERE n_regionkey = 0""",
+        "orders_running_total": """
+WITH c AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_custkey, o_orderkey, cents,
+       CAST(SUM(cents) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS running_total
+FROM c""",
         "events_window": """
 SELECT user_id, epoch_us(ts) // 3600000000 AS win,
        COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value

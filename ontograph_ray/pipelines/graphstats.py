@@ -265,6 +265,84 @@ def transitive_closure(
     )
 
 
+def bfs_depths(
+    edges: ray.data.Dataset,
+    sources: "list | ray.data.Dataset",
+    max_depth: int = 25,
+    directed: bool = True,
+) -> ray.data.Dataset:
+    """Breadth-first shortest hop distance from a SOURCE SET over the
+    (src, dst) edge table → Dataset(node, depth) for every reachable
+    node (sources at depth 0). Semi-naive frontier iteration — the
+    single-source-set shortest-path special case of
+    :func:`transitive_closure`: per round ONE bucketed hash join
+    (frontier ⋈ edges), one distinct, one anti-join against the
+    visited accumulator, so work per round is proportional to the NEW
+    nodes at that depth; the first time a node is reached IS its
+    shortest distance (BFS invariant), so no min-aggregation is
+    needed. Cycles terminate via the anti-join; ``max_depth`` is a
+    graph-diameter cap that raises rather than silently truncating.
+    ``directed=False`` walks edges both ways (one bag union of the
+    reversed edges, no extra exchange)."""
+    from ..store.dataset import distinct_on
+
+    base = edges.select_columns(["src", "dst"])
+    if not directed:
+        base = base.union(
+            _renamed(base, {"src": "dst", "dst": "src"}).select_columns(
+                ["src", "dst"]
+            )
+        )
+    base = distinct_on(base, ["src", "dst"]).materialize()
+
+    if isinstance(sources, ray.data.Dataset):
+        src_ds = distinct_on(sources.select_columns(["node"]), ["node"])
+    else:
+        node_type = base.schema().base_schema.field("src").type
+        src_ds = ray.data.from_arrow(
+            pa.table({"node": pa.array(list(sources), node_type)})
+        )
+
+    def with_depth(d: int):
+        def tag(batch: pa.Table) -> pa.Table:
+            if "node" not in batch.schema.names:
+                return pa.table(
+                    {"node": pa.array([], pa.string()),
+                     "depth": pa.array([], pa.int64())}
+                )
+            return batch.append_column(
+                "depth", pa.array([d] * batch.num_rows, pa.int64())
+            )
+        return tag
+
+    acc = src_ds.map_batches(with_depth(0), batch_format="pyarrow").materialize()
+    frontier = acc
+    for d in range(1, max_depth + 1):
+        stepped = hash_join(
+            _renamed(frontier.select_columns(["node"]), {"node": "src"}),
+            base,
+            on="src",
+        ).select_columns(["dst"])
+        cand = distinct_on(
+            _renamed(stepped, {"dst": "node"}), ["node"]
+        ).materialize()
+        if cand.count() == 0:
+            return acc
+        fresh = hash_join(
+            cand, acc.select_columns(["node"]), on="node", how="anti"
+        ).materialize()
+        if fresh.count() == 0:
+            return acc
+        frontier = fresh.map_batches(
+            with_depth(d), batch_format="pyarrow"
+        ).materialize()
+        acc = acc.union(frontier).materialize()
+    raise ValueError(
+        f"bfs_depths did not converge within {max_depth} rounds "
+        "(graph diameter exceeds the cap)"
+    )
+
+
 def _local_k_core(edges_df: pd.DataFrame, k: int) -> ray.data.Dataset:
     """Driver-side peel for edge sets small enough to collect — same
     output as the distributed loop, none of the per-round exchange

@@ -1081,6 +1081,71 @@ def q_events_lag(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def q_kg_bfs_depth(sf_dir: str):
+    """BFS shortest hop distance over the KG hierarchy edges
+    (customer→nation→region), undirected, from region/0 — every node's
+    depth in one semi-naive frontier loop (pipelines/graphstats.py::
+    bfs_depths). The hierarchy makes the ground truth SQL-expressible
+    without recursion: region 0, its nations at 1, their customers
+    at 2."""
+    from .pipelines.graphstats import bfs_depths
+
+    t = table_triples(sf_dir)
+
+    def edges(batch: pa.Table) -> pa.Table:
+        mask = pc.or_(
+            pc.equal(batch["predicate"], f"<{IN_NATION}>"),
+            pc.equal(batch["predicate"], f"<{IN_REGION}>"),
+        )
+        sel = batch.filter(mask)
+        return pa.table({"src": sel["subject"], "dst": sel["object"]})
+
+    return bfs_depths(
+        t.map_batches(edges, batch_format="pyarrow"),
+        ["<urn:og:region/0>"],
+        max_depth=5,
+        directed=False,
+    )
+
+
+def q_orders_running_total(sf_dir: str):
+    """Cumulative window: each order's running total of spend within
+    its customer, ordered by (orderdate, orderkey) — one key-bucketed
+    exchange + vectorized groupby-cumsum per bucket
+    (stages/windows.py::cumsum_over). Prices as integer cents so the
+    prefix sums are exact and bit-match the SQL window."""
+    from .stages.windows import cumsum_over
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "cents": cents,
+            }
+        )
+
+    out = cumsum_over(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        "cents",
+    )
+
+    def project(df):
+        return df[["o_custkey", "o_orderkey", "cents", "running_total"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def q_chunk_documents(sf_dir: str):
     """RAG-style sliding-window chunking (window 64, stride 48 —
     25% overlap): one streaming flat expansion per batch, no exchange

@@ -126,6 +126,32 @@ def lag_over(
     return bucketed_group_map(ds.select_columns(cols), key_cols, per_bucket)
 
 
+def cumsum_over(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+) -> ray.data.Dataset:
+    """SQL ``SUM(value) OVER (PARTITION BY keys ORDER BY order_cols
+    ROWS UNBOUNDED PRECEDING)`` — the running total. Same physical
+    shape as :func:`lag_over`: one key-bucketed exchange co-locates
+    each partition, then one vectorized sort + groupby-cumsum per
+    bucket. ``order_cols`` must totally order each partition (include
+    a unique tiebreaker) or the prefix sums are nondeterministic.
+    Partitioning assumption (same as every ordered-window primitive
+    here): one PARTITION's rows fit a worker — the per-key exchange
+    bounds a bucket at its keys' row counts, not the corpus."""
+    cols = list(dict.fromkeys(key_cols + order_cols + [value_col]))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(key_cols + order_cols, kind="stable")
+        df[out_col] = df.groupby(key_cols, sort=False)[value_col].cumsum()
+        return df
+
+    return bucketed_group_map(ds.select_columns(cols), key_cols, per_bucket)
+
+
 def rank_over(
     ds: ray.data.Dataset,
     key_cols: list[str],

@@ -193,3 +193,38 @@ class TestTransitiveClosure:
 
         with pytest.raises(ValueError):
             self._tc([(1, 2), (2, 3), (3, 4)], max_iters=1)
+
+
+class TestBfsDepths:
+    def _bfs(self, pairs, sources, **kw):
+        from ontograph_ray.pipelines.graphstats import bfs_depths
+
+        return sorted(
+            map(
+                tuple,
+                bfs_depths(_edges_ds(pairs), sources, **kw)
+                .to_pandas()
+                .values.tolist(),
+            )
+        )
+
+    def test_chain_cycle_unreachable(self, ray_session):
+        # 1→2→3→1 cycle, 3→4 tail, 9→1 upstream (unreachable directed)
+        pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (9, 1)]
+        got = self._bfs(pairs, [1])
+        assert got == [(1, 0), (2, 1), (3, 2), (4, 3)]
+        # undirected: the upstream 9 is reachable, everything shifts
+        got = self._bfs(pairs, [1], directed=False)
+        assert got == [(1, 0), (2, 1), (3, 1), (4, 2), (9, 1)]
+
+    def test_multi_source_min_depth(self, ray_session):
+        # two sources — a node reached by both gets its SHORTEST depth
+        pairs = [(1, 2), (2, 3), (7, 3), (3, 5)]
+        got = self._bfs(pairs, [1, 7])
+        assert got == [(1, 0), (2, 1), (3, 1), (5, 2), (7, 0)]
+
+    def test_depth_cap_raises(self, ray_session):
+        import pytest
+
+        with pytest.raises(ValueError):
+            self._bfs([(1, 2), (2, 3), (3, 4)], [1], max_depth=1)

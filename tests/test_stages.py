@@ -1765,6 +1765,31 @@ class TestMinhashPathEquivalence:
             assert (1.0 / b) ** (b / 64) <= t
 
 
+class TestCumsumOver:
+    def test_running_total_matches_bruteforce(self, ray_session):
+        from ontograph_ray.stages.windows import cumsum_over
+
+        df = pd.DataFrame(
+            {
+                "g": [1, 1, 1, 2, 2, 3],
+                "o": [3, 1, 2, 1, 2, 1],
+                "v": [10, 1, 100, 7, -2, 5],
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(3)
+        out = (
+            cumsum_over(ds, ["g"], ["o"], "v")
+            .to_pandas()
+            .sort_values(["g", "o"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(["g", "o"]).reset_index(drop=True)
+        want["running_total"] = want.groupby("g")["v"].cumsum()
+        assert out[["g", "o", "v", "running_total"]].equals(
+            want[["g", "o", "v", "running_total"]]
+        )
+
+
 class TestRankOver:
     def test_rank_and_dense_rank_ties(self, ray_session):
         from ontograph_ray.stages.windows import rank_over
