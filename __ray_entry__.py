@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_filter_or": q.q_sparql_filter_or,
         "orders_running_total": q.q_orders_running_total,
         "kg_bfs_depth": q.q_kg_bfs_depth,
+        "top_tokens_by_lang": q.q_top_tokens_by_lang,
         "sparql_path_opt": q.q_sparql_path_opt,
         "sparql_values": q.q_sparql_values,
         "sparql_construct": q.q_sparql_construct,

@@ -784,6 +784,14 @@ SELECT user_id, event_id, value,
        LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
          AS prev_value
 FROM events""",
+        # per-language token heavy hitters: unnest + count + QUALIFY
+        "top_tokens_by_lang": """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY lang, token)
+SELECT lang, token, cnt FROM cnt
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) <= 5""",
         # BFS depths over the two-level hierarchy — structurally known
         "kg_bfs_depth": """
 SELECT '<urn:og:region/0>' AS node, CAST(0 AS BIGINT) AS depth

@@ -1108,6 +1108,17 @@ def q_kg_bfs_depth(sf_dir: str):
     )
 
 
+def q_top_tokens_by_lang(sf_dir: str):
+    """Per-group heavy hitters: the 5 most frequent tokens within each
+    language (count DESC, token ASC tie-break) — per-block (group,
+    token) count combiner, ONE group-bucketed exchange, merge + top-k
+    in the same reduce (stages/text.py::top_terms_per_group)."""
+    from .stages.text import top_terms_per_group
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    return top_terms_per_group(docs, group_col="lang", k=5)
+
+
 def q_orders_running_total(sf_dir: str):
     """Cumulative window: each order's running total of spend within
     its customer, ordered by (orderdate, orderkey) — one key-bucketed

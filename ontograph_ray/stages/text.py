@@ -216,3 +216,74 @@ def classifier_score(
         )
 
     return ds.map_batches(score, fn_kwargs={"w_ref": w_ref}, batch_format="pyarrow")
+
+
+def top_terms_per_group(
+    ds: ray.data.Dataset,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 10,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-group token heavy hitters: the ``k`` most frequent
+    whitespace tokens within every ``group_col`` value, deterministic
+    tie-break (count DESC, token ASC) — the per-language vocabulary
+    profile of a corpus-mix report.
+
+    Scale shape: one vectorized explode+count per block pre-aggregates
+    each (group, token) to a partial count (the combiner — a
+    hyper-frequent token crosses the wire once per BLOCK), then ONE
+    exchange bucketed on the GROUP co-locates each group's partials so
+    the merge and the top-k happen together — no second exchange.
+    Partitioning assumption: one group's DISTINCT token set fits a
+    bucket worker (vocabulary-bounded, not corpus-bounded)."""
+    import pyarrow.compute as _pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks = _pc.split_pattern(_pc.fill_null(txt, ""), " ")
+        lens = _pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        grp = batch[group_col].to_pylist()
+        flat = pa.table(
+            {
+                group_col: pa.array(
+                    np.repeat(np.asarray(grp, dtype=object), lens)
+                ),
+                "token": _pc.list_flatten(toks),
+            }
+        )
+        counts = flat.group_by([group_col, "token"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        counts = counts.rename_columns([group_col, "token", "cnt"])
+        bucket = (
+            pd.util.hash_pandas_object(
+                pd.Series(counts[group_col].to_pylist()), index=False
+            )
+            % num_buckets
+        ).astype("int64")
+        return counts.append_column("__bucket", pa.array(bucket.to_numpy()))
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby([group_col, "token"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        g = g.sort_values(
+            [group_col, "cnt", "token"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        out = g.groupby(group_col, sort=False).head(k).copy()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    return (
+        ds.select_columns([group_col, text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge_topk, batch_format="pandas")
+    )
