@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "events_lag",
     "overlapping_sessions",
     "source_mix",
+    "orders_running_total",
+    "top_tokens_by_lang",
     # part_triangles is NOT timed for the same reason as
     # kg_sameas_salted: at sf0.1 the support>=2 co-purchase graph is
     # near-empty (1 triangle), so its wall is ~7 exchanges of fixed
