@@ -87,8 +87,13 @@ def curate(
     )
     deduped = exact_dedup(feats, key="text", id_col="doc_id", num_buckets=num_buckets)
     if near_dup:
+        # texts are already distinct after exact_dedup — skip
+        # minhash_dedup's exact-collapse (an identity exchange here)
         deduped = minhash_dedup(
-            deduped, threshold=minhash_threshold, num_buckets=num_buckets
+            deduped,
+            threshold=minhash_threshold,
+            num_buckets=num_buckets,
+            collapse_exact=False,
         )
     return deduped
 

@@ -752,6 +752,43 @@ def verified_near_dup_edges(
     return v1.union(v2)
 
 
+def _exact_collapse(
+    ds: ray.data.Dataset, key: str, id_col: str, num_buckets: int
+) -> ray.data.Dataset:
+    """Exact-duplicate collapse keeping the min-STRING ``id_col`` row
+    per distinct ``key`` — the SAME representative rule as the
+    component labels (string node ids), which is what makes collapsing
+    before near-dup detection semantics-preserving (see minhash_dedup).
+    Same two-stage shape as :func:`exact_dedup` (per-block combiner →
+    one bucketed exchange)."""
+
+    def local_rep(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(
+                __bucket=pd.Series(dtype="int64")
+            )
+        sid = df[id_col].astype(str)
+        idx = sid.groupby(df[key], sort=False).idxmin()
+        out = df.loc[idx].copy()
+        out["__bucket"] = (
+            pd.util.hash_pandas_object(out[key], index=False) % num_buckets
+        ).astype("int64")
+        return out
+
+    def bucket_rep(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.drop(columns=["__bucket"], errors="ignore")
+        sid = df[id_col].astype(str)
+        idx = sid.groupby(df[key], sort=False).idxmin()
+        return df.loc[idx].drop(columns=["__bucket"])
+
+    return (
+        ds.map_batches(local_rep, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(bucket_rep, batch_format="pandas")
+    )
+
+
 # Driver-coordination bounds for minhash_dedup's small regime (the
 # same size-cutover discipline as DRIVER_SMALL_MAX in the KG pipeline
 # and connected_components' small_threshold): at or below these, the
@@ -939,6 +976,7 @@ def minhash_dedup(
     num_buckets: int = 64,
     concurrency=None,
     driver_max_pairs: int = MINHASH_DRIVER_MAX_PAIRS,
+    collapse_exact: bool = True,
 ) -> ray.data.Dataset:
     """Full MinHash-LSH near-dup removal: shingle → minhash → banded
     LSH → candidate pairs → exact-Jaccard verify (bucketed text joins,
@@ -953,10 +991,34 @@ def minhash_dedup(
     The input is consumed three times (signatures, the verify-side
     text joins, the final survivor anti-join); pin it once so a lazy
     upstream chain (e.g. a filter + dedup shuffle feeding this stage)
-    is not recomputed per consumer."""
+    is not recomputed per consumer.
+
+    Exact duplicates are collapsed to one min-STRING ``doc_id``
+    representative per distinct text BEFORE detection (fused into the
+    pinning pass — one bucketed exchange, no extra plan execution).
+    Output-identical proof: identical texts share every band, so they
+    always co-bucket and always verify at J=1 — every exact group lies
+    inside one component. The component's min-string id is therefore
+    its own exact group's min (any smaller group member would lower
+    the component min), so it survives the collapse; every
+    collapsed-away row has a smaller-string same-text sibling, i.e. is
+    a component non-representative — a loser — already. Near-dup
+    connectivity between representatives is preserved because any path
+    through a collapsed doc can substitute its same-text
+    representative (same Jaccard values, same band keys). On a
+    duplicate-heavy corpus (the 100 TB norm) this removes the
+    in-bucket repair pair build's quadratic-in-duplication-factor
+    blowup — measured at 20× amplification of sf0.1: 31M repair pairs,
+    176 s → see BASELINE.md. Pass ``collapse_exact=False`` when the
+    caller guarantees texts are already distinct (e.g. downstream of
+    :func:`exact_dedup`, as in pipelines/curate.py) to skip the
+    then-identity exchange."""
     if bands is None:
         bands = auto_bands(num_perm, threshold)
-    ds = ds.materialize()
+    if collapse_exact:
+        ds = _exact_collapse(ds, "text", "doc_id", num_buckets).materialize()
+    else:
+        ds = ds.materialize()
     sigs = minhash_signatures(ds, k, num_perm, concurrency)
 
     # ONE streaming execution builds the anchor-pair table; its size

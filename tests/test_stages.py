@@ -1750,6 +1750,44 @@ class TestMinhashPathEquivalence:
         assert small == dist
         assert len(small) < ds.count()  # the corpus does contain near-dups
 
+    def test_exact_collapse_is_output_identical_on_dup_heavy_corpus(
+        self, ray_session, docs
+    ):
+        """minhash_dedup collapses exact duplicates to the min-STRING
+        doc_id representative before detection; the survivor set must
+        still equal full-uncollapsed-corpus semantics (the plain-Python
+        clique-mode twin), on BOTH physical regimes. The 4× amplified
+        ids (d, d+1e6, d+2e6, ...) interleave string-wise with the
+        originals, so the min-STRING representative of an exact group
+        is often NOT the original doc — exercising the proof's corner."""
+        import sys
+
+        sys.path.insert(0, "/root/repo/scripts")
+        from gen_fixtures import minhash_survivors_py
+
+        base = docs.select_columns(["doc_id", "text"]).to_pandas()
+        amp = pd.concat(
+            [base.assign(doc_id=base["doc_id"] + k * 1_000_000) for k in range(4)],
+            ignore_index=True,
+        )
+        want = minhash_survivors_py(
+            dict(zip(amp["doc_id"], amp["text"])), threshold=0.8
+        )
+        ds = ray.data.from_pandas(amp).repartition(8).materialize()
+        small = sorted(
+            r["doc_id"] for r in dedup.minhash_dedup(ds, threshold=0.8).take_all()
+        )
+        assert small == want
+        dist = sorted(
+            r["doc_id"]
+            for r in dedup.minhash_dedup(
+                ds, threshold=0.8, driver_max_pairs=-1
+            ).take_all()
+        )
+        assert dist == want
+        # every amplified copy beyond its group's representative dropped
+        assert len(want) < len(base)
+
     def test_auto_bands_rule(self):
         from ontograph_ray.stages.dedup import auto_bands
 
