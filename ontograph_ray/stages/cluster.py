@@ -41,6 +41,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .bcast import cached_get
+
 __all__ = ["kmeans_fixed_point", "assign_clusters", "semdedup"]
 
 _CENTROID_CACHE: dict = {}
@@ -88,19 +90,8 @@ def _assign(xq: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return out
 
 
-# Bounded: a long-lived worker running many queries/iterations would
-# otherwise accumulate one entry per broadcast ref forever.
-_CENTROID_CACHE_MAX = 8
-
-
 def _get_cached(ref):
-    key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    val = _CENTROID_CACHE.get(key)
-    if val is None:
-        if len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
-            _CENTROID_CACHE.clear()
-        val = _CENTROID_CACHE[key] = ray.get(ref)
-    return val
+    return cached_get(_CENTROID_CACHE, ref)
 
 
 def kmeans_fixed_point(

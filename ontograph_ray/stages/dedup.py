@@ -21,6 +21,7 @@ import ray
 import ray.data
 
 from ..pipelines.canonicalize import connected_components
+from .bcast import cached_get
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -385,10 +386,7 @@ def _verify_broadcast_batch(
 ) -> pd.DataFrame:
     """Small-branch verify kernel: texts of candidate MEMBERS (not the
     corpus) fetched once per worker from the broadcast ref."""
-    key = texts_ref.hex()
-    texts = _MEMBER_CACHE.get(key)
-    if texts is None:
-        texts = _MEMBER_CACHE[key] = ray.get(texts_ref)
+    texts = cached_get(_MEMBER_CACHE, texts_ref)
     sims = [
         jaccard(
             _cached_shingles(texts.get(s, ""), k), _cached_shingles(texts.get(d, ""), k)
@@ -468,9 +466,7 @@ def verify_pairs(
         ids_ref = ray.put(id_set)
 
         def member_docs(batch: pa.Table, ids_ref=None) -> pa.Table:
-            wanted = _MEMBER_CACHE.get(ids_ref.hex())
-            if wanted is None:
-                wanted = _MEMBER_CACHE[ids_ref.hex()] = ray.get(ids_ref)
+            wanted = cached_get(_MEMBER_CACHE, ids_ref)
             mask = pc.is_in(pc.cast(batch["doc_id"], pa.int64()), value_set=wanted)
             return batch.filter(mask)
 
@@ -676,9 +672,7 @@ def verified_near_dup_edges(
             ids_ref = ray.put(ids_arr)
 
             def member_docs(batch: pa.Table, ids_ref=None) -> pa.Table:
-                wanted = _MEMBER_CACHE.get(ids_ref.hex())
-                if wanted is None:
-                    wanted = _MEMBER_CACHE[ids_ref.hex()] = ray.get(ids_ref)
+                wanted = cached_get(_MEMBER_CACHE, ids_ref)
                 mask = pc.is_in(
                     pc.cast(batch["doc_id"], pa.int64()), value_set=wanted
                 )
@@ -954,9 +948,7 @@ def _minhash_dedup_driver(
     def drop(batch: pa.Table, losers_ref=None) -> pa.Table:
         if batch.num_rows == 0 or "doc_id" not in batch.schema.names:
             return batch
-        lo = _MEMBER_CACHE.get(losers_ref.hex())
-        if lo is None:
-            lo = _MEMBER_CACHE[losers_ref.hex()] = ray.get(losers_ref)
+        lo = cached_get(_MEMBER_CACHE, losers_ref)
         mask = pc.is_in(
             pc.cast(batch["doc_id"], pa.int64()), value_set=pa.array(lo)
         )

@@ -46,6 +46,8 @@ import pandas as pd
 import ray
 import ray.data
 
+from .bcast import cached_get
+
 
 def _hash_series(s: pd.Series) -> np.ndarray:
     """Uniform 64-bit value hashes. crc32 alone is NOT avalanche —
@@ -316,10 +318,7 @@ def bloom_probe(
     ref = ray.put(np.asarray(bits, dtype=np.int64))
 
     def probe(df: pd.DataFrame, ref=None) -> pd.DataFrame:
-        key = ref.hex() if hasattr(ref, "hex") else id(ref)
-        w = _BLOOM_CACHE.get(key)
-        if w is None:
-            w = _BLOOM_CACHE[key] = ray.get(ref).view(np.uint64)
+        w = cached_get(_BLOOM_CACHE, ref, transform=lambda a: a.view(np.uint64))
         out = pd.DataFrame({col: df[col]})
         if not len(df):
             out[out_col] = pd.Series(dtype="int64")

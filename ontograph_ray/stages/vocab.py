@@ -34,6 +34,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .bcast import cached_get
+
 _VOCAB_CACHE: dict = {}
 
 
@@ -80,12 +82,7 @@ def top_vocab(docs: ray.data.Dataset, k: int = 100) -> list[str]:
 
 
 def _coverage_batch(batch: pa.Table, vocab_ref=None) -> pa.Table:
-    key = vocab_ref.hex() if hasattr(vocab_ref, "hex") else id(vocab_ref)
-    vocab = _VOCAB_CACHE.get(key)
-    if vocab is None:
-        vocab = _VOCAB_CACHE[key] = (
-            ray.get(vocab_ref) if hasattr(vocab_ref, "hex") else vocab_ref
-        )
+    vocab = cached_get(_VOCAB_CACHE, vocab_ref)
     toks = pc.split_pattern(batch["text"], " ")
     counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(toks)
@@ -207,12 +204,7 @@ _MERGES_CACHE: dict = {}
 
 
 def _bpe_apply_batch(batch: pa.Table, merges_ref=None) -> pa.Table:
-    key = merges_ref.hex() if hasattr(merges_ref, "hex") else id(merges_ref)
-    merges = _MERGES_CACHE.get(key)
-    if merges is None:
-        merges = _MERGES_CACHE[key] = (
-            ray.get(merges_ref) if hasattr(merges_ref, "hex") else merges_ref
-        )
+    merges = cached_get(_MERGES_CACHE, merges_ref)
     toks = pc.split_pattern(pc.fill_null(batch["text"], ""), " ")
     counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(toks)
