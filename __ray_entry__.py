@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_subquery": q.q_sparql_subquery,
         "sparql_update_modify": q.q_sparql_update_modify,
         "sparql_filter_or": q.q_sparql_filter_or,
+        "sparql_bind_arith": q.q_sparql_bind_arith,
         "orders_running_total": q.q_orders_running_total,
         "kg_bfs_depth": q.q_kg_bfs_depth,
         "top_tokens_by_lang": q.q_top_tokens_by_lang,

@@ -215,6 +215,15 @@ WHERE t1.predicate = '{RDF_TYPE_T}'
         "sparql_bind": f"""{_T}
 SELECT subject AS x, '"en"' AS tag FROM t
 WHERE object LIKE '"%' AND regexp_matches(object, '"@en$')""",
+        # BIND integer arithmetic with chained aliases: decode the
+        # xsd:integer lexical value, int64 math, re-encode the term
+        "sparql_bind_arith": f"""{_T}
+SELECT subject AS c,
+       '"' || (CAST(regexp_extract(object, '"([+-]?\\d+)"', 1) AS BIGINT) * 2 - 100)
+           || '"^^<{C.XSD_INTEGER}>' AS adj
+FROM t
+WHERE predicate = '<{ACCTBAL}>'
+  AND CAST(regexp_extract(object, '"([+-]?\\d+)"', 1) AS BIGINT) * 2 - 100 >= 1000000""",
         # SAMPLE = deterministic min term per group
         "sparql_sample": f"""{_T}
 SELECT object AS n, min(subject) AS one, COUNT(*) AS members

@@ -2227,6 +2227,28 @@ def q_sparql_bind(sf_dir: str):
     )
 
 
+def q_sparql_bind_arith(sf_dir: str):
+    """E8 extension: integer BIND arithmetic with chained aliases —
+    xsd:integer lexical values decoded, int64 math, result re-encoded
+    as an xsd:integer term so the numeric FILTER on the second alias
+    composes."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        SELECT ?c ?adj WHERE {{
+          ?c <{ACCTBAL}> ?b .
+          BIND ( ?b * 2 AS ?dbl )
+          BIND ( ?dbl - 100 AS ?adj )
+          FILTER ( ?adj >= 1000000 )
+        }}
+        """,
+    )
+
+
 def q_sparql_sample(sf_dir: str):
     """E8 extension: SAMPLE aggregate — deterministic engine, so
     SAMPLE is pinned to the min term (a valid sample under the spec's

@@ -78,11 +78,21 @@ silently misanswering):
                                       mixing the two needs parentheses —
                                       refused, split into FILTERs)
       BIND ( expr AS ?alias )         (expr ∈ STR/LANG/DATATYPE(?v),
-                                      COALESCE(...), ?v, ground term;
+                                      COALESCE(...), ?v, ground term,
+                                      or integer arithmetic a ⊕ b with
+                                      ⊕ ∈ {+,-,*} and a,b ∈ {?v, int};
                                       runs post-join pre-FILTER;
                                       STR/LANG bind plain literals in
                                       term encoding, DATATYPE binds the
-                                      <uri> term or NULL when absent)
+                                      <uri> term or NULL when absent;
+                                      arithmetic decodes xsd:integer
+                                      lexical values and re-encodes the
+                                      int64 result as an xsd:integer
+                                      term — non-integer operands bind
+                                      NULL (SPARQL's error→unbound),
+                                      aliases chain across BINDs;
+                                      '/' refused, xsd:decimal results
+                                      are out of the integer subset)
       (SAMPLE(?v) AS ?s)              (aggregate; deterministic engine →
                                       pinned to the min term — a valid
                                       sample, layout-stable, oracle-able)
@@ -194,6 +204,10 @@ from . import dataset as dstore
 from .. import constants as C
 from .. import triples as tr
 
+# encoded xsd:integer literal term → named lexical-value group (shared
+# by numeric FILTER and BIND arithmetic)
+_INT_LIT_RE = r'^"(?P<v>[+-]?\d+)"\^\^<' + re.escape(C.XSD_INTEGER) + r">$"
+
 __all__ = [
     "SparqlSyntaxError",
     "SparqlUnsupportedError",
@@ -273,8 +287,9 @@ class _Query:
     # GROUP_CONCAT separators by alias (default " ")
     concat_seps: dict = field(default_factory=dict)
     # BIND(expr AS ?alias): (op, arg, alias) with op ∈ {"str", "lang",
-    # "dt", "coalesce", "copy", "const"} — applied after the BGP joins,
-    # before FILTER/aggregation
+    # "dt", "coalesce", "copy", "const", "arith"} — applied after the
+    # BGP joins, before FILTER/aggregation; "arith" arg is
+    # (⊕, lhs, rhs) with ⊕ ∈ {+,-,*} and operands "?var" | int
     binds: list[tuple[str, object, str]] = field(default_factory=list)
     # { SELECT ... } subqueries, re-synthesized to query text (outer
     # PREFIXes prepended); each is executed recursively and inner-joined
@@ -608,6 +623,28 @@ def parse(text: str) -> _Query:
                 if nxt != ",":
                     raise SparqlSyntaxError("expected , or ) in COALESCE")
             op, arg = "coalesce", tuple(args)
+        elif (t.startswith("?") or t.isdigit()) and peek() in ("+", "-", "*", "/"):
+            # integer arithmetic: a ⊕ b, operands ?var or unsigned int
+            # (negative constants via subtraction)
+            aop = take()
+            if aop == "/":
+                raise SparqlUnsupportedError(
+                    "BIND arithmetic '/' is not supported — division "
+                    "yields xsd:decimal, outside the integer subset; "
+                    "use + - *"
+                )
+
+            def _operand(tok: str):
+                if tok.startswith("?"):
+                    return tok
+                if tok.isdigit():
+                    return int(tok)
+                raise SparqlSyntaxError(
+                    "BIND arithmetic operands must be ?variables or "
+                    f"integers, got {tok!r}"
+                )
+
+            op, arg = "arith", (aop, _operand(t), _operand(take()))
         elif t.startswith("?"):
             op, arg = "copy", t
         else:
@@ -1314,7 +1351,9 @@ def sparql_select(
                 raise SparqlSyntaxError(f"BIND alias ?{alias} already bound")
             args = arg if isinstance(arg, tuple) else (arg,)
             missing = [
-                a[1:] for a in args if a.startswith("?") and a[1:] not in bound
+                a[1:]
+                for a in args
+                if isinstance(a, str) and a.startswith("?") and a[1:] not in bound
             ]
             if missing and op != "const":
                 raise SparqlSyntaxError(f"BIND arguments never bound: {missing}")
@@ -1340,6 +1379,34 @@ def sparql_select(
                     col = pc.if_else(
                         pc.equal(raw, ""), pa.scalar(None, pa.string()), enc
                     )
+                elif op == "arith":
+                    # decode xsd:integer lexical values (non-integer
+                    # terms → null → unbound result, SPARQL's
+                    # error→unbound), int64 arithmetic, re-encode
+                    aop, lhs, rhs = arg
+
+                    def ival(operand):
+                        if isinstance(operand, int):
+                            return pa.scalar(operand, pa.int64())
+                        lex = pc.struct_field(
+                            pc.extract_regex(batch[operand[1:]], _INT_LIT_RE),
+                            "v",
+                        )
+                        return pc.cast(lex, pa.int64())
+
+                    res = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}[
+                        aop
+                    ](ival(lhs), ival(rhs))
+                    col = pc.binary_join_element_wise(
+                        '"',
+                        pc.cast(res, pa.string()),
+                        f'"^^<{C.XSD_INTEGER}>',
+                        "",
+                    )
+                    if isinstance(col, pa.Scalar):  # int ⊕ int constant
+                        col = pa.array(
+                            [col.as_py()] * batch.num_rows, pa.string()
+                        )
                 else:
                     col = v_new_literal_term(_bacc[op](batch[arg[1:]]))
                 if isinstance(col, pa.ChunkedArray):
@@ -1376,9 +1443,7 @@ def sparql_select(
             raise SparqlSyntaxError(f"FILTER variables never bound: {bad}")
 
         filters = list(q.filters)
-        int_lit_re = (
-            r'^"(?P<v>[+-]?\d+)"\^\^<' + re.escape(C.XSD_INTEGER) + r">$"
-        )
+        int_lit_re = _INT_LIT_RE
         num_ops = {"lt": pc.less, "gt": pc.greater, "le": pc.less_equal,
                    "ge": pc.greater_equal}
         from ..terms import v_datatype, v_language, v_value

@@ -1504,6 +1504,72 @@ class TestSparqlExtensions:
             sparql_select(ds, "SELECT ?s WHERE { ?s (<urn:a>) ?o . }")
 
 
+class TestSparqlBindArith:
+    """Integer BIND arithmetic: decode xsd:integer terms, int64 math,
+    re-encode; error→unbound on non-integer operands; '/' refused."""
+
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+    def _nums(self):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:p1"), r("urn:age"), l("30", datatype=self.XSD_INT)),
+            new_triple(r("urn:p2"), r("urn:age"), l("7", datatype=self.XSD_INT)),
+            new_triple(r("urn:p1"), r("urn:name"), l("alice")),
+        ]
+        return DatasetGraphStore.from_triples("urn:g", trps)
+
+    def _q(self, dstore, text):
+        from ontograph_ray.store.sparql import sparql_select
+
+        return sparql_select(dstore, text).to_pandas()
+
+    def test_arith_chain_and_orders(self, ray_session):
+        ds = self._nums()
+        out = self._q(
+            ds,
+            "SELECT ?p ?adj WHERE { ?p <urn:age> ?a . "
+            "BIND ( ?a * 2 AS ?dbl ) BIND ( 1 + ?dbl AS ?adj ) } ORDER BY ?p",
+        ).set_index("p")["adj"]
+        assert out["<urn:p1>"] == f'"61"^^<{self.XSD_INT}>'
+        assert out["<urn:p2>"] == f'"15"^^<{self.XSD_INT}>'
+
+    def test_negative_result_and_filter_on_alias(self, ray_session):
+        ds = self._nums()
+        out = self._q(
+            ds,
+            "SELECT ?p ?d WHERE { ?p <urn:age> ?a . "
+            "BIND ( ?a - 20 AS ?d ) FILTER ( ?d < 0 ) }",
+        )
+        assert out["p"].tolist() == ["<urn:p2>"]
+        assert out["d"].tolist() == [f'"-13"^^<{self.XSD_INT}>']
+
+    def test_non_integer_operand_binds_null(self, ray_session):
+        ds = self._nums()
+        out = self._q(
+            ds,
+            "SELECT ?p ?y WHERE { ?p <urn:name> ?n . "
+            "BIND ( ?n + 1 AS ?y ) FILTER ( !BOUND(?y) ) }",
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]
+
+    def test_division_refused(self, ray_session):
+        import pytest as _pytest
+
+        from ontograph_ray.store.sparql import SparqlUnsupportedError
+
+        ds = self._nums()
+        with _pytest.raises(SparqlUnsupportedError, match="division"):
+            self._q(
+                ds,
+                "SELECT ?p WHERE { ?p <urn:age> ?a . BIND ( ?a / 2 AS ?h ) }",
+            )
+
+
 class TestSparqlOrderDesc:
     def _people(self):
         from ontograph_ray.store import DatasetGraphStore
