@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_filter_or": q.q_sparql_filter_or,
         "sparql_bind_arith": q.q_sparql_bind_arith,
         "orders_running_total": q.q_orders_running_total,
+        "orders_moving_sum": q.q_orders_moving_sum,
+        "customer_quartiles": q.q_customer_quartiles,
         "kg_bfs_depth": q.q_kg_bfs_depth,
         "top_tokens_by_lang": q.q_top_tokens_by_lang,
         "sparql_path_opt": q.q_sparql_path_opt,

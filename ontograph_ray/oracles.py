@@ -821,6 +821,25 @@ SELECT o_custkey, o_orderkey, cents,
                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS running_total
 FROM c""",
+        "orders_moving_sum": """
+WITH c AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_custkey, o_orderkey, cents,
+       CAST(SUM(cents) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS frame_sum
+FROM c""",
+        "customer_quartiles": """
+WITH c AS (SELECT c_custkey, c_nationkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer)
+SELECT c_custkey, c_nationkey, cents,
+       CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+                           ORDER BY cents DESC, c_custkey) AS BIGINT)
+         AS tile
+FROM c""",
         "events_window": """
 SELECT user_id, epoch_us(ts) // 3600000000 AS win,
        COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value

@@ -1157,6 +1157,81 @@ def q_orders_running_total(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def q_orders_moving_sum(sf_dir: str):
+    """Bounded moving-frame window: each order's trailing-4-order spend
+    (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) within its customer,
+    ordered by (orderdate, orderkey) — one key-bucketed exchange, then
+    the frame sum as a difference of two integer prefix sums per bucket
+    (stages/windows.py::frame_sum_over). Integer cents keep it exact."""
+    from .stages.windows import frame_sum_over
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "cents": cents,
+            }
+        )
+
+    out = frame_sum_over(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        "cents",
+        preceding=3,
+    )
+
+    def project(df):
+        return df[["o_custkey", "o_orderkey", "cents", "frame_sum"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def q_customer_quartiles(sf_dir: str):
+    """NTILE(4) spend-tier bucketing: quartile of each customer within
+    its nation by account balance (desc, custkey tiebreak) — the
+    stratification key a curriculum/stratified sampler partitions on
+    (stages/windows.py::ntile_over; closed-form tile from row number +
+    partition size, bit-matching SQL NTILE)."""
+    from .stages.windows import ntile_over
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["c_acctbal"], 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_nationkey": batch["c_nationkey"],
+                "cents": cents,
+            }
+        )
+
+    out = ntile_over(
+        cust.map_batches(to_cents, batch_format="pyarrow"),
+        ["c_nationkey"],
+        ["cents", "c_custkey"],
+        4,
+        ascending=[False, True],
+    )
+
+    def project(df):
+        return df[["c_custkey", "c_nationkey", "cents", "tile"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def q_chunk_documents(sf_dir: str):
     """RAG-style sliding-window chunking (window 64, stride 48 —
     25% overlap): one streaming flat expansion per batch, no exchange

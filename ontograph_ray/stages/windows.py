@@ -152,6 +152,90 @@ def cumsum_over(
     return bucketed_group_map(ds.select_columns(cols), key_cols, per_bucket)
 
 
+def frame_sum_over(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    preceding: int,
+    out_col: str = "frame_sum",
+) -> ray.data.Dataset:
+    """SQL ``SUM(value) OVER (PARTITION BY keys ORDER BY order_cols
+    ROWS BETWEEN preceding PRECEDING AND CURRENT ROW)`` — the bounded
+    moving-frame sum. Same physical shape as :func:`cumsum_over` (one
+    key-bucketed exchange + one vectorized pass per bucket); the frame
+    sum is computed as the difference of two integer prefix sums
+    (``cs[i] - cs[i - w]``) so int64 inputs stay exact — pandas'
+    ``rolling`` would round-trip through float64. ``order_cols`` must
+    totally order each partition (include a unique tiebreaker)."""
+    if preceding < 0:
+        raise ValueError("preceding must be >= 0")
+    cols = list(dict.fromkeys(key_cols + order_cols + [value_col]))
+    w = preceding + 1
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(key_cols + order_cols, kind="stable")
+        g = df.groupby(key_cols, sort=False)
+        cs = g[value_col].cumsum()
+        lagged = (
+            cs.groupby(g.ngroup(), sort=False).shift(w).fillna(0).astype("int64")
+        )
+        df[out_col] = cs - lagged
+        return df
+
+    return bucketed_group_map(ds.select_columns(cols), key_cols, per_bucket)
+
+
+def ntile_over(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    order_cols: list[str],
+    n: int,
+    ascending: "list[bool] | None" = None,
+    out_col: str = "tile",
+) -> ray.data.Dataset:
+    """SQL ``NTILE(n) OVER (PARTITION BY keys ORDER BY order_cols)`` —
+    each partition's rows split into ``n`` buckets 1..n whose sizes
+    differ by at most one, the first ``N mod n`` buckets taking the
+    extra row (the standard SQL assignment, bit-matching DuckDB).
+    One key-bucketed exchange, then per bucket a vectorized sort +
+    closed-form tile index from the row number and partition size —
+    no per-row Python. ``order_cols`` must totally order each
+    partition or the tile of tied rows is nondeterministic;
+    ``ascending`` gives the per-order-col direction (default all
+    ascending)."""
+    import numpy as np
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    asc = [True] * len(order_cols) if ascending is None else list(ascending)
+    if len(asc) != len(order_cols):
+        raise ValueError("ascending must match order_cols")
+    cols = list(dict.fromkeys(key_cols + order_cols))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            key_cols + order_cols,
+            ascending=[True] * len(key_cols) + asc,
+            kind="stable",
+        )
+        g = df.groupby(key_cols, sort=False)
+        r = g.cumcount().to_numpy()
+        size = g[order_cols[0]].transform("size").to_numpy()
+        q, rem = size // n, size % n
+        big = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
+        in_big = r < big
+        tile = np.where(
+            in_big,
+            r // np.maximum(q + 1, 1),
+            rem + (r - big) // np.maximum(q, 1),
+        )
+        df[out_col] = (tile + 1).astype("int64")
+        return df
+
+    return bucketed_group_map(ds.select_columns(cols), key_cols, per_bucket)
+
+
 def rank_over(
     ds: ray.data.Dataset,
     key_cols: list[str],

@@ -1828,6 +1828,95 @@ class TestCumsumOver:
         )
 
 
+class TestFrameSumOver:
+    def test_moving_frame_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from ontograph_ray.stages.windows import frame_sum_over
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 5, 40),
+                "o": np.arange(40),
+                "v": rng.integers(-50, 50, 40).astype("int64"),
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = (
+            frame_sum_over(ds, ["g"], ["o"], "v", preceding=2)
+            .to_pandas()
+            .sort_values(["g", "o"])
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            """SELECT g, o, v,
+                      CAST(SUM(v) OVER (PARTITION BY g ORDER BY o
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS frame_sum
+               FROM df ORDER BY g, o"""
+        ).df()
+        assert out[["g", "o", "v", "frame_sum"]].equals(
+            want[["g", "o", "v", "frame_sum"]]
+        )
+
+    def test_preceding_zero_is_identity(self, ray_session):
+        from ontograph_ray.stages.windows import frame_sum_over
+
+        df = pd.DataFrame({"g": [1, 1, 2], "o": [1, 2, 1], "v": [5, 7, 9]})
+        out = (
+            frame_sum_over(
+                ray.data.from_pandas(df), ["g"], ["o"], "v", preceding=0
+            )
+            .to_pandas()
+            .sort_values(["g", "o"])
+        )
+        assert out["frame_sum"].tolist() == [5, 7, 9]
+
+
+class TestNtileOver:
+    def test_matches_duckdb_including_remainders(self, ray_session):
+        import duckdb
+
+        from ontograph_ray.stages.windows import ntile_over
+
+        rng = np.random.default_rng(11)
+        # partition sizes 1..9 cover N<n, N=n, N%n in {0,1,2,3}
+        rows = []
+        for g in range(1, 10):
+            for i in range(g):
+                rows.append((g, int(rng.integers(0, 1000)) * 10 + i))
+        df = pd.DataFrame(rows, columns=["g", "o"])
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = (
+            ntile_over(ds, ["g"], ["o"], 4)
+            .to_pandas()
+            .sort_values(["g", "o"])
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            """SELECT g, o,
+                      CAST(NTILE(4) OVER (PARTITION BY g ORDER BY o)
+                           AS BIGINT) AS tile
+               FROM df ORDER BY g, o"""
+        ).df()
+        assert out[["g", "o", "tile"]].equals(want[["g", "o", "tile"]])
+
+    def test_descending_order(self, ray_session):
+        from ontograph_ray.stages.windows import ntile_over
+
+        df = pd.DataFrame({"g": [1] * 5, "o": [10, 20, 30, 40, 50]})
+        out = (
+            ntile_over(
+                ray.data.from_pandas(df), ["g"], ["o"], 2, ascending=[False]
+            )
+            .to_pandas()
+            .set_index("o")["tile"]
+        )
+        # desc order 50,40,30,20,10 → first bucket (size 3) gets 50,40,30
+        assert out.to_dict() == {50: 1, 40: 1, 30: 1, 20: 2, 10: 2}
+
+
 class TestRankOver:
     def test_rank_and_dense_rank_ties(self, ray_session):
         from ontograph_ray.stages.windows import rank_over
