@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": q.q_warc_roundtrip,
         "sparql_filter": q.q_sparql_filter,
         "sparql_optional": q.q_sparql_optional,
+        "sparql_optional_nested": q.q_sparql_optional_nested,
         "sparql_union": q.q_sparql_union,
         "sparql_group_count": q.q_sparql_group_count,
         "sparql_group_sum": q.q_sparql_group_sum,

@@ -122,6 +122,16 @@ FROM t t1
 LEFT JOIN t t2 ON t2.subject = t1.subject
   AND t2.predicate = '<http://www.w3.org/2000/01/rdf-schema#label>'
 WHERE t1.predicate = '{RDF_TYPE_T}'""",
+        # nested OPTIONAL: LeftJoin(t1, LeftJoin(t2, t3)) — the inner
+        # left join parenthesized so unmatched middles keep NULL leaves
+        "sparql_optional_nested": f"""{_T}
+SELECT t1.subject AS x, t1.object AS t, t2.object AS n, t3.object AS nl
+FROM t t1
+LEFT JOIN (t t2 LEFT JOIN t t3
+             ON t3.subject = t2.object
+            AND t3.predicate = '<{C.RDFS_LABEL}>')
+  ON t2.subject = t1.subject AND t2.predicate = '<{IN_NATION}>'
+WHERE t1.predicate = '{RDF_TYPE_T}'""",
         "sparql_union": f"""{_T}
 SELECT subject AS cust, object AS seg FROM t
 WHERE predicate = '<{SEGMENT}>' AND object = '"BUILDING"'

@@ -1954,6 +1954,27 @@ def q_sparql_optional(sf_dir: str):
     )
 
 
+def q_sparql_optional_nested(sf_dir: str):
+    """E8 extension: nested OPTIONAL — LeftJoin(A, LeftJoin(B, C)).
+    Typed entities, optionally their nation edge, and — inside that
+    group — optionally the nation's label: customers bind the full
+    chain, nations leave both group vars NULL."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?x ?t ?n ?nl WHERE {{
+          ?x a ?t .
+          OPTIONAL {{ ?x <{IN_NATION}> ?n . OPTIONAL {{ ?n rdfs:label ?nl }} }}
+        }}
+        """,
+    )
+
+
 def q_sparql_union(sf_dir: str):
     """E8 extension: UNION — bag union of two BGP branches (customers
     in BUILDING plus customers in MACHINERY), each an independent

@@ -111,8 +111,12 @@ silently misanswering):
       MINUS { BGP }                   subset — groups must share ≥1
                                       required-bound variable; plain
                                       BGP bodies only)
-      OPTIONAL { s p o . ... }        (left join; group-only vars NULL
-                                      on unmatched rows; no nesting)
+      OPTIONAL { s p o . ...          (left join; group-only vars NULL
+                 [OPTIONAL {...}] }   on unmatched rows; nesting =
+                                      LeftJoin(A, LeftJoin(B, C));
+                                      non-well-designed patterns — a
+                                      join variable unbound on one
+                                      side — refused, not misanswered)
     WHERE { { BGP } UNION { BGP } .. }  (bag union; branches are plain
                                       BGPs binding the SAME variables)
     SELECT ?g (COUNT([DISTINCT] ?v|*) AS ?n) (MIN/MAX(?v) AS ?m)
@@ -257,13 +261,25 @@ def _tokenize(text: str) -> list[str]:
 
 
 @dataclass
+class _OptGroup:
+    """One OPTIONAL group: its required BGP plus nested OPTIONAL
+    children. Evaluates bottom-up as LeftJoin(patterns, child) per
+    child — SPARQL's LeftJoin(A, LeftJoin(B, C)) shape."""
+
+    patterns: list[tuple[str, str, str]]
+    children: "list[_OptGroup]" = field(default_factory=list)
+
+
+@dataclass
 class _Query:
     select: list[str]  # variable names without '?', or ['*']
     distinct: bool
     patterns: list[tuple[str, str, str]]  # encoded term or '?var' per slot
     filters: list[tuple[str, str, str]] = field(default_factory=list)
     #         (op, var, value): op ∈ {"eq", "ne", "regex"}
-    optionals: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    # OPTIONAL groups — each a BGP plus nested OPTIONAL children
+    # (LeftJoin(A, LeftJoin(B, C)) per the SPARQL algebra)
+    optionals: "list[_OptGroup]" = field(default_factory=list)
     # MINUS { BGP } and FILTER NOT EXISTS { BGP } — equivalent on this
     # subset (groups must share ≥1 required-bound variable) — and
     # FILTER EXISTS { BGP }: anti-/semi-join groups
@@ -588,7 +604,7 @@ def parse(text: str) -> _Query:
         else:
             filters.extend(conds)
 
-    optionals: list[list[tuple[str, str, str]]] = []
+    optionals: list[_OptGroup] = []
     minus_groups: list[list[tuple[str, str, str]]] = []
     exists_groups: list[list[tuple[str, str, str]]] = []
     binds: list[tuple[str, object, str]] = []
@@ -807,6 +823,33 @@ def parse(text: str) -> _Query:
             raise SparqlSyntaxError(f"empty {kind} group")
         return grp
 
+    def take_optional_group() -> _OptGroup:
+        # { BGP [OPTIONAL { ... }]... } — OPTIONAL groups may nest
+        # (LeftJoin(B, C) inside LeftJoin(A, ·)); FILTER/UNION/MINUS/
+        # VALUES inside a group remain out of the subset
+        if take() != "{":
+            raise SparqlSyntaxError("expected { after OPTIONAL")
+        pats: list[tuple[str, str, str]] = []
+        children: list[_OptGroup] = []
+        while peek() != "}":
+            up = peek().upper()
+            if up == "OPTIONAL":
+                take()
+                children.append(take_optional_group())
+                if peek() == ".":
+                    take()
+                continue
+            if up in ("FILTER", "UNION", "MINUS", "VALUES"):
+                raise SparqlUnsupportedError(
+                    "OPTIONAL groups may contain only graph patterns "
+                    "and nested OPTIONAL"
+                )
+            take_pattern(pats)
+        take()  # '}'
+        if not pats:
+            raise SparqlSyntaxError("empty OPTIONAL group")
+        return _OptGroup(pats, children)
+
     # union form: WHERE { { g1 } UNION { g2 } [UNION { g3 } ...] } —
     # exclusive with the plain-pattern form (strict subset; branches
     # are plain BGPs, no FILTER/OPTIONAL inside)
@@ -844,7 +887,7 @@ def parse(text: str) -> _Query:
                 continue
             if peek().upper() == "OPTIONAL":
                 take()
-                optionals.append(take_group("OPTIONAL"))
+                optionals.append(take_optional_group())
                 if peek() == ".":
                     take()
                 continue
@@ -1292,17 +1335,54 @@ def sparql_select(
         joined, bound = _join_patterns(store, q.patterns)
 
     opt_only: set[str] = set()
+
+    def _eval_optional(grp: _OptGroup):
+        """Bottom-up LeftJoin(patterns, child) per nested child —
+        SPARQL's LeftJoin(A, LeftJoin(B, C)). Returns (bindings,
+        variable list, nullable set): a variable introduced only under
+        a nested OPTIONAL may be NULL. An equi-join key that can be
+        NULL diverges from SPARQL's compatible-mapping semantics
+        (unbound matches anything), so such patterns — exactly the
+        non-well-designed ones (Pérez et al. 2009) — are refused with
+        a typed error rather than silently misanswered."""
+        g_ds, g_vars = _join_patterns(store, grp.patterns)
+        nullable: set[str] = set()
+        for child in grp.children:
+            c_ds, c_vars, c_null = _eval_optional(child)
+            shared = [v for v in c_vars if v in g_vars]
+            if not shared:
+                raise SparqlUnsupportedError(
+                    "nested OPTIONAL shares no variable with its "
+                    "enclosing group — cartesian products are refused"
+                )
+            if any(v in c_null or v in nullable for v in shared):
+                raise SparqlUnsupportedError(
+                    "non-well-designed OPTIONAL nesting: a join "
+                    "variable may be unbound on one side"
+                )
+            g_ds = dstore.hash_join(g_ds, c_ds, on=shared, how="left")
+            new = [v for v in c_vars if v not in g_vars]
+            nullable.update(new)
+            g_vars += new
+        return g_ds, g_vars, nullable
+
     for grp in q.optionals:
-        # OPTIONAL { ... } = left outer join of the (internally inner-
-        # joined) group bindings onto the rows so far; unmatched rows
-        # keep null bindings for the group-only variables — exactly
-        # SPARQL's OPTIONAL semantics for var-disjoint filters.
-        grp_ds, grp_vars = _join_patterns(store, grp)
+        # OPTIONAL { ... } = left outer join of the (internally
+        # evaluated, possibly nested) group bindings onto the rows so
+        # far; unmatched rows keep null bindings for the group-only
+        # variables — exactly SPARQL's OPTIONAL semantics for
+        # var-disjoint filters.
+        grp_ds, grp_vars, grp_null = _eval_optional(grp)
         shared = [v for v in grp_vars if v in bound]
         if not shared:
             raise SparqlUnsupportedError(
                 "OPTIONAL group shares no variable with the required "
                 "patterns — cartesian products are refused"
+            )
+        if any(v in grp_null or v in opt_only for v in shared):
+            raise SparqlUnsupportedError(
+                "non-well-designed OPTIONAL: a join variable may be "
+                "unbound on one side"
             )
         joined = dstore.hash_join(joined, grp_ds, on=shared, how="left")
         new_vars = [v for v in grp_vars if v not in bound]

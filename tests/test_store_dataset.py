@@ -1504,6 +1504,82 @@ class TestSparqlExtensions:
             sparql_select(ds, "SELECT ?s WHERE { ?s (<urn:a>) ?o . }")
 
 
+class TestSparqlNestedOptional:
+    """OPTIONAL nesting = LeftJoin(A, LeftJoin(B, C)); non-well-designed
+    patterns (a join var nullable on one side) refused."""
+
+    def _graph(self):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            # a1 → b1 → c1 (full chain), a2 → b2 (no inner), a3 (no middle)
+            new_triple(r("urn:a1"), r("urn:t"), l("x")),
+            new_triple(r("urn:a2"), r("urn:t"), l("x")),
+            new_triple(r("urn:a3"), r("urn:t"), l("x")),
+            new_triple(r("urn:a1"), r("urn:mid"), r("urn:b1")),
+            new_triple(r("urn:a2"), r("urn:mid"), r("urn:b2")),
+            new_triple(r("urn:b1"), r("urn:leaf"), l("deep")),
+        ]
+        return DatasetGraphStore.from_triples("urn:g", trps)
+
+    def _q(self, dstore, text):
+        from ontograph_ray.store.sparql import sparql_select
+
+        return sparql_select(dstore, text).to_pandas()
+
+    def test_three_level_left_join(self, ray_session):
+        import pandas as pd
+
+        out = self._q(
+            self._graph(),
+            "SELECT ?a ?b ?v WHERE { ?a <urn:t> ?x . "
+            "OPTIONAL { ?a <urn:mid> ?b . OPTIONAL { ?b <urn:leaf> ?v } } } "
+            "ORDER BY ?a",
+        ).set_index("a")
+        assert out.loc["<urn:a1>", "b"] == "<urn:b1>"
+        assert out.loc["<urn:a1>", "v"] == '"deep"'
+        assert out.loc["<urn:a2>", "b"] == "<urn:b2>"
+        assert pd.isna(out.loc["<urn:a2>", "v"])
+        assert pd.isna(out.loc["<urn:a3>", "b"])
+        assert pd.isna(out.loc["<urn:a3>", "v"])
+
+    def test_non_well_designed_refused(self, ray_session):
+        from ontograph_ray.store.sparql import SparqlUnsupportedError
+
+        # ?v bound in the required part AND only under the nested
+        # OPTIONAL on the group side → nullable join key
+        with pytest.raises(SparqlUnsupportedError, match="well-designed"):
+            self._q(
+                self._graph(),
+                "SELECT ?a WHERE { ?a <urn:t> ?v . "
+                "OPTIONAL { ?a <urn:mid> ?b . OPTIONAL { ?b <urn:leaf> ?v } } }",
+            )
+
+    def test_chained_optional_on_optional_var_refused(self, ray_session):
+        from ontograph_ray.store.sparql import SparqlUnsupportedError
+
+        with pytest.raises(SparqlUnsupportedError, match="well-designed"):
+            self._q(
+                self._graph(),
+                "SELECT ?a WHERE { ?a <urn:t> ?x . "
+                "OPTIONAL { ?a <urn:mid> ?b } "
+                "OPTIONAL { ?b <urn:leaf> ?v } }",
+            )
+
+    def test_nested_cartesian_refused(self, ray_session):
+        from ontograph_ray.store.sparql import SparqlUnsupportedError
+
+        with pytest.raises(SparqlUnsupportedError, match="cartesian"):
+            self._q(
+                self._graph(),
+                "SELECT ?a WHERE { ?a <urn:t> ?x . "
+                "OPTIONAL { ?a <urn:mid> ?b . OPTIONAL { ?z <urn:leaf> ?v } } }",
+            )
+
+
 class TestSparqlBindArith:
     """Integer BIND arithmetic: decode xsd:integer terms, int64 math,
     re-encode; error→unbound on non-integer operands; '/' refused."""
