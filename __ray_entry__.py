@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q.q_semdedup,
         "multimodal_features": q.q_multimodal_features,
         "audio_features": q.q_audio_features,
+        "video_frame_features": q.q_video_frame_features,
         "decontaminate": q.q_decontaminate,
         "pii_scrub": q.q_pii_scrub,
         "pack_sequences": q.q_pack_sequences,

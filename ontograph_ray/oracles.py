@@ -538,6 +538,9 @@ SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
         "audio_features": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/audio_features_n200.parquet')"
         ),
+        "video_frame_features": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/video_frame_features_n150.parquet')"
+        ),
         # WARC round-trip: rebuild the synthesized page html + the
         # second-granular WARC-Date timestamp in SQL (escape order &
         # then < then >, matching pipelines/pages._escape)

@@ -1322,6 +1322,18 @@ def q_audio_features(sf_dir: str):
     return featurize_audio(ds).map_batches(rounded, batch_format="pyarrow")
 
 
+def q_video_frame_features(sf_dir: str):
+    """Video frame-sampling plumbing (fake codec — stages/multimodal.py
+    stub discipline): decode each payload, keep every 2nd frame, ONE
+    ROW PER SAMPLED FRAME with integer features (pixel_sum, frame
+    phash) — exactly pinned by the independent byte-wise plain-Python
+    twin (scripts/gen_fixtures.py::gen_video_frame_features)."""
+    from .stages.multimodal import sample_video_frames, synthesize_videos
+
+    ds = ray.data.from_arrow(synthesize_videos(150))
+    return sample_video_frames(ds, every_n=2)
+
+
 def q_multimodal_features(sf_dir: str):
     from .stages.multimodal import decode_images, synthesize_media
 

@@ -245,12 +245,118 @@ def synthesize_audio(n: int, seed: int = 7) -> pa.Table:
 
 
 def frame_sample(media_ds: ray.data.Dataset, every_n: int = 2) -> ray.data.Dataset:
-    """Video frame-sampling stub: keeps every-nth media row (the real
-    implementation samples frames inside the payload; the plumbing —
-    pushdown-friendly filter before decode — is what matters here)."""
+    """Media ROW-sampling stub: keeps every-nth media row (pushdown-
+    friendly filter before any decode). For sampling frames INSIDE a
+    video payload see :class:`VideoFrameSampler`."""
 
     def sample(batch: pa.Table) -> pa.Table:
         idx = [i for i, m in enumerate(batch["media_id"].to_pylist()) if m % every_n == 0]
         return batch.take(idx)
 
     return media_ds.map_batches(sample, batch_format="pyarrow")
+
+
+_FAKE_VIDEO_MAGIC = b"FAKEVID1"
+
+
+def encode_fake_video(width: int, height: int, n_frames: int, seed: int) -> bytes:
+    """Deterministic fake video codec: header + n_frames seeded
+    grayscale planes in C order."""
+    rng = np.random.RandomState(seed)
+    body = rng.randint(
+        0, 256, size=n_frames * width * height, dtype=np.uint8
+    ).tobytes()
+    return _FAKE_VIDEO_MAGIC + struct.pack("<III", width, height, n_frames) + body
+
+
+def synthesize_videos(n: int, seed: int = 9) -> pa.Table:
+    """Deterministic video table for tests/benchmarks: varying frame
+    counts and plane sizes so every-nth sampling hits every remainder."""
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(n):
+        w, h = 8 + (i % 4) * 4, 8 + (i % 3) * 4
+        nf = 4 + i % 7
+        rows["media_id"].append(i)
+        rows["kind"].append("video")
+        rows["payload"].append(encode_fake_video(w, h, nf, seed + i))
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["sample_rate"].append(0)
+        rows["n_frames"].append(nf)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class VideoFrameSampler:
+    """Actor stage: decode a video payload, keep every-nth frame
+    (first frame always kept), emit ONE ROW PER SAMPLED FRAME with
+    per-frame features — the flat layout a frame-level embedding or
+    caption model consumes next. Same stub discipline as ImageDecoder:
+    only the deterministic ``codec="fake"`` path runs in this sandbox;
+    a real codec (ffmpeg/decord) raises NotImplementedError at
+    construction, the stage shape — per-actor setup, small batches for
+    wide binary rows, payload dropped on output, row-expanding batch —
+    is identical either way. Features are integers (pixel_sum, frame
+    phash) so the op stays exactly oracle-able."""
+
+    def __init__(self, every_n: int = 2, codec: str = "fake"):
+        if codec != "fake":
+            raise NotImplementedError(
+                f"codec {codec!r} requires video libraries not present in "
+                "this environment; use codec='fake'"
+            )
+        if every_n < 1:
+            raise ValueError("every_n must be >= 1")
+        self.every_n = every_n
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if not payload.startswith(_FAKE_VIDEO_MAGIC):
+            raise ValueError("bad fake-video magic")
+        w, h, nf = struct.unpack("<III", payload[8:20])
+        return np.frombuffer(
+            payload[20 : 20 + nf * w * h], dtype=np.uint8
+        ).reshape(nf, h, w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, sums, phashes = [], [], [], []
+        for media_id, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            frames = self._decode(payload)
+            keep = np.arange(0, frames.shape[0], self.every_n)
+            flat = frames.reshape(frames.shape[0], -1)
+            frame_sums = flat.sum(axis=1, dtype=np.int64)
+            for fi in keep:
+                ids.append(media_id)
+                idxs.append(int(fi))
+                sums.append(int(frame_sums[fi]))
+                phashes.append(
+                    int.from_bytes(
+                        hashlib.sha1(flat[fi].tobytes()).digest()[:8], "big"
+                    )
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "pixel_sum": pa.array(sums, pa.int64()),
+                "phash": pa.array(np.asarray(phashes, dtype=np.uint64)),
+            }
+        )
+
+
+def sample_video_frames(
+    media_ds: ray.data.Dataset,
+    every_n: int = 2,
+    codec: str = "fake",
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    """Frame-sampling + per-frame featurization stage: actor pool,
+    small batches (video rows are the widest binary payloads), output
+    is frame-level rows with the payload dropped."""
+    return media_ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"every_n": every_n, "codec": codec},
+        batch_format="pyarrow",
+        batch_size=16,  # video payloads are the widest rows
+        concurrency=concurrency,
+    )

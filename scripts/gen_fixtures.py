@@ -138,6 +138,44 @@ def gen_multimodal_features(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
 # -- independent fake-audio features ----------------------------------------
 
 
+def gen_video_frame_features(sf_dir: str = DEFAULT_SF, n: int = 150) -> str:
+    """Independent plain-Python twin of VideoFrameSampler (every_n=2):
+    parses the fake-video header/body byte-wise — no numpy reshape —
+    so it cross-checks the engine's vectorized frame slicing."""
+    from ontograph_ray.stages.multimodal import encode_fake_video  # encoder only
+
+    ids, idxs, sums, phashes = [], [], [], []
+    for i in range(n):
+        w, h = 8 + (i % 4) * 4, 8 + (i % 3) * 4  # synthesize_videos' shape
+        nf = 4 + i % 7
+        payload = encode_fake_video(w, h, nf, 9 + i)
+        pw, ph, pnf = struct.unpack("<III", payload[8:20])
+        assert (pw, ph, pnf) == (w, h, nf)
+        body = payload[20 : 20 + nf * w * h]
+        plane = w * h
+        for fi in range(0, nf, 2):
+            frame = body[fi * plane : (fi + 1) * plane]
+            ids.append(i)
+            idxs.append(fi)
+            sums.append(sum(frame))
+            phashes.append(
+                int.from_bytes(hashlib.sha1(frame).digest()[:8], "big")
+            )
+    path = os.path.join(FIXTURES_DIR, "video_frame_features_n150.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "pixel_sum": pa.array(sums, pa.int64()),
+                "phash": pa.array(phashes, pa.uint64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(ids)} rows"
+
+
 def gen_audio_features(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     from ontograph_ray.stages.multimodal import encode_fake_audio  # encoder only
 
@@ -864,6 +902,10 @@ GENERATORS = {
 _SF_INDEPENDENT = {
     "multimodal_features": (gen_multimodal_features, "multimodal_features_n200.parquet"),
     "audio_features": (gen_audio_features, "audio_features_n200.parquet"),
+    "video_frame_features": (
+        gen_video_frame_features,
+        "video_frame_features_n150.parquet",
+    ),
 }
 
 

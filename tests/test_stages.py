@@ -264,6 +264,37 @@ class TestMultimodal:
         out = multimodal.frame_sample(ds, every_n=2)
         assert sorted(r["media_id"] for r in out.take_all()) == [0, 2, 4, 6, 8]
 
+    def test_video_frame_sampling_matches_bruteforce(self, ray_session):
+        tbl = multimodal.synthesize_videos(12)
+        out = multimodal.sample_video_frames(
+            ray.data.from_arrow(tbl), every_n=3
+        ).take_all()
+        # brute-force recompute per video from the raw payload
+        import struct as _struct
+
+        want = {}
+        for mid, payload in zip(
+            tbl["media_id"].to_pylist(), tbl["payload"].to_pylist()
+        ):
+            w, h, nf = _struct.unpack("<III", payload[8:20])
+            plane = w * h
+            for fi in range(0, nf, 3):
+                frame = payload[20 + fi * plane : 20 + (fi + 1) * plane]
+                want[(mid, fi)] = sum(frame)
+        got = {(r["media_id"], r["frame_idx"]): r["pixel_sum"] for r in out}
+        assert got == want
+        assert all("payload" not in r for r in out)
+
+    def test_video_every_frame_and_codec_stub(self, ray_session):
+        tbl = multimodal.synthesize_videos(3)
+        out = multimodal.sample_video_frames(
+            ray.data.from_arrow(tbl), every_n=1
+        ).take_all()
+        # every_n=1 keeps every frame: total rows = sum of n_frames
+        assert len(out) == sum(tbl["n_frames"].to_pylist())
+        with pytest.raises(NotImplementedError):
+            multimodal.VideoFrameSampler(codec="decord")
+
 
 class TestSketch:
     def test_kmv_accuracy_and_determinism(self, ray_session):
