@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": q.q_curate_corpus,
         "curate_full": q.q_curate_full,
         "fingerprint_groups": q.q_fingerprint_groups,
+        "winnow_fingerprints": q.q_winnow_fingerprints,
         "token_stats": q.q_token_stats,
         "text_quality_counts": q.q_text_quality_counts,
         "lang_id": q.q_lang_id,

@@ -746,6 +746,8 @@ FROM bph0 a JOIN bph1 b USING (doc_id)""",
         # int64 fixed-point k-means — plain-numpy twin (exact integer
         # arithmetic is block-layout invariant, unlike float Lloyd)
         "kmeans_clusters": _fx("kmeans_clusters"),
+        # winnowing — independent Horner-form plain-Python twin
+        "winnow_fingerprints": _fx("winnow_fingerprints"),
         # SemDeDup prune: assignments from the fixture, the
         # exists-a-lower-id-neighbor rule re-derived by DuckDB
         "semdedup": f"""

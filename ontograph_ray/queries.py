@@ -789,6 +789,19 @@ def q_dedup_exact(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def q_winnow_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprinting (winnowing, Schleimer et
+    al. 2003): byte 7-gram polynomial hashes, window-8 rightmost-min
+    selection — the MOSS local sketch whose shared fingerprints find
+    shared substrings of ≥ w+k-1 bytes. Pure per-doc batch transform
+    (no exchange); fixture oracle = independent Horner-form Python twin
+    (scripts/gen_fixtures.py::gen_winnow_fingerprints)."""
+    from .stages.text import winnow_fingerprints
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_fingerprints(docs, k=7, w=8)
+
+
 def q_fingerprint_groups(sf_dir: str):
     """Dup-group analytics: every doc with the size of its exact-dup
     group (fingerprint grouping ≡ text grouping)."""

@@ -149,6 +149,89 @@ def fingerprint(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003)
+# ---------------------------------------------------------------------------
+
+_WINNOW_P = np.uint64(1099511628211)  # FNV-64 prime as the rolling base
+
+
+def _kgram_hashes(data: bytes, k: int) -> np.ndarray:
+    """Polynomial rolling hash of every byte k-gram, mod 2^64 (uint64
+    wraparound): h(i) = Σ b[i+j]·p^(k-1-j). Vectorized as one integer
+    matmul over a zero-copy sliding window — numpy integer matmul
+    wraps mod 2^64 exactly like the scalar recurrence."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    if len(b) < k:
+        return np.empty(0, dtype=np.uint64)
+    # powers built in Python-int space (numpy uint64 SCALAR overflow
+    # warns; ARRAY ops below wrap silently, which is what we want)
+    mask = (1 << 64) - 1
+    plist, pw = [0] * k, 1
+    for j in range(k - 1, -1, -1):
+        plist[j] = pw
+        pw = (pw * int(_WINNOW_P)) & mask
+    powers = np.array(plist, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    return win @ powers
+
+
+def winnow_batch(df: pd.DataFrame, k: int, w: int) -> pd.DataFrame:
+    """One document at a time (documents are independent; the per-doc
+    kernel is vectorized): k-gram rolling hashes, then winnowing —
+    every window of ``w`` consecutive hashes contributes its minimum,
+    rightmost occurrence on ties (the robust-winnowing rule), each
+    selected (position, hash) recorded once. Guarantees any shared
+    substring of length ≥ w+k-1 yields a shared fingerprint."""
+    ids, poss, fps = [], [], []
+    for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+        h = _kgram_hashes(str(text).encode("utf-8"), k)
+        m = len(h)
+        if m == 0:
+            continue
+        ww = min(w, m)
+        wins = np.lib.stride_tricks.sliding_window_view(h, ww)
+        # rightmost min: argmin of the reversed window picks the last
+        sel = ww - 1 - np.argmin(wins[:, ::-1], axis=1)
+        pos = np.arange(len(wins)) + sel
+        keep = np.unique(pos)
+        ids.append(np.full(len(keep), doc_id, dtype=np.int64))
+        poss.append(keep.astype(np.int64))
+        fps.append(h[keep])
+    if not ids:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "pos": pd.Series([], dtype="int64"),
+                "fp": pd.Series([], dtype="uint64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "doc_id": np.concatenate(ids),
+            "pos": np.concatenate(poss),
+            "fp": np.concatenate(fps),
+        }
+    )
+
+
+def winnow_fingerprints(
+    ds: ray.data.Dataset, k: int = 7, w: int = 4
+) -> ray.data.Dataset:
+    """Winnowing fingerprints per document: the MOSS local document
+    sketch — position-robust, substring-matching-capable, with a
+    guaranteed detection threshold of w+k-1 bytes. Pure per-doc batch
+    transform: no exchange, streams at any corpus size; the downstream
+    shared-fingerprint join (plagiarism / near-dup candidates) is one
+    fp-bucketed groupby over the ~1/((w+1)/2)-density sketch rows, not
+    the corpus."""
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    return ds.map_batches(
+        lambda df: winnow_batch(df, k, w), batch_format="pandas", batch_size=1024
+    )
+
+
+# ---------------------------------------------------------------------------
 # Broadcast linear quality classifier (fasttext-style filter stage shape)
 # ---------------------------------------------------------------------------
 

@@ -138,6 +138,53 @@ def gen_multimodal_features(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
 # -- independent fake-audio features ----------------------------------------
 
 
+def gen_winnow_fingerprints(sf_dir: str = DEFAULT_SF, k: int = 7, w: int = 8) -> str:
+    """Independent plain-Python winnowing twin (Schleimer et al. 2003):
+    Horner-form byte k-gram hashes mod 2^64, rightmost-min selection
+    per window — no numpy, no ontograph_ray.stages import, so it
+    cross-checks the engine's sliding-window matmul kernel."""
+    mask = (1 << 64) - 1
+    P = 1099511628211
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids, poss, fps = [], [], []
+    for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        b = text.encode("utf-8")
+        n = len(b)
+        if n < k:
+            continue
+        h = []
+        for i in range(n - k + 1):
+            cur = 0
+            for j in range(k):
+                cur = (cur * P + b[i + j]) & mask
+            h.append(cur)
+        m = len(h)
+        ww = min(w, m)
+        sel = set()
+        for s in range(m - ww + 1):
+            win = h[s : s + ww]
+            mn = min(win)
+            sel.add(s + ww - 1 - win[::-1].index(mn))  # rightmost min
+        for p_ in sorted(sel):
+            ids.append(doc_id)
+            poss.append(p_)
+            fps.append(h[p_])
+    path = _path("winnow_fingerprints", sf_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "fp": pa.array(fps, pa.uint64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(ids)} rows"
+
+
 def gen_video_frame_features(sf_dir: str = DEFAULT_SF, n: int = 150) -> str:
     """Independent plain-Python twin of VideoFrameSampler (every_n=2):
     parses the fake-video header/body byte-wise — no numpy reshape —
@@ -895,6 +942,7 @@ GENERATORS = {
     "bpe_token_counts": gen_bpe_token_counts,
     "part_kcore": gen_part_kcore,
     "kmeans_clusters": gen_kmeans_clusters,
+    "winnow_fingerprints": gen_winnow_fingerprints,
     "ann_ivf": gen_ann_ivf,
     "ann_lsh": gen_ann_lsh,
 }

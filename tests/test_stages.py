@@ -296,6 +296,66 @@ class TestMultimodal:
             multimodal.VideoFrameSampler(codec="decord")
 
 
+class TestWinnowing:
+    K, W = 5, 4
+
+    def _twin(self, text: str):
+        # inline plain-Python twin (Horner form, rightmost-min)
+        mask, P = (1 << 64) - 1, 1099511628211
+        b = text.encode("utf-8")
+        if len(b) < self.K:
+            return set()
+        h = []
+        for i in range(len(b) - self.K + 1):
+            cur = 0
+            for j in range(self.K):
+                cur = (cur * P + b[i + j]) & mask
+            h.append(cur)
+        ww = min(self.W, len(h))
+        sel = set()
+        for s in range(len(h) - ww + 1):
+            win = h[s : s + ww]
+            sel.add(s + ww - 1 - win[::-1].index(min(win)))
+        return {(p, h[p]) for p in sel}
+
+    def test_matches_plain_python_twin(self, ray_session):
+        from ontograph_ray.stages.text import winnow_fingerprints
+
+        rng = np.random.default_rng(3)
+        texts = [
+            "".join(chr(97 + c) for c in rng.integers(0, 4, n))
+            for n in (0, 3, 5, 6, 30, 200)
+        ]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        out = winnow_fingerprints(
+            ray.data.from_pandas(df).repartition(2), k=self.K, w=self.W
+        ).take_all()
+        got: dict = {}
+        for r in out:
+            got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+        for i, t in enumerate(texts):
+            assert got.get(i, set()) == self._twin(t), f"doc {i}"
+
+    def test_shared_substring_guarantee(self, ray_session):
+        from ontograph_ray.stages.text import winnow_fingerprints
+
+        # any shared substring of length >= w+k-1 must yield a shared
+        # fingerprint VALUE between the two docs (positions may differ)
+        shared = "zqxjkvbwpy"  # length 10 >= 4+5-1
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["aaaa" + shared + "bbbb", "cccccc" + shared + "dd"],
+            }
+        )
+        out = winnow_fingerprints(
+            ray.data.from_pandas(df), k=self.K, w=self.W
+        ).take_all()
+        fps1 = {r["fp"] for r in out if r["doc_id"] == 1}
+        fps2 = {r["fp"] for r in out if r["doc_id"] == 2}
+        assert fps1 & fps2
+
+
 class TestSketch:
     def test_kmv_accuracy_and_determinism(self, ray_session):
         """KMV estimate within the k-MV error envelope of the exact
