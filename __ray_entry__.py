@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_full": q.q_curate_full,
         "fingerprint_groups": q.q_fingerprint_groups,
         "winnow_fingerprints": q.q_winnow_fingerprints,
+        "winnow_near_dup": q.q_winnow_near_dup,
         "token_stats": q.q_token_stats,
         "text_quality_counts": q.q_text_quality_counts,
         "lang_id": q.q_lang_id,

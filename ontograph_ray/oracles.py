@@ -748,6 +748,17 @@ FROM bph0 a JOIN bph1 b USING (doc_id)""",
         "kmeans_clusters": _fx("kmeans_clusters"),
         # winnowing — independent Horner-form plain-Python twin
         "winnow_fingerprints": _fx("winnow_fingerprints"),
+        # shared-fingerprint pairs: pure SQL over the winnowing twin
+        # fixture (distinct → max_df stopword guard → self-join count)
+        "winnow_near_dup": f"""
+WITH f AS (SELECT DISTINCT doc_id, fp
+           FROM read_parquet('{_FIXTURES}/winnow_fingerprints_{tag}.parquet')),
+ keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 50)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+JOIN keep k ON k.fp = a.fp
+GROUP BY 1, 2
+HAVING count(*) >= 2""",
         # SemDeDup prune: assignments from the fixture, the
         # exists-a-lower-id-neighbor rule re-derived by DuckDB
         "semdedup": f"""

@@ -802,6 +802,18 @@ def q_winnow_fingerprints(sf_dir: str):
     return winnow_fingerprints(docs, k=7, w=8)
 
 
+def q_winnow_near_dup(sf_dir: str):
+    """MOSS-style copied-passage detection: doc pairs ranked by shared
+    winnowing fingerprints (k=7, w=8, max_df=50 boilerplate guard,
+    min_shared=2) — substring-overlap similarity, complementary to
+    token-shingle minhash. Oracle: pure-SQL self-join over the
+    independent winnowing fixture."""
+    from .stages.text import winnow_shared_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_shared_pairs(docs, k=7, w=8, max_df=50, min_shared=2)
+
+
 def q_fingerprint_groups(sf_dir: str):
     """Dup-group analytics: every doc with the size of its exact-dup
     group (fingerprint grouping ≡ text grouping)."""

@@ -214,6 +214,88 @@ def winnow_batch(df: pd.DataFrame, k: int, w: int) -> pd.DataFrame:
     )
 
 
+def winnow_shared_pairs(
+    ds: ray.data.Dataset,
+    k: int = 7,
+    w: int = 8,
+    max_df: int = 50,
+    min_shared: int = 2,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """MOSS-style near-dup candidates: document pairs ranked by how
+    many winnowing fingerprints they share (substring-overlap
+    similarity — catches copied PASSAGES that token-shingle minhash
+    dilutes away in long documents).
+
+    Scale shape: fingerprints occurring in more than ``max_df``
+    documents are dropped (the boilerplate stopword guard, same rule
+    as inverted_index's max_df), which bounds any one fingerprint's
+    pair output at max_df²/2 — no quadratic blowup on template text.
+    Two bucketed exchanges: fp-keyed pair generation (per-fp
+    triu_indices, no per-pair Python), then pair-keyed count with a
+    per-block combiner."""
+    from ..store.dataset import bucketed_group_map
+
+    fps = winnow_fingerprints(ds, k=k, w=w)
+    # a doc's rows live in one batch, so per-batch distinct is global
+    distinct = fps.map_batches(
+        lambda df: df[["doc_id", "fp"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+
+    def pairs_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        parts_a, parts_b = [], []
+        for _, g in df.groupby("fp", sort=False):
+            ids = np.sort(pd.unique(g["doc_id"].to_numpy()))
+            n = len(ids)
+            if n < 2 or n > max_df:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            parts_a.append(ids[i])
+            parts_b.append(ids[j])
+        if not parts_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(parts_a),
+                "doc_b": np.concatenate(parts_b),
+            }
+        )
+
+    pairs = bucketed_group_map(
+        distinct, ["fp"], pairs_per_bucket, num_buckets=num_buckets
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["doc_a", "doc_b"], sort=False)
+            .size()
+            .reset_index(name="shared")
+        )
+
+    def count_final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["doc_a", "doc_b"], sort=False)["shared"]
+            .sum()
+            .reset_index()
+        )
+        out["shared"] = out["shared"].astype("int64")
+        return out[out["shared"] >= min_shared]
+
+    return bucketed_group_map(
+        pairs,
+        ["doc_a", "doc_b"],
+        count_final,
+        num_buckets=num_buckets,
+        partial_fn=count_partial,
+    )
+
+
 def winnow_fingerprints(
     ds: ray.data.Dataset, k: int = 7, w: int = 4
 ) -> ray.data.Dataset:

@@ -336,6 +336,47 @@ class TestWinnowing:
         for i, t in enumerate(texts):
             assert got.get(i, set()) == self._twin(t), f"doc {i}"
 
+    def test_shared_pairs_bruteforce(self, ray_session):
+        from ontograph_ray.stages.text import winnow_shared_pairs
+
+        rng = np.random.default_rng(5)
+        base = "".join(chr(97 + c) for c in rng.integers(0, 6, 120))
+        texts = [
+            base,                       # 0: original
+            base[:60] + "XX" + base[62:],  # 1: two bytes changed
+            base[40:100],               # 2: a passage of the original
+            "".join(chr(97 + c) for c in rng.integers(0, 6, 120)),  # 3: unrelated
+        ]
+        df = pd.DataFrame({"doc_id": range(4), "text": texts})
+        out = winnow_shared_pairs(
+            ray.data.from_pandas(df).repartition(2),
+            k=self.K,
+            w=self.W,
+            max_df=10,
+            min_shared=2,
+        ).to_pandas()
+        got = {
+            (a, b): s
+            for a, b, s in zip(out["doc_a"], out["doc_b"], out["shared"])
+        }
+        # brute force from the twin
+        sets = {i: {fp for _, fp in self._twin(t)} for i, t in enumerate(texts)}
+        from collections import Counter
+
+        df_count = Counter(fp for s in sets.values() for fp in s)
+        want = {}
+        for a in range(4):
+            for b in range(a + 1, 4):
+                shared = sum(
+                    1
+                    for fp in sets[a] & sets[b]
+                    if 2 <= df_count[fp] <= 10
+                )
+                if shared >= 2:
+                    want[(a, b)] = shared
+        assert got == want
+        assert (0, 1) in got and (0, 2) in got  # near-dup + passage found
+
     def test_shared_substring_guarantee(self, ray_session):
         from ontograph_ray.stages.text import winnow_fingerprints
 
