@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_edges": q.q_copurchase_edges,
         "part_triangles": q.q_part_triangles,
         "part_kcore": q.q_part_kcore,
+        "part_neighbor_jaccard": q.q_part_neighbor_jaccard,
         "sparql_minus": q.q_sparql_minus,
         "sparql_path_alt": q.q_sparql_path_alt,
         "sparql_path_closure": q.q_sparql_path_closure,

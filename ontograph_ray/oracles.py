@@ -622,6 +622,21 @@ SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
 FROM e e1
 JOIN e e2 ON e2.src = e1.dst
 JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
+        "part_neighbor_jaccard": """
+WITH m AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+e AS (SELECT a.p AS src, b.p AS dst FROM m a JOIN m b ON a.k = b.k AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+adj AS (SELECT src AS c, dst AS n FROM e UNION ALL SELECT dst, src FROM e),
+common AS (SELECT a.n AS src, b.n AS dst, CAST(count(*) AS BIGINT) AS common
+           FROM adj a JOIN adj b ON a.c = b.c AND a.n < b.n GROUP BY 1, 2),
+deg AS (SELECT c AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY c)
+SELECT src, dst, common, d1.deg AS deg_src, d2.deg AS deg_dst,
+       CAST(common * 10000 // (d1.deg + d2.deg - common) AS BIGINT)
+         AS jaccard_bp
+FROM common
+JOIN deg d1 ON d1.node = src
+JOIN deg d2 ON d2.node = dst
+WHERE common >= 2""",
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         # lang_id: per-profile function-word counts, winner = first max
         # over langs in sorted order (de,en,es,fr,zh) — the same

@@ -2531,6 +2531,18 @@ def q_part_triangles(sf_dir: str):
     )
 
 
+def q_part_neighbor_jaccard(sf_dir: str):
+    """Structural node similarity: neighborhood Jaccard (basis-point
+    integer) between part pairs sharing ≥2 co-purchase neighbors —
+    the link-prediction / related-items primitive
+    (pipelines/graphstats.py::neighbor_jaccard)."""
+    from .pipelines.graphstats import cooccurrence_edges, neighbor_jaccard
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return neighbor_jaccard(edges.drop_columns(["support"]), min_common=2)
+
+
 def q_sparql_construct(sf_dir: str):
     """E8 extension: CONSTRUCT — template instantiation over SELECT
     bindings with an OPTIONAL whose unbound rows are skipped per spec

@@ -195,6 +195,54 @@ class TestTransitiveClosure:
             self._tc([(1, 2), (2, 3), (3, 4)], max_iters=1)
 
 
+class TestNeighborJaccard:
+    def test_known_graph(self, ray_session):
+        from ontograph_ray.pipelines.graphstats import neighbor_jaccard
+
+        # square 1-2-4-3-1 plus spoke 1-5:
+        # N(1)={2,3,5} N(2)={1,4} N(3)={1,4} N(4)={2,3} N(5)={1}
+        edges = _edges_ds([(1, 2), (1, 3), (2, 4), (3, 4), (1, 5)])
+        out = (
+            neighbor_jaccard(edges, min_common=1)
+            .to_pandas()
+            .set_index(["src", "dst"])
+            .sort_index()
+        )
+        # brute force over all pairs
+        import itertools
+
+        nbrs = {1: {2, 3, 5}, 2: {1, 4}, 3: {1, 4}, 4: {2, 3}, 5: {1}}
+        want = {}
+        for a, b in itertools.combinations(sorted(nbrs), 2):
+            c = len(nbrs[a] & nbrs[b])
+            if c >= 1:
+                want[(a, b)] = (
+                    c,
+                    len(nbrs[a]),
+                    len(nbrs[b]),
+                    c * 10000 // (len(nbrs[a]) + len(nbrs[b]) - c),
+                )
+        got = {
+            idx: (
+                r["common"],
+                r["deg_src"],
+                r["deg_dst"],
+                r["jaccard_bp"],
+            )
+            for idx, r in out.iterrows()
+        }
+        assert got == want
+        # identical neighborhoods → jaccard 10000
+        assert got[(2, 3)] == (2, 2, 2, 10000)
+
+    def test_min_common_filters(self, ray_session):
+        from ontograph_ray.pipelines.graphstats import neighbor_jaccard
+
+        edges = _edges_ds([(1, 2), (1, 3), (2, 4), (3, 4), (1, 5)])
+        out = neighbor_jaccard(edges, min_common=2).to_pandas()
+        assert set(zip(out["src"], out["dst"])) == {(2, 3), (1, 4)}
+
+
 class TestBfsDepths:
     def _bfs(self, pairs, sources, **kw):
         from ontograph_ray.pipelines.graphstats import bfs_depths
