@@ -287,15 +287,31 @@ def triangles(edges: ray.data.Dataset) -> ray.data.Dataset:
     edges = edges.select_columns(["src", "dst"]).materialize()
     deg = _degrees(edges).materialize()
 
+    # static join schemas: hash_join's Dataset.schema() probe EXECUTES
+    # a lazy plan once per side (the joins chain, so that compounds) —
+    # every schema here is derivable from the pinned edge table
+    from ..store.dataset import _arrow_type_of, hash_join_schema
+
+    es = edges.schema()
+    node_t = _arrow_type_of(es.types[es.names.index("src")])
+    e_sch = pa.schema([("src", node_t), ("dst", node_t)])
+    dsrc_sch = pa.schema([("src", node_t), ("sdeg", pa.int64())])
+    ddst_sch = pa.schema([("dst", node_t), ("ddeg", pa.int64())])
+    o_sch = lambda v, vd: pa.schema(  # noqa: E731
+        [("u", node_t), (v, node_t), (vd, pa.int64())]
+    )
+
     with_sdeg = hash_join(
         edges,
         _renamed(deg, {"node": "src", "deg": "sdeg"}),
         on="src",
+        schemas=(e_sch, dsrc_sch),
     )
     with_both = hash_join(
         with_sdeg,
         _renamed(deg, {"node": "dst", "deg": "ddeg"}),
         on="dst",
+        schemas=(hash_join_schema(e_sch, dsrc_sch, "src"), ddst_sch),
     )
 
     def orient(batch: pa.Table) -> pa.Table:
@@ -316,6 +332,7 @@ def triangles(edges: ray.data.Dataset) -> ray.data.Dataset:
         _renamed(oriented, {"v": "b", "vdeg": "bdeg"}),
         _renamed(oriented, {"v": "c", "vdeg": "cdeg"}),
         on="u",
+        schemas=(o_sch("b", "bdeg"), o_sch("c", "cdeg")),
     )
 
     def order_wedge(batch: pa.Table) -> pa.Table:
@@ -336,6 +353,10 @@ def triangles(edges: ray.data.Dataset) -> ray.data.Dataset:
         _renamed(oriented.select_columns(["u", "v"]), {"u": "b", "v": "c"}),
         on=["b", "c"],
         how="semi",
+        schemas=(
+            pa.schema([("a", node_t), ("b", node_t), ("c", node_t)]),
+            pa.schema([("b", node_t), ("c", node_t)]),
+        ),
     )
 
     def canonical(df: pd.DataFrame) -> pd.DataFrame:

@@ -578,12 +578,26 @@ _ACERO_JOIN_TYPE = {
 }
 
 
+def hash_join_schema(l_schema, r_schema, on, how: str = "inner"):
+    """Output schema of :func:`hash_join` for the given input schemas —
+    lets callers chain joins without ever probing ``Dataset.schema()``
+    (which EXECUTES a shuffle-rooted plan once per probe and caches
+    nothing; see the ``schemas=`` note on hash_join)."""
+    on = [on] if isinstance(on, str) else list(on)
+    types = _unified_arrow_types(l_schema, r_schema)
+    l_cols, r_cols = l_schema.names, r_schema.names
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+    out_cols = l_cols if how in ("anti", "semi") else all_cols
+    return pa.schema([(c, types[c]) for c in out_cols])
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     on,
     how: str = "inner",
     num_buckets: int = DEDUP_BUCKETS_DEFAULT,
+    schemas=None,
 ) -> ray.data.Dataset:
     """Distributed hash equi-join: both sides are tagged, hash-bucketed
     on the key, exchanged ONCE (groupby on the small-int bucket
@@ -596,9 +610,20 @@ def hash_join(
     widening, int8 side tag — so the exchange ships compact typed
     buffers, not object-dtype pickles. Use when BOTH sides are large;
     for a small right side prefer :func:`broadcast_join` (no shuffle
-    at all)."""
+    at all).
+
+    ``schemas=(l_schema, r_schema)``: pass the input Arrow schemas
+    when you know them. Without it this function calls
+    ``Dataset.schema()`` on both sides, and on a lazy shuffle-rooted
+    input that EXECUTES the plan once per probe purely to learn the
+    schema — measured ~1 extra full execution per side, uncached. For
+    chained joins derive the intermediate schema with
+    :func:`hash_join_schema`."""
     on = [on] if isinstance(on, str) else list(on)
-    l_schema, r_schema = left.schema(), right.schema()
+    if schemas is not None:
+        l_schema, r_schema = schemas
+    else:
+        l_schema, r_schema = left.schema(), right.schema()
     l_cols, r_cols = l_schema.names, r_schema.names
     overlap = [c for c in l_cols if c in r_cols and c not in on]
     if overlap:

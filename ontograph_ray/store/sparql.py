@@ -1270,6 +1270,15 @@ def _pattern_bindings(
     return ds.map_batches(project, batch_format="pyarrow"), list(var_cols)
 
 
+def _vars_schema(vars_: list[str]) -> "pa.Schema":
+    """Every binding column is a term STRING by construction (the
+    engine's NTriples encoding), so join schemas are statically known —
+    passing them to hash_join skips its Dataset.schema() probes, each
+    of which would EXECUTE the accumulated lazy join plan once just to
+    re-learn this schema (one extra full execution per BGP pattern)."""
+    return pa.schema([(v, pa.string()) for v in vars_])
+
+
 def _join_patterns(
     store: "dstore.DatasetGraphStore", patterns
 ) -> tuple[ray.data.Dataset, list[str]]:
@@ -1299,7 +1308,13 @@ def _join_patterns(
                 f"pattern {pat} shares no variable with the preceding "
                 "patterns — cartesian products are refused"
             )
-        joined = dstore.hash_join(joined, ds, on=shared, how="inner")
+        joined = dstore.hash_join(
+            joined,
+            ds,
+            on=shared,
+            how="inner",
+            schemas=(_vars_schema(bound), _vars_schema(vars_)),
+        )
         bound += [v for v in vars_ if v not in bound]
     return joined, bound
 
@@ -1360,7 +1375,13 @@ def sparql_select(
                     "non-well-designed OPTIONAL nesting: a join "
                     "variable may be unbound on one side"
                 )
-            g_ds = dstore.hash_join(g_ds, c_ds, on=shared, how="left")
+            g_ds = dstore.hash_join(
+                g_ds,
+                c_ds,
+                on=shared,
+                how="left",
+                schemas=(_vars_schema(g_vars), _vars_schema(c_vars)),
+            )
             new = [v for v in c_vars if v not in g_vars]
             nullable.update(new)
             g_vars += new
@@ -1384,7 +1405,13 @@ def sparql_select(
                 "non-well-designed OPTIONAL: a join variable may be "
                 "unbound on one side"
             )
-        joined = dstore.hash_join(joined, grp_ds, on=shared, how="left")
+        joined = dstore.hash_join(
+            joined,
+            grp_ds,
+            on=shared,
+            how="left",
+            schemas=(_vars_schema(bound), _vars_schema(grp_vars)),
+        )
         new_vars = [v for v in grp_vars if v not in bound]
         opt_only.update(new_vars)
         bound += new_vars
@@ -1608,7 +1635,13 @@ def sparql_select(
                 f"variables is not supported: {bad}"
             )
         keys = dstore.distinct_on(grp_ds.select_columns(shared), shared)
-        joined = dstore.hash_join(joined, keys, on=shared, how=how)
+        joined = dstore.hash_join(
+            joined,
+            keys,
+            on=shared,
+            how=how,
+            schemas=(_vars_schema(bound), _vars_schema(shared)),
+        )
 
     if q.values_clause:
         # postfix VALUES = join against the inline table; ground rows
