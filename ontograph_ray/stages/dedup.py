@@ -434,7 +434,7 @@ def verify_pairs(
     passes its ref here — the kernel runs as one streaming map with no
     id gathering, no membership filter and no extra plan execution.
     The caller owns the coverage guarantee."""
-    from ..store.dataset import hash_join
+    from ..store.dataset import hash_join, hash_join_schema
 
     if texts_ref is not None:
         return cands.map_batches(
@@ -500,8 +500,19 @@ def verify_pairs(
 
     src_side = docs.map_batches(as_src, batch_format="pandas")
     dst_side = docs.map_batches(as_dst, batch_format="pandas")
-    with_src = hash_join(cands, src_side, on="src_id", num_buckets=num_buckets)
-    with_both = hash_join(with_src, dst_side, on="dst_id", num_buckets=num_buckets)
+    # static side schemas skip three Dataset.schema() probes, each of
+    # which would execute a corpus-rooted lazy plan (see hash_join doc)
+    c_sch = cands.schema()
+    s_sch = pa.schema([("src_id", pa.int64()), ("src_text", pa.string())])
+    d_sch = pa.schema([("dst_id", pa.int64()), ("dst_text", pa.string())])
+    with_src = hash_join(
+        cands, src_side, on="src_id", num_buckets=num_buckets,
+        schemas=(c_sch, s_sch),
+    )
+    with_both = hash_join(
+        with_src, dst_side, on="dst_id", num_buckets=num_buckets,
+        schemas=(hash_join_schema(c_sch, s_sch, "src_id"), d_sch),
+    )
     return with_both.map_batches(
         _verify_joined_batch,
         fn_kwargs={"k": k, "threshold": threshold},
