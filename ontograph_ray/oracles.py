@@ -996,6 +996,23 @@ FROM s a JOIN s b
   ON a.user_id < b.user_id
  AND a.start_us <= b.end_us AND b.start_us <= a.end_us
 GROUP BY a.user_id, b.user_id""",
+        # earliest-completion funnel: chained min-aggregates, each step
+        # strictly after the previous step's completion time
+        "event_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS users
+UNION ALL
+SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)""",
         "session_windows": """
 WITH marked AS (
   SELECT user_id, ts,

@@ -1598,6 +1598,19 @@ def q_range_join_recent_orders(sf_dir: str):
     return bucketed_group_map(joined, ["o_custkey"], in_range_counts, num_buckets=16)
 
 
+def q_event_funnel(sf_dir: str):
+    """Conversion funnel view → click → purchase under earliest-
+    completion semantics (stages/windows.py::funnel_counts): users
+    reaching each step with each step strictly after the previous
+    one's completion time."""
+    from .stages.windows import funnel_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
 def q_session_windows(sf_dir: str):
     """Gap-based sessionization (streaming-window custom operator):
     per user, events more than 30 minutes apart start a new session;

@@ -152,6 +152,72 @@ def cumsum_over(
     return bucketed_group_map(ds.select_columns(cols), key_cols, per_bucket)
 
 
+def funnel_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Ordered-sequence funnel (the MATCH_RECOGNIZE-lite every event
+    warehouse needs and Ray Data lacks): per key, how many keys reach
+    step i of ``steps`` under EARLIEST-COMPLETION semantics — step 1's
+    time is the key's min ts of steps[0]; step i's time is the min ts
+    of steps[i] STRICTLY AFTER step i−1's time. Deterministic,
+    order-insensitive, and exactly expressible as chained min-
+    aggregate SQL (the oracle).
+
+    Physical plan: ONE key-bucketed exchange co-locates each key's
+    events (only rows whose type is in ``steps`` survive the pre-
+    filter), the per-bucket kernel runs the chained groupby-min /
+    merge / filter sequence vectorized over ALL keys at once, and the
+    tiny per-bucket (step, users) partials reduce in a second
+    len(steps)-row exchange."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[type_col].isin(steps)][[key_col, ts_col, type_col]]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cur = None  # Series indexed by key: completion time so far
+        users = []
+        for step in steps:
+            ev = df[df[type_col] == step]
+            if cur is not None:
+                prev = cur.rename("__t_prev").reset_index()
+                ev = ev.merge(prev, on=key_col)
+                ev = ev[ev[ts_col] > ev["__t_prev"]]
+            cur = ev.groupby(key_col, sort=False)[ts_col].min()
+            users.append(len(cur))
+        return pd.DataFrame(
+            {
+                "step": pd.Series(range(1, len(steps) + 1), dtype="int64"),
+                "event_type": steps,
+                "users": pd.Series(users, dtype="int64"),
+            }
+        )
+
+    partials = bucketed_group_map(
+        ds.map_batches(prefilter, batch_format="pandas"),
+        [key_col],
+        per_bucket,
+        num_buckets=num_buckets,
+    )
+
+    def sum_final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["step", "event_type"], sort=False)["users"]
+            .sum()
+            .reset_index()
+        )
+        out["users"] = out["users"].astype("int64")
+        return out
+
+    return bucketed_group_map(partials, ["step"], sum_final, num_buckets=4)
+
+
 def frame_sum_over(
     ds: ray.data.Dataset,
     key_cols: list[str],

@@ -1960,6 +1960,55 @@ class TestCumsumOver:
         )
 
 
+class TestFunnelCounts:
+    def test_hand_computed(self, ray_session):
+        from ontograph_ray.stages.windows import funnel_counts
+
+        # u1 completes A→B→C; u2 does A,B but B precedes A (no step 2);
+        # u3 does A only; u4 does B,C without A (never enters)
+        df = pd.DataFrame(
+            {
+                "u": [1, 1, 1, 2, 2, 3, 4, 4],
+                "ts": pd.to_datetime(
+                    [10, 20, 30, 40, 50, 60, 70, 80], unit="s"
+                ),
+                "t": ["A", "B", "C", "B", "A", "A", "B", "C"],
+            }
+        )
+        out = (
+            funnel_counts(
+                ray.data.from_pandas(df).repartition(3),
+                "u",
+                "ts",
+                "t",
+                ["A", "B", "C"],
+            )
+            .to_pandas()
+            .sort_values("step")
+        )
+        assert out["users"].tolist() == [3, 1, 1]
+        assert out["event_type"].tolist() == ["A", "B", "C"]
+
+    def test_same_timestamp_not_counted(self, ray_session):
+        from ontograph_ray.stages.windows import funnel_counts
+
+        # strictly-after semantics: B at the same instant as A does
+        # not advance the funnel
+        df = pd.DataFrame(
+            {
+                "u": [1, 1],
+                "ts": pd.to_datetime([10, 10], unit="s"),
+                "t": ["A", "B"],
+            }
+        )
+        out = (
+            funnel_counts(ray.data.from_pandas(df), "u", "ts", "t", ["A", "B"])
+            .to_pandas()
+            .sort_values("step")
+        )
+        assert out["users"].tolist() == [1, 0]
+
+
 class TestFrameSumOver:
     def test_moving_frame_matches_duckdb(self, ray_session):
         import duckdb
