@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": q.q_dup_ngrams,
         "export_shards": q.q_export_shards,
         "vocab_coverage": q.q_vocab_coverage,
+        "dict_encode_ids": q.q_dict_encode,
         "sparql_select": q.q_sparql_select,
         # Relational breadth
         "orders_per_segment": q.q_orders_per_segment,

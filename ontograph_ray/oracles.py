@@ -1171,6 +1171,18 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(CASE WHEN t IN (SELECT t FROM vocab) THEN 1 ELSE 0 END) AS BIGINT)
          AS n_in_vocab
 FROM tok GROUP BY doc_id""",
+        # vocab id-encoding: id = frequency-rank position (0-based),
+        # OOV left-join misses; per-doc integer summary
+        "dict_encode_ids": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+vocab AS (SELECT t, row_number() OVER (ORDER BY c DESC, t ASC) - 1 AS tid
+          FROM cnt ORDER BY c DESC, t ASC LIMIT 256)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(COALESCE(SUM(v.tid), 0) AS BIGINT) AS id_sum
+FROM tok LEFT JOIN vocab v ON v.t = tok.t
+GROUP BY doc_id""",
         "orders_per_segment": """
 SELECT c.c_mktsegment,
        COUNT(*) AS n_orders,

@@ -1818,6 +1818,17 @@ def q_vocab_coverage(sf_dir: str):
     return vocab_coverage(_read(sf_dir, "documents", ["doc_id", "text"]), k=100)
 
 
+def q_dict_encode(sf_dir: str):
+    """Vocabulary id-encoding (tokenizer-ID primitive): top-256 tokens
+    by (count DESC, token ASC) get ids 0..255, OOV = -1; per-doc
+    integer summary keeps the hash gate exact
+    (stages/vocab.py::dict_encode — pc.index_in against one broadcast
+    vocab array IS the encoder)."""
+    from .stages.vocab import dict_encode
+
+    return dict_encode(_read(sf_dir, "documents", ["doc_id", "text"]), k=256)
+
+
 def q_bpe_merges(sf_dir: str):
     """Tokenizer training: BPE merge learning over the corpus — the
     corpus-sized work is the combiner-backed word histogram exchange;

@@ -81,6 +81,53 @@ def top_vocab(docs: ray.data.Dataset, k: int = 100) -> list[str]:
     return df["token"].head(k).tolist()
 
 
+def _encode_batch(batch: pa.Table, vocab_ref=None) -> pa.Table:
+    vs = cached_get(_VOCAB_CACHE, vocab_ref)
+    toks = pc.split_pattern(batch["text"], " ")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    # index_in IS the encoder: position in the frequency-ordered vocab
+    ids = (
+        pc.fill_null(pc.index_in(flat, value_set=vs), -1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    oov = ids < 0
+    n_oov = np.bincount(doc_idx[oov], minlength=len(counts)).astype(np.int64)
+    id_sum = np.bincount(
+        doc_idx, weights=np.where(oov, 0, ids), minlength=len(counts)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(counts, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+            "id_sum": pa.array(id_sum, pa.int64()),
+        }
+    )
+
+
+def dict_encode(docs: ray.data.Dataset, k: int = 256) -> ray.data.Dataset:
+    """Vocabulary id-encoding — the tokenizer-ID primitive: token ids
+    0..k-1 assigned in (global count DESC, token ASC) order (id 0 =
+    most frequent, the standard vocab layout), out-of-vocabulary → −1.
+    Same derive-from-corpus shape as coverage: one combiner-backed
+    counts exchange builds the vocab, ONE ``ray.put`` broadcasts it,
+    and the encode pass is a single streaming ``pc.index_in`` per
+    batch — the vocab position IS the id, no per-token Python. Output
+    is the per-doc integer summary (n_tokens, n_oov, id_sum) so the
+    whole op stays exactly SQL-oracle-able; a real pipeline would emit
+    the id list column instead (same kernel, drop the bincounts)."""
+    vocab = top_vocab(docs, k)
+    ref = ray.put(pa.array(vocab, pa.string()))
+    return docs.map_batches(
+        _encode_batch, fn_kwargs={"vocab_ref": ref}, batch_format="pyarrow"
+    )
+
+
 def _coverage_batch(batch: pa.Table, vocab_ref=None) -> pa.Table:
     vocab = cached_get(_VOCAB_CACHE, vocab_ref)
     toks = pc.split_pattern(batch["text"], " ")

@@ -980,6 +980,31 @@ class TestCorpusPrep:
         assert a == b
 
 
+class TestDictEncode:
+    def test_ids_follow_frequency_order_and_oov(self, ray_session):
+        from ontograph_ray.stages.vocab import dict_encode
+
+        # counts: b=4, a=3, c=2, z=1 → vocab k=3: b=0, a=1, c=2; z OOV
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["a b b", "b a c z", "c a b"],
+            }
+        )
+        out = (
+            dict_encode(ray.data.from_pandas(df).repartition(2), k=3)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # doc1: a(1) b(0) b(0) → sum 1, no OOV
+        assert out.loc[1].tolist() == [3, 0, 1]
+        # doc2: b(0) a(1) c(2) z(OOV) → sum 3, one OOV
+        assert out.loc[2].tolist() == [4, 1, 3]
+        # doc3: c(2) a(1) b(0) → sum 3
+        assert out.loc[3].tolist() == [3, 0, 3]
+
+
 class TestCorpusStats:
     """repetition / export-shuffle / vocab-coverage stages."""
 
