@@ -996,6 +996,21 @@ FROM s a JOIN s b
   ON a.user_id < b.user_id
  AND a.start_us <= b.end_us AND b.start_us <= a.end_us
 GROUP BY a.user_id, b.user_id""",
+        # OHLC: first/last by (ts, event_id) via window functions over
+        # the tumbling hour; DISTINCT collapses the per-row windows
+        "events_ohlc": """
+WITH w AS (SELECT user_id, epoch_us(ts) // 3600000000 AS win,
+                  ts, event_id, value FROM events)
+SELECT DISTINCT user_id, win,
+  first_value(value) OVER pw AS open,
+  max(value) OVER pk AS high,
+  min(value) OVER pk AS low,
+  last_value(value) OVER (PARTITION BY user_id, win ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close,
+  CAST(count(*) OVER pk AS BIGINT) AS n
+FROM w
+WINDOW pw AS (PARTITION BY user_id, win ORDER BY ts, event_id),
+       pk AS (PARTITION BY user_id, win)""",
         # earliest-completion funnel: chained min-aggregates, each step
         # strictly after the previous step's completion time
         "event_funnel": """

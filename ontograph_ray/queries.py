@@ -1611,6 +1611,20 @@ def q_event_funnel(sf_dir: str):
     )
 
 
+def q_events_ohlc(sf_dir: str):
+    """OHLC resampling: per (user, 1h window) open/high/low/close of
+    event value, ordered by (ts, event_id) — values are selected
+    stored doubles so the gate is exact
+    (stages/windows.py::ohlc_downsample)."""
+    from .stages.windows import ohlc_downsample
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return ohlc_downsample(
+        ev, "user_id", "ts", ["ts", "event_id"], "value",
+        size_us=3600 * 1_000_000,
+    )
+
+
 def q_session_windows(sf_dir: str):
     """Gap-based sessionization (streaming-window custom operator):
     per user, events more than 30 minutes apart start a new session;

@@ -152,6 +152,47 @@ def cumsum_over(
     return bucketed_group_map(ds.select_columns(cols), key_cols, per_bucket)
 
 
+def ohlc_downsample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    order_cols: list[str],
+    value_col: str,
+    size_us: int,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Time-series OHLC downsampling: per (key, tumbling window) the
+    opening value (first by ``order_cols``), high, low, closing value
+    (last), and row count — the telemetry/metrics resampler. Values
+    are SELECTED stored doubles (first/last/min/max, never sums), so
+    the op is exact against SQL with no float-summation drift —
+    ``order_cols`` must totally order rows within a (key, window)
+    (include a unique tiebreaker). ONE key-bucketed exchange; the
+    per-bucket kernel is a single sort + groupby first/max/min/last."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # normalize to epoch-µs whatever the pandas datetime unit
+        # (Arrow timestamp[us] arrives as datetime64[us]; hand-built
+        # frames are often datetime64[ns])
+        ts_us = (
+            df[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        )
+        df["win"] = ts_us // size_us
+        df = df.sort_values([key_col, "win"] + order_cols, kind="stable")
+        g = df.groupby([key_col, "win"], sort=False)[value_col]
+        out = g.agg(
+            open="first", high="max", low="min", close="last", n="size"
+        ).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    cols = list(dict.fromkeys([key_col, ts_col] + order_cols + [value_col]))
+    return bucketed_group_map(
+        ds.select_columns(cols), [key_col], per_bucket, num_buckets=num_buckets
+    )
+
+
 def funnel_counts(
     ds: ray.data.Dataset,
     key_col: str,

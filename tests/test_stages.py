@@ -1985,6 +1985,59 @@ class TestCumsumOver:
         )
 
 
+class TestOhlcDownsample:
+    def test_hand_computed(self, ray_session):
+        from ontograph_ray.stages.windows import ohlc_downsample
+
+        df = pd.DataFrame(
+            {
+                "u": [1, 1, 1, 1, 2],
+                # window size 100us: rows 0-2 in win 0, row 3 in win 1
+                "ts": pd.to_datetime([10, 50, 90, 150, 20], unit="us").astype(
+                    "datetime64[us]"
+                ),
+                "eid": [1, 2, 3, 4, 5],
+                "v": [5.0, 9.0, 2.0, 7.0, 3.0],
+            }
+        )
+        out = (
+            ohlc_downsample(
+                ray.data.from_pandas(df).repartition(2),
+                "u",
+                "ts",
+                ["ts", "eid"],
+                "v",
+                size_us=100,
+            )
+            .to_pandas()
+            .set_index(["u", "win"])
+            .sort_index()
+        )
+        assert out.loc[(1, 0)].tolist() == [5.0, 9.0, 2.0, 2.0, 3]
+        assert out.loc[(1, 1)].tolist() == [7.0, 7.0, 7.0, 7.0, 1]
+        assert out.loc[(2, 0)].tolist() == [3.0, 3.0, 3.0, 3.0, 1]
+
+    def test_tie_broken_by_order_col(self, ray_session):
+        from ontograph_ray.stages.windows import ohlc_downsample
+
+        # equal timestamps: eid orders open/close deterministically
+        df = pd.DataFrame(
+            {
+                "u": [1, 1],
+                "ts": pd.to_datetime([10, 10], unit="us").astype(
+                    "datetime64[us]"
+                ),
+                "eid": [2, 1],
+                "v": [8.0, 4.0],
+            }
+        )
+        out = ohlc_downsample(
+            ray.data.from_pandas(df), "u", "ts", ["ts", "eid"], "v", size_us=100
+        ).to_pandas()
+        assert out["open"].tolist() == [4.0]
+        assert out["close"].tolist() == [8.0]
+
+
 class TestFunnelCounts:
     def test_hand_computed(self, ray_session):
         from ontograph_ray.stages.windows import funnel_counts
