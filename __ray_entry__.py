@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_path_star": q.q_sparql_path_star,
         "sparql_order_desc": q.q_sparql_order_desc,
         "sparql_path_negset": q.q_sparql_path_negset,
+        "sparql_path_negset_closure": q.q_sparql_path_negset_closure,
         "sparql_filter_numeric": q.q_sparql_filter_numeric,
         "sparql_filter_lang": q.q_sparql_filter_lang,
         "sparql_filter_str_dt": q.q_sparql_filter_str_dt,

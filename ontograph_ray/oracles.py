@@ -173,6 +173,16 @@ WHERE predicate = '<{SEGMENT}>'
   AND object IN ('"BUILDING"', '"MACHINERY"')""",
         # arbitrary-length path + = recursive CTE reachability (UNION
         # dedups, matching the engine's distinct pair set)
+        "sparql_path_negset_closure": f"""WITH RECURSIVE t AS ({TRIPLES_SQL}),
+e AS (SELECT subject AS s, object AS o FROM t
+      WHERE predicate NOT IN ('{RDF_TYPE_T}', '<{SEGMENT}>',
+                              '<{ACCTBAL}>', '<{C.RDFS_LABEL}>')),
+reach AS (
+  SELECT s, o FROM e
+  UNION
+  SELECT r.s, e.o FROM reach r JOIN e ON e.s = r.o
+)
+SELECT s AS x, o AS y FROM reach""",
         "sparql_path_closure": f"""WITH RECURSIVE t AS ({TRIPLES_SQL}),
 e AS (SELECT subject AS s, object AS o FROM t
       WHERE predicate IN ('<{IN_NATION}>', '<{IN_REGION}>')),

@@ -2214,6 +2214,27 @@ def q_sparql_path_alt(sf_dir: str):
     )
 
 
+def q_sparql_path_negset_closure(sf_dir: str):
+    """E8 extension: arbitrary-length path over a NEGATED property set
+    !(type|segment|acctbal|label)+ — the base relation is one
+    NOT-IN-filtered scan (everything except the excluded predicates =
+    inNation ∪ inRegion here), then the same distributed semi-naive
+    fixpoint as e+. Oracle: recursive CTE over NOT IN edges."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?x ?y WHERE {{
+          ?x !(a|<{SEGMENT}>|<{ACCTBAL}>|rdfs:label)+ ?y .
+        }}
+        """,
+    )
+
+
 def q_sparql_path_closure(sf_dir: str):
     """E8 extension: arbitrary-length property path + — the
     distributed semi-naive transitive closure (frontier-only join per

@@ -47,7 +47,11 @@ silently misanswering):
                                       listed — rewritten to a hidden
                                       predicate variable + != filters;
                                       top-level patterns only, no
-                                      inverse members / modifiers) —
+                                      inverse members) | !(...)+/*/?
+                                      (closure over a negated set: the
+                                      base relation is one NOT-IN-
+                                      filtered scan, then the same
+                                      fixpoint) —
                                       path elements must be ground
       FILTER ( ?v = term )            (term equality on the encoded term)
       FILTER ( ?v != term )
@@ -744,11 +748,8 @@ def parse(text: str) -> _Query:
         e = take_path_elem()
         mod = peek()
         if mod in ("+", "*", "?"):
-            if not isinstance(e, str) and len(e) == 2 and e[0] == "negset":
-                raise SparqlUnsupportedError(
-                    f"path modifier {mod} over a negated property set "
-                    "is not supported"
-                )
+            # a negset element rides through as-is: the executor builds
+            # its base relation as ONE NOT-IN-filtered scan
             take()
             if isinstance(e, str):
                 if e.startswith("?"):
@@ -1148,15 +1149,33 @@ def _pattern_bindings(
 
             return f
 
-        parts = [
-            store.matches("", pred, "").map_batches(
-                edge_proj(inv), batch_format="pyarrow"
+        if p[1] and p[1][0] == "negset":
+            # !(p1|p2)+ — the base relation is every triple whose
+            # predicate is NOT excluded: one streaming scan with a
+            # vectorized NOT-IN filter (no hidden-var/filter rewrite
+            # needed; the closure machinery below is element-agnostic)
+            excluded = pa.array(list(p[1][1]), pa.string())
+
+            def neg_edges(batch: pa.Table) -> pa.Table:
+                keep = pc.invert(
+                    pc.is_in(batch[tr.PREDICATE], value_set=excluded)
+                )
+                t = batch.filter(keep)
+                return pa.table({"src": t[tr.SUBJECT], "dst": t[tr.OBJECT]})
+
+            base = store.matches().map_batches(
+                neg_edges, batch_format="pyarrow"
             )
-            for pred, inv in p[1]
-        ]
-        base = parts[0]
-        for extra in parts[1:]:
-            base = base.union(extra)
+        else:
+            parts = [
+                store.matches("", pred, "").map_batches(
+                    edge_proj(inv), batch_format="pyarrow"
+                )
+                for pred, inv in p[1]
+            ]
+            base = parts[0]
+            for extra in parts[1:]:
+                base = base.union(extra)
         closure = base if kind == "zeroone" else transitive_closure(base)
 
         out_vars: list[str] = []

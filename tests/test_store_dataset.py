@@ -1504,6 +1504,53 @@ class TestSparqlExtensions:
             sparql_select(ds, "SELECT ?s WHERE { ?s (<urn:a>) ?o . }")
 
 
+class TestSparqlNegsetClosure:
+    def _graph(self):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r = terms.new_resource_term
+        trps = [
+            # follow chain a→b→c; "skip" edges must be excluded
+            new_triple(r("urn:a"), r("urn:follow"), r("urn:b")),
+            new_triple(r("urn:b"), r("urn:follow"), r("urn:c")),
+            new_triple(r("urn:a"), r("urn:skip"), r("urn:z")),
+            new_triple(r("urn:z"), r("urn:other"), r("urn:w")),
+        ]
+        return DatasetGraphStore.from_triples("urn:g", trps)
+
+    def test_negset_plus(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        out = sparql_select(
+            self._graph(),
+            "SELECT ?x ?y WHERE { ?x !(<urn:skip>)+ ?y . }",
+        ).to_pandas()
+        got = set(zip(out["x"], out["y"]))
+        # follow∪other closure: a→b, b→c, a→c, z→w (skip edge absent)
+        assert got == {
+            ("<urn:a>", "<urn:b>"),
+            ("<urn:b>", "<urn:c>"),
+            ("<urn:a>", "<urn:c>"),
+            ("<urn:z>", "<urn:w>"),
+        }
+
+    def test_negset_plus_two_excluded(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        out = sparql_select(
+            self._graph(),
+            "SELECT ?x ?y WHERE { ?x !(<urn:skip>|<urn:other>)+ ?y . }",
+        ).to_pandas()
+        got = set(zip(out["x"], out["y"]))
+        assert got == {
+            ("<urn:a>", "<urn:b>"),
+            ("<urn:b>", "<urn:c>"),
+            ("<urn:a>", "<urn:c>"),
+        }
+
+
 class TestSparqlNestedOptional:
     """OPTIONAL nesting = LeftJoin(A, LeftJoin(B, C)); non-well-designed
     patterns (a join var nullable on one side) refused."""
