@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": q.q_session_windows,
         "event_funnel": q.q_event_funnel,
         "events_ohlc": q.q_events_ohlc,
+        "user_modal_event": q.q_user_modal_event,
         "asof_last_order": q.q_asof_last_order,
         "range_join_recent_orders": q.q_range_join_recent_orders,
         "top_nations_by_customers": q.q_top_nations_by_customers,

@@ -100,6 +100,12 @@ BENCH_QUERIES = [
     "source_mix",
     "orders_running_total",
     "top_tokens_by_lang",
+    "orders_moving_sum",
+    "event_funnel",
+    "events_ohlc",
+    "winnow_fingerprints",
+    "winnow_near_dup",
+    "dict_encode_ids",
     # part_triangles is NOT timed for the same reason as
     # kg_sameas_salted: at sf0.1 the support>=2 co-purchase graph is
     # near-empty (1 triangle), so its wall is ~7 exchanges of fixed

@@ -1006,6 +1006,13 @@ FROM s a JOIN s b
   ON a.user_id < b.user_id
  AND a.start_us <= b.end_us AND b.start_us <= a.end_us
 GROUP BY a.user_id, b.user_id""",
+        # per-group mode with (count DESC, value ASC) tie-break
+        "user_modal_event": """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2)
+SELECT user_id, event_type AS mode, CAST(c AS BIGINT) AS mode_count
+FROM c
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY c DESC, event_type) = 1""",
         # OHLC: first/last by (ts, event_id) via window functions over
         # the tumbling hour; DISTINCT collapses the per-row windows
         "events_ohlc": """

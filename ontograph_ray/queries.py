@@ -1611,6 +1611,16 @@ def q_event_funnel(sf_dir: str):
     )
 
 
+def q_user_modal_event(sf_dir: str):
+    """Per-group MODE: each user's most frequent event type (count
+    DESC, type ASC tie-break) — one combiner-backed exchange
+    (stages/windows.py::mode_over)."""
+    from .stages.windows import mode_over
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return mode_over(ev, ["user_id"], "event_type")
+
+
 def q_events_ohlc(sf_dir: str):
     """OHLC resampling: per (user, 1h window) open/high/low/close of
     event value, ordered by (ts, event_id) — values are selected

@@ -152,6 +152,50 @@ def cumsum_over(
     return bucketed_group_map(ds.select_columns(cols), key_cols, per_bucket)
 
 
+def mode_over(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-group MODE: the most frequent value per key with a
+    deterministic tie-break (count DESC, value ASC — mirrored in the
+    SQL oracle). Classic combiner shape: per-block (key, value) counts
+    shrink every block to its distinct pairs before ONE key-bucketed
+    exchange; the per-bucket reduce merges counts and takes the
+    per-key argmax vectorized (sort + group-head, no per-group
+    Python). Returns (keys..., mode, mode_count)."""
+    cols = list(dict.fromkeys(key_cols + [value_col]))
+    gcols = key_cols + [value_col]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=gcols + ["c"])
+        return df.groupby(gcols, sort=False).size().rename("c").reset_index()
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=key_cols + ["mode", "mode_count"])
+        merged = df.groupby(gcols, sort=False)["c"].sum().reset_index()
+        merged = merged.sort_values(
+            key_cols + ["c", value_col],
+            ascending=[True] * len(key_cols) + [False, True],
+            kind="stable",
+        )
+        head = merged.groupby(key_cols, sort=False).head(1)
+        out = head.rename(columns={value_col: "mode", "c": "mode_count"})
+        out["mode_count"] = out["mode_count"].astype("int64")
+        return out[key_cols + ["mode", "mode_count"]]
+
+    return bucketed_group_map(
+        ds.select_columns(cols),
+        key_cols,
+        per_bucket,
+        num_buckets=num_buckets,
+        partial_fn=partial,
+    )
+
+
 def ohlc_downsample(
     ds: ray.data.Dataset,
     key_col: str,

@@ -1985,6 +1985,27 @@ class TestCumsumOver:
         )
 
 
+class TestModeOver:
+    def test_tie_break_and_counts(self, ray_session):
+        from ontograph_ray.stages.windows import mode_over
+
+        df = pd.DataFrame(
+            {
+                "g": [1, 1, 1, 1, 2, 2],
+                "v": ["b", "a", "b", "a", "z", "z"],
+            }
+        )
+        out = (
+            mode_over(ray.data.from_pandas(df).repartition(3), ["g"], "v")
+            .to_pandas()
+            .set_index("g")
+            .sort_index()
+        )
+        # g=1: a and b tie at 2 → value-ascending tie-break picks a
+        assert out.loc[1].tolist() == ["a", 2]
+        assert out.loc[2].tolist() == ["z", 2]
+
+
 class TestOhlcDownsample:
     def test_hand_computed(self, ray_session):
         from ontograph_ray.stages.windows import ohlc_downsample
