@@ -141,6 +141,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_update_modify": q.q_sparql_update_modify,
         "sparql_filter_or": q.q_sparql_filter_or,
         "sparql_bind_arith": q.q_sparql_bind_arith,
+        "sparql_filter_strstarts": q.q_sparql_filter_strstarts,
+        "sparql_filter_contains": q.q_sparql_filter_contains,
+        "sparql_filter_strlen": q.q_sparql_filter_strlen,
+        "sparql_filter_case": q.q_sparql_filter_case,
+        "sparql_filter_isliteral": q.q_sparql_filter_isliteral,
         "orders_running_total": q.q_orders_running_total,
         "orders_moving_sum": q.q_orders_moving_sum,
         "customer_quartiles": q.q_customer_quartiles,

@@ -248,6 +248,33 @@ WHERE predicate = '<{ACCTBAL}>'
         "sparql_sample": f"""{_T}
 SELECT object AS n, min(subject) AS one, COUNT(*) AS members
 FROM t WHERE predicate = '<{IN_NATION}>' GROUP BY object""",
+        # STRSTARTS over the lexical value of the label literals
+        "sparql_filter_strstarts": f"""{_T}
+SELECT subject AS s, object AS o FROM t
+WHERE predicate = '<{C.RDFS_LABEL}>'
+  AND regexp_extract(object, '^"([^"]*)"', 1) LIKE 'NATION\\_1%' ESCAPE '\\'""",
+        # CONTAINS + STRENDS conjunction over the segment literals
+        "sparql_filter_contains": f"""{_T}
+SELECT subject AS c, object AS seg FROM t
+WHERE predicate = '<{SEGMENT}>'
+  AND regexp_extract(object, '^"([^"]*)"', 1) LIKE '%I%'
+  AND regexp_extract(object, '^"([^"]*)"', 1) LIKE '%RE'""",
+        # STRLEN(value) >= 9 (drops the 8-char BUILDING segment)
+        "sparql_filter_strlen": f"""{_T}
+SELECT subject AS c, object AS seg FROM t
+WHERE predicate = '<{SEGMENT}>'
+  AND length(regexp_extract(object, '^"([^"]*)"', 1)) >= 9""",
+        # LCASE = 'building' OR UCASE = 'MACHINERY'
+        "sparql_filter_case": f"""{_T}
+SELECT subject AS c, object AS seg FROM t
+WHERE predicate = '<{SEGMENT}>'
+  AND (lower(regexp_extract(object, '^"([^"]*)"', 1)) = 'building'
+       OR upper(regexp_extract(object, '^"([^"]*)"', 1)) = 'MACHINERY')""",
+        # isLiteral(?o) && !isIRI(?o): in this corpus every literal
+        # term starts with '"' and every resource with '<'
+        "sparql_filter_isliteral": f"""{_T}
+SELECT subject AS s, object AS o FROM t
+WHERE object LIKE '"%'""",
         # || / && FILTER combinations over the decomposed conditions
         "sparql_filter_or": f"""{_T}
 SELECT t1.subject AS c, t1.object AS s, t2.object AS b

@@ -2451,6 +2451,101 @@ def q_sparql_bind_arith(sf_dir: str):
     )
 
 
+def q_sparql_filter_strstarts(sf_dir: str):
+    """E8 extension: STRSTARTS builtin in FILTER — prefix test over
+    the T6 Value kernel (lexical form for literals, URI for
+    resources)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?s ?o WHERE {
+          ?s rdfs:label ?o .
+          FILTER ( STRSTARTS(?o, "NATION_1") )
+        }
+        """,
+    )
+
+
+def q_sparql_filter_contains(sf_dir: str):
+    """E8 extension: CONTAINS + STRENDS builtins, one conjunction —
+    substring and suffix tests over the T6 Value kernel."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        SELECT ?c ?seg WHERE {{
+          ?c <{SEGMENT}> ?seg .
+          FILTER ( CONTAINS(?seg, "I") ) .
+          FILTER ( STRENDS(?seg, "RE") )
+        }}
+        """,
+    )
+
+
+def q_sparql_filter_strlen(sf_dir: str):
+    """E8 extension: STRLEN comparison in FILTER — UTF-8 length of the
+    T6 Value, integer-compared (drops the 8-char BUILDING segment)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        SELECT ?c ?seg WHERE {{
+          ?c <{SEGMENT}> ?seg .
+          FILTER ( STRLEN(?seg) >= 9 )
+        }}
+        """,
+    )
+
+
+def q_sparql_filter_case(sf_dir: str):
+    """E8 extension: LCASE/UCASE case-folding builtins, OR-combined in
+    one FILTER (also exercises the || combiner over builtin masks)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        SELECT ?c ?seg WHERE {{
+          ?c <{SEGMENT}> ?seg .
+          FILTER ( LCASE(?seg) = "building" || UCASE(?seg) = "MACHINERY" )
+        }}
+        """,
+    )
+
+
+def q_sparql_filter_isliteral(sf_dir: str):
+    """E8 extension: isLiteral/!isIRI term-kind builtins (T4/T5
+    kernels) — keep literal objects only, both polarities in one
+    query so the '!' path is under the gate too."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        SELECT ?s ?o WHERE {
+          ?s ?p ?o .
+          FILTER ( isLiteral(?o) ) .
+          FILTER ( !isIRI(?o) )
+        }
+        """,
+    )
+
+
 def q_sparql_sample(sf_dir: str):
     """E8 extension: SAMPLE aggregate — deterministic engine, so
     SAMPLE is pinned to the min term (a valid sample under the spec's

@@ -482,20 +482,102 @@ def parse(text: str) -> _Query:
             # one simple condition, NOT consuming the FILTER's closing )
             var = take()
             up = var.upper()
-            if var == "!" or up == "BOUND":
-                # BOUND(?v) | !BOUND(?v) — null test on the (possibly
-                # OPTIONAL-introduced) binding column
-                want = var != "!"
-                if not want and take().upper() != "BOUND":
-                    raise SparqlSyntaxError("expected BOUND after ! in FILTER")
+            want = True
+            if var == "!":
+                # logical negation: only the unary boolean builtins
+                # (BOUND / isIRI / isURI / isLiteral) may follow
+                want = False
+                var = take()
+                up = var.upper()
+                if up not in ("BOUND", "ISIRI", "ISURI", "ISLITERAL"):
+                    raise SparqlUnsupportedError(
+                        "'!' is only supported before BOUND/isIRI/"
+                        f"isURI/isLiteral in FILTER, got {var!r}"
+                    )
+            if up in ("BOUND", "ISIRI", "ISURI", "ISLITERAL"):
+                # unary boolean builtins: BOUND = null test on the
+                # (possibly OPTIONAL-introduced) binding column;
+                # isIRI/isURI/isLiteral = the vectorized T4/T5
+                # term-kind kernels
                 if take() != "(":
-                    raise SparqlSyntaxError("expected ( after BOUND")
+                    raise SparqlSyntaxError(f"expected ( after {up}")
                 v = take()
                 if not v.startswith("?"):
-                    raise SparqlSyntaxError("BOUND needs a ?variable")
+                    raise SparqlSyntaxError(f"{up} needs a ?variable")
                 if take() != ")":
-                    raise SparqlSyntaxError("expected ) closing BOUND")
-                return ("bound", v[1:], 1 if want else 0)
+                    raise SparqlSyntaxError(f"expected ) closing {up}")
+                key = {
+                    "BOUND": "bound",
+                    "ISIRI": "isiri",
+                    "ISURI": "isiri",
+                    "ISLITERAL": "isliteral",
+                }[up]
+                return (key, v[1:], 1 if want else 0)
+            if up in ("STRSTARTS", "STRENDS", "CONTAINS"):
+                # two-arg string builtins over the T6 Value kernel
+                # (lexical form for literals, the URI for resources,
+                # "" on malformed — so a malformed term simply fails
+                # the prefix/suffix/substring test)
+                if take() != "(":
+                    raise SparqlSyntaxError(f"expected ( after {up}")
+                v = take()
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError(f"{up} needs a ?variable")
+                if take() != ",":
+                    raise SparqlSyntaxError(f"expected , in {up}")
+                pat = take()
+                if not (pat.startswith('"') and pat.endswith('"')):
+                    raise SparqlSyntaxError(
+                        f'{up} needs a plain "string" second argument'
+                    )
+                if take() != ")":
+                    raise SparqlSyntaxError(f"expected ) closing {up}")
+                return (up.lower(), v[1:], pat[1:-1])
+            if up == "STRLEN":
+                # STRLEN(?v) cmp N — UTF-8 codepoint length of the T6
+                # Value, compared as an integer
+                if take() != "(":
+                    raise SparqlSyntaxError("expected ( after STRLEN")
+                v = take()
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError("STRLEN needs a ?variable")
+                if take() != ")":
+                    raise SparqlSyntaxError("expected ) closing STRLEN")
+                bop = take()
+                lkey = {"=": "eq", "!=": "ne", "<": "lt", ">": "gt",
+                        "<=": "le", ">=": "ge"}.get(bop)
+                if lkey is None:
+                    raise SparqlUnsupportedError(
+                        f"STRLEN() filter comparison {bop!r} not supported"
+                    )
+                n = take()
+                if not n.isdigit():
+                    raise SparqlSyntaxError(
+                        f"STRLEN comparison needs a non-negative integer, got {n!r}"
+                    )
+                return (f"strlen_{lkey}", v[1:], int(n))
+            if up in ("LCASE", "UCASE"):
+                # case-folded string equality over the T6 Value kernel
+                if take() != "(":
+                    raise SparqlSyntaxError(f"expected ( after {up}")
+                v = take()
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError(f"{up} needs a ?variable")
+                if take() != ")":
+                    raise SparqlSyntaxError(f"expected ) closing {up}")
+                bop = take()
+                if bop not in ("=", "!="):
+                    raise SparqlUnsupportedError(
+                        f"{up}() filter supports = and != only, got {bop!r}"
+                    )
+                val = take()
+                if not (val.startswith('"') and val.endswith('"')):
+                    raise SparqlSyntaxError(f'{up}() compares to a plain "string"')
+                return (
+                    f"{up.lower()}_{'eq' if bop == '=' else 'ne'}",
+                    v[1:],
+                    val[1:-1],
+                )
             if up in ("STR", "LANG", "DATATYPE"):
                 # term-accessor builtins compiled onto the vectorized
                 # T6/T7/T8 kernels
@@ -1572,7 +1654,13 @@ def sparql_select(
         int_lit_re = _INT_LIT_RE
         num_ops = {"lt": pc.less, "gt": pc.greater, "le": pc.less_equal,
                    "ge": pc.greater_equal}
-        from ..terms import v_datatype, v_language, v_value
+        from ..terms import (
+            v_datatype,
+            v_is_literal,
+            v_is_resource,
+            v_language,
+            v_value,
+        )
 
         _acc = {"str": v_value, "lang": v_language, "dt": v_datatype}
 
@@ -1607,6 +1695,33 @@ def sparql_select(
                 return pc.not_equal(col, val)
             if op == "bound":
                 return pc.is_valid(col) if val else pc.is_null(col)
+            if op in ("isiri", "isliteral"):
+                # T4/T5 term-kind kernels; '!' forms invert the mask
+                # (null bindings stay null → row dropped either way,
+                # SPARQL's error-on-unbound rule)
+                kind = (v_is_resource if op == "isiri" else v_is_literal)(col)
+                m = kind if val else pc.invert(kind)
+                # the kernels fill null→False; re-drop unbound rows so
+                # the '!' form can't resurrect them (error-on-unbound)
+                return pc.and_(m, pc.is_valid(col))
+            if op in ("strstarts", "strends", "contains"):
+                lex = _acc["str"](col)
+                if op == "strstarts":
+                    return pc.starts_with(lex, val)
+                if op == "strends":
+                    return pc.ends_with(lex, val)
+                return pc.match_substring(lex, val)
+            if op[:7] == "strlen_":
+                ln = pc.utf8_length(_acc["str"](col))
+                fn = {"eq": pc.equal, "ne": pc.not_equal, **num_ops}[op[7:]]
+                return fn(ln, val)
+            if op[:6] in ("lcase_", "ucase_"):
+                folded = (pc.utf8_lower if op[0] == "l" else pc.utf8_upper)(
+                    _acc["str"](col)
+                )
+                return (pc.equal if op.endswith("_eq") else pc.not_equal)(
+                    folded, val
+                )
             if op[:-3] in _acc and op[-3:] in ("_eq", "_ne"):
                 # STR/LANG/DATATYPE builtins → the vectorized T6/T7/T8
                 # term-accessor kernels (truth tables pinned by the

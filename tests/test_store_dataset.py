@@ -1253,6 +1253,90 @@ class TestSparqlExtensions:
                 'SELECT ?p WHERE { ?p <urn:name> ?n . FILTER ( LANG(?n) < "en" ) }',
             )
 
+    def test_filter_string_builtins(self, ray_session):
+        from ontograph_ray import terms
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray.store.sparql import SparqlUnsupportedError
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:p1"), r("urn:name"), l("Alice", "en")),
+            new_triple(r("urn:p2"), r("urn:name"), l("bob", "fr")),
+            new_triple(r("urn:p3"), r("urn:name"), l("carol")),
+            new_triple(r("urn:p1"), r("urn:knows"), r("urn:p2")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        # STRSTARTS over the lexical value, case-sensitive
+        out = self._q(
+            ds,
+            'SELECT ?p WHERE { ?p <urn:name> ?n . FILTER ( STRSTARTS(?n, "Al") ) }',
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]
+        # STRSTARTS on a resource tests the URI (T6 Value of <uri>)
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:knows> ?q . "
+            'FILTER ( STRSTARTS(?q, "urn:p") ) }',
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]
+        # STRENDS + CONTAINS
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            'FILTER ( STRENDS(?n, "ol") ) . FILTER ( CONTAINS(?n, "aro") ) }',
+        )
+        assert out["p"].tolist() == ["<urn:p3>"]
+        # STRLEN compares the codepoint length of the value
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . FILTER ( STRLEN(?n) <= 3 ) }",
+        )
+        assert out["p"].tolist() == ["<urn:p2>"]
+        # LCASE / UCASE equality
+        out = self._q(
+            ds,
+            'SELECT ?p WHERE { ?p <urn:name> ?n . FILTER ( LCASE(?n) = "alice" ) }',
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            'FILTER ( UCASE(?n) != "BOB" ) } ORDER BY ?p',
+        )
+        assert out["p"].tolist() == ["<urn:p1>", "<urn:p3>"]
+        # isIRI / isLiteral term-kind kernels
+        out = self._q(
+            ds,
+            "SELECT ?p ?v WHERE { ?p ?pred ?v . FILTER ( isIRI(?v) ) }",
+        )
+        assert out["v"].tolist() == ["<urn:p2>"]
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p ?pred ?v . FILTER ( !isLiteral(?v) ) }",
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]
+        # negated kind test over an OPTIONAL-unbound var drops the row
+        # (SPARQL error-on-unbound), it does NOT resurrect it
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            "OPTIONAL { ?p <urn:knows> ?q } FILTER ( !isLiteral(?q) ) }",
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]
+        # '!' before anything but the unary boolean builtins is refused
+        with pytest.raises(SparqlUnsupportedError):
+            self._q(
+                ds,
+                'SELECT ?p WHERE { ?p <urn:name> ?n . FILTER ( !STRSTARTS(?n, "A") ) }',
+            )
+        # STRLEN against a non-integer is a syntax error
+        with pytest.raises(ValueError):
+            self._q(
+                ds,
+                'SELECT ?p WHERE { ?p <urn:name> ?n . FILTER ( STRLEN(?n) > "x" ) }',
+            )
+
     def test_inverse_path(self, ray_session):
         ds = self._people()
         inv = self._q(
@@ -1813,8 +1897,15 @@ class TestSparqlNegset:
             sparql_select(ds, "SELECT ?s WHERE { ?s !(^<urn:name>) ?o . }")
         with pytest.raises(SparqlSyntaxError):
             sparql_select(ds, "SELECT ?s WHERE { ?s !?v ?o . }")
-        with pytest.raises(SparqlUnsupportedError):
-            sparql_select(ds, "SELECT ?s WHERE { ?s !<urn:name>+ ?o . }")
+        # closure over a single negated predicate is supported now
+        # (same machinery as !(p1|p2)+): edges = email+knows here
+        out = sparql_select(
+            ds, "SELECT ?s ?o WHERE { ?s !<urn:name>+ ?o . }"
+        ).to_pandas()
+        assert sorted(map(tuple, out.values.tolist())) == [
+            ("<urn:p1>", '"a@x"'),
+            ("<urn:p1>", "<urn:p2>"),
+        ]
         with pytest.raises(SparqlUnsupportedError):
             sparql_select(
                 ds,
