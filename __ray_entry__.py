@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sameas_components": q.q_kg_sameas_components,
         "kg_sameas_salted": q.q_kg_sameas_salted,
         "entity_pagerank": q.q_entity_pagerank,
+        "entity_hits": q.q_entity_hits,
         "kg_node_degrees": q.q_kg_node_degrees,
         # Training-data operators
         "sample_hash": q.q_sample_hash,
@@ -149,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_running_total": q.q_orders_running_total,
         "orders_moving_sum": q.q_orders_moving_sum,
         "customer_quartiles": q.q_customer_quartiles,
+        "customer_percentiles": q.q_customer_percentiles,
         "kg_bfs_depth": q.q_kg_bfs_depth,
         "top_tokens_by_lang": q.q_top_tokens_by_lang,
         "sparql_path_opt": q.q_sparql_path_opt,
@@ -160,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q.q_repetition_stats,
         "dup_ngrams": q.q_dup_ngrams,
         "export_shards": q.q_export_shards,
+        "train_val_test_split": q.q_train_val_test_split,
         "vocab_coverage": q.q_vocab_coverage,
         "dict_encode_ids": q.q_dict_encode,
         "sparql_select": q.q_sparql_select,

@@ -569,6 +569,7 @@ SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
         "bpe_token_counts": _fx("bpe_token_counts"),
         # integer fixed-point PageRank — dict-based plain-Python twin
         "entity_pagerank": _fx("entity_pagerank"),
+        "entity_hits": _fx("entity_hits"),
         "multimodal_features": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/multimodal_features_n200.parquet')"
         ),
@@ -918,6 +919,16 @@ SELECT c_custkey, c_nationkey, cents,
                            ORDER BY cents DESC, c_custkey) AS BIGINT)
          AS tile
 FROM c""",
+        "customer_percentiles": """
+WITH c AS (SELECT c_custkey, c_nationkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer)
+SELECT c_custkey, c_nationkey, cents,
+       PERCENT_RANK() OVER (PARTITION BY c_nationkey
+                            ORDER BY cents DESC) AS percent_rank,
+       CUME_DIST() OVER (PARTITION BY c_nationkey
+                         ORDER BY cents DESC) AS cume_dist
+FROM c""",
         "events_window": """
 SELECT user_id, epoch_us(ts) // 3600000000 AS win,
        COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
@@ -1214,6 +1225,14 @@ SELECT 'p99', 0.99, quantile_disc(v, 0.99) FROM samp""",
         # deterministic shuffle-export assignment: splitmix64(doc_id
         # XOR seed), shard = h mod 32, sort_key = h div 32 (seed 7 and
         # 32 shards mirror q_export_shards)
+        "train_val_test_split": f"""
+WITH src AS (SELECT doc_id, CAST(doc_id AS UBIGINT) AS x FROM documents),
+{_splitmix64_ctes('src', 'x', 'hashed')}
+SELECT doc_id,
+       CASE WHEN h % 10000 < 9000 THEN 'train'
+            WHEN h % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM hashed""",
         "export_shards": f"""
 WITH src AS (SELECT doc_id, xor(CAST(doc_id AS UBIGINT), 7) AS x FROM documents),
 {_splitmix64_ctes('src', 'x', 'hashed')}

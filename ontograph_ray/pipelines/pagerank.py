@@ -221,3 +221,195 @@ def pagerank(
         return pd.DataFrame({"node": df["a"], "rank": df["rank"].astype("int64")})
 
     return ranks.map_batches(finish, batch_format="pandas")
+
+
+def _hits_local(rows, iters: int) -> "ray.data.Dataset":
+    """Driver-side twin of :func:`hits` over the already-deduped edge
+    rows — identical integer arithmetic to the distributed loop."""
+    edges = [(r["a"], r["b"]) for r in rows]
+    nodes = sorted({n for e in edges for n in e})
+    hub = dict.fromkeys(nodes, SCALE)
+    auth = dict.fromkeys(nodes, 0)
+    for _ in range(iters):
+        raw = dict.fromkeys(nodes, 0)
+        for u, v in edges:
+            raw[v] += hub[u]
+        q = max(1, max(raw.values(), default=0) // SCALE)
+        auth = {n: raw[n] // q for n in nodes}
+        raw = dict.fromkeys(nodes, 0)
+        for u, v in edges:
+            raw[u] += auth[v]
+        q = max(1, max(raw.values(), default=0) // SCALE)
+        hub = {n: raw[n] // q for n in nodes}
+    out = pd.DataFrame({"node": nodes})
+    out["hub"] = out["node"].map(hub).astype("int64")
+    out["auth"] = out["node"].map(auth).astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def hits(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    num_buckets: int = 64,
+    small_threshold: int = 200_000,
+) -> ray.data.Dataset:
+    """HITS hubs & authorities (Kleinberg 1999) over directed edges —
+    integer fixed-point, like :func:`pagerank`:
+
+        hub₀(u)  = SCALE
+        authᵢ(v) = (Σ_{u→v} hubᵢ₋₁(u)) // qₐ
+        hubᵢ(u)  = (Σ_{u→v} authᵢ(v)) // qₕ
+
+    where each q = max(1, max_raw // SCALE) — the max-quotient
+    rescale. A float HITS L2-normalizes per iteration, which is not
+    bit-reproducible under re-ordered summation; dividing every raw
+    score by the same integer quotient keeps the max near SCALE
+    (preserving relative order exactly) with pure int64 ops, so the
+    operator sits under the driver's value-hash gate via the
+    plain-Python fixture twin. No multiplication in the rescale →
+    no overflow for any raw sum < 2⁶³ (n·SCALE bound, n < 9·10⁹).
+
+    Scale shape per iteration: TWO co-group exchanges (push hub along
+    forward edges, push auth along reverse edges — each with a
+    per-bucket pre-sum combiner for hot in/out-degree nodes) + two
+    tiny global-max aggregates over the materialized score table.
+    Same driver cutover as pagerank below ``small_threshold`` deduped
+    edges; tests pin both paths equal."""
+
+    def frame(kind: str, a, b=None, rank=None) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "kind": kind,
+                "a": a,
+                "b": b if b is not None else [""] * len(a),
+                "rank": pd.Series(
+                    rank if rank is not None else [0] * len(a), dtype="int64"
+                ),
+            }
+        )
+        out["__bucket"] = _bucket_of(out["a"], num_buckets)
+        return out[["kind", "a", "b", "rank", "__bucket"]]
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[[src, dst]].astype(str).drop_duplicates()
+        return frame("edge", e[src].tolist(), e[dst].tolist())
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["a", "b"])
+
+    edges_fwd = _as_arrow(
+        edges.map_batches(edge_rows, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
+    ).materialize()
+
+    if edges_fwd.count() <= small_threshold:
+        return _hits_local(
+            edges_fwd.select_columns(["a", "b"]).iter_rows(), iters
+        )
+
+    def reverse_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return frame("edge", df["b"].tolist(), df["a"].tolist())
+
+    edges_rev = _as_arrow(
+        edges_fwd.map_batches(reverse_rows, batch_format="pandas")
+    ).materialize()
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = (
+            pd.concat([df["a"], df["b"]], ignore_index=True)
+            .drop_duplicates()
+            .tolist()
+        )
+        return frame("node", nodes)
+
+    nodes = _as_arrow(
+        edges_fwd.map_batches(node_rows, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(
+            lambda df: df.drop_duplicates(subset=["a"]), batch_format="pandas"
+        )
+    ).materialize()
+
+    def init_hub(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["kind"] = "rank"
+        out["rank"] = SCALE
+        return out
+
+    hub = _as_arrow(nodes.map_batches(init_hub, batch_format="pandas")).materialize()
+
+    def push(scores: ray.data.Dataset, along: ray.data.Dataset) -> ray.data.Dataset:
+        # scores (kind=rank, keyed on a) pushed along edges (keyed on
+        # a) to their b-endpoints; per-bucket pre-sum bounds a hot
+        # endpoint at one row per bucket, then the node co-group sums
+        # and zero-fills so every node has a raw score row.
+        def contribute(df: pd.DataFrame) -> pd.DataFrame:
+            r = df.loc[df["kind"] == "rank", ["a", "rank"]]
+            e = df.loc[df["kind"] == "edge", ["a", "b"]]
+            m = e.merge(r, on="a")
+            msg = m.groupby("b", sort=False, as_index=False)["rank"].sum()
+            return frame("msg", msg["b"].tolist(), rank=msg["rank"].to_numpy())
+
+        msgs = (
+            scores.union(along)
+            .groupby("__bucket")
+            .map_groups(contribute, batch_format="pandas")
+        )
+
+        def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            node = df.loc[df["kind"] == "node", ["a"]].drop_duplicates(subset=["a"])
+            m = df.loc[df["kind"] == "msg", ["a", "rank"]]
+            s = m.groupby("a", sort=False)["rank"].sum()
+            raw = s.reindex(node["a"]).fillna(0).astype("int64").to_numpy()
+            return frame("rank", node["a"].tolist(), rank=raw)
+
+        return _as_arrow(
+            _as_arrow(msgs).union(nodes)
+            .groupby("__bucket")
+            .map_groups(reduce_bucket, batch_format="pandas")
+        ).materialize()
+
+    def rescale(raw: ray.data.Dataset) -> ray.data.Dataset:
+        q = max(1, int(raw.max("rank")) // SCALE)
+
+        def div(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["rank"] = (out["rank"] // q).astype("int64")
+            return out
+
+        return _as_arrow(raw.map_batches(div, batch_format="pandas")).materialize()
+
+    auth = None
+    for _ in range(iters):
+        auth = rescale(push(hub, edges_fwd))
+        hub = rescale(push(auth, edges_rev))
+
+    def tag(kind: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["kind"] = kind
+            return out
+
+        return fn
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        h = df.loc[df["kind"] == "hub", ["a", "rank"]].set_index("a")["rank"]
+        a_ = df.loc[df["kind"] == "auth", ["a", "rank"]].set_index("a")["rank"]
+        nodes_ = sorted(set(h.index) | set(a_.index))
+        return pd.DataFrame(
+            {
+                "node": nodes_,
+                "hub": h.reindex(nodes_).fillna(0).astype("int64").to_numpy(),
+                "auth": a_.reindex(nodes_).fillna(0).astype("int64").to_numpy(),
+            }
+        )
+
+    both = hub.map_batches(tag("hub"), batch_format="pandas").union(
+        auth.map_batches(tag("auth"), batch_format="pandas")
+    )
+    return _as_arrow(both).groupby("__bucket").map_groups(
+        pivot, batch_format="pandas"
+    )

@@ -675,6 +675,34 @@ def q_entity_pagerank(sf_dir: str):
     return pagerank(e, iters=5, num_buckets=16)
 
 
+def q_entity_hits(sf_dir: str):
+    """HITS hubs & authorities over the DIRECTED page→entity mention
+    graph (pipelines/pagerank.py::hits): hub score = pages whose
+    mentions point at high-authority entities, authority = entities
+    mentioned by good hub pages. Integer fixed-point with max-quotient
+    rescale in place of the float L2 normalization, so the iterative
+    operator is bit-deterministic and sits under the hash gate via an
+    independent plain-Python fixture twin
+    (gen_fixtures.gen_entity_hits)."""
+    from .pipelines import pages
+    from .pipelines.kg import mentions_distinct_stage, ONTO
+    from .pipelines.pagerank import hits
+
+    extracted = pages.read_pages(sf_dir).map_batches(
+        pages.extract_text_batch, batch_format="pyarrow"
+    )
+    md = mentions_distinct_stage(extracted)
+
+    def directed_edges(batch: pa.Table) -> pa.Table:
+        ent = pc.binary_join_element_wise(
+            pa.scalar(f"{ONTO}#ent_"), batch["surface"].combine_chunks(), ""
+        )
+        return pa.table({"src": batch["url"].combine_chunks(), "dst": ent})
+
+    e = md.map_batches(directed_edges, batch_format="pyarrow")
+    return hits(e, iters=5, num_buckets=16)
+
+
 def q_kg_triples(sf_dir: str):
     from .pipelines.kg import build_kg, decode_triples_batch
 
@@ -1257,6 +1285,42 @@ def q_customer_quartiles(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def q_customer_percentiles(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST in one pass: each customer's relative
+    balance position within its nation (desc) — the percentile feature
+    a quality-threshold or curriculum stage keys on
+    (stages/windows.py::dist_rank_over; one int64→float64 division per
+    output so the floats bit-match the SQL windows)."""
+    from .stages.windows import dist_rank_over
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["c_acctbal"], 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_nationkey": batch["c_nationkey"],
+                "cents": cents,
+            }
+        )
+
+    out = dist_rank_over(
+        cust.map_batches(to_cents, batch_format="pyarrow"),
+        ["c_nationkey"],
+        "cents",
+        ascending=False,
+        extra_cols=["c_custkey"],
+    )
+
+    def project(df):
+        return df[["c_custkey", "c_nationkey", "cents", "percent_rank", "cume_dist"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def q_chunk_documents(sf_dir: str):
     """RAG-style sliding-window chunking (window 64, stride 48 —
     25% overlap): one streaming flat expansion per batch, no exchange
@@ -1832,6 +1896,16 @@ def q_export_shards(sf_dir: str):
     return shard_assignments(
         _read(sf_dir, "documents", ["doc_id"]), num_shards=32, seed=7
     )
+
+
+def q_train_val_test_split(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test split by id hash
+    (stages/export.py::split_assign): label = splitmix64(doc_id) mod
+    10000 through the cumulative boundaries — stable when the corpus
+    grows, no shuffle, no driver state."""
+    from .stages.export import split_assign
+
+    return split_assign(_read(sf_dir, "documents", ["doc_id"]))
 
 
 def q_vocab_coverage(sf_dir: str):

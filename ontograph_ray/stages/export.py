@@ -72,6 +72,46 @@ def shard_assignments(
     )
 
 
+def split_assign(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    fractions: "tuple[tuple[str, int], ...]" = (
+        ("train", 9000),
+        ("val", 500),
+        ("test", 500),
+    ),
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic train/val/test split: each row gets a ``split``
+    label from its id hash alone — stable across runs, partitionings
+    and cluster sizes, and membership never changes when the corpus
+    grows (a new doc lands in a split without moving any old doc, the
+    property a random_shuffle+slice split lacks). ``fractions`` are
+    (label, basis_points) summing to 10 000; row's bucket =
+    splitmix64(id ^ seed) mod 10 000 mapped through the cumulative
+    boundaries. Pure per-batch numpy — no exchange, no driver state."""
+    import numpy as np
+
+    labels = [lab for lab, _ in fractions]
+    bps = [bp for _, bp in fractions]
+    if sum(bps) != 10_000:
+        raise ValueError("fractions basis points must sum to 10000")
+    if any(bp <= 0 for bp in bps):
+        raise ValueError("every split needs > 0 basis points")
+    bounds = np.cumsum(bps[:-1]).astype(np.int64)  # right-open boundaries
+    label_arr = np.array(labels)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        bp = (splitmix64(ids ^ np.uint64(seed)) % np.uint64(10_000)).astype(
+            np.int64
+        )
+        lab = label_arr[np.searchsorted(bounds, bp, side="right")]
+        return batch.append_column("split", pa.array(lab, pa.string()))
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
 def write_shards(
     docs: ray.data.Dataset,
     out_dir: str,

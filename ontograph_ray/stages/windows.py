@@ -387,6 +387,44 @@ def ntile_over(
     return bucketed_group_map(ds.select_columns(cols), key_cols, per_bucket)
 
 
+def dist_rank_over(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    ascending: bool = True,
+    extra_cols: "list[str] | None" = None,
+) -> ray.data.Dataset:
+    """SQL ``PERCENT_RANK()`` and ``CUME_DIST() OVER (PARTITION BY keys
+    ORDER BY value [DESC])`` in one pass — the two relative-position
+    windows. percent_rank = (rank_min − 1) / (N − 1) (0.0 for a
+    single-row partition, the SQL rule); cume_dist = rank_max / N
+    (rows ordered ≤ current, ties share the value). Tie semantics are
+    value-determined, so no tiebreaker column is needed. Each output
+    is ONE int64→float64 division, which IEEE rounds identically here
+    and in the SQL engine — the floats bit-match the DuckDB twin (the
+    same discipline as the exact AVG aggregate). Physical shape: one
+    key-bucketed exchange + one vectorized groupby-rank per bucket."""
+    import numpy as np
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        g = df.groupby(key_cols, sort=False)[value_col]
+        rmin = g.rank(method="min", ascending=ascending).to_numpy()
+        rmax = g.rank(method="max", ascending=ascending).to_numpy()
+        size = g.transform("size").to_numpy().astype("float64")
+        df["percent_rank"] = np.where(size > 1, (rmin - 1.0) / (size - 1.0), 0.0)
+        df["cume_dist"] = rmax / size
+        return df
+
+    return bucketed_group_map(
+        ds.select_columns(
+            list(dict.fromkeys(key_cols + [value_col] + (extra_cols or [])))
+        ),
+        key_cols,
+        per_bucket,
+    )
+
+
 def rank_over(
     ds: ray.data.Dataset,
     key_cols: list[str],

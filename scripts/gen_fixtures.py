@@ -569,6 +569,51 @@ def gen_entity_pagerank(sf_dir: str = DEFAULT_SF, iters: int = 5, num: int = 85,
     return f"{path}: {len(nodes)} nodes, {len(edges)} directed edges"
 
 
+def gen_entity_hits(sf_dir: str = DEFAULT_SF, iters: int = 5) -> str:
+    """Dict-based integer fixed-point HITS over the DIRECTED
+    page→entity mention graph (twin of pipelines/pagerank.py::hits +
+    q_entity_hits). Float HITS L2-normalizes; the engine (and this
+    twin, independently) instead divides every raw score by
+    q = max(1, max_raw // SCALE) — pure int64, order-free."""
+    from ontograph_ray.pipelines.kg import GAZETTEER, ONTO  # data only
+
+    scale = 1_000_000_000
+    gaz = set(GAZETTEER)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    edges = set()
+    for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        url = f"https://docs.example.org/page/{doc_id}"
+        for surface in {t for t in text.split(" ") if t in gaz}:
+            edges.add((url, f"{ONTO}#ent_{surface}"))
+    edges = sorted(edges)
+    nodes = sorted({n for e in edges for n in e})
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(iters):
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[v] += hub[u]
+        q = max(1, max(raw.values()) // scale)
+        auth = {n: raw[n] // q for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[u] += auth[v]
+        q = max(1, max(raw.values()) // scale)
+        hub = {n: raw[n] // q for n in nodes}
+    path = _path("entity_hits", sf_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.string()),
+                "hub": pa.array([hub[n] for n in nodes], pa.int64()),
+                "auth": pa.array([auth[n] for n in nodes], pa.int64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(nodes)} nodes, {len(edges)} directed edges"
+
+
 def _bpe_apply_word(word: str, merges: list) -> int:
     syms = list(word)
     for left, right in merges:
@@ -932,6 +977,7 @@ def gen_ann_lsh(sf_dir: str = DEFAULT_SF,
 # sf_dir and always (re)writes the n-keyed file.
 GENERATORS = {
     "entity_pagerank": gen_entity_pagerank,
+    "entity_hits": gen_entity_hits,
     "simhash_pairs_h2": gen_simhash_pairs,
     "minhash_dedup": gen_minhash_dedup,
     "ngram_jaccard": gen_ngram_jaccard,

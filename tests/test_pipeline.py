@@ -191,6 +191,70 @@ class TestPagerank:
         assert got["c"] > got["b"] > got["a"]
 
 
+class TestHits:
+    @staticmethod
+    def _hits_py(edges, iters=5):
+        """Independent dict-based twin of pipelines.pagerank.hits
+        (integer fixed point, max-quotient rescale)."""
+        from ontograph_ray.pipelines.pagerank import SCALE
+
+        edges = sorted(set(edges))
+        nodes = sorted({n for e in edges for n in e})
+        hub = {n: SCALE for n in nodes}
+        auth = {n: 0 for n in nodes}
+        for _ in range(iters):
+            raw = {n: 0 for n in nodes}
+            for u, v in edges:
+                raw[v] += hub[u]
+            q = max(1, max(raw.values()) // SCALE)
+            auth = {n: raw[n] // q for n in nodes}
+            raw = {n: 0 for n in nodes}
+            for u, v in edges:
+                raw[u] += auth[v]
+            q = max(1, max(raw.values()) // SCALE)
+            hub = {n: raw[n] // q for n in nodes}
+        return {n: (hub[n], auth[n]) for n in nodes}
+
+    def test_matches_python_twin_and_partition_invariant(self, ray_session):
+        from ontograph_ray.pipelines.pagerank import hits
+
+        rng = __import__("random").Random(23)
+        # bipartite-leaning random graph: hubs point into a small
+        # authority pool plus noise edges
+        hubs = [f"h{i}" for i in range(8)]
+        auths = [f"a{i}" for i in range(5)]
+        edges = sorted(
+            {(rng.choice(hubs), rng.choice(auths)) for _ in range(40)}
+            | {(rng.choice(auths), rng.choice(hubs)) for _ in range(5)}
+        )
+        edges += edges[:10]  # duplicates must be ignored
+        want = self._hits_py(edges)
+        for parts, thresh in ((2, 0), (7, 0), (3, 200_000)):
+            # thresh=0 forces the distributed loop; default = cutover
+            ds = ray.data.from_items(
+                [{"src": u, "dst": v} for u, v in edges]
+            ).repartition(parts)
+            got = {
+                r["node"]: (r["hub"], r["auth"])
+                for r in hits(ds, num_buckets=4, small_threshold=thresh).take_all()
+            }
+            assert got == want, (parts, thresh)
+
+    def test_hub_authority_separation(self, ray_session):
+        from ontograph_ray.pipelines.pagerank import SCALE, hits
+
+        # h1 points at every authority; a1 is pointed at by everyone
+        edges = [("h1", "a1"), ("h1", "a2"), ("h1", "a3"), ("h2", "a1")]
+        ds = ray.data.from_items([{"src": u, "dst": v} for u, v in edges])
+        got = {r["node"]: r for r in hits(ds, iters=3).take_all()}
+        assert got["h1"]["hub"] > got["h2"]["hub"] > 0
+        assert got["a1"]["auth"] > got["a2"]["auth"] > 0
+        # pure hubs have zero authority and vice versa
+        assert got["h1"]["auth"] == 0 and got["a1"]["hub"] == 0
+        # max-quotient rescale keeps the top score near SCALE
+        assert got["h1"]["hub"] >= SCALE // 2
+
+
 class TestPipeline:
     def test_matches_oracle_exactly(self, ray_session):
         res = build_kg(SF)

@@ -1008,6 +1008,47 @@ class TestDictEncode:
 class TestCorpusStats:
     """repetition / export-shuffle / vocab-coverage stages."""
 
+    def test_split_assign_stable_and_proportional(self, ray_session):
+        from ontograph_ray.stages.export import split_assign
+
+        small = ray.data.range(2_000)
+        big = ray.data.range(6_000).repartition(5)
+        a = {
+            r["id"]: r["split"]
+            for r in split_assign(small, id_col="id").take_all()
+        }
+        b = {
+            r["id"]: r["split"]
+            for r in split_assign(big, id_col="id").take_all()
+        }
+        # growth stability: old ids keep their split when the corpus
+        # triples (the property a shuffle+slice split lacks)
+        assert all(b[i] == a[i] for i in a)
+        # proportions near 90/5/5 (hash-uniform; generous bounds)
+        from collections import Counter
+
+        c = Counter(b.values())
+        assert 0.87 < c["train"] / 6000 < 0.93
+        assert 0.03 < c["val"] / 6000 < 0.07
+        assert 0.03 < c["test"] / 6000 < 0.07
+        # different seed reshuffles membership
+        a2 = {
+            r["id"]: r["split"]
+            for r in split_assign(small, id_col="id", seed=1).take_all()
+        }
+        assert any(a2[i] != a[i] for i in a)
+        # invalid fractions are rejected
+        import pytest
+
+        with pytest.raises(ValueError):
+            split_assign(small, id_col="id", fractions=(("train", 9999),))
+        with pytest.raises(ValueError):
+            split_assign(
+                small,
+                id_col="id",
+                fractions=(("a", 10_000), ("b", 0)),
+            )
+
     def test_repetition_counts_bruteforce(self, ray_session):
         from collections import Counter
 
@@ -2195,6 +2236,43 @@ class TestNtileOver:
         )
         # desc order 50,40,30,20,10 → first bucket (size 3) gets 50,40,30
         assert out.to_dict() == {50: 1, 40: 1, 30: 1, 20: 2, 10: 2}
+
+
+class TestDistRankOver:
+    def test_matches_duckdb_with_ties_and_singletons(self, ray_session):
+        import duckdb
+
+        from ontograph_ray.stages.windows import dist_rank_over
+
+        rng = np.random.default_rng(7)
+        rows = []
+        for g in range(1, 8):  # size-1 partition included (g=1)
+            for _ in range(g):
+                # small value domain forces ties inside partitions
+                rows.append((g, int(rng.integers(0, 3))))
+        df = pd.DataFrame(rows, columns=["g", "v"]).assign(i=range(len(rows)))
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = (
+            dist_rank_over(ds, ["g"], "v", ascending=False, extra_cols=["i"])
+            .to_pandas()
+            .sort_values("i")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            """SELECT g, v, i,
+                      PERCENT_RANK() OVER (PARTITION BY g ORDER BY v DESC)
+                        AS percent_rank,
+                      CUME_DIST() OVER (PARTITION BY g ORDER BY v DESC)
+                        AS cume_dist
+               FROM df ORDER BY i"""
+        ).df()
+        cols = ["g", "v", "i", "percent_rank", "cume_dist"]
+        # bit-exact float equality is the contract (single int division)
+        assert out[cols].equals(want[cols])
+        # SQL rule: single-row partition → percent_rank 0.0, cume_dist 1.0
+        solo = out[out.g == 1]
+        assert solo.percent_rank.tolist() == [0.0]
+        assert solo.cume_dist.tolist() == [1.0]
 
 
 class TestRankOver:
