@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sameas_salted": q.q_kg_sameas_salted,
         "entity_pagerank": q.q_entity_pagerank,
         "entity_hits": q.q_entity_hits,
+        "entity_communities": q.q_entity_communities,
         "kg_node_degrees": q.q_kg_node_degrees,
         # Training-data operators
         "sample_hash": q.q_sample_hash,

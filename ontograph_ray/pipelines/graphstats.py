@@ -580,3 +580,155 @@ def k_core(
             how="semi",
         ).materialize()
     raise ValueError(f"k_core did not converge within {max_iters} rounds")
+
+
+def _lpa_local(rows, iters: int) -> "ray.data.Dataset":
+    """Driver-side twin of :func:`label_propagation` over the deduped
+    undirected edge rows — identical tie-break arithmetic."""
+    edges = sorted({(r["a"], r["b"]) for r in rows})
+    nodes = sorted({n for e in edges for n in e})
+    nbrs: dict = {n: [] for n in nodes}
+    for u, v in edges:
+        nbrs[u].append(v)
+        nbrs[v].append(u)
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for n in nodes:
+            cnt: dict = {}
+            for m in nbrs[n]:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            # most frequent neighbor label, ties by min label
+            new[n] = min(cnt, key=lambda k: (-cnt[k], k))
+        lab = new
+    out = pd.DataFrame({"node": nodes})
+    out["community"] = out["node"].map(lab)
+    return ray.data.from_pandas(out)
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    num_buckets: int = 64,
+    small_threshold: int = 200_000,
+) -> ray.data.Dataset:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007) over the undirected graph of (src, dst) edges →
+    Dataset(node, community). label₀(v) = v; each round every node
+    adopts the most frequent label among its neighbors, ties broken by
+    the MINIMUM label — fully deterministic, unlike the classic
+    random-order asynchronous variant, which is what puts this
+    iterative operator under the driver's value-hash gate via a
+    plain-Python fixture twin (the same discipline as the fixed-point
+    pagerank/hits). Synchronous LPA can oscillate on bipartite-ish
+    structure rather than converge; a fixed ``iters`` makes the output
+    a well-defined function of the graph either way.
+
+    Scale shape per iteration: TWO exchanges — labels co-grouped with
+    the doubled edge table on hash(node) to emit (neighbor, label)
+    messages pre-counted per bucket (a hub's label crosses once per
+    (bucket, label), not once per edge), then a count-sum + vectorized
+    argmax per node on hash(neighbor). Same driver cutover as
+    :func:`pagerank` below ``small_threshold`` deduped edges."""
+    from .pagerank import _as_arrow, _bucket_of
+
+    def frame(kind: str, a, b=None, n=None) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "kind": kind,
+                "a": a,
+                "b": b if b is not None else [""] * len(a),
+                "n": pd.Series(n if n is not None else [0] * len(a), dtype="int64"),
+            }
+        )
+        out["__bucket"] = _bucket_of(out["a"], num_buckets)
+        return out[["kind", "a", "b", "n", "__bucket"]]
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[[src, dst]].astype(str)
+        lo = e.min(axis=1)
+        hi = e.max(axis=1)
+        e = pd.DataFrame({"u": lo, "v": hi})
+        e = e[e["u"] != e["v"]].drop_duplicates()
+        return frame("edge", e["u"].tolist(), e["v"].tolist())
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["a", "b"])
+
+    # canonicalize (min, max) per undirected edge, dedup once; bucket
+    # by the canonical endpoint so global dedup is one exchange
+    canon = _as_arrow(
+        edges.map_batches(edge_rows, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
+    ).materialize()
+
+    if canon.count() <= small_threshold:
+        return _lpa_local(canon.select_columns(["a", "b"]).iter_rows(), iters)
+
+    # doubled adjacency keyed on the label-owning endpoint a
+    def double_rows(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = frame("edge", df["a"].tolist(), df["b"].tolist())
+        rev = frame("edge", df["b"].tolist(), df["a"].tolist())
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    adj = _as_arrow(
+        canon.map_batches(double_rows, batch_format="pandas")
+    ).materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df["a"].drop_duplicates()
+        return frame("lab", nodes.tolist(), nodes.tolist())
+
+    labels = _as_arrow(
+        adj.map_batches(init_labels, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(
+            lambda df: df.drop_duplicates(subset=["a"]), batch_format="pandas"
+        )
+    ).materialize()
+
+    for _ in range(iters):
+        # phase 1: attach each node's label to its adjacency rows,
+        # emit (neighbor, label) pre-counted per bucket
+        def send(df: pd.DataFrame) -> pd.DataFrame:
+            lab = df.loc[df["kind"] == "lab", ["a", "b"]].rename(
+                columns={"b": "l"}
+            )
+            e = df.loc[df["kind"] == "edge", ["a", "b"]]
+            m = e.merge(lab, on="a")
+            cnt = m.groupby(["b", "l"], sort=False).size().reset_index(name="n")
+            return frame(
+                "msg", cnt["b"].tolist(), cnt["l"].tolist(),
+                cnt["n"].to_numpy(),
+            )
+
+        msgs = (
+            labels.union(adj)
+            .groupby("__bucket")
+            .map_groups(send, batch_format="pandas")
+        )
+
+        # phase 2: per node, sum counts per label and take the
+        # (count DESC, label ASC) argmax
+        def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            m = df.loc[df["kind"] == "msg", ["a", "b", "n"]]
+            s = m.groupby(["a", "b"], sort=False, as_index=False)["n"].sum()
+            s = s.sort_values(
+                ["a", "n", "b"], ascending=[True, False, True], kind="stable"
+            )
+            w = s.drop_duplicates(subset=["a"], keep="first")
+            return frame("lab", w["a"].tolist(), w["b"].tolist())
+
+        labels = _as_arrow(
+            _as_arrow(msgs)
+            .groupby("__bucket")
+            .map_groups(reduce_bucket, batch_format="pandas")
+        ).materialize()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["a"], "community": df["b"]})
+
+    return labels.map_batches(finish, batch_format="pandas")

@@ -703,6 +703,25 @@ def q_entity_hits(sf_dir: str):
     return hits(e, iters=5, num_buckets=16)
 
 
+def q_entity_communities(sf_dir: str):
+    """Community detection over the entity co-mention graph:
+    deterministic synchronous label propagation
+    (pipelines/graphstats.py::label_propagation; most frequent
+    neighbor label, min-label ties, 5 rounds) on edges = entity pairs
+    co-mentioned on a page. Pinned by an independent plain-Python
+    fixture twin (gen_fixtures.gen_entity_communities)."""
+    from .pipelines import pages
+    from .pipelines.graphstats import cooccurrence_edges, label_propagation
+    from .pipelines.kg import mentions_distinct_stage
+
+    extracted = pages.read_pages(sf_dir).map_batches(
+        pages.extract_text_batch, batch_format="pyarrow"
+    )
+    md = mentions_distinct_stage(extracted)
+    e = cooccurrence_edges(md, "url", "surface")
+    return label_propagation(e, iters=5, num_buckets=16)
+
+
 def q_kg_triples(sf_dir: str):
     from .pipelines.kg import build_kg, decode_triples_batch
 

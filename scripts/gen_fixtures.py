@@ -614,6 +614,49 @@ def gen_entity_hits(sf_dir: str = DEFAULT_SF, iters: int = 5) -> str:
     return f"{path}: {len(nodes)} nodes, {len(edges)} directed edges"
 
 
+def gen_entity_communities(sf_dir: str = DEFAULT_SF, iters: int = 5) -> str:
+    """Dict-based synchronous label propagation over the entity
+    co-mention graph (twin of graphstats.label_propagation +
+    q_entity_communities): label₀ = self, each round adopt the most
+    frequent neighbor label with min-label tie-break."""
+    from ontograph_ray.pipelines.kg import GAZETTEER  # data only
+
+    gaz = set(GAZETTEER)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    edges = set()
+    for text in docs["text"].to_pylist():
+        ents = sorted({t for t in text.split(" ") if t in gaz})
+        for i, u in enumerate(ents):
+            for v in ents[i + 1:]:
+                edges.add((u, v))
+    edges = sorted(edges)
+    nodes = sorted({n for e in edges for n in e})
+    nbrs: dict = {n: [] for n in nodes}
+    for u, v in edges:
+        nbrs[u].append(v)
+        nbrs[v].append(u)
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for n in nodes:
+            cnt: dict = {}
+            for m in nbrs[n]:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            new[n] = min(cnt, key=lambda k: (-cnt[k], k))
+        lab = new
+    path = _path("entity_communities", sf_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.string()),
+                "community": pa.array([lab[n] for n in nodes], pa.string()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(nodes)} nodes, {len(edges)} undirected edges"
+
+
 def _bpe_apply_word(word: str, merges: list) -> int:
     syms = list(word)
     for left, right in merges:
@@ -978,6 +1021,7 @@ def gen_ann_lsh(sf_dir: str = DEFAULT_SF,
 GENERATORS = {
     "entity_pagerank": gen_entity_pagerank,
     "entity_hits": gen_entity_hits,
+    "entity_communities": gen_entity_communities,
     "simhash_pairs_h2": gen_simhash_pairs,
     "minhash_dedup": gen_minhash_dedup,
     "ngram_jaccard": gen_ngram_jaccard,

@@ -255,6 +255,75 @@ class TestHits:
         assert got["h1"]["hub"] >= SCALE // 2
 
 
+class TestLabelPropagation:
+    @staticmethod
+    def _lpa_py(edges, iters=5):
+        """Independent dict twin: synchronous LPA, most frequent
+        neighbor label, min-label tie-break."""
+        canon = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+        nodes = sorted({n for e in canon for n in e})
+        nbrs = {n: [] for n in nodes}
+        for u, v in canon:
+            nbrs[u].append(v)
+            nbrs[v].append(u)
+        lab = {n: n for n in nodes}
+        for _ in range(iters):
+            lab = {
+                n: min(
+                    (c := __import__("collections").Counter(
+                        lab[m] for m in nbrs[n]
+                    )),
+                    key=lambda k: (-c[k], k),
+                )
+                for n in nodes
+            }
+        return lab
+
+    def test_matches_python_twin_and_partition_invariant(self, ray_session):
+        from ontograph_ray.pipelines.graphstats import label_propagation
+
+        rng = __import__("random").Random(31)
+        # two noisy communities plus a sparse bridge
+        a = [f"a{i}" for i in range(7)]
+        b = [f"b{i}" for i in range(7)]
+        edges = sorted(
+            {(rng.choice(a), rng.choice(a)) for _ in range(30)}
+            | {(rng.choice(b), rng.choice(b)) for _ in range(30)}
+            | {("a0", "b0")}
+        )
+        edges = [e for e in edges if e[0] != e[1]]
+        edges += [(v, u) for u, v in edges[:8]]  # reversed dups ignored
+        want = self._lpa_py(edges)
+        for parts, thresh in ((2, 0), (5, 0), (3, 200_000)):
+            ds = ray.data.from_items(
+                [{"src": u, "dst": v} for u, v in edges]
+            ).repartition(parts)
+            got = {
+                r["node"]: r["community"]
+                for r in label_propagation(
+                    ds, num_buckets=4, small_threshold=thresh
+                ).take_all()
+            }
+            assert got == want, (parts, thresh)
+
+    def test_two_cliques_get_two_communities(self, ray_session):
+        from ontograph_ray.pipelines.graphstats import label_propagation
+
+        a = [f"a{i}" for i in range(5)]
+        b = [f"b{i}" for i in range(5)]
+        edges = [(u, v) for i, u in enumerate(a) for v in a[i + 1:]]
+        edges += [(u, v) for i, u in enumerate(b) for v in b[i + 1:]]
+        edges.append(("a0", "b0"))
+        ds = ray.data.from_items([{"src": u, "dst": v} for u, v in edges])
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(ds).take_all()
+        }
+        assert len({got[n] for n in a}) == 1
+        assert len({got[n] for n in b}) == 1
+        assert got["a1"] != got["b1"]
+
+
 class TestPipeline:
     def test_matches_oracle_exactly(self, ray_session):
         res = build_kg(SF)
