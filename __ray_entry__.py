@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": q.q_dup_ngrams,
         "export_shards": q.q_export_shards,
         "train_val_test_split": q.q_train_val_test_split,
+        "ngram_novelty": q.q_ngram_novelty,
         "vocab_coverage": q.q_vocab_coverage,
         "dict_encode_ids": q.q_dict_encode,
         "sparql_select": q.q_sparql_select,

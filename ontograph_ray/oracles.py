@@ -1226,6 +1226,22 @@ SELECT 'p99', 0.99, quantile_disc(v, 0.99) FROM samp""",
         # deterministic shuffle-export assignment: splitmix64(doc_id
         # XOR seed), shard = h mod 32, sort_key = h div 32 (seed 7 and
         # 32 shards mirror q_export_shards)
+        # distinct per-doc 3-grams → df per gram → per-doc unique share
+        "ngram_novelty": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+g0 AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+       FROM t WHERE len(l) >= 3),
+g AS (SELECT DISTINCT doc_id,
+             l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
+      FROM g0),
+df AS (SELECT gram, COUNT(*) AS d FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST((10000 * SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END)) // COUNT(*)
+            AS BIGINT) AS novelty_bp
+FROM g JOIN df USING (gram)
+GROUP BY g.doc_id""",
         "train_val_test_split": f"""
 WITH src AS (SELECT doc_id, CAST(doc_id AS UBIGINT) AS x FROM documents),
 {_splitmix64_ctes('src', 'x', 'hashed')}

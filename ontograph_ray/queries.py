@@ -1917,6 +1917,16 @@ def q_export_shards(sf_dir: str):
     )
 
 
+def q_ngram_novelty(sf_dir: str):
+    """Document originality: fraction of each doc's distinct token
+    3-grams occurring in no other doc, in integer basis points
+    (stages/text.py::ngram_novelty) — two bucketed exchanges
+    (gram-keyed df, doc-keyed sum), no pairwise blowup."""
+    from .stages.text import ngram_novelty
+
+    return ngram_novelty(_read(sf_dir, "documents", ["doc_id", "text"]), n=3)
+
+
 def q_train_val_test_split(sf_dir: str):
     """Deterministic 90/5/5 train/val/test split by id hash
     (stages/export.py::split_assign): label = splitmix64(doc_id) mod

@@ -452,3 +452,76 @@ def top_terms_per_group(
         .groupby("__bucket")
         .map_groups(merge_topk, batch_format="pandas")
     )
+
+
+def ngram_novelty(
+    docs: ray.data.Dataset, n: int = 3, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Document originality score: per doc, the fraction of its
+    DISTINCT token n-grams that occur in no other document —
+    (doc_id, n_grams, n_unique, novelty_bp) with novelty in integer
+    basis points (10000·unique // total, so the gate stays exact).
+    The complement of the dup-ngram statistics: high novelty ⇒
+    original text worth keeping, low ⇒ templated/boilerplate.
+
+    Scale shape: one vectorized shifted-slice n-gram pass per batch
+    (decontam's kernel) + per-batch Arrow distinct — a doc is one row,
+    so batch-local per-doc distinct IS the global distinct — then TWO
+    bucketed exchanges: gram-keyed df (each gram's doc list meets once;
+    per-doc partials pre-summed in the bucket) and doc-keyed final sum.
+    A boilerplate gram shared by millions of docs costs rows
+    proportional to its doc list ONCE (the df exchange) — no pairwise
+    blowup, unlike shared-fingerprint pair generation. Docs shorter
+    than ``n`` tokens have no windows and no output row (mirrored by
+    the SQL twin)."""
+    from ..store.dataset import bucketed_group_map
+    from .decontam import _batch_ngrams
+
+    def doc_grams(batch: pa.Table) -> pa.Table:
+        ngrams, doc_idx, valid, counts = _batch_ngrams(batch["text"], n)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "gram": pa.array([], pa.string()),
+            }
+        )
+        if ngrams is None:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = ngrams.filter(pa.array(valid))
+        d = ids[doc_idx[valid]]
+        t = pa.table({"doc_id": pa.array(d, pa.int64()), "gram": g})
+        return t.group_by(["doc_id", "gram"]).aggregate([])
+
+    grams = docs.select_columns(["doc_id", "text"]).map_batches(
+        doc_grams, batch_format="pyarrow"
+    )
+
+    def per_gram(df: pd.DataFrame) -> pd.DataFrame:
+        # rows are globally distinct (doc_id, gram): group size = df
+        sz = df.groupby("gram", sort=False)["doc_id"].transform("size")
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_grams": 1,
+                "n_unique": (sz == 1).astype("int64"),
+            }
+        )
+        return out.groupby("doc_id", sort=False, as_index=False).sum()
+
+    partials = bucketed_group_map(
+        grams, ["gram"], per_gram, num_buckets=num_buckets
+    )
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", sort=False, as_index=False)[
+            ["n_grams", "n_unique"]
+        ].sum()
+        out["n_grams"] = out["n_grams"].astype("int64")
+        out["n_unique"] = out["n_unique"].astype("int64")
+        out["novelty_bp"] = (10_000 * out["n_unique"]) // out["n_grams"]
+        return out
+
+    return bucketed_group_map(
+        partials, ["doc_id"], per_doc, num_buckets=num_buckets
+    )

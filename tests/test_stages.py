@@ -1049,6 +1049,42 @@ class TestCorpusStats:
                 fractions=(("a", 10_000), ("b", 0)),
             )
 
+    def test_ngram_novelty_bruteforce(self, ray_session):
+        from ontograph_ray.stages.text import ngram_novelty
+
+        rows = [
+            {"doc_id": 1, "text": "a b c d e"},
+            {"doc_id": 2, "text": "a b c x y"},        # shares 'a b c'
+            {"doc_id": 3, "text": "z q"},              # < n tokens: no row
+            {"doc_id": 4, "text": "a b c a b c a b"},  # in-doc dup grams
+            {"doc_id": 5, "text": "u v w"},            # exactly one gram
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in ngram_novelty(
+                ray.data.from_items(rows).repartition(3), n=3, num_buckets=4
+            ).take_all()
+        }
+        # brute force
+        grams = {
+            r["doc_id"]: {
+                tuple(r["text"].split(" ")[i : i + 3])
+                for i in range(len(r["text"].split(" ")) - 2)
+            }
+            for r in rows
+        }
+        from collections import Counter
+
+        df = Counter(g for s in grams.values() for g in s)
+        assert 3 not in out  # too short
+        for d, s in grams.items():
+            if not s:
+                continue
+            uniq = sum(1 for g in s if df[g] == 1)
+            assert out[d]["n_grams"] == len(s)
+            assert out[d]["n_unique"] == uniq
+            assert out[d]["novelty_bp"] == (10_000 * uniq) // len(s)
+
     def test_repetition_counts_bruteforce(self, ray_session):
         from collections import Counter
 
