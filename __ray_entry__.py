@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_update_modify": q.q_sparql_update_modify,
         "sparql_filter_or": q.q_sparql_filter_or,
         "sparql_bind_arith": q.q_sparql_bind_arith,
+        "sparql_bind_concat": q.q_sparql_bind_concat,
+        "sparql_bind_if": q.q_sparql_bind_if,
         "sparql_filter_strstarts": q.q_sparql_filter_strstarts,
         "sparql_filter_contains": q.q_sparql_filter_contains,
         "sparql_filter_strlen": q.q_sparql_filter_strlen,

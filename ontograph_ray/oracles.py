@@ -244,6 +244,17 @@ SELECT subject AS c,
 FROM t
 WHERE predicate = '<{ACCTBAL}>'
   AND CAST(regexp_extract(object, '"([+-]?\\d+)"', 1) AS BIGINT) * 2 - 100 >= 1000000""",
+        # CONCAT in BIND: vars contribute their lexical value, result
+        # is the encoded plain literal
+        "sparql_bind_concat": f"""{_T}
+SELECT subject AS c,
+       '"seg:' || regexp_extract(object, '^"([^"]*)"', 1) || '"' AS tag
+FROM t WHERE predicate = '<{SEGMENT}>'""",
+        # IF ternary over term equality; else-branch copies the term
+        "sparql_bind_if": f"""{_T}
+SELECT subject AS c,
+       CASE WHEN object = '"BUILDING"' THEN '"core"' ELSE object END AS cls
+FROM t WHERE predicate = '<{SEGMENT}>'""",
         # SAMPLE = deterministic min term per group
         "sparql_sample": f"""{_T}
 SELECT object AS n, min(subject) AS one, COUNT(*) AS members

@@ -2649,6 +2649,43 @@ def q_sparql_filter_isliteral(sf_dir: str):
     )
 
 
+def q_sparql_bind_concat(sf_dir: str):
+    """E8 extension: CONCAT in BIND — ?vars contribute their STR value,
+    constants interleave, result re-enters term space as a plain
+    literal so downstream FILTER/compare composes."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        SELECT ?c ?tag WHERE {{
+          ?c <{SEGMENT}> ?seg .
+          BIND ( CONCAT("seg:", ?seg) AS ?tag )
+        }}
+        """,
+    )
+
+
+def q_sparql_bind_if(sf_dir: str):
+    """E8 extension: IF ternary in BIND over term equality — constant
+    then-branch, variable else-branch (term copy)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        SELECT ?c ?cls WHERE {{
+          ?c <{SEGMENT}> ?seg .
+          BIND ( IF(?seg = "BUILDING", "core", ?seg) AS ?cls )
+        }}
+        """,
+    )
+
+
 def q_sparql_sample(sf_dir: str):
     """E8 extension: SAMPLE aggregate — deterministic engine, so
     SAMPLE is pinned to the min term (a valid sample under the spec's

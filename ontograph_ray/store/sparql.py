@@ -725,6 +725,61 @@ def parse(text: str) -> _Query:
                 if nxt != ",":
                     raise SparqlSyntaxError("expected , or ) in COALESCE")
             op, arg = "coalesce", tuple(args)
+        elif up == "CONCAT":
+            # CONCAT(part, ...) — parts are ?vars (contributing their
+            # T6 Value, i.e. STR(?v)) or plain "string" constants;
+            # result is a plain literal, unbound if any var is unbound
+            if take() != "(":
+                raise SparqlSyntaxError("expected ( after CONCAT")
+            parts: list[tuple[str, str]] = []
+            while True:
+                a = take()
+                if a.startswith("?"):
+                    parts.append(("var", a[1:]))
+                elif a.startswith('"') and a.endswith('"'):
+                    parts.append(("lit", a[1:-1]))
+                else:
+                    raise SparqlSyntaxError(
+                        "CONCAT parts must be ?variables or plain "
+                        f'"strings", got {a!r}'
+                    )
+                nxt = take()
+                if nxt == ")":
+                    break
+                if nxt != ",":
+                    raise SparqlSyntaxError("expected , or ) in CONCAT")
+            op, arg = "concat", tuple(parts)
+        elif up == "IF":
+            # IF(?v = term, then, else) — the ternary over SPARQL term
+            # equality; then/else are ?vars (term copy) or ground terms
+            if take() != "(":
+                raise SparqlSyntaxError("expected ( after IF")
+            cv = take()
+            if not cv.startswith("?"):
+                raise SparqlSyntaxError("IF condition needs a ?variable")
+            bop = take()
+            if bop not in ("=", "!="):
+                raise SparqlUnsupportedError(
+                    f"IF condition supports = and != only, got {bop!r}"
+                )
+            cval = _expand(take(), prefixes, "object")
+            if cval.startswith("?"):
+                raise SparqlUnsupportedError(
+                    "variable-to-variable IF conditions are not supported"
+                )
+            if take() != ",":
+                raise SparqlSyntaxError("expected , after IF condition")
+            tthen = take()
+            if not tthen.startswith("?"):
+                tthen = _expand(tthen, prefixes, "object")
+            if take() != ",":
+                raise SparqlSyntaxError("expected , after IF then-branch")
+            telse = take()
+            if not telse.startswith("?"):
+                telse = _expand(telse, prefixes, "object")
+            if take() != ")":
+                raise SparqlSyntaxError("expected ) closing IF")
+            op, arg = "if", (cv[1:], bop, cval, tthen, telse)
         elif (t.startswith("?") or t.isdigit()) and peek() in ("+", "-", "*", "/"):
             # integer arithmetic: a ⊕ b, operands ?var or unsigned int
             # (negative constants via subtraction)
@@ -1557,12 +1612,20 @@ def sparql_select(
         for op, arg, alias in q.binds:
             if alias in bound:
                 raise SparqlSyntaxError(f"BIND alias ?{alias} already bound")
-            args = arg if isinstance(arg, tuple) else (arg,)
-            missing = [
-                a[1:]
-                for a in args
-                if isinstance(a, str) and a.startswith("?") and a[1:] not in bound
-            ]
+            if op == "concat":
+                used = [v for kind, v in arg if kind == "var"]
+            elif op == "if":
+                used = [arg[0]] + [
+                    t[1:] for t in (arg[3], arg[4]) if t.startswith("?")
+                ]
+            else:
+                args = arg if isinstance(arg, tuple) else (arg,)
+                used = [
+                    a[1:]
+                    for a in args
+                    if isinstance(a, str) and a.startswith("?")
+                ]
+            missing = [a for a in used if a not in bound]
             if missing and op != "const":
                 raise SparqlSyntaxError(f"BIND arguments never bound: {missing}")
             bound.append(alias)
@@ -1587,6 +1650,46 @@ def sparql_select(
                     col = pc.if_else(
                         pc.equal(raw, ""), pa.scalar(None, pa.string()), enc
                     )
+                elif op == "concat":
+                    # vars contribute their T6 Value (STR); any unbound
+                    # var makes the result unbound (error→unbound)
+                    parts, valid = [], None
+                    for kind, v in arg:
+                        if kind == "lit":
+                            parts.append(v)
+                        else:
+                            c = batch[v]
+                            parts.append(v_value(c))
+                            iv = pc.is_valid(c)
+                            valid = iv if valid is None else pc.and_(valid, iv)
+                    raw = pc.binary_join_element_wise(*parts, "")
+                    if isinstance(raw, (str, pa.Scalar)):  # all-constant
+                        raw = pa.array(
+                            [raw if isinstance(raw, str) else raw.as_py()]
+                            * batch.num_rows,
+                            pa.string(),
+                        )
+                    col = v_new_literal_term(raw)
+                    if valid is not None:
+                        col = pc.if_else(
+                            valid, col, pa.scalar(None, pa.string())
+                        )
+                elif op == "if":
+                    cv, bop, cval, tthen, telse = arg
+                    mask = (pc.equal if bop == "=" else pc.not_equal)(
+                        batch[cv], cval
+                    )
+
+                    def _side(t):
+                        return (
+                            batch[t[1:]] if t.startswith("?") else pa.scalar(t)
+                        )
+
+                    col = pc.if_else(mask, _side(tthen), _side(telse))
+                    if isinstance(col, pa.Scalar):
+                        col = pa.array(
+                            [col.as_py()] * batch.num_rows, pa.string()
+                        )
                 elif op == "arith":
                     # decode xsd:integer lexical values (non-integer
                     # terms → null → unbound result, SPARQL's

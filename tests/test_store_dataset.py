@@ -1253,6 +1253,65 @@ class TestSparqlExtensions:
                 'SELECT ?p WHERE { ?p <urn:name> ?n . FILTER ( LANG(?n) < "en" ) }',
             )
 
+    def test_bind_concat_and_if(self, ray_session):
+        from ontograph_ray import terms
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray.store.sparql import SparqlUnsupportedError
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:p1"), r("urn:name"), l("alice")),
+            new_triple(r("urn:p2"), r("urn:name"), l("bob")),
+            new_triple(r("urn:p1"), r("urn:seg"), l("BUILDING")),
+            new_triple(r("urn:p2"), r("urn:seg"), l("AUTO")),
+            new_triple(r("urn:p1"), r("urn:knows"), r("urn:p2")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        # CONCAT of constants and var values → plain literal term
+        out = self._q(
+            ds,
+            "SELECT ?p ?tag WHERE { ?p <urn:name> ?n . "
+            'BIND ( CONCAT("u:", ?n, "!") AS ?tag ) } ORDER BY ?p',
+        )
+        assert out["tag"].tolist() == ['"u:alice!"', '"u:bob!"']
+        # a resource var contributes its URI (STR semantics)
+        out = self._q(
+            ds,
+            "SELECT ?tag WHERE { ?p <urn:knows> ?q . "
+            'BIND ( CONCAT("to:", ?q) AS ?tag ) }',
+        )
+        assert out["tag"].tolist() == ['"to:urn:p2"']
+        # unbound OPTIONAL var → unbound result, not "None" text
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            "OPTIONAL { ?p <urn:knows> ?q } "
+            'BIND ( CONCAT("k:", ?q) AS ?x ) FILTER ( !BOUND(?x) ) }',
+        )
+        assert out["p"].tolist() == ["<urn:p2>"]
+        # IF with constant then / variable else, composing with FILTER
+        out = self._q(
+            ds,
+            "SELECT ?p ?cls WHERE { ?p <urn:seg> ?s . "
+            'BIND ( IF(?s = "BUILDING", "core", ?s) AS ?cls ) } ORDER BY ?p',
+        )
+        assert out["cls"].tolist() == ['"core"', '"AUTO"']
+        # var-to-var IF condition is a typed refusal
+        with pytest.raises(SparqlUnsupportedError):
+            self._q(
+                ds,
+                "SELECT ?p WHERE { ?p <urn:seg> ?s . ?p <urn:name> ?n . "
+                "BIND ( IF(?s = ?n, \"x\", \"y\") AS ?z ) }",
+            )
+        # CONCAT over an unparenthesised bare term is a syntax error
+        with pytest.raises(ValueError):
+            self._q(
+                ds,
+                "SELECT ?p WHERE { ?p <urn:seg> ?s . "
+                "BIND ( CONCAT(<urn:p1>) AS ?z ) }",
+            )
+
     def test_filter_string_builtins(self, ray_session):
         from ontograph_ray import terms
         from ontograph_ray.store import DatasetGraphStore
