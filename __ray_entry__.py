@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_shards": q.q_export_shards,
         "train_val_test_split": q.q_train_val_test_split,
         "ngram_novelty": q.q_ngram_novelty,
+        "user_retention_cohorts": q.q_user_retention_cohorts,
+        "source_concentration": q.q_source_concentration,
         "vocab_coverage": q.q_vocab_coverage,
         "dict_encode_ids": q.q_dict_encode,
         "sparql_select": q.q_sparql_select,

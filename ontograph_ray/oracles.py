@@ -1237,6 +1237,25 @@ SELECT 'p99', 0.99, quantile_disc(v, 0.99) FROM samp""",
         # deterministic shuffle-export assignment: splitmix64(doc_id
         # XOR seed), shard = h mod 32, sort_key = h div 32 (seed 7 and
         # 32 shards mirror q_export_shards)
+        # weekly cohort retention: first-activity week per user, then
+        # distinct users per (cohort, offset)
+        "user_retention_cohorts": """
+WITH w AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 604800000000 AS period FROM events),
+f AS (SELECT user_id, MIN(period) AS cohort FROM w GROUP BY user_id)
+SELECT f.cohort, w.period - f.cohort AS "offset",
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM w JOIN f USING (user_id)
+GROUP BY f.cohort, w.period - f.cohort""",
+        # per-language source HHI over floored basis-point shares
+        "source_concentration": """
+WITH c AS (SELECT lang, source, COUNT(*) AS n
+           FROM documents GROUP BY lang, source),
+t AS (SELECT lang, SUM(n) AS tot FROM c GROUP BY lang)
+SELECT c.lang, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(((10000 * c.n) // t.tot) * ((10000 * c.n) // t.tot))
+            AS BIGINT) AS hhi
+FROM c JOIN t USING (lang) GROUP BY c.lang""",
         # distinct per-doc 3-grams → df per gram → per-doc unique share
         "ngram_novelty": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -1917,6 +1917,31 @@ def q_export_shards(sf_dir: str):
     )
 
 
+def q_user_retention_cohorts(sf_dir: str):
+    """Cohort retention triangle over events: users grouped by
+    first-activity week, distinct-user counts per (cohort, offset)
+    (stages/windows.py::retention_cohorts — per-batch (user, week)
+    distinct combiner, one user-keyed exchange computing cohort AND
+    offsets in the same reduce, one tiny count exchange)."""
+    from .stages.windows import retention_cohorts
+
+    return retention_cohorts(
+        _read(sf_dir, "events", ["user_id", "ts"]), "user_id", "ts"
+    )
+
+
+def q_source_concentration(sf_dir: str):
+    """Per-language source-concentration HHI (integer basis-point
+    shares, floored, squared and summed — exact int64) — the corpus
+    diversity diagnostic for mixing decisions
+    (stages/export.py::group_concentration)."""
+    from .stages.export import group_concentration
+
+    return group_concentration(
+        _read(sf_dir, "documents", ["lang", "source"]), "lang", "source"
+    )
+
+
 def q_ngram_novelty(sf_dir: str):
     """Document originality: fraction of each doc's distinct token
     3-grams occurring in no other doc, in integer basis points

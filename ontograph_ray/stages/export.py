@@ -175,3 +175,51 @@ def weighted_source_sample(
         return df[(h % np.uint64(10000)).astype(np.int64) < thr]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def group_concentration(
+    ds: ray.data.Dataset,
+    group_col: str,
+    item_col: str,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Herfindahl–Hirschman concentration index per group:
+    ``(group, n_items, hhi)`` where hhi = Σ over items of
+    (item's share of the group's rows, in integer basis points,
+    floored)² — ranges (0, 10000²]; 10000² = a single item owns the
+    group. The corpus-mixing diagnostic: a language whose documents
+    concentrate in one source scores high, a diversified one low.
+    Floor shares keep every value int64 so the SQL twin is exact.
+
+    Scale shape: per-block (group, item) count combiner → ONE
+    group-bucketed exchange where totals, shares and the square-sum
+    happen vectorized per bucket."""
+    import pandas as pd
+
+    cols = [group_col, item_col]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=cols + ["n"])
+        return df.groupby(cols, sort=False).size().rename("n").reset_index()
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=[group_col, "n_items", "hhi"])
+        c = df.groupby(cols, sort=False)["n"].sum().reset_index()
+        tot = c.groupby(group_col, sort=False)["n"].transform("sum")
+        share_bp = (10_000 * c["n"]) // tot
+        c["sq"] = share_bp * share_bp
+        out = c.groupby(group_col, sort=False).agg(
+            n_items=(item_col, "size"), hhi=("sq", "sum")
+        ).reset_index()
+        out["n_items"] = out["n_items"].astype("int64")
+        out["hhi"] = out["hhi"].astype("int64")
+        return out
+
+    from ..store.dataset import bucketed_group_map
+
+    return bucketed_group_map(
+        ds.select_columns(cols), [group_col], per_group,
+        num_buckets=num_buckets, partial_fn=partial,
+    )

@@ -458,3 +458,75 @@ def rank_over(
         key_cols,
         per_bucket,
     )
+
+
+def retention_cohorts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    period_us: int = 7 * 86_400_000_000,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Cohort retention: users grouped by their FIRST-activity period
+    (the cohort), counted per (cohort, offset) where offset = activity
+    period − cohort period → ``(cohort, offset, n_users)``. offset 0 is
+    the cohort size; n_users at offset k = distinct users of that
+    cohort active k periods later — the classic retention triangle.
+
+    Scale shape: a per-batch distinct-(user, period) combiner (epoch-µs
+    integer division, one vectorized pass), ONE user-keyed exchange
+    that computes each user's cohort AND its distinct offsets in the
+    same reduce (first-touch min + dedup, no join back), emitting
+    (cohort, offset) rows pre-counted per bucket, then one tiny
+    (cohort, offset)-keyed count-sum exchange. A power user's thousand
+    events collapse to ≤ one row per (user, period) at the combiner."""
+    import numpy as np
+
+    from ..store.dataset import bucketed_group_map
+
+    def to_periods(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col]
+        # normalize to epoch µs regardless of the column's native
+        # resolution (same convention as hopping_window_agg)
+        if pd.api.types.is_datetime64_any_dtype(ts):
+            us = ts.astype("datetime64[us]").astype("int64")
+        else:
+            us = ts.astype("int64")
+        out = pd.DataFrame(
+            {key_col: df[key_col], "period": (us // period_us).astype("int64")}
+        )
+        return out.drop_duplicates()
+
+    periods = ds.select_columns([key_col, ts_col]).map_batches(
+        to_periods, batch_format="pandas"
+    )
+
+    def per_user_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()  # global per-user distinct (co-located)
+        cohort = d.groupby(key_col, sort=False)["period"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort": cohort.astype("int64"),
+                "offset": (d["period"] - cohort).astype("int64"),
+                "n_users": 1,
+            }
+        )
+        # pre-count per (cohort, offset) inside the bucket
+        return out.groupby(["cohort", "offset"], sort=False, as_index=False)[
+            "n_users"
+        ].sum()
+
+    partials = bucketed_group_map(
+        periods, [key_col], per_user_bucket, num_buckets=num_buckets
+    )
+
+    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["cohort", "offset"], sort=False, as_index=False)[
+            "n_users"
+        ].sum()
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return bucketed_group_map(
+        partials, ["cohort", "offset"], final_sum, num_buckets=num_buckets
+    )

@@ -1049,6 +1049,71 @@ class TestCorpusStats:
                 fractions=(("a", 10_000), ("b", 0)),
             )
 
+    def test_retention_cohorts_hand_computed(self, ray_session):
+        import datetime as dt
+
+        from ontograph_ray.stages.windows import retention_cohorts
+
+        day = 86_400_000_000
+        t0 = dt.datetime(2026, 1, 1)
+
+        def at(days):
+            return t0 + dt.timedelta(days=days)
+
+        rows = [
+            # u1: cohort week 0, active weeks 0,1,3 (dup events collapse)
+            {"user_id": 1, "ts": at(0)},
+            {"user_id": 1, "ts": at(1)},
+            {"user_id": 1, "ts": at(8)},
+            {"user_id": 1, "ts": at(22)},
+            # u2: cohort week 0, active week 0 only
+            {"user_id": 2, "ts": at(3)},
+            # u3: cohort week 1, active weeks 1,2
+            {"user_id": 3, "ts": at(8)},
+            {"user_id": 3, "ts": at(15)},
+        ]
+        out = {
+            (r["cohort"], r["offset"]): r["n_users"]
+            for r in retention_cohorts(
+                ray.data.from_items(rows).repartition(3),
+                "user_id",
+                "ts",
+                period_us=7 * day,
+                num_buckets=4,
+            ).take_all()
+        }
+        base = (t0 - dt.datetime(1970, 1, 1)).days // 7
+        want = {
+            (base, 0): 2,      # u1, u2
+            (base, 1): 1,      # u1
+            (base, 3): 1,      # u1
+            (base + 1, 0): 1,  # u3
+            (base + 1, 1): 1,  # u3
+        }
+        assert out == want
+
+    def test_group_concentration_hand_computed(self, ray_session):
+        from ontograph_ray.stages.export import group_concentration
+
+        rows = (
+            [{"g": "en", "s": "web"}] * 3
+            + [{"g": "en", "s": "news"}] * 1
+            + [{"g": "de", "s": "web"}] * 2
+        )
+        out = {
+            r["g"]: r
+            for r in group_concentration(
+                ray.data.from_items(rows).repartition(3), "g", "s",
+                num_buckets=4,
+            ).take_all()
+        }
+        # en: shares 7500/2500 bp → 7500² + 2500²
+        assert out["en"]["n_items"] == 2
+        assert out["en"]["hhi"] == 7500**2 + 2500**2
+        # de: one source owns the group → 10000²
+        assert out["de"]["n_items"] == 1
+        assert out["de"]["hhi"] == 10_000**2
+
     def test_ngram_novelty_bruteforce(self, ray_session):
         from ontograph_ray.stages.text import ngram_novelty
 
