@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "winnow_near_dup",
     "dict_encode_ids",
+    "ngram_novelty",
+    "customer_percentiles",
+    "user_retention_cohorts",
     # part_triangles is NOT timed for the same reason as
     # kg_sameas_salted: at sf0.1 the support>=2 co-purchase graph is
     # near-empty (1 triangle), so its wall is ~7 exchanges of fixed
