@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_near_dup": q.q_embedding_near_dup,
         "kmeans_clusters": q.q_kmeans_clusters,
+        "pq_codes": q.q_pq_codes,
         "bloom_seen": q.q_bloom_seen,
         "chunk_documents": q.q_chunk_documents,
         "events_lag": q.q_events_lag,

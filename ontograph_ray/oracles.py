@@ -582,6 +582,7 @@ SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
         "entity_pagerank": _fx("entity_pagerank"),
         "entity_hits": _fx("entity_hits"),
         "entity_communities": _fx("entity_communities"),
+        "pq_codes": _fx("pq_codes"),
         "multimodal_features": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/multimodal_features_n200.parquet')"
         ),

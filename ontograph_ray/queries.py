@@ -1382,6 +1382,20 @@ def q_kmeans_clusters(sf_dir: str):
     return assign_clusters(emb, cents)
 
 
+def q_pq_codes(sf_dir: str):
+    """Product quantization codes (stages/cluster.py::pq_encode):
+    4 subspaces × 16 centroids over the 64-dim embeddings, 5 Lloyd
+    rounds per subspace — every step exact int64, fixture-oracled
+    against an independent plain-numpy twin (gen_fixtures.gen_pq_codes).
+    The compressed representation the IVF-PQ search path scans."""
+    from .stages.cluster import pq_encode
+
+    return pq_encode(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        m=4, k=16, iters=5,
+    )
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup-style semantic dedup: k-means-cluster the embeddings,
     then within each cluster drop every vector with a lower-id

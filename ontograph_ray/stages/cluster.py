@@ -213,6 +213,85 @@ def assign_clusters(
     )
 
 
+def pq_encode(
+    emb_ds: ray.data.Dataset,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 10,
+    scale_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_ds: "ray.data.Dataset | None" = None,
+) -> ray.data.Dataset:
+    """Product quantization (Jégou et al. 2011): split the d dims into
+    ``m`` contiguous subspaces (d divisible by m), train ``k``
+    fixed-point centroids per subspace with the same deterministic
+    int64 Lloyd as :func:`kmeans_fixed_point`, then encode every vector
+    as its m nearest-centroid codes → ``(id, code_0..code_{m-1})``.
+    The codes are the compressed representation IVF-PQ search and
+    embedding-dedup sketches run on: d float32 dims → m small ints
+    (64 dims → 4 bytes at k ≤ 256, a 64× compression).
+
+    Every step is exact integer arithmetic (quantize → slice commutes
+    with slice → quantize; first-occurrence argmin ties), so codes are
+    bit-deterministic at any block layout — fixture-oracle-able via an
+    independent plain-numpy twin.
+
+    Scale shape: training runs m small kmeans fits over ``train_ds``
+    (default: the corpus — at 100 TB pass a head/hash SAMPLE, the
+    standard PQ recipe; codebooks are k×(d/m) tiny either way); the
+    encode is ONE streaming pass with all m codebooks broadcast once
+    via ray.put."""
+    probe = emb_ds.select_columns([vec_col]).limit(1).take_all()
+    if not probe:
+        raise ValueError("empty embedding dataset")
+    d = len(probe[0][vec_col])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+
+    src = (train_ds if train_ds is not None else emb_ds).select_columns(
+        [id_col, vec_col]
+    )
+    books = []
+    for j in range(m):
+
+        def slice_j(batch: pa.Table, j=j) -> pa.Table:
+            mat = _vec_matrix(batch, vec_col)[:, j * sub : (j + 1) * sub]
+            return pa.table(
+                {
+                    id_col: pc.cast(batch[id_col], pa.int64()),
+                    vec_col: pa.array(mat.tolist(), pa.list_(pa.float64())),
+                }
+            )
+
+        sub_ds = src.map_batches(slice_j, batch_format="pyarrow")
+        books.append(
+            kmeans_fixed_point(
+                sub_ds, k=k, iters=iters, scale_bits=scale_bits,
+                id_col=id_col, vec_col=vec_col,
+            )
+        )
+    ref = ray.put(np.stack(books))  # (m, k, d/m) int64
+
+    def encode(batch: pa.Table, ref=None) -> pa.Table:
+        cb = _get_cached(ref)
+        xq = _quantize(_vec_matrix(batch, vec_col), scale_bits)
+        cols = {id_col: pc.cast(batch[id_col], pa.int64())}
+        for j in range(m):
+            a = (
+                _assign(xq[:, j * sub : (j + 1) * sub], cb[j])
+                if len(xq)
+                else np.array([], dtype=np.int64)
+            )
+            cols[f"code_{j}"] = pa.array(a, pa.int64())
+        return pa.table(cols)
+
+    return emb_ds.select_columns([id_col, vec_col]).map_batches(
+        encode, fn_kwargs={"ref": ref}, batch_format="pyarrow"
+    )
+
+
 # auto-k regime: ~50k vectors per cluster (the SemDeDup paper's
 # cluster-size ballpark) keeps each per-cluster similarity pass inside
 # a worker's heap

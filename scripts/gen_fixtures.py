@@ -614,6 +614,53 @@ def gen_entity_hits(sf_dir: str = DEFAULT_SF, iters: int = 5) -> str:
     return f"{path}: {len(nodes)} nodes, {len(edges)} directed edges"
 
 
+def gen_pq_codes(
+    sf_dir: str = DEFAULT_SF,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 5,
+    scale_bits: int = 16,
+) -> str:
+    """Plain-numpy twin of stages/cluster.py::pq_encode: per contiguous
+    subspace, int64 fixed-point Lloyd (smallest-id init,
+    first-occurrence argmin ties, floor-division update, empty cluster
+    keeps its centroid), then the final per-subspace nearest-centroid
+    code for every vector."""
+    import numpy as np
+
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    xq_full = np.rint(mat * (1 << scale_bits)).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, xq_full = ids[order], xq_full[order]
+    d = xq_full.shape[1]
+    assert d % m == 0
+    sub = d // m
+
+    cols = {"vec_id": pa.array(ids, pa.int64())}
+    for j in range(m):
+        xq = xq_full[:, j * sub : (j + 1) * sub]
+        cents = xq[:k].copy()
+
+        def nearest(c):
+            diff = xq[:, None, :] - c[None, :, :]
+            return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+
+        for _ in range(iters):
+            a = nearest(cents)
+            for ci in range(k):
+                sel = xq[a == ci]
+                if len(sel):
+                    cents[ci] = sel.sum(axis=0) // len(sel)
+        cols[f"code_{j}"] = pa.array(nearest(cents).astype(np.int64), pa.int64())
+    path = _path("pq_codes", sf_dir)
+    pq.write_table(pa.table(cols), path)
+    return f"{path}: {len(ids)} vectors, {m}x{k} codebooks"
+
+
 def gen_entity_communities(sf_dir: str = DEFAULT_SF, iters: int = 5) -> str:
     """Dict-based synchronous label propagation over the entity
     co-mention graph (twin of graphstats.label_propagation +
@@ -1022,6 +1069,7 @@ GENERATORS = {
     "entity_pagerank": gen_entity_pagerank,
     "entity_hits": gen_entity_hits,
     "entity_communities": gen_entity_communities,
+    "pq_codes": gen_pq_codes,
     "simhash_pairs_h2": gen_simhash_pairs,
     "minhash_dedup": gen_minhash_dedup,
     "ngram_jaccard": gen_ngram_jaccard,

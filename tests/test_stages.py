@@ -1676,6 +1676,52 @@ class TestCluster:
         assert (c1 == c2).all()
         assert a1["cluster"].tolist() == a2["cluster"].tolist()
 
+    def test_pq_encode_twin_and_layout_invariance(self, ray_session):
+        from ontograph_ray.stages.cluster import pq_encode
+
+        rng = np.random.default_rng(3)
+        m, k, sub, n = 3, 4, 2, 30  # d = 6
+        mat = rng.normal(0, 1, (n, m * sub))
+        ids = np.arange(n, dtype=np.int64)
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"vec_id": ids, "embedding": list(map(list, mat))})
+        )
+        got = (
+            pq_encode(ds, m=m, k=k, iters=4)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        got2 = (
+            pq_encode(ds.repartition(5), m=m, k=k, iters=4)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(got2)  # bit-identical at any layout
+        # plain-numpy twin per subspace
+        xq_full = np.rint(mat * (1 << 16)).astype(np.int64)
+        for j in range(m):
+            xq = xq_full[:, j * sub : (j + 1) * sub]
+            cents = xq[:k].copy()
+
+            def nearest(c):
+                diff = xq[:, None, :] - c[None, :, :]
+                return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+
+            for _ in range(4):
+                a = nearest(cents)
+                for ci in range(k):
+                    sel = xq[a == ci]
+                    if len(sel):
+                        cents[ci] = sel.sum(axis=0) // len(sel)
+            assert got[f"code_{j}"].tolist() == nearest(cents).tolist()
+        # non-divisible dim is rejected
+        import pytest
+
+        with pytest.raises(ValueError):
+            pq_encode(ds, m=4, k=k)
+
     def test_matches_plain_twin(self, ray_session):
         # 40 vectors in 3 well-separated blobs + plain-numpy twin
         rng = np.random.default_rng(7)
