@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q.q_ann_topk,
         "ann_topk_ivf": q.q_ann_topk_ivf,
         "ann_topk_lsh": q.q_ann_topk_lsh,
+        "ann_topk_ivfpq": q.q_ann_topk_ivfpq,
         "minhash_dedup": q.q_minhash_dedup,
         "ngram_jaccard": q.q_ngram_jaccard,
         "simhash_pairs": q.q_simhash_pairs,

@@ -805,6 +805,7 @@ FROM bph0 a JOIN bph1 b USING (doc_id)""",
         # IVF top-k over the fixed-point quantizer — plain-numpy twin
         # (the float-kmeans version was layout-dependent and rows-only)
         "ann_topk_ivf": _fx("ann_ivf"),
+        "ann_topk_ivfpq": _fx("ann_ivfpq"),
         # multi-probe LSH top-k — plain-numpy twin (seeded hyperplanes
         # and sign codes are pure deterministic functions; k-boundary
         # distinctness asserted at fixture-gen time)

@@ -968,6 +968,22 @@ def q_ann_topk_ivf(sf_dir: str):
     return df[["query_id", "vec_id"]]
 
 
+def q_ann_topk_ivfpq(sf_dir: str):
+    """IVF-PQ approximate top-10 (the compressed-domain 100 TB ANN
+    path): coarse fixed-point buckets, integer residual PQ codes,
+    LUT-sum candidate scan over ~20 bytes/vector, exact cosine re-rank
+    of the 60 best candidates. Every stage integer-deterministic →
+    exact fixture oracle (gen_fixtures.gen_ann_ivfpq)."""
+    from .stages.ann import ivfpq_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids, qvecs = _ann_query_vectors(sf_dir)
+    df = ivfpq_topk(
+        emb, qids, qvecs, k=10, n_clusters=16, nprobe=8, rerank=60
+    )
+    return df[["query_id", "vec_id"]]
+
+
 def q_ann_topk_lsh(sf_dir: str):
     """Random-hyperplane multi-probe LSH top-10 (the second ANN scale
     path next to IVF). Seeded hyperplanes + sign codes are pure

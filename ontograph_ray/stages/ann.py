@@ -180,6 +180,184 @@ def ivf_topk(
     return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
 
 
+def ivfpq_topk(
+    emb_ds: ray.data.Dataset,
+    query_ids: list[int],
+    query_vecs: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 3,
+    m: int = 4,
+    pq_k: int = 16,
+    pq_iters: int = 5,
+    rerank: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF-PQ approximate cosine top-k (Jégou et al. 2011 — the
+    canonical 100 TB ANN path): coarse int64-kmeans buckets, residuals
+    product-quantized to m codes, candidate generation by a
+    COMPRESSED-DOMAIN scan (per-query lookup tables over the codes —
+    the corpus' float vectors never touch the candidate stage), then
+    an exact cosine re-rank of the ``rerank`` best candidates per
+    query. Same output schema as brute_force_topk.
+
+    Determinism chain (what puts the approximate op under the hash
+    gate): coarse centroids, residuals, codebooks and codes are all
+    exact int64 (the fixed-point kmeans); the approximate distance is
+    an int64 LUT sum; candidate selection tie-breaks (dist ASC, id
+    ASC); the final exact re-rank tie-breaks (score DESC, id ASC) —
+    bit-identical at any block layout, twin-verified.
+
+    Scale shape: training = 1 coarse fit + m residual-subspace fits
+    (sample-able); ONE residual pass (materialized — the size of the
+    input, spillable), ONE encode pass, then the candidate scan
+    touches only the (id, cluster, m codes) table — ~20 bytes/vector
+    instead of 4·d — with per-block partial top-``rerank`` combiners;
+    the exact re-rank fetches rerank×nq true vectors via one
+    pushed-down is_in filter."""
+    from .cluster import (
+        _assign,
+        _get_cached,
+        _quantize,
+        kmeans_fixed_point,
+        pq_assign,
+        pq_train,
+    )
+
+    scale_bits = 16
+    S = 1 << scale_bits
+    coarse = kmeans_fixed_point(
+        emb_ds, k=n_clusters, iters=kmeans_iters, scale_bits=scale_bits,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cref = ray.put(coarse)
+
+    def residuals(batch: pa.Table, cref=None) -> pa.Table:
+        c = _get_cached(cref)
+        xq = _quantize(_as_matrix(batch, vec_col), scale_bits)
+        a = _assign(xq, c) if len(xq) else np.array([], dtype=np.int64)
+        # residual kept exactly: int64 / 2^bits is integer-valued in
+        # float64 (|r| ≪ 2^53), and the PQ trainer's rint(·2^bits)
+        # round-trips it bit-for-bit
+        r = (xq - c[a]).astype(np.float64) / S
+        return pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "cluster": pa.array(a, pa.int64()),
+                vec_col: pa.array(r.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    res_ds = (
+        emb_ds.select_columns([id_col, vec_col])
+        .map_batches(residuals, fn_kwargs={"cref": cref}, batch_format="pyarrow")
+        .materialize()
+    )
+    books = pq_train(
+        res_ds, m=m, k=pq_k, iters=pq_iters, scale_bits=scale_bits,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_assign(
+        res_ds, books, scale_bits=scale_bits, id_col=id_col, vec_col=vec_col,
+        keep_cols=["cluster"],
+    ).materialize()
+
+    sub = books.shape[2]
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    cn = _normalize(coarse.astype(np.float64) / S)
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]  # nq × nprobe
+    xq_q = np.rint(np.asarray(query_vecs, dtype=np.float64) * S).astype(np.int64)
+    # per (query, probed cluster) LUT: ||rq_sub − codebook_entry||²
+    nq = len(query_ids)
+    luts = np.zeros((nq, nprobe, m, pq_k), dtype=np.int64)
+    for qi in range(nq):
+        for pi, c in enumerate(probe[qi]):
+            rq = xq_q[qi] - coarse[c]
+            for j in range(m):
+                diff = rq[j * sub : (j + 1) * sub][None, :] - books[j]
+                luts[qi, pi, j] = np.einsum("kd,kd->k", diff, diff)
+    scan_ref = ray.put({"probe": probe, "luts": luts})
+
+    class PqScan:
+        def __init__(self):
+            s = ray.get(scan_ref)
+            self.probe, self.luts = s["probe"], s["luts"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            cl = batch["cluster"].to_numpy(zero_copy_only=False)
+            code = np.stack(
+                [
+                    batch[f"code_{j}"].to_numpy(zero_copy_only=False)
+                    for j in range(m)
+                ],
+                axis=1,
+            )
+            out_q, out_id, out_d = [], [], []
+            for qi in range(nq):
+                for pi, c in enumerate(self.probe[qi]):
+                    mask = cl == c
+                    if not mask.any():
+                        continue
+                    cm = code[mask]
+                    dist = np.zeros(len(cm), dtype=np.int64)
+                    for j in range(m):
+                        dist += self.luts[qi, pi, j][cm[:, j]]
+                    sub_ids = ids[mask]
+                    r = min(rerank, len(dist))
+                    # partial top-r by (dist ASC, id ASC)
+                    order = np.lexsort((sub_ids, dist))[:r]
+                    out_q.extend([qi] * r)
+                    out_id.extend(sub_ids[order].tolist())
+                    out_d.extend(dist[order].tolist())
+            return pa.table(
+                {
+                    "qi": pa.array(out_q, pa.int64()),
+                    id_col: pa.array(out_id, pa.int64()),
+                    "dist": pa.array(out_d, pa.int64()),
+                }
+            )
+
+    cand = codes.map_batches(
+        PqScan, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8)
+    ).to_pandas()
+    cand = cand.sort_values(
+        ["qi", "dist", id_col], ascending=[True, True, True], kind="stable"
+    )
+    cand = cand.groupby("qi", sort=True).head(rerank)
+
+    # exact re-rank: fetch candidate vectors once via is_in
+    cand_ids = pa.array(sorted(set(cand[id_col].tolist())), pa.int64())
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[id_col], value_set=cand_ids))
+
+    rows = (
+        emb_ds.select_columns([id_col, vec_col])
+        .map_batches(fetch, batch_format="pyarrow")
+        .take_all()
+    )
+    vec_by_id = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for r in rows}
+    out_rows = []
+    for qi, grp in cand.groupby("qi", sort=True):
+        mat = _normalize(np.stack([vec_by_id[i] for i in grp[id_col]]))
+        sims = mat @ qn[qi]
+        df = pd.DataFrame(
+            {
+                "query_id": int(query_ids[qi]),
+                id_col: grp[id_col].to_numpy(),
+                "score": sims,
+            }
+        )
+        df = df.sort_values(
+            ["score", id_col], ascending=[False, True], kind="stable"
+        ).head(k)
+        out_rows.append(df)
+    return pd.concat(out_rows, ignore_index=True)
+
+
 def lsh_topk(
     emb_ds: ray.data.Dataset,
     query_ids: list[int],

@@ -242,7 +242,28 @@ def pq_encode(
     standard PQ recipe; codebooks are k×(d/m) tiny either way); the
     encode is ONE streaming pass with all m codebooks broadcast once
     via ray.put."""
-    probe = emb_ds.select_columns([vec_col]).limit(1).take_all()
+    books = pq_train(
+        train_ds if train_ds is not None else emb_ds,
+        m=m, k=k, iters=iters, scale_bits=scale_bits,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return pq_assign(
+        emb_ds, books, scale_bits=scale_bits, id_col=id_col, vec_col=vec_col
+    )
+
+
+def pq_train(
+    train_ds: ray.data.Dataset,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 10,
+    scale_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the m per-subspace codebooks (see :func:`pq_encode`);
+    returns the (m, k, d/m) int64 codebook tensor."""
+    probe = train_ds.select_columns([vec_col]).limit(1).take_all()
     if not probe:
         raise ValueError("empty embedding dataset")
     d = len(probe[0][vec_col])
@@ -250,9 +271,7 @@ def pq_encode(
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
 
-    src = (train_ds if train_ds is not None else emb_ds).select_columns(
-        [id_col, vec_col]
-    )
+    src = train_ds.select_columns([id_col, vec_col])
     books = []
     for j in range(m):
 
@@ -272,12 +291,30 @@ def pq_encode(
                 id_col=id_col, vec_col=vec_col,
             )
         )
-    ref = ray.put(np.stack(books))  # (m, k, d/m) int64
+    return np.stack(books)  # (m, k, d/m) int64
+
+
+def pq_assign(
+    emb_ds: ray.data.Dataset,
+    books: np.ndarray,
+    scale_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: "list[str] | None" = None,
+) -> ray.data.Dataset:
+    """Encode every vector against trained codebooks → ``(id,
+    [keep_cols...,] code_0..code_{m-1})`` — one streaming pass, the
+    stacked codebooks broadcast once."""
+    m, _, sub = books.shape
+    ref = ray.put(np.asarray(books, dtype=np.int64))
+    keep = keep_cols or []
 
     def encode(batch: pa.Table, ref=None) -> pa.Table:
         cb = _get_cached(ref)
         xq = _quantize(_vec_matrix(batch, vec_col), scale_bits)
         cols = {id_col: pc.cast(batch[id_col], pa.int64())}
+        for c in keep:
+            cols[c] = batch[c]
         for j in range(m):
             a = (
                 _assign(xq[:, j * sub : (j + 1) * sub], cb[j])
@@ -287,9 +324,9 @@ def pq_encode(
             cols[f"code_{j}"] = pa.array(a, pa.int64())
         return pa.table(cols)
 
-    return emb_ds.select_columns([id_col, vec_col]).map_batches(
-        encode, fn_kwargs={"ref": ref}, batch_format="pyarrow"
-    )
+    return emb_ds.select_columns(
+        list(dict.fromkeys([id_col] + keep + [vec_col]))
+    ).map_batches(encode, fn_kwargs={"ref": ref}, batch_format="pyarrow")
 
 
 # auto-k regime: ~50k vectors per cluster (the SemDeDup paper's

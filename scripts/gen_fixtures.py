@@ -978,7 +978,124 @@ def gen_ann_ivf(sf_dir: str = DEFAULT_SF,
     return f"{path}: {len(out_q)} rows ({len(qids)} queries × top-{k})"
 
 
-def gen_ann_lsh(sf_dir: str = DEFAULT_SF, 
+def gen_ann_ivfpq(
+    sf_dir: str = DEFAULT_SF,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 8,
+    kmeans_iters: int = 3,
+    m: int = 4,
+    pq_k: int = 16,
+    pq_iters: int = 5,
+    rerank: int = 60,
+    scale_bits: int = 16,
+    n_queries: int = 5,
+) -> str:
+    """Plain-numpy twin of stages/ann.py::ivfpq_topk (mirrors
+    q_ann_topk_ivfpq's parameters): coarse int64 Lloyd, exact integer
+    residuals, per-subspace int64 Lloyd codebooks, LUT-sum candidate
+    generation with (dist ASC, id ASC) tie-break, exact cosine re-rank
+    with (score DESC, id ASC) tie-break and the same top-(k+1)
+    distinctness guard as the IVF twin."""
+    import numpy as np
+
+    S = 1 << scale_bits
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    xq = np.rint(mat * S).astype(np.int64)
+
+    def lloyd(x, kk, iters):
+        cents = x[:kk].copy()
+
+        def nearest(c):
+            diff = x[:, None, :] - c[None, :, :]
+            return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+
+        for _ in range(iters):
+            a = nearest(cents)
+            for j in range(kk):
+                sel = x[a == j]
+                if len(sel):
+                    cents[j] = sel.sum(axis=0) // len(sel)
+        return cents, nearest(cents)
+
+    coarse, assign = lloyd(xq, n_clusters, kmeans_iters)
+    res = xq - coarse[assign]  # exact integer residuals
+    d = xq.shape[1]
+    assert d % m == 0
+    sub = d // m
+    # per-subspace codebooks: the engine round-trips residual//S through
+    # float and rint — exact, so training directly on res matches
+    books, codes = [], []
+    for j in range(m):
+        cb, code = lloyd(res[:, j * sub : (j + 1) * sub], pq_k, pq_iters)
+        books.append(cb)
+        codes.append(code)
+    codes = np.stack(codes, axis=1)  # (n, m)
+
+    def norm(v):
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return v / n
+
+    mn = norm(mat)
+    qmask = ids < n_queries
+    qids, qn, qxq = ids[qmask], mn[qmask], xq[qmask]
+    cn = norm(coarse.astype(np.float64) / S)
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]
+
+    out_q, out_id = [], []
+    for qi, qid in enumerate(qids):
+        cand_ids, cand_dist = [], []
+        for c in probe[qi]:
+            mask = assign == c
+            if not mask.any():
+                continue
+            rq = qxq[qi] - coarse[c]
+            dist = np.zeros(int(mask.sum()), dtype=np.int64)
+            cm = codes[mask]
+            for j in range(m):
+                diff = rq[j * sub : (j + 1) * sub][None, :] - books[j]
+                lut = np.einsum("kd,kd->k", diff, diff)
+                dist += lut[cm[:, j]]
+            cand_ids.append(ids[mask])
+            cand_dist.append(dist)
+        cand_ids = np.concatenate(cand_ids)
+        cand_dist = np.concatenate(cand_dist)
+        keep = np.lexsort((cand_ids, cand_dist))[:rerank]
+        sel = cand_ids[keep]
+        pos = np.searchsorted(ids, sel)  # ids sorted, unique
+        sims = mn[pos] @ qn[qi]
+        o = np.lexsort((sel, -sims))
+        ranked = sims[o]
+        top = ranked[: k + 1]
+        if len(np.unique(top)) != len(top):
+            raise RuntimeError(
+                f"duplicate score in the top-{k + 1} for query {qid} — "
+                "fixture would not be layout-safe"
+            )
+        for i in o[:k]:
+            out_q.append(int(qid))
+            out_id.append(int(sel[i]))
+    path = _path("ann_ivfpq", sf_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(out_q)} rows ({len(qids)} queries × top-{k})"
+
+
+def gen_ann_lsh(sf_dir: str = DEFAULT_SF,
     k: int = 10,
     n_planes: int = 6,
     max_probe_hamming: int = 2,
@@ -1082,6 +1199,7 @@ GENERATORS = {
     "kmeans_clusters": gen_kmeans_clusters,
     "winnow_fingerprints": gen_winnow_fingerprints,
     "ann_ivf": gen_ann_ivf,
+    "ann_ivfpq": gen_ann_ivfpq,
     "ann_lsh": gen_ann_lsh,
 }
 

@@ -196,6 +196,32 @@ class TestANN:
             recall += len(e & a) / len(e)
         assert recall / len(qids) >= 0.5
 
+    def test_ivfpq_topk_recall_and_layout_invariance(self, embs):
+        rows = embs.take(4)
+        qids = [r["vec_id"] for r in rows]
+        qvecs = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+        exact = ann.brute_force_topk(embs, qids, qvecs, k=5)
+        a = ann.ivfpq_topk(
+            embs, qids, qvecs, k=5, n_clusters=8, nprobe=4, rerank=40
+        ).reset_index(drop=True)
+        b = ann.ivfpq_topk(
+            embs.repartition(7), qids, qvecs, k=5, n_clusters=8, nprobe=4,
+            rerank=40,
+        ).reset_index(drop=True)
+        # the integer determinism chain: bit-identical at any layout
+        assert a.equals(b)
+        # a query vector in the corpus must rank itself first (its own
+        # bucket is always probed; its PQ distance to itself is minimal
+        # within its codes' cell, and the exact re-rank fixes the rest)
+        for qid in qids:
+            assert a[a["query_id"] == qid].iloc[0]["vec_id"] == qid
+        recall = 0
+        for qid in qids:
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            g = set(a[a["query_id"] == qid]["vec_id"])
+            recall += len(e & g) / len(e)
+        assert recall / len(qids) >= 0.5
+
     def test_self_similarity_identity(self, ray_session):
         vecs = [
             {"vec_id": 0, "embedding": [1.0, 0.0, 0.0]},
