@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Training-data operators
         "sample_hash": q.q_sample_hash,
         "kmv_distinct": q.q_kmv_distinct,
+        "cms_user_counts": q.q_cms_user_counts,
         "hll_distinct": q.q_hll_distinct,
         "dedup_exact": q.q_dedup_exact,
         "curate_corpus": q.q_curate_corpus,

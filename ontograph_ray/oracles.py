@@ -69,6 +69,39 @@ sm2_{out} AS (SELECT *, {_mulmod64('xor(__z1, __z1 >> 27)', 0x94D049BB133111EB)}
 _GAZ = ", ".join(f"'{g}'" for g in GAZETTEER)
 _URLP = "https://docs.example.org/page/"
 
+def _cms_sql(width: int = 1024, depth: int = 4, seed: int = 101, n_probe: int = 10) -> str:
+    """Count-Min twin: per hash row r, counters = splitmix64(user_id ^
+    (seed+r)) % width histogram; estimate = LEAST over rows of the
+    probe key's cell (0 when the cell never fired)."""
+    ctes = [f"probe AS (SELECT unnest(generate_series(0, {n_probe - 1})) AS u)"]
+    ests = []
+    for r in range(depth):
+        s = seed + r
+        ctes.append(
+            f"er{r} AS (SELECT xor(CAST(user_id AS UBIGINT), {s}) AS x FROM events)"
+        )
+        ctes.append(_splitmix64_ctes(f"er{r}", "x", f"eh{r}").lstrip(",\n"))
+        ctes.append(
+            f"c{r} AS (SELECT h % {width} AS col, COUNT(*) AS n FROM eh{r} GROUP BY col)"
+        )
+        ctes.append(
+            f"pr{r} AS (SELECT u, xor(CAST(u AS UBIGINT), {s}) AS x FROM probe)"
+        )
+        ctes.append(_splitmix64_ctes(f"pr{r}", "x", f"ph{r}").lstrip(",\n"))
+        ctes.append(
+            f"e{r} AS (SELECT u, COALESCE(n, 0) AS est FROM ph{r} "
+            f"LEFT JOIN c{r} ON c{r}.col = ph{r}.h % {width})"
+        )
+        ests.append(f"e{r}")
+    joins = " ".join(f"JOIN {e} USING (u)" for e in ests[1:])
+    least = ", ".join(f"{e}.est" for e in ests)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT u AS user_id, CAST(LEAST({least}) AS BIGINT) AS est_count
+FROM {ests[0]} {joins}"""
+    )
+
+
 _MENTION_CTE = f"""
 WITH toks AS (
   SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x IN ({_GAZ})) AS l
@@ -571,6 +604,7 @@ SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
         "ngram_jaccard": _fx("ngram_jaccard"),
         "curate_full": _fx("curate_full"),
         "kmv_distinct": _fx("kmv_distinct"),
+        "cms_user_counts": _cms_sql(),
         "hll_distinct": _fx("hll_distinct"),
         # k-core of the co-purchase graph — plain-Python peeling twin
         "part_kcore": _fx("part_kcore"),

@@ -239,6 +239,23 @@ def q_brand_revenue(sf_dir: str):
     return bucketed_group_map(joined, ["p_brand"], final, num_buckets=8, partial_fn=partial)
 
 
+def q_cms_user_counts(sf_dir: str):
+    """Count-Min sketch point estimates (stages/sketch.py::cms_*) of
+    per-user event counts for probe users 0..9 — counters merge by
+    commutative sums so the approximate answer is deterministic at any
+    layout, reproduced exactly by the splitmix64 SQL twin."""
+    from .stages.sketch import cms_estimate
+
+    return cms_estimate(
+        _read(sf_dir, "events", ["user_id"]),
+        "user_id",
+        probe_keys=list(range(10)),
+        width=1024,
+        depth=4,
+        seed=101,
+    )
+
+
 def q_kmv_distinct(sf_dir: str):
     """KMV cardinality sketch over documents.text. Deterministic
     (crc32+splitmix64, no RNG), so the estimate is pinned exactly by an

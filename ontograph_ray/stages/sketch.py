@@ -335,3 +335,83 @@ def bloom_probe(
     return ds.select_columns([col]).map_batches(
         probe, fn_kwargs={"ref": ref}, batch_format="pandas"
     )
+
+
+def _smix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over uint64 keys (bit-compatible with the
+    SQL oracle's 32-bit-split formulation — same kernel as
+    stages/export.splitmix64, inlined to keep this module's hash
+    discipline in one place)."""
+    from .export import splitmix64
+
+    return splitmix64(x)
+
+
+def cms_partials(
+    ds: ray.data.Dataset,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 101,
+) -> ray.data.Dataset:
+    """Per-block Count-Min sketch partial (Cormode & Muthukrishnan
+    2005): ``depth`` counter rows of ``width`` cells; occurrence of key
+    x increments cell ``splitmix64(x XOR (seed + r)) mod width`` in
+    every row r. Counters merge by elementwise SUM — commutative, so
+    the merged sketch (and every estimate read from it) is
+    deterministic at any block layout, which is what lets the
+    approximate counts sit under an exact splitmix64 SQL twin.
+    Emits ≤ depth·width (row, col, n) rows per block."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_r, out_c, out_n = [], [], []
+        if len(df):
+            x = df[col].to_numpy().astype(np.uint64)
+            for r in range(depth):
+                h = _smix(x ^ np.uint64(seed + r))
+                cols = (h % np.uint64(width)).astype(np.int64)
+                cnt = np.bincount(cols, minlength=width)
+                live = np.flatnonzero(cnt)
+                out_r.extend([r] * len(live))
+                out_c.extend(live.tolist())
+                out_n.extend(cnt[live].tolist())
+        return pd.DataFrame(
+            {
+                "row": pd.Series(out_r, dtype="int64"),
+                "col": pd.Series(out_c, dtype="int64"),
+                "n": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    return ds.select_columns([col]).map_batches(partial, batch_format="pandas")
+
+
+def cms_estimate(
+    ds: ray.data.Dataset,
+    col: str,
+    probe_keys: "list[int]",
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 101,
+) -> "pd.DataFrame":
+    """Count-Min point estimates for ``probe_keys``: merge the partial
+    counters (tiny — ≤ depth·width cells cross the wire per block) and
+    read min over rows of the key's cell. Estimates overcount only
+    (collisions add), never undercount — the standard CMS guarantee."""
+    parts = cms_partials(ds, col, width=width, depth=depth, seed=seed)
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for r in parts.take_all():
+        merged[r["row"], r["col"]] += r["n"]
+    keys = np.asarray(probe_keys, dtype=np.uint64)
+    ests = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(depth):
+        cols = (_smix(keys ^ np.uint64(seed + r)) % np.uint64(width)).astype(
+            np.int64
+        )
+        ests = np.minimum(ests, merged[r, cols])
+    return pd.DataFrame(
+        {
+            col: pd.Series(np.asarray(probe_keys, dtype=np.int64)),
+            "est_count": pd.Series(ests, dtype="int64"),
+        }
+    )

@@ -1075,6 +1075,35 @@ class TestCorpusStats:
                 fractions=(("a", 10_000), ("b", 0)),
             )
 
+    def test_cms_overcounts_only_and_layout_invariant(self, ray_session):
+        from collections import Counter
+
+        from ontograph_ray.stages.sketch import cms_estimate
+
+        rng = np.random.default_rng(13)
+        keys = rng.zipf(1.6, 5_000) % 500  # skewed multiset
+        df = pd.DataFrame({"k": keys.astype("int64")})
+        truth = Counter(df["k"].tolist())
+        probes = list(range(20))
+        a = cms_estimate(
+            ray.data.from_pandas(df), "k", probes, width=256, depth=4
+        )
+        b = cms_estimate(
+            ray.data.from_pandas(df).repartition(7), "k", probes,
+            width=256, depth=4,
+        )
+        # counter sums commute → identical at any layout
+        assert a.equals(b)
+        # CMS guarantee: estimates never undercount
+        for _, r in a.iterrows():
+            assert r["est_count"] >= truth.get(r["k"], 0)
+        # with a huge width there are no collisions → exact
+        exact = cms_estimate(
+            ray.data.from_pandas(df), "k", probes, width=65_536, depth=4
+        )
+        for _, r in exact.iterrows():
+            assert r["est_count"] == truth.get(r["k"], 0)
+
     def test_retention_cohorts_hand_computed(self, ray_session):
         import datetime as dt
 
