@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": q.q_sample_hash,
         "kmv_distinct": q.q_kmv_distinct,
         "cms_user_counts": q.q_cms_user_counts,
+        "lineitem_unpivot": q.q_lineitem_unpivot,
         "hll_distinct": q.q_hll_distinct,
         "dedup_exact": q.q_dedup_exact,
         "curate_corpus": q.q_curate_corpus,
@@ -148,6 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_bind_arith": q.q_sparql_bind_arith,
         "sparql_bind_concat": q.q_sparql_bind_concat,
         "sparql_bind_if": q.q_sparql_bind_if,
+        "sparql_bind_substr": q.q_sparql_bind_substr,
+        "sparql_bind_strbefore": q.q_sparql_bind_strbefore,
+        "sparql_bind_replace": q.q_sparql_bind_replace,
         "sparql_filter_strstarts": q.q_sparql_filter_strstarts,
         "sparql_filter_contains": q.q_sparql_filter_contains,
         "sparql_filter_strlen": q.q_sparql_filter_strlen,

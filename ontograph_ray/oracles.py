@@ -288,6 +288,23 @@ FROM t WHERE predicate = '<{SEGMENT}>'""",
 SELECT subject AS c,
        CASE WHEN object = '"BUILDING"' THEN '"core"' ELSE object END AS cls
 FROM t WHERE predicate = '<{SEGMENT}>'""",
+        # SUBSTR/STRBEFORE/STRAFTER/REPLACE in BIND over lexical values
+        "sparql_bind_substr": f"""{_T}
+SELECT subject AS c,
+       '"' || substr(regexp_extract(object, '^"([^"]*)"', 1), 1, 3) || '"' AS pre
+FROM t WHERE predicate = '<{SEGMENT}>'""",
+        "sparql_bind_strbefore": f"""{_T},
+v AS (SELECT subject, regexp_extract(object, '^"([^"]*)"', 1) AS val FROM t
+      WHERE predicate = '<{C.RDFS_LABEL}>')
+SELECT subject AS s,
+       '"' || regexp_replace(val, '_.*$', '') || '"' AS stem,
+       '"' || regexp_replace(val, '^.*?_', '') || '"' AS num
+FROM v""",
+        "sparql_bind_replace": f"""{_T}
+SELECT subject AS c,
+       '"' || regexp_replace(regexp_extract(object, '^"([^"]*)"', 1),
+                             '[AEIOU]', '#', 'g') || '"' AS x
+FROM t WHERE predicate = '<{SEGMENT}>'""",
         # SAMPLE = deterministic min term per group
         "sparql_sample": f"""{_T}
 SELECT object AS n, min(subject) AS one, COUNT(*) AS members
@@ -605,6 +622,16 @@ SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
         "curate_full": _fx("curate_full"),
         "kmv_distinct": _fx("kmv_distinct"),
         "cms_user_counts": _cms_sql(),
+        # UNPIVOT = UNION ALL of one projection per measure column
+        "lineitem_unpivot": """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       CAST(l_extendedprice AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       CAST(l_discount AS DOUBLE) FROM lineitem""",
         "hll_distinct": _fx("hll_distinct"),
         # k-core of the co-purchase graph — plain-Python peeling twin
         "part_kcore": _fx("part_kcore"),

@@ -239,6 +239,24 @@ def q_brand_revenue(sf_dir: str):
     return bucketed_group_map(joined, ["p_brand"], final, num_buckets=8, partial_fn=partial)
 
 
+def q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT/melt: wide lineitem measure columns to long
+    (id, metric, value) rows (store/dataset.py::unpivot) — a pure
+    per-batch Arrow reshape, no exchange."""
+    from .store.dataset import unpivot
+
+    return unpivot(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+             "l_discount"],
+        ),
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
 def q_cms_user_counts(sf_dir: str):
     """Count-Min sketch point estimates (stages/sketch.py::cms_*) of
     per-user event counts for probe users 0..9 — counters merge by
@@ -2753,6 +2771,63 @@ def q_sparql_bind_if(sf_dir: str):
         SELECT ?c ?cls WHERE {{
           ?c <{SEGMENT}> ?seg .
           BIND ( IF(?seg = "BUILDING", "core", ?seg) AS ?cls )
+        }}
+        """,
+    )
+
+
+def q_sparql_bind_substr(sf_dir: str):
+    """E8 extension: SUBSTR in BIND — 1-based character slice of the
+    lexical value, re-encoded as a plain literal."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        SELECT ?c ?pre WHERE {{
+          ?c <{SEGMENT}> ?seg .
+          BIND ( SUBSTR(?seg, 1, 3) AS ?pre )
+        }}
+        """,
+    )
+
+
+def q_sparql_bind_strbefore(sf_dir: str):
+    """E8 extension: STRBEFORE + STRAFTER in BIND over the label
+    literals ("NATION_12" → "NATION" / "12"; "" when the separator is
+    absent, the SPARQL rule)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?s ?stem ?num WHERE {
+          ?s rdfs:label ?o .
+          BIND ( STRBEFORE(?o, "_") AS ?stem )
+          BIND ( STRAFTER(?o, "_") AS ?num )
+        }
+        """,
+    )
+
+
+def q_sparql_bind_replace(sf_dir: str):
+    """E8 extension: regex REPLACE in BIND (global, RE2) over the
+    segment literals."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        SELECT ?c ?x WHERE {{
+          ?c <{SEGMENT}> ?seg .
+          BIND ( REPLACE(?seg, "[AEIOU]", "#") AS ?x )
         }}
         """,
     )

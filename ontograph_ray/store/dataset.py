@@ -900,6 +900,40 @@ def write_ntriples(ds: ray.data.Dataset, path: str) -> None:
     ds.write_datasink(NTriplesDatasink(path))
 
 
+def unpivot(
+    ds: "ray.data.Dataset",
+    id_cols: list[str],
+    value_cols: list[str],
+    var_col: str = "metric",
+    value_col: str = "value",
+) -> "ray.data.Dataset":
+    """UNPIVOT / melt (the inverse reshape of :func:`crosstab_counts`):
+    wide ``(ids..., v1, v2, ...)`` rows become long ``(ids..., metric,
+    value)`` rows — one output row per (input row, value column), with
+    ``metric`` the column's name. The long form is what per-metric
+    groupbys, window ops and exporters consume. Values are cast to
+    float64 (the common SQL UNPIVOT supertype for numeric columns) —
+    pure copies, no arithmetic, so the gate stays exact.
+
+    Pure per-batch reshape: one Arrow projection per value column
+    concatenated — streaming, no exchange, no Python per row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: batch[k] for k in id_cols}
+            cols[var_col] = pa.array([c] * batch.num_rows, pa.string())
+            cols[value_col] = pc.cast(batch[c], pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(list(dict.fromkeys(id_cols + value_cols))).map_batches(
+        melt, batch_format="pyarrow"
+    )
+
+
 def crosstab_counts(
     ds: ray.data.Dataset,
     row_col: str,

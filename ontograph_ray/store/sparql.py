@@ -749,6 +749,72 @@ def parse(text: str) -> _Query:
                 if nxt != ",":
                     raise SparqlSyntaxError("expected , or ) in CONCAT")
             op, arg = "concat", tuple(parts)
+        elif up == "SUBSTR":
+            # SUBSTR(?v, start [, len]) — 1-based character slice of
+            # the T6 Value, re-encoded as a plain literal
+            if take() != "(":
+                raise SparqlSyntaxError("expected ( after SUBSTR")
+            v = take()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError("SUBSTR needs a ?variable")
+            if take() != ",":
+                raise SparqlSyntaxError("expected , in SUBSTR")
+            start = take()
+            if not start.isdigit() or int(start) < 1:
+                raise SparqlSyntaxError(
+                    f"SUBSTR start must be a positive integer, got {start!r}"
+                )
+            nxt = take()
+            length = None
+            if nxt == ",":
+                ln = take()
+                if not ln.isdigit():
+                    raise SparqlSyntaxError(
+                        f"SUBSTR length must be an integer, got {ln!r}"
+                    )
+                length = int(ln)
+                nxt = take()
+            if nxt != ")":
+                raise SparqlSyntaxError("expected ) closing SUBSTR")
+            op, arg = "substr", (v[1:], int(start), length)
+        elif up == "REPLACE":
+            # REPLACE(?v, "regex", "replacement") over the T6 Value
+            if take() != "(":
+                raise SparqlSyntaxError("expected ( after REPLACE")
+            v = take()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError("REPLACE needs a ?variable")
+            strs = []
+            for _ in range(2):
+                if take() != ",":
+                    raise SparqlSyntaxError("expected , in REPLACE")
+                t2 = take()
+                if not (t2.startswith('"') and t2.endswith('"')):
+                    raise SparqlSyntaxError(
+                        'REPLACE pattern/replacement must be plain "strings"'
+                    )
+                strs.append(t2[1:-1])
+            if take() != ")":
+                raise SparqlSyntaxError("expected ) closing REPLACE")
+            op, arg = "replace", (v[1:], strs[0], strs[1])
+        elif up in ("STRBEFORE", "STRAFTER"):
+            # STRBEFORE/STRAFTER(?v, "sep") — "" when sep is absent
+            # (the SPARQL rule)
+            if take() != "(":
+                raise SparqlSyntaxError(f"expected ( after {up}")
+            v = take()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError(f"{up} needs a ?variable")
+            if take() != ",":
+                raise SparqlSyntaxError(f"expected , in {up}")
+            sep = take()
+            if not (sep.startswith('"') and sep.endswith('"')) or len(sep) < 3:
+                raise SparqlSyntaxError(
+                    f'{up} needs a non-empty plain "string" separator'
+                )
+            if take() != ")":
+                raise SparqlSyntaxError(f"expected ) closing {up}")
+            op, arg = up.lower(), (v[1:], sep[1:-1])
         elif up == "IF":
             # IF(?v = term, then, else) — the ternary over SPARQL term
             # equality; then/else are ?vars (term copy) or ground terms
@@ -1614,6 +1680,8 @@ def sparql_select(
                 raise SparqlSyntaxError(f"BIND alias ?{alias} already bound")
             if op == "concat":
                 used = [v for kind, v in arg if kind == "var"]
+            elif op in ("substr", "replace", "strbefore", "strafter"):
+                used = [arg[0]]
             elif op == "if":
                 used = [arg[0]] + [
                     t[1:] for t in (arg[3], arg[4]) if t.startswith("?")
@@ -1674,6 +1742,54 @@ def sparql_select(
                         col = pc.if_else(
                             valid, col, pa.scalar(None, pa.string())
                         )
+                elif op == "substr":
+                    v, start, length = arg
+                    val = v_value(batch[v])
+                    if length is None:
+                        s = pc.utf8_slice_codeunits(val, start - 1)
+                    else:
+                        s = pc.utf8_slice_codeunits(
+                            val, start - 1, start - 1 + length
+                        )
+                    col = pc.if_else(
+                        pc.is_valid(batch[v]),
+                        v_new_literal_term(s),
+                        pa.scalar(None, pa.string()),
+                    )
+                elif op == "replace":
+                    v, pat, rep = arg
+                    s = pc.replace_substring_regex(
+                        v_value(batch[v]), pattern=pat, replacement=rep
+                    )
+                    col = pc.if_else(
+                        pc.is_valid(batch[v]),
+                        v_new_literal_term(s),
+                        pa.scalar(None, pa.string()),
+                    )
+                elif op in ("strbefore", "strafter"):
+                    import re as _re
+
+                    v, sep = arg
+                    val = v_value(batch[v])
+                    esc = _re.escape(sep)
+                    has = pc.match_substring(val, sep)
+                    # one anchored leftmost-match regex replace per
+                    # batch: strip from the FIRST separator to the end
+                    # (before) / from the start through it (after);
+                    # (?s) so values containing newlines still match
+                    if op == "strbefore":
+                        pat = f"(?s){esc}.*$"
+                    else:
+                        pat = f"(?s)^.*?{esc}"
+                    s = pc.replace_substring_regex(
+                        val, pattern=pat, replacement="", max_replacements=1
+                    )
+                    s = pc.if_else(has, s, pa.scalar(""))
+                    col = pc.if_else(
+                        pc.is_valid(batch[v]),
+                        v_new_literal_term(s),
+                        pa.scalar(None, pa.string()),
+                    )
                 elif op == "if":
                     cv, bop, cval, tthen, telse = arg
                     mask = (pc.equal if bop == "=" else pc.not_equal)(

@@ -1312,6 +1312,60 @@ class TestSparqlExtensions:
                 "BIND ( CONCAT(<urn:p1>) AS ?z ) }",
             )
 
+    def test_bind_substr_replace_strbefore(self, ray_session):
+        from ontograph_ray import terms
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:p1"), r("urn:email"), l("alice@example.org")),
+            new_triple(r("urn:p2"), r("urn:email"), l("bob@corp.net")),
+            new_triple(r("urn:p3"), r("urn:email"), l("no-at-sign")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        out = self._q(
+            ds,
+            "SELECT ?p ?u WHERE { ?p <urn:email> ?e . "
+            'BIND ( STRBEFORE(?e, "@") AS ?u ) } ORDER BY ?p',
+        )
+        # SPARQL rule: separator absent → ""
+        assert out["u"].tolist() == ['"alice"', '"bob"', '""']
+        out = self._q(
+            ds,
+            "SELECT ?p ?d WHERE { ?p <urn:email> ?e . "
+            'BIND ( STRAFTER(?e, "@") AS ?d ) } ORDER BY ?p',
+        )
+        assert out["d"].tolist() == ['"example.org"', '"corp.net"', '""']
+        out = self._q(
+            ds,
+            "SELECT ?p ?s WHERE { ?p <urn:email> ?e . "
+            "BIND ( SUBSTR(?e, 1, 3) AS ?s ) } ORDER BY ?p",
+        )
+        assert out["s"].tolist() == ['"ali"', '"bob"', '"no-"']
+        # open-ended SUBSTR from a 1-based offset
+        out = self._q(
+            ds,
+            "SELECT ?s WHERE { ?p <urn:email> ?e . "
+            "BIND ( SUBSTR(?e, 4) AS ?s ) FILTER ( ?p = <urn:p3> ) }",
+        )
+        assert out["s"].tolist() == ['"at-sign"']
+        # REPLACE is a global RE2 replace
+        out = self._q(
+            ds,
+            "SELECT ?x WHERE { ?p <urn:email> ?e . "
+            'BIND ( REPLACE(?e, "[aeiou]", "_") AS ?x ) '
+            "FILTER ( ?p = <urn:p2> ) }",
+        )
+        assert out["x"].tolist() == ['"b_b@c_rp.n_t"']
+        # SUBSTR start must be positive (1-based)
+        with pytest.raises(ValueError):
+            self._q(
+                ds,
+                "SELECT ?s WHERE { ?p <urn:email> ?e . "
+                "BIND ( SUBSTR(?e, 0) AS ?s ) }",
+            )
+
     def test_filter_string_builtins(self, ray_session):
         from ontograph_ray import terms
         from ontograph_ray.store import DatasetGraphStore
