@@ -622,6 +622,25 @@ SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
         "curate_full": _fx("curate_full"),
         "kmv_distinct": _fx("kmv_distinct"),
         "cms_user_counts": _cms_sql(),
+        # snapshot diff: rebuild the mutated "next crawl" and FULL
+        # OUTER JOIN on the key
+        "snapshot_diff": """
+WITH old AS (SELECT doc_id, lang, n_chars FROM documents),
+newt AS (
+  SELECT doc_id, lang,
+         n_chars + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS n_chars
+  FROM documents WHERE doc_id % 7 != 0
+  UNION ALL
+  SELECT doc_id + 1000000, lang, n_chars
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT COALESCE(old.doc_id, newt.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN newt.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM old FULL OUTER JOIN newt USING (doc_id)
+WHERE old.doc_id IS NULL OR newt.doc_id IS NULL
+   OR old.lang != newt.lang OR old.n_chars != newt.n_chars""",
         # UNPIVOT = UNION ALL of one projection per measure column
         "lineitem_unpivot": """
 SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,

@@ -239,6 +239,43 @@ def q_brand_revenue(sf_dir: str):
     return bucketed_group_map(joined, ["p_brand"], final, num_buckets=8, partial_fn=partial)
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Snapshot diff (store/dataset.py::table_diff): documents vs a
+    deterministically mutated next crawl — doc_id%7==0 removed,
+    doc_id%5==0 re-measured (changed), doc_id%11==0 re-crawled under a
+    new id (added) — one key-bucketed co-group, no materialization."""
+    from .store.dataset import table_diff
+
+    old = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 7 != 0
+        t = batch.filter(pa.array(keep))
+        ids2 = t["doc_id"].to_numpy(zero_copy_only=False)
+        bump = (ids2 % 5 == 0).astype("int64")
+        t = t.set_column(
+            t.schema.get_field_index("n_chars"),
+            "n_chars",
+            pa.array(t["n_chars"].to_numpy(zero_copy_only=False) + bump,
+                     pa.int64()),
+        )
+        add_mask = ids % 11 == 0
+        added = batch.filter(pa.array(add_mask))
+        added = added.set_column(
+            added.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.array(
+                added["doc_id"].to_numpy(zero_copy_only=False) + 1_000_000,
+                pa.int64(),
+            ),
+        )
+        return pa.concat_tables([t, added])
+
+    new = old.map_batches(mutate, batch_format="pyarrow")
+    return table_diff(old, new, ["doc_id"])
+
+
 def q_lineitem_unpivot(sf_dir: str):
     """UNPIVOT/melt: wide lineitem measure columns to long
     (id, metric, value) rows (store/dataset.py::unpivot) — a pure

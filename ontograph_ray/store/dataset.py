@@ -900,6 +900,79 @@ def write_ntriples(ds: ray.data.Dataset, path: str) -> None:
     ds.write_datasink(NTriplesDatasink(path))
 
 
+def table_diff(
+    old: "ray.data.Dataset",
+    new: "ray.data.Dataset",
+    key_cols: list[str],
+    num_buckets: int = DEDUP_BUCKETS_DEFAULT,
+) -> "ray.data.Dataset":
+    """Snapshot diff: compare two versions of a keyed table →
+    ``(keys..., change)`` rows with change ∈ {added, removed, changed}
+    (value-identical rows are omitted). The data-versioning staple —
+    what changed between two crawl/ingest snapshots — without ever
+    materializing either side: both snapshots are tagged, bag-unioned
+    and co-located by ONE key-bucketed exchange; the per-bucket
+    compare serializes non-key columns to a canonical string tuple
+    (column order fixed by sorted name) so any schema-shared column
+    set diffs consistently. Keys must be unique per side (duplicate
+    keys raise — a diff over a multiset key is ambiguous)."""
+    import pandas as pd
+
+    old_cols = {f.name for f in old.schema().base_schema}
+    new_cols = {f.name for f in new.schema().base_schema}
+    if old_cols != new_cols:
+        raise ValueError(
+            f"snapshot schemas differ: {sorted(old_cols ^ new_cols)}"
+        )
+    missing = [k for k in key_cols if k not in old_cols]
+    if missing:
+        raise ValueError(f"key columns absent: {missing}")
+    val_cols = sorted(old_cols - set(key_cols))
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["__side"] = side
+            return out
+
+        return fn
+
+    both = old.map_batches(tag(0), batch_format="pandas").union(
+        new.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=key_cols + ["change"])
+        if df.duplicated(subset=key_cols + ["__side"]).any():
+            raise ValueError("duplicate keys within one snapshot side")
+        sig = pd.Series([""] * len(df), index=df.index)
+        for c in val_cols:
+            sig = sig + "\x1f" + df[c].astype(str)
+        w = pd.DataFrame(
+            {"side": df["__side"].to_numpy(), "sig": sig.to_numpy()},
+            index=pd.MultiIndex.from_frame(df[key_cols]),
+        )
+        piv = w.pivot_table(
+            index=w.index, columns="side", values="sig", aggfunc="first"
+        )
+        piv = piv.reindex(columns=[0, 1])
+        o, n = piv[0], piv[1]
+        change = pd.Series(pd.NA, index=piv.index, dtype="object")
+        change[o.isna() & n.notna()] = "added"
+        change[o.notna() & n.isna()] = "removed"
+        change[o.notna() & n.notna() & (o != n)] = "changed"
+        keep = change.notna()
+        keys = pd.DataFrame(
+            [k if isinstance(k, tuple) else (k,) for k in piv.index[keep]],
+            columns=key_cols,
+        )
+        keys["change"] = change[keep].to_numpy()
+        return keys
+
+    return bucketed_group_map(both, key_cols, per_bucket, num_buckets=num_buckets)
+
+
 def unpivot(
     ds: "ray.data.Dataset",
     id_cols: list[str],

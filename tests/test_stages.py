@@ -1075,6 +1075,55 @@ class TestCorpusStats:
                 fractions=(("a", 10_000), ("b", 0)),
             )
 
+    def test_table_diff_hand_computed(self, ray_session):
+        from ontograph_ray.store.dataset import table_diff
+
+        old = ray.data.from_items(
+            [
+                {"k": 1, "g": "a", "v": 10},  # unchanged
+                {"k": 2, "g": "a", "v": 20},  # changed (v)
+                {"k": 3, "g": "b", "v": 30},  # removed
+                {"k": 4, "g": "b", "v": 40},  # changed (g)
+            ]
+        ).repartition(2)
+        new = ray.data.from_items(
+            [
+                {"k": 1, "g": "a", "v": 10},
+                {"k": 2, "g": "a", "v": 21},
+                {"k": 4, "g": "c", "v": 40},
+                {"k": 5, "g": "b", "v": 50},  # added
+            ]
+        ).repartition(3)
+        out = {
+            r["k"]: r["change"]
+            for r in table_diff(old, new, ["k"], num_buckets=4).take_all()
+        }
+        assert out == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
+        # multi-column keys
+        old2 = ray.data.from_items(
+            [{"a": 1, "b": "x", "v": 1}, {"a": 1, "b": "y", "v": 2}]
+        )
+        new2 = ray.data.from_items(
+            [{"a": 1, "b": "x", "v": 9}, {"a": 1, "b": "y", "v": 2}]
+        )
+        out2 = table_diff(old2, new2, ["a", "b"]).take_all()
+        assert [(r["a"], r["b"], r["change"]) for r in out2] == [
+            (1, "x", "changed")
+        ]
+        # schema mismatch refused
+        import pytest
+
+        with pytest.raises(ValueError):
+            table_diff(
+                old, new.select_columns(["k", "g"]), ["k"]
+            )
+        # duplicate keys within one side refused
+        dup = ray.data.from_items(
+            [{"k": 1, "g": "a", "v": 1}, {"k": 1, "g": "a", "v": 2}]
+        )
+        with pytest.raises(Exception):
+            table_diff(dup, new, ["k"]).take_all()
+
     def test_cms_overcounts_only_and_layout_invariant(self, ray_session):
         from collections import Counter
 
