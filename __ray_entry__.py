@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_pagerank": q.q_entity_pagerank,
         "entity_hits": q.q_entity_hits,
         "entity_communities": q.q_entity_communities,
+        "entity_sssp": q.q_entity_sssp,
         "kg_node_degrees": q.q_kg_node_degrees,
         # Training-data operators
         "sample_hash": q.q_sample_hash,

@@ -663,6 +663,7 @@ SELECT l_orderkey, l_linenumber, 'l_discount',
         "entity_hits": _fx("entity_hits"),
         "entity_communities": _fx("entity_communities"),
         "pq_codes": _fx("pq_codes"),
+        "entity_sssp": _fx("entity_sssp"),
         "multimodal_features": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/multimodal_features_n200.parquet')"
         ),

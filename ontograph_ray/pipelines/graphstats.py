@@ -732,3 +732,182 @@ def label_propagation(
         return pd.DataFrame({"node": df["a"], "community": df["b"]})
 
     return labels.map_batches(finish, batch_format="pandas")
+
+
+def _sssp_local(rows, sources, max_rounds: int) -> "ray.data.Dataset":
+    """Driver-side twin of :func:`sssp`: integer Bellman-Ford over the
+    deduped edge rows — identical relax arithmetic."""
+    edges = sorted({(r["src"], r["dst"], int(r["weight"])) for r in rows})
+    dist = {s: 0 for s in sources}
+    for _ in range(max_rounds + 1):
+        improved = {}
+        for u, v, w in edges:
+            if u in dist:
+                nd = dist[u] + w
+                if nd < dist.get(v, nd + 1) and nd < improved.get(v, nd + 1):
+                    improved[v] = nd
+        improved = {
+            v: d for v, d in improved.items() if d < dist.get(v, d + 1)
+        }
+        if not improved:
+            out = pd.DataFrame(sorted(dist.items()), columns=["node", "dist"])
+            out["dist"] = out["dist"].astype("int64")
+            return ray.data.from_pandas(out)
+        dist.update(improved)
+    raise ValueError(f"sssp did not converge within {max_rounds} rounds")
+
+
+def sssp(
+    edges: ray.data.Dataset,
+    sources: list,
+    weight_col: str = "weight",
+    directed: bool = True,
+    max_rounds: int = 50,
+    num_buckets: int = 64,
+    small_threshold: int = 200_000,
+) -> ray.data.Dataset:
+    """Single-source(-set) shortest paths over NON-NEGATIVE integer
+    edge weights → Dataset(node, dist) for every reachable node —
+    frontier Bellman-Ford (the weighted generalization of
+    :func:`bfs_depths`; integer min-relaxation commutes, so the result
+    is deterministic at any partitioning). Per round: ONE
+    frontier⋈edges bucketed join emitting relaxed candidates, one
+    node-bucketed min, then a tagged co-group against the pinned
+    distance table keeping only strict improvements — work per round
+    proportional to the improving frontier, cycles safe (weights ≥ 0),
+    ``max_rounds`` raises rather than truncating. Same driver cutover
+    as the other iterative graph ops."""
+    from .pagerank import _as_arrow, _bucket_of
+
+    cols = ["src", "dst", weight_col]
+    base = edges.select_columns(cols)
+    if not directed:
+        rev = _renamed(base, {"src": "dst", "dst": "src"}).select_columns(cols)
+        base = base.union(rev)
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if (df[weight_col] < 0).any():
+            raise ValueError("sssp needs non-negative weights")
+        e = df.drop_duplicates(subset=["src", "dst"])
+        out = pd.DataFrame(
+            {
+                "kind": "edge",
+                "a": e["src"].astype(str),
+                "b": e["dst"].astype(str),
+                "d": e[weight_col].astype("int64"),
+            }
+        )
+        out["__bucket"] = _bucket_of(out["a"], num_buckets)
+        return out
+
+    deduped = _as_arrow(
+        base.map_batches(edge_rows, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(
+            lambda df: df.drop_duplicates(subset=["a", "b"]),
+            batch_format="pandas",
+        )
+    ).materialize()
+
+    if deduped.count() <= small_threshold:
+        rows = (
+            {"src": r["a"], "dst": r["b"], "weight": r["d"]}
+            for r in deduped.iter_rows()
+        )
+        return _sssp_local(rows, [str(s) for s in sources], max_rounds)
+
+    def frame(kind: str, a, d) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "kind": kind,
+                "a": list(a),
+                "b": "",
+                "d": pd.Series(list(d), dtype="int64"),
+            }
+        )
+        out["__bucket"] = _bucket_of(out["a"], num_buckets)
+        return out[["kind", "a", "b", "d", "__bucket"]]
+
+    src_list = [str(s) for s in sources]
+    dist = _as_arrow(
+        ray.data.from_pandas(frame("dist", src_list, [0] * len(src_list)))
+    ).materialize()
+    frontier = dist
+
+    for _ in range(max_rounds + 1):
+        # phase 1: relax — frontier co-grouped with edges on the source
+        def relax(df: pd.DataFrame) -> pd.DataFrame:
+            f = df.loc[df["kind"] == "dist", ["a", "d"]].rename(
+                columns={"d": "fd"}
+            )
+            e = df.loc[df["kind"] == "edge", ["a", "b", "d"]]
+            m = e.merge(f, on="a")
+            if not len(m):
+                return frame("cand", [], [])
+            cand = pd.DataFrame(
+                {"b": m["b"], "nd": (m["d"] + m["fd"]).astype("int64")}
+            )
+            cand = cand.groupby("b", sort=False, as_index=False)["nd"].min()
+            return frame("cand", cand["b"], cand["nd"])
+
+        cands = (
+            frontier.union(deduped)
+            .groupby("__bucket")
+            .map_groups(relax, batch_format="pandas")
+        )
+
+        # phase 2: strict-improvement merge against the pinned dists
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            cur = df.loc[df["kind"] == "dist", ["a", "d"]]
+            c = df.loc[df["kind"] == "cand", ["a", "d"]]
+            if not len(c):
+                return frame("dist", cur["a"], cur["d"])
+            cm = c.groupby("a", sort=False, as_index=False)["d"].min()
+            m = cm.merge(cur, on="a", how="left", suffixes=("_new", "_old"))
+            better = m["d_old"].isna() | (m["d_new"] < m["d_old"])
+            imp = m[better]
+            out = pd.concat(
+                [
+                    frame("dist", imp["a"], imp["d_new"]),
+                    frame(
+                        "dist",
+                        cur.loc[~cur["a"].isin(set(imp["a"])), "a"],
+                        cur.loc[~cur["a"].isin(set(imp["a"])), "d"],
+                    ),
+                ],
+                ignore_index=True,
+            )
+            # tag improvements so the frontier can be filtered out
+            if len(imp):
+                out.iloc[: len(imp), out.columns.get_loc("b")] = "improved"
+            return out
+
+        merged = _as_arrow(
+            _as_arrow(cands).union(dist)
+            .groupby("__bucket")
+            .map_groups(merge, batch_format="pandas")
+        ).materialize()
+
+        def keep_improved(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["b"] == "improved"]
+
+        frontier = _as_arrow(
+            merged.map_batches(keep_improved, batch_format="pandas")
+        ).materialize()
+        if frontier.count() == 0:
+            def finish(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {"node": df["a"], "dist": df["d"].astype("int64")}
+                )
+
+            return merged.map_batches(finish, batch_format="pandas")
+
+        def clear_tag(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["b"] = ""
+            return out
+
+        dist = _as_arrow(
+            merged.map_batches(clear_tag, batch_format="pandas")
+        ).materialize()
+    raise ValueError(f"sssp did not converge within {max_rounds} rounds")

@@ -794,6 +794,36 @@ def q_entity_communities(sf_dir: str):
     return label_propagation(e, iters=5, num_buckets=16)
 
 
+def q_entity_sssp(sf_dir: str):
+    """Weighted shortest paths over the entity co-mention graph
+    (pipelines/graphstats.py::sssp — integer Bellman-Ford, frontier
+    rounds): edge weight = 10000 // support (stronger co-mention =
+    shorter hop), source = the lexicographically smallest entity.
+    Fixture-oracled by an independent plain-Python twin."""
+    from .pipelines import pages
+    from .pipelines.graphstats import cooccurrence_edges, sssp
+    from .pipelines.kg import mentions_distinct_stage
+
+    extracted = pages.read_pages(sf_dir).map_batches(
+        pages.extract_text_batch, batch_format="pyarrow"
+    )
+    md = mentions_distinct_stage(extracted)
+    e = cooccurrence_edges(md, "url", "surface").materialize()
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        w = pc.cast(
+            pc.floor(pc.divide(10_000, pc.cast(batch["support"], pa.int64()))),
+            pa.int64(),
+        )
+        return pa.table(
+            {"src": batch["src"], "dst": batch["dst"], "weight": w}
+        )
+
+    weighted = e.map_batches(weigh, batch_format="pyarrow")
+    source = e.min("src")
+    return sssp(weighted, [source], directed=False)
+
+
 def q_kg_triples(sf_dir: str):
     from .pipelines.kg import build_kg, decode_triples_batch
 

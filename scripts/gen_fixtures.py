@@ -614,6 +614,55 @@ def gen_entity_hits(sf_dir: str = DEFAULT_SF, iters: int = 5) -> str:
     return f"{path}: {len(nodes)} nodes, {len(edges)} directed edges"
 
 
+def gen_entity_sssp(sf_dir: str = DEFAULT_SF, max_rounds: int = 50) -> str:
+    """Plain-Python twin of graphstats.sssp + q_entity_sssp: co-mention
+    edges with weight 10000 // support, undirected integer
+    Bellman-Ford from the lexicographically smallest entity."""
+    from ontograph_ray.pipelines.kg import GAZETTEER  # data only
+
+    gaz = set(GAZETTEER)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    support: dict = {}
+    for text in docs["text"].to_pylist():
+        ents = sorted({t for t in text.split(" ") if t in gaz})
+        for i, u in enumerate(ents):
+            for v in ents[i + 1:]:
+                support[(u, v)] = support.get((u, v), 0) + 1
+    edges = []
+    for (u, v), s in support.items():
+        w = 10_000 // s
+        edges.append((u, v, w))
+        edges.append((v, u, w))
+    edges.sort()
+    source = min(u for u, _, _ in edges)
+    dist = {source: 0}
+    for _ in range(max_rounds + 1):
+        improved = {}
+        for u, v, w in edges:
+            if u in dist:
+                nd = dist[u] + w
+                if nd < dist.get(v, nd + 1) and nd < improved.get(v, nd + 1):
+                    improved[v] = nd
+        improved = {v: d for v, d in improved.items() if d < dist.get(v, d + 1)}
+        if not improved:
+            break
+        dist.update(improved)
+    else:
+        raise RuntimeError("twin sssp did not converge")
+    nodes = sorted(dist)
+    path = _path("entity_sssp", sf_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.string()),
+                "dist": pa.array([dist[n] for n in nodes], pa.int64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(nodes)} reachable nodes from {source!r}"
+
+
 def gen_pq_codes(
     sf_dir: str = DEFAULT_SF,
     m: int = 4,
@@ -1187,6 +1236,7 @@ GENERATORS = {
     "entity_hits": gen_entity_hits,
     "entity_communities": gen_entity_communities,
     "pq_codes": gen_pq_codes,
+    "entity_sssp": gen_entity_sssp,
     "simhash_pairs_h2": gen_simhash_pairs,
     "minhash_dedup": gen_minhash_dedup,
     "ngram_jaccard": gen_ngram_jaccard,

@@ -276,3 +276,68 @@ class TestBfsDepths:
 
         with pytest.raises(ValueError):
             self._bfs([(1, 2), (2, 3), (3, 4)], [1], max_depth=1)
+
+
+class TestSssp:
+    @staticmethod
+    def _sssp_py(edges, sources, directed=True):
+        es = list(edges)
+        if not directed:
+            es += [(v, u, w) for u, v, w in es]
+        es = sorted(set(es))
+        dist = {s: 0 for s in sources}
+        for _ in range(100):
+            changed = False
+            for u, v, w in es:
+                if u in dist and dist[u] + w < dist.get(v, 1 << 60):
+                    dist[v] = dist[u] + w
+                    changed = True
+            if not changed:
+                return sorted(dist.items())
+        raise RuntimeError
+
+    def _run(self, edges, sources, **kw):
+        from ontograph_ray.pipelines.graphstats import sssp
+
+        ds = rd.from_items(
+            [{"src": str(u), "dst": str(v), "weight": w} for u, v, w in edges]
+        ).repartition(3)
+        out = sssp(ds, [str(s) for s in sources], **kw).take_all()
+        return sorted((r["node"], r["dist"]) for r in out)
+
+    def test_matches_twin_both_paths(self, ray_session):
+        import random
+
+        rng = random.Random(17)
+        nodes = [f"n{i}" for i in range(12)]
+        edges = sorted(
+            {
+                (rng.choice(nodes), rng.choice(nodes), rng.randint(1, 9))
+                for _ in range(40)
+            }
+        )
+        edges = [(u, v, w) for u, v, w in edges if u != v]
+        want = [
+            (u, d) for u, d in self._sssp_py(edges, ["n0"])
+        ]
+        got_driver = self._run(edges, ["n0"])
+        got_dist = self._run(
+            edges, ["n0"], small_threshold=0, num_buckets=4, max_rounds=30
+        )
+        assert got_driver == want
+        assert got_dist == want
+
+    def test_weighted_beats_hop_count(self, ray_session):
+        # a→c direct costs 10; the 3-hop detour costs 3
+        edges = [("a", "c", 10), ("a", "x", 1), ("x", "y", 1), ("y", "c", 1)]
+        got = dict(self._run(edges, ["a"]))
+        assert got["c"] == 3
+        # undirected mode reaches backwards
+        got = dict(self._run([("b", "a", 2)], ["a"], directed=False))
+        assert got == {"a": 0, "b": 2}
+
+    def test_negative_weight_refused(self, ray_session):
+        import pytest
+
+        with pytest.raises(Exception):
+            self._run([("a", "b", -1)], ["a"])
