@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_bind_arith": q.q_sparql_bind_arith,
         "sparql_bind_concat": q.q_sparql_bind_concat,
         "sparql_bind_if": q.q_sparql_bind_if,
+        "sparql_langmatches": q.q_sparql_langmatches,
         "sparql_bind_substr": q.q_sparql_bind_substr,
         "sparql_bind_strbefore": q.q_sparql_bind_strbefore,
         "sparql_bind_replace": q.q_sparql_bind_replace,

@@ -288,6 +288,12 @@ FROM t WHERE predicate = '<{SEGMENT}>'""",
 SELECT subject AS c,
        CASE WHEN object = '"BUILDING"' THEN '"core"' ELSE object END AS cls
 FROM t WHERE predicate = '<{SEGMENT}>'""",
+        # LANGMATCHES basic range "EN": case-insensitive tag or prefix
+        "sparql_langmatches": f"""{_T}
+SELECT subject AS s, object AS o FROM t
+WHERE object LIKE '"%'
+  AND (lower(regexp_extract(object, '"@([A-Za-z0-9-]+)$', 1)) = 'en'
+       OR lower(regexp_extract(object, '"@([A-Za-z0-9-]+)$', 1)) LIKE 'en-%')""",
         # SUBSTR/STRBEFORE/STRAFTER/REPLACE in BIND over lexical values
         "sparql_bind_substr": f"""{_T}
 SELECT subject AS c,

@@ -2843,6 +2843,26 @@ def q_sparql_bind_if(sf_dir: str):
     )
 
 
+def q_sparql_langmatches(sf_dir: str):
+    """E8 extension: LANGMATCHES(LANG(?o), range) — RFC 4647 basic
+    filtering (case-insensitive, prefix ranges, "*" = any tag); the
+    idiomatic per-language label selector the reference's label model
+    implies (ontology_graph.go:175-206)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        SELECT ?s ?o WHERE {
+          ?s ?p ?o .
+          FILTER ( LANGMATCHES(LANG(?o), "EN") )
+        }
+        """,
+    )
+
+
 def q_sparql_bind_substr(sf_dir: str):
     """E8 extension: SUBSTR in BIND — 1-based character slice of the
     lexical value, re-encoded as a plain literal."""

@@ -513,6 +513,31 @@ def parse(text: str) -> _Query:
                     "ISLITERAL": "isliteral",
                 }[up]
                 return (key, v[1:], 1 if want else 0)
+            if up == "LANGMATCHES":
+                # LANGMATCHES(LANG(?v), "range") — RFC 4647 basic
+                # filtering: case-insensitive exact tag or prefix
+                # ("en" matches "en-US"); "*" = any non-empty tag
+                if take() != "(":
+                    raise SparqlSyntaxError("expected ( after LANGMATCHES")
+                if take().upper() != "LANG" or take() != "(":
+                    raise SparqlUnsupportedError(
+                        "LANGMATCHES' first argument must be LANG(?v)"
+                    )
+                v = take()
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError("LANG needs a ?variable")
+                if take() != ")":
+                    raise SparqlSyntaxError("expected ) closing LANG")
+                if take() != ",":
+                    raise SparqlSyntaxError("expected , in LANGMATCHES")
+                rng = take()
+                if not (rng.startswith('"') and rng.endswith('"')) or len(rng) < 3:
+                    raise SparqlSyntaxError(
+                        'LANGMATCHES needs a non-empty "range"'
+                    )
+                if take() != ")":
+                    raise SparqlSyntaxError("expected ) closing LANGMATCHES")
+                return ("langmatches", v[1:], rng[1:-1].lower())
             if up in ("STRSTARTS", "STRENDS", "CONTAINS"):
                 # two-arg string builtins over the T6 Value kernel
                 # (lexical form for literals, the URI for resources,
@@ -1923,6 +1948,13 @@ def sparql_select(
                 # the kernels fill null→False; re-drop unbound rows so
                 # the '!' form can't resurrect them (error-on-unbound)
                 return pc.and_(m, pc.is_valid(col))
+            if op == "langmatches":
+                tag = pc.utf8_lower(_acc["lang"](col))
+                if val == "*":
+                    return pc.not_equal(tag, "")
+                return pc.or_(
+                    pc.equal(tag, val), pc.starts_with(tag, val + "-")
+                )
             if op in ("strstarts", "strends", "contains"):
                 lex = _acc["str"](col)
                 if op == "strstarts":

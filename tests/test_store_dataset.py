@@ -1253,6 +1253,42 @@ class TestSparqlExtensions:
                 'SELECT ?p WHERE { ?p <urn:name> ?n . FILTER ( LANG(?n) < "en" ) }',
             )
 
+    def test_langmatches(self, ray_session):
+        from ontograph_ray import terms
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray.store.sparql import SparqlUnsupportedError
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:p1"), r("urn:name"), l("alice", "en")),
+            new_triple(r("urn:p2"), r("urn:name"), l("alicia", "en-US")),
+            new_triple(r("urn:p3"), r("urn:name"), l("alice2", "fr")),
+            new_triple(r("urn:p4"), r("urn:name"), l("plain")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        # basic range matches the tag and its subtags, case-insensitive
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            'FILTER ( LANGMATCHES(LANG(?n), "EN") ) } ORDER BY ?p',
+        )
+        assert out["p"].tolist() == ["<urn:p1>", "<urn:p2>"]
+        # "*" = any non-empty tag (the plain literal drops)
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            'FILTER ( LANGMATCHES(LANG(?n), "*") ) } ORDER BY ?p',
+        )
+        assert out["p"].tolist() == ["<urn:p1>", "<urn:p2>", "<urn:p3>"]
+        # first argument must be LANG(?v)
+        with pytest.raises(SparqlUnsupportedError):
+            self._q(
+                ds,
+                "SELECT ?p WHERE { ?p <urn:name> ?n . "
+                'FILTER ( LANGMATCHES(STR(?n), "en") ) }',
+            )
+
     def test_bind_concat_and_if(self, ray_session):
         from ontograph_ray import terms
         from ontograph_ray.store import DatasetGraphStore
