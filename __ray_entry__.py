@@ -177,7 +177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_shards": q.q_export_shards,
         "train_val_test_split": q.q_train_val_test_split,
         "ngram_novelty": q.q_ngram_novelty,
+        "collocations_top": q.q_collocations,
         "user_retention_cohorts": q.q_user_retention_cohorts,
+        "event_value_outliers": q.q_event_value_outliers,
         "source_concentration": q.q_source_concentration,
         "vocab_coverage": q.q_vocab_coverage,
         "dict_encode_ids": q.q_dict_encode,

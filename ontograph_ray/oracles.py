@@ -1326,6 +1326,18 @@ SELECT 'p99', 0.99, quantile_disc(v, 0.99) FROM samp""",
         # deterministic shuffle-export assignment: splitmix64(doc_id
         # XOR seed), shard = h mod 32, sort_key = h div 32 (seed 7 and
         # 32 shards mirror q_export_shards)
+        # robust MAD outliers: discrete-quantile median and MAD
+        "event_value_outliers": """
+WITH med AS (SELECT user_id, quantile_disc(value, 0.5) AS med
+             FROM events GROUP BY user_id),
+dev AS (SELECT e.event_id, e.user_id, e.value,
+               abs(e.value - m.med) AS d
+        FROM events e JOIN med m USING (user_id)),
+mad AS (SELECT user_id, quantile_disc(d, 0.5) AS mad
+        FROM dev GROUP BY user_id)
+SELECT dev.user_id, dev.value, dev.event_id
+FROM dev JOIN mad USING (user_id)
+WHERE dev.d > 3 * mad.mad""",
         # weekly cohort retention: first-activity week per user, then
         # distinct users per (cohort, offset)
         "user_retention_cohorts": """
@@ -1345,6 +1357,23 @@ SELECT c.lang, CAST(COUNT(*) AS BIGINT) AS n_items,
        CAST(SUM(((10000 * c.n) // t.tot) * ((10000 * c.n) // t.tot))
             AS BIGINT) AS hhi
 FROM c JOIN t USING (lang) GROUP BY c.lang""",
+        # bigram PMI lift in exact HUGEINT arithmetic
+        "collocations_top": """
+WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+uni AS (SELECT unnest(l) AS w FROM t),
+uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+bi0 AS (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+        FROM t WHERE len(l) >= 2),
+bi AS (SELECT l[i] AS w1, l[i+1] AS w2 FROM bi0),
+bc AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2),
+n1 AS (SELECT SUM(c) AS v FROM uc),
+n2 AS (SELECT SUM(c) AS v FROM bc)
+SELECT bc.w1, bc.w2, CAST(bc.c AS BIGINT) AS c,
+       CAST((10000 * CAST(bc.c AS HUGEINT) * n1.v * n1.v)
+            // (CAST(u1.c AS HUGEINT) * u2.c * n2.v) AS BIGINT) AS lift_bp
+FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2, n1, n2
+WHERE bc.c >= 5
+ORDER BY lift_bp DESC, bc.w1, bc.w2 LIMIT 50""",
         # distinct per-doc 3-grams → df per gram → per-doc unique share
         "ngram_novelty": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -2049,6 +2049,22 @@ def q_export_shards(sf_dir: str):
     )
 
 
+def q_event_value_outliers(sf_dir: str):
+    """Robust per-user outliers: |value − median| > 3·MAD with both
+    statistics as discrete quantiles (stages/windows.py::mad_outliers
+    — one key-bucketed exchange, two vectorized sorts + positional
+    takes per bucket)."""
+    from .stages.windows import mad_outliers
+
+    return mad_outliers(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        ["user_id"],
+        "value",
+        k=3,
+        extra_cols=["event_id"],
+    )
+
+
 def q_user_retention_cohorts(sf_dir: str):
     """Cohort retention triangle over events: users grouped by
     first-activity week, distinct-user counts per (cohort, offset)
@@ -2071,6 +2087,18 @@ def q_source_concentration(sf_dir: str):
 
     return group_concentration(
         _read(sf_dir, "documents", ["lang", "source"]), "lang", "source"
+    )
+
+
+def q_collocations(sf_dir: str):
+    """Top-50 bigram collocations by exact integer PMI lift
+    (stages/text.py::collocations): two combiner-backed count
+    exchanges, min-count-bounded survivors joined to their unigram
+    counts, arbitrary-precision scoring matching the HUGEINT twin."""
+    from .stages.text import collocations
+
+    return collocations(
+        _read(sf_dir, "documents", ["text"]), min_count=5, k=50
     )
 
 

@@ -525,3 +525,124 @@ def ngram_novelty(
     return bucketed_group_map(
         partials, ["doc_id"], per_doc, num_buckets=num_buckets
     )
+
+
+def collocations(
+    docs: ray.data.Dataset,
+    min_count: int = 5,
+    k: int = 50,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Phrase detection by integer PMI lift: the top-``k`` adjacent
+    token bigrams by
+
+        lift_bp = (10000 · c(ab) · N1 · N1) // (c(a) · c(b) · N2)
+
+    (10000 = independence) with exact integer arithmetic — arbitrary-
+    precision Python ints on the min_count-bounded survivor set, so
+    the score matches the HUGEINT SQL twin bit-for-bit; ties break
+    (lift DESC, bigram ASC). The tokenizer-phrase/collocation-mining
+    primitive (word2vec-phrases style, PMI in place of the discounted
+    score).
+
+    Scale shape: one bigram-count exchange and one unigram-count
+    exchange (both per-block combiners — Zipf collapses blocks hard),
+    then only bigrams with count ≥ ``min_count`` survive; their two
+    unigram lookups ride ONE bucketed join each, and the exact-int
+    scoring walks the bounded survivor table. N1/N2 are tiny
+    aggregates of the count tables."""
+    from ..store.dataset import bucketed_group_map, hash_join
+
+    toks = docs.select_columns(["text"])
+
+    def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=["w1", "w2", "c"])
+        parts = df["text"].str.split(" ")
+        flat = np.concatenate(parts.to_numpy()) if len(parts) else np.array([])
+        lens = parts.str.len().to_numpy()
+        if not len(flat):
+            return pd.DataFrame(columns=["w1", "w2", "c"])
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        w1, w2 = flat[:-1], flat[1:]
+        valid = doc_idx[:-1] == doc_idx[1:]
+        out = pd.DataFrame({"w1": w1[valid], "w2": w2[valid]})
+        return (
+            out.groupby(["w1", "w2"], sort=False).size().rename("c").reset_index()
+        )
+
+    def count_sum(keys):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return df
+            out = df.groupby(keys, sort=False, as_index=False)["c"].sum()
+            out["c"] = out["c"].astype("int64")
+            return out
+
+        return fn
+
+    bigrams = bucketed_group_map(
+        toks.map_batches(bigram_partial, batch_format="pandas"),
+        ["w1", "w2"],
+        count_sum(["w1", "w2"]),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def unigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=["w", "c"])
+        flat = np.concatenate(df["text"].str.split(" ").to_numpy())
+        out = pd.DataFrame({"w": flat})
+        return out.groupby("w", sort=False).size().rename("c").reset_index()
+
+    unigrams = bucketed_group_map(
+        toks.map_batches(unigram_partial, batch_format="pandas"),
+        ["w"],
+        count_sum(["w"]),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    n1 = int(unigrams.sum("c"))
+    n2 = int(bigrams.sum("c"))
+
+    def keep_frequent(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["c"] >= min_count]
+
+    surv = bigrams.map_batches(keep_frequent, batch_format="pandas")
+    surv = hash_join(
+        surv,
+        unigrams.map_batches(
+            lambda d: d.rename(columns={"w": "w1", "c": "c1"}),
+            batch_format="pandas",
+        ),
+        on=["w1"],
+    )
+    surv = hash_join(
+        surv,
+        unigrams.map_batches(
+            lambda d: d.rename(columns={"w": "w2", "c": "c2"}),
+            batch_format="pandas",
+        ),
+        on=["w2"],
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                columns=["w1", "w2", "c", "lift_bp"]
+            ).astype({"c": "int64", "lift_bp": "int64"})
+        # arbitrary-precision ints: c·N1² can exceed 2^63; the SQL twin
+        # computes the same quotient in HUGEINT
+        lift = [
+            (10_000 * int(cab) * n1 * n1) // (int(ca) * int(cb) * n2)
+            for cab, ca, cb in zip(df["c"], df["c1"], df["c2"])
+        ]
+        out = df[["w1", "w2", "c"]].copy()
+        out["lift_bp"] = pd.Series(lift, index=df.index, dtype="int64")
+        return out
+
+    scored = surv.map_batches(score, batch_format="pandas").to_pandas()
+    scored = scored.sort_values(
+        ["lift_bp", "w1", "w2"], ascending=[False, True, True], kind="stable"
+    ).head(k)
+    return ray.data.from_pandas(scored.reset_index(drop=True))

@@ -530,3 +530,52 @@ def retention_cohorts(
     return bucketed_group_map(
         partials, ["cohort", "offset"], final_sum, num_buckets=num_buckets
     )
+
+
+def mad_outliers(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 3,
+    extra_cols: "list[str] | None" = None,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Robust per-group outliers by median absolute deviation: keep
+    rows with |value − median| > k·MAD, where median and MAD are both
+    DISCRETE quantiles (sorted position ceil(n/2)−1 — SQL
+    ``quantile_disc`` semantics, always a stored value). Unlike the
+    mean±σ rule, one huge outlier cannot mask the others. Every
+    arithmetic step (double subtract/abs, integer-k multiply, compare)
+    is performed identically by the SQL twin, so the float op stays
+    under the exact gate.
+
+    Physical plan: ONE key-bucketed exchange (quantiles don't
+    pre-aggregate), then a fully vectorized per-bucket pass — two
+    sorts + positional takes, no per-group Python. Partitioning
+    assumption: one group's rows fit a worker (same as every
+    quantile/window primitive here)."""
+    import numpy as np
+
+    cols = list(dict.fromkeys(key_cols + [value_col] + (extra_cols or [])))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.sort_values([*key_cols, value_col], kind="stable")
+        sizes = df.groupby(key_cols, sort=False).size().to_numpy()
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        vals = df[value_col].to_numpy()
+        med_idx = starts + np.maximum(0, np.ceil(0.5 * sizes).astype("int64") - 1)
+        med = np.repeat(vals[med_idx], sizes)
+        dev = np.abs(vals - med)
+        df = df.assign(__dev=dev)
+        df = df.sort_values([*key_cols, "__dev"], kind="stable")
+        # group layout is unchanged by the re-sort (same keys)
+        dev_sorted = df["__dev"].to_numpy()
+        mad = np.repeat(dev_sorted[med_idx], sizes)
+        keep = df["__dev"].to_numpy() > k * mad
+        return df.loc[keep, cols]
+
+    return bucketed_group_map(
+        ds.select_columns(cols), key_cols, per_bucket, num_buckets=num_buckets
+    )

@@ -1075,6 +1075,71 @@ class TestCorpusStats:
                 fractions=(("a", 10_000), ("b", 0)),
             )
 
+    def test_mad_outliers_vs_duckdb(self, ray_session):
+        import duckdb
+
+        from ontograph_ray.stages.windows import mad_outliers
+
+        rng = np.random.default_rng(29)
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 6, 300),
+                "i": np.arange(300),
+                "v": np.round(rng.normal(0, 1, 300), 3),
+            }
+        )
+        df.loc[::37, "v"] = 50.0  # planted outliers
+        got = (
+            mad_outliers(
+                ray.data.from_pandas(df).repartition(4), ["g"], "v", k=3,
+                extra_cols=["i"], num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("i")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            """WITH med AS (SELECT g, quantile_disc(v, 0.5) AS med
+                            FROM df GROUP BY g),
+            dev AS (SELECT df.g, df.i, df.v, abs(df.v - med.med) AS d
+                    FROM df JOIN med USING (g)),
+            mad AS (SELECT g, quantile_disc(d, 0.5) AS mad
+                    FROM dev GROUP BY g)
+            SELECT dev.g, dev.v, dev.i FROM dev JOIN mad USING (g)
+            WHERE dev.d > 3 * mad.mad ORDER BY i"""
+        ).df()
+        assert got[["g", "v", "i"]].reset_index(drop=True).equals(
+            want[["g", "v", "i"]].reset_index(drop=True)
+        )
+        assert len(got) >= 8  # the planted spikes are found
+
+    def test_collocations_hand_computed(self, ray_session):
+        from ontograph_ray.stages.text import collocations
+
+        rows = (
+            [{"text": "new york city"}] * 6
+            + [{"text": "new deal"}] * 2
+            + [{"text": "old york"}] * 1
+        )
+        out = collocations(
+            ray.data.from_items(rows).repartition(3), min_count=2, k=10,
+            num_buckets=4,
+        ).take_all()
+        got = {(r["w1"], r["w2"]): (r["c"], r["lift_bp"]) for r in out}
+        # unigrams: new=8 york=7 city=6 deal=2 old=1 → N1=24
+        # bigrams: (new,york)=6 (york,city)=6 (new,deal)=2 (old,york)=1 → N2=15
+        n1, n2 = 24, 15
+        assert got[("new", "york")] == (
+            6, (10_000 * 6 * n1 * n1) // (8 * 7 * n2)
+        )
+        assert got[("york", "city")] == (
+            6, (10_000 * 6 * n1 * n1) // (7 * 6 * n2)
+        )
+        assert got[("new", "deal")] == (
+            2, (10_000 * 2 * n1 * n1) // (8 * 2 * n2)
+        )
+        assert ("old", "york") not in got  # below min_count
+
     def test_table_diff_hand_computed(self, ray_session):
         from ontograph_ray.store.dataset import table_diff
 
