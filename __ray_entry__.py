@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations_top": q.q_collocations,
         "user_retention_cohorts": q.q_user_retention_cohorts,
         "event_value_outliers": q.q_event_value_outliers,
+        "events_zorder": q.q_events_zorder,
         "source_concentration": q.q_source_concentration,
         "vocab_coverage": q.q_vocab_coverage,
         "dict_encode_ids": q.q_dict_encode,

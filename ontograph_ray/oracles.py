@@ -69,6 +69,23 @@ sm2_{out} AS (SELECT *, {_mulmod64('xor(__z1, __z1 >> 27)', 0x94D049BB133111EB)}
 _GAZ = ", ".join(f"'{g}'" for g in GAZETTEER)
 _URLP = "https://docs.example.org/page/"
 
+def _zorder_sql(bits: int = 21) -> str:
+    """Morton-interleave twin: bit i of col d lands at position
+    i·n_dims + d; values clamped to 2^bits − 1."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((u >> {i}) & 1) << {i * 2})")
+        terms.append(f"(((h >> {i}) & 1) << {i * 2 + 1})")
+    expr = " + ".join(terms)
+    cap = (1 << bits) - 1
+    return f"""
+WITH e AS (SELECT event_id,
+                  LEAST(CAST(user_id AS BIGINT), {cap}) AS u,
+                  LEAST(epoch_us(ts) // 3600000000, {cap}) AS h
+           FROM events)
+SELECT event_id, CAST({expr} AS BIGINT) AS zkey FROM e"""
+
+
 def _cms_sql(width: int = 1024, depth: int = 4, seed: int = 101, n_probe: int = 10) -> str:
     """Count-Min twin: per hash row r, counters = splitmix64(user_id ^
     (seed+r)) % width histogram; estimate = LEAST over rows of the
@@ -628,6 +645,7 @@ SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
         "curate_full": _fx("curate_full"),
         "kmv_distinct": _fx("kmv_distinct"),
         "cms_user_counts": _cms_sql(),
+        "events_zorder": _zorder_sql(),
         # snapshot diff: rebuild the mutated "next crawl" and FULL
         # OUTER JOIN on the key
         "snapshot_diff": """

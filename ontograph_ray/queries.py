@@ -2049,6 +2049,31 @@ def q_export_shards(sf_dir: str):
     )
 
 
+def q_events_zorder(sf_dir: str):
+    """Z-order clustering key over (user_id, hour): the Morton
+    interleave that makes one file sort prune scans on BOTH
+    dimensions (stages/export.py::zorder_key — pure per-batch bit
+    arithmetic, no exchange)."""
+    from .stages.export import zorder_key
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def with_hour(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        hour = pc.cast(pc.floor(pc.divide(us, 3_600_000_000)), pa.int64())
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "hour": hour,
+            }
+        )
+
+    keyed = events.map_batches(with_hour, batch_format="pyarrow")
+    out = zorder_key(keyed, ["user_id", "hour"])
+    return out.select_columns(["event_id", "zkey"])
+
+
 def q_event_value_outliers(sf_dir: str):
     """Robust per-user outliers: |value − median| > 3·MAD with both
     statistics as discrete quantiles (stages/windows.py::mad_outliers

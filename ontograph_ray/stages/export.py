@@ -223,3 +223,44 @@ def group_concentration(
         ds.select_columns(cols), [group_col], per_group,
         num_buckets=num_buckets, partial_fn=partial,
     )
+
+
+def zorder_key(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    bits: int = 21,
+    out_col: str = "zkey",
+) -> ray.data.Dataset:
+    """Z-order (Morton) interleave of 2-3 non-negative integer columns
+    into one int64 sort key — the multi-dimensional data-layout
+    primitive behind Delta/Iceberg Z-ORDER clustering: writing files
+    sorted by ``zkey`` keeps rows close in EVERY listed dimension
+    close on disk, so min/max file statistics prune scans on any of
+    them (a single-column sort only prunes its own column). ``bits``
+    per dimension (values ≥ 2^bits are clamped to the top code — the
+    standard coarse-cell behavior); len(cols)·bits ≤ 63 so the key
+    stays int64. Pure per-batch numpy bit arithmetic, no exchange; the
+    bit interleave is reproduced term-by-term in the SQL twin."""
+    import numpy as np
+
+    n_dims = len(cols)
+    if not 2 <= n_dims <= 3:
+        raise ValueError("zorder_key interleaves 2 or 3 columns")
+    if n_dims * bits > 63:
+        raise ValueError("len(cols) * bits must be <= 63")
+
+    def interleave(batch: pa.Table) -> pa.Table:
+        z = np.zeros(batch.num_rows, dtype=np.int64)
+        cap = np.int64((1 << bits) - 1)
+        for d, c in enumerate(cols):
+            v = batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            if (v < 0).any():
+                raise ValueError(f"zorder_key needs non-negative {c}")
+            v = np.minimum(v, cap)
+            for i in range(bits):
+                z |= ((v >> np.int64(i)) & np.int64(1)) << np.int64(
+                    i * n_dims + d
+                )
+        return batch.append_column(out_col, pa.array(z, pa.int64()))
+
+    return ds.map_batches(interleave, batch_format="pyarrow")

@@ -1075,6 +1075,54 @@ class TestCorpusStats:
                 fractions=(("a", 10_000), ("b", 0)),
             )
 
+    def test_zorder_key_roundtrip_and_locality(self, ray_session):
+        from ontograph_ray.stages.export import zorder_key
+
+        df = pd.DataFrame(
+            {
+                "i": np.arange(64),
+                "x": np.repeat(np.arange(8), 8).astype("int64"),
+                "y": np.tile(np.arange(8), 8).astype("int64"),
+            }
+        )
+        out = (
+            zorder_key(ray.data.from_pandas(df).repartition(3), ["x", "y"])
+            .to_pandas()
+            .sort_values("i")
+            .reset_index(drop=True)
+        )
+
+        def deinterleave(z):
+            x = y = 0
+            for i in range(21):
+                x |= ((z >> (2 * i)) & 1) << i
+                y |= ((z >> (2 * i + 1)) & 1) << i
+            return x, y
+
+        for _, r in out.iterrows():
+            assert deinterleave(int(r["zkey"])) == (r["x"], r["y"])
+        # locality: within any 16-key zkey run, x and y each span ≤ 4
+        # (a 4×4 Morton cell) — the property a single-column sort lacks
+        s = out.sort_values("zkey").reset_index(drop=True)
+        for start in range(0, 64, 16):
+            w = s.iloc[start : start + 16]
+            assert w["x"].max() - w["x"].min() <= 3
+            assert w["y"].max() - w["y"].min() <= 3
+        # clamping and refusals
+        big = ray.data.from_items([{"a": 1 << 30, "b": 2}])
+        z = zorder_key(big, ["a", "b"], bits=4).take_all()[0]["zkey"]
+        assert deinterleave(z)[0] == 15  # clamped to 2^4 − 1
+        import pytest
+
+        with pytest.raises(ValueError):
+            zorder_key(big, ["a"])
+        with pytest.raises(ValueError):
+            zorder_key(big, ["a", "b"], bits=32)
+        with pytest.raises(Exception):
+            zorder_key(
+                ray.data.from_items([{"a": -1, "b": 2}]), ["a", "b"]
+            ).take_all()
+
     def test_mad_outliers_vs_duckdb(self, ray_session):
         import duckdb
 
