@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_test_split": q.q_train_val_test_split,
         "ngram_novelty": q.q_ngram_novelty,
         "collocations_top": q.q_collocations,
+        "docs_sorted_neighborhood": q.q_docs_sorted_neighborhood,
         "user_retention_cohorts": q.q_user_retention_cohorts,
         "event_value_outliers": q.q_event_value_outliers,
         "events_zorder": q.q_events_zorder,

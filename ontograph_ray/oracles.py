@@ -1375,6 +1375,13 @@ SELECT c.lang, CAST(COUNT(*) AS BIGINT) AS n_items,
        CAST(SUM(((10000 * c.n) // t.tot) * ((10000 * c.n) // t.tot))
             AS BIGINT) AS hhi
 FROM c JOIN t USING (lang) GROUP BY c.lang""",
+        # sorted-neighborhood window pairs over the global row order
+        "docs_sorted_neighborhood": """
+WITH r AS (SELECT doc_id, n_chars,
+                  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+           FROM documents)
+SELECT a.doc_id AS src_id, b.doc_id AS dst_id
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4""",
         # bigram PMI lift in exact HUGEINT arithmetic
         "collocations_top": """
 WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),

@@ -2127,6 +2127,23 @@ def q_collocations(sf_dir: str):
     )
 
 
+def q_docs_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood ER blocking (Hernández-Stolfo): candidate
+    pairs within a 5-row window of the (n_chars, doc_id) sort order —
+    distributed without a global sort via ordered key cells + a
+    driver-computed predecessor-coverage fan-out
+    (stages/dedup.py::sorted_neighborhood_pairs)."""
+    from .stages.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        id_col="doc_id",
+        key_col="n_chars",
+        window=5,
+        cell_shift=4,
+    )
+
+
 def q_ngram_novelty(sf_dir: str):
     """Document originality: fraction of each doc's distinct token
     3-grams occurring in no other doc, in integer basis points

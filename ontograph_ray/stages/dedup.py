@@ -1535,3 +1535,138 @@ def line_dedup(
     return bucketed_group_map(
         uniq.union(winners), ["doc_id"], rebuild, num_buckets=num_buckets
     )
+
+
+def sorted_neighborhood_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    key_col: str,
+    window: int = 5,
+    cell_shift: int = 4,
+) -> ray.data.Dataset:
+    """Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995):
+    sort all rows by ``(key, id)`` and emit every pair within
+    ``window − 1`` positions → ``(src_id, dst_id)``, src earlier in
+    the sort order. The classic entity-resolution blocking method for
+    a SCALAR blocking key (near-length, near-date, normalized-prefix
+    fingerprints) — complements the LSH/fingerprint-bucket blockers,
+    which need set/vector similarity.
+
+    Distributed WITHOUT a global sort or rank: the int key space is
+    cut into ordered cells (``cell = key >> cell_shift``); a tiny
+    combiner pass gathers per-cell counts, the driver computes, per
+    nonempty cell, which predecessor cells are needed to cover the
+    window−1 rows before its head (usually one — more only when a
+    predecessor holds fewer than window−1 rows), and broadcasts that
+    map; ONE cell-bucketed exchange then ships every row to its own
+    cell plus the successors that need it, and each cell generates
+    pairs positionally from its combined sorted slice, owning exactly
+    the pairs whose LATER row lives in the cell — every global pair
+    exactly once, no rank bookkeeping. Skewed keys: one CELL must fit
+    a worker (pick ``cell_shift`` so cells are page-sized; a constant
+    key degenerates to one cell — that is inherent to SNM's total
+    order, use a better blocking key)."""
+    from ..store.dataset import bucketed_group_map
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    w1 = window - 1
+
+    def to_cells(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "id": df[id_col].astype("int64"),
+                "key": df[key_col].astype("int64"),
+            }
+        )
+        out["cell"] = out["key"].to_numpy() >> cell_shift
+        return out
+
+    cells = ds.select_columns([id_col, key_col]).map_batches(
+        to_cells, batch_format="pandas"
+    ).materialize()
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=["cell", "n"])
+        return df.groupby("cell", sort=False).size().rename("n").reset_index()
+
+    counts = {
+        int(r["cell"]): int(r["n"])
+        for r in bucketed_group_map(
+            cells,
+            ["cell"],
+            lambda d: d.groupby("cell", sort=False, as_index=False)["n"].sum()
+            if len(d)
+            else d,
+            partial_fn=count_partial,
+            num_buckets=16,
+        ).take_all()
+    }
+    ordered = sorted(counts)
+    # origin cell → successor cells that need its rows for their head
+    targets: dict[int, list[int]] = {c: [] for c in ordered}
+    for j, c in enumerate(ordered):
+        need, i = w1, j - 1
+        while need > 0 and i >= 0:
+            targets[ordered[i]].append(c)
+            need -= counts[ordered[i]]
+            i -= 1
+    tref = ray.put(targets)
+    _snm_cache: dict = {}
+
+    def fan_out(df: pd.DataFrame, tref=None) -> pd.DataFrame:
+        tmap = cached_get(_snm_cache, tref)
+        if not len(df):
+            out = df.copy()
+            out["tcell"] = pd.Series(dtype="int64")
+            out["own"] = pd.Series(dtype="int64")
+            return out
+        parts = [df.assign(tcell=df["cell"], own=1)]
+        extra = df[df["cell"].map(lambda c: bool(tmap.get(int(c))))]
+        for _, grp in extra.groupby("cell", sort=False):
+            for t in tmap[int(grp["cell"].iloc[0])]:
+                parts.append(grp.assign(tcell=t, own=0))
+        return pd.concat(parts, ignore_index=True)
+
+    fanned = cells.map_batches(
+        fan_out, fn_kwargs={"tref": tref}, batch_format="pandas"
+    )
+
+    def pairs_one_cell(df: pd.DataFrame) -> "pd.DataFrame | None":
+        df = df.sort_values(["key", "id"], kind="stable").reset_index(drop=True)
+        n = len(df)
+        cnt = np.minimum(np.arange(n), w1)
+        total = int(cnt.sum())
+        if not total:
+            return None
+        jj = np.repeat(np.arange(n), cnt)
+        seq = np.arange(total) - np.repeat(cnt.cumsum() - cnt, cnt)
+        ii = jj - 1 - seq
+        own = df["own"].to_numpy()
+        keep = own[jj] == 1  # the later row's cell owns the pair
+        ids = df["id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "src_id": ids[ii[keep]].astype("int64"),
+                "dst_id": ids[jj[keep]].astype("int64"),
+            }
+        )
+
+    def pairs_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # a hash bucket holds SEVERAL whole cells — window positions
+        # are per cell, so slice per tcell before the pair build
+        empty = pd.DataFrame(
+            {"src_id": pd.Series(dtype="int64"),
+             "dst_id": pd.Series(dtype="int64")}
+        )
+        if not len(df):
+            return empty
+        parts = [
+            p
+            for _, grp in df.groupby("tcell", sort=False)
+            if (p := pairs_one_cell(grp)) is not None
+        ]
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return bucketed_group_map(fanned, ["tcell"], pairs_per_bucket, num_buckets=32)

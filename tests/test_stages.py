@@ -1075,6 +1075,54 @@ class TestCorpusStats:
                 fractions=(("a", 10_000), ("b", 0)),
             )
 
+    def test_sorted_neighborhood_bruteforce(self, ray_session):
+        from ontograph_ray.stages.dedup import sorted_neighborhood_pairs
+
+        for seed, n, w, shift in ((5, 40, 4, 3), (9, 200, 6, 2), (1, 50, 3, 6)):
+            rng = np.random.default_rng(seed)
+            df = pd.DataFrame(
+                {
+                    "doc_id": np.arange(n),
+                    "n_chars": rng.integers(0, 100, n).astype("int64"),
+                }
+            )
+            ds = ray.data.from_pandas(df).repartition(3)
+            got = {
+                (r["src_id"], r["dst_id"])
+                for r in sorted_neighborhood_pairs(
+                    ds, "doc_id", "n_chars", window=w, cell_shift=shift
+                ).take_all()
+            }
+            order = df.sort_values(["n_chars", "doc_id"]).doc_id.tolist()
+            want = {
+                (order[i], order[j])
+                for i in range(n)
+                for j in range(i + 1, min(i + w, n))
+            }
+            assert got == want, (seed, n, w, shift)
+        # tiny predecessor cells: window reaches back ACROSS several
+        # cells (shift=0 → one row per cell for distinct keys)
+        df = pd.DataFrame(
+            {"doc_id": np.arange(10), "n_chars": np.arange(10, 20)}
+        )
+        got = {
+            (r["src_id"], r["dst_id"])
+            for r in sorted_neighborhood_pairs(
+                ray.data.from_pandas(df).repartition(2),
+                "doc_id", "n_chars", window=4, cell_shift=0,
+            ).take_all()
+        }
+        want = {
+            (i, j) for i in range(10) for j in range(i + 1, min(i + 4, 10))
+        }
+        assert got == want
+        import pytest
+
+        with pytest.raises(ValueError):
+            sorted_neighborhood_pairs(
+                ray.data.from_pandas(df), "doc_id", "n_chars", window=1
+            )
+
     def test_zorder_key_roundtrip_and_locality(self, ray_session):
         from ontograph_ray.stages.export import zorder_key
 
