@@ -179,9 +179,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": q.q_ngram_novelty,
         "collocations_top": q.q_collocations,
         "docs_sorted_neighborhood": q.q_docs_sorted_neighborhood,
+        "perceptron_filter": q.q_perceptron_filter,
         "user_retention_cohorts": q.q_user_retention_cohorts,
         "event_value_outliers": q.q_event_value_outliers,
         "events_zorder": q.q_events_zorder,
+        "user_activity_islands": q.q_user_activity_islands,
         "source_concentration": q.q_source_concentration,
         "vocab_coverage": q.q_vocab_coverage,
         "dict_encode_ids": q.q_dict_encode,

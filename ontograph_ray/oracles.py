@@ -688,6 +688,7 @@ SELECT l_orderkey, l_linenumber, 'l_discount',
         "entity_communities": _fx("entity_communities"),
         "pq_codes": _fx("pq_codes"),
         "entity_sssp": _fx("entity_sssp"),
+        "perceptron_filter": _fx("perceptron_filter"),
         "multimodal_features": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/multimodal_features_n200.parquet')"
         ),
@@ -1344,6 +1345,24 @@ SELECT 'p99', 0.99, quantile_disc(v, 0.99) FROM samp""",
         # deterministic shuffle-export assignment: splitmix64(doc_id
         # XOR seed), shard = h mod 32, sort_key = h div 32 (seed 7 and
         # 32 shards mirror q_export_shards)
+        # gaps-and-islands merge of 30-minute activity intervals
+        "user_activity_islands": """
+WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + 1800000000 AS e FROM events),
+o AS (SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_end
+      FROM iv),
+isl AS (SELECT user_id, s, e,
+               SUM(CASE WHEN prev_end IS NULL OR s > prev_end
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS island
+        FROM o)
+SELECT user_id, MIN(s) AS island_start, MAX(e) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM isl GROUP BY user_id, island""",
         # robust MAD outliers: discrete-quantile median and MAD
         "event_value_outliers": """
 WITH med AS (SELECT user_id, quantile_disc(value, 0.5) AS med

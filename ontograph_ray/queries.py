@@ -2074,6 +2074,29 @@ def q_events_zorder(sf_dir: str):
     return out.select_columns(["event_id", "zkey"])
 
 
+def q_user_activity_islands(sf_dir: str):
+    """Gaps-and-islands: each event opens a 30-minute activity
+    interval; overlapping intervals merge into per-user coverage
+    islands (stages/windows.py::merge_intervals — one key-bucketed
+    exchange, vectorized cummax island assignment)."""
+    from .stages.windows import merge_intervals
+
+    events = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_intervals(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "s": us,
+                "e": pc.add(us, 1_800_000_000),
+            }
+        )
+
+    iv = events.map_batches(to_intervals, batch_format="pyarrow")
+    return merge_intervals(iv, ["user_id"], "s", "e")
+
+
 def q_event_value_outliers(sf_dir: str):
     """Robust per-user outliers: |value − median| > 3·MAD with both
     statistics as discrete quantiles (stages/windows.py::mad_outliers
@@ -2112,6 +2135,33 @@ def q_source_concentration(sf_dir: str):
 
     return group_concentration(
         _read(sf_dir, "documents", ["lang", "source"]), "lang", "source"
+    )
+
+
+def q_perceptron_filter(sf_dir: str):
+    """Model-in-the-loop quality filter, trained IN the engine: a
+    batch perceptron (stages/text.py::perceptron_train — commutative
+    integer updates, so training is bit-deterministic at any layout)
+    learns the long-document label (n_chars ≥ 300) from the quality
+    features over 5 epochs, then scores the corpus. The label is
+    text-derivable by construction, so the demo converges; the point
+    under the gate is the exactly-reproducible distributed trainer."""
+    from .stages.text import perceptron_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def label(batch: pa.Table) -> pa.Table:
+        y = pc.if_else(
+            pc.greater_equal(batch["n_chars"], 300),
+            pa.scalar(1, pa.int64()),
+            pa.scalar(-1, pa.int64()),
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": batch["text"], "y": y}
+        )
+
+    return perceptron_scores(
+        docs.map_batches(label, batch_format="pyarrow"), epochs=5
     )
 
 

@@ -646,3 +646,141 @@ def collocations(
         ["lift_bp", "w1", "w2"], ascending=[False, True, True], kind="stable"
     ).head(k)
     return ray.data.from_pandas(scored.reset_index(drop=True))
+
+
+def perceptron_train(
+    docs: ray.data.Dataset,
+    label_col: str = "y",
+    epochs: int = 5,
+) -> "tuple[np.ndarray, int]":
+    """Distributed BATCH perceptron over the integer quality features
+    (the same 4 counts `classifier_score` consumes): per epoch, every
+    misclassified row contributes y·x to one summed update —
+
+        w ← w + Σ_{yᵢ(w·xᵢ+b) ≤ 0} yᵢxᵢ,   b ← b + Σ yᵢ
+
+    Unlike the classic per-row (online) perceptron, the BATCH update
+    is a commutative integer sum, so training is bit-deterministic at
+    any block layout — the property that puts a trained model under
+    the driver's hash gate via a plain-Python twin. Physical shape:
+    the (doc_id, features, label) table is built once and pinned;
+    each epoch is ONE broadcast (w, b) + one combiner map emitting a
+    single (Δw, Δb) row per block + a tiny driver sum — the exact
+    shape a minibatch-SGD trainer has at scale, with the float
+    gradient swapped in for the integer update. ``label_col`` must
+    hold ±1 integer labels (the caller decides what to learn)."""
+    feats = docs.select_columns(["doc_id", "text", label_col])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        x = _classifier_features(batch["text"])  # (4, n) int64
+        y = pc.cast(batch[label_col], pa.int64())
+        cols = {"doc_id": pc.cast(batch["doc_id"], pa.int64()), "y": y}
+        for j in range(x.shape[0]):
+            cols[f"f{j}"] = pa.array(x[j], pa.int64())
+        return pa.table(cols)
+
+    raw = feats.map_batches(prep, batch_format="pyarrow").materialize()
+    n_feat = 4
+
+    # integer mean-centering (floor): without it the all-positive raw
+    # count scales make the batch update oscillate; centered features
+    # let the sign problem converge in a few epochs. One tiny
+    # (sums, count) aggregate + one broadcast-subtract pass.
+    def sums(batch: pa.Table) -> pa.Table:
+        s = [
+            int(pc.sum(batch[f"f{j}"]).as_py() or 0) for j in range(n_feat)
+        ]
+        return pa.table(
+            {
+                "s": pa.array([s], pa.list_(pa.int64())),
+                "n": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    tot = np.zeros(n_feat, dtype=np.int64)
+    cnt = 0
+    for r in raw.map_batches(sums, batch_format="pyarrow").take_all():
+        tot += np.asarray(r["s"], dtype=np.int64)
+        cnt += int(r["n"])
+    mean = tot // max(cnt, 1)
+    mref = ray.put(mean)
+
+    def center(batch: pa.Table, mref=None) -> pa.Table:
+        m = _MODEL_CACHE.get(mref.hex())
+        if m is None:
+            m = _MODEL_CACHE[mref.hex()] = ray.get(mref)
+        cols = {"doc_id": batch["doc_id"], "y": batch["y"]}
+        for j in range(n_feat):
+            cols[f"f{j}"] = pc.subtract(
+                batch[f"f{j}"], pa.scalar(int(m[j]), pa.int64())
+            )
+        return pa.table(cols)
+
+    table = raw.map_batches(
+        center, fn_kwargs={"mref": mref}, batch_format="pyarrow"
+    ).materialize()
+    w = np.zeros(n_feat, dtype=np.int64)
+    b = 0
+    for _ in range(epochs):
+        ref = ray.put({"w": w.copy(), "b": b})
+
+        def partial(batch: pa.Table, ref=None) -> pa.Table:
+            m = _MODEL_CACHE.get(ref.hex())
+            if m is None:
+                m = _MODEL_CACHE[ref.hex()] = ray.get(ref)
+            x = np.stack(
+                [
+                    batch[f"f{j}"].to_numpy(zero_copy_only=False)
+                    for j in range(n_feat)
+                ]
+            )
+            y = batch["y"].to_numpy(zero_copy_only=False)
+            margin = y * (m["w"] @ x + m["b"])
+            mis = margin <= 0
+            dw = (x[:, mis] * y[mis]).sum(axis=1)
+            return pa.table(
+                {
+                    "dw": pa.array([dw.tolist()], pa.list_(pa.int64())),
+                    "db": pa.array([int(y[mis].sum())], pa.int64()),
+                }
+            )
+
+        rows = table.map_batches(
+            partial, fn_kwargs={"ref": ref}, batch_format="pyarrow"
+        ).take_all()
+        for r in rows:
+            w += np.asarray(r["dw"], dtype=np.int64)
+            b += int(r["db"])
+    return w, b, mean
+
+
+def perceptron_scores(
+    docs: ray.data.Dataset,
+    label_col: str = "y",
+    epochs: int = 5,
+) -> ray.data.Dataset:
+    """Train :func:`perceptron_train` and score the corpus with the
+    final integer model (in the same mean-centered feature space) →
+    (doc_id, score, pred) with pred = +1 when score ≥ 0 — the
+    end-to-end model-in-the-loop quality-filter demo, exactly
+    reproducible."""
+    w, b, mean = perceptron_train(docs, label_col=label_col, epochs=epochs)
+    ref = ray.put({"w": w, "b": b, "mean": mean})
+
+    def score(batch: pa.Table, ref=None) -> pa.Table:
+        m = _MODEL_CACHE.get(ref.hex())
+        if m is None:
+            m = _MODEL_CACHE[ref.hex()] = ray.get(ref)
+        x = _classifier_features(batch["text"]) - m["mean"][:, None]
+        s = m["w"] @ x + m["b"]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "score": pa.array(s, pa.int64()),
+                "pred": pa.array(np.where(s >= 0, 1, -1), pa.int64()),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        score, fn_kwargs={"ref": ref}, batch_format="pyarrow"
+    )

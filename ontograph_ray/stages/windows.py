@@ -579,3 +579,54 @@ def mad_outliers(
     return bucketed_group_map(
         ds.select_columns(cols), key_cols, per_bucket, num_buckets=num_buckets
     )
+
+
+def merge_intervals(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Merge overlapping/touching intervals per key into disjoint
+    coverage islands → ``(keys..., island_start, island_end,
+    n_merged)`` — the gaps-and-islands staple (session coverage,
+    on-call spans, downtime windows). Intervals [s, e] with the next
+    start ≤ the running max end join the same island; half-open
+    callers should pre-decrement ends. One key-bucketed exchange,
+    per-bucket vectorized sort + running-max island assignment
+    (cummax + cumsum, no per-row Python) — bit-matches the SQL
+    window-function twin."""
+    import numpy as np
+
+    cols = list(dict.fromkeys(key_cols + [start_col, end_col]))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                columns=key_cols + ["island_start", "island_end", "n_merged"]
+            )
+        df = df.sort_values(
+            [*key_cols, start_col, end_col], kind="stable"
+        ).reset_index(drop=True)
+        g = df.groupby(key_cols, sort=False)
+        run_end = g[end_col].cummax()
+        prev_end = run_end.groupby(
+            [df[c] for c in key_cols], sort=False
+        ).shift(1)
+        new_island = (
+            prev_end.isna() | (df[start_col] > prev_end)
+        ).to_numpy()
+        island = np.cumsum(new_island) - 1
+        out = df.assign(__island=island)
+        agg = out.groupby(key_cols + ["__island"], sort=False).agg(
+            island_start=(start_col, "min"),
+            island_end=(end_col, "max"),
+            n_merged=(start_col, "size"),
+        ).reset_index().drop(columns="__island")
+        agg["n_merged"] = agg["n_merged"].astype("int64")
+        return agg
+
+    return bucketed_group_map(
+        ds.select_columns(cols), key_cols, per_bucket, num_buckets=num_buckets
+    )

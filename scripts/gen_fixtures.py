@@ -614,6 +614,63 @@ def gen_entity_hits(sf_dir: str = DEFAULT_SF, iters: int = 5) -> str:
     return f"{path}: {len(nodes)} nodes, {len(edges)} directed edges"
 
 
+def gen_perceptron_filter(sf_dir: str = DEFAULT_SF, epochs: int = 5) -> str:
+    """Plain-Python twin of stages/text.py::perceptron_train/scores +
+    q_perceptron_filter: the 4 integer quality features rebuilt with
+    the re module, labels y = ±1 on n_chars ≥ 300, batch updates
+    w += Σ_mis y·x / b += Σ_mis y per epoch, final integer scores."""
+    import re
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    nch = docs["n_chars"].to_pylist()
+
+    def feats(t: str):
+        return (
+            len(t.split(" ")),
+            len(re.findall(r"\bthe\b", t)) + len(re.findall(r"\ba\b", t)),
+            len(re.findall(r"[^\w\s]", t, re.ASCII)),
+            len(t),
+        )
+
+    X = [feats(t) for t in texts]
+    # integer mean-centering (floor), mirroring the engine
+    mean = [sum(x[j] for x in X) // len(X) for j in range(4)]
+    X = [tuple(x[j] - mean[j] for j in range(4)) for x in X]
+    y = [1 if n >= 300 else -1 for n in nch]
+    w = [0, 0, 0, 0]
+    b = 0
+    for _ in range(epochs):
+        dw = [0, 0, 0, 0]
+        db = 0
+        for xi, yi in zip(X, y):
+            if yi * (sum(a * c for a, c in zip(w, xi)) + b) <= 0:
+                for j in range(4):
+                    dw[j] += yi * xi[j]
+                db += yi
+        w = [a + d for a, d in zip(w, dw)]
+        b += db
+    scores = [sum(a * c for a, c in zip(w, xi)) + b for xi in X]
+    path = _path("perceptron_filter", sf_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "score": pa.array(scores, pa.int64()),
+                "pred": pa.array(
+                    [1 if s >= 0 else -1 for s in scores], pa.int64()
+                ),
+            }
+        ),
+        path,
+    )
+    acc = sum((s >= 0) == (yy == 1) for s, yy in zip(scores, y)) / len(y)
+    return f"{path}: {len(ids)} docs, w={w}, b={b}, train_acc={acc:.3f}"
+
+
 def gen_entity_sssp(sf_dir: str = DEFAULT_SF, max_rounds: int = 50) -> str:
     """Plain-Python twin of graphstats.sssp + q_entity_sssp: co-mention
     edges with weight 10000 // support, undirected integer
@@ -1237,6 +1294,7 @@ GENERATORS = {
     "entity_communities": gen_entity_communities,
     "pq_codes": gen_pq_codes,
     "entity_sssp": gen_entity_sssp,
+    "perceptron_filter": gen_perceptron_filter,
     "simhash_pairs_h2": gen_simhash_pairs,
     "minhash_dedup": gen_minhash_dedup,
     "ngram_jaccard": gen_ngram_jaccard,

@@ -1075,6 +1075,57 @@ class TestCorpusStats:
                 fractions=(("a", 10_000), ("b", 0)),
             )
 
+    def test_merge_intervals_hand_computed(self, ray_session):
+        from ontograph_ray.stages.windows import merge_intervals
+
+        rows = [
+            {"k": "a", "s": 1, "e": 4},
+            {"k": "a", "s": 3, "e": 6},   # overlaps → one island
+            {"k": "a", "s": 6, "e": 8},   # touches (s == prev e) → joins
+            {"k": "a", "s": 10, "e": 11},
+            {"k": "b", "s": 5, "e": 6},
+        ]
+        out = sorted(
+            (r["k"], r["island_start"], r["island_end"], r["n_merged"])
+            for r in merge_intervals(
+                ray.data.from_items(rows).repartition(3), ["k"], "s", "e",
+                num_buckets=4,
+            ).take_all()
+        )
+        assert out == [
+            ("a", 1, 8, 3),
+            ("a", 10, 11, 1),
+            ("b", 5, 6, 1),
+        ]
+
+    def test_perceptron_learns_and_is_layout_invariant(self, ray_session):
+        from ontograph_ray.stages.text import perceptron_scores
+
+        # separable label: long texts (many tokens) are +1
+        rows = []
+        for i in range(60):
+            long = i % 2 == 0
+            text = " ".join(["tok"] * (40 if long else 5))
+            rows.append({"doc_id": i, "text": text, "y": 1 if long else -1})
+        ds = ray.data.from_items(rows)
+        a = (
+            perceptron_scores(ds, epochs=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            perceptron_scores(ds.repartition(7), epochs=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)  # commutative integer updates
+        # the separable task is learned exactly
+        assert all(
+            (r["pred"] == 1) == (r["doc_id"] % 2 == 0) for _, r in a.iterrows()
+        )
+
     def test_sorted_neighborhood_bruteforce(self, ray_session):
         from ontograph_ray.stages.dedup import sorted_neighborhood_pairs
 
