@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": q.q_ann_topk_ivf,
         "ann_topk_lsh": q.q_ann_topk_lsh,
         "ann_topk_ivfpq": q.q_ann_topk_ivfpq,
+        "hard_negatives_topk": q.q_hard_negatives,
+        "doc_negative_samples": q.q_doc_negative_samples,
         "minhash_dedup": q.q_minhash_dedup,
         "ngram_jaccard": q.q_ngram_jaccard,
         "simhash_pairs": q.q_simhash_pairs,

@@ -910,6 +910,22 @@ SELECT a.doc_id,
 FROM bph0 a JOIN bph1 b USING (doc_id)""",
         # IVF top-k over the fixed-point quantizer — plain-numpy twin
         # (the float-kmeans version was layout-dependent and rows-only)
+        # exact masked top-k: nearest vectors with a DIFFERENT label
+        "hard_negatives_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS score
+  FROM q JOIN embeddings e ON e.label != q.ql
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id FROM ranked WHERE rn <= 10""",
         "ann_topk_ivf": _fx("ann_ivf"),
         "ann_topk_ivfpq": _fx("ann_ivfpq"),
         # multi-probe LSH top-k — plain-numpy twin (seeded hyperplanes
@@ -1434,6 +1450,22 @@ SELECT g.doc_id,
             AS BIGINT) AS novelty_bp
 FROM g JOIN df USING (gram)
 GROUP BY g.doc_id""",
+        # deterministic negative sampling: 4 splitmix64 draws per
+        # anchor over the dense id space, self-collisions bumped
+        "doc_negative_samples": f"""
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+base AS (SELECT doc_id,
+                unnest(generate_series(0, 3)) AS j
+         FROM documents),
+b2 AS (SELECT doc_id, j,
+              xor(CAST(doc_id AS UBIGINT), CAST(3 + j AS UBIGINT)) AS x
+       FROM base),
+{_splitmix64_ctes('b2', 'x', 'hashed')}
+SELECT doc_id, j,
+       CASE WHEN CAST(h % nn.c AS BIGINT) = doc_id
+            THEN (CAST(h % nn.c AS BIGINT) + 1) % nn.c
+            ELSE CAST(h % nn.c AS BIGINT) END AS neg_id
+FROM hashed, nn""",
         "train_val_test_split": f"""
 WITH src AS (SELECT doc_id, CAST(doc_id AS UBIGINT) AS x FROM documents),
 {_splitmix64_ctes('src', 'x', 'hashed')}

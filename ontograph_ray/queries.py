@@ -1086,6 +1086,40 @@ def q_ann_topk_ivfpq(sf_dir: str):
     return df[["query_id", "vec_id"]]
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining (contrastive-training staple): per query
+    vector, the 10 most-similar corpus vectors with a DIFFERENT label
+    (stages/ann.py::hard_negatives — masked partial-top-k combiner)."""
+    from .stages.ann import hard_negatives
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    rows = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filter=pc.field("vec_id") < 5,
+    ).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    df = hard_negatives(
+        emb,
+        [r["vec_id"] for r in rows],
+        np.asarray([r["embedding"] for r in rows], dtype=np.float64),
+        [r["label"] for r in rows],
+        k=10,
+    )
+    return df[["query_id", "vec_id"]]
+
+
+def q_doc_negative_samples(sf_dir: str):
+    """Deterministic uniform negative sampling: 4 pseudo-random other
+    doc ids per anchor via splitmix64, self-collisions bumped
+    (stages/export.py::negative_samples) — reproducible draw-by-draw
+    in the SQL twin."""
+    from .stages.export import negative_samples
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return negative_samples(docs, n_total=docs.count(), k=4, seed=3)
+
+
 def q_ann_topk_lsh(sf_dir: str):
     """Random-hyperplane multi-probe LSH top-10 (the second ANN scale
     path next to IVF). Seeded hyperplanes + sign codes are pure

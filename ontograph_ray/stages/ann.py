@@ -619,3 +619,66 @@ def self_similarity_pairs(
         )
         return ray.data.from_arrow(empty)
     return ray.data.from_arrow_refs(out_refs)
+
+
+def hard_negatives(
+    emb_ds: ray.data.Dataset,
+    query_ids: list[int],
+    query_vecs: np.ndarray,
+    query_labels: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    ``k`` most-similar corpus vectors whose ``label`` DIFFERS from the
+    query's — the near-the-margin negatives that make embedding
+    training effective (easy random negatives carry no gradient).
+    Same physical shape as brute_force_topk (per-block masked partial
+    top-k combiner → tiny driver merge), ties (score DESC, id ASC)."""
+    q_ref = ray.put(
+        {
+            "ids": list(query_ids),
+            "vecs": _normalize(np.asarray(query_vecs, dtype=np.float64)),
+            "labels": list(query_labels),
+        }
+    )
+
+    class MaskedTopK:
+        def __init__(self):
+            q = ray.get(q_ref)
+            self.qids, self.qmat, self.qlab = q["ids"], q["vecs"], q["labels"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_as_matrix(batch, vec_col))
+            ids = np.asarray(batch[id_col].to_pylist())
+            labs = np.asarray(batch[label_col].to_pylist())
+            out_q, out_id, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                mask = labs != self.qlab[qi]
+                if not mask.any():
+                    continue
+                sims = m[mask] @ self.qmat[qi]
+                sub = ids[mask]
+                kk = min(k, len(sims))
+                rows = np.argpartition(-sims, kth=kk - 1)[:kk]
+                out_q.extend([int(qid)] * kk)
+                out_id.extend(sub[rows].tolist())
+                out_s.extend(sims[rows].astype(float).tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    id_col: pa.array(out_id, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partial = emb_ds.select_columns([id_col, vec_col, label_col]).map_batches(
+        MaskedTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    )
+    df = partial.to_pandas()
+    df = df.sort_values(
+        ["query_id", "score", id_col], ascending=[True, False, True], kind="stable"
+    )
+    return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)

@@ -264,3 +264,45 @@ def zorder_key(
         return batch.append_column(out_col, pa.array(z, pa.int64()))
 
     return ds.map_batches(interleave, batch_format="pyarrow")
+
+
+def negative_samples(
+    docs: ray.data.Dataset,
+    n_total: int,
+    id_col: str = "doc_id",
+    k: int = 4,
+    seed: int = 3,
+) -> ray.data.Dataset:
+    """Deterministic uniform negative sampling over a DENSE id space
+    0..n_total−1 (the contrastive-training staple): per anchor row, k
+    pseudo-random other ids — neg_j = splitmix64(id XOR (seed+j)) mod
+    n_total, bumped by one (mod n) on a self-collision. No RNG state,
+    no shuffle, one streaming pass; every draw is re-derivable by the
+    splitmix64 SQL twin, so sampling is exactly reproducible across
+    runs and engines. For hard (near-the-margin) negatives see
+    stages/ann.hard_negatives."""
+    if n_total <= 1:
+        raise ValueError("need at least 2 ids to sample negatives")
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        out_id, out_j, out_neg = [], [], []
+        for j in range(k):
+            h = splitmix64(ids ^ np.uint64(seed + j))
+            neg = (h % np.uint64(n_total)).astype(np.int64)
+            own = batch[id_col].to_numpy().astype(np.int64)
+            neg = np.where(neg == own, (neg + 1) % n_total, neg)
+            out_id.append(own)
+            out_j.append(np.full(len(own), j, dtype=np.int64))
+            out_neg.append(neg)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "j": pa.array(np.concatenate(out_j), pa.int64()),
+                "neg_id": pa.array(np.concatenate(out_neg), pa.int64()),
+            }
+        )
+
+    return docs.select_columns([id_col]).map_batches(
+        sample, batch_format="pyarrow"
+    )

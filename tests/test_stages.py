@@ -222,6 +222,54 @@ class TestANN:
             recall += len(e & g) / len(e)
         assert recall / len(qids) >= 0.5
 
+    def test_hard_negatives_excludes_same_label(self, embs):
+        rows = embs.take(3)
+        qids = [r["vec_id"] for r in rows]
+        qvecs = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+        qlabs = [r["label"] for r in rows]
+        df = ann.hard_negatives(embs, qids, qvecs, qlabs, k=5)
+        labs = {r["vec_id"]: r["label"] for r in embs.take_all()}
+        for qid, qlab in zip(qids, qlabs):
+            got = df[df["query_id"] == qid]
+            assert len(got) == 5
+            # never the query itself, never its label
+            assert qid not in set(got["vec_id"])
+            assert all(labs[v] != qlab for v in got["vec_id"])
+        # per query: the top hard negative is the most-similar
+        # different-label vector (spot check vs brute force)
+        full = ann.brute_force_topk(embs, qids, qvecs, k=100)
+        for qid, qlab in zip(qids, qlabs):
+            f = full[full["query_id"] == qid]
+            first_other = next(
+                v for v in f["vec_id"] if labs[v] != qlab
+            )
+            assert df[df["query_id"] == qid].iloc[0]["vec_id"] == first_other
+
+    def test_negative_samples_properties(self, ray_session):
+        from ontograph_ray.stages.export import negative_samples
+
+        ds = ray.data.range(200)
+
+        def rn(b):
+            import pyarrow as _pa
+
+            return b.rename_columns(["doc_id"])
+
+        docs = ds.map_batches(rn, batch_format="pyarrow")
+        out = negative_samples(docs, n_total=200, k=3, seed=9).take_all()
+        assert len(out) == 200 * 3
+        for r in out:
+            assert 0 <= r["neg_id"] < 200
+            assert r["neg_id"] != r["doc_id"]  # self-collisions bumped
+        # deterministic across layouts
+        out2 = negative_samples(
+            docs.repartition(7), n_total=200, k=3, seed=9
+        ).take_all()
+        key = lambda r: (r["doc_id"], r["j"])
+        assert sorted(
+            (r["doc_id"], r["j"], r["neg_id"]) for r in out
+        ) == sorted((r["doc_id"], r["j"], r["neg_id"]) for r in out2)
+
     def test_self_similarity_identity(self, ray_session):
         vecs = [
             {"vec_id": 0, "embedding": [1.0, 0.0, 0.0]},
