@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_moving_sum": q.q_orders_moving_sum,
         "customer_quartiles": q.q_customer_quartiles,
         "customer_percentiles": q.q_customer_percentiles,
+        "lineitem_cov": q.q_lineitem_cov,
         "kg_bfs_depth": q.q_kg_bfs_depth,
         "top_tokens_by_lang": q.q_top_tokens_by_lang,
         "sparql_path_opt": q.q_sparql_path_opt,

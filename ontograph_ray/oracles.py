@@ -1055,6 +1055,21 @@ SELECT c_custkey, c_nationkey, cents,
                            ORDER BY cents DESC, c_custkey) AS BIGINT)
          AS tile
 FROM c""",
+        # floored exact population covariance/variances (HUGEINT sums)
+        "lineitem_cov": """
+WITH c AS (SELECT l_returnflag AS flag,
+                  CAST(l_quantity AS HUGEINT) AS x,
+                  CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+           FROM lineitem),
+s AS (SELECT flag, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM c GROUP BY flag)
+SELECT flag, CAST(n AS BIGINT) AS n,
+       CAST((n * sxy - sx * sy) // (n * n) AS BIGINT) AS cov,
+       CAST((n * sxx - sx * sx) // (n * n) AS BIGINT) AS varx,
+       CAST((n * syy - sy * sy) // (n * n) AS BIGINT) AS vary
+FROM s""",
         "customer_percentiles": """
 WITH c AS (SELECT c_custkey, c_nationkey,
                   CAST(round(c_acctbal * 100) AS BIGINT) AS cents

@@ -1456,6 +1456,72 @@ def q_customer_quartiles(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def q_lineitem_cov(sf_dir: str):
+    """Per-group POPULATION covariance/variances as floored exact
+    integers: cov = (N·Σxy − Σx·Σy) // N², var likewise — the
+    mean-free form avoids rational means entirely, the distributed
+    running sums commute, and the final quotient is evaluated in
+    arbitrary-precision Python ints (HUGEINT in the twin) because the
+    N-scaled intermediates exceed int64 long before the covariance
+    itself does. x = quantity, y = price cents, grouped by return
+    flag. One combiner-backed exchange of 5 running sums per group."""
+    from .store.dataset import bucketed_group_map
+
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def partial(df):
+        x = df["l_quantity"].astype("int64")
+        y = (df["l_extendedprice"] * 100).round().astype("int64")
+        g = pd.DataFrame(
+            {
+                "flag": df["l_returnflag"],
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                # object dtype: Σy² at 100 TB scale exceeds int64;
+                # Python ints keep the running sums exact at any size
+                "sxx": (x * x).astype(object),
+                "syy": (y.astype(object) * y.astype(object)),
+                "sxy": (x * y).astype(object),
+            }
+        )
+        return g.groupby("flag", sort=False, as_index=False).sum()
+
+    def final(df):
+        s = df.groupby("flag", sort=False, as_index=False)[
+            ["n", "sx", "sy", "sxx", "syy", "sxy"]
+        ].sum()
+        def tdiv(num: int, den: int) -> int:
+            # truncate toward zero — SQL integer division (Python //
+            # floors, which diverges on a negative covariance)
+            q = abs(num) // den
+            return q if num >= 0 else -q
+
+        rows = []
+        for _, r in s.iterrows():
+            n = int(r["n"])
+            sx, sy = int(r["sx"]), int(r["sy"])
+            n2 = n * n
+            rows.append(
+                {
+                    "flag": r["flag"],
+                    "n": n,
+                    "cov": tdiv(n * int(r["sxy"]) - sx * sy, n2),
+                    "varx": tdiv(n * int(r["sxx"]) - sx * sx, n2),
+                    "vary": tdiv(n * int(r["syy"]) - sy * sy, n2),
+                }
+            )
+        out = pd.DataFrame(rows)
+        for c in ("n", "cov", "varx", "vary"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    # keyed on the partial output's column (partial_fn runs first)
+    return bucketed_group_map(li, ["flag"], final, partial_fn=partial)
+
+
 def q_customer_percentiles(sf_dir: str):
     """PERCENT_RANK + CUME_DIST in one pass: each customer's relative
     balance position within its nation (desc) — the percentile feature
