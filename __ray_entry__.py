@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": q.q_line_dedup,
         "inverted_index": q.q_inverted_index,
         "tfidf_topk": q.q_tfidf_topk,
+        "bm25_topk": q.q_bm25_topk,
         "classifier_score": q.q_classifier_score,
         "domain_cap": q.q_domain_cap,
         "jsonl_roundtrip": q.q_jsonl_roundtrip,

@@ -474,6 +474,27 @@ GROUP BY t1.object""",
         # integer fixed-point TF-IDF top-k: weight = (N*1e6)//df
         # (integer division), score = sum(tf*weight); ties (score DESC,
         # doc_id ASC) — mirrors tfidf_topk exactly, no libm ln anywhere
+        # BM25 with exact rationals: k1=6/5, b=3/4; denominators
+        # cleared by c*q*total_tokens, one HUGEINT division per term
+        "bm25_topk": """
+WITH p AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+lens AS (SELECT doc_id, CAST(len(toks) AS HUGEINT) AS dl FROM p),
+tok AS (SELECT doc_id, UNNEST(toks) AS term FROM p),
+qq AS (SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf FROM tok
+       WHERE term IN ('join', 'table', 'window') GROUP BY doc_id, term),
+n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nd FROM documents),
+tt AS (SELECT CAST(SUM(len(toks)) AS HUGEINT) AS tot FROM p),
+w AS (SELECT term, ((SELECT nd FROM n) * 1000000)
+                   // CAST(COUNT(*) AS HUGEINT) AS idf
+      FROM qq GROUP BY term),
+ts AS (SELECT qq.doc_id,
+              (w.idf * qq.tf * 11 * 4 * tt.tot)
+              // (5 * 4 * tt.tot * qq.tf + 6 * 1 * tt.tot
+                  + 6 * 3 * lens.dl * n.nd) AS s
+       FROM qq JOIN w USING (term) JOIN lens USING (doc_id), tt, n),
+sc AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score
+       FROM ts GROUP BY doc_id)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
         "tfidf_topk": """
 WITH p AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 tok AS (SELECT doc_id, UNNEST(toks) AS term FROM p),

@@ -3559,6 +3559,21 @@ def q_inverted_index(sf_dir: str):
     )
 
 
+def q_bm25_topk(sf_dir: str):
+    """BM25-shaped retrieval with exact rational arithmetic
+    (stages/index.py::bm25_topk — tf saturation k1=1.2, length
+    normalization b=0.75, linear fixed-point idf): top-20 docs for the
+    same 3-term query tfidf_topk ranks, so the two retrieval models
+    are directly comparable under the gate."""
+    from .stages.index import bm25_topk
+
+    return bm25_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        ["join", "table", "window"],
+        k=20,
+    )
+
+
 def q_tfidf_topk(sf_dir: str):
     """Integer fixed-point TF-IDF retrieval (stages/index.py::
     tfidf_topk): top-20 docs for a 3-term query. The corpus is never

@@ -210,3 +210,134 @@ def tfidf_topk(
     merged["doc_id"] = merged["doc_id"].astype("int64")
     merged["score"] = merged["score"].astype("int64")
     return merged
+
+
+def bm25_topk(
+    docs: ray.data.Dataset,
+    query_terms: list[str],
+    k: int = 20,
+    k1: "tuple[int, int]" = (6, 5),   # 1.2
+    b: "tuple[int, int]" = (3, 4),    # 0.75
+    scale: int = 1_000_000,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """BM25-shaped retrieval with EXACT integer arithmetic: per term,
+
+        score = idf_fp · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+
+    with k1, b as exact rationals and dl/avgdl kept rational
+    (dl·N / total_tokens) — the whole quotient is evaluated as ONE
+    arbitrary-precision integer division after clearing denominators,
+    so the ranking is bit-deterministic and carries an exact HUGEINT
+    SQL twin. idf_fp = (N·scale) // df, the engine's linear
+    fixed-point idf (a log idf would hostage the oracle to libm
+    rounding — same substitution tfidf_topk documents); BM25's actual
+    contributions here are the tf SATURATION and LENGTH normalization,
+    which survive exactly.
+
+    Scale shape: identical to tfidf_topk (query terms broadcast-small,
+    one is_in combiner per block, tiny df aggregate) plus dl riding on
+    each (term, doc, tf) row and two corpus scalars (N, total tokens).
+    Python-int scoring touches only the query-selectivity-bounded
+    rows."""
+    a, c = k1
+    p, q = b
+    n_docs = docs.count()
+    terms = pa.array(sorted(set(query_terms)), pa.string())
+
+    def filter_pairs(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"].combine_chunks(), "")
+        toks = pc.split_pattern(txt, " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_ids = batch["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        dls = np.repeat(lens.astype(np.int64), lens.astype(np.int64))
+        tab = pa.table(
+            {
+                "term": flat,
+                "doc_id": pa.array(np.repeat(doc_ids, lens.astype(np.int64))),
+                "dl": pa.array(dls, pa.int64()),
+            }
+        ).filter(pc.is_in(flat, value_set=terms))
+        g = tab.group_by(["term", "doc_id", "dl"], use_threads=False).aggregate(
+            [("term", "count")]
+        )
+        return pa.table(
+            {
+                "term": g["term"],
+                "doc_id": pc.cast(g["doc_id"], pa.int64()),
+                "dl": g["dl"],
+                "tf": pc.cast(g["term_count"], pa.int64()),
+            }
+        )
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(batch["text"].combine_chunks(), ""), " ")
+        s = int(pc.sum(pc.list_value_length(toks)).as_py() or 0)
+        return pa.table({"t": pa.array([s], pa.int64())})
+
+    total_tokens = sum(
+        r["t"] for r in docs.map_batches(count_tokens, batch_format="pyarrow").take_all()
+    )
+
+    pairs = docs.map_batches(filter_pairs, batch_format="pyarrow").materialize()
+
+    from ..store.dataset import bucketed_group_map
+
+    df_rows = bucketed_group_map(
+        pairs.select_columns(["term", "doc_id"]),
+        ["term"],
+        lambda d: d.groupby("term", sort=False)["doc_id"]
+        .size()
+        .rename("df")
+        .reset_index(),
+        num_buckets=min(num_buckets, 8),
+    ).take_all()
+    idf = {r["term"]: (n_docs * scale) // int(r["df"]) for r in df_rows}
+
+    def term_scores(d: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="int64")}
+        )
+        if not len(d):
+            return empty
+        scores = [
+            (idf[t] * int(tf) * (a + c) * q * total_tokens)
+            // (
+                c * q * total_tokens * int(tf)
+                + a * (q - p) * total_tokens
+                + a * p * int(dl) * n_docs
+            )
+            for t, dl, tf in zip(d["term"], d["dl"], d["tf"])
+        ]
+        return pd.DataFrame(
+            {"doc_id": d["doc_id"].astype("int64"),
+             "score": pd.Series(scores, index=d.index, dtype="int64")}
+        )
+
+    def per_doc_topk(d: pd.DataFrame) -> pd.DataFrame:
+        # a doc's term rows are co-located by the exchange (re-split
+        # blocks upstream can straddle a doc) — sum, then partial top-k
+        if not len(d):
+            return d
+        out = d.groupby("doc_id", sort=False, as_index=False)["score"].sum()
+        out["score"] = out["score"].astype("int64")
+        return out.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    parts = bucketed_group_map(
+        pairs.map_batches(term_scores, batch_format="pandas"),
+        ["doc_id"],
+        per_doc_topk,
+        num_buckets=min(num_buckets, 8),
+    ).to_pandas()
+    parts = parts.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="stable"
+    )
+    return parts.head(k).reset_index(drop=True)

@@ -1974,6 +1974,33 @@ class TestInvertedIndex:
         assert ("b", 0) in ix and ("d", 0) in ix
 
 
+class TestBm25Topk:
+    def test_saturation_and_length_normalization(self, ray_session):
+        from ontograph_ray.stages.index import bm25_topk
+
+        filler = " ".join(["x"] * 20)
+        rows = [
+            {"doc_id": 0, "text": "hit " + filler},                     # tf 1
+            {"doc_id": 1, "text": "hit hit " + filler},                 # tf 2
+            {"doc_id": 2, "text": "hit hit hit hit " + filler},         # tf 4
+            {"doc_id": 3, "text": "hit " + " ".join(["y"] * 200)},      # long
+        ]
+        out = bm25_topk(
+            ray.data.from_items(rows).repartition(2), ["hit"], k=10
+        )
+        s = dict(zip(out["doc_id"], out["score"]))
+        # monotone in tf but SATURATING: doubling tf < doubling score
+        assert s[2] > s[1] > s[0] > 0
+        assert s[1] < 2 * s[0] and s[2] < 2 * s[1]
+        # length normalization: same tf, much longer doc scores lower
+        assert s[3] < s[0]
+        # layout invariance (integer arithmetic end to end)
+        out2 = bm25_topk(
+            ray.data.from_items(rows).repartition(4), ["hit"], k=10
+        )
+        assert out.equals(out2)
+
+
 class TestTfidfTopk:
     """Integer fixed-point TF-IDF retrieval (stages/index.py)."""
 
