@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q.q_inverted_index,
         "tfidf_topk": q.q_tfidf_topk,
         "bm25_topk": q.q_bm25_topk,
+        "rrf_fused": q.q_rrf_fused,
         "classifier_score": q.q_classifier_score,
         "domain_cap": q.q_domain_cap,
         "jsonl_roundtrip": q.q_jsonl_roundtrip,

@@ -119,6 +119,39 @@ FROM {ests[0]} {joins}"""
     )
 
 
+# retrieval twins, shared by their own entries and the RRF fusion
+_TFIDF_SQL = """
+WITH p AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, UNNEST(toks) AS term FROM p),
+q AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+      WHERE term IN ('join', 'table', 'window') GROUP BY doc_id, term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+w AS (SELECT term, ((SELECT n FROM n) * 1000000) // CAST(COUNT(*) AS BIGINT) AS wt
+      FROM q GROUP BY term),
+s AS (SELECT q.doc_id, CAST(SUM(q.tf * w.wt) AS BIGINT) AS score
+      FROM q JOIN w USING (term) GROUP BY q.doc_id)
+SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20"""
+
+_BM25_SQL = """
+WITH p AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+lens AS (SELECT doc_id, CAST(len(toks) AS HUGEINT) AS dl FROM p),
+tok AS (SELECT doc_id, UNNEST(toks) AS term FROM p),
+qq AS (SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf FROM tok
+       WHERE term IN ('join', 'table', 'window') GROUP BY doc_id, term),
+n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nd FROM documents),
+tt AS (SELECT CAST(SUM(len(toks)) AS HUGEINT) AS tot FROM p),
+w AS (SELECT term, ((SELECT nd FROM n) * 1000000)
+                   // CAST(COUNT(*) AS HUGEINT) AS idf
+      FROM qq GROUP BY term),
+ts AS (SELECT qq.doc_id,
+              (w.idf * qq.tf * 11 * 4 * tt.tot)
+              // (5 * 4 * tt.tot * qq.tf + 6 * 1 * tt.tot
+                  + 6 * 3 * lens.dl * n.nd) AS s
+       FROM qq JOIN w USING (term) JOIN lens USING (doc_id), tt, n),
+sc AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score
+       FROM ts GROUP BY doc_id)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
+
 _MENTION_CTE = f"""
 WITH toks AS (
   SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x IN ({_GAZ})) AS l
@@ -474,38 +507,24 @@ GROUP BY t1.object""",
         # integer fixed-point TF-IDF top-k: weight = (N*1e6)//df
         # (integer division), score = sum(tf*weight); ties (score DESC,
         # doc_id ASC) — mirrors tfidf_topk exactly, no libm ln anywhere
+        # RRF fusion of the two retrieval rankings (each re-ranked by
+        # row_number over its own top-20), 10000 // (60 + rank)
+        "rrf_fused": f"""
+WITH ra AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM ({_TFIDF_SQL}) t1),
+rb AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM ({_BM25_SQL}) t2),
+u AS (SELECT doc_id, 10000 // (60 + r) AS c FROM ra
+      UNION ALL
+      SELECT doc_id, 10000 // (60 + r) FROM rb)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf
+FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20""",
         # BM25 with exact rationals: k1=6/5, b=3/4; denominators
         # cleared by c*q*total_tokens, one HUGEINT division per term
-        "bm25_topk": """
-WITH p AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-lens AS (SELECT doc_id, CAST(len(toks) AS HUGEINT) AS dl FROM p),
-tok AS (SELECT doc_id, UNNEST(toks) AS term FROM p),
-qq AS (SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf FROM tok
-       WHERE term IN ('join', 'table', 'window') GROUP BY doc_id, term),
-n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nd FROM documents),
-tt AS (SELECT CAST(SUM(len(toks)) AS HUGEINT) AS tot FROM p),
-w AS (SELECT term, ((SELECT nd FROM n) * 1000000)
-                   // CAST(COUNT(*) AS HUGEINT) AS idf
-      FROM qq GROUP BY term),
-ts AS (SELECT qq.doc_id,
-              (w.idf * qq.tf * 11 * 4 * tt.tot)
-              // (5 * 4 * tt.tot * qq.tf + 6 * 1 * tt.tot
-                  + 6 * 3 * lens.dl * n.nd) AS s
-       FROM qq JOIN w USING (term) JOIN lens USING (doc_id), tt, n),
-sc AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score
-       FROM ts GROUP BY doc_id)
-SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
-        "tfidf_topk": """
-WITH p AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-tok AS (SELECT doc_id, UNNEST(toks) AS term FROM p),
-q AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
-      WHERE term IN ('join', 'table', 'window') GROUP BY doc_id, term),
-n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-w AS (SELECT term, ((SELECT n FROM n) * 1000000) // CAST(COUNT(*) AS BIGINT) AS wt
-      FROM q GROUP BY term),
-s AS (SELECT q.doc_id, CAST(SUM(q.tf * w.wt) AS BIGINT) AS score
-      FROM q JOIN w USING (term) GROUP BY q.doc_id)
-SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20""",
+        "bm25_topk": _BM25_SQL,
+        "tfidf_topk": _TFIDF_SQL,
         # sharded inverted index: window twin — rank within term by
         # doc_id, shard = rank // 64, postings/tfs string_agg'd per shard
         "inverted_index": """

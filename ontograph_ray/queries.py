@@ -3574,6 +3574,30 @@ def q_bm25_topk(sf_dir: str):
     )
 
 
+def q_rrf_fused(sf_dir: str):
+    """Reciprocal-rank fusion of the TF-IDF and BM25 rankings for the
+    same 3-term query — the standard hybrid-retrieval combiner, in
+    integer form: rrf = Σ over rankings of 10000 // (60 + rank). The
+    two rankings are the already-distributed retrieval ops; fusion
+    touches only their 2·k driver rows."""
+    from .stages.index import bm25_topk, tfidf_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = ["join", "table", "window"]
+    a = tfidf_topk(docs, terms, k=20)
+    b = bm25_topk(docs, terms, k=20)
+    scores: dict = {}
+    for df in (a, b):
+        for rank, doc in enumerate(df["doc_id"], start=1):
+            scores[int(doc)] = scores.get(int(doc), 0) + 10_000 // (60 + rank)
+    out = pd.DataFrame(
+        {"doc_id": list(scores), "rrf": list(scores.values())}
+    ).astype({"doc_id": "int64", "rrf": "int64"})
+    return out.sort_values(
+        ["rrf", "doc_id"], ascending=[False, True], kind="stable"
+    ).head(20).reset_index(drop=True)
+
+
 def q_tfidf_topk(sf_dir: str):
     """Integer fixed-point TF-IDF retrieval (stages/index.py::
     tfidf_topk): top-20 docs for a 3-term query. The corpus is never
