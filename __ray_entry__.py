@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_outliers": q.q_event_value_outliers,
         "events_zorder": q.q_events_zorder,
         "user_activity_islands": q.q_user_activity_islands,
+        "event_props_stats": q.q_event_props_stats,
         "source_concentration": q.q_source_concentration,
         "vocab_coverage": q.q_vocab_coverage,
         "dict_encode_ids": q.q_dict_encode,

@@ -1416,6 +1416,17 @@ SELECT 'p99', 0.99, quantile_disc(v, 0.99) FROM samp""",
         # deterministic shuffle-export assignment: splitmix64(doc_id
         # XOR seed), shard = h mod 32, sort_key = h div 32 (seed 7 and
         # 32 shards mirror q_export_shards)
+        # JSON int field extracted by regex, aggregated per event type
+        "event_props_stats": r"""
+WITH e AS (SELECT event_type,
+                  CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1)
+                       AS BIGINT) AS k
+           FROM events)
+SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM e GROUP BY event_type""",
         # gaps-and-islands merge of 30-minute activity intervals
         "user_activity_islands": """
 WITH iv AS (SELECT user_id, epoch_us(ts) AS s,

@@ -2149,6 +2149,46 @@ def q_export_shards(sf_dir: str):
     )
 
 
+def q_event_props_stats(sf_dir: str):
+    """Semi-structured ingest: the integer field `k` extracted from
+    the events' JSON `props` payload with one vectorized RE2 kernel
+    (stages/text.py::extract_json_int), then aggregated per event
+    type — (event_type, n, sum_k, min_k, max_k)."""
+    from .stages.text import extract_json_int
+    from .store.dataset import bucketed_group_map
+
+    ev = extract_json_int(
+        _read(sf_dir, "events", ["event_type", "props"]), "props", "k"
+    )
+
+    def partial(df):
+        g = df.groupby("event_type", sort=False)["k"]
+        out = g.agg(n="count", sum_k="sum", min_k="min", max_k="max")
+        return out.reset_index()
+
+    def final(df):
+        g = df.groupby("event_type", sort=False)
+        out = pd.DataFrame(
+            {
+                "n": g["n"].sum(),
+                "sum_k": g["sum_k"].sum(),
+                "min_k": g["min_k"].min(),
+                "max_k": g["max_k"].max(),
+            }
+        ).reset_index()
+        for c in ("n", "sum_k", "min_k", "max_k"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_group_map(
+        ev.select_columns(["event_type", "k"]),
+        ["event_type"],
+        final,
+        partial_fn=partial,
+        num_buckets=8,
+    )
+
+
 def q_events_zorder(sf_dir: str):
     """Z-order clustering key over (user_id, hour): the Morton
     interleave that makes one file sort prune scans on BOTH

@@ -784,3 +784,28 @@ def perceptron_scores(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         score, fn_kwargs={"ref": ref}, batch_format="pyarrow"
     )
+
+
+def extract_json_int(
+    ds: ray.data.Dataset,
+    col: str,
+    key: str,
+    out_col: "str | None" = None,
+) -> ray.data.Dataset:
+    """Typed field extraction from a JSON-string column: pull integer
+    ``key`` out of ``col`` into ``out_col`` (null when the key is
+    absent/non-integer) — the semi-structured-ingest primitive for
+    event `props`-style payloads. One vectorized RE2 kernel per batch
+    (no per-row json.loads); nested objects are out of scope — feed
+    those through a real parser stage."""
+    import re as _re
+
+    out = out_col or key
+    pat = f'"{_re.escape(key)}"\\s*:\\s*(?P<v>-?\\d+)'
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch[col], pat)
+        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return batch.append_column(out, v)
+
+    return ds.map_batches(extract, batch_format="pyarrow")

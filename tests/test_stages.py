@@ -1123,6 +1123,23 @@ class TestCorpusStats:
                 fractions=(("a", 10_000), ("b", 0)),
             )
 
+    def test_extract_json_int(self, ray_session):
+        from ontograph_ray.stages.text import extract_json_int
+
+        rows = [
+            {"i": 0, "p": '{"k": 42}'},
+            {"i": 1, "p": '{"k": -7, "z": 1}'},
+            {"i": 2, "p": '{"other": 3}'},   # absent → null
+            {"i": 3, "p": '{"k": "str"}'},   # non-int → null
+        ]
+        out = {
+            r["i"]: r["k"]
+            for r in extract_json_int(
+                ray.data.from_items(rows), "p", "k"
+            ).take_all()
+        }
+        assert out == {0: 42, 1: -7, 2: None, 3: None}
+
     def test_merge_intervals_hand_computed(self, ray_session):
         from ontograph_ray.stages.windows import merge_intervals
 
