@@ -109,6 +109,13 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "customer_percentiles",
     "user_retention_cohorts",
+    "bm25_topk",
+    "collocations_top",
+    "lineitem_cov",
+    "user_activity_islands",
+    "snapshot_diff",
+    "docs_sorted_neighborhood",
+    "ann_topk_ivfpq",
     # part_triangles is NOT timed for the same reason as
     # kg_sameas_salted: at sf0.1 the support>=2 co-purchase graph is
     # near-empty (1 triangle), so its wall is ~7 exchanges of fixed
