@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": q.q_cms_user_counts,
         "lineitem_unpivot": q.q_lineitem_unpivot,
         "snapshot_diff": q.q_snapshot_diff,
+        "orders_quality_report": q.q_orders_quality_report,
         "hll_distinct": q.q_hll_distinct,
         "dedup_exact": q.q_dedup_exact,
         "curate_corpus": q.q_curate_corpus,

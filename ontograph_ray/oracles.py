@@ -686,6 +686,29 @@ SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
         "kmv_distinct": _fx("kmv_distinct"),
         "cms_user_counts": _cms_sql(),
         "events_zorder": _zorder_sql(),
+        # constraint audit over the deterministically corrupted orders
+        "orders_quality_report": """
+WITH base AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN NULL
+              WHEN o_orderkey % 83 = 0 THEN 10000000 + o_orderkey
+              ELSE o_custkey END AS o_custkey
+  FROM orders),
+bad AS (SELECT * FROM base
+        UNION ALL SELECT * FROM base WHERE o_orderkey % 97 = 0)
+SELECT 'unique:o_orderkey' AS rule,
+       CAST(COALESCE((SELECT SUM(n - 1) FROM
+             (SELECT COUNT(*) AS n FROM bad GROUP BY o_orderkey) t
+             WHERE n > 1), 0) AS BIGINT) AS violations
+UNION ALL
+SELECT 'not_null:o_custkey',
+       CAST((SELECT COUNT(*) FROM bad WHERE o_custkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'fk:o_custkey',
+       CAST((SELECT COUNT(*) FROM bad b
+             LEFT JOIN customer c ON c.c_custkey = b.o_custkey
+             WHERE b.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+            AS BIGINT)""",
         # snapshot diff: rebuild the mutated "next crawl" and FULL
         # OUTER JOIN on the key
         "snapshot_diff": """

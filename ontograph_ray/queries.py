@@ -239,6 +239,42 @@ def q_brand_revenue(sf_dir: str):
     return bucketed_group_map(joined, ["p_brand"], final, num_buckets=8, partial_fn=partial)
 
 
+def q_orders_quality_report(sf_dir: str):
+    """Constraint audit (store/dataset.py::constraint_report): UNIQUE /
+    NOT NULL / FOREIGN KEY rules over a deterministically corrupted
+    orders snapshot (dup keys at %97, nulled custkeys at %89, orphan
+    custkeys at %83), so every rule reports a nonzero, SQL-verified
+    violation count — the ingest gate a pipeline runs before
+    promoting a snapshot."""
+    from .store.dataset import constraint_report
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False).astype("float64")
+        c = np.where(k % 83 == 0, 10_000_000 + k, c)
+        null_mask = k % 89 == 0
+        vals = np.where(null_mask, 0, c).astype("int64")
+        base = pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "o_custkey": pa.array(vals, pa.int64(), mask=null_mask),
+            }
+        )
+        dup = base.filter(pa.array(k % 97 == 0))
+        return pa.concat_tables([base, dup])
+
+    bad = orders.map_batches(corrupt, batch_format="pyarrow")
+    return constraint_report(
+        bad,
+        unique=["o_orderkey"],
+        not_null=["o_custkey"],
+        foreign_keys=[("o_custkey", cust, "c_custkey")],
+    )
+
+
 def q_snapshot_diff(sf_dir: str):
     """Snapshot diff (store/dataset.py::table_diff): documents vs a
     deterministically mutated next crawl — doc_id%7==0 removed,

@@ -1206,3 +1206,98 @@ def grouping_sets_count(
         num_buckets=num_buckets,
         partial_fn=partial,
     )
+
+
+def constraint_report(
+    ds: "ray.data.Dataset",
+    unique: "list[str] | None" = None,
+    not_null: "list[str] | None" = None,
+    foreign_keys: "list[tuple[str, ray.data.Dataset, str]] | None" = None,
+    num_buckets: int = DEDUP_BUCKETS_DEFAULT,
+) -> "ray.data.Dataset":
+    """Data-quality constraint audit (the Deequ/dbt-tests shape):
+    evaluate declared UNIQUE / NOT NULL / FOREIGN KEY rules over a
+    table → one ``(rule, violations)`` row per rule (0 = holds). The
+    ingest gate a continuous pipeline runs before promoting a
+    snapshot.
+
+    Physical plans per rule kind: NOT NULL = per-block null counts
+    summed (no exchange); UNIQUE = per-block (key, n) combiner → one
+    key-bucketed exchange summing n and counting keys with n > 1
+    (violations = extra occurrences, n − 1 summed); FOREIGN KEY = the
+    referenced side's distinct keys through ONE bucketed anti-join,
+    violations = orphan rows. Nothing materializes on the driver but
+    the per-rule counters."""
+    import pandas as pd
+
+    rules: list[tuple[str, int]] = []
+
+    for col in not_null or []:
+        def nn(batch, col=col):
+            import pyarrow as _pa
+
+            return _pa.table(
+                {"v": _pa.array([int(batch[col].null_count)], _pa.int64())}
+            )
+
+        total = sum(
+            r["v"]
+            for r in ds.select_columns([col])
+            .map_batches(nn, batch_format="pyarrow")
+            .take_all()
+        )
+        rules.append((f"not_null:{col}", int(total)))
+
+    for col in unique or []:
+        def partial(df, col=col):
+            if not len(df):
+                return pd.DataFrame(columns=[col, "n"])
+            return df.groupby(col, sort=False).size().rename("n").reset_index()
+
+        def per_bucket(df, col=col):
+            if not len(df):
+                return pd.DataFrame({"v": pd.Series(dtype="int64")})
+            s = df.groupby(col, sort=False)["n"].sum()
+            extra = int((s[s > 1] - 1).sum())
+            return pd.DataFrame({"v": pd.Series([extra], dtype="int64")})
+
+        total = sum(
+            r["v"]
+            for r in bucketed_group_map(
+                ds.select_columns([col]), [col], per_bucket,
+                num_buckets=num_buckets, partial_fn=partial,
+            ).take_all()
+        )
+        rules.append((f"unique:{col}", int(total)))
+
+    for col, dim, dim_key in foreign_keys or []:
+        keys = distinct_on(
+            _proj_renamed(dim, dim_key, col), [col]
+        )
+
+        def drop_nulls(df, col=col):
+            return df[df[col].notna()]
+
+        # SQL FK semantics: NULL references don't violate (they're the
+        # NOT NULL rule's business)
+        probe = ds.select_columns([col]).map_batches(
+            drop_nulls, batch_format="pandas"
+        )
+        orphans = hash_join(probe, keys, on=[col], how="anti").count()
+        rules.append((f"fk:{col}", int(orphans)))
+
+    import pandas as pd
+
+    out = pd.DataFrame(rules, columns=["rule", "violations"])
+    out["violations"] = out["violations"].astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def _proj_renamed(ds: "ray.data.Dataset", src: str, dst: str) -> "ray.data.Dataset":
+    if src == dst:
+        return ds.select_columns([src])
+
+    def rn(df):
+        return df[[src]].rename(columns={src: dst})
+
+    return ds.map_batches(rn, batch_format="pandas")

@@ -1123,6 +1123,30 @@ class TestCorpusStats:
                 fractions=(("a", 10_000), ("b", 0)),
             )
 
+    def test_constraint_report_hand_computed(self, ray_session):
+        from ontograph_ray.store.dataset import constraint_report
+
+        dim = ray.data.from_items([{"ck": 1}, {"ck": 2}, {"ck": 3}])
+        rows = [
+            {"k": 1, "ck": 1},
+            {"k": 1, "ck": 2},      # dup k (1 extra)
+            {"k": 1, "ck": 2},      # dup k (another extra)
+            {"k": 2, "ck": None},   # null ck (not a FK violation)
+            {"k": 3, "ck": 99},     # orphan
+            {"k": 4, "ck": 3},
+        ]
+        out = {
+            r["rule"]: r["violations"]
+            for r in constraint_report(
+                ray.data.from_items(rows).repartition(3),
+                unique=["k"],
+                not_null=["ck"],
+                foreign_keys=[("ck", dim, "ck")],
+                num_buckets=4,
+            ).take_all()
+        }
+        assert out == {"unique:k": 2, "not_null:ck": 1, "fk:ck": 1}
+
     def test_extract_json_int(self, ray_session):
         from ontograph_ray.stages.text import extract_json_int
 
