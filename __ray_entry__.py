@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_bind_if": q.q_sparql_bind_if,
         "sparql_langmatches": q.q_sparql_langmatches,
         "sparql_bind_substr": q.q_sparql_bind_substr,
+        "sparql_group_by_bind": q.q_sparql_group_by_bind,
         "sparql_bind_strbefore": q.q_sparql_bind_strbefore,
         "sparql_bind_replace": q.q_sparql_bind_replace,
         "sparql_filter_strstarts": q.q_sparql_filter_strstarts,

@@ -361,6 +361,12 @@ SELECT subject AS c,
        '"' || regexp_replace(regexp_extract(object, '^"([^"]*)"', 1),
                              '[AEIOU]', '#', 'g') || '"' AS x
 FROM t WHERE predicate = '<{SEGMENT}>'""",
+        # GROUP BY over a BIND alias (first letter of the segment)
+        "sparql_group_by_bind": f"""{_T}
+SELECT '"' || substr(regexp_extract(object, '^"([^"]*)"', 1), 1, 1) || '"' AS pre,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM t WHERE predicate = '<{SEGMENT}>'
+GROUP BY pre""",
         # SAMPLE = deterministic min term per group
         "sparql_sample": f"""{_T}
 SELECT object AS n, min(subject) AS one, COUNT(*) AS members

@@ -3216,6 +3216,25 @@ def q_sparql_bind_replace(sf_dir: str):
     )
 
 
+def q_sparql_group_by_bind(sf_dir: str):
+    """E8 composition: GROUP BY over a BIND alias (binds run after the
+    joins, before aggregation, so computed columns group like pattern
+    variables) — customers counted per segment first letter."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        SELECT ?pre (COUNT(*) AS ?n) WHERE {{
+          ?c <{SEGMENT}> ?seg .
+          BIND ( SUBSTR(?seg, 1, 1) AS ?pre )
+        }} GROUP BY ?pre
+        """,
+    )
+
+
 def q_sparql_sample(sf_dir: str):
     """E8 extension: SAMPLE aggregate — deterministic engine, so
     SAMPLE is pinned to the min term (a valid sample under the spec's
