@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q.q_snapshot_diff,
         "orders_quality_report": q.q_orders_quality_report,
         "hll_distinct": q.q_hll_distinct,
+        "distinct_users_by_type": q.q_distinct_users_by_type,
         "dedup_exact": q.q_dedup_exact,
         "curate_corpus": q.q_curate_corpus,
         "curate_full": q.q_curate_full,

@@ -758,6 +758,7 @@ SELECT l_orderkey, l_linenumber, 'l_discount',
         "pq_codes": _fx("pq_codes"),
         "entity_sssp": _fx("entity_sssp"),
         "perceptron_filter": _fx("perceptron_filter"),
+        "distinct_users_by_type": _fx("hll_grouped"),
         "multimodal_features": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/multimodal_features_n200.parquet')"
         ),

@@ -347,6 +347,21 @@ def q_cms_user_counts(sf_dir: str):
     )
 
 
+def q_distinct_users_by_type(sf_dir: str):
+    """Per-group HyperLogLog: approximate COUNT(DISTINCT user_id)
+    GROUP BY event_type with register arrays as the exchange payload
+    (stages/sketch.py::hll_grouped) — order-invariant max-merge, so
+    the approximate counts are deterministic and fixture-oracled."""
+    from .stages.sketch import hll_grouped
+
+    return hll_grouped(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type",
+        "user_id",
+        p=10,
+    )
+
+
 def q_kmv_distinct(sf_dir: str):
     """KMV cardinality sketch over documents.text. Deterministic
     (crc32+splitmix64, no RNG), so the estimate is pinned exactly by an

@@ -415,3 +415,59 @@ def cms_estimate(
             "est_count": pd.Series(ests, dtype="int64"),
         }
     )
+
+
+def hll_grouped(
+    ds: ray.data.Dataset,
+    group_col: str,
+    col: str,
+    p: int = 10,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Per-GROUP HyperLogLog distinct counts → (group, est) — the
+    sketch-as-aggregate form (approximate COUNT(DISTINCT x) GROUP BY
+    g) whose exchange carries 2^p-int register arrays per (block,
+    group) instead of raw values. Registers merge by elementwise max
+    (commutative/idempotent) and the estimator is the same
+    pinned-order float evaluation as the global sketch, so the
+    approximate per-group counts are deterministic at any layout and
+    carry an exact fixture twin. Partitioning assumption: the number
+    of distinct GROUPS per block is modest (the per-block partial
+    loops per group present)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = 1 << p
+        rows_g, rows_r = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            regs = np.zeros(m, dtype=np.int64)
+            h = _hash_series(sub[col])
+            idx = (h >> np.uint64(64 - p)).astype(np.int64)
+            rem = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            rho = np.where(rem != 0, _clz64(rem) + 1, 64 - p + 1)
+            np.maximum.at(regs, idx, rho)
+            rows_g.append(g)
+            rows_r.append(regs.tolist())
+        return pd.DataFrame({group_col: rows_g, "regs": rows_r})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_e = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            regs = np.zeros(1 << p, dtype=np.int64)
+            for r in sub["regs"]:
+                np.maximum(regs, np.asarray(r, dtype=np.int64), out=regs)
+            out_g.append(g)
+            out_e.append(hll_estimate([int(v) for v in regs]))
+        return pd.DataFrame(
+            {group_col: out_g, "est": pd.Series(out_e, dtype="int64")}
+        )
+
+    from ..store.dataset import bucketed_group_map
+
+    return bucketed_group_map(
+        ds.select_columns([group_col, col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        [group_col],
+        merge,
+        num_buckets=num_buckets,
+    )

@@ -614,6 +614,54 @@ def gen_entity_hits(sf_dir: str = DEFAULT_SF, iters: int = 5) -> str:
     return f"{path}: {len(nodes)} nodes, {len(edges)} directed edges"
 
 
+def gen_hll_grouped(sf_dir: str = DEFAULT_SF, p: int = 10) -> str:
+    """Independent per-group HyperLogLog twin of
+    stages/sketch.py::hll_grouped + q_distinct_users_by_type: one
+    register array per event_type over crc32+splitmix64(str(user_id)),
+    the same pinned-order float estimator as gen_hll_distinct."""
+    m = 1 << p
+    mask = (1 << 64) - 1
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    regs: dict = {}
+    for et, uid in zip(
+        ev["event_type"].to_pylist(), ev["user_id"].to_pylist()
+    ):
+        r = regs.setdefault(et, [0] * m)
+        h = splitmix64_py(zlib.crc32(str(uid).encode()))
+        idx = h >> (64 - p)
+        rem = (h << p) & mask
+        rho = (64 - rem.bit_length() + 1) if rem else (64 - p + 1)
+        if rho > r[idx]:
+            r[idx] = rho
+    out_g, out_e = [], []
+    for et in sorted(regs):
+        r = regs[et]
+        alpha = 0.7213 / (1 + 1.079 / m)
+        s = 0.0
+        for v in r:
+            s += 2.0 ** (-v)
+        e = alpha * m * m / s
+        if e <= 2.5 * m:
+            v0 = sum(1 for v in r if v == 0)
+            if v0:
+                e = m * math.log(m / v0)
+        out_g.append(et)
+        out_e.append(int(round(e)))
+    path = _path("hll_grouped", sf_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(out_g, pa.string()),
+                "est": pa.array(out_e, pa.int64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(out_g)} groups"
+
+
 def gen_perceptron_filter(sf_dir: str = DEFAULT_SF, epochs: int = 5) -> str:
     """Plain-Python twin of stages/text.py::perceptron_train/scores +
     q_perceptron_filter: the 4 integer quality features rebuilt with
@@ -1295,6 +1343,7 @@ GENERATORS = {
     "pq_codes": gen_pq_codes,
     "entity_sssp": gen_entity_sssp,
     "perceptron_filter": gen_perceptron_filter,
+    "hll_grouped": gen_hll_grouped,
     "simhash_pairs_h2": gen_simhash_pairs,
     "minhash_dedup": gen_minhash_dedup,
     "ngram_jaccard": gen_ngram_jaccard,

@@ -471,6 +471,35 @@ class TestWinnowing:
         assert fps1 & fps2
 
 
+class TestHllGrouped:
+    def test_accuracy_and_layout_invariance(self, ray_session):
+        from ontograph_ray.stages.sketch import hll_grouped
+
+        rng = np.random.default_rng(3)
+        rows = []
+        truth = {"a": 400, "b": 50, "c": 3}
+        for g, n in truth.items():
+            ids = rng.choice(n * 10, size=n, replace=False)
+            for u in ids:
+                for _ in range(rng.integers(1, 4)):  # repeats collapse
+                    rows.append({"g": g, "u": int(u)})
+        ds = ray.data.from_items(rows)
+        a = {
+            r["g"]: r["est"]
+            for r in hll_grouped(ds, "g", "u", p=10, num_buckets=4).take_all()
+        }
+        b = {
+            r["g"]: r["est"]
+            for r in hll_grouped(
+                ds.repartition(7), "g", "u", p=10, num_buckets=4
+            ).take_all()
+        }
+        assert a == b  # max-merge is order-invariant
+        for g, n in truth.items():
+            # p=10 → ~3.3% stderr; generous 5σ bound, exact-ish small n
+            assert abs(a[g] - n) <= max(3, int(0.2 * n)), (g, a[g], n)
+
+
 class TestSketch:
     def test_kmv_accuracy_and_determinism(self, ray_session):
         """KMV estimate within the k-MV error envelope of the exact
