@@ -17,6 +17,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .bcast import cached_get
+
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 # BPE-ish token pattern: word pieces or single non-space symbols.
@@ -367,9 +369,7 @@ def classifier_score(
     w_ref = ray.put(w)
 
     def score(batch: pa.Table, w_ref=None) -> pa.Table:
-        wts = _MODEL_CACHE.get(w_ref.hex())
-        if wts is None:
-            wts = _MODEL_CACHE[w_ref.hex()] = ray.get(w_ref)
+        wts = cached_get(_MODEL_CACHE, w_ref)
         feats = _classifier_features(batch["text"])
         s = wts @ feats + bias
         return pa.table(
@@ -706,9 +706,7 @@ def perceptron_train(
     mref = ray.put(mean)
 
     def center(batch: pa.Table, mref=None) -> pa.Table:
-        m = _MODEL_CACHE.get(mref.hex())
-        if m is None:
-            m = _MODEL_CACHE[mref.hex()] = ray.get(mref)
+        m = cached_get(_MODEL_CACHE, mref)
         cols = {"doc_id": batch["doc_id"], "y": batch["y"]}
         for j in range(n_feat):
             cols[f"f{j}"] = pc.subtract(
@@ -725,9 +723,7 @@ def perceptron_train(
         ref = ray.put({"w": w.copy(), "b": b})
 
         def partial(batch: pa.Table, ref=None) -> pa.Table:
-            m = _MODEL_CACHE.get(ref.hex())
-            if m is None:
-                m = _MODEL_CACHE[ref.hex()] = ray.get(ref)
+            m = cached_get(_MODEL_CACHE, ref)
             x = np.stack(
                 [
                     batch[f"f{j}"].to_numpy(zero_copy_only=False)
@@ -768,9 +764,7 @@ def perceptron_scores(
     ref = ray.put({"w": w, "b": b, "mean": mean})
 
     def score(batch: pa.Table, ref=None) -> pa.Table:
-        m = _MODEL_CACHE.get(ref.hex())
-        if m is None:
-            m = _MODEL_CACHE[ref.hex()] = ray.get(ref)
+        m = cached_get(_MODEL_CACHE, ref)
         x = _classifier_features(batch["text"]) - m["mean"][:, None]
         s = m["w"] @ x + m["b"]
         return pa.table(
