@@ -217,33 +217,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified
-    # first — keys absent from CORRECTNESS_r02.json (never checked by a
-    # driver run: the whole SPARQL family, BPE, k-core, line/span
-    # dedup, …) lead; the 50 keys r02 already verified trail.
-    rotated = {k: v for k, v in registry.items() if k not in _DRIVER_VERIFIED_R02}
+    # first. The verified set is read from every CORRECTNESS_r*.json
+    # present at the repo root (union of all prior driver runs), so the
+    # rotation stays fresh each round without a hand-maintained list.
+    verified = _driver_verified_keys()
+    rotated = {k: v for k, v in registry.items() if k not in verified}
     rotated.update(registry)
     return rotated
 
 
-# keys green in CORRECTNESS_r02.json (driver gate, round 2)
-_DRIVER_VERIFIED_R02 = frozenset(
-    {
-        "triples_from_tables", "match_all", "match_first", "delete_matches",
-        "add_unchecked_dedup", "add_checked_atomic", "delete_unchecked_antijoin",
-        "size", "distinct_predicates", "term_accessors", "validate_triples",
-        "turtle_roundtrip", "get_individuals_filtered",
-        "pivot_individuals_summary", "individuals_flat", "kg_extract_text",
-        "kg_mentions", "kg_triples", "kg_sameas_components", "kg_sameas_salted",
-        "entity_pagerank", "kg_node_degrees", "sample_hash", "kmv_distinct",
-        "hll_distinct", "dedup_exact", "curate_corpus", "curate_full",
-        "fingerprint_groups", "token_stats", "text_quality_counts", "lang_id",
-        "ann_topk", "ann_topk_ivf", "ann_topk_lsh", "minhash_dedup",
-        "ngram_jaccard", "simhash_pairs", "embedding_near_dup",
-        "kmeans_clusters", "bloom_seen", "chunk_documents", "events_lag",
-        "overlapping_sessions", "lineitem_rank", "lang_by_source",
-        "orders_rollup", "length_outliers", "source_mix", "semdedup",
-    }
-)
+def _driver_verified_keys() -> frozenset[str]:
+    """Union of keys green in any prior round's CORRECTNESS_r*.json.
+
+    A key counts as verified only if its row-count check passed and it
+    raised no error — failed/errored keys rotate back to the front so
+    the next driver gate re-checks them.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    keys: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                results = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for key, res in results.items():
+            if isinstance(res, dict) and res.get("rows_match") and not res.get("err"):
+                keys.add(key)
+    return frozenset(keys)
 
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
