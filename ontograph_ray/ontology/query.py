@@ -28,6 +28,8 @@ filter the pivoted structs.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyarrow as pa
 
@@ -39,6 +41,13 @@ from .. import triples as tr
 from ..store.dataset import DatasetGraphStore
 from ..terms import new_resource_term, term_value
 from .resources import pivot_individual
+
+# Largest candidate-subject set shipped as a ray.put broadcast; above
+# this the semi-join runs as a bucketed hash_join exchange instead
+# (env-tunable so tests can force the distributed path with 0).
+BROADCAST_MAX_SUBJECTS = int(
+    os.environ.get("ONTOGRAPH_BROADCAST_MAX_SUBJECTS", 2_000_000)
+)
 
 _R = new_resource_term
 
@@ -190,15 +199,30 @@ def get_individuals_dataset(
     reference's k+1 store round-trips."""
     graph_rows = store.dataset
     if filters:
-        cands = candidate_subjects(store, filters, num_buckets)
-        subjects = {r["subject"] for r in cands.take_all()}
-        subjects_ref = ray.put(subjects)
-        graph_rows = graph_rows.map_batches(
-            _SemiJoinSubjects,
-            fn_constructor_args=(subjects_ref,),
-            batch_format="pandas",
-            concurrency=(1, 4),
-        )
+        cands = candidate_subjects(store, filters, num_buckets).materialize()
+        if cands.count() <= BROADCAST_MAX_SUBJECTS:
+            subjects = {r["subject"] for r in cands.take_all()}
+            subjects_ref = ray.put(subjects)
+            graph_rows = graph_rows.map_batches(
+                _SemiJoinSubjects,
+                fn_constructor_args=(subjects_ref,),
+                batch_format="pandas",
+                concurrency=(1, 4),
+            )
+        else:
+            # Non-selective filter (e.g. `? rdf:type <commonClass>`):
+            # the candidate set would blow the driver/worker heap as a
+            # broadcast, so semi-join it distributed instead — one
+            # bucketed exchange, never collected anywhere.
+            from ..store.dataset import hash_join
+
+            graph_rows = hash_join(
+                graph_rows,
+                cands,
+                on=tr.SUBJECT,
+                how="semi",
+                num_buckets=num_buckets,
+            )
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

@@ -641,10 +641,18 @@ def collocations(
         out["lift_bp"] = pd.Series(lift, index=df.index, dtype="int64")
         return out
 
-    scored = surv.map_batches(score, batch_format="pandas").to_pandas()
-    scored = scored.sort_values(
-        ["lift_bp", "w1", "w2"], ascending=[False, True, True], kind="stable"
-    ).head(k)
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["lift_bp", "w1", "w2"], ascending=[False, True, True], kind="stable"
+        ).head(k)
+
+    # Per-block partial top-k (fuses into the score map — each block
+    # ships at most k rows), then an O(k·blocks) driver merge: the
+    # survivor table itself never lands on the driver.
+    parts = surv.map_batches(score, batch_format="pandas").map_batches(
+        partial_topk, batch_format="pandas"
+    ).to_pandas()
+    scored = partial_topk(parts)
     return ray.data.from_pandas(scored.reset_index(drop=True))
 
 

@@ -71,6 +71,27 @@ def test_or_and_mixed(ray_session, corpus):
     assert _uris(ds) == sorted(i.uri for i in corpus.get_individuals(f))
 
 
+def test_filters_via_distributed_semi_join(ray_session, corpus, monkeypatch):
+    """Bound=0 forces the hash_join fallback: same results as the
+    broadcast path on every filter shape."""
+    import ontograph_ray.ontology.query as Q
+
+    monkeypatch.setattr(Q, "BROADCAST_MAX_SUBJECTS", 0)
+    filters = [
+        TripleFilter()
+        .and_with_class("http://abc.com#type2")
+        .and_with_class("http://abc.com#type3"),
+        TripleFilter()
+        .and_with_class("http://abc.com#type2")
+        .and_with_object_property("http://abc.com#prop2", "http://abc.com#indiv1")
+        .or_with_class("http://abc.com#type3")
+        .and_with_data_property("http://abc.com#dataprop2", L.xsd_integer(42)),
+    ]
+    for f in filters:
+        ds = get_individuals_dataset(_dstore(corpus), f, num_partitions=2, num_buckets=4)
+        assert _uris(ds) == sorted(i.uri for i in corpus.get_individuals(f))
+
+
 def test_struct_contents(ray_session, corpus):
     ds = get_individuals_dataset(_dstore(corpus), None, num_partitions=2, num_buckets=4)
     rows = {r["uri"]: r for r in ds.take_all()}
