@@ -36,37 +36,55 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-class _PartialTopK:
-    """Actor stage: per-batch exact top-k against the broadcast query
-    matrix (normalized once per actor)."""
+# Per-worker cache of dereferenced (and pre-transformed) broadcast
+# sides — the ANN stages are task-pool map_batches (stateless-cheap
+# setup: one cached ray.get), NOT actor pools: at bench scale an actor
+# pool's spin-up dominates these small scans, and at 100 TB the task
+# form schedules strictly more flexibly for the same broadcast cost.
+_ANN_CACHE: dict = {}
 
-    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
-        q = ray.get(queries_ref)
-        self.qids = np.asarray(q["ids"])
-        self.qmat = _normalize(np.asarray(q["vecs"], dtype=np.float64)).T  # d × nq
-        self.k = k
-        self.id_col = id_col
-        self.vec_col = vec_col
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _normalize(_as_matrix(batch, self.vec_col))  # n × d
-        ids = np.asarray(batch[self.id_col].to_pylist())
-        sims = mat @ self.qmat  # n × nq
-        k = min(self.k, sims.shape[0])
-        top = np.argpartition(-sims, kth=k - 1, axis=0)[:k]  # k × nq
-        out_q, out_id, out_score = [], [], []
-        for qi in range(sims.shape[1]):
-            rows = top[:, qi]
-            out_q.extend([int(self.qids[qi])] * len(rows))
-            out_id.extend(ids[rows].tolist())
-            out_score.extend(sims[rows, qi].astype(float).tolist())
+def _prep_query_side(q):
+    return (
+        np.asarray(q["ids"]),
+        _normalize(np.asarray(q["vecs"], dtype=np.float64)).T,  # d × nq
+    )
+
+
+def _partial_topk(
+    batch: pa.Table, ref=None, k: int = 10, id_col: str = "", vec_col: str = ""
+) -> pa.Table:
+    """Per-batch exact top-k against the broadcast query matrix
+    (normalized once per worker via the bounded cache)."""
+    from .bcast import cached_get
+
+    qids, qmat = cached_get(_ANN_CACHE, ref, _prep_query_side)
+    mat = _normalize(_as_matrix(batch, vec_col))  # n × d
+    ids = np.asarray(batch[id_col].to_pylist())
+    sims = mat @ qmat  # n × nq
+    kk = min(k, sims.shape[0])
+    if not kk:
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                self.id_col: pa.array(out_id, pa.int64()),
-                "score": pa.array(out_score, pa.float64()),
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
             }
         )
+    top = np.argpartition(-sims, kth=kk - 1, axis=0)[:kk]  # k × nq
+    out_q, out_id, out_score = [], [], []
+    for qi in range(sims.shape[1]):
+        rows = top[:, qi]
+        out_q.extend([int(qids[qi])] * len(rows))
+        out_id.extend(ids[rows].tolist())
+        out_score.extend(sims[rows, qi].astype(float).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "score": pa.array(out_score, pa.float64()),
+        }
+    )
 
 
 def brute_force_topk(
@@ -76,18 +94,16 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    concurrency=(1, 8),
 ) -> pd.DataFrame:
     """Exact cosine top-k. Returns a pandas DataFrame
     (query_id, vec_id, score) with k rows per query, deterministic
     ordering (score desc, then vec_id asc for ties)."""
     queries_ref = ray.put({"ids": list(query_ids), "vecs": np.asarray(query_vecs)})
     partial = emb_ds.map_batches(
-        _PartialTopK,
-        fn_constructor_args=(queries_ref, k, id_col, vec_col),
+        _partial_topk,
+        fn_kwargs={"ref": queries_ref, "k": k, "id_col": id_col, "vec_col": vec_col},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
     )
     df = partial.to_pandas()  # ≤ k · n_queries · n_blocks rows — small
     df = df.sort_values(
@@ -139,40 +155,42 @@ def ivf_topk(
     probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]  # nq × nprobe
     probe_ref = ray.put({"ids": list(query_ids), "vecs": qn, "probe": probe})
 
-    class ProbedTopK:
-        def __init__(self):
-            q = ray.get(probe_ref)
-            self.qids, self.qmat, self.probe = q["ids"], q["vecs"], q["probe"]
-            self.centroids = ray.get(cref)
-            self.k = k
+    def probed_topk(batch: pa.Table, ref=None, cref=None) -> pa.Table:
+        from .bcast import cached_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            raw = _as_matrix(batch, vec_col)
-            m = _normalize(raw)
-            ids = np.asarray(batch[id_col].to_pylist())
-            assign = _assign(_quantize(raw, scale_bits), self.centroids)
-            out_q, out_id, out_score = [], [], []
-            for qi, qid in enumerate(self.qids):
-                mask = np.isin(assign, self.probe[qi])
-                if not mask.any():
-                    continue
-                sims = m[mask] @ self.qmat[qi]
-                sub_ids = ids[mask]
-                kk = min(self.k, len(sims))
-                rows = np.argpartition(-sims, kth=kk - 1)[:kk]
-                out_q.extend([int(qid)] * kk)
-                out_id.extend(sub_ids[rows].tolist())
-                out_score.extend(sims[rows].astype(float).tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    id_col: pa.array(out_id, pa.int64()),
-                    "score": pa.array(out_score, pa.float64()),
-                }
-            )
+        q = cached_get(_ANN_CACHE, ref)
+        qids, qmat, probes = q["ids"], q["vecs"], q["probe"]
+        centroids = cached_get(_ANN_CACHE, cref)
+        raw = _as_matrix(batch, vec_col)
+        m = _normalize(raw)
+        ids = np.asarray(batch[id_col].to_pylist())
+        assign = _assign(_quantize(raw, scale_bits), centroids)
+        out_q, out_id, out_score = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(assign, probes[qi])
+            if not mask.any():
+                continue
+            sims = m[mask] @ qmat[qi]
+            sub_ids = ids[mask]
+            kk = min(k, len(sims))
+            rows = np.argpartition(-sims, kth=kk - 1)[:kk]
+            out_q.extend([int(qid)] * kk)
+            out_id.extend(sub_ids[rows].tolist())
+            out_score.extend(sims[rows].astype(float).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "score": pa.array(out_score, pa.float64()),
+            }
+        )
 
-    partial = emb_ds.map_batches(ProbedTopK, batch_format="pyarrow", batch_size=4096,
-                                 concurrency=(1, 8))
+    partial = emb_ds.map_batches(
+        probed_topk,
+        fn_kwargs={"ref": probe_ref, "cref": cref},
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
     df = partial.to_pandas()
     df = df.sort_values(
         ["query_id", "score", id_col], ascending=[True, False, True], kind="stable"
@@ -210,59 +228,65 @@ def ivfpq_topk(
     ASC); the final exact re-rank tie-breaks (score DESC, id ASC) —
     bit-identical at any block layout, twin-verified.
 
-    Scale shape: training = 1 coarse fit + m residual-subspace fits
-    (sample-able); ONE residual pass (materialized — the size of the
-    input, spillable), ONE encode pass, then the candidate scan
+    Scale shape: training = 1 coarse fit + ONE fused PQ fit (all m
+    subspace Lloyd loops advance per exchange — or per bounded driver
+    gather in the small regime), all over ONE shared quantized table;
+    ONE integer residual pass (materialized — the size of the input,
+    spillable), then the encode fuses into the candidate scan, which
     touches only the (id, cluster, m codes) table — ~20 bytes/vector
     instead of 4·d — with per-block partial top-``rerank`` combiners;
     the exact re-rank fetches rerank×nq true vectors via one
     pushed-down is_in filter."""
     from .cluster import (
+        _fsl_matrix,
         _assign,
         _get_cached,
-        _quantize,
+        _pq_assign_q,
+        _pq_train_q,
+        _prep_quantized,
         kmeans_fixed_point,
-        pq_assign,
-        pq_train,
     )
 
     scale_bits = 16
     S = 1 << scale_bits
+    # one quantize pass shared by the coarse fit and the residual pass
+    prepped = _prep_quantized(emb_ds, scale_bits, id_col, vec_col)
     coarse = kmeans_fixed_point(
         emb_ds, k=n_clusters, iters=kmeans_iters, scale_bits=scale_bits,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, prepped=prepped,
     )
     cref = ray.put(coarse)
 
     def residuals(batch: pa.Table, cref=None) -> pa.Table:
         c = _get_cached(cref)
-        xq = _quantize(_as_matrix(batch, vec_col), scale_bits)
+        xq = (
+            _fsl_matrix(batch["q"])
+            if batch.num_rows
+            else np.empty((0, c.shape[1]), dtype=np.int64)
+        )
         a = _assign(xq, c) if len(xq) else np.array([], dtype=np.int64)
-        # residual kept exactly: int64 / 2^bits is integer-valued in
-        # float64 (|r| ≪ 2^53), and the PQ trainer's rint(·2^bits)
-        # round-trips it bit-for-bit
-        r = (xq - c[a]).astype(np.float64) / S
+        # the residual stays exact int64 — the float round-trip the
+        # per-subspace trainer needed (int/2^bits → rint(·2^bits)) is
+        # the identity, so feeding the integers directly is the same
+        r = xq - c[a]
+        d = xq.shape[1]
+        flat = pa.array(r.reshape(-1), pa.int64())
         return pa.table(
             {
-                id_col: pc.cast(batch[id_col], pa.int64()),
+                id_col: batch[id_col],
                 "cluster": pa.array(a, pa.int64()),
-                vec_col: pa.array(r.tolist(), pa.list_(pa.float64())),
+                "q": pa.FixedSizeListArray.from_arrays(flat, d),
             }
         )
 
     res_ds = (
-        emb_ds.select_columns([id_col, vec_col])
-        .map_batches(residuals, fn_kwargs={"cref": cref}, batch_format="pyarrow")
+        prepped.map_batches(
+            residuals, fn_kwargs={"cref": cref}, batch_format="pyarrow"
+        )
         .materialize()
     )
-    books = pq_train(
-        res_ds, m=m, k=pq_k, iters=pq_iters, scale_bits=scale_bits,
-        id_col=id_col, vec_col=vec_col,
-    )
-    codes = pq_assign(
-        res_ds, books, scale_bits=scale_bits, id_col=id_col, vec_col=vec_col,
-        keep_cols=["cluster"],
-    ).materialize()
+    books = _pq_train_q(res_ds, m=m, k=pq_k, iters=pq_iters, id_col=id_col)
+    codes = _pq_assign_q(res_ds, books, id_col=id_col, keep_cols=["cluster"])
 
     sub = books.shape[2]
     qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
@@ -280,48 +304,45 @@ def ivfpq_topk(
                 luts[qi, pi, j] = np.einsum("kd,kd->k", diff, diff)
     scan_ref = ray.put({"probe": probe, "luts": luts})
 
-    class PqScan:
-        def __init__(self):
-            s = ray.get(scan_ref)
-            self.probe, self.luts = s["probe"], s["luts"]
+    def pq_scan(batch: pa.Table, ref=None) -> pa.Table:
+        from .bcast import cached_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            cl = batch["cluster"].to_numpy(zero_copy_only=False)
-            code = np.stack(
-                [
-                    batch[f"code_{j}"].to_numpy(zero_copy_only=False)
-                    for j in range(m)
-                ],
-                axis=1,
-            )
-            out_q, out_id, out_d = [], [], []
-            for qi in range(nq):
-                for pi, c in enumerate(self.probe[qi]):
-                    mask = cl == c
-                    if not mask.any():
-                        continue
-                    cm = code[mask]
-                    dist = np.zeros(len(cm), dtype=np.int64)
-                    for j in range(m):
-                        dist += self.luts[qi, pi, j][cm[:, j]]
-                    sub_ids = ids[mask]
-                    r = min(rerank, len(dist))
-                    # partial top-r by (dist ASC, id ASC)
-                    order = np.lexsort((sub_ids, dist))[:r]
-                    out_q.extend([qi] * r)
-                    out_id.extend(sub_ids[order].tolist())
-                    out_d.extend(dist[order].tolist())
-            return pa.table(
-                {
-                    "qi": pa.array(out_q, pa.int64()),
-                    id_col: pa.array(out_id, pa.int64()),
-                    "dist": pa.array(out_d, pa.int64()),
-                }
-            )
+        s = cached_get(_ANN_CACHE, ref)
+        probes, luts_b = s["probe"], s["luts"]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cl = batch["cluster"].to_numpy(zero_copy_only=False)
+        code = np.stack(
+            [batch[f"code_{j}"].to_numpy(zero_copy_only=False) for j in range(m)],
+            axis=1,
+        )
+        out_q, out_id, out_d = [], [], []
+        for qi in range(nq):
+            for pi, c in enumerate(probes[qi]):
+                mask = cl == c
+                if not mask.any():
+                    continue
+                cm = code[mask]
+                dist = np.zeros(len(cm), dtype=np.int64)
+                for j in range(m):
+                    dist += luts_b[qi, pi, j][cm[:, j]]
+                sub_ids = ids[mask]
+                r = min(rerank, len(dist))
+                # partial top-r by (dist ASC, id ASC)
+                order = np.lexsort((sub_ids, dist))[:r]
+                out_q.extend([qi] * r)
+                out_id.extend(sub_ids[order].tolist())
+                out_d.extend(dist[order].tolist())
+        return pa.table(
+            {
+                "qi": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "dist": pa.array(out_d, pa.int64()),
+            }
+        )
 
     cand = codes.map_batches(
-        PqScan, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8)
+        pq_scan, fn_kwargs={"ref": scan_ref}, batch_format="pyarrow",
+        batch_size=8192,
     ).to_pandas()
     cand = cand.sort_values(
         ["qi", "dist", id_col], ascending=[True, True, True], kind="stable"
@@ -403,40 +424,38 @@ def lsh_topk(
         {"ids": list(query_ids), "qmat": qn, "probe": probe, "planes": planes}
     )
 
-    class LshTopK:
-        def __init__(self):
-            q = ray.get(ref)
-            self.qids, self.qmat, self.probe = q["ids"], q["qmat"], q["probe"]
-            self.planes = q["planes"]
-            self.k = k
+    def lsh_topk_scan(batch: pa.Table, ref=None) -> pa.Table:
+        from .bcast import cached_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_as_matrix(batch, vec_col))
-            ids = np.asarray(batch[id_col].to_pylist())
-            bits = (m @ self.planes) > 0
-            codes = (bits @ (1 << np.arange(self.planes.shape[1]))).astype(np.int64)
-            out_q, out_id, out_score = [], [], []
-            for qi, qid in enumerate(self.qids):
-                mask = np.isin(codes, self.probe[qi])
-                if not mask.any():
-                    continue
-                sims = m[mask] @ self.qmat[qi]
-                sub_ids = ids[mask]
-                kk = min(self.k, len(sims))
-                rows = np.argpartition(-sims, kth=kk - 1)[:kk]
-                out_q.extend([int(qid)] * kk)
-                out_id.extend(sub_ids[rows].tolist())
-                out_score.extend(sims[rows].astype(float).tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    id_col: pa.array(out_id, pa.int64()),
-                    "score": pa.array(out_score, pa.float64()),
-                }
-            )
+        q = cached_get(_ANN_CACHE, ref)
+        qids, qmat, probes, q_planes = q["ids"], q["qmat"], q["probe"], q["planes"]
+        m = _normalize(_as_matrix(batch, vec_col))
+        ids = np.asarray(batch[id_col].to_pylist())
+        bits = (m @ q_planes) > 0
+        codes = (bits @ (1 << np.arange(q_planes.shape[1]))).astype(np.int64)
+        out_q, out_id, out_score = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(codes, probes[qi])
+            if not mask.any():
+                continue
+            sims = m[mask] @ qmat[qi]
+            sub_ids = ids[mask]
+            kk = min(k, len(sims))
+            rows = np.argpartition(-sims, kth=kk - 1)[:kk]
+            out_q.extend([int(qid)] * kk)
+            out_id.extend(sub_ids[rows].tolist())
+            out_score.extend(sims[rows].astype(float).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "score": pa.array(out_score, pa.float64()),
+            }
+        )
 
     partial = emb_ds.map_batches(
-        LshTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+        lsh_topk_scan, fn_kwargs={"ref": ref}, batch_format="pyarrow",
+        batch_size=4096,
     )
     df = partial.to_pandas()
     df = df.sort_values(
@@ -645,37 +664,37 @@ def hard_negatives(
         }
     )
 
-    class MaskedTopK:
-        def __init__(self):
-            q = ray.get(q_ref)
-            self.qids, self.qmat, self.qlab = q["ids"], q["vecs"], q["labels"]
+    def masked_topk(batch: pa.Table, ref=None) -> pa.Table:
+        from .bcast import cached_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_as_matrix(batch, vec_col))
-            ids = np.asarray(batch[id_col].to_pylist())
-            labs = np.asarray(batch[label_col].to_pylist())
-            out_q, out_id, out_s = [], [], []
-            for qi, qid in enumerate(self.qids):
-                mask = labs != self.qlab[qi]
-                if not mask.any():
-                    continue
-                sims = m[mask] @ self.qmat[qi]
-                sub = ids[mask]
-                kk = min(k, len(sims))
-                rows = np.argpartition(-sims, kth=kk - 1)[:kk]
-                out_q.extend([int(qid)] * kk)
-                out_id.extend(sub[rows].tolist())
-                out_s.extend(sims[rows].astype(float).tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    id_col: pa.array(out_id, pa.int64()),
-                    "score": pa.array(out_s, pa.float64()),
-                }
-            )
+        q = cached_get(_ANN_CACHE, ref)
+        qids, qmat, qlab = q["ids"], q["vecs"], q["labels"]
+        m = _normalize(_as_matrix(batch, vec_col))
+        ids = np.asarray(batch[id_col].to_pylist())
+        labs = np.asarray(batch[label_col].to_pylist())
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = labs != qlab[qi]
+            if not mask.any():
+                continue
+            sims = m[mask] @ qmat[qi]
+            sub = ids[mask]
+            kk = min(k, len(sims))
+            rows = np.argpartition(-sims, kth=kk - 1)[:kk]
+            out_q.extend([int(qid)] * kk)
+            out_id.extend(sub[rows].tolist())
+            out_s.extend(sims[rows].astype(float).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
 
     partial = emb_ds.select_columns([id_col, vec_col, label_col]).map_batches(
-        MaskedTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+        masked_topk, fn_kwargs={"ref": q_ref}, batch_format="pyarrow",
+        batch_size=4096,
     )
     df = partial.to_pandas()
     df = df.sort_values(

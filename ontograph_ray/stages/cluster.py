@@ -47,6 +47,17 @@ __all__ = ["kmeans_fixed_point", "assign_clusters", "semdedup"]
 
 _CENTROID_CACHE: dict = {}
 
+# Driver small-regime bound for the fixed-point Lloyd fits: when the
+# quantized training table holds ≤ this many int64 cells (rows × dims,
+# ~64 MB at the default), gather it once and run the SAME integer
+# update loop locally — at small scale the cost of a k-means fit is
+# plan executions (one per iteration), not arithmetic. Every integer
+# op is associative/commutative, so both regimes produce bit-identical
+# centroids (pinned by TestKmeansDriverCutover). Above the bound the
+# distributed per-iteration combiner exchange runs — that is the
+# 100 TB path.
+KMEANS_DRIVER_MAX_CELLS = 8_000_000
+
 
 def _quantize(mat: np.ndarray, scale_bits: int) -> np.ndarray:
     return np.rint(np.asarray(mat, dtype=np.float64) * (1 << scale_bits)).astype(
@@ -94,23 +105,16 @@ def _get_cached(ref):
     return cached_get(_CENTROID_CACHE, ref)
 
 
-def kmeans_fixed_point(
+def _prep_quantized(
     emb_ds: ray.data.Dataset,
-    k: int = 8,
-    iters: int = 10,
-    scale_bits: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> np.ndarray:
-    """Fit k int64 fixed-point centroids; returns the (k, d) centroid
-    matrix. The quantized corpus is materialized once and re-scanned
-    per iteration (the object store spills it at scale — the
-    alternative, re-reading + re-quantizing from Parquet per round, is
-    the cheaper path when storage bandwidth beats spill volume; both
-    give identical results). Per iteration: broadcast centroids, one
-    combiner map emitting ≤ k (cluster, int64-sum-vector, count) rows
-    per block, tiny driver reduce. An empty cluster keeps its previous
-    centroid. Centroid update is exact integer floor division."""
+    scale_bits: int,
+    id_col: str,
+    vec_col: str,
+) -> ray.data.Dataset:
+    """Quantize the embedding column once → materialized ``(id, q)``
+    table with ``q`` a FixedSizeList<int64>. Shared by the coarse
+    kmeans fit, the fused PQ trainer and the IVF residual pass so the
+    corpus is scanned/quantized a single time."""
 
     def prep(batch: pa.Table) -> pa.Table:
         ids = pc.cast(batch[id_col], pa.int64())
@@ -120,14 +124,17 @@ def kmeans_fixed_point(
         vecs = pa.FixedSizeListArray.from_arrays(flat, d)
         return pa.table({id_col: ids, "q": vecs})
 
-    prepped = (
+    return (
         emb_ds.select_columns([id_col, vec_col])
         .map_batches(prep, batch_format="pyarrow")
         .materialize()
     )
 
-    # deterministic init: the k smallest-id vectors — per-block k-min
-    # combiner, global k-min on the tiny gather
+
+def _seed_kmin(prepped: ray.data.Dataset, k: int, id_col: str) -> np.ndarray:
+    """Deterministic init: the k smallest-id quantized vectors —
+    per-block k-min combiner, global k-min on the tiny gather."""
+
     def kmin(batch: pa.Table) -> pa.Table:
         if batch.num_rows <= k:
             return batch
@@ -139,7 +146,79 @@ def kmeans_fixed_point(
     seed_rows.sort(key=lambda r: r[id_col])
     if len(seed_rows) < k:
         raise ValueError(f"k={k} exceeds the corpus size {len(seed_rows)}")
-    cents = np.asarray([r["q"] for r in seed_rows[:k]], dtype=np.int64)
+    return np.asarray([r["q"] for r in seed_rows[:k]], dtype=np.int64)
+
+
+def _q_list_size(prepped: ray.data.Dataset) -> int:
+    """Dimensionality of the quantized ``q`` FixedSizeList column from
+    the dataset schema (no plan execution)."""
+    sch = prepped.schema()
+    return dict(zip(sch.names, sch.types))["q"].list_size
+
+
+def _gather_q(prepped: ray.data.Dataset, id_col: str):
+    """Materialized quantized table → (ids int64, (n, d) int64 matrix)
+    on the driver — only called under the KMEANS_DRIVER_MAX_CELLS
+    guard, so the gather is bounded by construction."""
+    tbls = [t for t in ray.get(prepped.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return np.array([], dtype=np.int64), np.empty((0, 1), dtype=np.int64)
+    tbl = pa.concat_tables(tbls).combine_chunks()
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    return ids, _fsl_matrix(tbl["q"])
+
+
+def _lloyd_local(mat: np.ndarray, ids: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """The driver-side twin of the distributed Lloyd loop: identical
+    integer seed (k smallest-id vectors), assignment, per-cluster int64
+    sums and floor-division update — integer ops are order-free, so the
+    result is bit-identical to the exchange form at any layout."""
+    if len(mat) < k:
+        raise ValueError(f"k={k} exceeds the corpus size {len(mat)}")
+    cents = mat[np.argsort(ids, kind="stable")[:k]].copy()
+    for _ in range(iters):
+        a = _assign(mat, cents)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, a, mat)
+        counts = np.bincount(a, minlength=len(cents)).astype(np.int64)
+        live = counts > 0
+        cents = cents.copy()
+        cents[live] = sums[live] // counts[live, None]
+    return cents
+
+
+def kmeans_fixed_point(
+    emb_ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 10,
+    scale_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prepped: "ray.data.Dataset | None" = None,
+    driver_max_cells: "int | None" = None,
+) -> np.ndarray:
+    """Fit k int64 fixed-point centroids; returns the (k, d) centroid
+    matrix. The quantized corpus is materialized once and re-scanned
+    per iteration (the object store spills it at scale — the
+    alternative, re-reading + re-quantizing from Parquet per round, is
+    the cheaper path when storage bandwidth beats spill volume; both
+    give identical results). Per iteration: broadcast centroids, one
+    combiner map emitting ≤ k (cluster, int64-sum-vector, count) rows
+    per block, tiny driver reduce. An empty cluster keeps its previous
+    centroid. Centroid update is exact integer floor division.
+    ``prepped``: pass an existing :func:`_prep_quantized` table (same
+    scale_bits) to skip the quantize pass. Below ``driver_max_cells``
+    (default :data:`KMEANS_DRIVER_MAX_CELLS`) the identical integer
+    loop runs locally on one bounded gather instead of one plan
+    execution per iteration; pass 0 to force the distributed form."""
+    if prepped is None:
+        prepped = _prep_quantized(emb_ds, scale_bits, id_col, vec_col)
+    bound = KMEANS_DRIVER_MAX_CELLS if driver_max_cells is None else driver_max_cells
+    d = _q_list_size(prepped)
+    if prepped.count() * d <= bound:
+        ids, mat = _gather_q(prepped, id_col)
+        return _lloyd_local(mat, ids, k, iters)
+    cents = _seed_kmin(prepped, k, id_col)
 
     for _ in range(iters):
         ref = ray.put(cents)
@@ -237,14 +316,19 @@ def pq_encode(
     bit-deterministic at any block layout — fixture-oracle-able via an
     independent plain-numpy twin.
 
-    Scale shape: training runs m small kmeans fits over ``train_ds``
-    (default: the corpus — at 100 TB pass a head/hash SAMPLE, the
-    standard PQ recipe; codebooks are k×(d/m) tiny either way); the
-    encode is ONE streaming pass with all m codebooks broadcast once
-    via ray.put."""
+    Scale shape: training is ONE fused fit — all m subspace Lloyd
+    loops advance together, one combiner exchange (or one bounded
+    driver gather in the small regime) per iteration instead of m
+    separate plan sequences; codebooks are k×(d/m) tiny either way.
+    At 100 TB pass a head/hash SAMPLE as ``train_ds``, the standard
+    PQ recipe. The encode is ONE streaming pass with all m codebooks
+    broadcast once via ray.put."""
+    if train_ds is None:
+        prepped = _prep_quantized(emb_ds, scale_bits, id_col, vec_col)
+        books = _pq_train_q(prepped, m=m, k=k, iters=iters, id_col=id_col)
+        return _pq_assign_q(prepped, books, id_col=id_col)
     books = pq_train(
-        train_ds if train_ds is not None else emb_ds,
-        m=m, k=k, iters=iters, scale_bits=scale_bits,
+        train_ds, m=m, k=k, iters=iters, scale_bits=scale_bits,
         id_col=id_col, vec_col=vec_col,
     )
     return pq_assign(
@@ -262,36 +346,108 @@ def pq_train(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Train the m per-subspace codebooks (see :func:`pq_encode`);
-    returns the (m, k, d/m) int64 codebook tensor."""
-    probe = train_ds.select_columns([vec_col]).limit(1).take_all()
-    if not probe:
+    returns the (m, k, d/m) int64 codebook tensor. Quantize → slice
+    commutes with slice → quantize, so training over one shared
+    quantized table is bit-identical to m independent fits over sliced
+    float datasets (pinned by TestPqFusedEquivalence)."""
+    prepped = _prep_quantized(train_ds, scale_bits, id_col, vec_col)
+    return _pq_train_q(prepped, m=m, k=k, iters=iters, id_col=id_col)
+
+
+def _pq_train_q(
+    prepped: ray.data.Dataset,
+    m: int,
+    k: int,
+    iters: int,
+    id_col: str,
+    driver_max_cells: "int | None" = None,
+) -> np.ndarray:
+    """Fused PQ trainer over a materialized quantized table (``q`` a
+    FixedSizeList<int64>; extra columns ignored): the m per-subspace
+    int64 Lloyd fits advance in lockstep — ONE broadcast of the
+    (m, k, d/m) codebook tensor and ONE combiner pass per iteration
+    (≤ m·k partial rows per block), instead of the m separate
+    plan-per-iteration fits this replaces. Subspaces never interact,
+    so each subspace's iteration sequence — and therefore the result —
+    is bit-identical to its standalone fit. The same driver small
+    regime as :func:`kmeans_fixed_point` applies below
+    ``driver_max_cells``."""
+    d = _q_list_size(prepped)
+    n = prepped.count()
+    if not n:
         raise ValueError("empty embedding dataset")
-    d = len(probe[0][vec_col])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
 
-    src = train_ds.select_columns([id_col, vec_col])
-    books = []
-    for j in range(m):
+    bound = KMEANS_DRIVER_MAX_CELLS if driver_max_cells is None else driver_max_cells
+    if n * d <= bound:
+        ids, mat = _gather_q(prepped, id_col)
+        return np.stack(
+            [
+                _lloyd_local(
+                    np.ascontiguousarray(mat[:, j * sub : (j + 1) * sub]),
+                    ids, k, iters,
+                )
+                for j in range(m)
+            ]
+        )
 
-        def slice_j(batch: pa.Table, j=j) -> pa.Table:
-            mat = _vec_matrix(batch, vec_col)[:, j * sub : (j + 1) * sub]
+    seed = _seed_kmin(prepped, k, id_col)  # (k, d) smallest-id vectors
+    books = np.stack(
+        [seed[:, j * sub : (j + 1) * sub].copy() for j in range(m)]
+    )  # (m, k, sub)
+
+    empty = pa.table(
+        {
+            "sub": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "sum": pa.array([], pa.list_(pa.int64())),
+            "count": pa.array([], pa.int64()),
+        }
+    )
+
+    for _ in range(iters):
+        ref = ray.put(books)
+
+        def partials(batch: pa.Table, ref=None) -> pa.Table:
+            cb = _get_cached(ref)
+            if not batch.num_rows:
+                return empty
+            xq = _fsl_matrix(batch["q"])
+            subs, clusters, sums_out, counts_out = [], [], [], []
+            for j in range(m):
+                xs = np.ascontiguousarray(xq[:, j * sub : (j + 1) * sub])
+                a = _assign(xs, cb[j])
+                sums = np.zeros((k, sub), dtype=np.int64)
+                np.add.at(sums, a, xs)
+                counts = np.bincount(a, minlength=k).astype(np.int64)
+                live = np.flatnonzero(counts)
+                subs.extend([j] * len(live))
+                clusters.extend(live.tolist())
+                sums_out.extend(sums[live].tolist())
+                counts_out.extend(counts[live].tolist())
             return pa.table(
                 {
-                    id_col: pc.cast(batch[id_col], pa.int64()),
-                    vec_col: pa.array(mat.tolist(), pa.list_(pa.float64())),
+                    "sub": pa.array(subs, pa.int64()),
+                    "cluster": pa.array(clusters, pa.int64()),
+                    "sum": pa.array(sums_out, pa.list_(pa.int64())),
+                    "count": pa.array(counts_out, pa.int64()),
                 }
             )
 
-        sub_ds = src.map_batches(slice_j, batch_format="pyarrow")
-        books.append(
-            kmeans_fixed_point(
-                sub_ds, k=k, iters=iters, scale_bits=scale_bits,
-                id_col=id_col, vec_col=vec_col,
-            )
-        )
-    return np.stack(books)  # (m, k, d/m) int64
+        rows = prepped.map_batches(
+            partials, fn_kwargs={"ref": ref}, batch_format="pyarrow"
+        ).take_all()
+        sums = np.zeros_like(books)
+        counts = np.zeros((m, k), dtype=np.int64)
+        for r in rows:
+            sums[r["sub"], r["cluster"]] += np.asarray(r["sum"], dtype=np.int64)
+            counts[r["sub"], r["cluster"]] += r["count"]
+        live = counts > 0
+        books = books.copy()
+        books[live] = sums[live] // counts[live][:, None]
+    return books
 
 
 def pq_assign(
@@ -327,6 +483,41 @@ def pq_assign(
     return emb_ds.select_columns(
         list(dict.fromkeys([id_col] + keep + [vec_col]))
     ).map_batches(encode, fn_kwargs={"ref": ref}, batch_format="pyarrow")
+
+
+def _pq_assign_q(
+    q_ds: ray.data.Dataset,
+    books: np.ndarray,
+    id_col: str,
+    keep_cols: "list[str] | None" = None,
+) -> ray.data.Dataset:
+    """:func:`pq_assign` over an already-quantized table (``q`` a
+    FixedSizeList<int64>) — same output schema, no re-quantization,
+    one streaming pass with the stacked codebooks broadcast once."""
+    m, _, sub = books.shape
+    ref = ray.put(np.asarray(books, dtype=np.int64))
+    keep = keep_cols or []
+
+    def encode(batch: pa.Table, ref=None) -> pa.Table:
+        cb = _get_cached(ref)
+        xq = (
+            _fsl_matrix(batch["q"])
+            if batch.num_rows
+            else np.empty((0, m * sub), dtype=np.int64)
+        )
+        cols = {id_col: batch[id_col]}
+        for c in keep:
+            cols[c] = batch[c]
+        for j in range(m):
+            a = (
+                _assign(np.ascontiguousarray(xq[:, j * sub : (j + 1) * sub]), cb[j])
+                if len(xq)
+                else np.array([], dtype=np.int64)
+            )
+            cols[f"code_{j}"] = pa.array(a, pa.int64())
+        return pa.table(cols)
+
+    return q_ds.map_batches(encode, fn_kwargs={"ref": ref}, batch_format="pyarrow")
 
 
 # auto-k regime: ~50k vectors per cluster (the SemDeDup paper's

@@ -2910,3 +2910,61 @@ class TestRankOver:
             .sort_values("id")
         )
         assert dense["rnk"].tolist() == [1, 1, 3, 2, 1]
+
+
+class TestKmeansDriverCutover:
+    """The driver small regime and the distributed exchange form of the
+    int64 Lloyd loop must be bit-identical (same integer ops, different
+    physical plan) — and the fused PQ trainer must reproduce the m
+    standalone per-subspace fits exactly."""
+
+    def _blob_ds(self, n=60, d=6, seed=11):
+        rng = np.random.default_rng(seed)
+        mat = rng.normal(0, 1.0, (n, d)) + rng.integers(0, 3, (n, 1)) * 4.0
+        ids = np.arange(n, dtype=np.int64)
+        return ray.data.from_pandas(
+            pd.DataFrame({"vec_id": ids, "embedding": list(map(list, mat))})
+        ).repartition(5)
+
+    def test_kmeans_driver_vs_distributed_bitwise(self, ray_session):
+        from ontograph_ray.stages.cluster import kmeans_fixed_point
+
+        ds = self._blob_ds()
+        local = kmeans_fixed_point(ds, k=4, iters=5)  # small → driver regime
+        dist = kmeans_fixed_point(ds, k=4, iters=5, driver_max_cells=0)
+        assert (local == dist).all()
+
+    def test_pq_fused_vs_per_subspace_bitwise(self, ray_session):
+        from ontograph_ray.stages.cluster import (
+            _pq_train_q,
+            _prep_quantized,
+            kmeans_fixed_point,
+        )
+
+        ds = self._blob_ds(n=40, d=6)
+        m, k, iters, sub = 3, 4, 4, 2
+        prepped = _prep_quantized(ds, 16, "vec_id", "embedding")
+        # fused trainer, both regimes
+        fused_local = _pq_train_q(prepped, m=m, k=k, iters=iters, id_col="vec_id")
+        fused_dist = _pq_train_q(
+            prepped, m=m, k=k, iters=iters, id_col="vec_id", driver_max_cells=0
+        )
+        assert (fused_local == fused_dist).all()
+        # the m standalone fits over sliced float datasets (the
+        # pre-fusion structure) — quantize→slice commutes with
+        # slice→quantize, so each book must match bit-for-bit
+        df = ds.to_pandas().sort_values("vec_id")
+        for j in range(m):
+            sliced = ray.data.from_pandas(
+                pd.DataFrame(
+                    {
+                        "vec_id": df["vec_id"].to_numpy(),
+                        "embedding": [
+                            list(v[j * sub : (j + 1) * sub])
+                            for v in df["embedding"]
+                        ],
+                    }
+                )
+            ).repartition(3)
+            book_j = kmeans_fixed_point(sliced, k=k, iters=iters)
+            assert (fused_local[j] == book_j).all()
