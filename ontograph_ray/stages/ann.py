@@ -533,8 +533,19 @@ def self_similarity_pairs(
     target_block_rows: int = 4096,
     coherent_blocks: bool = True,
     kmeans_iters: int = 2,
+    max_rows: int = 10_000_000,
 ) -> ray.data.Dataset:
     """All (a,b) corpus pairs with cosine ≥ threshold, a<b — EXACT.
+
+    SCOPE: exact all-pairs is O(n²) in the worst case (a corpus that
+    is one angular blob at the threshold defeats every pruning
+    strategy), so this op is bounded to ``max_rows`` input vectors
+    (default 10⁷ ≈ the single-digit-hours regime); a larger corpus
+    raises ValueError pointing at the approximate detectors
+    (:func:`lsh_topk`, :func:`ivfpq_topk`,
+    :func:`~ontograph_ray.stages.cluster.semdedup`) that scale to
+    100 TB. Pass ``max_rows=None`` only if you have verified the
+    corpus's cluster structure keeps the pruned pair grid tractable.
 
     Physical plan (no driver-side corpus materialization): vectors are
     normalized + packed to FixedSizeList float64 in one map_batches
@@ -578,6 +589,15 @@ def self_similarity_pairs(
     )
 
     n = blocks.count()
+    if max_rows is not None and n > max_rows:
+        raise ValueError(
+            f"self_similarity_pairs is an EXACT all-pairs op bounded to "
+            f"max_rows={max_rows} vectors (got {n}): worst-case O(n²) "
+            f"cannot finish at corpus scale. Use the approximate paths — "
+            f"lsh_topk / ivfpq_topk for retrieval, semdedup or "
+            f"minhash_dedup for near-dup detection — or raise max_rows "
+            f"explicitly if the corpus's cluster structure is known tight."
+        )
     if coherent_blocks and n > 4 * target_block_rows:
         from .cluster import _assign, _quantize, kmeans_fixed_point
 

@@ -313,6 +313,28 @@ class TestANN:
         }
         assert coh == brute
 
+    def test_self_similarity_scope_guard(self, ray_session):
+        """The exact all-pairs op refuses corpora above max_rows with a
+        pointer to the approximate paths; raising the bound (or passing
+        None) re-admits the same corpus with identical output."""
+        vecs = [
+            {"vec_id": i, "embedding": [1.0, float(i % 3), 0.0]} for i in range(8)
+        ]
+        ds = ray.data.from_items(vecs)
+        with pytest.raises(ValueError, match="max_rows=4 .*O\\(n²\\)|max_rows"):
+            ann.self_similarity_pairs(ds, threshold=0.99, max_rows=4)
+        bounded = {
+            (r["src_id"], r["dst_id"])
+            for r in ann.self_similarity_pairs(ds, threshold=0.99).take_all()
+        }
+        unbounded = {
+            (r["src_id"], r["dst_id"])
+            for r in ann.self_similarity_pairs(
+                ds, threshold=0.99, max_rows=None
+            ).take_all()
+        }
+        assert bounded == unbounded
+
 
 class TestMultimodal:
     def test_decode_features(self, ray_session):
