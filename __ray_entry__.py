@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_subquery": q.q_sparql_subquery,
         "sparql_update_modify": q.q_sparql_update_modify,
         "sparql_filter_or": q.q_sparql_filter_or,
+        "sparql_filter_bool_nested": q.q_sparql_filter_bool_nested,
+        "sparql_filter_arith": q.q_sparql_filter_arith,
         "sparql_bind_arith": q.q_sparql_bind_arith,
         "sparql_bind_concat": q.q_sparql_bind_concat,
         "sparql_bind_if": q.q_sparql_bind_if,

@@ -407,6 +407,25 @@ WHERE t1.predicate = '<{SEGMENT}>'
   AND (t1.object = '"BUILDING"' OR t1.object = '"MACHINERY"')
   AND CAST(regexp_extract(t2.object, '"([+-]?\\d+)"', 1) AS BIGINT) >= 0
   AND CAST(regexp_extract(t2.object, '"([+-]?\\d+)"', 1) AS BIGINT) < 900000""",
+        # full boolean FILTER grammar: (a || b) && (c || d) over mixed
+        # term-equality and numeric conditions
+        "sparql_filter_bool_nested": f"""{_T}
+SELECT t1.subject AS c, t1.object AS s, t2.object AS b
+FROM t t1 JOIN t t2 ON t2.subject = t1.subject
+WHERE t1.predicate = '<{SEGMENT}>'
+  AND t2.predicate = '<{ACCTBAL}>'
+  AND ( (t1.object = '"BUILDING"'
+         OR CAST(regexp_extract(t2.object, '"([+-]?\\d+)"', 1) AS BIGINT) < 0)
+    AND (t1.object = '"MACHINERY"'
+         OR CAST(regexp_extract(t2.object, '"([+-]?\\d+)"', 1) AS BIGINT) >= 500000) )""",
+        # computed numeric comparisons: BIND(?b*2 AS ?dbl),
+        # FILTER(?dbl > ?b + 500000 && ?b - 250000 <= 600000)
+        "sparql_filter_arith": f"""{_T}
+SELECT subject AS c, object AS b FROM (
+  SELECT subject, object,
+         CAST(regexp_extract(object, '"([+-]?\\d+)"', 1) AS BIGINT) AS v
+  FROM t WHERE predicate = '<{ACCTBAL}>')
+WHERE v * 2 > v + 500000 AND v - 250000 <= 600000""",
         # modify form: BUILDING segment literals rewritten
         "sparql_update_modify": f"""{_T}
 SELECT subject, predicate,

@@ -3721,3 +3721,51 @@ def q_tfidf_topk(sf_dir: str):
         ["join", "table", "window"],
         k=20,
     )
+
+
+def q_sparql_filter_bool_nested(sf_dir: str):
+    """E8 extension: full boolean FILTER grammar — arbitrary &&/||
+    nesting with SPARQL precedence, `(a || b) && (c || d)` over mixed
+    term-equality and numeric conditions, per-condition vectorized
+    masks combined with null→false error semantics at every level
+    (the reference's raw passthrough accepts these unchanged,
+    blazegraph_endpoint.go:176-244)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?c ?s ?b WHERE {{
+          ?c attr:mktsegment ?s .
+          ?c attr:acctbalCents ?b .
+          FILTER ( ( ?s = "BUILDING" || ?b < 0 )
+                   && ( ?s = "MACHINERY" || ?b >= 500000 ) )
+        }}
+        """,
+    )
+
+
+def q_sparql_filter_arith(sf_dir: str):
+    """E8 extension: computed numeric comparisons in FILTER —
+    `FILTER(?x > ?y + k)` between a BIND-computed alias and an
+    arithmetic expression over another variable, plus a computed-LHS
+    conjunct, on the integer decode kernels shared with BIND
+    arithmetic."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?c ?b WHERE {{
+          ?c attr:acctbalCents ?b .
+          BIND ( ?b * 2 AS ?dbl )
+          FILTER ( ?dbl > ?b + 500000 && ?b - 250000 <= 600000 )
+        }}
+        """,
+    )

@@ -74,13 +74,16 @@ silently misanswering):
       FILTER ( ?a = ?b | ?a != ?b )   (variable-to-variable term
                                       comparison, one column-vs-column
                                       kernel)
-      FILTER ( c1 || c2 || ... )      (one boolean operator kind per
-      FILTER ( c1 && c2 && ... )      FILTER over the simple conditions
-                                      above; || ORs the per-condition
-                                      masks with null→false error
-                                      semantics, && ≡ separate FILTERs;
-                                      mixing the two needs parentheses —
-                                      refused, split into FILTERs)
+      FILTER ( (c1 || c2) && c3 ... ) (full boolean expression grammar
+                                      over the simple conditions above:
+                                      arbitrary &&/|| nesting with
+                                      SPARQL precedence (&& tighter)
+                                      and parentheses; per-condition
+                                      vectorized masks combined with
+                                      null→false error semantics at
+                                      every level; a top-level AND is
+                                      flattened into separate streaming
+                                      filter masks)
       BIND ( expr AS ?alias )         (expr ∈ STR/LANG/DATATYPE(?v),
                                       COALESCE(...), ?v, ground term,
                                       or integer arithmetic a ⊕ b with
@@ -478,6 +481,32 @@ def parse(text: str) -> _Query:
         if head != "(":
             raise SparqlSyntaxError(f"expected ( or regex after FILTER, got {head!r}")
 
+        def _arith_operand():
+            # one operand of an integer FILTER expression: ?var | [-]int
+            t = take()
+            neg = t == "-"
+            if neg:
+                t = take()
+            if t.startswith("?"):
+                if neg:
+                    raise SparqlUnsupportedError(
+                        "unary minus before a ?variable in FILTER arithmetic"
+                    )
+                return t[1:]
+            if not t.isdigit():
+                raise SparqlSyntaxError(
+                    f"numeric FILTER needs an integer or ?variable, got {t!r}"
+                )
+            return -int(t) if neg else int(t)
+
+        def _arith_expr(first=None):
+            # expr := operand (('+'|'-'|'*') operand)? — represented as
+            # (aop|None, a, b|None) with operands int or bare var name
+            a = _arith_operand() if first is None else first
+            if peek() in ("+", "-", "*"):
+                return (take(), a, _arith_operand())
+            return (None, a, None)
+
         def parse_cond() -> tuple:
             # one simple condition, NOT consuming the FILTER's closing )
             var = take()
@@ -670,50 +699,95 @@ def parse(text: str) -> _Query:
             if not var.startswith("?"):
                 raise SparqlSyntaxError("FILTER needs a ?variable on the left")
             op = take()
+            cmp_keys = {"<": "lt", ">": "gt", "<=": "le", ">=": "ge",
+                        "=": "num_eq", "!=": "num_ne"}
+            if op in ("+", "-", "*"):
+                # computed LHS: ?a ⊕ t cmp expr — integer domain,
+                # evaluated on the BIND-arithmetic decode kernels
+                lexpr = (op, var[1:], _arith_operand())
+                cmp = take()
+                if cmp not in cmp_keys:
+                    raise SparqlSyntaxError(
+                        f"expected a comparison after FILTER arithmetic, "
+                        f"got {cmp!r}"
+                    )
+                return ("numcmp", (cmp_keys[cmp], lexpr, _arith_expr()), "")
             if op in ("<", ">", "<=", ">="):
                 # numeric comparison over xsd:integer typed literals;
-                # non-integer terms drop (the SPARQL type-error rule)
-                n = take()
-                neg = n == "-"
-                if neg:
-                    n = take()
-                if not n.isdigit():
-                    raise SparqlSyntaxError(
-                        f"numeric FILTER needs an integer, got {n!r}"
-                    )
-                key = {"<": "lt", ">": "gt", "<=": "le", ">=": "ge"}[op]
-                return (key, var[1:], -int(n) if neg else int(n))
+                # non-integer terms drop (the SPARQL type-error rule).
+                # RHS may be a computed expression (?b + 1) or ?var —
+                # those route to the two-sided numcmp kernel; a plain
+                # integer keeps the original single-column kernel
+                rexpr = _arith_expr()
+                if rexpr[0] is None and isinstance(rexpr[1], int):
+                    return (cmp_keys[op], var[1:], rexpr[1])
+                return (
+                    "numcmp",
+                    (cmp_keys[op], (None, var[1:], None), rexpr),
+                    "",
+                )
             if op not in ("=", "!="):
                 raise SparqlUnsupportedError(f"unsupported FILTER operator {op!r}")
-            val = _expand(take(), prefixes, "object")
+            nxt = take()
+            if peek() in ("+", "-", "*") and (
+                nxt.startswith("?") or nxt.isdigit()
+            ):
+                # computed RHS numeric equality: ?a = ?b + 1
+                first = nxt[1:] if nxt.startswith("?") else int(nxt)
+                rexpr = _arith_expr(first=first)
+                return (
+                    "numcmp",
+                    (cmp_keys[op], (None, var[1:], None), rexpr),
+                    "",
+                )
+            val = _expand(nxt, prefixes, "object")
             if val.startswith("?"):
                 # variable-to-variable term comparison: one vectorized
                 # column-vs-column kernel
                 return ("veq" if op == "=" else "vne", (var, val), "")
             return ("eq" if op == "=" else "ne", var[1:], val)
 
-        # one FILTER may combine several conditions with ONE boolean
-        # operator kind: `a || b || c` (an OR of the per-condition
-        # masks) or `a && b && c` (≡ separate FILTERs). Mixing the two
-        # in one FILTER would need precedence parentheses — refused;
-        # split into several FILTERs instead.
-        conds = [parse_cond()]
-        combiner = None
-        while peek() in ("||", "&&"):
-            c = take()
-            if combiner is not None and c != combiner:
-                raise SparqlUnsupportedError(
-                    "mixed && and || in one FILTER is not supported — "
-                    "split into separate FILTERs"
-                )
-            combiner = c
-            conds.append(parse_cond())
+        # full boolean expression grammar over the simple conditions
+        # (SPARQL 1.1 §17.2 ConditionalOrExpression — && binds tighter
+        # than ||, parens nest arbitrarily):
+        #   or_expr  := and_expr ('||' and_expr)*
+        #   and_expr := primary ('&&' primary)*
+        #   primary  := '(' or_expr ')' | condition
+        # represented as ("and"/"or", (children...), "") nodes over the
+        # flat condition tuples; cond_mask evaluates them recursively.
+        # A top-level AND list is flattened into separate filter entries
+        # (each its own vectorized mask, ANDed streaming — the same
+        # physical plan as multiple FILTER clauses).
+        def parse_primary() -> tuple:
+            if peek() == "(":
+                take()
+                e = parse_or()
+                if take() != ")":
+                    raise SparqlSyntaxError("expected ) closing FILTER group")
+                return e
+            return parse_cond()
+
+        def parse_and() -> tuple:
+            kids = [parse_primary()]
+            while peek() == "&&":
+                take()
+                kids.append(parse_primary())
+            return kids[0] if len(kids) == 1 else ("and", tuple(kids), "")
+
+        def parse_or() -> tuple:
+            kids = [parse_and()]
+            while peek() == "||":
+                take()
+                kids.append(parse_and())
+            return kids[0] if len(kids) == 1 else ("or", tuple(kids), "")
+
+        expr = parse_or()
         if take() != ")":
             raise SparqlSyntaxError("expected ) closing FILTER")
-        if combiner == "||" and len(conds) > 1:
-            filters.append(("or", tuple(conds), ""))
+        if expr[0] == "and":
+            filters.extend(expr[1])
         else:
-            filters.extend(conds)
+            filters.append(expr)
 
     optionals: list[_OptGroup] = []
     minus_groups: list[list[tuple[str, str, str]]] = []
@@ -1884,8 +1958,17 @@ def sparql_select(
             )
 
         def _all_fvars(op, v):
-            if op == "or":
+            if op in ("or", "and"):
                 return [x for c in v for x in _all_fvars(c[0], c[1])]
+            if op == "numcmp":
+                # (key, lexpr, rexpr) with exprs (aop, a, b); string
+                # operands are bare variable names
+                return [
+                    x
+                    for e in (v[1], v[2])
+                    for x in (e[1], e[2])
+                    if isinstance(x, str)
+                ]
             return _fvars(v)
 
         bad = [
@@ -1909,16 +1992,47 @@ def sparql_select(
         _acc = {"str": v_value, "lang": v_language, "dt": v_datatype}
 
         def cond_mask(batch: pa.Table, op, var, val):
-            if op == "or":
+            if op in ("or", "and"):
+                # SPARQL's error-handling for logical connectives
+                # (§17.2): an error operand yields false unless the
+                # other side forces the result — for FILTER purposes
+                # (where an error result also drops the row) that is
+                # exactly fill_null(False) per operand, at every
+                # nesting level
+                comb = pc.or_ if op == "or" else pc.and_
                 m = None
                 for c in var:
-                    cm = cond_mask(batch, *c)
-                    # SPARQL || treats an error (null) operand as false
-                    # unless the other side is true — fill_null(False)
-                    # before OR gives exactly that
-                    cm = pc.fill_null(cm, False)
-                    m = cm if m is None else pc.or_(m, cm)
+                    cm = pc.fill_null(cond_mask(batch, *c), False)
+                    m = cm if m is None else comb(m, cm)
                 return m
+            if op == "numcmp":
+                # two-sided integer comparison over computed expressions
+                # (FILTER(?a > ?b + 1)): decode xsd:integer lexical
+                # values exactly as BIND arithmetic does — non-integer
+                # or unbound terms → null → row dropped (or false under
+                # a boolean connective), SPARQL's type-error rule
+                key, lexpr, rexpr = var
+
+                def _ival(operand):
+                    if isinstance(operand, int):
+                        return pa.scalar(operand, pa.int64())
+                    lex = pc.struct_field(
+                        pc.extract_regex(batch[operand], int_lit_re), "v"
+                    )
+                    return pc.cast(lex, pa.int64())
+
+                def _ev(e):
+                    aop, a, b = e
+                    if aop is None:
+                        return _ival(a)
+                    return {
+                        "+": pc.add, "-": pc.subtract, "*": pc.multiply
+                    }[aop](_ival(a), _ival(b))
+
+                fn = {**num_ops, "num_eq": pc.equal, "num_ne": pc.not_equal}[
+                    key
+                ]
+                return fn(_ev(lexpr), _ev(rexpr))
             if op in ("veq", "vne"):
                 a, b = batch[var[0][1:]], batch[var[1][1:]]
                 return (pc.equal if op == "veq" else pc.not_equal)(a, b)

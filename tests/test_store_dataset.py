@@ -2133,6 +2133,117 @@ class TestSparqlFilterNumeric:
             )
 
 
+class TestSparqlFilterBoolExpr:
+    """Full boolean FILTER grammar ((a || b) && c with SPARQL
+    precedence) and computed numeric comparisons (?a > ?b + 1) — the
+    reference's E8 passthrough accepts both unchanged
+    (blazegraph_endpoint.go:176-244)."""
+
+    def _store(self):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import constants as C
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r = terms.new_resource_term
+        l = terms.new_literal_term
+        trps = []
+        for i, (a, b) in enumerate([(1, 5), (3, 1), (10, 2), (7, 7), (4, 2)]):
+            trps += [
+                new_triple(
+                    r(f"urn:s{i}"), r("urn:a"), l(str(a), datatype=C.XSD_INTEGER)
+                ),
+                new_triple(
+                    r(f"urn:s{i}"), r("urn:b"), l(str(b), datatype=C.XSD_INTEGER)
+                ),
+            ]
+        # s5 has a plain (untyped) literal ?a: numeric conditions on it
+        # are SPARQL type errors → false under any boolean connective
+        trps += [
+            new_triple(r("urn:s5"), r("urn:a"), l("100")),
+            new_triple(r("urn:s5"), r("urn:b"), l("1", datatype=C.XSD_INTEGER)),
+        ]
+        return DatasetGraphStore.from_triples("urn:g", trps)
+
+    def _q(self, ds, flt):
+        from ontograph_ray.store.sparql import sparql_select
+
+        out = sparql_select(
+            ds,
+            "SELECT ?s WHERE { ?s <urn:a> ?a . ?s <urn:b> ?b . "
+            f"FILTER ( {flt} ) }}",
+        ).to_pandas()
+        return sorted(out["s"].tolist()) if len(out) else []
+
+    def test_or_in_and(self, ray_session):
+        ds = self._store()
+        # (a>5 || a<2) && b<=5 — && binds the parenthesized OR
+        got = self._q(ds, "( ?a > 5 || ?a < 2 ) && ?b <= 5")
+        assert got == ["<urn:s0>", "<urn:s2>"]
+
+    def test_precedence_and_tighter_than_or(self, ray_session):
+        ds = self._store()
+        # a<2 || a>5 && b>5 ≡ a<2 || (a>5 && b>5) → s0, s3
+        got = self._q(ds, "?a < 2 || ?a > 5 && ?b > 5")
+        assert got == ["<urn:s0>", "<urn:s3>"]
+        # parens flip it: (a<2 || a>5) && b>5 → s3 only (s0 has b=5)
+        got = self._q(ds, "( ?a < 2 || ?a > 5 ) && ?b > 5")
+        assert got == ["<urn:s3>"]
+
+    def test_deep_nesting(self, ray_session):
+        ds = self._store()
+        got = self._q(
+            ds, "( ?a = ?b + 3 && ?b < 5 ) || ( ?a < 2 || ?b > 6 )"
+        )
+        assert got == ["<urn:s0>", "<urn:s3>"]
+
+    def test_computed_rhs(self, ray_session):
+        ds = self._store()
+        got = self._q(ds, "?a > ?b + 1")
+        assert got == ["<urn:s1>", "<urn:s2>", "<urn:s4>"]
+
+    def test_computed_lhs_and_var_var(self, ray_session):
+        ds = self._store()
+        assert self._q(ds, "?a * 2 > ?b") == [
+            "<urn:s1>", "<urn:s2>", "<urn:s3>", "<urn:s4>",
+        ]
+        # plain numeric var-var comparison (s5's plain-literal ?a is a
+        # type error → dropped)
+        assert self._q(ds, "?a < ?b") == ["<urn:s0>"]
+
+    def test_numeric_equality_forms(self, ray_session):
+        ds = self._store()
+        assert self._q(ds, "?a = ?b + 2") == ["<urn:s1>", "<urn:s4>"]
+        assert self._q(ds, "?a - 2 = ?b") == ["<urn:s1>", "<urn:s4>"]
+        # != numeric: everything except the equality set (s5 dropped —
+        # plain literal never numeric-compares)
+        assert self._q(ds, "?a != ?b + 2") == [
+            "<urn:s0>", "<urn:s2>", "<urn:s3>",
+        ]
+
+    def test_type_error_is_false_in_disjunct(self, ray_session):
+        ds = self._store()
+        # s5: ?a is a plain literal → ?a > 5 errors → false, but the
+        # other disjunct (?b <= 1) is true → row kept
+        got = self._q(ds, "?a > 5 || ?b <= 1")
+        assert got == ["<urn:s1>", "<urn:s2>", "<urn:s3>", "<urn:s5>"]
+        # under &&, the error side kills the row even when the other
+        # conjunct is true (s5's ?b <= 2 holds but ?a >= 3 errors)
+        got = self._q(ds, "?a >= 3 && ?b <= 2")
+        assert got == ["<urn:s1>", "<urn:s2>", "<urn:s4>"]
+
+    def test_unbalanced_group_raises(self, ray_session):
+        import pytest
+        from ontograph_ray.store.sparql import SparqlSyntaxError, sparql_select
+
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(
+                self._store(),
+                "SELECT ?s WHERE { ?s <urn:a> ?a . "
+                "FILTER ( ( ?a > 5 || ?a < 2 ) && }",
+            )
+
+
 class TestCrosstab:
     def test_counts_and_unknown_ignored(self, ray_session):
         import pandas as pd
