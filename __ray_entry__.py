@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q.q_multimodal_features,
         "audio_features": q.q_audio_features,
         "video_frame_features": q.q_video_frame_features,
+        "image_features_pgm": q.q_image_features_pgm,
+        "audio_features_wav": q.q_audio_features_wav,
+        "video_frames_y4m": q.q_video_frames_y4m,
         "decontaminate": q.q_decontaminate,
         "pii_scrub": q.q_pii_scrub,
         "pack_sequences": q.q_pack_sequences,

@@ -787,6 +787,17 @@ SELECT l_orderkey, l_linenumber, 'l_discount',
         "video_frame_features": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/video_frame_features_n150.parquet')"
         ),
+        # REAL-codec multimodal twins (PGM / RIFF-WAV / YUV4MPEG2) —
+        # independent byte-wise parsers in scripts/gen_fixtures.py
+        "image_features_pgm": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_pgm_n200.parquet')"
+        ),
+        "audio_features_wav": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/audio_features_wav_n200.parquet')"
+        ),
+        "video_frames_y4m": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/video_frames_y4m_n150.parquet')"
+        ),
         # WARC round-trip: rebuild the synthesized page html + the
         # second-granular WARC-Date timestamp in SQL (escape order &
         # then < then >, matching pipelines/pages._escape)

@@ -1733,6 +1733,56 @@ def q_multimodal_features(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "phash"])
 
 
+def q_image_features_pgm(sf_dir: str):
+    """REAL-codec image decode: binary PGM (Netpbm P5) payloads parsed
+    by the in-module pure-numpy parser (stages/multimodal.py::decode_pgm
+    — full header grammar incl. comments), features per image. Oracle
+    is an independent byte-wise twin that re-parses the header with its
+    own reader (scripts/gen_fixtures.py::gen_image_features_pgm)."""
+    from .stages.multimodal import decode_images, synthesize_media
+
+    ds = ray.data.from_arrow(synthesize_media(200, seed=1042, codec="pgm"))
+    out = decode_images(ds, codec="pgm")
+    return out.select_columns(["media_id", "width", "height", "phash"])
+
+
+def q_audio_features_wav(sf_dir: str):
+    """REAL-codec audio decode: RIFF/WAVE mono PCM16 payloads parsed
+    via stdlib ``wave`` (stages/multimodal.py::decode_wav); duration/
+    RMS/ZCR per clip, rounded to 9 dp (summation-order ulps vs the
+    plain-Python twin, same discipline as q_audio_features). Oracle
+    twin walks the RIFF chunks with its own struct-based reader
+    (scripts/gen_fixtures.py::gen_audio_features_wav)."""
+    from .stages.multimodal import featurize_audio, synthesize_audio
+
+    ds = ray.data.from_arrow(synthesize_audio(200, seed=1007, codec="wav"))
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        for col in ("duration_sec", "rms", "zero_crossing_rate"):
+            batch = batch.set_column(
+                batch.schema.get_field_index(col),
+                col,
+                pc.round(batch[col], ndigits=9),
+            )
+        return batch
+
+    return featurize_audio(ds, codec="wav").map_batches(
+        rounded, batch_format="pyarrow"
+    )
+
+
+def q_video_frames_y4m(sf_dir: str):
+    """REAL-codec video frame sampling: YUV4MPEG2 mono streams parsed
+    by the in-module parser (stages/multimodal.py::decode_y4m), every
+    3rd frame kept, ONE ROW PER SAMPLED FRAME with integer features —
+    exactly pinned by the independent FRAME-marker-splitting twin
+    (scripts/gen_fixtures.py::gen_video_frames_y4m)."""
+    from .stages.multimodal import sample_video_frames, synthesize_videos
+
+    ds = ray.data.from_arrow(synthesize_videos(150, seed=1009, codec="y4m"))
+    return sample_video_frames(ds, every_n=3, codec="y4m")
+
+
 # ---------------------------------------------------------------------------
 # Relational breadth (aggregate / join / window / sort+limit)
 # ---------------------------------------------------------------------------

@@ -255,6 +255,133 @@ def gen_audio_features(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     return f"{path}: {n} rows"
 
 
+def gen_image_features_pgm(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the REAL-codec PGM decode: re-parses the
+    binary-PGM (Netpbm P5) header with its own regex reader and hashes
+    the trailing w*h body bytes — no shared parsing code with
+    stages/multimodal.py::decode_pgm."""
+    import re
+
+    from ontograph_ray.stages.multimodal import encode_pgm_image  # encoder only
+
+    media_ids, widths, heights, phashes = [], [], [], []
+    for i in range(n):
+        w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4  # synthesize_media's shape
+        payload = encode_pgm_image(w, h, 1042 + i)
+        m = re.match(rb"P5\s+(?:#[^\n]*\n)*\s*(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        pw, ph, maxval = (int(g) for g in m.groups())
+        assert (pw, ph, maxval) == (w, h, 255)
+        body = payload[-(w * h) :]  # raw plane = trailing w*h bytes
+        media_ids.append(i)
+        widths.append(w)
+        heights.append(h)
+        phashes.append(int.from_bytes(hashlib.sha1(body).digest()[:8], "big"))
+    path = os.path.join(FIXTURES_DIR, "image_features_pgm_n200.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "phash": pa.array(phashes, pa.uint64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {n} rows"
+
+
+def gen_audio_features_wav(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the REAL-codec WAV decode: walks the RIFF
+    chunk list with its own struct-based reader (no stdlib ``wave``, no
+    shared code with stages/multimodal.py::decode_wav), then computes
+    duration/RMS/ZCR in plain Python."""
+    from ontograph_ray.stages.multimodal import encode_wav_audio  # encoder only
+
+    media_ids, durs, rmss, zcrs = [], [], [], []
+    for i in range(n):
+        sr = 8000
+        samples = sr * (1 + i % 3)  # synthesize_audio's shape
+        payload = encode_wav_audio(samples, sr, 1007 + i)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        pos, psr, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if cid == b"fmt ":
+                fmt_tag, nch = struct.unpack("<HH", payload[pos + 8 : pos + 12])
+                (psr,) = struct.unpack("<I", payload[pos + 12 : pos + 16])
+                (bits,) = struct.unpack("<H", payload[pos + 22 : pos + 24])
+                assert (fmt_tag, nch, bits) == (1, 1, 16)  # mono PCM16
+            elif cid == b"data":
+                data = payload[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        assert psr == sr and data is not None
+        pcm = struct.unpack(f"<{len(data) // 2}h", data)
+        assert len(pcm) == samples
+        x = [s / 32768.0 for s in pcm]
+        media_ids.append(i)
+        durs.append(round(len(pcm) / psr, 9))
+        rmss.append(round(math.sqrt(math.fsum(v * v for v in x) / len(x)), 9))
+        flips = sum(1 for a, b in zip(x[1:], x[:-1]) if (a < 0) != (b < 0))
+        zcrs.append(round(flips / (len(x) - 1), 9))
+    path = os.path.join(FIXTURES_DIR, "audio_features_wav_n200.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "duration_sec": pa.array(durs, pa.float64()),
+                "rms": pa.array(rmss, pa.float64()),
+                "zero_crossing_rate": pa.array(zcrs, pa.float64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {n} rows"
+
+
+def gen_video_frames_y4m(sf_dir: str = DEFAULT_SF, n: int = 150) -> str:
+    """Independent twin of the REAL-codec y4m frame sampling
+    (every_n=3): splits the stream on the FRAME markers and regex-
+    parses the header — no shared code with
+    stages/multimodal.py::decode_y4m. Plane-length asserts guard the
+    (astronomically unlikely, deterministic-seed) case of a marker
+    byte-sequence occurring inside a plane."""
+    import re
+
+    from ontograph_ray.stages.multimodal import encode_y4m_video  # encoder only
+
+    ids, idxs, sums, phashes = [], [], [], []
+    for i in range(n):
+        w, h = 8 + (i % 4) * 4, 8 + (i % 3) * 4  # synthesize_videos' shape
+        nf = 4 + i % 7
+        payload = encode_y4m_video(w, h, nf, 1009 + i)
+        header, *frames = payload.split(b"FRAME\n")
+        m = re.search(rb"W(\d+) H(\d+)", header)
+        assert (int(m.group(1)), int(m.group(2))) == (w, h)
+        assert b"Cmono" in header and len(frames) == nf
+        for fi in range(0, nf, 3):
+            frame = frames[fi]
+            assert len(frame) == w * h
+            ids.append(i)
+            idxs.append(fi)
+            sums.append(sum(frame))
+            phashes.append(int.from_bytes(hashlib.sha1(frame).digest()[:8], "big"))
+    path = os.path.join(FIXTURES_DIR, "video_frames_y4m_n150.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "pixel_sum": pa.array(sums, pa.int64()),
+                "phash": pa.array(phashes, pa.uint64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(ids)} rows"
+
+
 # -- independent MinHash / LSH / n-gram-Jaccard pipeline ---------------------
 # Plain-Python reimplementation of the whole near-dup chain (shingle →
 # minhash → banded LSH → candidates → exact-Jaccard verify → min-label
@@ -1367,6 +1494,9 @@ _SF_INDEPENDENT = {
         gen_video_frame_features,
         "video_frame_features_n150.parquet",
     ),
+    "image_features_pgm": (gen_image_features_pgm, "image_features_pgm_n200.parquet"),
+    "audio_features_wav": (gen_audio_features_wav, "audio_features_wav_n200.parquet"),
+    "video_frames_y4m": (gen_video_frames_y4m, "video_frames_y4m_n150.parquet"),
 }
 
 

@@ -392,6 +392,97 @@ class TestMultimodal:
             multimodal.VideoFrameSampler(codec="decord")
 
 
+class TestRealCodecs:
+    """REAL uncompressed container formats (PGM / RIFF-WAV / YUV4MPEG2)
+    decoded with no external libraries — round-trips, header-grammar
+    edge cases, and feature equality with the fake-codec path on the
+    same pixel/PCM content."""
+
+    def test_pgm_roundtrip_and_header_grammar(self):
+        img = multimodal.decode_pgm(multimodal.encode_pgm_image(20, 13, 5))
+        assert img.shape == (13, 20)
+        assert (img.flatten() == multimodal._image_pixels(20, 13, 5)).all()
+        # comments and mixed whitespace between header tokens
+        weird = (
+            b"P5 # c\n#another comment\n 20\t13\n255\n"
+            + multimodal._image_pixels(20, 13, 5).tobytes()
+        )
+        assert (multimodal.decode_pgm(weird) == img).all()
+        with pytest.raises(ValueError):
+            multimodal.decode_pgm(b"P6\n2 2\n255\n" + bytes(12))  # PPM not PGM
+        with pytest.raises(ValueError):
+            multimodal.decode_pgm(b"P5\n2 2\n65535\n" + bytes(8))  # 16-bit
+
+    def test_wav_roundtrip(self):
+        pcm, sr = multimodal.decode_wav(multimodal.encode_wav_audio(16000, 8000, 3))
+        assert sr == 8000
+        assert (pcm == multimodal._audio_pcm(16000, 3)).all()
+
+    def test_y4m_roundtrip_and_colorspace_guard(self):
+        v = multimodal.decode_y4m(multimodal.encode_y4m_video(12, 8, 5, 9))
+        assert v.shape == (5, 8, 12)
+        assert (v.flatten() == multimodal._video_planes(12, 8, 5, 9)).all()
+        with pytest.raises(ValueError):
+            multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + bytes(6))
+
+    def test_pgm_stage_matches_fake_codec_features(self, ray_session):
+        """Same (dims, seed) content through the real-PGM and the fake
+        stage must produce identical features — only the container
+        differs."""
+        real = multimodal.decode_images(
+            ray.data.from_arrow(multimodal.synthesize_media(20, codec="pgm")),
+            codec="pgm",
+        ).take_all()
+        fake = multimodal.decode_images(
+            ray.data.from_arrow(multimodal.synthesize_media(20))
+        ).take_all()
+        key = lambda rows: {r["media_id"]: r["phash"] for r in rows}
+        assert key(real) == key(fake)
+
+    def test_wav_stage_matches_fake_codec_features(self, ray_session):
+        real = multimodal.featurize_audio(
+            ray.data.from_arrow(multimodal.synthesize_audio(12, codec="wav")),
+            codec="wav",
+        ).take_all()
+        fake = multimodal.featurize_audio(
+            ray.data.from_arrow(multimodal.synthesize_audio(12))
+        ).take_all()
+        key = lambda rows: {r["media_id"]: (r["rms"], r["zero_crossing_rate"]) for r in rows}
+        assert key(real) == key(fake)
+
+    def test_y4m_stage_matches_fake_codec_features(self, ray_session):
+        real = multimodal.sample_video_frames(
+            ray.data.from_arrow(multimodal.synthesize_videos(9, codec="y4m")),
+            every_n=2,
+            codec="y4m",
+        ).take_all()
+        fake = multimodal.sample_video_frames(
+            ray.data.from_arrow(multimodal.synthesize_videos(9)), every_n=2
+        ).take_all()
+        key = lambda rows: {
+            (r["media_id"], r["frame_idx"]): (r["pixel_sum"], r["phash"])
+            for r in rows
+        }
+        assert key(real) == key(fake)
+
+    def test_resize_through_pgm(self, ray_session):
+        out = multimodal.resize_images(
+            ray.data.from_arrow(multimodal.synthesize_media(6, codec="pgm")),
+            target=4,
+            codec="pgm",
+        ).take_all()
+        assert len(out) == 6
+        assert all(len(r["thumb"]) == 16 for r in out)
+
+    def test_compressed_codecs_still_refused(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.ImageDecoder(codec="jpeg")
+        with pytest.raises(NotImplementedError):
+            multimodal.AudioFeaturizer(codec="ffmpeg")
+        with pytest.raises(NotImplementedError):
+            multimodal.VideoFrameSampler(codec="ffmpeg")
+
+
 class TestWinnowing:
     K, W = 5, 4
 
