@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_filter_or": q.q_sparql_filter_or,
         "sparql_filter_bool_nested": q.q_sparql_filter_bool_nested,
         "sparql_filter_arith": q.q_sparql_filter_arith,
+        "sparql_filter_regex": q.q_sparql_filter_regex,
         "sparql_bind_arith": q.q_sparql_bind_arith,
         "sparql_bind_concat": q.q_sparql_bind_concat,
         "sparql_bind_if": q.q_sparql_bind_if,

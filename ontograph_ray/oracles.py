@@ -426,6 +426,15 @@ SELECT subject AS c, object AS b FROM (
          CAST(regexp_extract(object, '"([+-]?\\d+)"', 1) AS BIGINT) AS v
   FROM t WHERE predicate = '<{ACCTBAL}>')
 WHERE v * 2 > v + 500000 AND v - 250000 <= 600000""",
+        # REGEX builtin over the lexical form (RE2 on both sides:
+        # pyarrow and DuckDB), flags via inline (?i) group, composed
+        # with ||/&& — nation/region @en labels
+        "sparql_filter_regex": f"""{_T}
+SELECT subject AS n, object AS l FROM (
+  SELECT subject, object, regexp_extract(object, '^"(.*)"', 1) AS lex
+  FROM t WHERE predicate = '<{C.RDFS_LABEL}>')
+WHERE regexp_matches(lex, '(?i)^nation_1')
+   OR (regexp_matches(lex, '_2[0-4]$') AND regexp_matches(lex, '^NAT'))""",
         # modify form: BUILDING segment literals rewritten
         "sparql_update_modify": f"""{_T}
 SELECT subject, predicate,

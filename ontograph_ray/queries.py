@@ -3819,3 +3819,28 @@ def q_sparql_filter_arith(sf_dir: str):
         }}
         """,
     )
+
+
+def q_sparql_filter_regex(sf_dir: str):
+    """E8 extension: the REGEX builtin — RE2 (pyarrow's and DuckDB's
+    shared regex engine) over the lexical form (T6 Value), with the
+    optional flags argument compiled to an inline (?i) group, fully
+    composable with the boolean FILTER grammar. The reference's raw
+    passthrough accepts REGEX unchanged (blazegraph_endpoint.go:
+    176-244); it is the highest-frequency FILTER builtin in real
+    SPARQL corpora."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?n ?l WHERE {
+          ?n rdfs:label ?l .
+          FILTER ( REGEX(?l, "^nation_1", "i") ||
+                   ( REGEX(?l, "_2[0-4]$") && REGEX(STR(?l), "^NAT") ) )
+        }
+        """,
+    )

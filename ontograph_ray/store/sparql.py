@@ -661,6 +661,46 @@ def parse(text: str) -> _Query:
                     val = val[1:-1]
                 key = {"STR": "str", "LANG": "lang", "DATATYPE": "dt"}[up]
                 return (f"{key}_{'eq' if bop == '=' else 'ne'}", v[1:], val)
+            if up == "REGEX":
+                # REGEX(?v, "pattern"[, "flags"]) — RE2 (the engine of
+                # both pyarrow and DuckDB) over the T6 Value kernel
+                # (lexical form for literals, the URI for resources).
+                # An explicit STR(?v) first argument is accepted with
+                # identical semantics. Flags: i / s / m, compiled into
+                # an inline (?ism) group.
+                if take() != "(":
+                    raise SparqlSyntaxError("expected ( after REGEX")
+                v = take()
+                if v.upper() == "STR":
+                    if take() != "(":
+                        raise SparqlSyntaxError("expected ( after STR")
+                    v = take()
+                    if take() != ")":
+                        raise SparqlSyntaxError("expected ) closing STR")
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError("REGEX needs a ?variable")
+                if take() != ",":
+                    raise SparqlSyntaxError("expected , in REGEX")
+                pat = take()
+                if not (pat.startswith('"') and pat.endswith('"')):
+                    raise SparqlSyntaxError('REGEX needs a plain "pattern"')
+                pat = pat[1:-1]
+                nxt = take()
+                if nxt == ",":
+                    fl = take()
+                    if not (fl.startswith('"') and fl.endswith('"')):
+                        raise SparqlSyntaxError('REGEX flags must be a "string"')
+                    fl = fl[1:-1]
+                    if set(fl) - set("ims"):
+                        raise SparqlUnsupportedError(
+                            f"REGEX flags {fl!r} not supported (i, m, s only)"
+                        )
+                    if fl:
+                        pat = f"(?{fl})" + pat
+                    nxt = take()
+                if nxt != ")":
+                    raise SparqlSyntaxError("expected ) closing REGEX")
+                return ("regex_val", v[1:], pat)
             if up == "COALESCE":
                 # COALESCE(?a, ?b, "default") cmp term — first bound
                 # argument (ground-term defaults allowed)
@@ -2069,6 +2109,11 @@ def sparql_select(
                 return pc.or_(
                     pc.equal(tag, val), pc.starts_with(tag, val + "-")
                 )
+            if op == "regex_val":
+                # REGEX builtin: RE2 match over the lexical form (T6
+                # Value); unbound → null → row dropped (or false under
+                # a boolean connective)
+                return pc.match_substring_regex(_acc["str"](col), val)
             if op in ("strstarts", "strends", "contains"):
                 lex = _acc["str"](col)
                 if op == "strstarts":

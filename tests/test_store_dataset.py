@@ -1486,6 +1486,64 @@ class TestSparqlExtensions:
                 'SELECT ?p WHERE { ?p <urn:name> ?n . FILTER ( STRLEN(?n) > "x" ) }',
             )
 
+    def test_filter_regex_builtin(self, ray_session):
+        from ontograph_ray import terms
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray.store.sparql import SparqlUnsupportedError
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:p1"), r("urn:name"), l("Alice", "en")),
+            new_triple(r("urn:p2"), r("urn:name"), l("bob", "fr")),
+            new_triple(r("urn:p3"), r("urn:name"), l("carol")),
+            new_triple(r("urn:p1"), r("urn:knows"), r("urn:p2")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        # REGEX over the lexical value (anchors, classes)
+        out = self._q(
+            ds,
+            'SELECT ?p WHERE { ?p <urn:name> ?n . FILTER ( REGEX(?n, "^[Aa]l") ) }',
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]
+        # flags argument: case-insensitive
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            'FILTER ( REGEX(?n, "^ALICE$", "i") ) }',
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]
+        # explicit STR(?v) first argument; REGEX on a resource tests
+        # the URI
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:knows> ?q . "
+            'FILTER ( REGEX(STR(?q), "p2$") ) }',
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]
+        # composes with the boolean grammar
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            'FILTER ( REGEX(?n, "ob$") || REGEX(?n, "^car") ) } ORDER BY ?p',
+        )
+        assert out["p"].tolist() == ["<urn:p2>", "<urn:p3>"]
+        # unbound (OPTIONAL) var under REGEX drops the row
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            "OPTIONAL { ?p <urn:knows> ?q } "
+            'FILTER ( REGEX(STR(?q), "p") ) }',
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]
+        # unsupported flags are refused, not misread
+        with pytest.raises(SparqlUnsupportedError):
+            self._q(
+                ds,
+                "SELECT ?p WHERE { ?p <urn:name> ?n . "
+                'FILTER ( REGEX(?n, "a", "x") ) }',
+            )
+
     def test_inverse_path(self, ray_session):
         ds = self._people()
         inv = self._q(
