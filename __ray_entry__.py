@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_filter_bool_nested": q.q_sparql_filter_bool_nested,
         "sparql_filter_arith": q.q_sparql_filter_arith,
         "sparql_filter_regex": q.q_sparql_filter_regex,
+        "sparql_filter_in": q.q_sparql_filter_in,
         "sparql_bind_arith": q.q_sparql_bind_arith,
         "sparql_bind_concat": q.q_sparql_bind_concat,
         "sparql_bind_if": q.q_sparql_bind_if,

@@ -435,6 +435,12 @@ SELECT subject AS n, object AS l FROM (
   FROM t WHERE predicate = '<{C.RDFS_LABEL}>')
 WHERE regexp_matches(lex, '(?i)^nation_1')
    OR (regexp_matches(lex, '_2[0-4]$') AND regexp_matches(lex, '^NAT'))""",
+        # [NOT] IN ground-term lists over SPARQL term equality
+        "sparql_filter_in": f"""{_T}
+SELECT subject AS c, object AS s FROM t
+WHERE predicate = '<{SEGMENT}>'
+  AND object IN ('"BUILDING"', '"MACHINERY"', '"FURNITURE"')
+  AND object NOT IN ('"FURNITURE"')""",
         # modify form: BUILDING segment literals rewritten
         "sparql_update_modify": f"""{_T}
 SELECT subject, predicate,

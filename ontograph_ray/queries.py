@@ -3844,3 +3844,25 @@ def q_sparql_filter_regex(sf_dir: str):
         }
         """,
     )
+
+
+def q_sparql_filter_in(sf_dir: str):
+    """E8 extension: FILTER [NOT] IN ground-term lists — SPARQL term
+    equality against a constant list as one vectorized is_in kernel
+    (unbound rows drop on both polarities). Reference passthrough
+    accepts IN unchanged (blazegraph_endpoint.go:176-244)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?c ?s WHERE {
+          ?c attr:mktsegment ?s .
+          FILTER ( ?s IN ("BUILDING", "MACHINERY", "FURNITURE") )
+          FILTER ( ?s NOT IN ("FURNITURE") )
+        }
+        """,
+    )

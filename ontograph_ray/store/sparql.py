@@ -739,6 +739,30 @@ def parse(text: str) -> _Query:
             if not var.startswith("?"):
                 raise SparqlSyntaxError("FILTER needs a ?variable on the left")
             op = take()
+            if op.upper() in ("IN", "NOT"):
+                # ?x [NOT] IN (term, ...) — SPARQL term equality against
+                # a ground-term list, one vectorized is_in kernel
+                neg = op.upper() == "NOT"
+                if neg and take().upper() != "IN":
+                    raise SparqlSyntaxError("expected IN after NOT in FILTER")
+                if take() != "(":
+                    raise SparqlSyntaxError("expected ( after IN")
+                items: list[str] = []
+                while True:
+                    t = take()
+                    if t == ")" and not items:
+                        break  # empty list is legal: IN () = false
+                    if t.startswith("?"):
+                        raise SparqlUnsupportedError(
+                            "variables in a FILTER IN list are not supported"
+                        )
+                    items.append(_expand(t, prefixes, "object"))
+                    nxt = take()
+                    if nxt == ")":
+                        break
+                    if nxt != ",":
+                        raise SparqlSyntaxError("expected , or ) in IN list")
+                return ("not_in" if neg else "in", var[1:], tuple(items))
             cmp_keys = {"<": "lt", ">": "gt", "<=": "le", ">=": "ge",
                         "=": "num_eq", "!=": "num_ne"}
             if op in ("+", "-", "*"):
@@ -2109,6 +2133,14 @@ def sparql_select(
                 return pc.or_(
                     pc.equal(tag, val), pc.starts_with(tag, val + "-")
                 )
+            if op in ("in", "not_in"):
+                # [NOT] IN over SPARQL term equality (encoded term
+                # strings); unbound → error → drop on BOTH polarities
+                # (is_in fills null→false, so NOT IN must re-drop)
+                m = pc.is_in(col, value_set=pa.array(list(val), pa.string()))
+                if op == "not_in":
+                    m = pc.and_(pc.invert(m), pc.is_valid(col))
+                return m
             if op == "regex_val":
                 # REGEX builtin: RE2 match over the lexical form (T6
                 # Value); unbound → null → row dropped (or false under

@@ -1544,6 +1544,63 @@ class TestSparqlExtensions:
                 'FILTER ( REGEX(?n, "a", "x") ) }',
             )
 
+    def test_filter_in_not_in(self, ray_session):
+        from ontograph_ray import terms
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray.store.sparql import SparqlUnsupportedError
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:p1"), r("urn:name"), l("Alice", "en")),
+            new_triple(r("urn:p2"), r("urn:name"), l("bob", "fr")),
+            new_triple(r("urn:p3"), r("urn:name"), l("carol")),
+            new_triple(r("urn:p1"), r("urn:knows"), r("urn:p2")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        # term equality: the @fr tag is part of the term
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            'FILTER ( ?n IN ("bob"@fr, "carol") ) } ORDER BY ?p',
+        )
+        assert out["p"].tolist() == ["<urn:p2>", "<urn:p3>"]
+        # untagged "bob" is a DIFFERENT term: no match
+        out = self._q(
+            ds,
+            'SELECT ?p WHERE { ?p <urn:name> ?n . FILTER ( ?n IN ("bob") ) }',
+        )
+        assert out.empty
+        # NOT IN + resources in the list
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:knows> ?q . "
+            "FILTER ( ?q NOT IN (<urn:p9>, <urn:p3>) ) }",
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]
+        # NOT IN over an OPTIONAL-unbound var drops the row (error-on-
+        # unbound), it does not resurrect it
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            "OPTIONAL { ?p <urn:knows> ?q } "
+            "FILTER ( ?q NOT IN (<urn:p9>) ) }",
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]
+        # empty list: IN () is false for every row, composable
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            'FILTER ( ?n IN () || STRSTARTS(?n, "car") ) }',
+        )
+        assert out["p"].tolist() == ["<urn:p3>"]
+        # variables in the list are refused
+        with pytest.raises(SparqlUnsupportedError):
+            self._q(
+                ds,
+                "SELECT ?p WHERE { ?p <urn:name> ?n . FILTER ( ?n IN (?p) ) }",
+            )
+
     def test_inverse_path(self, ray_session):
         ds = self._people()
         inv = self._q(
