@@ -23,17 +23,29 @@ is two complementary mechanisms:
 - **fan-out** (hub as edge *source*, ``salt > 1``): all of a hub's
   edges share ``key = hub`` and would hash to ONE phase-1 bucket,
   making that task a straggler. Salting spreads them: the edge bucket
-  becomes ``hash(key, hash(nbr) % salt)`` — deterministic per edge, so
-  the global edge dedup still co-locates identical (key, nbr) pairs —
-  and each node's label row is replicated to all ``salt`` salted
-  buckets before the phase-1 union (a cheap per-batch map; the label
-  side is one row per node). Phase 2 stays keyed on the unsalted node
-  hash, so labels remain globally unique. ``salt=1`` is the unsalted
-  plan. The output is bucket-invariant: tests pin salted == unsalted
-  == driver union-find.
+  becomes ``mix(hash(key), hash(nbr) % salt)`` — deterministic per
+  edge, so the global edge dedup still co-locates identical (key, nbr)
+  pairs — and each node's label row is replicated to all ``salt``
+  salted buckets before the phase-1 union (a cheap per-batch map; the
+  label side is one row per node). Phase 2 stays keyed on the unsalted
+  node hash, so labels remain globally unique. ``salt=1`` is the
+  unsalted plan. The output is bucket-invariant: tests pin salted ==
+  unsalted == driver union-find.
 
 Convergence is detected with a changed-count aggregate; min-label
 propagation needs O(component diameter) iterations ≤ max_iters.
+
+Physical form (round 4): the per-iteration UDFs are Arrow-native
+(``batch_format="pyarrow"``, Acero hash-joins and group_by
+aggregations) and every per-iteration bucket id is integer math
+(splitmix64) over a ``__h`` node-hash column computed ONCE in the
+initial doubling pass — no Arrow→pandas copies and no re-hashing of
+node strings inside the hot loop. Message destinations (``__dest`` =
+home bucket of the neighbor) are likewise precomputed on the edge
+table. Measured 32-way on a 212k-node/1.27M-edge duplicate-heavy
+synthetic (25 iterations, distributed path forced): pandas-reduce
+loop vs this form — see BASELINE.md round-4 A/B; identical output
+signature.
 
 SameAs semantics anchor: owl:sameAs edges of individuals (reference:
 constants.go:24, ontology_individual.go:7); the reference never
@@ -96,18 +108,47 @@ def _bucket_of(series: pd.Series, num_buckets: int) -> pd.Series:
     )
 
 
-_COLS = ["kind", "node", "label", "key", "nbr", "__bucket"]
-_SALT_SEP = "\x1f"
+# unified union schema for the phase-1 co-group: edge rows carry
+# (key, nbr, __h=hash(key), __dest=home(nbr), __bucket=salted(key));
+# label rows carry (node, label, key=node for the Acero join,
+# __h=hash(node), __dest=home(node), __bucket=salted replica)
+_CC_SCHEMA_FIELDS = [
+    ("kind", "int8"),
+    ("node", "string"),
+    ("label", "string"),
+    ("key", "string"),
+    ("nbr", "string"),
+    ("__h", "int64"),
+    ("__dest", "int64"),
+    ("__bucket", "int64"),
+    ("__s", "int8"),  # label replica index (0..salt-1); 0 on edges
+    ("__changed", "int64"),  # label changed last iteration; 0 on edges
+]
 
 
-def _as_arrow(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Normalize block type so heterogeneous inputs can union."""
+def _cc_schema():
     import pyarrow as pa
 
-    def ident(t: pa.Table) -> pa.Table:
-        return t
+    return pa.schema([(n, getattr(pa, t)()) for n, t in _CC_SCHEMA_FIELDS])
 
-    return ds.map_batches(ident, batch_format="pyarrow")
+
+def _home(h, num_buckets: int):
+    """Unsalted (phase-2 / message-destination) bucket of a node hash."""
+    import numpy as np
+
+    from ..stages.export import splitmix64
+
+    return (splitmix64(h) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _salted(h, s: int, num_buckets: int):
+    """Phase-1 bucket of (node hash, salt value); _salted(h, 0, B) ==
+    _home(h, B) so the salt=1 plan needs no label replication."""
+    import numpy as np
+
+    from ..stages.export import splitmix64
+
+    return (splitmix64(h + np.uint64(s)) % np.uint64(num_buckets)).astype(np.int64)
 
 
 def connected_components(
@@ -138,129 +179,241 @@ def connected_components(
     degree rivals a whole bucket's fair share. Output is identical for
     any salt; the cost is a ×salt replication of the (one-row-per-node)
     label side of each phase-1 exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     salt = max(1, int(salt))
-
-    def _edge_bucket(key: pd.Series, nbr: pd.Series) -> pd.Series:
-        if salt == 1:
-            return _bucket_of(key, num_buckets)
-        s = pd.util.hash_pandas_object(nbr, index=False) % salt
-        return _bucket_of(key + _SALT_SEP + s.astype(str), num_buckets)
-
-    def _replicate_labels(df: pd.DataFrame) -> pd.DataFrame:
-        """Re-bucket label rows for phase 1: one replica per salt value
-        so every salted edge bucket holds its source labels. Colliding
-        replicas (two salts of one node hashing to the same bucket) are
-        harmless — phase 1 only needs ≥1 label row per bucket."""
-        if salt == 1:
-            return df
-        reps = []
-        for s in range(salt):
-            r = df.copy()
-            r["__bucket"] = _bucket_of(r["node"] + _SALT_SEP + str(s), num_buckets)
-            reps.append(r)
-        return pd.concat(reps, ignore_index=True)
+    B = num_buckets
+    schema = _cc_schema()
+    names = [f.name for f in schema]
 
     def doubled(df: pd.DataFrame) -> pd.DataFrame:
+        # the ONLY string-hashing pass: node hashes ride along as the
+        # uint64 __h column from here on
         fwd = pd.DataFrame({"key": df[src].astype(str), "nbr": df[dst].astype(str)})
         rev = pd.DataFrame({"key": df[dst].astype(str), "nbr": df[src].astype(str)})
         out = pd.concat([fwd, rev], ignore_index=True).drop_duplicates()
-        out["kind"] = "edge"
-        out["node"] = ""
-        out["label"] = ""
-        out["__bucket"] = _edge_bucket(out["key"], out["nbr"])
-        return out[_COLS]
+        h_key = pd.util.hash_pandas_object(out["key"], index=False).to_numpy()
+        h_nbr = pd.util.hash_pandas_object(out["nbr"], index=False).to_numpy()
+        from ..stages.export import splitmix64
+
+        s = (h_nbr % np.uint64(salt)).astype(np.uint64)  # all-zero when salt=1
+        out["kind"] = np.int8(0)
+        out["node"] = None
+        out["label"] = None
+        out["__h"] = h_key.view(np.int64)
+        out["__dest"] = _home(h_nbr, B)
+        # == _salted(h_key, s_of_edge, B); matches the label replicas
+        out["__bucket"] = (splitmix64(h_key + s) % np.uint64(B)).astype(np.int64)
+        out["__s"] = np.int8(0)
+        out["__changed"] = np.int64(0)
+        return out[names]
+
+    def dedup_bucket(t: pa.Table) -> pa.Table:
+        # per-bucket DISTINCT on (key, nbr); the other columns are
+        # functions of (key, nbr), so grouping on all of them is the
+        # same distinct
+        d = t.group_by(
+            ["key", "nbr", "kind", "__h", "__dest", "__bucket", "__s", "__changed"],
+            use_threads=False,
+        ).aggregate([])
+        n = len(d)
+        return pa.table(
+            {
+                "kind": d["kind"],
+                "node": pa.nulls(n, pa.string()),
+                "label": pa.nulls(n, pa.string()),
+                "key": d["key"],
+                "nbr": d["nbr"],
+                "__h": d["__h"],
+                "__dest": d["__dest"],
+                "__bucket": d["__bucket"],
+                "__s": d["__s"],
+                "__changed": d["__changed"],
+            },
+            schema=schema,
+        )
 
     # Global edge dedup before iterating: per-batch drop_duplicates is
     # only a combiner; the bucketed exchange + per-bucket distinct makes
     # it global, so a heavily duplicated edge list (e.g. one sameAs edge
     # re-emitted per mention) is shuffled ONCE here instead of once per
     # propagation iteration.
-    edges2 = _as_arrow(
+    edges2 = (
         edges.map_batches(doubled, batch_format="pandas")
         .groupby("__bucket")
-        .map_groups(
-            lambda df: df.drop_duplicates(subset=["key", "nbr"]),
-            batch_format="pandas",
-        )
-    ).materialize()
+        .map_groups(dedup_bucket, batch_format="pyarrow")
+        .materialize()
+    )
 
     if edges2.count() <= small_threshold:
         return _local_components(edges2)
 
-    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
-        nodes = pd.concat(
-            [df[src].astype(str), df[dst].astype(str)], ignore_index=True
-        ).drop_duplicates()
-        out = pd.DataFrame({"node": nodes, "label": nodes})
-        out["kind"] = "lab"
-        out["key"] = ""
-        out["nbr"] = ""
-        out["__bucket"] = _bucket_of(out["node"], num_buckets)
-        return out[_COLS]
+    def label_replicas(nodes, labels_col, h, changed) -> pa.Table:
+        """(node, label, hash bits, changed) column data → unified-
+        schema label rows, one replica per salt value (colliding
+        replicas are harmless — phase 1 needs ≥1 label row per bucket,
+        phase 2 re-dedups). Integer-mix bucketing: no string hashing
+        per iteration. Replica 0 (``__s == 0``) is the canonical
+        one-row-per-node slice the output projects."""
+        n = len(h)
+        parts = []
+        for s in range(salt):
+            parts.append(
+                pa.table(
+                    {
+                        "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+                        "node": nodes,
+                        "label": labels_col,
+                        "key": nodes,  # phase-1 join key
+                        "nbr": pa.nulls(n, pa.string()),
+                        "__h": pa.array(h.view(np.int64), pa.int64()),
+                        "__dest": pa.array(_home(h, B), pa.int64()),
+                        "__bucket": pa.array(_salted(h, s, B), pa.int64()),
+                        "__s": pa.array(np.full(n, s, np.int8), pa.int8()),
+                        "__changed": changed,
+                    },
+                    schema=schema,
+                )
+            )
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
-    labels = _as_arrow(
-        edges.map_batches(init_labels, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(
-            lambda df: df.drop_duplicates(subset=["node"]), batch_format="pandas"
+    # Node init: the doubled list contains every node as some row's
+    # `key`; home-bucketed exchange + per-bucket distinct makes the
+    # node set global. Labels are MATERIALIZED in the unified union
+    # schema (replicas included), so each loop iteration's
+    # `labels.union(edges2)` unions two materialized datasets — no
+    # lazy plan between iterations for schema probes to re-execute.
+    def node_rows(t: pa.Table) -> pa.Table:
+        h = t["__h"].to_numpy().view(np.uint64)
+        return pa.table(
+            {
+                "node": t["key"],
+                "label": t["key"],
+                "__h": pa.array(h.view(np.int64), pa.int64()),
+                "__bucket": pa.array(_home(h, B), pa.int64()),
+            }
         )
-    ).materialize()
+
+    def node_distinct(t: pa.Table) -> pa.Table:
+        d = t.group_by(
+            ["node", "label", "__h", "__bucket"], use_threads=False
+        ).aggregate([])
+        h = d["__h"].to_numpy().view(np.uint64)
+        zeros = pa.array(np.zeros(len(d), np.int64), pa.int64())
+        return label_replicas(d["node"], d["label"], h, zeros)
+
+    labels = (
+        edges2.map_batches(node_rows, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(node_distinct, batch_format="pyarrow")
+        .materialize()
+    )
+
+    msg_schema = pa.schema(
+        [
+            ("node", pa.string()),
+            ("label", pa.string()),
+            ("is_self", pa.int8()),
+            ("__h", pa.int64()),
+            ("__bucket", pa.int64()),
+        ]
+    )
 
     for _ in range(max_iters):
-        lab_side = (
-            labels
-            if salt == 1
-            else _as_arrow(
-                labels.map_batches(_replicate_labels, batch_format="pandas")
+        both = labels.union(edges2)
+
+        # Phase 1: per bucket, Acero-join edges with source labels;
+        # emit (node=nbr, label, __bucket=precomputed __dest) messages
+        # pre-minned per (node, dest) — the anti-skew combiner — plus
+        # tagged self rows destined to the node's home bucket.
+        def propagate(t: pa.Table) -> pa.Table:
+            kind = t["kind"]
+            lab = t.filter(pc.equal(kind, 1)).select(
+                ["key", "label", "__h", "__dest"]
             )
-        )
-        both = lab_side.union(edges2)
+            edg = t.filter(pc.equal(kind, 0)).select(["key", "nbr", "__dest"])
+            joined = edg.rename_columns(["key", "nbr", "__mdest"]).join(
+                lab.select(["key", "label"]), keys=["key"], join_type="inner"
+            )
+            msgs = (
+                pa.table(
+                    {
+                        "node": joined["nbr"],
+                        "label": joined["label"],
+                        "__bucket": joined["__mdest"],
+                    }
+                )
+                .group_by(["node", "__bucket"], use_threads=False)
+                .aggregate([("label", "min")])
+            )
+            nm = len(msgs)
+            msgs_t = pa.table(
+                {
+                    "node": msgs["node"],
+                    "label": msgs["label_min"],
+                    "is_self": pa.array(np.zeros(nm, np.int8), pa.int8()),
+                    "__h": pa.array(np.zeros(nm, np.int64), pa.int64()),
+                    "__bucket": msgs["__bucket"],
+                },
+                schema=msg_schema,
+            )
+            ns = len(lab)
+            self_t = pa.table(
+                {
+                    "node": lab["key"],
+                    "label": lab["label"],
+                    "is_self": pa.array(np.ones(ns, np.int8), pa.int8()),
+                    "__h": lab["__h"],
+                    "__bucket": lab["__dest"],
+                },
+                schema=msg_schema,
+            )
+            return pa.concat_tables([msgs_t, self_t])
 
-        # Phase 1: per bucket, join edges with source labels; emit
-        # (node=nbr, label) messages plus tagged self rows; pre-min as
-        # the anti-skew combiner.
-        def propagate(df: pd.DataFrame) -> pd.DataFrame:
-            lab = df.loc[df["kind"] == "lab", ["node", "label"]]
-            edg = df.loc[df["kind"] == "edge", ["key", "nbr"]]
-            msgs = edg.merge(lab, left_on="key", right_on="node")[["nbr", "label"]]
-            msgs.columns = ["node", "label"]
-            msgs["is_self"] = 0
-            self_rows = lab.copy()
-            self_rows["is_self"] = 1
-            out = pd.concat([msgs, self_rows], ignore_index=True)
-            out = out.groupby(["node", "is_self"], sort=False, as_index=False)[
-                "label"
-            ].min()
-            out["__bucket"] = _bucket_of(out["node"], num_buckets)
-            return out
-
-        msgs = both.groupby("__bucket").map_groups(propagate, batch_format="pandas")
+        msgs = both.groupby("__bucket").map_groups(propagate, batch_format="pyarrow")
 
         # Phase 2: min per node; changed = new label < old (self) label.
-        def reduce_node(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("node", sort=False)
-            new = g["label"].min()
-            old = df[df["is_self"] == 1].set_index("node")["label"]
-            old = old[~old.index.duplicated()]
-            out = new.reset_index()
-            changed = (new < old.reindex(new.index)).fillna(True)
-            out["kind"] = "lab"
-            out["key"] = ""
-            out["nbr"] = ""
-            out["__changed"] = changed.to_numpy(dtype="int64")
-            out["__bucket"] = _bucket_of(out["node"], num_buckets)
-            return out[_COLS + ["__changed"]]
+        # Every node's self row lands in its home bucket alongside its
+        # messages, so `old` is always present.
+        def reduce_node(t: pa.Table) -> pa.Table:
+            new = (
+                t.group_by("node", use_threads=False)
+                .aggregate([("label", "min")])
+                .rename_columns(["node", "new_label"])
+            )
+            self_rows = t.filter(pc.equal(t["is_self"], 1))
+            old = (
+                self_rows.group_by("node", use_threads=False)
+                .aggregate([("label", "min"), ("__h", "min")])
+                .rename_columns(["node", "old_label", "__h"])
+            )
+            j = new.join(old, keys=["node"], join_type="inner")
+            changed = pc.cast(pc.less(j["new_label"], j["old_label"]), pa.int64())
+            h = j["__h"].to_numpy().view(np.uint64)
+            return label_replicas(j["node"], j["new_label"], h, changed)
 
-        new_labels = _as_arrow(
-            msgs.groupby("__bucket").map_groups(reduce_node, batch_format="pandas")
-        ).materialize()
-
-        changed = new_labels.sum("__changed") or 0
-        labels = new_labels.drop_columns(["__changed"]).materialize()
-        if not changed:
+        # one fused execution per iteration (sort → propagate → sort →
+        # reduce → coalesce); the convergence probe is a cheap
+        # aggregate over the pinned label blocks (×salt-inflated count,
+        # truthiness only). The repartition is a NON-shuffle coalesce
+        # and is load-bearing: the sort exchange emits one partition
+        # per INPUT block, so without it the union's block count grows
+        # by +|edges2 blocks| every iteration and per-iteration wall
+        # time grows linearly (measured 3.1 s → 23 s by iteration 6 on
+        # a 1.27M-edge synthetic; flat ~3 s with the coalesce).
+        labels = (
+            msgs.groupby("__bucket")
+            .map_groups(reduce_node, batch_format="pyarrow")
+            .repartition(num_buckets)
+            .materialize()
+        )
+        if not (labels.sum("__changed") or 0):
             break
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": df["node"], "component": df["label"]})
+    def finish(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(t["__s"], 0))
+        return pa.table({"node": keep["node"], "component": keep["label"]})
 
-    return labels.map_batches(finish, batch_format="pandas")
+    return labels.map_batches(finish, batch_format="pyarrow")
