@@ -722,11 +722,19 @@ def label_propagation(
             w = s.drop_duplicates(subset=["a"], keep="first")
             return frame("lab", w["a"].tolist(), w["b"].tolist())
 
-        labels = _as_arrow(
-            _as_arrow(msgs)
-            .groupby("__bucket")
-            .map_groups(reduce_bucket, batch_format="pandas")
-        ).materialize()
+        # trailing non-shuffle coalesce: the sort exchange emits one
+        # partition per input block, so without it the carried label
+        # table grows by |adj blocks| every iteration (the block-growth
+        # pathology measured in canonicalize.connected_components)
+        labels = (
+            _as_arrow(
+                _as_arrow(msgs)
+                .groupby("__bucket")
+                .map_groups(reduce_bucket, batch_format="pandas")
+            )
+            .repartition(num_buckets)
+            .materialize()
+        )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": df["a"], "community": df["b"]})
@@ -882,11 +890,18 @@ def sssp(
                 out.iloc[: len(imp), out.columns.get_loc("b")] = "improved"
             return out
 
-        merged = _as_arrow(
-            _as_arrow(cands).union(dist)
-            .groupby("__bucket")
-            .map_groups(merge, batch_format="pandas")
-        ).materialize()
+        # non-shuffle coalesce: keeps the carried distance table at a
+        # fixed block count across rounds (same block-growth pathology
+        # as the CC/LPA loops)
+        merged = (
+            _as_arrow(
+                _as_arrow(cands).union(dist)
+                .groupby("__bucket")
+                .map_groups(merge, batch_format="pandas")
+            )
+            .repartition(num_buckets)
+            .materialize()
+        )
 
         def keep_improved(df: pd.DataFrame) -> pd.DataFrame:
             return df[df["b"] == "improved"]

@@ -210,12 +210,22 @@ def pagerank(
             out["__bucket"] = _bucket_of(out["a"], num_buckets)
             return out[_COLS]
 
+        # the trailing repartition is a NON-shuffle coalesce that keeps
+        # the carried rank table at a fixed block count: the sort
+        # exchange emits one partition per input block, so without it
+        # every iteration's union grows by the edge/node block counts
+        # and per-iteration wall time grows linearly (see the measured
+        # pathology in canonicalize.connected_components)
         msgs_u = _as_arrow(msgs.map_batches(msg_rows, batch_format="pandas"))
-        ranks = _as_arrow(
-            msgs_u.union(nodes)
-            .groupby("__bucket")
-            .map_groups(reduce_bucket, batch_format="pandas")
-        ).materialize()
+        ranks = (
+            _as_arrow(
+                msgs_u.union(nodes)
+                .groupby("__bucket")
+                .map_groups(reduce_bucket, batch_format="pandas")
+            )
+            .repartition(num_buckets)
+            .materialize()
+        )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": df["a"], "rank": df["rank"].astype("int64")})
@@ -366,11 +376,18 @@ def hits(
             raw = s.reindex(node["a"]).fillna(0).astype("int64").to_numpy()
             return frame("rank", node["a"].tolist(), rank=raw)
 
-        return _as_arrow(
-            _as_arrow(msgs).union(nodes)
-            .groupby("__bucket")
-            .map_groups(reduce_bucket, batch_format="pandas")
-        ).materialize()
+        # non-shuffle coalesce: keep the carried score table at a fixed
+        # block count across push/rescale rounds (same block-growth
+        # pathology as the pagerank/CC loops)
+        return (
+            _as_arrow(
+                _as_arrow(msgs).union(nodes)
+                .groupby("__bucket")
+                .map_groups(reduce_bucket, batch_format="pandas")
+            )
+            .repartition(num_buckets)
+            .materialize()
+        )
 
     def rescale(raw: ray.data.Dataset) -> ray.data.Dataset:
         q = max(1, int(raw.max("rank")) // SCALE)
