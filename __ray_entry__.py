@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_pgm": q.q_image_features_pgm,
         "audio_features_wav": q.q_audio_features_wav,
         "video_frames_y4m": q.q_video_frames_y4m,
+        "gopher_quality": q.q_gopher_quality,
         "decontaminate": q.q_decontaminate,
         "pii_scrub": q.q_pii_scrub,
         "pack_sequences": q.q_pack_sequences,

@@ -1371,6 +1371,71 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM sess GROUP BY user_id, session_id""",
         # decontamination: 4-gram overlap vs the every-25th-doc
         # benchmark subset (same parameters as q_decontaminate)
+        # Gopher rules: seven integer predicates per document; words =
+        # whitespace runs, lines = chr(10) splits, symbols = '#', '…',
+        # non-overlapping '...'; stop list is the corpus-tuned one the
+        # query passes
+        "gopher_quality": r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+),
+wagg AS (
+  SELECT doc_id,
+         count(*) AS n_words,
+         sum(CASE WHEN regexp_matches(word, '[A-Za-z]') THEN 1 ELSE 0 END)
+           AS n_alpha,
+         count(DISTINCT CASE WHEN lower(word) IN
+           ('the','a','data','value','table','row','fast','key')
+           THEN lower(word) END) AS n_stop
+  FROM w GROUP BY doc_id
+),
+l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+),
+lagg AS (
+  SELECT doc_id, count(*) AS n_lines,
+         sum(CASE WHEN line LIKE '•%' OR line LIKE '- %' OR line LIKE '* %'
+             THEN 1 ELSE 0 END) AS n_bullet,
+         sum(CASE WHEN line LIKE '%...' OR line LIKE '%…'
+             THEN 1 ELSE 0 END) AS n_ell
+  FROM l GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '\s+', '', 'g')) AS n_word_chars,
+         (length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '…', '')))
+         + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
+  FROM documents
+),
+flags AS (
+  SELECT b.doc_id,
+         wa.n_words,
+         CASE WHEN wa.n_words >= 50 AND wa.n_words <= 100000
+              THEN 1 ELSE 0 END AS f_words,
+         CASE WHEN 3 * wa.n_words <= b.n_word_chars
+               AND b.n_word_chars <= 10 * wa.n_words
+              THEN 1 ELSE 0 END AS f_mwl,
+         CASE WHEN 10 * b.n_sym <= wa.n_words THEN 1 ELSE 0 END AS f_sym,
+         CASE WHEN 10 * la.n_bullet <= 9 * la.n_lines
+              THEN 1 ELSE 0 END AS f_bullet,
+         CASE WHEN 10 * la.n_ell <= 3 * la.n_lines THEN 1 ELSE 0 END AS f_ell,
+         CASE WHEN 5 * wa.n_alpha >= 4 * wa.n_words THEN 1 ELSE 0 END AS f_alpha,
+         CASE WHEN wa.n_stop >= 2 THEN 1 ELSE 0 END AS f_stop
+  FROM base b JOIN wagg wa USING (doc_id) JOIN lagg la USING (doc_id)
+)
+SELECT doc_id, n_words,
+       CAST(f_words AS TINYINT) AS f_words,
+       CAST(f_mwl AS TINYINT) AS f_mwl,
+       CAST(f_sym AS TINYINT) AS f_sym,
+       CAST(f_bullet AS TINYINT) AS f_bullet,
+       CAST(f_ell AS TINYINT) AS f_ell,
+       CAST(f_alpha AS TINYINT) AS f_alpha,
+       CAST(f_stop AS TINYINT) AS f_stop,
+       CAST(least(f_words, f_mwl, f_sym, f_bullet, f_ell, f_alpha, f_stop)
+            AS TINYINT) AS keep
+FROM flags""",
         "decontaminate": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 ex AS (

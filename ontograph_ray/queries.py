@@ -3866,3 +3866,18 @@ def q_sparql_filter_in(sf_dir: str):
         }
         """,
     )
+
+
+def q_gopher_quality(sf_dir: str):
+    """Gopher quality-filter rules (Rae et al. 2021) over documents —
+    all seven predicates as exact cross-multiplied integers
+    (stages/text.py::gopher_rules). The stop-word list parameter is
+    corpus-tuned here (the synthetic docs' function words) so the rule
+    actually splits the corpus; the stage defaults to the paper's
+    list."""
+    from .stages.text import gopher_rules
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return gopher_rules(
+        docs, stopwords=("the", "a", "data", "value", "table", "row", "fast", "key")
+    )

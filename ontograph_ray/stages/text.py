@@ -78,6 +78,94 @@ def quality_score(ds: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
     )
 
 
+# the Gopher paper's "must contain >= 2 of" stop-word list (Rae et al.
+# 2021, appendix A1.1) — a parameter of gopher_rules, not a constant of
+# the corpus
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    ds: ray.data.Dataset, stopwords=GOPHER_STOPWORDS
+) -> ray.data.Dataset:
+    """Gopher quality-filter rules (Rae et al. 2021, appendix A1.1) as
+    EXACT integer predicates per document — the standard pre-training
+    corpus filter, all seven rules:
+
+    1. word count in [50, 100_000]           (``f_words``)
+    2. mean word length in [3, 10]           (``f_mwl``, cross-
+       multiplied: ``3*n_words <= n_word_chars <= 10*n_words``)
+    3. symbol-to-word ratio <= 0.1           (``f_sym``; symbols =
+       '#', '…', and non-overlapping '...')
+    4. <= 90% of lines start with a bullet   (``f_bullet``; bullet =
+       '•', '- ', '* ')
+    5. <= 30% of lines end with an ellipsis  (``f_ell``)
+    6. >= 80% of words contain an alphabetic char (``f_alpha``)
+    7. >= 2 distinct stop words present      (``f_stop``)
+
+    Words are whitespace runs (``str.split()``); every threshold is a
+    cross-multiplied integer comparison, so the output is bit-exact
+    against the SQL twin at any block layout. One streaming
+    ``map_batches`` — no exchange; the per-doc flags feed a downstream
+    keep-filter or audit join. Scale note: the explode/groupby is
+    per-batch pandas over bounded batches, the same shape as the other
+    text stages."""
+    stopset = frozenset(s.lower() for s in stopwords)
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].astype(str)
+        idx = df.index
+        words = text.str.split()
+        n_words = words.str.len().fillna(0).astype("int64")
+        n_word_chars = (
+            text.str.replace(r"\s+", "", regex=True).str.len().astype("int64")
+        )
+        ex = words.explode().dropna()
+        alpha = ex.str.contains("[A-Za-z]", regex=True)
+        n_alpha = alpha.groupby(level=0).sum().reindex(idx).fillna(0).astype("int64")
+        low = ex.str.lower()
+        n_stop = (
+            low[low.isin(stopset)]
+            .groupby(level=0)
+            .nunique()
+            .reindex(idx)
+            .fillna(0)
+            .astype("int64")
+        )
+        lines = text.str.split("\n")
+        n_lines = lines.str.len().astype("int64")
+        lx = lines.explode().dropna()
+        bullet = lx.str.startswith(("•", "- ", "* "))
+        n_bullet = bullet.groupby(level=0).sum().reindex(idx).fillna(0).astype("int64")
+        ell = lx.str.endswith(("...", "…"))
+        n_ell = ell.groupby(level=0).sum().reindex(idx).fillna(0).astype("int64")
+        n_sym = (
+            text.str.count("#")
+            + text.str.count("…")
+            + (text.str.len() - text.str.replace("...", "", regex=False).str.len())
+            // 3
+        ).astype("int64")
+
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
+        out["n_words"] = n_words
+        out["f_words"] = ((n_words >= 50) & (n_words <= 100_000)).astype("int8")
+        out["f_mwl"] = (
+            (3 * n_words <= n_word_chars) & (n_word_chars <= 10 * n_words)
+        ).astype("int8")
+        out["f_sym"] = (10 * n_sym <= n_words).astype("int8")
+        out["f_bullet"] = (10 * n_bullet <= 9 * n_lines).astype("int8")
+        out["f_ell"] = (10 * n_ell <= 3 * n_lines).astype("int8")
+        out["f_alpha"] = (5 * n_alpha >= 4 * n_words).astype("int8")
+        out["f_stop"] = (n_stop >= 2).astype("int8")
+        out["keep"] = (
+            out[["f_words", "f_mwl", "f_sym", "f_bullet", "f_ell", "f_alpha", "f_stop"]]
+            .min(axis=1)
+            .astype("int8")
+        )
+        return out
+
+    return ds.map_batches(flags, batch_format="pandas", batch_size=4096)
+
+
 # Deterministic per-language function-word profiles (public, tiny):
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "is"),

@@ -483,6 +483,61 @@ class TestRealCodecs:
             multimodal.VideoFrameSampler(codec="ffmpeg")
 
 
+class TestGopherRules:
+    def test_all_rules_fire(self, ray_session):
+        import ray as _ray
+
+        good = "the cat sat with all of its friends and that was fine " * 6
+        docs = pd.DataFrame(
+            {
+                "doc_id": list(range(6)),
+                "text": [
+                    good,  # passes everything
+                    "short doc with the and of",  # < 50 words
+                    "a " * 60 + "the of",  # mean word length < 3
+                    "# " * 30 + good,  # symbol ratio > 0.1
+                    "\n".join(["- item the of and"] * 10),  # all bullets
+                    ("the end of a line..." + "\n") * 10 + "x",  # ellipses
+                ],
+            }
+        )
+        out = (
+            text.gopher_rules(_ray.data.from_pandas(docs))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out.loc[0, "keep"] == 1
+        assert out.loc[1, "f_words"] == 0
+        assert out.loc[2, "f_mwl"] == 0
+        assert out.loc[3, "f_sym"] == 0
+        assert out.loc[4, "f_bullet"] == 0
+        assert out.loc[5, "f_ell"] == 0
+        assert (out.loc[1:, "keep"] == 0).all()
+
+    def test_alpha_and_stopword_rules(self, ray_session):
+        import ray as _ray
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    # >20% numeric tokens -> f_alpha fails
+                    ("1 2 3 4 5 6 7 8 9 10 11 12 " + "the of and word ") * 5,
+                    # only one distinct stop word -> f_stop fails
+                    "the word " * 30,
+                ],
+            }
+        )
+        out = (
+            text.gopher_rules(_ray.data.from_pandas(docs))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[0, "f_alpha"] == 0
+        assert out.loc[1, "f_stop"] == 0 and out.loc[1, "f_alpha"] == 1
+
+
 class TestWinnowing:
     K, W = 5, 4
 
