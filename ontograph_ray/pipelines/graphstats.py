@@ -553,6 +553,7 @@ def k_core(
     cur = edges.select_columns(["src", "dst"]).materialize()
     if cur.count() <= small_threshold:
         return _local_k_core(cur.to_pandas(), k)
+    n_blocks = max(1, cur.num_blocks())
     n_nodes = None
     for _ in range(max_iters):
         deg = _degrees(cur).materialize()
@@ -568,17 +569,26 @@ def k_core(
         if n_nodes is not None and m == n_nodes:
             return keep
         n_nodes = m
-        cur = hash_join(
+        # trailing non-shuffle coalesce: each semi-join's output block
+        # count is the SUM of its sides', so the carried edge table
+        # tripled its blocks every peel round (measured 16 → 48 → …)
+        # and round wall time climbed — the same block-growth pathology
+        # as the other iterative loops
+        cur = (
             hash_join(
-                cur,
-                _renamed(keep, {"node": "src"}),
-                on="src",
+                hash_join(
+                    cur,
+                    _renamed(keep, {"node": "src"}),
+                    on="src",
+                    how="semi",
+                ).materialize(),
+                _renamed(keep, {"node": "dst"}),
+                on="dst",
                 how="semi",
-            ).materialize(),
-            _renamed(keep, {"node": "dst"}),
-            on="dst",
-            how="semi",
-        ).materialize()
+            )
+            .repartition(n_blocks)
+            .materialize()
+        )
     raise ValueError(f"k_core did not converge within {max_iters} rounds")
 
 
