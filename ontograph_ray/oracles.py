@@ -813,6 +813,11 @@ SELECT l_orderkey, l_linenumber, 'l_discount',
         "video_frames_y4m": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/video_frames_y4m_n150.parquet')"
         ),
+        # C4 line filter — plain-Python twin over the shared synthetic
+        # webpage corpus
+        "c4_line_filter": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/c4_line_filter_n400.parquet')"
+        ),
         # WARC round-trip: rebuild the synthesized page html + the
         # second-granular WARC-Date timestamp in SQL (escape order &
         # then < then >, matching pipelines/pages._escape)

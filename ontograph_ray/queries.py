@@ -3881,3 +3881,17 @@ def q_gopher_quality(sf_dir: str):
     return gopher_rules(
         docs, stopwords=("the", "a", "data", "value", "table", "row", "fast", "key")
     )
+
+
+def q_c4_line_filter(sf_dir: str):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over a deterministic
+    webpage-like corpus (stages/text.py::synthesize_webpages — a data
+    source, same discipline as the multimodal encoders): line-level
+    terminal-punctuation / min-words / javascript filters plus the
+    lorem-ipsum / curly-brace / min-kept-lines document drops. Oracle
+    is an independent plain-Python twin
+    (scripts/gen_fixtures.py::gen_c4_line_filter)."""
+    from .stages.text import c4_line_filter, synthesize_webpages
+
+    docs = ray.data.from_arrow(synthesize_webpages(400, seed=17))
+    return c4_line_filter(docs)

@@ -899,3 +899,107 @@ def extract_json_int(
         return batch.append_column(out, v)
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020, §2.2)
+# ---------------------------------------------------------------------------
+
+_C4_WORDS = (
+    "the data value table row line query scan batch merge sort window "
+    "filter join group order stream vector column key hash part fast slow "
+    "big small customer supplier spark agg"
+).split()
+
+
+def synthesize_webpages(n: int, seed: int = 17) -> "pa.Table":
+    """Deterministic webpage-like corpus for the C4-filter oracle: docs
+    of newline-separated lines where line length, terminal punctuation,
+    'javascript' boilerplate, 'lorem ipsum' stubs and curly-brace
+    template residue all vary with the seeded stream. A data SOURCE
+    (like the multimodal encoders) — the filter twin reimplements the
+    rules independently."""
+    import pyarrow as pa
+
+    rng = np.random.RandomState(seed)
+    texts = []
+    for _ in range(n):
+        n_lines = 2 + int(rng.randint(0, 9))
+        lines = []
+        for _ in range(n_lines):
+            n_words = 1 + int(rng.randint(0, 12))
+            ws = [ _C4_WORDS[rng.randint(0, len(_C4_WORDS))] for _ in range(n_words) ]
+            r = rng.randint(0, 10)
+            if r < 5:
+                lines.append(" ".join(ws) + ".")
+            elif r == 5:
+                lines.append(" ".join(ws) + "!")
+            elif r == 6:
+                lines.append("enable javascript to view " + " ".join(ws) + ".")
+            else:
+                lines.append(" ".join(ws))
+        doc = "\n".join(lines)
+        extra = rng.randint(0, 20)
+        if extra == 0:
+            doc += "\nlorem ipsum dolor sit amet."
+        elif extra == 1:
+            doc += "\n{ template residue }"
+        texts.append(doc)
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def c4_line_filter(
+    ds: ray.data.Dataset,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> ray.data.Dataset:
+    """The C4 cleaning rules (Raffel et al. 2020, §2.2) as one
+    streaming line-level transform:
+
+    - a LINE is kept iff it ends in terminal punctuation ('.', '!',
+      '?', '\"' — after trailing-whitespace strip), has at least
+      ``min_words_per_line`` words, and does not contain 'javascript'
+      (case-insensitive);
+    - a DOCUMENT is dropped iff its raw text contains 'lorem ipsum'
+      (case-insensitive) or a curly brace '{', or fewer than
+      ``min_kept_lines`` lines survive.
+
+    Output: (doc_id, text = kept lines joined by newline, n_lines,
+    n_kept) for surviving documents. Entirely per-document — no
+    exchange; vectorized pandas string kernels per batch."""
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].astype(str)
+        idx = df.index
+        bad_doc = text.str.contains("lorem ipsum", case=False) | text.str.contains(
+            "{", regex=False
+        )
+        lines = text.str.split("\n")
+        n_lines = lines.str.len().astype("int64")
+        lx = lines.explode()
+        wc = lx.str.split().str.len().fillna(0).astype("int64")
+        term = lx.str.rstrip().str.endswith((".", "!", "?", '"'))
+        js = lx.str.contains("javascript", case=False)
+        keep_line = term & ~js & (wc >= min_words_per_line)
+        kept_lines = (
+            lx[keep_line].groupby(level=0).agg("\n".join).reindex(idx).fillna("")
+        )
+        n_kept = (
+            keep_line.groupby(level=0).sum().reindex(idx).fillna(0).astype("int64")
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "text": kept_lines,
+                "n_lines": n_lines,
+                "n_kept": n_kept,
+            }
+        )
+        return out[(~bad_doc).to_numpy() & (n_kept >= min_kept_lines).to_numpy()]
+
+    return ds.map_batches(clean, batch_format="pandas", batch_size=4096)

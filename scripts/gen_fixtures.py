@@ -1460,6 +1460,49 @@ def gen_ann_lsh(sf_dir: str = DEFAULT_SF,
     return f"{path}: {len(out_q)} rows ({len(qids)} queries × ≤top-{k})"
 
 
+def gen_c4_line_filter(sf_dir: str = DEFAULT_SF, n: int = 400) -> str:
+    """Independent plain-Python twin of the C4 line filter: per-line
+    and per-doc rules reimplemented with str methods and explicit
+    loops — only the corpus generator is shared (a data source)."""
+    from ontograph_ray.stages.text import synthesize_webpages  # source only
+
+    tbl = synthesize_webpages(n, seed=17)
+    ids, texts, n_lines_l, n_kept_l = [], [], [], []
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        if "lorem ipsum" in text.lower() or "{" in text:
+            continue
+        lines = text.split("\n")
+        kept = []
+        for line in lines:
+            stripped = line.rstrip()
+            if not stripped.endswith((".", "!", "?", '"')):
+                continue
+            if "javascript" in line.lower():
+                continue
+            if len(line.split()) < 5:
+                continue
+            kept.append(line)
+        if len(kept) < 3:
+            continue
+        ids.append(doc_id)
+        texts.append("\n".join(kept))
+        n_lines_l.append(len(lines))
+        n_kept_l.append(len(kept))
+    path = os.path.join(FIXTURES_DIR, "c4_line_filter_n400.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "n_lines": pa.array(n_lines_l, pa.int64()),
+                "n_kept": pa.array(n_kept_l, pa.int64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(ids)} rows (of {n} docs)"
+
+
 # fixture base name (as used by oracles.fixture_path) → generator.
 # multimodal/audio are keyed by n, not sf — their generator ignores
 # sf_dir and always (re)writes the n-keyed file.
@@ -1497,6 +1540,7 @@ _SF_INDEPENDENT = {
     "image_features_pgm": (gen_image_features_pgm, "image_features_pgm_n200.parquet"),
     "audio_features_wav": (gen_audio_features_wav, "audio_features_wav_n200.parquet"),
     "video_frames_y4m": (gen_video_frames_y4m, "video_frames_y4m_n150.parquet"),
+    "c4_line_filter": (gen_c4_line_filter, "c4_line_filter_n400.parquet"),
 }
 
 
@@ -1534,3 +1578,4 @@ if __name__ == "__main__":
             print(GENERATORS[n](sf_dir=sf))
         else:
             print(_SF_INDEPENDENT[n][0]())
+

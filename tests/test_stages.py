@@ -538,6 +538,62 @@ class TestGopherRules:
         assert out.loc[1, "f_stop"] == 0 and out.loc[1, "f_alpha"] == 1
 
 
+class TestC4LineFilter:
+    def test_rules(self, ray_session):
+        import ray as _ray
+
+        keep_line = "this line has enough words to survive the filter."
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": [
+                    "\n".join([keep_line] * 4),  # survives
+                    # dropped lines: no terminal punct / too short / js
+                    "\n".join(
+                        [keep_line] * 3
+                        + [
+                            "no terminal punctuation here at all",
+                            "too short.",
+                            "please enable javascript to continue reading.",
+                        ]
+                    ),
+                    "\n".join([keep_line] * 2),  # < 3 kept lines
+                    "\n".join([keep_line] * 4) + "\nLorem Ipsum dolor.",  # doc drop
+                    "\n".join([keep_line] * 4) + "\n{ brace }",  # doc drop
+                ],
+            }
+        )
+        out = (
+            text.c4_line_filter(_ray.data.from_pandas(docs))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert sorted(out.index) == [0, 1]
+        assert out.loc[0, "n_kept"] == 4 and out.loc[0, "n_lines"] == 4
+        # doc 1: the three bad lines are all filtered
+        assert out.loc[1, "n_kept"] == 3 and out.loc[1, "n_lines"] == 6
+        assert out.loc[1, "text"] == "\n".join([keep_line] * 3)
+
+    def test_quote_terminal_and_whitespace(self, ray_session):
+        import ray as _ray
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0],
+                "text": "\n".join(
+                    [
+                        'he said the words were "exactly like this one."',
+                        "trailing whitespace after punctuation still counts.   ",
+                        "and a question with enough words works too?",
+                    ]
+                ),
+            },
+            index=[0],
+        )
+        out = text.c4_line_filter(_ray.data.from_pandas(docs)).to_pandas()
+        assert len(out) == 1 and out.loc[0, "n_kept"] == 3
+
+
 class TestWinnowing:
     K, W = 5, 4
 
