@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "ann_topk_ivfpq",
     "image_features_pgm",
     "video_frames_y4m",
+    "gopher_quality",
+    "c4_line_filter",
     # part_triangles is NOT timed for the same reason as
     # kg_sameas_salted: at sf0.1 the support>=2 co-purchase graph is
     # near-empty (1 triangle), so its wall is ~7 exchanges of fixed
