@@ -40,6 +40,21 @@ from ..store.dataset import bucketed_group_map, hash_join
 __all__ = ["cooccurrence_edges", "k_core", "transitive_closure", "triangles"]
 
 
+def _pin(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Materialize AND truncate lineage (zero-copy block refs).
+
+    hash_join / distinct_on probe their inputs' schemas, and a probe on
+    a plan layered over a MaterializedDataset re-executes the full
+    upstream lineage rather than reading the pinned blocks — in a
+    fixpoint loop that compounds exponentially across rounds (measured
+    on bfs_depths: round walls 1.5 s → 33 s by round 8 with flat block
+    counts and flat row counts; flat 1.4 s/round after this cut). The
+    groupby-exchange loops (pagerank/LPA/SSSP/CC) don't need it — their
+    carried tables are consumed directly, not through probing wrappers.
+    """
+    return ray.data.from_arrow_refs(ds.materialize().to_arrow_refs())
+
+
 def _renamed(ds: ray.data.Dataset, mapping: dict[str, str]) -> ray.data.Dataset:
     # Dataset.rename_columns' Project operator assumes Arrow blocks and
     # breaks on the pandas blocks bucketed_group_map emits — rename
@@ -391,6 +406,8 @@ def transitive_closure(
 
     base = distinct_on(edges.select_columns(["src", "dst"]), ["src", "dst"])
     base = base.materialize()
+    nb = max(1, base.num_blocks())
+    base = _pin(base)
     acc = base
     frontier = base
     for _ in range(max_iters):
@@ -401,20 +418,26 @@ def transitive_closure(
         ).select_columns(["src", "dst"])
         # pin the deduped step result: hash_join needs a concrete
         # schema, and the anti-join exchange would materialize the
-        # (new-pairs-bounded) table anyway
-        cand = distinct_on(stepped, ["src", "dst"]).materialize()
+        # (new-pairs-bounded) table anyway. The non-shuffle repartition
+        # coalesces each carried table back to the base block count —
+        # join/distinct outputs carry the SUM of their inputs' block
+        # counts, so without it every round's tables gain blocks and
+        # round wall time climbs (the loop block-growth pathology).
+        cand = _pin(distinct_on(stepped, ["src", "dst"]).repartition(nb))
         if cand.count() == 0:
             # frontier dead-ended: no paths extend, fixpoint reached
             return acc
-        fresh = hash_join(
-            cand,
-            acc,
-            on=["src", "dst"],
-            how="anti",
-        ).materialize()
+        fresh = _pin(
+            hash_join(
+                cand,
+                acc,
+                on=["src", "dst"],
+                how="anti",
+            ).repartition(nb)
+        )
         if fresh.count() == 0:
             return acc
-        acc = acc.union(fresh).materialize()
+        acc = _pin(acc.union(fresh).repartition(nb))
         frontier = fresh
     raise ValueError(
         f"transitive_closure did not converge within {max_iters} rounds "
@@ -451,6 +474,8 @@ def bfs_depths(
             )
         )
     base = distinct_on(base, ["src", "dst"]).materialize()
+    base_nb = base  # keep the handle: num_blocks is read before the cut
+    base = _pin(base)
 
     if isinstance(sources, ray.data.Dataset):
         src_ds = distinct_on(sources.select_columns(["node"]), ["node"])
@@ -472,7 +497,8 @@ def bfs_depths(
             )
         return tag
 
-    acc = src_ds.map_batches(with_depth(0), batch_format="pyarrow").materialize()
+    acc = _pin(src_ds.map_batches(with_depth(0), batch_format="pyarrow"))
+    nb = max(1, base_nb.num_blocks())
     frontier = acc
     for d in range(1, max_depth + 1):
         stepped = hash_join(
@@ -480,20 +506,27 @@ def bfs_depths(
             base,
             on="src",
         ).select_columns(["dst"])
-        cand = distinct_on(
-            _renamed(stepped, {"dst": "node"}), ["node"]
-        ).materialize()
+        # per-round non-shuffle coalesces: join/distinct outputs carry
+        # the SUM of their inputs' block counts, so the visited set and
+        # frontier gain blocks every round without them (the loop
+        # block-growth pathology; a depth-40 probe timed out before,
+        # seconds after)
+        cand = _pin(
+            distinct_on(_renamed(stepped, {"dst": "node"}), ["node"]).repartition(nb)
+        )
         if cand.count() == 0:
             return acc
-        fresh = hash_join(
-            cand, acc.select_columns(["node"]), on="node", how="anti"
-        ).materialize()
+        fresh = _pin(
+            hash_join(
+                cand, acc.select_columns(["node"]), on="node", how="anti"
+            ).repartition(nb)
+        )
         if fresh.count() == 0:
             return acc
-        frontier = fresh.map_batches(
-            with_depth(d), batch_format="pyarrow"
-        ).materialize()
-        acc = acc.union(frontier).materialize()
+        frontier = _pin(
+            fresh.map_batches(with_depth(d), batch_format="pyarrow")
+        )
+        acc = _pin(acc.union(frontier).repartition(nb))
     raise ValueError(
         f"bfs_depths did not converge within {max_depth} rounds "
         "(graph diameter exceeds the cap)"
@@ -554,6 +587,7 @@ def k_core(
     if cur.count() <= small_threshold:
         return _local_k_core(cur.to_pandas(), k)
     n_blocks = max(1, cur.num_blocks())
+    cur = _pin(cur)
     n_nodes = None
     for _ in range(max_iters):
         deg = _degrees(cur).materialize()
@@ -562,7 +596,7 @@ def k_core(
             t = batch.filter(pc.greater_equal(batch["deg"], k))
             return t.select(["node"])
 
-        keep = deg.map_batches(keep_batch, batch_format="pyarrow").materialize()
+        keep = _pin(deg.map_batches(keep_batch, batch_format="pyarrow"))
         m = keep.count()
         if m == 0:
             return keep
@@ -574,20 +608,20 @@ def k_core(
         # tripled its blocks every peel round (measured 16 → 48 → …)
         # and round wall time climbed — the same block-growth pathology
         # as the other iterative loops
-        cur = (
+        cur = _pin(
             hash_join(
-                hash_join(
-                    cur,
-                    _renamed(keep, {"node": "src"}),
-                    on="src",
-                    how="semi",
-                ).materialize(),
+                _pin(
+                    hash_join(
+                        cur,
+                        _renamed(keep, {"node": "src"}),
+                        on="src",
+                        how="semi",
+                    )
+                ),
                 _renamed(keep, {"node": "dst"}),
                 on="dst",
                 how="semi",
-            )
-            .repartition(n_blocks)
-            .materialize()
+            ).repartition(n_blocks)
         )
     raise ValueError(f"k_core did not converge within {max_iters} rounds")
 
