@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features_wav": q.q_audio_features_wav,
         "video_frames_y4m": q.q_video_frames_y4m,
         "gopher_quality": q.q_gopher_quality,
+        "dsir_scores": q.q_dsir_scores,
         "c4_line_filter": q.q_c4_line_filter,
         "decontaminate": q.q_decontaminate,
         "pii_scrub": q.q_pii_scrub,

@@ -1376,6 +1376,29 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM sess GROUP BY user_id, session_id""",
         # decontamination: 4-gram overlap vs the every-25th-doc
         # benchmark subset (same parameters as q_decontaminate)
+        # DSIR importance scores: integer add-one ratio weights from
+        # the en/non-en unigram counts, occurrence-weighted doc sums
+        "dsir_scores": r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+),
+cnt AS (
+  SELECT word,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cs
+  FROM w GROUP BY word
+),
+wt AS (SELECT word, (ct + 1) * 10000 // (cs + 1) AS wgt FROM cnt),
+doc AS (
+  SELECT w.doc_id, sum(wt.wgt) AS dsir_score
+  FROM w JOIN wt USING (word) GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(doc.dsir_score, 0) AS BIGINT) AS dsir_score,
+       CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS TINYINT) AS is_target
+FROM documents d LEFT JOIN doc USING (doc_id)""",
         # Gopher rules: seven integer predicates per document; words =
         # whitespace runs, lines = chr(10) splits, symbols = '#', '…',
         # non-overlapping '...'; stop list is the corpus-tuned one the

@@ -3895,3 +3895,13 @@ def q_c4_line_filter(sf_dir: str):
 
     docs = ray.data.from_arrow(synthesize_webpages(400, seed=17))
     return c4_line_filter(docs)
+
+
+def q_dsir_scores(sf_dir: str):
+    """DSIR importance scores (stages/text.py::dsir_scores): English
+    docs as the target slice, integer add-one ratio weights, per-doc
+    occurrence-weighted sums — exact vs the SQL twin."""
+    from .stages.text import dsir_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dsir_scores(docs, target_col="lang", target_value="en")

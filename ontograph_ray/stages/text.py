@@ -1003,3 +1003,96 @@ def c4_line_filter(
         return out[(~bad_doc).to_numpy() & (n_kept >= min_kept_lines).to_numpy()]
 
     return ds.map_batches(clean, batch_format="pandas", batch_size=4096)
+
+
+def dsir_scores(
+    ds: ray.data.Dataset,
+    target_col: str = "lang",
+    target_value: str = "en",
+    scale: int = 10_000,
+    max_vocab: int = 2_000_000,
+) -> ray.data.Dataset:
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling") in EXACT integer
+    form: unigram feature counts from the target slice (rows where
+    ``target_col == target_value``) vs the rest, add-one-smoothed
+    ratio weights ``w(word) = (ct+1)*scale // (cs+1)``, per-document
+    score = Σ over word OCCURRENCES of w(word). Returns (doc_id,
+    dsir_score, is_target). Deterministic and SQL-twin-exact — the
+    integer ratio replaces the paper's log-ratio monotonically enough
+    for rank-based selection while keeping the hash gate exact.
+
+    Physical plan: ONE word-keyed combiner-backed exchange builds the
+    weight table; it is collected and broadcast once (``ray.put``),
+    then scoring is a single streaming map over the corpus. The
+    explicit-vocabulary weight table is bounded by ``max_vocab``
+    (guarded); at open-web scale hash the words into a fixed bucket
+    count first (stages/export.splitmix64) so the broadcast side is
+    O(buckets) regardless of vocabulary — same plan shape.
+    """
+    from ..store.dataset import bucketed_group_map
+
+    def word_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=["word", "ct", "cs"])
+        tgt = (df[target_col] == target_value).to_numpy()
+        words = df["text"].astype(str).str.split()
+        ex = words.explode().dropna()
+        is_t = pd.Series(tgt, index=df.index).reindex(ex.index)
+        out = pd.DataFrame({"word": ex.to_numpy(), "t": is_t.to_numpy()})
+        g = out.groupby(["word", "t"], sort=False).size().unstack(fill_value=0)
+        res = pd.DataFrame({"word": g.index})
+        res["ct"] = g[True].to_numpy() if True in g.columns else 0
+        res["cs"] = g[False].to_numpy() if False in g.columns else 0
+        return res.astype({"ct": "int64", "cs": "int64"})
+
+    def sum_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=["word", "ct", "cs"])
+        out = df.groupby("word", sort=False)[["ct", "cs"]].sum().reset_index()
+        return out.astype({"ct": "int64", "cs": "int64"})
+
+    counts = bucketed_group_map(
+        ds.map_batches(word_counts, batch_format="pandas"),
+        ["word"],
+        sum_counts,
+        partial_fn=sum_counts,
+    ).materialize()
+    n_vocab = counts.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"dsir_scores explicit vocabulary ({n_vocab}) exceeds max_vocab="
+            f"{max_vocab}; hash words into fixed buckets first "
+            "(stages/export.splitmix64) so the broadcast weight table is "
+            "bounded"
+        )
+    wdf = counts.to_pandas()
+    weights = {
+        w: (int(ct) + 1) * scale // (int(cs) + 1)
+        for w, ct, cs in zip(wdf["word"], wdf["ct"], wdf["cs"])
+    }
+    wref = ray.put(weights)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        wmap = cached_get(_MODEL_CACHE, wref)
+        idx = df.index
+        ex = df["text"].astype(str).str.split().explode().dropna()
+        s = (
+            ex.map(wmap)
+            .groupby(level=0)
+            .sum()
+            .reindex(idx)
+            .fillna(0)
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "dsir_score": s.to_numpy(),
+                "is_target": (df[target_col] == target_value)
+                .astype("int8")
+                .to_numpy(),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas", batch_size=4096)

@@ -538,6 +538,46 @@ class TestGopherRules:
         assert out.loc[1, "f_stop"] == 0 and out.loc[1, "f_alpha"] == 1
 
 
+class TestDsirScores:
+    def test_hand_computed(self, ray_session):
+        import ray as _ray
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["cat dog", "cat cat", "bird"],
+                "lang": ["en", "fr", "en"],
+            }
+        )
+        out = (
+            text.dsir_scores(_ray.data.from_pandas(docs))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # counts: cat ct=1 cs=2 -> w=(2)*10000//3=6666; dog ct=1 cs=0
+        # -> 20000//1=20000; bird ct=1 cs=0 -> 20000
+        assert out.loc[0, "dsir_score"] == 6666 + 20000
+        assert out.loc[1, "dsir_score"] == 2 * 6666
+        assert out.loc[2, "dsir_score"] == 20000
+        assert out["is_target"].tolist() == [1, 0, 1]
+
+    def test_vocab_guard(self, ray_session):
+        import ray as _ray
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["a b c d", "e f"],
+                "lang": ["en", "fr"],
+            }
+        )
+        with pytest.raises(ValueError, match="max_vocab"):
+            text.dsir_scores(
+                _ray.data.from_pandas(docs), max_vocab=3
+            ).materialize()
+
+
 class TestC4LineFilter:
     def test_rules(self, ray_session):
         import ray as _ray
