@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "video_frames_y4m",
     "gopher_quality",
     "c4_line_filter",
+    "dsir_scores",
     # part_triangles is NOT timed for the same reason as
     # kg_sameas_salted: at sf0.1 the support>=2 co-purchase graph is
     # near-empty (1 triangle), so its wall is ~7 exchanges of fixed
