@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames_y4m": q.q_video_frames_y4m,
         "gopher_quality": q.q_gopher_quality,
         "dsir_scores": q.q_dsir_scores,
+        "url_dedup": q.q_url_dedup,
         "c4_line_filter": q.q_c4_line_filter,
         "decontaminate": q.q_decontaminate,
         "pii_scrub": q.q_pii_scrub,

@@ -1376,6 +1376,19 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM sess GROUP BY user_id, session_id""",
         # decontamination: 4-gram overlap vs the every-25th-doc
         # benchmark subset (same parameters as q_decontaminate)
+        # canonical-URL dedup: the oracle derives the canonical form
+        # directly from doc_id (what canonicalization of the synthesized
+        # messy URL must produce), then groups
+        "url_dedup": """
+WITH c AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END)
+         || '://www.example' || (doc_id % 7) || '.com/P' || (doc_id % 5)
+         || '?a=1&b=' || (doc_id % 3) AS url_canon
+  FROM documents
+)
+SELECT url_canon, min(doc_id) AS keep_doc, count(*) AS n_dups
+FROM c GROUP BY url_canon""",
         # DSIR importance scores: integer add-one ratio weights from
         # the en/non-en unigram counts, occurrence-weighted doc sums
         "dsir_scores": r"""

@@ -3905,3 +3905,50 @@ def q_dsir_scores(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     return dsir_scores(docs, target_col="lang", target_value="en")
+
+
+def q_url_dedup(sf_dir: str):
+    """CCNet-style canonical-URL dedup (stages/scrub.py::url_dedup):
+    messy URLs synthesized deterministically from doc_id (mixed-case
+    scheme/host, default ports, trailing slashes, utm_/gclid params,
+    fragments), canonicalized, then min-doc_id + count per canonical
+    form. The oracle derives the canonical form DIRECTLY from doc_id —
+    an independent derivation of what canonicalization must produce,
+    stronger than re-implementing the parser in SQL."""
+    import numpy as np
+
+    from .stages.scrub import url_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_urls(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64").to_numpy()
+        s = d.astype(str)
+        r3 = d % 3
+        scheme = np.where(r3 == 0, "HTTP", np.where(r3 == 1, "https", "http"))
+        port = np.where(
+            (d % 5 == 0) & (r3 != 1),
+            ":80",
+            np.where((d % 5 == 1) & (r3 == 1), ":443", ""),
+        )
+        trail = np.where(d % 4 == 0, "/", "")
+        extra = np.where(d % 6 == 0, "&gclid=zzz", "")
+        frag = np.where(d % 2 == 0, "#frag", "")
+        url = (
+            pd.Series(scheme, index=df.index)
+            + "://WWW.ExAmple"
+            + pd.Series((d % 7).astype(str), index=df.index)
+            + ".COM"
+            + pd.Series(port, index=df.index)
+            + "/P"
+            + pd.Series((d % 5).astype(str), index=df.index)
+            + pd.Series(trail, index=df.index)
+            + "?utm_source=f&b="
+            + pd.Series((d % 3).astype(str), index=df.index)
+            + "&a=1"
+            + pd.Series(extra, index=df.index)
+            + pd.Series(frag, index=df.index)
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"), "url": url})
+
+    return url_dedup(docs.map_batches(mk_urls, batch_format="pandas"))

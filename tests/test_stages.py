@@ -538,6 +538,53 @@ class TestGopherRules:
         assert out.loc[1, "f_stop"] == 0 and out.loc[1, "f_alpha"] == 1
 
 
+class TestUrlCanonicalize:
+    def test_rules(self, ray_session):
+        import ray as _ray
+
+        from ontograph_ray.stages.scrub import canonicalize_urls, url_dedup
+
+        df = pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "url": [
+                    "HTTP://WWW.Example.COM:80/Path/?utm_source=x&b=2&a=1&gclid=z#frag",
+                    "https://example.com:443/a/b/",
+                    "https://example.com:8443/a",  # non-default port kept
+                    "http://example.com/",  # root slash kept
+                    "http://example.com/x?ref=tw&z=9&y=8",
+                    "http://example.com/x?a=1&a=0",  # dup keys sorted whole
+                ],
+            }
+        )
+        out = canonicalize_urls(_ray.data.from_pandas(df)).to_pandas()
+        assert out["url_canon"].tolist() == [
+            "http://www.example.com/Path?a=1&b=2",
+            "https://example.com/a/b",
+            "https://example.com:8443/a",
+            "http://example.com/",
+            "http://example.com/x?y=8&z=9",
+            "http://example.com/x?a=0&a=1",
+        ]
+        # dedup: two spellings of one canonical URL collapse to min id
+        dd = pd.DataFrame(
+            {
+                "doc_id": [3, 7, 5],
+                "url": [
+                    "http://A.com/x?utm_c=1&k=2",
+                    "HTTP://a.COM:80/x/?k=2#z",
+                    "http://a.com/y",
+                ],
+            }
+        )
+        got = {
+            r["url_canon"]: (r["keep_doc"], r["n_dups"])
+            for r in url_dedup(_ray.data.from_pandas(dd)).take_all()
+        }
+        assert got["http://a.com/x?k=2"] == (3, 2)
+        assert got["http://a.com/y"] == (5, 1)
+
+
 class TestDsirScores:
     def test_hand_computed(self, ray_session):
         import ray as _ray
