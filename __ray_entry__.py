@@ -225,6 +225,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_recent_orders": q.q_range_join_recent_orders,
         "top_nations_by_customers": q.q_top_nations_by_customers,
         "lineitem_pricing": q.q_lineitem_pricing,
+        # round-5 SPARQL additions (registered last on purpose: the
+        # rotation must keep the never-driver-verified keys in front)
+        "sparql_bind_div": q.q_sparql_bind_div,
+        "sparql_filter_decimal": q.q_sparql_filter_decimal,
+        "sparql_subquery_star": q.q_sparql_subquery_star,
+        "sparql_sum_distinct": q.q_sparql_sum_distinct,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

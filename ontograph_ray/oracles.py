@@ -28,6 +28,29 @@ from .queries import (
 
 _T = f"WITH t AS ({TRIPLES_SQL})"
 
+
+def _sql_div_u(v: str, d: int) -> str:
+    """round-half-away-from-zero((v*10^6)/d) as an unscaled scale-6
+    BIGINT — the SQL twin of store/sparql.py `_dec_arith` '/' for an
+    integer column over a positive integer constant divisor."""
+    return (
+        f"CASE WHEN ({v}) >= 0 THEN (2*({v})*1000000 + {d}) // (2*{d}) "
+        f"ELSE -((2*(-({v}))*1000000 + {d}) // (2*{d})) END"
+    )
+
+
+def _sql_dec_term(r: str) -> str:
+    """Unscaled scale-6 BIGINT expr → the engine's canonical
+    xsd:decimal term rendering (store/sparql.py `_dec_render`):
+    trailing fractional zeros trimmed, one fractional digit minimum."""
+    return (
+        f"'\"' || (CASE WHEN ({r}) < 0 THEN '-' ELSE '' END) || "
+        f"CAST(ABS({r}) // 1000000 AS VARCHAR) || '.' || "
+        f"COALESCE(NULLIF(rtrim(printf('%06d', "
+        f"CAST(ABS({r}) % 1000000 AS BIGINT)), '0'), ''), '0') || "
+        f"'\"^^<{C.XSD_DECIMAL}>'"
+    )
+
 # Golden-fixture oracles (scripts/gen_fixtures.py): queries whose ground
 # truth is deterministic but involves sha1/crc32 — not ANSI-SQL kernels.
 # Each fixture is computed by an INDEPENDENT plain-Python implementation
@@ -426,6 +449,35 @@ SELECT subject AS c, object AS b FROM (
          CAST(regexp_extract(object, '"([+-]?\\d+)"', 1) AS BIGINT) AS v
   FROM t WHERE predicate = '<{ACCTBAL}>')
 WHERE v * 2 > v + 500000 AND v - 250000 <= 600000""",
+        # BIND division: the scale-6 fixed-point lane — unscaled BIGINT
+        # round-half-away division, canonical trimmed decimal rendering
+        "sparql_bind_div": f"""{_T},
+v AS (SELECT subject,
+             CAST(regexp_extract(object, '"([+-]?\\d+)"', 1) AS BIGINT) AS v
+      FROM t WHERE predicate = '<{ACCTBAL}>'),
+r AS (SELECT subject, {_sql_div_u("v", 7)} AS r FROM v)
+SELECT subject AS c, {_sql_dec_term("r")} AS q FROM r""",
+        # decimal FILTER comparisons: both sides exact unscaled BIGINT
+        "sparql_filter_decimal": f"""{_T},
+v AS (SELECT subject, object,
+             CAST(regexp_extract(object, '"([+-]?\\d+)"', 1) AS BIGINT) AS v
+      FROM t WHERE predicate = '<{ACCTBAL}>')
+SELECT subject AS c, object AS b FROM v
+WHERE {_sql_div_u("v", 7)} > 50000500000
+   OR {_sql_div_u("v", 3)} <= -25000250000""",
+        # { SELECT * } subquery: cust→nation joined to nation→region
+        "sparql_subquery_star": f"""{_T}
+SELECT t1.subject AS c, t1.object AS n, t2.object AS r
+FROM t t1 JOIN t t2 ON t2.subject = t1.object
+WHERE t1.predicate = '<{IN_NATION}>' AND t2.predicate = '<{IN_REGION}>'""",
+        # SUM(DISTINCT ?b) per nation over the decoded integer cents
+        "sparql_sum_distinct": f"""{_T}
+SELECT t1.object AS n,
+       CAST(SUM(DISTINCT CAST(regexp_extract(t2.object, '"([+-]?\\d+)"', 1)
+                              AS BIGINT)) AS BIGINT) AS s
+FROM t t1 JOIN t t2 ON t2.subject = t1.subject
+WHERE t1.predicate = '<{IN_NATION}>' AND t2.predicate = '<{ACCTBAL}>'
+GROUP BY t1.object""",
         # REGEX builtin over the lexical form (RE2 on both sides:
         # pyarrow and DuckDB), flags via inline (?i) group, composed
         # with ||/&& — nation/region @en labels

@@ -3167,6 +3167,95 @@ def q_sparql_filter_isliteral(sf_dir: str):
     )
 
 
+def q_sparql_bind_div(sf_dir: str):
+    """E8 extension: BIND division — the scale-6 fixed-point decimal
+    lane (store/sparql.py `_dec_arith`). `?b / 7` over xsd:integer
+    acctbal cents exercises both signs and the half-away-from-zero
+    rounding at the 6th fractional digit; results bind canonical
+    xsd:decimal terms with a bit-identical HUGEINT SQL twin. The
+    reference's E8 passthrough accepts decimal expressions unchanged
+    (blazegraph_endpoint.go:176-244)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?c ?q WHERE {{
+          ?c attr:acctbalCents ?b .
+          BIND ( ?b / 7 AS ?q )
+        }}
+        """,
+    )
+
+
+def q_sparql_filter_decimal(sf_dir: str):
+    """E8 extension: decimal arithmetic in computed FILTER comparisons
+    — division and decimal constants route to the scale-6 fixed-point
+    lane; both comparison sides are exact unscaled int64, so the
+    thresholds at half-cent boundaries (50000.5, -25000.25) are
+    decided exactly, never by float rounding."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?c ?b WHERE {{
+          ?c attr:acctbalCents ?b .
+          FILTER ( ?b / 7 > 50000.5 || ?b / 3 <= -25000.25 )
+        }}
+        """,
+    )
+
+
+def q_sparql_subquery_star(sf_dir: str):
+    """E8 extension: { SELECT * ... } subquery — the inner projection
+    is derived statically from the body's pattern variables
+    (store/sparql.py `_star_columns`), so the subquery executes once
+    (no schema probe) and inner-joins on the shared ?n."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX rel: <urn:og:rel/>
+        SELECT ?c ?n ?r WHERE {{
+          ?c rel:inNation ?n .
+          {{ SELECT * WHERE {{ ?n rel:inRegion ?r . }} }}
+        }}
+        """,
+    )
+
+
+def q_sparql_sum_distinct(sf_dir: str):
+    """E8 extension: SUM(DISTINCT ?v) — per-group distinct rows carried
+    through the exchange by a dedicated distinct-aggregate plan
+    (per-block distinct combiner, one bucketed exchange, exact int64
+    sum), grouped by nation."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX rel: <urn:og:rel/>
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?n (SUM(DISTINCT ?b) AS ?s) WHERE {{
+          ?c rel:inNation ?n .
+          ?c attr:acctbalCents ?b .
+        }} GROUP BY ?n
+        """,
+    )
+
+
 def q_sparql_bind_concat(sf_dir: str):
     """E8 extension: CONCAT in BIND — ?vars contribute their STR value,
     constants interleave, result re-enters term space as a plain

@@ -86,20 +86,29 @@ silently misanswering):
                                       filter masks)
       BIND ( expr AS ?alias )         (expr ∈ STR/LANG/DATATYPE(?v),
                                       COALESCE(...), ?v, ground term,
-                                      or integer arithmetic a ⊕ b with
-                                      ⊕ ∈ {+,-,*} and a,b ∈ {?v, int};
-                                      runs post-join pre-FILTER;
-                                      STR/LANG bind plain literals in
-                                      term encoding, DATATYPE binds the
-                                      <uri> term or NULL when absent;
-                                      arithmetic decodes xsd:integer
-                                      lexical values and re-encodes the
-                                      int64 result as an xsd:integer
-                                      term — non-integer operands bind
-                                      NULL (SPARQL's error→unbound),
-                                      aliases chain across BINDs;
-                                      '/' refused, xsd:decimal results
-                                      are out of the integer subset)
+                                      or numeric arithmetic a ⊕ b with
+                                      ⊕ ∈ {+,-,*,/} and a,b ∈ {?v,
+                                      int, decimal}; runs post-join
+                                      pre-FILTER; STR/LANG bind plain
+                                      literals in term encoding,
+                                      DATATYPE binds the <uri> term or
+                                      NULL when absent; arithmetic is
+                                      dual-lane — pure-integer + - *
+                                      rows decode xsd:integer lexicals,
+                                      compute in int64 and re-encode an
+                                      xsd:integer term; '/' and rows
+                                      with xsd:decimal / plain-form
+                                      xsd:double operands evaluate on
+                                      the exact scale-6 fixed-point
+                                      lane (6 fractional digits,
+                                      half-away-from-zero rounding
+                                      where needed) and bind a
+                                      canonical xsd:decimal term —
+                                      non-numeric operands, exponent
+                                      doubles and >6-digit fractions
+                                      bind NULL (SPARQL's
+                                      error→unbound), aliases chain
+                                      across BINDs)
       (SAMPLE(?v) AS ?s)              (aggregate; deterministic engine →
                                       pinned to the min term — a valid
                                       sample, layout-stable, oracle-able)
@@ -219,6 +228,153 @@ from .. import triples as tr
 # by numeric FILTER and BIND arithmetic)
 _INT_LIT_RE = r'^"(?P<v>[+-]?\d+)"\^\^<' + re.escape(C.XSD_INTEGER) + r">$"
 
+# ---------------------------------------------------------------------------
+# The decimal lane: exact scale-6 fixed-point arithmetic.
+#
+# The integer lane above (plain int64 over xsd:integer lexicals) stays
+# the fast path and keeps its full int64 range. Division — whose result
+# is xsd:decimal per the XPath operator table — and any expression with
+# a decimal operand route to this lane instead: every numeric literal
+# (xsd:integer / xsd:decimal / xsd:double in PLAIN fixed-point lexical
+# form, at most 6 fractional digits) decodes to an int64 holding
+# value × 10^6, all four operators evaluate exactly in that fixed-point
+# domain (rounding, where an exact result needs more than 6 fractional
+# digits, is half-away-from-zero), and the result re-encodes as a
+# canonical xsd:decimal term ("-2.5", "3.0" — trailing zeros trimmed,
+# one fractional digit minimum). Outside the contract — exponent-form
+# doubles, >6 fractional digits, |value| beyond ~9.2e12 — a row decodes
+# invalid and the result is NULL: SPARQL's error→unbound, never a wrong
+# number. The whole contract is integer-exact, so every result has a
+# bit-identical DuckDB twin (HUGEINT arithmetic + string rendering).
+# ---------------------------------------------------------------------------
+_DEC_SCALE = 1_000_000  # 10^6: six fractional digits
+_MAXI = (1 << 63) - 1
+_NUM_LIT_RE = (
+    r'^"(?P<s>-?)\+?(?P<w>\d+)(?:\.(?P<f>\d{0,6})0*)?"\^\^<(?P<dt>'
+    + "|".join(
+        re.escape(u) for u in (C.XSD_INTEGER, C.XSD_DECIMAL, C.XSD_DOUBLE)
+    )
+    + r")>$"
+)
+_IS_DEC_TOK = re.compile(r"\d+\.\d+")
+
+
+def _dec_const(tok: str) -> int:
+    """Decimal constant token → unscaled scale-6 int (parse time)."""
+    w, f = tok.split(".", 1)
+    if len(f) > 6 and set(f[6:]) != {"0"}:
+        raise SparqlUnsupportedError(
+            "decimal constants are limited to 6 fractional digits "
+            "(the engine's scale-6 fixed-point contract)"
+        )
+    f = (f + "000000")[:6]
+    u = int(w) * _DEC_SCALE + int(f)
+    if u > _MAXI // 1000:
+        raise SparqlUnsupportedError(
+            "decimal constant outside the scale-6 fixed-point range"
+        )
+    return u
+
+
+def _dec_decode(col):
+    """Numeric literal terms → (unscaled int64, valid) numpy arrays.
+
+    ``unscaled`` holds value × 10^6; ``valid`` marks rows inside the
+    fixed-point contract (plain-form numeric lexical, ≤6 fractional
+    digits, |value| ≤ 2^63/10^6). Invalid rows are SPARQL's
+    error→unbound.
+    """
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    st = pc.extract_regex(col, _NUM_LIT_RE)
+    w_str = pc.struct_field(st, "w")
+    valid = pc.is_valid(w_str)
+    # pre-trim >13-digit whole parts so the int64 cast can't throw —
+    # they are out of range (2^63/10^6 has 13 digits) and decode invalid
+    short = pc.less_equal(pc.utf8_length(pc.fill_null(w_str, "")), 13)
+    valid = pc.and_(valid, short).to_numpy(zero_copy_only=False)
+    w = pc.cast(
+        pc.if_else(short, pc.fill_null(w_str, "0"), "0"), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    f = pc.cast(
+        pc.utf8_rpad(
+            pc.fill_null(pc.struct_field(st, "f"), ""), width=6, padding="0"
+        ),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    neg = pc.equal(
+        pc.fill_null(pc.struct_field(st, "s"), ""), "-"
+    ).to_numpy(zero_copy_only=False)
+    valid = valid & (w <= _MAXI // _DEC_SCALE)
+    mag = np.where(valid, w, 0) * _DEC_SCALE + np.where(valid, f, 0)
+    return np.where(neg, -mag, mag), valid
+
+
+def _dec_arith(aop: str, a, av, b, bv):
+    """One fixed-point operation over unscaled int64 lanes.
+
+    Exact where 6 fractional digits suffice; otherwise rounded
+    half-away-from-zero. Overflow-prone partial products are guarded
+    per row (→ invalid), never silently wrapped in this lane.
+    """
+    import numpy as np
+
+    S = _DEC_SCALE
+    valid = av & bv
+    if aop == "+":
+        return a + b, valid
+    if aop == "-":
+        return a - b, valid
+    sign = np.where((a < 0) != (b < 0), -1, 1)
+    A, B = np.abs(a), np.abs(b)
+    if aop == "*":
+        # (a·b)/S via the split hi = hw·S + hr with the SMALLER
+        # magnitude as the multiplier, so lo·hr stays inside int64
+        lo, hi = np.minimum(A, B), np.maximum(A, B)
+        hw, hr = hi // S, hi % S
+        valid = valid & (lo <= _MAXI // S)
+        valid = valid & ((hw == 0) | (lo <= _MAXI // np.maximum(hw, 1)))
+        lo = np.where(valid, lo, 0)
+        t2 = (lo * hr + S // 2) // S
+        return sign * (lo * hw + t2), valid
+    # '/': long division to scale 6 in two 10^3 digit groups (keeps
+    # every partial r·1000 inside int64 for any B ≤ 2^63/1000)
+    valid = valid & (B > 0) & (B <= _MAXI // 1000)
+    Bs = np.where(valid, B, 1)
+    q0, r = A // Bs, A % Bs
+    f3 = (r * 1000) // Bs
+    r2 = r * 1000 - f3 * Bs
+    f6 = (r2 * 1000) // Bs
+    r3 = r2 * 1000 - f6 * Bs
+    valid = valid & (q0 <= (_MAXI - S) // S)
+    q0 = np.where(valid, q0, 0)
+    mag = q0 * S + f3 * 1000 + f6 + (r3 >= (Bs + 1) // 2)
+    return sign * mag, valid
+
+
+def _dec_render(vals, valid) -> pa.Array:
+    """Unscaled int64 lane → encoded xsd:decimal terms (null=invalid).
+
+    Canonical trimmed lexical: trailing fractional zeros dropped, one
+    fractional digit minimum — '"-2.5"^^<xsd:decimal>', '"3.0"^^<…>'.
+    """
+    import numpy as np
+    import pandas as pd
+
+    mag = np.abs(vals)
+    fs = pd.Series(mag % _DEC_SCALE).astype(str).str.zfill(6).str.rstrip("0")
+    fs = fs.where(fs != "", "0")
+    lex = (
+        pd.Series(np.where(vals < 0, "-", ""))
+        + pd.Series(mag // _DEC_SCALE).astype(str)
+        + "."
+        + fs
+    )
+    out = pa.array('"' + lex + '"^^<' + C.XSD_DECIMAL + ">", pa.string())
+    return pc.if_else(pa.array(valid), out, pa.scalar(None, pa.string()))
+
 __all__ = [
     "SparqlSyntaxError",
     "SparqlUnsupportedError",
@@ -245,6 +401,7 @@ _TOKEN = re.compile(
       | (?P<lit>"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+|\^\^(?:<[^<>\s]*>|[A-Za-z_][\w-]*:[\w-]+))?)
       | (?P<bool>\|\||&&)
       | (?P<neg>!(?!=))
+      | (?P<dec>\d+\.\d+)
       | (?P<punct>[{}.(),/|^+?;-])
       | (?P<op><=|>=|!=|=|<|>)
       | (?P<num>\d+)
@@ -396,11 +553,16 @@ def parse(text: str) -> _Query:
                 raise SparqlSyntaxError(f"expected ( after {op.upper()}")
             if peek().upper() == "DISTINCT":
                 take()
-                if op != "count":
+                if op in ("count", "sum", "avg"):
+                    # DISTINCT aggregates need per-group distinct rows
+                    # to survive the exchange — a dedicated plan below
+                    op = f"{op}_distinct"
+                elif op in ("min", "max"):
+                    pass  # DISTINCT is a no-op for MIN/MAX
+                else:
                     raise SparqlUnsupportedError(
                         f"{op.upper()}(DISTINCT ...) is not supported"
                     )
-                op = "count_distinct"
             arg = take()
             if arg == "*":
                 if op != "count":
@@ -482,7 +644,9 @@ def parse(text: str) -> _Query:
             raise SparqlSyntaxError(f"expected ( or regex after FILTER, got {head!r}")
 
         def _arith_operand():
-            # one operand of an integer FILTER expression: ?var | [-]int
+            # one operand of a numeric FILTER expression:
+            # ?var | [-]int | [-]decimal (decimal → the scale-6 lane,
+            # carried as ("dec", unscaled))
             t = take()
             neg = t == "-"
             if neg:
@@ -493,17 +657,21 @@ def parse(text: str) -> _Query:
                         "unary minus before a ?variable in FILTER arithmetic"
                     )
                 return t[1:]
+            if _IS_DEC_TOK.fullmatch(t):
+                u = _dec_const(t)
+                return ("dec", -u if neg else u)
             if not t.isdigit():
                 raise SparqlSyntaxError(
-                    f"numeric FILTER needs an integer or ?variable, got {t!r}"
+                    f"numeric FILTER needs a number or ?variable, got {t!r}"
                 )
             return -int(t) if neg else int(t)
 
         def _arith_expr(first=None):
-            # expr := operand (('+'|'-'|'*') operand)? — represented as
-            # (aop|None, a, b|None) with operands int or bare var name
+            # expr := operand (('+'|'-'|'*'|'/') operand)? — represented
+            # as (aop|None, a, b|None); operands are bare var names,
+            # ints, or ("dec", unscaled) decimal constants
             a = _arith_operand() if first is None else first
-            if peek() in ("+", "-", "*"):
+            if peek() in ("+", "-", "*", "/"):
                 return (take(), a, _arith_operand())
             return (None, a, None)
 
@@ -765,9 +933,10 @@ def parse(text: str) -> _Query:
                 return ("not_in" if neg else "in", var[1:], tuple(items))
             cmp_keys = {"<": "lt", ">": "gt", "<=": "le", ">=": "ge",
                         "=": "num_eq", "!=": "num_ne"}
-            if op in ("+", "-", "*"):
-                # computed LHS: ?a ⊕ t cmp expr — integer domain,
-                # evaluated on the BIND-arithmetic decode kernels
+            if op in ("+", "-", "*", "/"):
+                # computed LHS: ?a ⊕ t cmp expr — evaluated on the
+                # BIND-arithmetic decode kernels (integer fast lane +
+                # the scale-6 decimal lane for '/' and decimal operands)
                 lexpr = (op, var[1:], _arith_operand())
                 cmp = take()
                 if cmp not in cmp_keys:
@@ -793,15 +962,32 @@ def parse(text: str) -> _Query:
             if op not in ("=", "!="):
                 raise SparqlUnsupportedError(f"unsupported FILTER operator {op!r}")
             nxt = take()
-            if peek() in ("+", "-", "*") and (
+            if peek() in ("+", "-", "*", "/") and (
                 nxt.startswith("?") or nxt.isdigit()
+                or _IS_DEC_TOK.fullmatch(nxt)
             ):
                 # computed RHS numeric equality: ?a = ?b + 1
-                first = nxt[1:] if nxt.startswith("?") else int(nxt)
+                if nxt.startswith("?"):
+                    first = nxt[1:]
+                elif nxt.isdigit():
+                    first = int(nxt)
+                else:
+                    first = ("dec", _dec_const(nxt))
                 rexpr = _arith_expr(first=first)
                 return (
                     "numcmp",
                     (cmp_keys[op], (None, var[1:], None), rexpr),
+                    "",
+                )
+            if _IS_DEC_TOK.fullmatch(nxt):
+                # ?a = 1.5 — numeric value equality via the decimal lane
+                return (
+                    "numcmp",
+                    (
+                        cmp_keys[op],
+                        (None, var[1:], None),
+                        (None, ("dec", _dec_const(nxt)), None),
+                    ),
                     "",
                 )
             val = _expand(nxt, prefixes, "object")
@@ -1009,25 +1195,27 @@ def parse(text: str) -> _Query:
             if take() != ")":
                 raise SparqlSyntaxError("expected ) closing IF")
             op, arg = "if", (cv[1:], bop, cval, tthen, telse)
-        elif (t.startswith("?") or t.isdigit()) and peek() in ("+", "-", "*", "/"):
-            # integer arithmetic: a ⊕ b, operands ?var or unsigned int
-            # (negative constants via subtraction)
+        elif (
+            t.startswith("?") or t.isdigit() or _IS_DEC_TOK.fullmatch(t)
+        ) and peek() in ("+", "-", "*", "/"):
+            # numeric arithmetic: a ⊕ b, operands ?var or unsigned
+            # number (negative constants via subtraction). Pure-integer
+            # + - * stay on the int64 fast lane; '/' and decimal
+            # operands evaluate on the scale-6 fixed-point lane and
+            # bind an xsd:decimal term (per-row: an all-integer row of
+            # a + - * expression still binds xsd:integer)
             aop = take()
-            if aop == "/":
-                raise SparqlUnsupportedError(
-                    "BIND arithmetic '/' is not supported — division "
-                    "yields xsd:decimal, outside the integer subset; "
-                    "use + - *"
-                )
 
             def _operand(tok: str):
                 if tok.startswith("?"):
                     return tok
                 if tok.isdigit():
                     return int(tok)
+                if _IS_DEC_TOK.fullmatch(tok):
+                    return ("dec", _dec_const(tok))
                 raise SparqlSyntaxError(
                     "BIND arithmetic operands must be ?variables or "
-                    f"integers, got {tok!r}"
+                    f"numbers, got {tok!r}"
                 )
 
             op, arg = "arith", (aop, _operand(t), _operand(take()))
@@ -1664,6 +1852,52 @@ def _vars_schema(vars_: list[str]) -> "pa.Schema":
     return pa.schema([(v, pa.string()) for v in vars_])
 
 
+def _star_columns(q: _Query) -> list[str]:
+    """The variable list a SELECT * body projects, derived statically.
+
+    Mirrors the executor's runtime ``bound`` construction order —
+    pattern slots in appearance order (union branches when the group is
+    a UNION), then OPTIONAL groups, then subquery projections, then
+    BIND aliases — with hidden property-path vars (``__ppN``) excluded,
+    exactly like the top-level ``SELECT *`` projection. Static
+    derivation means a ``{ SELECT * ... }`` subquery never needs a
+    schema probe (which would execute its plan a second time)."""
+    cols: list[str] = []
+
+    def add(slot: str) -> None:
+        if slot.startswith("?") and not slot[1:].startswith("__pp"):
+            if slot[1:] not in cols:
+                cols.append(slot[1:])
+
+    def add_pats(pats) -> None:
+        for pat in pats:
+            for slot in pat:
+                add(slot)
+
+    add_pats(q.patterns)
+    for grp in q.union_groups:
+        add_pats(grp)
+
+    def add_opt(grp: _OptGroup) -> None:
+        add_pats(grp.patterns)
+        for child in grp.children:
+            add_opt(child)
+
+    for grp in q.optionals:
+        add_opt(grp)
+    for sub_text in q.subqueries:
+        sub_q = parse(sub_text)
+        for v in (
+            _star_columns(sub_q) if sub_q.select == ["*"] else sub_q.select
+        ):
+            add("?" + v)
+    for _, _, alias in q.binds:
+        add("?" + alias)
+    if not cols:
+        raise SparqlUnsupportedError("SELECT * found no projectable variables")
+    return cols
+
+
 def _join_patterns(
     store: "dstore.DatasetGraphStore", patterns
 ) -> tuple[ray.data.Dataset, list[str]]:
@@ -1806,13 +2040,15 @@ def sparql_select(
         # aggregates, GROUP BY, nested paths all work), then ONE
         # bucketed inner hash join on the shared variables brings its
         # projected columns (aggregate aliases included) into the outer
-        # scope for FILTER / BIND / SELECT.
+        # scope for FILTER / BIND / SELECT. SELECT * bodies project the
+        # statically-derived variable set (pattern slots, union
+        # branches, OPTIONAL groups, BIND aliases — hidden path vars
+        # excluded), so no schema probe executes the subquery twice.
         sub_q = parse(sub_text)
-        if sub_q.select == ["*"]:
-            raise SparqlUnsupportedError(
-                "SELECT * subqueries are not supported"
-            )
-        shared = [v for v in sub_q.select if v in bound]
+        sub_cols = (
+            _star_columns(sub_q) if sub_q.select == ["*"] else sub_q.select
+        )
+        shared = [v for v in sub_cols if v in bound]
         if not shared:
             raise SparqlUnsupportedError(
                 "subquery shares no variable with the outer patterns"
@@ -1820,7 +2056,7 @@ def sparql_select(
         joined = dstore.hash_join(
             joined, sparql_select(store, sub_text), on=shared, how="inner"
         )
-        bound += [v for v in sub_q.select if v not in bound]
+        bound += [v for v in sub_cols if v not in bound]
 
     if q.binds:
         # BIND runs after the joins (arguments must be pattern-bound),
@@ -1970,33 +2206,72 @@ def sparql_select(
                             [col.as_py()] * batch.num_rows, pa.string()
                         )
                 elif op == "arith":
-                    # decode xsd:integer lexical values (non-integer
-                    # terms → null → unbound result, SPARQL's
-                    # error→unbound), int64 arithmetic, re-encode
+                    # dual lane: the int64 fast lane decodes xsd:integer
+                    # lexicals (non-integer terms → null), the scale-6
+                    # decimal lane handles '/' and rows with decimal
+                    # operands; the per-row coalesce keeps all-integer
+                    # + - * rows bit-identical to the pure-integer path
+                    # while mixed rows bind an xsd:decimal term.
+                    # Non-numeric terms are null in BOTH lanes → unbound
+                    # (SPARQL's error→unbound)
+                    import numpy as np
+
                     aop, lhs, rhs = arg
+                    int_col = None
+                    if aop != "/" and not any(
+                        isinstance(x, tuple) for x in (lhs, rhs)
+                    ):
 
-                    def ival(operand):
+                        def ival(operand):
+                            if isinstance(operand, int):
+                                return pa.scalar(operand, pa.int64())
+                            lex = pc.struct_field(
+                                pc.extract_regex(
+                                    batch[operand[1:]], _INT_LIT_RE
+                                ),
+                                "v",
+                            )
+                            return pc.cast(lex, pa.int64())
+
+                        res = {
+                            "+": pc.add, "-": pc.subtract, "*": pc.multiply
+                        }[aop](ival(lhs), ival(rhs))
+                        int_col = pc.binary_join_element_wise(
+                            '"',
+                            pc.cast(res, pa.string()),
+                            f'"^^<{C.XSD_INTEGER}>',
+                            "",
+                        )
+                        if isinstance(int_col, pa.Scalar):  # const ⊕ const
+                            int_col = pa.array(
+                                [int_col.as_py()] * batch.num_rows,
+                                pa.string(),
+                            )
+
+                    n = batch.num_rows
+
+                    def dval(operand):
                         if isinstance(operand, int):
-                            return pa.scalar(operand, pa.int64())
-                        lex = pc.struct_field(
-                            pc.extract_regex(batch[operand[1:]], _INT_LIT_RE),
-                            "v",
-                        )
-                        return pc.cast(lex, pa.int64())
+                            return (
+                                np.full(n, operand * _DEC_SCALE, np.int64),
+                                np.ones(n, bool),
+                            )
+                        if isinstance(operand, tuple):  # ("dec", unscaled)
+                            return (
+                                np.full(n, operand[1], np.int64),
+                                np.ones(n, bool),
+                            )
+                        return _dec_decode(batch[operand[1:]])
 
-                    res = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}[
-                        aop
-                    ](ival(lhs), ival(rhs))
-                    col = pc.binary_join_element_wise(
-                        '"',
-                        pc.cast(res, pa.string()),
-                        f'"^^<{C.XSD_INTEGER}>',
-                        "",
+                    la, lv = dval(lhs)
+                    ra, rv = dval(rhs)
+                    dvals, dvalid = _dec_arith(aop, la, lv, ra, rv)
+                    dec_col = _dec_render(dvals, dvalid)
+                    col = (
+                        dec_col
+                        if int_col is None
+                        else pc.coalesce(int_col, dec_col)
                     )
-                    if isinstance(col, pa.Scalar):  # int ⊕ int constant
-                        col = pa.array(
-                            [col.as_py()] * batch.num_rows, pa.string()
-                        )
                 else:
                     col = v_new_literal_term(_bacc[op](batch[arg[1:]]))
                 if isinstance(col, pa.ChunkedArray):
@@ -2070,33 +2345,89 @@ def sparql_select(
                     m = cm if m is None else comb(m, cm)
                 return m
             if op == "numcmp":
-                # two-sided integer comparison over computed expressions
-                # (FILTER(?a > ?b + 1)): decode xsd:integer lexical
-                # values exactly as BIND arithmetic does — non-integer
-                # or unbound terms → null → row dropped (or false under
-                # a boolean connective), SPARQL's type-error rule
+                # two-sided numeric comparison over computed expressions
+                # (FILTER(?a > ?b + 1), FILTER(?a / 2 >= 1.5)): dual
+                # lane like BIND arithmetic — the int64 fast lane where
+                # the expression is pure-integer, the scale-6 decimal
+                # lane for '/', decimal constants and decimal-typed
+                # terms; non-numeric or unbound terms → null → row
+                # dropped (or false under a boolean connective),
+                # SPARQL's type-error rule
+                import numpy as np
+
                 key, lexpr, rexpr = var
+                use_int = not any(
+                    e[0] == "/" or any(isinstance(x, tuple) for x in e[1:])
+                    for e in (lexpr, rexpr)
+                )
+                int_mask = None
+                fn_np = {
+                    "lt": np.less, "gt": np.greater, "le": np.less_equal,
+                    "ge": np.greater_equal, "num_eq": np.equal,
+                    "num_ne": np.not_equal,
+                }[key]
+                if use_int:
 
-                def _ival(operand):
+                    def _ival(operand):
+                        if isinstance(operand, int):
+                            return pa.scalar(operand, pa.int64())
+                        lex = pc.struct_field(
+                            pc.extract_regex(batch[operand], int_lit_re), "v"
+                        )
+                        return pc.cast(lex, pa.int64())
+
+                    def _ev(e):
+                        aop, a, b = e
+                        if aop is None:
+                            return _ival(a)
+                        return {
+                            "+": pc.add, "-": pc.subtract, "*": pc.multiply
+                        }[aop](_ival(a), _ival(b))
+
+                    fn = {
+                        **num_ops,
+                        "num_eq": pc.equal,
+                        "num_ne": pc.not_equal,
+                    }[key]
+                    int_mask = fn(_ev(lexpr), _ev(rexpr))
+
+                n = batch.num_rows
+
+                def _dval(operand):
                     if isinstance(operand, int):
-                        return pa.scalar(operand, pa.int64())
-                    lex = pc.struct_field(
-                        pc.extract_regex(batch[operand], int_lit_re), "v"
-                    )
-                    return pc.cast(lex, pa.int64())
+                        return (
+                            np.full(n, operand * _DEC_SCALE, np.int64),
+                            np.ones(n, bool),
+                        )
+                    if isinstance(operand, tuple):  # ("dec", unscaled)
+                        return (
+                            np.full(n, operand[1], np.int64),
+                            np.ones(n, bool),
+                        )
+                    return _dec_decode(batch[operand])
 
-                def _ev(e):
+                def _dev(e):
                     aop, a, b = e
+                    xa, xv = _dval(a)
                     if aop is None:
-                        return _ival(a)
-                    return {
-                        "+": pc.add, "-": pc.subtract, "*": pc.multiply
-                    }[aop](_ival(a), _ival(b))
+                        return xa, xv
+                    ya, yv = _dval(b)
+                    return _dec_arith(aop, xa, xv, ya, yv)
 
-                fn = {**num_ops, "num_eq": pc.equal, "num_ne": pc.not_equal}[
-                    key
-                ]
-                return fn(_ev(lexpr), _ev(rexpr))
+                la, lv = _dev(lexpr)
+                ra, rv = _dev(rexpr)
+                dec_mask = pc.if_else(
+                    pa.array(lv & rv),
+                    pa.array(fn_np(la, ra)),
+                    pa.scalar(None, pa.bool_()),
+                )
+                if int_mask is None:
+                    return dec_mask
+                if isinstance(int_mask, pa.Scalar):  # const-vs-const
+                    int_mask = pa.array(
+                        [int_mask.as_py()] * n, pa.bool_()
+                    )
+                return pc.coalesce(int_mask, dec_mask)
             if op in ("veq", "vne"):
                 a, b = batch[var[0][1:]], batch[var[1][1:]]
                 return (pc.equal if op == "veq" else pc.not_equal)(a, b)
@@ -2311,44 +2642,85 @@ def sparql_select(
                 gc_final,
             )
             bound = group_by + aliases
-        elif any(op == "count_distinct" for op, _, _ in aggs):
-            # COUNT(DISTINCT ?v): the combiner must keep per-block
-            # DISTINCT (key, v) rows — incompatible with the
+        elif any(op.endswith("_distinct") for op, _, _ in aggs):
+            # COUNT/SUM/AVG(DISTINCT ?v): the combiner must keep
+            # per-block DISTINCT (key, v) rows — incompatible with the
             # row-collapsing partials of the other aggregates, so the
-            # subset allows it only as the sole aggregate
+            # subset allows a DISTINCT aggregate only as the sole
+            # aggregate. SUM/AVG decode xsd:integer lexicals with the
+            # same strict rule as the plain aggregates (non-integer →
+            # typed error, never a silent 0).
             if len(aggs) != 1:
                 raise SparqlUnsupportedError(
-                    "COUNT(DISTINCT ?v) cannot be mixed with other "
+                    "a DISTINCT aggregate cannot be mixed with other "
                     "aggregates"
                 )
-            _, dvar, dalias = aggs[0]
+            dop, dvar, dalias = aggs[0]
+            dop = dop[: -len("_distinct")]
+
+            def int_lit_d(s: "pd.Series") -> "pd.Series":
+                v = s.str.extract(r'^"(-?\d+)"\^\^<', expand=False)
+                if v.isna().any():
+                    bad = s[v.isna()].iloc[0] if s[v.isna()].notna().any() else None
+                    raise ValueError(
+                        f"{dop.upper()}(DISTINCT) needs integer-typed "
+                        f"literal bindings, got {bad!r}"
+                    )
+                return v.astype("int64")
+
             if group_by:
                 def dpartial(df: pd.DataFrame) -> pd.DataFrame:
                     return df[group_by + [dvar]].drop_duplicates()
 
                 def dfinal(df: pd.DataFrame) -> pd.DataFrame:
-                    out = (
-                        df.groupby(group_by, sort=False, dropna=False)[dvar]
-                        .nunique()
-                        .rename(dalias)
-                        .reset_index()
-                    )
-                    out[dalias] = out[dalias].astype("int64")
+                    dd = df.drop_duplicates(group_by + [dvar])
+                    g = dd.groupby(group_by, sort=False, dropna=False)[dvar]
+                    if dop == "count":
+                        out = g.nunique().rename(dalias).reset_index()
+                        out[dalias] = out[dalias].astype("int64")
+                        return out
+                    dd = dd.assign(__i=int_lit_d(dd[dvar]))
+                    g = dd.groupby(group_by, sort=False, dropna=False)["__i"]
+                    if dop == "sum":
+                        out = g.sum().rename(dalias).reset_index()
+                        out[dalias] = out[dalias].astype("int64")
+                        return out
+                    # avg: exact int64 (sum, count) per group, ONE
+                    # float64 division — bit-identical to the SQL twin
+                    out = (g.sum() / g.count()).rename(dalias).reset_index()
                     return out
 
                 joined = dstore.bucketed_group_map(
                     joined, group_by, dfinal, partial_fn=dpartial
                 )
             else:
-                # whole-result distinct count: one global distinct
+                # whole-result DISTINCT aggregate: one global distinct
                 # exchange (per-block combiner inside distinct_on),
-                # then a count — no driver-side value gather
-                n = dstore.distinct_on(
-                    joined.select_columns([dvar]), [dvar]
-                ).count()
+                # then a streamed partial reduce — no driver-side
+                # value gather
+                dd = dstore.distinct_on(joined.select_columns([dvar]), [dvar])
+                if dop == "count":
+                    row = {dalias: dd.count()}
+                else:
+                    def dparts(df: pd.DataFrame) -> pd.DataFrame:
+                        if not len(df):
+                            return pd.DataFrame(columns=["__s", "__c"])
+                        iv = int_lit_d(df[dvar])
+                        return pd.DataFrame(
+                            {"__s": [int(iv.sum())], "__c": [len(iv)]}
+                        )
+
+                    parts = dd.map_batches(
+                        dparts, batch_format="pandas"
+                    ).to_pandas()
+                    s = int(parts["__s"].sum()) if len(parts) else 0
+                    c = int(parts["__c"].sum()) if len(parts) else 0
+                    row = {
+                        dalias: s if dop == "sum" else (s / c if c else None)
+                    }
                 import ray.data as rd
 
-                joined = rd.from_pandas(pd.DataFrame({dalias: [n]}))
+                joined = rd.from_pandas(pd.DataFrame([row]))
             bound = group_by + aliases
         else:
 

@@ -35,6 +35,9 @@ _words = st.sampled_from(
         "SUM", "AVG", "HAVING", "ASC", "DESC", "VALUES", "MINUS",
         "EXISTS", "NOT", "OFFSET", "+", "?", "!", "^", "/", "|",
         "<", ">", "<=", ">=", "-", "0", "60",
+        # round-5 decimal-lane tokens: decimal constants (valid and
+        # over-precise), BIND/FILTER division
+        "0.5", "1.2345678", "BIND",
     ]
 )
 _soup = st.lists(_words, min_size=0, max_size=25).map(" ".join)

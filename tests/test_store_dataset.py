@@ -1977,7 +1977,8 @@ class TestSparqlNestedOptional:
 
 class TestSparqlBindArith:
     """Integer BIND arithmetic: decode xsd:integer terms, int64 math,
-    re-encode; error→unbound on non-integer operands; '/' refused."""
+    re-encode; error→unbound on non-integer operands; '/' and decimal
+    operands route to the scale-6 fixed-point decimal lane."""
 
     XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 
@@ -2028,16 +2029,128 @@ class TestSparqlBindArith:
         )
         assert out["p"].tolist() == ["<urn:p1>"]
 
-    def test_division_refused(self, ray_session):
+    XSD_DEC = "http://www.w3.org/2001/XMLSchema#decimal"
+
+    def test_division_binds_decimal(self, ray_session):
+        # int/int division is xsd:decimal per the XPath operator table:
+        # 30/4 = 7.5, 7/4 = 1.75 — exact, canonical trimmed lexicals
+        ds = self._nums()
+        out = self._q(
+            ds,
+            "SELECT ?p ?h WHERE { ?p <urn:age> ?a . BIND ( ?a / 4 AS ?h ) }",
+        ).set_index("p")["h"]
+        assert out["<urn:p1>"] == f'"7.5"^^<{self.XSD_DEC}>'
+        assert out["<urn:p2>"] == f'"1.75"^^<{self.XSD_DEC}>'
+
+    def test_division_rounds_half_away_at_scale_6(self, ray_session):
+        # 30/7 = 4.285714285… → 4.285714; 7/3 = 2.3333335 at digit 7 →
+        # 2.333333; negative side: BIND(0 - ?a AS …) then /7
+        ds = self._nums()
+        out = self._q(
+            ds,
+            "SELECT ?p ?h ?g WHERE { ?p <urn:age> ?a . "
+            "BIND ( ?a / 7 AS ?h ) BIND ( 0 - ?a AS ?n ) "
+            "BIND ( ?n / 7 AS ?g ) }",
+        ).set_index("p")
+        assert out["h"]["<urn:p1>"] == f'"4.285714"^^<{self.XSD_DEC}>'
+        assert out["g"]["<urn:p1>"] == f'"-4.285714"^^<{self.XSD_DEC}>'
+        assert out["h"]["<urn:p2>"] == f'"1.0"^^<{self.XSD_DEC}>'
+
+    def test_decimal_constant_and_mixed_row_typing(self, ray_session):
+        # ?a * 0.5 → decimal even for integer-typed rows; ?a + 1 stays
+        # xsd:integer on integer rows (the per-row dual lane)
+        ds = self._nums()
+        out = self._q(
+            ds,
+            "SELECT ?p ?h ?i WHERE { ?p <urn:age> ?a . "
+            "BIND ( ?a * 0.5 AS ?h ) BIND ( ?a + 1 AS ?i ) }",
+        ).set_index("p")
+        assert out["h"]["<urn:p1>"] == f'"15.0"^^<{self.XSD_DEC}>'
+        assert out["h"]["<urn:p2>"] == f'"3.5"^^<{self.XSD_DEC}>'
+        assert out["i"]["<urn:p1>"] == f'"31"^^<{self.XSD_INT}>'
+
+    def test_decimal_operand_promotes(self, ray_session):
+        # a decimal-typed term in + promotes the row to xsd:decimal;
+        # non-numeric rows stay unbound in both lanes
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:x1"), r("urn:v"), l("2.25", datatype=self.XSD_DEC)),
+            new_triple(r("urn:x2"), r("urn:v"), l("4", datatype=self.XSD_INT)),
+            new_triple(r("urn:x3"), r("urn:v"), l("oops")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        out = self._q(
+            ds,
+            "SELECT ?p ?h WHERE { ?p <urn:v> ?a . BIND ( ?a + 1 AS ?h ) }",
+        ).set_index("p")["h"]
+        import pandas as pd
+
+        assert out["<urn:x1>"] == f'"3.25"^^<{self.XSD_DEC}>'
+        assert out["<urn:x2>"] == f'"5"^^<{self.XSD_INT}>'
+        assert pd.isna(out["<urn:x3>"])
+
+    def test_division_by_zero_unbinds(self, ray_session):
+        ds = self._nums()
+        out = self._q(
+            ds,
+            "SELECT ?p ?h WHERE { ?p <urn:age> ?a . "
+            "BIND ( ?a - ?a AS ?z ) BIND ( ?a / ?z AS ?h ) }",
+        )
+        assert out["h"].isna().all()
+
+    def test_filter_decimal_comparisons(self, ray_session):
+        # division and decimal constants in computed FILTERs: exact
+        # unscaled comparison (30/4 = 7.5 > 7.49; 7/4 = 1.75 not)
+        ds = self._nums()
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:age> ?a . FILTER ( ?a / 4 > 7.49 ) }",
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:age> ?a . FILTER ( ?a = 7.0 ) }",
+        )
+        assert out["p"].tolist() == ["<urn:p2>"]
+
+    def test_seven_fraction_digits_unbinds(self, ray_session):
+        # >6 fractional digits is outside the scale-6 contract →
+        # error→unbound, never a rounded misanswer
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:x1"), r("urn:v"), l("1.2345678", datatype=self.XSD_DEC)),
+            new_triple(r("urn:x2"), r("urn:v"), l("1.2345670", datatype=self.XSD_DEC)),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        out = self._q(
+            ds,
+            "SELECT ?p ?h WHERE { ?p <urn:v> ?a . BIND ( ?a + 0 AS ?h ) }",
+        ).set_index("p")["h"]
+        import pandas as pd
+
+        assert pd.isna(out["<urn:x1>"])  # 7 significant fraction digits
+        # a 7th trailing zero is still representable at scale 6
+        assert out["<urn:x2>"] == f'"1.234567"^^<{self.XSD_DEC}>'
+
+    def test_decimal_constant_too_precise_refused(self, ray_session):
         import pytest as _pytest
 
         from ontograph_ray.store.sparql import SparqlUnsupportedError
 
         ds = self._nums()
-        with _pytest.raises(SparqlUnsupportedError, match="division"):
+        with _pytest.raises(SparqlUnsupportedError, match="fractional"):
             self._q(
                 ds,
-                "SELECT ?p WHERE { ?p <urn:age> ?a . BIND ( ?a / 2 AS ?h ) }",
+                "SELECT ?p WHERE { ?p <urn:age> ?a . "
+                "FILTER ( ?a > 1.0000001 ) }",
             )
 
 
@@ -2561,7 +2674,147 @@ class TestSparqlCountDistinct:
         with pytest.raises(SparqlUnsupportedError):
             sparql_select(
                 self._store(),
-                "SELECT (SUM(DISTINCT ?v) AS ?n) WHERE { ?e <urn:val> ?v . }",
+                "SELECT ?g (SUM(DISTINCT ?v) AS ?n) (MIN(?v) AS ?m) "
+                "WHERE { ?e <urn:grp> ?g . ?e <urn:val> ?v . } GROUP BY ?g",
+            ).to_pandas()
+
+
+class TestSparqlSumAvgDistinct:
+    """SUM/AVG(DISTINCT ?v): per-group distinct rows through the
+    exchange, exact int64 sums; MIN/MAX treat DISTINCT as a no-op."""
+
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+    def _store(self):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = []
+        # group a: 10,10,4 → distinct {10,4}; group b: 6 → {6}
+        for i, (g, v) in enumerate(
+            [("a", "10"), ("a", "10"), ("a", "4"), ("b", "6")]
+        ):
+            trps.append(new_triple(r(f"urn:e{i}"), r("urn:grp"), l(g)))
+            trps.append(
+                new_triple(
+                    r(f"urn:e{i}"), r("urn:val"), l(v, datatype=self.XSD_INT)
+                )
+            )
+        return DatasetGraphStore.from_triples("urn:g", trps)
+
+    def test_sum_distinct_grouped(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        out = (
+            sparql_select(
+                self._store(),
+                "SELECT ?g (SUM(DISTINCT ?v) AS ?s) WHERE { "
+                "?e <urn:grp> ?g . ?e <urn:val> ?v . } GROUP BY ?g",
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        assert out.values.tolist() == [['"a"', 14], ['"b"', 6]]
+
+    def test_sum_and_avg_distinct_whole_result(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        st = self._store()
+        out = sparql_select(
+            st,
+            "SELECT (SUM(DISTINCT ?v) AS ?s) WHERE { ?e <urn:val> ?v . }",
+        ).to_pandas()
+        assert out["s"].tolist() == [20]  # {10, 4, 6}
+        out = sparql_select(
+            st,
+            "SELECT (AVG(DISTINCT ?v) AS ?m) WHERE { ?e <urn:val> ?v . }",
+        ).to_pandas()
+        assert out["m"].tolist() == [20 / 3]
+
+    def test_min_distinct_is_noop(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        out = (
+            sparql_select(
+                self._store(),
+                "SELECT ?g (MIN(DISTINCT ?v) AS ?m) WHERE { "
+                "?e <urn:grp> ?g . ?e <urn:val> ?v . } GROUP BY ?g",
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        assert out["m"].tolist() == [
+            f'"10"^^<{self.XSD_INT}>',
+            f'"6"^^<{self.XSD_INT}>',
+        ]
+
+
+class TestSparqlSubqueryStar:
+    """{ SELECT * } subquery bodies: projection derived statically."""
+
+    def _store(self):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r = terms.new_resource_term
+        trps = [
+            new_triple(r("urn:c1"), r("urn:in"), r("urn:n1")),
+            new_triple(r("urn:c2"), r("urn:in"), r("urn:n1")),
+            new_triple(r("urn:c3"), r("urn:in"), r("urn:n2")),
+            new_triple(r("urn:n1"), r("urn:part"), r("urn:r1")),
+            new_triple(r("urn:n2"), r("urn:part"), r("urn:r2")),
+        ]
+        return DatasetGraphStore.from_triples("urn:g", trps)
+
+    def test_star_body_joins(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        out = (
+            sparql_select(
+                self._store(),
+                "SELECT ?c ?n ?r WHERE { ?c <urn:in> ?n . "
+                "{ SELECT * WHERE { ?n <urn:part> ?r . } } }",
+            )
+            .to_pandas()
+            .sort_values("c")
+            .reset_index(drop=True)
+        )
+        assert out["c"].tolist() == ["<urn:c1>", "<urn:c2>", "<urn:c3>"]
+        assert out["r"].tolist() == ["<urn:r1>", "<urn:r1>", "<urn:r2>"]
+
+    def test_star_body_with_bind_alias(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        out = (
+            sparql_select(
+                self._store(),
+                'SELECT ?c ?t WHERE { ?c <urn:in> ?n . '
+                '{ SELECT * WHERE { ?n <urn:part> ?r . '
+                'BIND ( STR(?n) AS ?t ) } } }',
+            )
+            .to_pandas()
+            .sort_values("c")
+            .reset_index(drop=True)
+        )
+        assert out["t"].tolist() == ['"urn:n1"', '"urn:n1"', '"urn:n2"']
+
+    def test_unshared_star_subquery_refused(self, ray_session):
+        import pytest
+        from ontograph_ray.store.sparql import (
+            SparqlUnsupportedError,
+            sparql_select,
+        )
+
+        with pytest.raises(SparqlUnsupportedError, match="shares no"):
+            sparql_select(
+                self._store(),
+                "SELECT ?c WHERE { ?c <urn:in> ?n . "
+                "{ SELECT * WHERE { ?x <urn:part> ?r . } } }",
             )
 
 
