@@ -121,6 +121,9 @@ _CC_SCHEMA_FIELDS = [
     ("__h", "int64"),
     ("__dest", "int64"),
     ("__bucket", "int64"),
+    ("__hl", "int64"),  # hash(label) bit-view — routes the jump round
+    ("__pl", "string"),  # previous label (report-to-rep target); null on edges
+    ("__hp", "int64"),  # hash(previous label) — routes the report message
     ("__s", "int8"),  # label replica index (0..salt-1); 0 on edges
     ("__changed", "int64"),  # label changed last iteration; 0 on edges
 ]
@@ -159,6 +162,7 @@ def connected_components(
     num_buckets: int = 64,
     small_threshold: int = 200_000,
     salt: int = 1,
+    jump: bool = True,
 ) -> ray.data.Dataset:
     """Edges (src,dst string columns) → Dataset(node, component) where
     component is the lexicographic min node label of the component.
@@ -178,7 +182,14 @@ def connected_components(
     docstring, "fan-out") — use for graphs with head entities whose
     degree rivals a whole bucket's fair share. Output is identical for
     any salt; the cost is a ×salt replication of the (one-row-per-node)
-    label side of each phase-1 exchange."""
+    label side of each phase-1 exchange.
+
+    ``jump=True`` (default) adds one pointer-jump exchange per
+    iteration (L(v) ← L(L(v))), so convergence needs O(log diameter)
+    propagate rounds instead of O(diameter) — the iteration count, not
+    the per-round cost, is the wall on long-chain graphs (BASELINE.md
+    round-5 probe). Output is identical with or without it (tests pin
+    both)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -206,6 +217,9 @@ def connected_components(
         out["__dest"] = _home(h_nbr, B)
         # == _salted(h_key, s_of_edge, B); matches the label replicas
         out["__bucket"] = (splitmix64(h_key + s) % np.uint64(B)).astype(np.int64)
+        out["__hl"] = np.int64(0)
+        out["__pl"] = None
+        out["__hp"] = np.int64(0)
         out["__s"] = np.int8(0)
         out["__changed"] = np.int64(0)
         return out[names]
@@ -215,7 +229,8 @@ def connected_components(
         # functions of (key, nbr), so grouping on all of them is the
         # same distinct
         d = t.group_by(
-            ["key", "nbr", "kind", "__h", "__dest", "__bucket", "__s", "__changed"],
+            ["key", "nbr", "kind", "__h", "__dest", "__bucket", "__hl",
+             "__hp", "__s", "__changed"],
             use_threads=False,
         ).aggregate([])
         n = len(d)
@@ -229,6 +244,9 @@ def connected_components(
                 "__h": d["__h"],
                 "__dest": d["__dest"],
                 "__bucket": d["__bucket"],
+                "__hl": d["__hl"],
+                "__pl": pa.nulls(n, pa.string()),
+                "__hp": d["__hp"],
                 "__s": d["__s"],
                 "__changed": d["__changed"],
             },
@@ -250,13 +268,14 @@ def connected_components(
     if edges2.count() <= small_threshold:
         return _local_components(edges2)
 
-    def label_replicas(nodes, labels_col, h, changed) -> pa.Table:
-        """(node, label, hash bits, changed) column data → unified-
-        schema label rows, one replica per salt value (colliding
-        replicas are harmless — phase 1 needs ≥1 label row per bucket,
-        phase 2 re-dedups). Integer-mix bucketing: no string hashing
-        per iteration. Replica 0 (``__s == 0``) is the canonical
-        one-row-per-node slice the output projects."""
+    def label_replicas(nodes, labels_col, h, changed, hl, pl, hp) -> pa.Table:
+        """(node, label, hash bits, changed, hash-of-label, previous
+        label + its hash) column data → unified-schema label rows, one
+        replica per salt value (colliding replicas are harmless —
+        phase 1 needs ≥1 label row per bucket, phase 2 re-dedups).
+        Integer-mix bucketing: no string hashing per iteration. Replica
+        0 (``__s == 0``) is the canonical one-row-per-node slice the
+        output projects and the jump round reads."""
         n = len(h)
         parts = []
         for s in range(salt):
@@ -271,6 +290,9 @@ def connected_components(
                         "__h": pa.array(h.view(np.int64), pa.int64()),
                         "__dest": pa.array(_home(h, B), pa.int64()),
                         "__bucket": pa.array(_salted(h, s, B), pa.int64()),
+                        "__hl": hl,
+                        "__pl": pl,
+                        "__hp": hp,
                         "__s": pa.array(np.full(n, s, np.int8), pa.int8()),
                         "__changed": changed,
                     },
@@ -302,7 +324,10 @@ def connected_components(
         ).aggregate([])
         h = d["__h"].to_numpy().view(np.uint64)
         zeros = pa.array(np.zeros(len(d), np.int64), pa.int64())
-        return label_replicas(d["node"], d["label"], h, zeros)
+        # label == prev == node initially, so all hashes equal __h
+        return label_replicas(
+            d["node"], d["label"], h, zeros, d["__h"], d["label"], d["__h"]
+        )
 
     labels = (
         edges2.map_batches(node_rows, batch_format="pyarrow")
@@ -317,11 +342,91 @@ def connected_components(
             ("label", pa.string()),
             ("is_self", pa.int8()),
             ("__h", pa.int64()),
+            ("__hl", pa.int64()),
             ("__bucket", pa.int64()),
         ]
     )
 
-    for _ in range(max_iters):
+    # --- pointer jumping (round 5): one extra exchange per iteration
+    # compresses label chains L(v) ← L(L(v)), so long-diameter graphs
+    # converge in O(log d) propagate rounds instead of O(d). Labels are
+    # monotone non-increasing and L(x) ≤ x, so the pointer's label
+    # always improves-or-ties — the jump needs no min, just a replace.
+    # Each __s==0 label row plays two roles in one co-group: requester
+    # (routed to the pointer's home bucket, home(__hl)) and responder
+    # (the label row itself at its own home bucket, home(__h)); the
+    # per-bucket inner join answers every request because every pointer
+    # target IS a node with a label row, and hash(label string) equals
+    # that node's __h (same vectorized hash).
+    jump_schema = pa.schema(
+        [
+            ("role", pa.int8()),
+            ("node", pa.string()),
+            ("label", pa.string()),
+            ("__h", pa.int64()),
+            ("__hl", pa.int64()),
+            ("__pl", pa.string()),
+            ("__hp", pa.int64()),
+            ("__jb", pa.int64()),
+        ]
+    )
+
+    def jump_emit(t: pa.Table) -> pa.Table:
+        base = t.filter(pc.equal(t["__s"], 0))
+        n = len(base)
+        h = base["__h"].to_numpy().view(np.uint64)
+        hl = base["__hl"].to_numpy().view(np.uint64)
+        roles = []
+        for role, jb in ((0, _home(hl, B)), (1, _home(h, B))):
+            roles.append(
+                pa.table(
+                    {
+                        "role": pa.array(
+                            np.full(n, role, np.int8), pa.int8()
+                        ),
+                        "node": base["node"],
+                        "label": base["label"],
+                        "__h": base["__h"],
+                        "__hl": base["__hl"],
+                        "__pl": base["__pl"],
+                        "__hp": base["__hp"],
+                        "__jb": pa.array(jb, pa.int64()),
+                    },
+                    schema=jump_schema,
+                )
+            )
+        return pa.concat_tables(roles)
+
+    def jump_resolve(t: pa.Table) -> pa.Table:
+        req = (
+            t.filter(pc.equal(t["role"], 0))
+            .select(["node", "label", "__h", "__pl", "__hp"])
+            .rename_columns(["node", "__ptr", "__h", "__pl", "__hp"])
+        )
+        res = (
+            t.filter(pc.equal(t["role"], 1))
+            .select(["node", "label", "__hl"])
+            .rename_columns(["__ptr", "__plab", "__phl"])
+        )
+        j = req.join(res, keys=["__ptr"], join_type="inner")
+        changed = pc.cast(pc.not_equal(j["__plab"], j["__ptr"]), pa.int64())
+        h = j["__h"].to_numpy().view(np.uint64)
+        # the pending report target (__pl/__hp, set by the reduce) is
+        # PRESERVED: the jump's improvement came FROM the old pointer's
+        # chain, so the report to the pre-reduce rep stays the one with
+        # new information — and it now carries the even-smaller label
+        return label_replicas(
+            j["node"], j["__plab"], h, changed, j["__phl"],
+            j["__pl"], j["__hp"],
+        )
+
+    import os as _os
+    import time as _time
+
+    _dbg = bool(_os.environ.get("GRAFT_CC_DEBUG"))
+
+    for _it in range(max_iters):
+        _t0 = _time.monotonic()
         both = labels.union(edges2)
 
         # Phase 1: per bucket, Acero-join edges with source labels;
@@ -331,7 +436,8 @@ def connected_components(
         def propagate(t: pa.Table) -> pa.Table:
             kind = t["kind"]
             lab = t.filter(pc.equal(kind, 1)).select(
-                ["key", "label", "__h", "__dest"]
+                ["key", "label", "__h", "__dest", "__hl", "__pl", "__hp",
+                 "__s"]
             )
             edg = t.filter(pc.equal(kind, 0)).select(["key", "nbr", "__dest"])
             joined = edg.rename_columns(["key", "nbr", "__mdest"]).join(
@@ -355,6 +461,7 @@ def connected_components(
                     "label": msgs["label_min"],
                     "is_self": pa.array(np.zeros(nm, np.int8), pa.int8()),
                     "__h": pa.array(np.zeros(nm, np.int64), pa.int64()),
+                    "__hl": pa.array(np.zeros(nm, np.int64), pa.int64()),
                     "__bucket": msgs["__bucket"],
                 },
                 schema=msg_schema,
@@ -366,11 +473,39 @@ def connected_components(
                     "label": lab["label"],
                     "is_self": pa.array(np.ones(ns, np.int8), pa.int8()),
                     "__h": lab["__h"],
+                    "__hl": lab["__hl"],
                     "__bucket": lab["__dest"],
                 },
                 schema=msg_schema,
             )
-            return pa.concat_tables([msgs_t, self_t])
+            # report-to-rep: a node that improved past its previous
+            # pointer target tells that target (one message per node,
+            # routed to the old rep's home bucket) — this is what lets
+            # a new minimum cross an already-labeled region in O(1)
+            # rounds instead of re-walking it edge by edge; the jump
+            # round then broadcasts it back region-wide. Only the
+            # __s==0 replica reports (one message per node), and only
+            # when the label actually moved past the old pointer.
+            rep = lab.filter(
+                pc.and_(
+                    pc.equal(lab["__s"], 0),
+                    pc.not_equal(lab["label"], lab["__pl"]),
+                )
+            )
+            nr = len(rep)
+            hp = rep["__hp"].to_numpy().view(np.uint64)
+            rep_t = pa.table(
+                {
+                    "node": rep["__pl"],
+                    "label": rep["label"],
+                    "is_self": pa.array(np.zeros(nr, np.int8), pa.int8()),
+                    "__h": pa.array(np.zeros(nr, np.int64), pa.int64()),
+                    "__hl": pa.array(np.zeros(nr, np.int64), pa.int64()),
+                    "__bucket": pa.array(_home(hp, B), pa.int64()),
+                },
+                schema=msg_schema,
+            )
+            return pa.concat_tables([msgs_t, self_t, rep_t])
 
         msgs = both.groupby("__bucket").map_groups(propagate, batch_format="pyarrow")
 
@@ -386,13 +521,30 @@ def connected_components(
             self_rows = t.filter(pc.equal(t["is_self"], 1))
             old = (
                 self_rows.group_by("node", use_threads=False)
-                .aggregate([("label", "min"), ("__h", "min")])
-                .rename_columns(["node", "old_label", "__h"])
+                .aggregate([("label", "min"), ("__h", "min"), ("__hl", "min")])
+                .rename_columns(["node", "old_label", "__h", "__hlo"])
             )
             j = new.join(old, keys=["node"], join_type="inner")
             changed = pc.cast(pc.less(j["new_label"], j["old_label"]), pa.int64())
             h = j["__h"].to_numpy().view(np.uint64)
-            return label_replicas(j["node"], j["new_label"], h, changed)
+            # one vectorized hash pass over the bucket's (one row per
+            # node) new labels — the jump round's routing key; cheap
+            # next to the exchanges, and only labels are re-hashed,
+            # never the doubled edge list
+            hl = pa.array(
+                pd.util.hash_pandas_object(
+                    j["new_label"].to_pandas(), index=False
+                )
+                .to_numpy()
+                .view(np.int64),
+                pa.int64(),
+            )
+            # previous pointer (+ its hash) = this round's pre-min
+            # label: the report target for the next propagate round
+            return label_replicas(
+                j["node"], j["new_label"], h, changed, hl,
+                j["old_label"], j["__hlo"],
+            )
 
         # one fused execution per iteration (sort → propagate → sort →
         # reduce → coalesce); the convergence probe is a cheap
@@ -409,8 +561,26 @@ def connected_components(
             .repartition(num_buckets)
             .materialize()
         )
-        if not (labels.sum("__changed") or 0):
+        _chg = labels.sum("__changed") or 0
+        if _dbg:
+            print(
+                f"[cc] iter {_it} changed={_chg} "
+                f"wall={_time.monotonic() - _t0:.2f}s",
+                flush=True,
+            )
+        if not _chg:
             break
+        if jump:
+            # pointer-jump round: L(v) ← L(L(v)) — one exchange; the
+            # convergence check stays on the propagate round's changes
+            # (hash-min fixpoint ⇒ converged regardless of jumps)
+            labels = (
+                labels.map_batches(jump_emit, batch_format="pyarrow")
+                .groupby("__jb")
+                .map_groups(jump_resolve, batch_format="pyarrow")
+                .repartition(num_buckets)
+                .materialize()
+            )
 
     def finish(t: pa.Table) -> pa.Table:
         keep = t.filter(pc.equal(t["__s"], 0))

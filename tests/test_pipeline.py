@@ -124,6 +124,37 @@ class TestUnionFind:
             )
             assert salted == want, f"salt={s} diverged"
 
+    def test_pointer_jumping_identical_output(self, ray_session):
+        # the O(log d) pointer-jump rounds must not change the result —
+        # chain + star + cycle, forced distributed, both plans
+        edges = self._skewed_graph()
+        base = sorted(
+            (r["node"], r["component"])
+            for r in canonicalize.connected_components(
+                edges, num_buckets=4, small_threshold=0, jump=False
+            ).take_all()
+        )
+        jumped = sorted(
+            (r["node"], r["component"])
+            for r in canonicalize.connected_components(
+                edges, num_buckets=4, small_threshold=0, jump=True
+            ).take_all()
+        )
+        assert jumped == base
+        assert {c for _, c in base} == {"c0", "hub", "q1"}
+
+    def test_pointer_jumping_long_chain(self, ray_session):
+        # 40-deep chain: hash-min alone needs ~40 propagate rounds —
+        # more than max_iters=25 — jumping converges well inside it
+        edges = ray.data.from_items(
+            [{"src": f"v{i:03d}", "dst": f"v{i+1:03d}"} for i in range(40)]
+        ).repartition(5)
+        out = canonicalize.connected_components(
+            edges, num_buckets=4, small_threshold=0, max_iters=10
+        )
+        comps = {r["component"] for r in out.take_all()}
+        assert comps == {"v000"}
+
 
 class TestPagerank:
     @staticmethod
