@@ -856,6 +856,9 @@ SELECT l_orderkey, l_linenumber, 'l_discount',
         ),
         # REAL-codec multimodal twins (PGM / RIFF-WAV / YUV4MPEG2) —
         # independent byte-wise parsers in scripts/gen_fixtures.py
+        "image_features_jpeg": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_jpeg_n200.parquet')"
+        ),
         "image_features_pgm": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_pgm_n200.parquet')"
         ),

@@ -1746,6 +1746,22 @@ def q_image_features_pgm(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "phash"])
 
 
+def q_image_features_jpeg(sf_dir: str):
+    """REAL compressed-codec image decode: baseline sequential
+    GRAYSCALE JPEG (ITU-T T.81 — Annex-K tables, canonical Huffman,
+    byte stuffing, integer IDCT contract) decoded by the in-module
+    entropy decoder (stages/multimodal.py::decode_jpeg_gray), features
+    per image. Oracle is an independent plain-Python decoder using the
+    T.81 F.2.2.3 MINCODE/MAXCODE/VALPTR procedure and plain-int IDCT
+    (scripts/gen_fixtures.py::gen_image_features_jpeg); phash pins the
+    decoded pixels byte-wise."""
+    from .stages.multimodal import decode_images, synthesize_media
+
+    ds = ray.data.from_arrow(synthesize_media(200, seed=2042, codec="jpeg"))
+    out = decode_images(ds, codec="jpeg")
+    return out.select_columns(["media_id", "width", "height", "phash"])
+
+
 def q_audio_features_wav(sf_dir: str):
     """REAL-codec audio decode: RIFF/WAVE mono PCM16 payloads parsed
     via stdlib ``wave`` (stages/multimodal.py::decode_wav); duration/

@@ -5,18 +5,21 @@ The Ray-side plumbing (schema, actor-pool stage shape, per-actor model
 setup, small batch sizes for wide binary rows, output layout) is real
 and tested. Codecs come in three tiers:
 
-- REAL uncompressed container formats, decoded here with no external
-  libraries: ``codec="pgm"`` (binary PGM / Netpbm P5 images),
-  ``codec="wav"`` (RIFF/WAVE PCM16 audio, stdlib ``wave``), and
-  ``codec="y4m"`` (YUV4MPEG2 mono video streams). These are genuine
-  on-disk formats a user can produce with ImageMagick / ffmpeg
-  (`ffmpeg -pix_fmt gray -f yuv4mpegpipe`), so the decode stages are
-  real codecs, not stubs.
+- REAL container formats, decoded here with no external libraries:
+  ``codec="pgm"`` (binary PGM / Netpbm P5 images), ``codec="wav"``
+  (RIFF/WAVE PCM16 audio, stdlib ``wave``), ``codec="y4m"``
+  (YUV4MPEG2 mono video streams), and — round 5 — ``codec="jpeg"``:
+  baseline sequential GRAYSCALE JPEG (ITU-T T.81 markers, Annex-K
+  tables, canonical Huffman entropy coding, byte stuffing, integer
+  DCT contract; see the JPEG section below). These are genuine
+  on-disk formats a user can produce with ImageMagick / ffmpeg, so
+  the decode stages are real codecs, not stubs.
 - the deterministic ``codec="fake"`` header+bytes format kept for the
   original fixture twins.
-- compressed formats (JPEG/PNG/MP3/H.264 — ``codec="pillow"`` /
-  ``"ffmpeg"``) still raise NotImplementedError at construction: the
-  sandbox ships no compression codecs and we do not fake them.
+- everything else compressed (color/progressive JPEG, PNG, MP3,
+  H.264 — ``codec="pillow"`` / ``"ffmpeg"``) still raises
+  NotImplementedError at construction: the sandbox ships no
+  compression codecs and we do not fake them.
 
 Scale notes baked into the stage defaults: binary rows are wide, so
 ``batch_size`` is small (64) and the actor pool bounds concurrent
@@ -103,7 +106,11 @@ def synthesize_media(n: int, seed: int = 42, codec: str = "fake") -> pa.Table:
     """Deterministic media table for tests/benchmarks. ``codec="pgm"``
     emits real binary-PGM payloads; ``"fake"`` the original header+bytes
     format. Pixel content is identical for a given (dims, seed)."""
-    enc = {"fake": encode_fake_image, "pgm": encode_pgm_image}[codec]
+    enc = {
+        "fake": encode_fake_image,
+        "pgm": encode_pgm_image,
+        "jpeg": encode_jpeg_gray,
+    }[codec]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
         w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
@@ -121,23 +128,28 @@ class ImageDecoder:
     """Actor stage: decode + feature-extract image payloads.
 
     ``codec="pgm"`` decodes REAL binary-PGM (Netpbm P5) payloads with
-    the in-module pure-numpy parser; ``codec="fake"`` the deterministic
-    test format. Compressed codecs (``"pillow"``/JPEG/PNG) raise
-    NotImplementedError at construction — the sandbox ships no
-    compression libraries — with the stage shape (schema in/out,
-    batching, actor pool) identical across codecs."""
+    the in-module pure-numpy parser; ``codec="jpeg"`` REAL baseline
+    grayscale JPEG with the in-module entropy decoder + integer IDCT;
+    ``codec="fake"`` the deterministic test format. Other compressed
+    codecs (``"pillow"``/color JPEG/PNG) raise NotImplementedError at
+    construction — the sandbox ships no compression libraries — with
+    the stage shape (schema in/out, batching, actor pool) identical
+    across codecs."""
 
     def __init__(self, codec: str = "fake"):
-        if codec not in ("fake", "pgm"):
+        if codec not in ("fake", "pgm", "jpeg"):
             raise NotImplementedError(
                 f"codec {codec!r} requires image-compression libraries not "
-                "present in this environment; use codec='pgm' or 'fake'"
+                "present in this environment; use codec='jpeg', 'pgm' or "
+                "'fake'"
             )
         self.codec = codec
 
     def _decode(self, payload: bytes) -> np.ndarray:
         if self.codec == "pgm":
             return decode_pgm(payload)
+        if self.codec == "jpeg":
+            return decode_jpeg_gray(payload)
         if not payload.startswith(_FAKE_MAGIC):
             raise ValueError("bad fake-image magic")
         w, h = struct.unpack("<II", payload[8:16])
@@ -218,6 +230,402 @@ def resize_images(
         batch_size=64,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (grayscale) — a REAL compressed codec, no external libs.
+#
+# Sequential baseline profile per ITU-T T.81: JFIF container, the
+# Annex-K luminance quantization + Huffman tables, zigzag scan, DC
+# difference coding, run-length AC coding with ZRL/EOB, 0xFF00 byte
+# stuffing. One grayscale component (1x1 sampling) — a valid JPEG any
+# stock decoder opens.
+#
+# The DCT/IDCT pair is defined as an EXACT INTEGER contract (fixed
+# tables T[u][x] = round(cos((2x+1)uπ/16)·2^14) from math.cos, CU =
+# round(2^14·C(u)), and a fixed rounding shift rsr(v,s) = (v+2^(s-1))>>s
+# with arithmetic shift), so the engine decoder (numpy int64) and the
+# independent plain-Python fixture twin (scripts/gen_fixtures.py)
+# produce BYTE-IDENTICAL pixel output — the same determinism discipline
+# as the fixed-point PageRank. Real-valued decoders differ by ±1 LSB
+# among themselves anyway (IEEE 1180 tolerances); this one is simply
+# pinned to a documented integer approximation inside those tolerances.
+# ---------------------------------------------------------------------------
+
+_JPEG_QTBL = [  # Annex K.1 luminance, zigzag-ordered on write
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_ZIGZAG = [  # natural index at each zigzag position
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_cos_table() -> list[list[int]]:
+    """T[u][x] = round(cos((2x+1)·u·π/16) · 2^14) — the shared integer
+    DCT basis (math.cos on both implementations, so bit-identical)."""
+    import math
+
+    return [
+        [round(math.cos((2 * x + 1) * u * math.pi / 16) * 16384) for x in range(8)]
+        for u in range(8)
+    ]
+
+
+_JPEG_CU = [11585, 16384, 16384, 16384, 16384, 16384, 16384, 16384]
+# ^ round(2^14 · C(u)) with C(0)=1/√2
+
+
+def _jpeg_qtable(quality: int) -> list[int]:
+    """libjpeg quality scaling of the Annex-K table (natural order)."""
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [max(1, min(255, (q * scale + 50) // 100)) for q in _JPEG_QTBL]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): value → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill padding per spec
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    """DC/AC magnitude category (number of amplitude bits)."""
+    m, c = abs(v), 0
+    while m:
+        m >>= 1
+        c += 1
+    return c
+
+
+def encode_jpeg_gray(width: int, height: int, seed: int, quality: int = 85) -> bytes:
+    """REAL compressed codec: baseline sequential grayscale JFIF.
+
+    Same deterministic pixel content as the other image codecs for a
+    given (dims, seed). The forward DCT follows the module's integer
+    contract; quantization rounds half away from zero."""
+    q = _jpeg_qtable(quality)
+    T = np.array(_jpeg_cos_table(), dtype=np.int64)
+    CU = np.array(_JPEG_CU, dtype=np.int64)
+    px = _image_pixels(width, height, seed).reshape(height, width)
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.int64)
+    padded[:height, :width] = px
+    padded[height:, :width] = px[-1:, :]  # edge-replicate pad
+    padded[:, width:] = padded[:, width - 1 : width]
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128
+    )
+
+    def rsr(v, s):
+        return (v + (1 << (s - 1))) >> s
+
+    # integer FDCT (module contract): two 1-D passes + C(u)C(v)/4 scale
+    g = rsr(np.einsum("byx,ux->byu", blocks, T), 14)  # over x
+    hcoef = rsr(np.einsum("byu,vy->bvu", g, T), 14)  # over y
+    f = rsr(hcoef * CU[None, :, None] * CU[None, None, :], 30)  # F[b,v,u]
+    qn = np.array(q, dtype=np.int64).reshape(8, 8)  # natural (v, u) layout
+    fq = np.sign(f) * ((2 * np.abs(f) + qn[None]) // (2 * qn[None]))
+    assert np.abs(fq).max() <= 1023, "quantized coefficient out of baseline range"
+
+    dc_huff = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    zz = np.array(_ZIGZAG)
+    w = _BitWriter()
+    pred = 0
+    for b in range(fq.shape[0]):
+        coefs = fq[b].reshape(64)[zz]
+        dc = int(coefs[0])
+        diff = dc - pred
+        pred = dc
+        cat = _jpeg_category(diff)
+        code, ln = dc_huff[cat]
+        w.put(code, ln)
+        if cat:
+            amp = diff if diff >= 0 else diff + (1 << cat) - 1
+            w.put(amp, cat)
+        run = 0
+        nz = np.nonzero(coefs[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(coefs[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_huff[0xF0]  # ZRL
+                w.put(code, ln)
+                run -= 16
+            size = _jpeg_category(v)
+            code, ln = ac_huff[(run << 4) | size]
+            w.put(code, ln)
+            amp = v if v >= 0 else v + (1 << size) - 1
+            w.put(amp, size)
+            run = 0
+        if last < 63:
+            code, ln = ac_huff[0x00]  # EOB
+            w.put(code, ln)
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_q = bytes(q[_ZIGZAG[i]] for i in range(64))
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_q)  # DQT, 8-bit table 0
+    out += seg(
+        0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    )  # SOF0: precision 8, dims, 1 component (id 1, 1x1, tq 0)
+    out += seg(
+        0xFFC4,
+        b"\x00"
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS)
+        + b"\x10"
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS),
+    )  # DHT: DC class 0 id 0, AC class 1 id 0
+    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    out += scan + b"\xff\xd9"  # EOI
+    return out
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential GRAYSCALE JPEG → uint8 (h, w).
+
+    Full bitstream decode: marker walk (DQT/SOF0/DHT/SOS; DRI and
+    multi-component scans refused as out of the grayscale-baseline
+    subset), canonical Huffman entropy decode with 0xFF00 unstuffing,
+    DC prediction, dequantize, un-zigzag, and the module's integer
+    IDCT contract (numpy int64 across all blocks at once)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG magic (want SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    tq = 0
+    scan_start = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack(">H", payload[pos : pos + 2])[0]
+        body = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            bp = 0
+            while bp < len(body):
+                pq_, tq_ = body[bp] >> 4, body[bp] & 0xF
+                if pq_ != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                zzq = list(body[bp + 1 : bp + 65])
+                nat = [0] * 64
+                for i, v in enumerate(zzq):
+                    nat[_ZIGZAG[i]] = v
+                qtables[tq_] = nat
+                bp += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError(
+                    "only single-component (grayscale) baseline JPEG "
+                    "is supported"
+                )
+            if body[7] != 0x11:
+                raise ValueError("only 1x1 sampling supported")
+            tq = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("only baseline (SOF0) JPEG is supported")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0xF
+                bits = list(body[bp + 1 : bp + 17])
+                nv = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + nv])
+                codes = _huff_codes(bits, vals)
+                # invert: (length, code) → value, for bit-serial decode
+                huff[(tc, th)] = {(l, c): v for v, (c, l) in codes.items()}
+                bp += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("restart intervals (DRI) not supported")
+        elif marker == 0xDA:  # SOS
+            if body[0] != 1:
+                raise ValueError("only single-component scans supported")
+            td, ta = body[2] >> 4, body[2] & 0xF
+            scan_start = pos + ln
+            break
+        pos += ln
+    if scan_start is None or width is None:
+        raise ValueError("truncated JPEG (no SOS/SOF0)")
+
+    # un-stuff the entropy-coded bytes up to the next marker
+    data = bytearray()
+    p = scan_start
+    while p < len(payload):
+        b = payload[p]
+        if b == 0xFF:
+            nxt = payload[p + 1]
+            if nxt == 0x00:
+                data.append(0xFF)
+                p += 2
+                continue
+            break  # a real marker ends the scan
+        data.append(b)
+        p += 1
+
+    dc_map, ac_map = huff[(0, td)], huff[(1, ta)]
+    nby, nbx = -(-height // 8), -(-width // 8)
+    nblocks = nby * nbx
+    coefs = np.zeros((nblocks, 64), dtype=np.int64)
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_bit() -> int:
+        nonlocal bitpos
+        byte = data[bitpos >> 3]
+        bit = (byte >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        return bit
+
+    def read_huff(table) -> int:
+        code, ln = 0, 0
+        while True:
+            if bitpos >= total_bits:
+                raise ValueError("truncated entropy stream")
+            code = (code << 1) | read_bit()
+            ln += 1
+            if (ln, code) in table:
+                return table[(ln, code)]
+            if ln > 16:
+                raise ValueError("invalid Huffman code")
+
+    def read_amp(size: int) -> int:
+        v = 0
+        for _ in range(size):
+            v = (v << 1) | read_bit()
+        if size and v < (1 << (size - 1)):
+            v -= (1 << size) - 1
+        return v
+
+    pred = 0
+    for b in range(nblocks):
+        cat = read_huff(dc_map)
+        pred += read_amp(cat)
+        coefs[b, 0] = pred
+        k = 1
+        while k < 64:
+            rs = read_huff(ac_map)
+            if rs == 0x00:  # EOB
+                break
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run != 15:
+                    raise ValueError("invalid AC run/size")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k >= 64:
+                raise ValueError("AC coefficient index out of range")
+            coefs[b, k] = read_amp(size)
+            k += 1
+
+    # dequantize + un-zigzag → natural (v, u) blocks
+    qarr = qtables[tq]
+    nat = np.zeros((nblocks, 64), dtype=np.int64)
+    zz = np.array(_ZIGZAG)
+    nat[:, zz] = coefs
+    r = nat.reshape(nblocks, 8, 8) * np.array(qarr, dtype=np.int64).reshape(8, 8)
+
+    # integer IDCT (module contract)
+    T = np.array(_jpeg_cos_table(), dtype=np.int64)
+    CU = np.array(_JPEG_CU, dtype=np.int64)
+
+    def rsr(v, s):
+        return (v + (1 << (s - 1))) >> s
+
+    rs_ = rsr(r * CU[None, :, None] * CU[None, None, :], 16)  # (b, v, u)
+    m = rsr(np.einsum("bvu,ux->bvx", rs_, T), 14)  # over u
+    p_ = 128 + rsr(np.einsum("bvx,vy->byx", m, T), 28)  # over v
+    pix = np.clip(p_, 0, 255).astype(np.uint8)
+    full = (
+        pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+    )
+    return full[:height, :width]
 
 
 _FAKE_AUDIO_MAGIC = b"FAKEAUD1"

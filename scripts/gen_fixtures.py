@@ -291,6 +291,212 @@ def gen_image_features_pgm(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     return f"{path}: {n} rows"
 
 
+def gen_image_features_jpeg(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the REAL baseline-JPEG decode: a complete
+    plain-Python decoder sharing NO decode code with
+    stages/multimodal.py::decode_jpeg_gray — its own marker walk and
+    bit reader, the T.81 F.2.2.3 MINCODE/MAXCODE/VALPTR Huffman decode
+    procedure (the engine uses a (length, code)→value dict instead),
+    and the documented integer IDCT contract evaluated with plain
+    Python ints (the engine uses numpy int64 einsums). ``phash`` pins
+    the decoded pixel bytes byte-wise."""
+    import math
+    import struct as _struct
+
+    from ontograph_ray.stages.multimodal import encode_jpeg_gray  # encoder only
+
+    ZZ = [  # T.81 zigzag: natural index at each zigzag position
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    T = [
+        [
+            round(math.cos((2 * x + 1) * u * math.pi / 16) * 16384)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+    CU = [11585] + [16384] * 7
+
+    def rsr(v: int, s: int) -> int:
+        return (v + (1 << (s - 1))) >> s
+
+    def build_decode_tables(bits, vals):
+        # T.81 C.2 code assignment folded into the F.15 decoder tables
+        mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+        code, k = 0, 0
+        for ln in range(1, 17):
+            if bits[ln - 1]:
+                valptr[ln] = k
+                mincode[ln] = code
+                code += bits[ln - 1]
+                k += bits[ln - 1]
+                maxcode[ln] = code - 1
+            else:
+                maxcode[ln] = -1
+            code <<= 1
+        return mincode, maxcode, valptr, vals
+
+    def decode_jpeg(payload: bytes):
+        assert payload[:2] == b"\xff\xd8", "SOI"
+        i = 2
+        qts, tabs = {}, {}
+        w = h = tq = td = ta = None
+        scan_at = None
+        while i < len(payload):
+            assert payload[i] == 0xFF
+            marker = payload[i + 1]
+            i += 2
+            if marker == 0xD9:
+                break
+            (seglen,) = _struct.unpack(">H", payload[i : i + 2])
+            body = payload[i + 2 : i + seglen]
+            if marker == 0xDB:
+                j = 0
+                while j < len(body):
+                    assert body[j] >> 4 == 0
+                    nat = [0] * 64
+                    for z in range(64):
+                        nat[ZZ[z]] = body[j + 1 + z]
+                    qts[body[j] & 0xF] = nat
+                    j += 65
+            elif marker == 0xC0:
+                _, h, w, nc = _struct.unpack(">BHHB", body[:6])
+                assert nc == 1 and body[7] == 0x11
+                tq = body[8]
+            elif marker == 0xC4:
+                j = 0
+                while j < len(body):
+                    tc, th = body[j] >> 4, body[j] & 0xF
+                    bits = list(body[j + 1 : j + 17])
+                    nv = sum(bits)
+                    vals = list(body[j + 17 : j + 17 + nv])
+                    tabs[(tc, th)] = build_decode_tables(bits, vals)
+                    j += 17 + nv
+            elif marker == 0xDA:
+                assert body[0] == 1
+                td, ta = body[2] >> 4, body[2] & 0xF
+                scan_at = i + seglen
+                break
+            i += seglen
+        data = bytearray()
+        p = scan_at
+        while p < len(payload):
+            b = payload[p]
+            if b == 0xFF:
+                if payload[p + 1] == 0x00:
+                    data.append(0xFF)
+                    p += 2
+                    continue
+                break
+            data.append(b)
+            p += 1
+
+        pos = [0]
+
+        def nextbit() -> int:
+            byte = data[pos[0] >> 3]
+            bit = (byte >> (7 - (pos[0] & 7))) & 1
+            pos[0] += 1
+            return bit
+
+        def decode(tab) -> int:
+            mincode, maxcode, valptr, vals = tab
+            code, ln = nextbit(), 1
+            while maxcode[ln] == -1 or code > maxcode[ln]:
+                code = (code << 1) | nextbit()
+                ln += 1
+                assert ln <= 16, "bad code"
+            return vals[valptr[ln] + code - mincode[ln]]
+
+        def receive_extend(size: int) -> int:
+            v = 0
+            for _ in range(size):
+                v = (v << 1) | nextbit()
+            if size and v < (1 << (size - 1)):
+                v -= (1 << size) - 1
+            return v
+
+        nby, nbx = -(-h // 8), -(-w // 8)
+        q = qts[tq]
+        dc_tab, ac_tab = tabs[(0, td)], tabs[(1, ta)]
+        pixels = [[0] * (nbx * 8) for _ in range(nby * 8)]
+        pred = 0
+        for bidx in range(nby * nbx):
+            zz = [0] * 64
+            pred += receive_extend(decode(dc_tab))
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                rs_ = decode(ac_tab)
+                if rs_ == 0:
+                    break
+                run, size = rs_ >> 4, rs_ & 0xF
+                if size == 0:
+                    assert run == 15
+                    k += 16
+                    continue
+                k += run
+                zz[k] = receive_extend(size)
+                k += 1
+            # natural-order dequantized block r[v][u]
+            nat = [0] * 64
+            for z in range(64):
+                nat[ZZ[z]] = zz[z]
+            r = [
+                [nat[v * 8 + u] * q[v * 8 + u] for u in range(8)]
+                for v in range(8)
+            ]
+            rs2 = [
+                [rsr(r[v][u] * CU[v] * CU[u], 16) for u in range(8)]
+                for v in range(8)
+            ]
+            m = [
+                [
+                    rsr(sum(rs2[v][u] * T[u][x] for u in range(8)), 14)
+                    for x in range(8)
+                ]
+                for v in range(8)
+            ]
+            by, bx = divmod(bidx, nbx)
+            for y in range(8):
+                for x in range(8):
+                    pv = 128 + rsr(
+                        sum(m[v][x] * T[v][y] for v in range(8)), 28
+                    )
+                    pixels[by * 8 + y][bx * 8 + x] = min(255, max(0, pv))
+        body_bytes = bytearray()
+        for y in range(h):
+            body_bytes.extend(pixels[y][:w])
+        return w, h, bytes(body_bytes)
+
+    media_ids, widths, heights, phashes = [], [], [], []
+    for i in range(n):
+        w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4  # synthesize_media's shape
+        payload = encode_jpeg_gray(w, h, 2042 + i)
+        pw, ph, body = decode_jpeg(payload)
+        assert (pw, ph) == (w, h)
+        media_ids.append(i)
+        widths.append(w)
+        heights.append(h)
+        phashes.append(int.from_bytes(hashlib.sha1(body).digest()[:8], "big"))
+    path = os.path.join(FIXTURES_DIR, "image_features_jpeg_n200.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "phash": pa.array(phashes, pa.uint64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {n} rows"
+
+
 def gen_audio_features_wav(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     """Independent twin of the REAL-codec WAV decode: walks the RIFF
     chunk list with its own struct-based reader (no stdlib ``wave``, no
@@ -1538,6 +1744,10 @@ _SF_INDEPENDENT = {
         "video_frame_features_n150.parquet",
     ),
     "image_features_pgm": (gen_image_features_pgm, "image_features_pgm_n200.parquet"),
+    "image_features_jpeg": (
+        gen_image_features_jpeg,
+        "image_features_jpeg_n200.parquet",
+    ),
     "audio_features_wav": (gen_audio_features_wav, "audio_features_wav_n200.parquet"),
     "video_frames_y4m": (gen_video_frames_y4m, "video_frames_y4m_n150.parquet"),
     "c4_line_filter": (gen_c4_line_filter, "c4_line_filter_n400.parquet"),

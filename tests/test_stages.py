@@ -474,13 +474,62 @@ class TestRealCodecs:
         assert len(out) == 6
         assert all(len(r["thumb"]) == 16 for r in out)
 
-    def test_compressed_codecs_still_refused(self):
+    def test_unsupported_codecs_still_refused(self):
         with pytest.raises(NotImplementedError):
-            multimodal.ImageDecoder(codec="jpeg")
+            multimodal.ImageDecoder(codec="pillow")
         with pytest.raises(NotImplementedError):
             multimodal.AudioFeaturizer(codec="ffmpeg")
         with pytest.raises(NotImplementedError):
             multimodal.VideoFrameSampler(codec="ffmpeg")
+
+    def test_jpeg_roundtrip_quality_bound(self):
+        # baseline grayscale JPEG is REAL and lossy: decoded dims match
+        # and the error is bounded by the quality-85 quantization
+        # (random-noise pixels are the DCT's worst case)
+        import numpy as np
+
+        for i, (w, h) in enumerate([(16, 16), (17, 13), (44, 32), (8, 8)]):
+            payload = multimodal.encode_jpeg_gray(w, h, 5000 + i)
+            img = multimodal.decode_jpeg_gray(payload)
+            src = multimodal._image_pixels(w, h, 5000 + i).reshape(h, w)
+            assert img.shape == (h, w)
+            err = np.abs(img.astype(int) - src.astype(int))
+            assert err.max() <= 48 and err.mean() < 12
+
+    def test_jpeg_bitstream_structure(self):
+        # a stock decoder's view: SOI/JFIF-APP0/DQT/SOF0/DHT/SOS/EOI in
+        # order, no bare 0xFF inside the entropy stream (byte stuffing)
+        payload = multimodal.encode_jpeg_gray(24, 16, 7)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        assert payload[2:4] == b"\xff\xe0" and payload[6:11] == b"JFIF\x00"
+        for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+            assert marker in payload
+        # SOS = marker(2) + length(2, value 8) + body(6) → scan at +10
+        scan = payload[payload.index(b"\xff\xda") + 10 : -2]
+        k = 0
+        while k < len(scan):
+            if scan[k] == 0xFF:
+                assert scan[k + 1] == 0x00, "unstuffed 0xFF in scan"
+                k += 2
+            else:
+                k += 1
+
+    def test_jpeg_decode_refusals(self):
+        payload = multimodal.encode_jpeg_gray(16, 16, 1)
+        with pytest.raises(ValueError, match="SOI"):
+            multimodal.decode_jpeg_gray(b"\x00" + payload)
+        # progressive SOF2 marker → typed refusal
+        bad = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        with pytest.raises(ValueError, match="baseline"):
+            multimodal.decode_jpeg_gray(bad)
+
+    def test_jpeg_decode_images_stage(self, ray_session):
+        ds = ray.data.from_arrow(
+            multimodal.synthesize_media(12, seed=77, codec="jpeg")
+        )
+        out = multimodal.decode_images(ds, codec="jpeg").take_all()
+        assert len(out) == 12
+        assert all(r["phash"] > 0 for r in out)
 
 
 class TestGopherRules:
