@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "docs_sorted_neighborhood",
     "ann_topk_ivfpq",
     "image_features_pgm",
+    "image_features_jpeg",
     "video_frames_y4m",
     "gopher_quality",
     "c4_line_filter",

@@ -465,6 +465,29 @@ v AS (SELECT subject, object,
 SELECT subject AS c, object AS b FROM v
 WHERE {_sql_div_u("v", 7)} > 50000500000
    OR {_sql_div_u("v", 3)} <= -25000250000""",
+        # ABS/CEIL/FLOOR/ROUND over the decimal lane (NOTE: DuckDB //
+        # truncates toward zero, numpy floor-divides — floor/ceil are
+        # spelled out sign-explicitly)
+        "sparql_bind_round": f"""{_T},
+v AS (SELECT subject,
+             CAST(regexp_extract(object, '"([+-]?\\d+)"', 1) AS BIGINT) AS v
+      FROM t WHERE predicate = '<{ACCTBAL}>'),
+r AS (SELECT subject, v, {_sql_div_u("v", 7)} AS q FROM v),
+e AS (SELECT subject, v, q,
+             (CASE WHEN q >= 0 THEN q // 1000000
+                   ELSE -((-q + 999999) // 1000000) END) * 1000000 AS fl,
+             (CASE WHEN q >= 0 THEN (q + 999999) // 1000000
+                   ELSE -((-q) // 1000000) END) * 1000000 AS ce,
+             (CASE WHEN q + 500000 >= 0 THEN (q + 500000) // 1000000
+                   ELSE -((-(q + 500000) + 999999) // 1000000) END)
+               * 1000000 AS rd
+      FROM r)
+SELECT subject AS c,
+       '"' || CAST(ABS(v) AS VARCHAR) || '"^^<{C.XSD_INTEGER}>' AS m,
+       {_sql_dec_term("fl")} AS f,
+       {_sql_dec_term("ce")} AS g,
+       {_sql_dec_term("rd")} AS r
+FROM e""",
         # { SELECT * } subquery: cust→nation joined to nation→region
         "sparql_subquery_star": f"""{_T}
 SELECT t1.subject AS c, t1.object AS n, t2.object AS r

@@ -3229,6 +3229,32 @@ def q_sparql_filter_decimal(sf_dir: str):
     )
 
 
+def q_sparql_bind_round(sf_dir: str):
+    """E8 extension: ABS/CEIL/FLOOR/ROUND numeric builtins in BIND —
+    XPath semantics (fn:round ties toward +inf) evaluated exactly on
+    the scale-6 fixed-point lane over a chained division alias; ABS of
+    an integer-typed term stays xsd:integer (the dual-lane per-row
+    typing)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?c ?m ?f ?g ?r WHERE {{
+          ?c attr:acctbalCents ?b .
+          BIND ( ABS(?b) AS ?m )
+          BIND ( ?b / 7 AS ?q )
+          BIND ( FLOOR(?q) AS ?f )
+          BIND ( CEIL(?q) AS ?g )
+          BIND ( ROUND(?q) AS ?r )
+        }}
+        """,
+    )
+
+
 def q_sparql_subquery_star(sf_dir: str):
     """E8 extension: { SELECT * ... } subquery — the inner projection
     is derived statically from the body's pattern variables

@@ -85,6 +85,9 @@ silently misanswering):
                                       flattened into separate streaming
                                       filter masks)
       BIND ( expr AS ?alias )         (expr ∈ STR/LANG/DATATYPE(?v),
+                                      ABS/CEIL/FLOOR/ROUND(?v) — XPath
+                                      numeric fns on the dual lane,
+                                      fn:round ties toward +inf —
                                       COALESCE(...), ?v, ground term,
                                       or numeric arithmetic a ⊕ b with
                                       ⊕ ∈ {+,-,*,/} and a,b ∈ {?v,
@@ -1061,6 +1064,21 @@ def parse(text: str) -> _Query:
             if take() != ")":
                 raise SparqlSyntaxError(f"expected ) closing {up}")
             op, arg = {"STR": "str", "LANG": "lang", "DATATYPE": "dt"}[up], v
+        elif up in ("ABS", "CEIL", "FLOOR", "ROUND"):
+            # XPath numeric builtins over the dual numeric lane:
+            # integer-typed rows pass through ABS as xsd:integer (CEIL/
+            # FLOOR/ROUND are identities on integers); decimal rows
+            # evaluate on the scale-6 lane and bind xsd:decimal (ROUND
+            # ties toward +inf per fn:round, FLOOR/CEIL toward ∓inf);
+            # non-numeric rows bind NULL (error→unbound)
+            if take() != "(":
+                raise SparqlSyntaxError(f"expected ( after {up}")
+            v = take()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError(f"{up} needs a ?variable")
+            if take() != ")":
+                raise SparqlSyntaxError(f"expected ) closing {up}")
+            op, arg = "numfn", (up.lower(), v)
         elif up == "COALESCE":
             if take() != "(":
                 raise SparqlSyntaxError("expected ( after COALESCE")
@@ -2205,6 +2223,39 @@ def sparql_select(
                         col = pa.array(
                             [col.as_py()] * batch.num_rows, pa.string()
                         )
+                elif op == "numfn":
+                    # ABS/CEIL/FLOOR/ROUND over the dual numeric lane:
+                    # integer-typed rows re-encode as xsd:integer (the
+                    # rounding fns are identities on integers), decimal
+                    # rows evaluate at scale 6 and bind xsd:decimal;
+                    # fn:round ties toward +inf, fn:floor/ceiling
+                    # toward ∓inf — all exact integer ops
+                    import numpy as np
+
+                    fn, var = arg
+                    ilex = pc.struct_field(
+                        pc.extract_regex(batch[var[1:]], _INT_LIT_RE), "v"
+                    )
+                    ival_ = pc.cast(ilex, pa.int64())
+                    int_res = pc.abs(ival_) if fn == "abs" else ival_
+                    int_col = pc.binary_join_element_wise(
+                        '"',
+                        pc.cast(int_res, pa.string()),
+                        f'"^^<{C.XSD_INTEGER}>',
+                        "",
+                    )
+                    u, uval = _dec_decode(batch[var[1:]])
+                    S = _DEC_SCALE
+                    if fn == "abs":
+                        dres = np.abs(u)
+                    elif fn == "floor":
+                        dres = (u // S) * S
+                    elif fn == "ceil":
+                        dres = -((-u) // S) * S
+                    else:  # round: half toward +inf (fn:round)
+                        dres = ((u + S // 2) // S) * S
+                    dec_col = _dec_render(dres, uval)
+                    col = pc.coalesce(int_col, dec_col)
                 elif op == "arith":
                     # dual lane: the int64 fast lane decodes xsd:integer
                     # lexicals (non-integer terms → null), the scale-6

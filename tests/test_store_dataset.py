@@ -2140,6 +2140,28 @@ class TestSparqlBindArith:
         # a 7th trailing zero is still representable at scale 6
         assert out["<urn:x2>"] == f'"1.234567"^^<{self.XSD_DEC}>'
 
+    def test_abs_ceil_floor_round_builtins(self, ray_session):
+        # XPath numeric fns on the dual lane: -7/4 = -1.75 →
+        # FLOOR -2.0, CEIL -1.0, ROUND -2.0 (ties toward +inf:
+        # fn:round(-1.5) = -1, but -1.75 rounds to -2); ABS(-7) stays
+        # xsd:integer
+        ds = self._nums()
+        out = self._q(
+            ds,
+            "SELECT ?p ?m ?f ?g ?r WHERE { ?p <urn:age> ?a . "
+            "BIND ( 0 - ?a AS ?n ) BIND ( ABS(?n) AS ?m ) "
+            "BIND ( ?n / 4 AS ?q ) BIND ( FLOOR(?q) AS ?f ) "
+            "BIND ( CEIL(?q) AS ?g ) BIND ( ROUND(?q) AS ?r ) }",
+        ).set_index("p")
+        # p2: age 7 → n=-7, q=-1.75
+        assert out["m"]["<urn:p2>"] == f'"7"^^<{self.XSD_INT}>'
+        assert out["f"]["<urn:p2>"] == f'"-2.0"^^<{self.XSD_DEC}>'
+        assert out["g"]["<urn:p2>"] == f'"-1.0"^^<{self.XSD_DEC}>'
+        assert out["r"]["<urn:p2>"] == f'"-2.0"^^<{self.XSD_DEC}>'
+        # p1: age 30 → q=-7.5; ROUND(-7.5) = -7 (ties toward +inf)
+        assert out["r"]["<urn:p1>"] == f'"-7.0"^^<{self.XSD_DEC}>'
+        assert out["f"]["<urn:p1>"] == f'"-8.0"^^<{self.XSD_DEC}>'
+
     def test_decimal_constant_too_precise_refused(self, ray_session):
         import pytest as _pytest
 
