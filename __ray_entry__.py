@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_sum_distinct": q.q_sparql_sum_distinct,
         "image_features_jpeg": q.q_image_features_jpeg,
         "sparql_bind_round": q.q_sparql_bind_round,
+        "sparql_bind_strfns": q.q_sparql_bind_strfns,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

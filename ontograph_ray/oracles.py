@@ -488,6 +488,18 @@ SELECT subject AS c,
        {_sql_dec_term("ce")} AS g,
        {_sql_dec_term("rd")} AS r
 FROM e""",
+        # UCASE/LCASE/STRLEN/STRLANG/STRDT in BIND over the (simple)
+        # segment literals
+        "sparql_bind_strfns": f"""{_T},
+v AS (SELECT subject, object,
+             regexp_extract(object, '^"([^"]*)"', 1) AS val
+      FROM t WHERE predicate = '<{SEGMENT}>')
+SELECT subject AS c,
+       '"' || lower(val) || '"' AS lo,
+       '"' || CAST(length(val) AS VARCHAR) || '"^^<{C.XSD_INTEGER}>' AS n,
+       object || '@en-US' AS tg,
+       object || '^^<http://www.w3.org/2001/XMLSchema#token>' AS ty
+FROM v""",
         # { SELECT * } subquery: cust→nation joined to nation→region
         "sparql_subquery_star": f"""{_T}
 SELECT t1.subject AS c, t1.object AS n, t2.object AS r

@@ -3255,6 +3255,32 @@ def q_sparql_bind_round(sf_dir: str):
     )
 
 
+def q_sparql_bind_strfns(sf_dir: str):
+    """E8 extension: UCASE/LCASE/STRLEN/STRLANG/STRDT in BIND — case
+    maps preserve the language tag and are literal-only, STRLEN binds
+    an xsd:integer term, STRLANG/STRDT construct tagged/typed literals
+    from simple literals by appending to the already-encoded term (no
+    re-escape). Segment literals are simple, so every row binds."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX attr: <urn:og:attr/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?c ?lo ?n ?tg ?ty WHERE {{
+          ?c attr:mktsegment ?s .
+          BIND ( LCASE(?s) AS ?lo )
+          BIND ( STRLEN(?s) AS ?n )
+          BIND ( STRLANG(?s, "en-US") AS ?tg )
+          BIND ( STRDT(?s, xsd:token) AS ?ty )
+        }}
+        """,
+    )
+
+
 def q_sparql_subquery_star(sf_dir: str):
     """E8 extension: { SELECT * ... } subquery — the inner projection
     is derived statically from the body's pattern variables

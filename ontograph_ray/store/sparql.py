@@ -85,6 +85,11 @@ silently misanswering):
                                       flattened into separate streaming
                                       filter masks)
       BIND ( expr AS ?alias )         (expr ∈ STR/LANG/DATATYPE(?v),
+                                      UCASE/LCASE (tag-preserving,
+                                      literal-only), STRLEN (integer
+                                      term), STRLANG/STRDT (construct
+                                      tagged/typed literals from
+                                      simple literals),
                                       ABS/CEIL/FLOOR/ROUND(?v) — XPath
                                       numeric fns on the dual lane,
                                       fn:round ties toward +inf —
@@ -1064,6 +1069,48 @@ def parse(text: str) -> _Query:
             if take() != ")":
                 raise SparqlSyntaxError(f"expected ) closing {up}")
             op, arg = {"STR": "str", "LANG": "lang", "DATATYPE": "dt"}[up], v
+        elif up in ("UCASE", "LCASE", "STRLEN"):
+            # string builtins in BIND: UCASE/LCASE preserve the
+            # language tag (SPARQL §17.4.3) and are defined over
+            # plain/lang-tagged literals only (typed literals and
+            # resources → error→unbound); STRLEN binds the xsd:integer
+            # length of the T6 Value (same kernel as the FILTER form)
+            if take() != "(":
+                raise SparqlSyntaxError(f"expected ( after {up}")
+            v = take()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError(f"{up} needs a ?variable")
+            if take() != ")":
+                raise SparqlSyntaxError(f"expected ) closing {up}")
+            op, arg = up.lower(), v
+        elif up in ("STRLANG", "STRDT"):
+            # STRLANG(?v, "tag") / STRDT(?v, <dt>): construct a tagged
+            # / typed literal from a SIMPLE literal (anything else →
+            # error→unbound, per the SPARQL builtin definitions)
+            if take() != "(":
+                raise SparqlSyntaxError(f"expected ( after {up}")
+            v = take()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError(f"{up} needs a ?variable first")
+            if take() != ",":
+                raise SparqlSyntaxError(f"expected , in {up}")
+            second = take()
+            if up == "STRLANG":
+                if not (second.startswith('"') and second.endswith('"')):
+                    raise SparqlSyntaxError(
+                        'STRLANG needs a plain "tag" second argument'
+                    )
+                sec = second[1:-1]
+            else:
+                sec = _expand(second, prefixes, "object")
+                if not sec.startswith("<"):
+                    raise SparqlSyntaxError(
+                        "STRDT needs a datatype IRI second argument"
+                    )
+                sec = sec[1:-1]
+            if take() != ")":
+                raise SparqlSyntaxError(f"expected ) closing {up}")
+            op, arg = up.lower(), (v, sec)
         elif up in ("ABS", "CEIL", "FLOOR", "ROUND"):
             # XPath numeric builtins over the dual numeric lane:
             # integer-typed rows pass through ABS as xsd:integer (CEIL/
@@ -2223,6 +2270,72 @@ def sparql_select(
                         col = pa.array(
                             [col.as_py()] * batch.num_rows, pa.string()
                         )
+                elif op in ("ucase", "lcase"):
+                    # case-map the lexical form, PRESERVE the language
+                    # tag (§17.4.3); defined over plain/lang literals
+                    # only — typed literals and resources → unbound
+                    from ..terms import v_is_literal
+
+                    col0 = batch[arg[1:]]
+                    lex = (pc.utf8_upper if op == "ucase" else pc.utf8_lower)(
+                        v_value(col0)
+                    )
+                    base = v_new_literal_term(lex)  # handles escaping
+                    tag = v_language(col0)
+                    term = pc.binary_join_element_wise(
+                        base,
+                        pc.if_else(
+                            pc.equal(tag, ""),
+                            pa.scalar(""),
+                            pc.binary_join_element_wise("@", tag, ""),
+                        ),
+                        "",
+                    )
+                    ok = pc.and_(
+                        v_is_literal(col0), pc.equal(v_datatype(col0), "")
+                    )
+                    col = pc.if_else(
+                        pc.fill_null(ok, False),
+                        term,
+                        pa.scalar(None, pa.string()),
+                    )
+                elif op == "strlen":
+                    # xsd:integer length of the T6 Value — the same
+                    # kernel the FILTER STRLEN form uses
+                    col0 = batch[arg[1:]]
+                    n_ = pc.utf8_length(v_value(col0))
+                    col = pc.if_else(
+                        pc.is_valid(col0),
+                        pc.binary_join_element_wise(
+                            '"',
+                            pc.cast(n_, pa.string()),
+                            f'"^^<{C.XSD_INTEGER}>',
+                            "",
+                        ),
+                        pa.scalar(None, pa.string()),
+                    )
+                elif op in ("strlang", "strdt"):
+                    # construct a tagged/typed literal from a SIMPLE
+                    # literal by appending to the already-encoded term
+                    # (no re-escape needed) — anything else → unbound
+                    from ..terms import v_is_literal
+
+                    v, sec = arg
+                    col0 = batch[v[1:]]
+                    simple = pc.and_(
+                        pc.and_(
+                            v_is_literal(col0),
+                            pc.equal(v_language(col0), ""),
+                        ),
+                        pc.equal(v_datatype(col0), ""),
+                    )
+                    suffix = f"@{sec}" if op == "strlang" else f"^^<{sec}>"
+                    term = pc.binary_join_element_wise(col0, suffix, "")
+                    col = pc.if_else(
+                        pc.fill_null(simple, False),
+                        term,
+                        pa.scalar(None, pa.string()),
+                    )
                 elif op == "numfn":
                     # ABS/CEIL/FLOOR/ROUND over the dual numeric lane:
                     # integer-typed rows re-encode as xsd:integer (the

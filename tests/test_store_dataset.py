@@ -2140,6 +2140,40 @@ class TestSparqlBindArith:
         # a 7th trailing zero is still representable at scale 6
         assert out["<urn:x2>"] == f'"1.234567"^^<{self.XSD_DEC}>'
 
+    def test_bind_string_builtins(self, ray_session):
+        # UCASE preserves the language tag and is literal-only;
+        # STRLANG/STRDT require SIMPLE literals; STRLEN binds integer
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:a"), r("urn:v"), l("Foo")),
+            new_triple(r("urn:b"), r("urn:v"), l("BaR", language="en")),
+            new_triple(r("urn:c"), r("urn:v"), l("5", datatype=self.XSD_INT)),
+            new_triple(r("urn:d"), r("urn:v"), r("urn:x")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        out = self._q(
+            ds,
+            'SELECT ?p ?u ?n ?tg ?ty WHERE { ?p <urn:v> ?o . '
+            "BIND ( UCASE(?o) AS ?u ) BIND ( STRLEN(?o) AS ?n ) "
+            'BIND ( STRLANG(?o, "fr") AS ?tg ) '
+            "BIND ( STRDT(?o, <urn:dt>) AS ?ty ) }",
+        ).set_index("p")
+        import pandas as pd
+
+        assert out["u"]["<urn:a>"] == '"FOO"'
+        assert out["u"]["<urn:b>"] == '"BAR"@en'  # tag preserved
+        assert pd.isna(out["u"]["<urn:c>"])  # typed literal → unbound
+        assert pd.isna(out["u"]["<urn:d>"])  # resource → unbound
+        assert out["tg"]["<urn:a>"] == '"Foo"@fr'
+        assert pd.isna(out["tg"]["<urn:b>"])  # already tagged → unbound
+        assert out["ty"]["<urn:a>"] == '"Foo"^^<urn:dt>'
+        assert out["n"]["<urn:a>"] == f'"3"^^<{self.XSD_INT}>'
+        assert out["n"]["<urn:d>"] == f'"5"^^<{self.XSD_INT}>'  # URI len
+
     def test_abs_ceil_floor_round_builtins(self, ray_session):
         # XPath numeric fns on the dual lane: -7/4 = -1.75 →
         # FLOOR -2.0, CEIL -1.0, ROUND -2.0 (ties toward +inf:
