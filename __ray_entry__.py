@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_jpeg": q.q_image_features_jpeg,
         "sparql_bind_round": q.q_sparql_bind_round,
         "sparql_bind_strfns": q.q_sparql_bind_strfns,
+        "sparql_filter_abs": q.q_sparql_filter_abs,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

@@ -500,6 +500,13 @@ SELECT subject AS c,
        object || '@en-US' AS tg,
        object || '^^<http://www.w3.org/2001/XMLSchema#token>' AS ty
 FROM v""",
+        # ABS(?b - k) <= tol proximity filter (exact integers)
+        "sparql_filter_abs": f"""{_T}
+SELECT subject AS c, object AS b FROM (
+  SELECT subject, object,
+         CAST(regexp_extract(object, '"([+-]?\\d+)"', 1) AS BIGINT) AS v
+  FROM t WHERE predicate = '<{ACCTBAL}>')
+WHERE ABS(v - 500000) <= 100000""",
         # { SELECT * } subquery: cust→nation joined to nation→region
         "sparql_subquery_star": f"""{_T}
 SELECT t1.subject AS c, t1.object AS n, t2.object AS r

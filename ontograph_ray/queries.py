@@ -3281,6 +3281,27 @@ def q_sparql_bind_strfns(sf_dir: str):
     )
 
 
+def q_sparql_filter_abs(sf_dir: str):
+    """E8 extension: numeric functions as computed-FILTER operands —
+    the `FILTER(ABS(?x - k) <= tol)` proximity idiom, evaluated on the
+    scale-6 lane over a nested arithmetic expression (exact: both
+    sides integers, no float rounding at the threshold)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?c ?b WHERE {{
+          ?c attr:acctbalCents ?b .
+          FILTER ( ABS(?b - 500000) <= 100000 )
+        }}
+        """,
+    )
+
+
 def q_sparql_subquery_star(sf_dir: str):
     """E8 extension: { SELECT * ... } subquery — the inner projection
     is derived statically from the body's pattern variables

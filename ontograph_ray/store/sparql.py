@@ -688,6 +688,31 @@ def parse(text: str) -> _Query:
             var = take()
             up = var.upper()
             want = True
+            if up in ("ABS", "CEIL", "FLOOR", "ROUND") and peek() == "(":
+                # numeric-function LHS: FN ( arith-expr ) cmp arith-expr
+                # — FILTER(ABS(?a - ?b) <= 5); evaluated on the numcmp
+                # kernels with the function applied to the inner
+                # expression (("fnexpr", fn, inner) operand form)
+                take()
+                inner = _arith_expr()
+                if take() != ")":
+                    raise SparqlSyntaxError(f"expected ) closing {up}")
+                cmp_keys2 = {"<": "lt", ">": "gt", "<=": "le", ">=": "ge",
+                             "=": "num_eq", "!=": "num_ne"}
+                cmp = take()
+                if cmp not in cmp_keys2:
+                    raise SparqlSyntaxError(
+                        f"expected a comparison after {up}(...), got {cmp!r}"
+                    )
+                return (
+                    "numcmp",
+                    (
+                        cmp_keys2[cmp],
+                        (None, ("fnexpr", up.lower(), inner), None),
+                        _arith_expr(),
+                    ),
+                    "",
+                )
             if var == "!":
                 # logical negation: only the unary boolean builtins
                 # (BOUND / isIRI / isURI / isLiteral) may follow
@@ -2465,13 +2490,18 @@ def sparql_select(
                 return [x for c in v for x in _all_fvars(c[0], c[1])]
             if op == "numcmp":
                 # (key, lexpr, rexpr) with exprs (aop, a, b); string
-                # operands are bare variable names
-                return [
-                    x
-                    for e in (v[1], v[2])
-                    for x in (e[1], e[2])
-                    if isinstance(x, str)
-                ]
+                # operands are bare variable names; ("fnexpr", fn,
+                # inner) operands nest a full expression
+                def _expr_vars(e):
+                    out = []
+                    for x in (e[1], e[2]):
+                        if isinstance(x, str):
+                            out.append(x)
+                        elif isinstance(x, tuple) and x and x[0] == "fnexpr":
+                            out += _expr_vars(x[2])
+                    return out
+
+                return [x for e in (v[1], v[2]) for x in _expr_vars(e)]
             return _fvars(v)
 
         bad = [
@@ -2563,6 +2593,20 @@ def sparql_select(
                             np.full(n, operand * _DEC_SCALE, np.int64),
                             np.ones(n, bool),
                         )
+                    if isinstance(operand, tuple) and operand[0] == "fnexpr":
+                        # ABS/CEIL/FLOOR/ROUND over a nested expression
+                        # (exact scale-6 ints; fn:round ties toward
+                        # +inf, floor/ceil toward ∓inf)
+                        _, fn, inner = operand
+                        xa, xv = _dev(inner)
+                        S = _DEC_SCALE
+                        if fn == "abs":
+                            return np.abs(xa), xv
+                        if fn == "floor":
+                            return (xa // S) * S, xv
+                        if fn == "ceil":
+                            return -((-xa) // S) * S, xv
+                        return ((xa + S // 2) // S) * S, xv
                     if isinstance(operand, tuple):  # ("dec", unscaled)
                         return (
                             np.full(n, operand[1], np.int64),

@@ -2196,6 +2196,29 @@ class TestSparqlBindArith:
         assert out["r"]["<urn:p1>"] == f'"-7.0"^^<{self.XSD_DEC}>'
         assert out["f"]["<urn:p1>"] == f'"-8.0"^^<{self.XSD_DEC}>'
 
+    def test_filter_numeric_functions(self, ray_session):
+        # ABS/FLOOR/ROUND as computed-FILTER operands over nested
+        # expressions — ages 30 and 7
+        ds = self._nums()
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:age> ?a . "
+            "FILTER ( ABS(?a - 20) <= 10 ) }",
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]  # |30-20|=10 ≤ 10; |7-20|=13 drops
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:age> ?a . "
+            "FILTER ( FLOOR(?a / 4) = 7.0 ) }",
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]  # floor(30/4)=7
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:age> ?a . "
+            "FILTER ( ROUND(?a / 4) = 2.0 ) }",
+        )
+        assert out["p"].tolist() == ["<urn:p2>"]  # round(1.75)=2
+
     def test_decimal_constant_too_precise_refused(self, ray_session):
         import pytest as _pytest
 
