@@ -901,6 +901,9 @@ SELECT l_orderkey, l_linenumber, 'l_discount',
         "image_features_jpeg": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_jpeg_n200.parquet')"
         ),
+        "image_features_jpeg_color": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_jpeg_color_n200.parquet')"
+        ),
         "image_features_pgm": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_pgm_n200.parquet')"
         ),

@@ -1762,6 +1762,24 @@ def q_image_features_jpeg(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "phash"])
 
 
+def q_image_features_jpeg_color(sf_dir: str):
+    """REAL compressed-codec COLOR image decode: baseline sequential
+    YCbCr 4:4:4 JPEG (three components, Annex-K chrominance quant +
+    Huffman tables, interleaved MCUs, separate DC predictors, integer
+    inverse color transform) decoded by
+    stages/multimodal.py::decode_jpeg_color. Oracle is the independent
+    plain-Python decoder + plain-int color transform
+    (scripts/gen_fixtures.py::gen_image_features_jpeg_color); phash
+    pins the interleaved RGB bytes byte-wise."""
+    from .stages.multimodal import decode_images, synthesize_media
+
+    ds = ray.data.from_arrow(
+        synthesize_media(200, seed=3042, codec="jpeg_color")
+    )
+    out = decode_images(ds, codec="jpeg_color")
+    return out.select_columns(["media_id", "width", "height", "phash"])
+
+
 def q_audio_features_wav(sf_dir: str):
     """REAL-codec audio decode: RIFF/WAVE mono PCM16 payloads parsed
     via stdlib ``wave`` (stages/multimodal.py::decode_wav); duration/

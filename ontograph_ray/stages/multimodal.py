@@ -8,16 +8,17 @@ and tested. Codecs come in three tiers:
 - REAL container formats, decoded here with no external libraries:
   ``codec="pgm"`` (binary PGM / Netpbm P5 images), ``codec="wav"``
   (RIFF/WAVE PCM16 audio, stdlib ``wave``), ``codec="y4m"``
-  (YUV4MPEG2 mono video streams), and — round 5 — ``codec="jpeg"``:
-  baseline sequential GRAYSCALE JPEG (ITU-T T.81 markers, Annex-K
+  (YUV4MPEG2 mono video streams), and — round 5 — ``codec="jpeg"`` / ``"jpeg_color"``:
+  baseline sequential JPEG, grayscale and YCbCr 4:4:4 color (ITU-T T.81 markers, Annex-K
   tables, canonical Huffman entropy coding, byte stuffing, integer
   DCT contract; see the JPEG section below). These are genuine
   on-disk formats a user can produce with ImageMagick / ffmpeg, so
   the decode stages are real codecs, not stubs.
 - the deterministic ``codec="fake"`` header+bytes format kept for the
   original fixture twins.
-- everything else compressed (color/progressive JPEG, PNG, MP3,
-  H.264 — ``codec="pillow"`` / ``"ffmpeg"``) still raises
+- everything else compressed (subsampled-chroma or progressive
+  JPEG, PNG, MP3, H.264 — ``codec="pillow"`` / ``"ffmpeg"``) still
+  raises
   NotImplementedError at construction: the sandbox ships no
   compression codecs and we do not fake them.
 
@@ -110,6 +111,7 @@ def synthesize_media(n: int, seed: int = 42, codec: str = "fake") -> pa.Table:
         "fake": encode_fake_image,
         "pgm": encode_pgm_image,
         "jpeg": encode_jpeg_gray,
+        "jpeg_color": encode_jpeg_color,
     }[codec]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
@@ -128,20 +130,21 @@ class ImageDecoder:
     """Actor stage: decode + feature-extract image payloads.
 
     ``codec="pgm"`` decodes REAL binary-PGM (Netpbm P5) payloads with
-    the in-module pure-numpy parser; ``codec="jpeg"`` REAL baseline
-    grayscale JPEG with the in-module entropy decoder + integer IDCT;
+    the in-module pure-numpy parser; ``codec="jpeg"`` / ``"jpeg_color"``
+    REAL baseline JPEG (grayscale / YCbCr 4:4:4) with the in-module
+    entropy decoder + integer IDCT (+ integer inverse color transform);
     ``codec="fake"`` the deterministic test format. Other compressed
-    codecs (``"pillow"``/color JPEG/PNG) raise NotImplementedError at
-    construction — the sandbox ships no compression libraries — with
-    the stage shape (schema in/out, batching, actor pool) identical
-    across codecs."""
+    codecs (``"pillow"``/subsampled or progressive JPEG/PNG) raise
+    NotImplementedError at construction — the sandbox ships no
+    compression libraries — with the stage shape (schema in/out,
+    batching, actor pool) identical across codecs."""
 
     def __init__(self, codec: str = "fake"):
-        if codec not in ("fake", "pgm", "jpeg"):
+        if codec not in ("fake", "pgm", "jpeg", "jpeg_color"):
             raise NotImplementedError(
                 f"codec {codec!r} requires image-compression libraries not "
-                "present in this environment; use codec='jpeg', 'pgm' or "
-                "'fake'"
+                "present in this environment; use codec='jpeg', "
+                "'jpeg_color', 'pgm' or 'fake'"
             )
         self.codec = codec
 
@@ -150,6 +153,8 @@ class ImageDecoder:
             return decode_pgm(payload)
         if self.codec == "jpeg":
             return decode_jpeg_gray(payload)
+        if self.codec == "jpeg_color":
+            return decode_jpeg_color(payload)
         if not payload.startswith(_FAKE_MAGIC):
             raise ValueError("bad fake-image magic")
         w, h = struct.unpack("<II", payload[8:16])
@@ -300,6 +305,53 @@ _JPEG_AC_VALS = [
 ]
 
 
+_JPEG_QTBL_C = [  # Annex K.2 chrominance
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+_JPEG_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS_C = list(range(12))
+_JPEG_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# Integer JFIF YCbCr <-> RGB contract (coefficients at 2^16, rsr
+# rounding — same fixed constants on both implementations):
+#   Y  =      rsr(19595 R + 38470 G +  7471 B, 16)
+#   Cb = 128 + rsr(-11059 R - 21709 G + 32768 B, 16)
+#   Cr = 128 + rsr( 32768 R - 27439 G -  5329 B, 16)
+#   R = Y + rsr( 91881 (Cr-128), 16)
+#   G = Y - rsr( 22554 (Cb-128) + 46802 (Cr-128), 16)
+#   B = Y + rsr(116130 (Cb-128), 16)         (all clipped to 0..255)
+
+
 def _jpeg_cos_table() -> list[list[int]]:
     """T[u][x] = round(cos((2x+1)·u·π/16) · 2^14) — the shared integer
     DCT basis (math.cos on both implementations, so bit-identical)."""
@@ -315,10 +367,13 @@ _JPEG_CU = [11585, 16384, 16384, 16384, 16384, 16384, 16384, 16384]
 # ^ round(2^14 · C(u)) with C(0)=1/√2
 
 
-def _jpeg_qtable(quality: int) -> list[int]:
-    """libjpeg quality scaling of the Annex-K table (natural order)."""
+def _jpeg_qtable(quality: int, base: list[int] | None = None) -> list[int]:
+    """libjpeg quality scaling of an Annex-K table (natural order)."""
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    return [max(1, min(255, (q * scale + 50) // 100)) for q in _JPEG_QTBL]
+    return [
+        max(1, min(255, (q * scale + 50) // 100))
+        for q in (base if base is not None else _JPEG_QTBL)
+    ]
 
 
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -367,6 +422,80 @@ def _jpeg_category(v: int) -> int:
     return c
 
 
+def _jpeg_rsr(v, s: int):
+    """The module's fixed rounding shift: (v + 2^(s-1)) >> s, arithmetic
+    shift — identical on Python ints and numpy int64."""
+    return (v + (1 << (s - 1))) >> s
+
+
+def _jpeg_fdct_quant(plane: np.ndarray, qnat: list[int]) -> np.ndarray:
+    """One level-shifted plane (h, w ints 0..255) → quantized natural-
+    order coefficient blocks (nblocks, 8, 8) per the integer contract
+    (edge-replicated pad, two 1-D passes, C(u)C(v)/4 scale, quantize
+    rounding half away from zero)."""
+    T = np.array(_jpeg_cos_table(), dtype=np.int64)
+    CU = np.array(_JPEG_CU, dtype=np.int64)
+    height, width = plane.shape
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.int64)
+    padded[:height, :width] = plane
+    padded[height:, :width] = plane[-1:, :]
+    padded[:, width:] = padded[:, width - 1 : width]
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128
+    )
+    g = _jpeg_rsr(np.einsum("byx,ux->byu", blocks, T), 14)  # over x
+    hcoef = _jpeg_rsr(np.einsum("byu,vy->bvu", g, T), 14)  # over y
+    f = _jpeg_rsr(hcoef * CU[None, :, None] * CU[None, None, :], 30)
+    qn = np.array(qnat, dtype=np.int64).reshape(8, 8)
+    fq = np.sign(f) * ((2 * np.abs(f) + qn[None]) // (2 * qn[None]))
+    assert np.abs(fq).max() <= 1023, "quantized coefficient out of baseline range"
+    return fq
+
+
+def _jpeg_encode_block(w: _BitWriter, coefs, pred: int, dc_huff, ac_huff) -> int:
+    """Entropy-encode one zigzag-ordered coefficient block; returns the
+    new DC predictor."""
+    dc = int(coefs[0])
+    diff = dc - pred
+    cat = _jpeg_category(diff)
+    code, ln = dc_huff[cat]
+    w.put(code, ln)
+    if cat:
+        amp = diff if diff >= 0 else diff + (1 << cat) - 1
+        w.put(amp, cat)
+    run = 0
+    nz = np.nonzero(coefs[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(coefs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_huff[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        size = _jpeg_category(v)
+        code, ln = ac_huff[(run << 4) | size]
+        w.put(code, ln)
+        amp = v if v >= 0 else v + (1 << size) - 1
+        w.put(amp, size)
+        run = 0
+    if last < 63:
+        code, ln = ac_huff[0x00]  # EOB
+        w.put(code, ln)
+    return dc
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+_JFIF_APP0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+
 def encode_jpeg_gray(width: int, height: int, seed: int, quality: int = 85) -> bytes:
     """REAL compressed codec: baseline sequential grayscale JFIF.
 
@@ -374,80 +503,25 @@ def encode_jpeg_gray(width: int, height: int, seed: int, quality: int = 85) -> b
     given (dims, seed). The forward DCT follows the module's integer
     contract; quantization rounds half away from zero."""
     q = _jpeg_qtable(quality)
-    T = np.array(_jpeg_cos_table(), dtype=np.int64)
-    CU = np.array(_JPEG_CU, dtype=np.int64)
     px = _image_pixels(width, height, seed).reshape(height, width)
-    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
-    padded = np.empty((ph, pw), dtype=np.int64)
-    padded[:height, :width] = px
-    padded[height:, :width] = px[-1:, :]  # edge-replicate pad
-    padded[:, width:] = padded[:, width - 1 : width]
-    blocks = (
-        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-        - 128
-    )
-
-    def rsr(v, s):
-        return (v + (1 << (s - 1))) >> s
-
-    # integer FDCT (module contract): two 1-D passes + C(u)C(v)/4 scale
-    g = rsr(np.einsum("byx,ux->byu", blocks, T), 14)  # over x
-    hcoef = rsr(np.einsum("byu,vy->bvu", g, T), 14)  # over y
-    f = rsr(hcoef * CU[None, :, None] * CU[None, None, :], 30)  # F[b,v,u]
-    qn = np.array(q, dtype=np.int64).reshape(8, 8)  # natural (v, u) layout
-    fq = np.sign(f) * ((2 * np.abs(f) + qn[None]) // (2 * qn[None]))
-    assert np.abs(fq).max() <= 1023, "quantized coefficient out of baseline range"
-
+    fq = _jpeg_fdct_quant(px.astype(np.int64), q)
     dc_huff = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_huff = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     zz = np.array(_ZIGZAG)
     w = _BitWriter()
     pred = 0
     for b in range(fq.shape[0]):
-        coefs = fq[b].reshape(64)[zz]
-        dc = int(coefs[0])
-        diff = dc - pred
-        pred = dc
-        cat = _jpeg_category(diff)
-        code, ln = dc_huff[cat]
-        w.put(code, ln)
-        if cat:
-            amp = diff if diff >= 0 else diff + (1 << cat) - 1
-            w.put(amp, cat)
-        run = 0
-        nz = np.nonzero(coefs[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for k in range(1, last + 1):
-            v = int(coefs[k])
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                code, ln = ac_huff[0xF0]  # ZRL
-                w.put(code, ln)
-                run -= 16
-            size = _jpeg_category(v)
-            code, ln = ac_huff[(run << 4) | size]
-            w.put(code, ln)
-            amp = v if v >= 0 else v + (1 << size) - 1
-            w.put(amp, size)
-            run = 0
-        if last < 63:
-            code, ln = ac_huff[0x00]  # EOB
-            w.put(code, ln)
+        pred = _jpeg_encode_block(w, fq[b].reshape(64)[zz], pred, dc_huff, ac_huff)
     scan = w.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
 
     zz_q = bytes(q[_ZIGZAG[i]] for i in range(64))
     out = b"\xff\xd8"  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + zz_q)  # DQT, 8-bit table 0
-    out += seg(
+    out += _jpeg_seg(0xFFE0, _JFIF_APP0)
+    out += _jpeg_seg(0xFFDB, b"\x00" + zz_q)  # DQT, 8-bit table 0
+    out += _jpeg_seg(
         0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
     )  # SOF0: precision 8, dims, 1 component (id 1, 1x1, tq 0)
-    out += seg(
+    out += _jpeg_seg(
         0xFFC4,
         b"\x00"
         + bytes(_JPEG_DC_BITS)
@@ -456,26 +530,101 @@ def encode_jpeg_gray(width: int, height: int, seed: int, quality: int = 85) -> b
         + bytes(_JPEG_AC_BITS)
         + bytes(_JPEG_AC_VALS),
     )  # DHT: DC class 0 id 0, AC class 1 id 0
-    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    out += _jpeg_seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
     out += scan + b"\xff\xd9"  # EOI
     return out
 
 
-def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential GRAYSCALE JPEG → uint8 (h, w).
+def _rgb_pixels(width: int, height: int, seed: int) -> np.ndarray:
+    """Deterministic RGB pixel grid (3, height, width) for the color
+    codec — same RandomState discipline as ``_image_pixels``."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(3, height, width), dtype=np.uint8)
 
-    Full bitstream decode: marker walk (DQT/SOF0/DHT/SOS; DRI and
-    multi-component scans refused as out of the grayscale-baseline
-    subset), canonical Huffman entropy decode with 0xFF00 unstuffing,
-    DC prediction, dequantize, un-zigzag, and the module's integer
-    IDCT contract (numpy int64 across all blocks at once)."""
+
+def encode_jpeg_color(width: int, height: int, seed: int, quality: int = 85) -> bytes:
+    """REAL compressed codec: baseline sequential YCbCr 4:4:4 JFIF.
+
+    Three components (Y with the luminance tables, Cb/Cr with the
+    Annex-K chrominance quant + Huffman tables), 1x1 sampling,
+    interleaved one-block-per-component MCUs, separate DC predictors —
+    the standard color-JPEG bitstream minus subsampling. Color
+    transform per the module's integer YCbCr contract."""
+    qY = _jpeg_qtable(quality)
+    qC = _jpeg_qtable(quality, base=_JPEG_QTBL_C)
+    rgb = _rgb_pixels(width, height, seed).astype(np.int64)
+    R, G, Bp = rgb[0], rgb[1], rgb[2]
+    Y = np.clip(_jpeg_rsr(19595 * R + 38470 * G + 7471 * Bp, 16), 0, 255)
+    Cb = np.clip(128 + _jpeg_rsr(-11059 * R - 21709 * G + 32768 * Bp, 16), 0, 255)
+    Cr = np.clip(128 + _jpeg_rsr(32768 * R - 27439 * G - 5329 * Bp, 16), 0, 255)
+    fqs = [
+        _jpeg_fdct_quant(Y, qY),
+        _jpeg_fdct_quant(Cb, qC),
+        _jpeg_fdct_quant(Cr, qC),
+    ]
+    dcY = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    acY = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dcC = _huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    acC = _huff_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+    tabs = [(dcY, acY), (dcC, acC), (dcC, acC)]
+    zz = np.array(_ZIGZAG)
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for b in range(fqs[0].shape[0]):  # MCU = one block per component
+        for c in range(3):
+            preds[c] = _jpeg_encode_block(
+                w, fqs[c][b].reshape(64)[zz], preds[c], *tabs[c]
+            )
+    scan = w.flush()
+
+    out = b"\xff\xd8"
+    out += _jpeg_seg(0xFFE0, _JFIF_APP0)
+    out += _jpeg_seg(
+        0xFFDB,
+        b"\x00" + bytes(qY[_ZIGZAG[i]] for i in range(64))
+        + b"\x01" + bytes(qC[_ZIGZAG[i]] for i in range(64)),
+    )  # DQT: table 0 (lum) + table 1 (chroma)
+    out += _jpeg_seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"\x01\x11\x00"  # Y: id 1, 1x1, tq 0
+        + b"\x02\x11\x01"  # Cb: id 2, 1x1, tq 1
+        + b"\x03\x11\x01",  # Cr: id 3, 1x1, tq 1
+    )
+    out += _jpeg_seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        + b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+        + b"\x11" + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C),
+    )  # DHT: lum DC/AC (id 0) + chroma DC/AC (id 1)
+    out += _jpeg_seg(
+        0xFFDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00"
+    )  # SOS: Y→tables 0/0, Cb/Cr→tables 1/1
+    out += scan + b"\xff\xd9"
+    return out
+
+
+def _decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Decode a baseline sequential JPEG (1 component, or 3 components
+    at 1x1 sampling — grayscale or YCbCr 4:4:4) → (width, height,
+    [uint8 plane, ...]).
+
+    Full bitstream decode: marker walk (DQT/SOF0/DHT/SOS; progressive
+    SOFs, DRI and subsampled layouts refused as out of the supported
+    baseline subset), canonical Huffman entropy decode with 0xFF00
+    unstuffing, interleaved one-block-per-component MCUs with separate
+    DC predictors, dequantize, un-zigzag, and the module's integer
+    IDCT contract (numpy int64 across all blocks per component)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("bad JPEG magic (want SOI)")
     pos = 2
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     width = height = None
-    tq = 0
+    comp_ids: list[int] = []
+    comp_tq: list[int] = []
+    comp_tabs: dict[int, tuple[int, int]] = {}
     scan_start = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -500,14 +649,17 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 bp += 65
         elif marker == 0xC0:  # SOF0 baseline
             _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                raise ValueError(
-                    "only single-component (grayscale) baseline JPEG "
-                    "is supported"
-                )
-            if body[7] != 0x11:
-                raise ValueError("only 1x1 sampling supported")
-            tq = body[8]
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component baseline JPEG")
+            for c in range(ncomp):
+                cid, samp, tq_ = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError(
+                        "only 1x1 sampling (grayscale / YCbCr 4:4:4) "
+                        "is supported — subsampled chroma is not"
+                    )
+                comp_ids.append(cid)
+                comp_tq.append(tq_)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("only baseline (SOF0) JPEG is supported")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -524,9 +676,12 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:
             raise ValueError("restart intervals (DRI) not supported")
         elif marker == 0xDA:  # SOS
-            if body[0] != 1:
-                raise ValueError("only single-component scans supported")
-            td, ta = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            if ns != len(comp_ids):
+                raise ValueError("scan must cover all frame components")
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                comp_tabs[cs] = (tt >> 4, tt & 0xF)
             scan_start = pos + ln
             break
         pos += ln
@@ -548,10 +703,14 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         data.append(b)
         p += 1
 
-    dc_map, ac_map = huff[(0, td)], huff[(1, ta)]
+    ncomp = len(comp_ids)
     nby, nbx = -(-height // 8), -(-width // 8)
     nblocks = nby * nbx
-    coefs = np.zeros((nblocks, 64), dtype=np.int64)
+    coefs = [np.zeros((nblocks, 64), dtype=np.int64) for _ in range(ncomp)]
+    maps = [
+        (huff[(0, comp_tabs[cid][0])], huff[(1, comp_tabs[cid][1])])
+        for cid in comp_ids
+    ]
     bitpos = 0
     total_bits = len(data) * 8
 
@@ -582,50 +741,75 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             v -= (1 << size) - 1
         return v
 
-    pred = 0
-    for b in range(nblocks):
-        cat = read_huff(dc_map)
-        pred += read_amp(cat)
-        coefs[b, 0] = pred
-        k = 1
-        while k < 64:
-            rs = read_huff(ac_map)
-            if rs == 0x00:  # EOB
-                break
-            run, size = rs >> 4, rs & 0xF
-            if size == 0:
-                if run != 15:
-                    raise ValueError("invalid AC run/size")
-                k += 16  # ZRL
-                continue
-            k += run
-            if k >= 64:
-                raise ValueError("AC coefficient index out of range")
-            coefs[b, k] = read_amp(size)
-            k += 1
+    preds = [0] * ncomp
+    for b in range(nblocks):  # MCU = one block per component (1x1)
+        for c in range(ncomp):
+            dc_map, ac_map = maps[c]
+            cat = read_huff(dc_map)
+            preds[c] += read_amp(cat)
+            coefs[c][b, 0] = preds[c]
+            k = 1
+            while k < 64:
+                rs = read_huff(ac_map)
+                if rs == 0x00:  # EOB
+                    break
+                run, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid AC run/size")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k >= 64:
+                    raise ValueError("AC coefficient index out of range")
+                coefs[c][b, k] = read_amp(size)
+                k += 1
 
-    # dequantize + un-zigzag → natural (v, u) blocks
-    qarr = qtables[tq]
-    nat = np.zeros((nblocks, 64), dtype=np.int64)
-    zz = np.array(_ZIGZAG)
-    nat[:, zz] = coefs
-    r = nat.reshape(nblocks, 8, 8) * np.array(qarr, dtype=np.int64).reshape(8, 8)
-
-    # integer IDCT (module contract)
+    # per component: dequantize + un-zigzag + integer IDCT (contract)
     T = np.array(_jpeg_cos_table(), dtype=np.int64)
     CU = np.array(_JPEG_CU, dtype=np.int64)
+    zz = np.array(_ZIGZAG)
+    planes = []
+    for c in range(ncomp):
+        nat = np.zeros((nblocks, 64), dtype=np.int64)
+        nat[:, zz] = coefs[c]
+        r = nat.reshape(nblocks, 8, 8) * np.array(
+            qtables[comp_tq[c]], dtype=np.int64
+        ).reshape(8, 8)
+        rs_ = _jpeg_rsr(r * CU[None, :, None] * CU[None, None, :], 16)
+        m = _jpeg_rsr(np.einsum("bvu,ux->bvx", rs_, T), 14)  # over u
+        p_ = 128 + _jpeg_rsr(np.einsum("bvx,vy->byx", m, T), 28)  # over v
+        pix = np.clip(p_, 0, 255).astype(np.uint8)
+        full = (
+            pix.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
+        planes.append(full[:height, :width])
+    return width, height, planes
 
-    def rsr(v, s):
-        return (v + (1 << (s - 1))) >> s
 
-    rs_ = rsr(r * CU[None, :, None] * CU[None, None, :], 16)  # (b, v, u)
-    m = rsr(np.einsum("bvu,ux->bvx", rs_, T), 14)  # over u
-    p_ = 128 + rsr(np.einsum("bvx,vy->byx", m, T), 28)  # over v
-    pix = np.clip(p_, 0, 255).astype(np.uint8)
-    full = (
-        pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-    )
-    return full[:height, :width]
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Decode a baseline GRAYSCALE JPEG → uint8 (h, w)."""
+    _, _, planes = _decode_jpeg_planes(payload)
+    if len(planes) != 1:
+        raise ValueError("expected a single-component (grayscale) JPEG")
+    return planes[0]
+
+
+def decode_jpeg_color(payload: bytes) -> np.ndarray:
+    """Decode a baseline YCbCr 4:4:4 JPEG → uint8 (h, w, 3) RGB via
+    the module's integer inverse color transform."""
+    _, _, planes = _decode_jpeg_planes(payload)
+    if len(planes) != 3:
+        raise ValueError("expected a three-component (YCbCr) JPEG")
+    Y = planes[0].astype(np.int64)
+    Cb = planes[1].astype(np.int64) - 128
+    Cr = planes[2].astype(np.int64) - 128
+    R = np.clip(Y + _jpeg_rsr(91881 * Cr, 16), 0, 255)
+    G = np.clip(Y - _jpeg_rsr(22554 * Cb + 46802 * Cr, 16), 0, 255)
+    Bp = np.clip(Y + _jpeg_rsr(116130 * Cb, 16), 0, 255)
+    return np.stack([R, G, Bp], axis=-1).astype(np.uint8)
 
 
 _FAKE_AUDIO_MAGIC = b"FAKEAUD1"

@@ -291,19 +291,17 @@ def gen_image_features_pgm(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     return f"{path}: {n} rows"
 
 
-def gen_image_features_jpeg(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
-    """Independent twin of the REAL baseline-JPEG decode: a complete
-    plain-Python decoder sharing NO decode code with
-    stages/multimodal.py::decode_jpeg_gray — its own marker walk and
-    bit reader, the T.81 F.2.2.3 MINCODE/MAXCODE/VALPTR Huffman decode
-    procedure (the engine uses a (length, code)→value dict instead),
-    and the documented integer IDCT contract evaluated with plain
-    Python ints (the engine uses numpy int64 einsums). ``phash`` pins
-    the decoded pixel bytes byte-wise."""
+def _plain_jpeg_decode(payload: bytes):
+    """Complete plain-Python baseline-JPEG decoder — the independent
+    twin of stages/multimodal.py::_decode_jpeg_planes, sharing NO
+    decode code with it: its own marker walk and bit reader, the T.81
+    F.2.2.3 MINCODE/MAXCODE/VALPTR Huffman decode procedure (the
+    engine uses a (length, code)→value dict instead), and the
+    documented integer IDCT contract evaluated with plain Python ints
+    (the engine uses numpy int64 einsums). Handles 1 or 3 components
+    at 1x1 sampling. Returns (w, h, [plane rows-of-ints, ...])."""
     import math
     import struct as _struct
-
-    from ontograph_ray.stages.multimodal import encode_jpeg_gray  # encoder only
 
     ZZ = [  # T.81 zigzag: natural index at each zigzag position
         0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -339,95 +337,107 @@ def gen_image_features_jpeg(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
             code <<= 1
         return mincode, maxcode, valptr, vals
 
-    def decode_jpeg(payload: bytes):
-        assert payload[:2] == b"\xff\xd8", "SOI"
-        i = 2
-        qts, tabs = {}, {}
-        w = h = tq = td = ta = None
-        scan_at = None
-        while i < len(payload):
-            assert payload[i] == 0xFF
-            marker = payload[i + 1]
-            i += 2
-            if marker == 0xD9:
-                break
-            (seglen,) = _struct.unpack(">H", payload[i : i + 2])
-            body = payload[i + 2 : i + seglen]
-            if marker == 0xDB:
-                j = 0
-                while j < len(body):
-                    assert body[j] >> 4 == 0
-                    nat = [0] * 64
-                    for z in range(64):
-                        nat[ZZ[z]] = body[j + 1 + z]
-                    qts[body[j] & 0xF] = nat
-                    j += 65
-            elif marker == 0xC0:
-                _, h, w, nc = _struct.unpack(">BHHB", body[:6])
-                assert nc == 1 and body[7] == 0x11
-                tq = body[8]
-            elif marker == 0xC4:
-                j = 0
-                while j < len(body):
-                    tc, th = body[j] >> 4, body[j] & 0xF
-                    bits = list(body[j + 1 : j + 17])
-                    nv = sum(bits)
-                    vals = list(body[j + 17 : j + 17 + nv])
-                    tabs[(tc, th)] = build_decode_tables(bits, vals)
-                    j += 17 + nv
-            elif marker == 0xDA:
-                assert body[0] == 1
-                td, ta = body[2] >> 4, body[2] & 0xF
-                scan_at = i + seglen
-                break
-            i += seglen
-        data = bytearray()
-        p = scan_at
-        while p < len(payload):
-            b = payload[p]
-            if b == 0xFF:
-                if payload[p + 1] == 0x00:
-                    data.append(0xFF)
-                    p += 2
-                    continue
-                break
-            data.append(b)
-            p += 1
+    assert payload[:2] == b"\xff\xd8", "SOI"
+    i = 2
+    qts, tabs = {}, {}
+    w = h = None
+    cids, ctq, ctabs = [], [], {}
+    scan_at = None
+    while i < len(payload):
+        assert payload[i] == 0xFF
+        marker = payload[i + 1]
+        i += 2
+        if marker == 0xD9:
+            break
+        (seglen,) = _struct.unpack(">H", payload[i : i + 2])
+        body = payload[i + 2 : i + seglen]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                assert body[j] >> 4 == 0
+                nat = [0] * 64
+                for z in range(64):
+                    nat[ZZ[z]] = body[j + 1 + z]
+                qts[body[j] & 0xF] = nat
+                j += 65
+        elif marker == 0xC0:
+            _, h, w, nc = _struct.unpack(">BHHB", body[:6])
+            assert nc in (1, 3)
+            for c in range(nc):
+                cid, samp, tq_ = body[6 + 3 * c : 9 + 3 * c]
+                assert samp == 0x11
+                cids.append(cid)
+                ctq.append(tq_)
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0xF
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17 : j + 17 + nv])
+                tabs[(tc, th)] = build_decode_tables(bits, vals)
+                j += 17 + nv
+        elif marker == 0xDA:
+            ns = body[0]
+            assert ns == len(cids)
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                ctabs[cs] = (tt >> 4, tt & 0xF)
+            scan_at = i + seglen
+            break
+        i += seglen
+    data = bytearray()
+    p = scan_at
+    while p < len(payload):
+        b = payload[p]
+        if b == 0xFF:
+            if payload[p + 1] == 0x00:
+                data.append(0xFF)
+                p += 2
+                continue
+            break
+        data.append(b)
+        p += 1
 
-        pos = [0]
+    pos = [0]
 
-        def nextbit() -> int:
-            byte = data[pos[0] >> 3]
-            bit = (byte >> (7 - (pos[0] & 7))) & 1
-            pos[0] += 1
-            return bit
+    def nextbit() -> int:
+        byte = data[pos[0] >> 3]
+        bit = (byte >> (7 - (pos[0] & 7))) & 1
+        pos[0] += 1
+        return bit
 
-        def decode(tab) -> int:
-            mincode, maxcode, valptr, vals = tab
-            code, ln = nextbit(), 1
-            while maxcode[ln] == -1 or code > maxcode[ln]:
-                code = (code << 1) | nextbit()
-                ln += 1
-                assert ln <= 16, "bad code"
-            return vals[valptr[ln] + code - mincode[ln]]
+    def decode(tab) -> int:
+        mincode, maxcode, valptr, vals = tab
+        code, ln = nextbit(), 1
+        while maxcode[ln] == -1 or code > maxcode[ln]:
+            code = (code << 1) | nextbit()
+            ln += 1
+            assert ln <= 16, "bad code"
+        return vals[valptr[ln] + code - mincode[ln]]
 
-        def receive_extend(size: int) -> int:
-            v = 0
-            for _ in range(size):
-                v = (v << 1) | nextbit()
-            if size and v < (1 << (size - 1)):
-                v -= (1 << size) - 1
-            return v
+    def receive_extend(size: int) -> int:
+        v = 0
+        for _ in range(size):
+            v = (v << 1) | nextbit()
+        if size and v < (1 << (size - 1)):
+            v -= (1 << size) - 1
+        return v
 
-        nby, nbx = -(-h // 8), -(-w // 8)
-        q = qts[tq]
-        dc_tab, ac_tab = tabs[(0, td)], tabs[(1, ta)]
-        pixels = [[0] * (nbx * 8) for _ in range(nby * 8)]
-        pred = 0
-        for bidx in range(nby * nbx):
+    ncomp = len(cids)
+    nby, nbx = -(-h // 8), -(-w // 8)
+    planes = [[[0] * (nbx * 8) for _ in range(nby * 8)] for _ in range(ncomp)]
+    preds = [0] * ncomp
+    comp_decode = [
+        (tabs[(0, ctabs[cid][0])], tabs[(1, ctabs[cid][1])], qts[ctq[c]])
+        for c, cid in enumerate(cids)
+    ]
+    for bidx in range(nby * nbx):  # MCU = one block per component
+        for c in range(ncomp):
+            dc_tab, ac_tab, q = comp_decode[c]
             zz = [0] * 64
-            pred += receive_extend(decode(dc_tab))
-            zz[0] = pred
+            preds[c] += receive_extend(decode(dc_tab))
+            zz[0] = preds[c]
             k = 1
             while k < 64:
                 rs_ = decode(ac_tab)
@@ -461,28 +471,86 @@ def gen_image_features_jpeg(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
                 for v in range(8)
             ]
             by, bx = divmod(bidx, nbx)
+            px = planes[c]
             for y in range(8):
                 for x in range(8):
                     pv = 128 + rsr(
                         sum(m[v][x] * T[v][y] for v in range(8)), 28
                     )
-                    pixels[by * 8 + y][bx * 8 + x] = min(255, max(0, pv))
-        body_bytes = bytearray()
-        for y in range(h):
-            body_bytes.extend(pixels[y][:w])
-        return w, h, bytes(body_bytes)
+                    px[by * 8 + y][bx * 8 + x] = min(255, max(0, pv))
+    return w, h, planes
+
+
+def gen_image_features_jpeg(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the REAL baseline-JPEG grayscale decode
+    (see ``_plain_jpeg_decode``); ``phash`` pins the decoded pixel
+    bytes byte-wise."""
+    from ontograph_ray.stages.multimodal import encode_jpeg_gray  # encoder only
 
     media_ids, widths, heights, phashes = [], [], [], []
     for i in range(n):
         w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4  # synthesize_media's shape
         payload = encode_jpeg_gray(w, h, 2042 + i)
-        pw, ph, body = decode_jpeg(payload)
-        assert (pw, ph) == (w, h)
+        pw, ph, planes = _plain_jpeg_decode(payload)
+        assert (pw, ph) == (w, h) and len(planes) == 1
+        body_bytes = bytearray()
+        for y in range(h):
+            body_bytes.extend(planes[0][y][:w])
         media_ids.append(i)
         widths.append(w)
         heights.append(h)
-        phashes.append(int.from_bytes(hashlib.sha1(body).digest()[:8], "big"))
+        phashes.append(
+            int.from_bytes(hashlib.sha1(bytes(body_bytes)).digest()[:8], "big")
+        )
     path = os.path.join(FIXTURES_DIR, "image_features_jpeg_n200.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "phash": pa.array(phashes, pa.uint64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {n} rows"
+
+
+def gen_image_features_jpeg_color(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the REAL baseline YCbCr 4:4:4 color-JPEG
+    decode: ``_plain_jpeg_decode`` for the three planes, then the
+    module-documented integer inverse color transform evaluated with
+    plain Python ints; ``phash`` pins the interleaved RGB bytes
+    byte-wise (the engine's np.stack(...).tobytes() layout)."""
+    from ontograph_ray.stages.multimodal import encode_jpeg_color  # encoder only
+
+    def rsr(v: int, s: int) -> int:
+        return (v + (1 << (s - 1))) >> s
+
+    media_ids, widths, heights, phashes = [], [], [], []
+    for i in range(n):
+        w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
+        payload = encode_jpeg_color(w, h, 3042 + i)
+        pw, ph, planes = _plain_jpeg_decode(payload)
+        assert (pw, ph) == (w, h) and len(planes) == 3
+        body_bytes = bytearray()
+        for y in range(h):
+            for x in range(w):
+                Y = planes[0][y][x]
+                Cb = planes[1][y][x] - 128
+                Cr = planes[2][y][x] - 128
+                r_ = min(255, max(0, Y + rsr(91881 * Cr, 16)))
+                g_ = min(255, max(0, Y - rsr(22554 * Cb + 46802 * Cr, 16)))
+                b_ = min(255, max(0, Y + rsr(116130 * Cb, 16)))
+                body_bytes += bytes((r_, g_, b_))
+        media_ids.append(i)
+        widths.append(w)
+        heights.append(h)
+        phashes.append(
+            int.from_bytes(hashlib.sha1(bytes(body_bytes)).digest()[:8], "big")
+        )
+    path = os.path.join(FIXTURES_DIR, "image_features_jpeg_color_n200.parquet")
     pq.write_table(
         pa.table(
             {
@@ -1747,6 +1815,10 @@ _SF_INDEPENDENT = {
     "image_features_jpeg": (
         gen_image_features_jpeg,
         "image_features_jpeg_n200.parquet",
+    ),
+    "image_features_jpeg_color": (
+        gen_image_features_jpeg_color,
+        "image_features_jpeg_color_n200.parquet",
     ),
     "audio_features_wav": (gen_audio_features_wav, "audio_features_wav_n200.parquet"),
     "video_frames_y4m": (gen_video_frames_y4m, "video_frames_y4m_n150.parquet"),

@@ -523,6 +523,27 @@ class TestRealCodecs:
         with pytest.raises(ValueError, match="baseline"):
             multimodal.decode_jpeg_gray(bad)
 
+    def test_jpeg_color_roundtrip(self):
+        # YCbCr 4:4:4 color: decoded dims/channels match; the chroma
+        # table is harsh (Annex K.2), so the bound is looser than gray
+        import numpy as np
+
+        for i, (w, h) in enumerate([(16, 16), (20, 12), (33, 17)]):
+            payload = multimodal.encode_jpeg_color(w, h, 6000 + i)
+            img = multimodal.decode_jpeg_color(payload)
+            src = multimodal._rgb_pixels(w, h, 6000 + i).transpose(1, 2, 0)
+            assert img.shape == (h, w, 3)
+            err = np.abs(img.astype(int) - src.astype(int))
+            assert err.mean() < 20
+
+    def test_jpeg_color_vs_gray_decoders_typed(self):
+        gray = multimodal.encode_jpeg_gray(16, 16, 1)
+        color = multimodal.encode_jpeg_color(16, 16, 1)
+        with pytest.raises(ValueError, match="three-component"):
+            multimodal.decode_jpeg_color(gray)
+        with pytest.raises(ValueError, match="single-component"):
+            multimodal.decode_jpeg_gray(color)
+
     def test_jpeg_decode_images_stage(self, ray_session):
         ds = ray.data.from_arrow(
             multimodal.synthesize_media(12, seed=77, codec="jpeg")
