@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_bind_strfns": q.q_sparql_bind_strfns,
         "sparql_filter_abs": q.q_sparql_filter_abs,
         "image_features_jpeg_color": q.q_image_features_jpeg_color,
+        "image_features_jpeg420": q.q_image_features_jpeg420,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

@@ -1780,6 +1780,22 @@ def q_image_features_jpeg_color(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "phash"])
 
 
+def q_image_features_jpeg420(sf_dir: str):
+    """REAL compressed-codec decode of the camera-default JPEG layout:
+    baseline 4:2:0 (Y at 2x2, one chroma block per 16x16 MCU) — the
+    general Hc×Vc interleaved decoder in
+    stages/multimodal.py::_decode_jpeg_planes with box-replication
+    chroma upsampling. Oracle: the independent plain-Python decoder
+    (gen_fixtures.gen_image_features_jpeg420), byte-wise RGB pin."""
+    from .stages.multimodal import decode_images, synthesize_media
+
+    ds = ray.data.from_arrow(
+        synthesize_media(200, seed=4042, codec="jpeg_420")
+    )
+    out = decode_images(ds, codec="jpeg_color")
+    return out.select_columns(["media_id", "width", "height", "phash"])
+
+
 def q_audio_features_wav(sf_dir: str):
     """REAL-codec audio decode: RIFF/WAVE mono PCM16 payloads parsed
     via stdlib ``wave`` (stages/multimodal.py::decode_wav); duration/

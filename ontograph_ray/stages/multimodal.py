@@ -9,16 +9,15 @@ and tested. Codecs come in three tiers:
   ``codec="pgm"`` (binary PGM / Netpbm P5 images), ``codec="wav"``
   (RIFF/WAVE PCM16 audio, stdlib ``wave``), ``codec="y4m"``
   (YUV4MPEG2 mono video streams), and — round 5 — ``codec="jpeg"`` / ``"jpeg_color"``:
-  baseline sequential JPEG, grayscale and YCbCr 4:4:4 color (ITU-T T.81 markers, Annex-K
+  baseline sequential JPEG — grayscale, YCbCr 4:4:4 color, and 4:2:0 subsampled (ITU-T T.81 markers, Annex-K
   tables, canonical Huffman entropy coding, byte stuffing, integer
   DCT contract; see the JPEG section below). These are genuine
   on-disk formats a user can produce with ImageMagick / ffmpeg, so
   the decode stages are real codecs, not stubs.
 - the deterministic ``codec="fake"`` header+bytes format kept for the
   original fixture twins.
-- everything else compressed (subsampled-chroma or progressive
-  JPEG, PNG, MP3, H.264 — ``codec="pillow"`` / ``"ffmpeg"``) still
-  raises
+- everything else compressed (progressive JPEG, PNG, MP3, H.264 —
+  ``codec="pillow"`` / ``"ffmpeg"``) still raises
   NotImplementedError at construction: the sandbox ships no
   compression codecs and we do not fake them.
 
@@ -112,6 +111,9 @@ def synthesize_media(n: int, seed: int = 42, codec: str = "fake") -> pa.Table:
         "pgm": encode_pgm_image,
         "jpeg": encode_jpeg_gray,
         "jpeg_color": encode_jpeg_color,
+        "jpeg_420": lambda w, h, s: encode_jpeg_color(
+            w, h, s, subsampling="420"
+        ),
     }[codec]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
@@ -542,14 +544,24 @@ def _rgb_pixels(width: int, height: int, seed: int) -> np.ndarray:
     return rng.randint(0, 256, size=(3, height, width), dtype=np.uint8)
 
 
-def encode_jpeg_color(width: int, height: int, seed: int, quality: int = 85) -> bytes:
-    """REAL compressed codec: baseline sequential YCbCr 4:4:4 JFIF.
+def encode_jpeg_color(
+    width: int,
+    height: int,
+    seed: int,
+    quality: int = 85,
+    subsampling: str = "444",
+) -> bytes:
+    """REAL compressed codec: baseline sequential YCbCr JFIF.
 
     Three components (Y with the luminance tables, Cb/Cr with the
-    Annex-K chrominance quant + Huffman tables), 1x1 sampling,
-    interleaved one-block-per-component MCUs, separate DC predictors —
-    the standard color-JPEG bitstream minus subsampling. Color
-    transform per the module's integer YCbCr contract."""
+    Annex-K chrominance quant + Huffman tables), interleaved MCUs with
+    separate DC predictors. ``subsampling="444"`` is 1x1 throughout
+    (one block per component per MCU); ``"420"`` is the camera-default
+    layout — Y at 2x2, chroma averaged over 2×2 pixel boxes (integer
+    contract: rsr(sum of 4, 2)) and one chroma block per 16×16 MCU.
+    Color transform per the module's integer YCbCr contract."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     qY = _jpeg_qtable(quality)
     qC = _jpeg_qtable(quality, base=_JPEG_QTBL_C)
     rgb = _rgb_pixels(width, height, seed).astype(np.int64)
@@ -557,11 +569,7 @@ def encode_jpeg_color(width: int, height: int, seed: int, quality: int = 85) -> 
     Y = np.clip(_jpeg_rsr(19595 * R + 38470 * G + 7471 * Bp, 16), 0, 255)
     Cb = np.clip(128 + _jpeg_rsr(-11059 * R - 21709 * G + 32768 * Bp, 16), 0, 255)
     Cr = np.clip(128 + _jpeg_rsr(32768 * R - 27439 * G - 5329 * Bp, 16), 0, 255)
-    fqs = [
-        _jpeg_fdct_quant(Y, qY),
-        _jpeg_fdct_quant(Cb, qC),
-        _jpeg_fdct_quant(Cr, qC),
-    ]
+
     dcY = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     acY = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     dcC = _huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
@@ -570,11 +578,58 @@ def encode_jpeg_color(width: int, height: int, seed: int, quality: int = 85) -> 
     zz = np.array(_ZIGZAG)
     w = _BitWriter()
     preds = [0, 0, 0]
-    for b in range(fqs[0].shape[0]):  # MCU = one block per component
-        for c in range(3):
-            preds[c] = _jpeg_encode_block(
-                w, fqs[c][b].reshape(64)[zz], preds[c], *tabs[c]
+
+    if subsampling == "444":
+        fqs = [
+            _jpeg_fdct_quant(Y, qY),
+            _jpeg_fdct_quant(Cb, qC),
+            _jpeg_fdct_quant(Cr, qC),
+        ]
+        for b in range(fqs[0].shape[0]):  # MCU = one block per component
+            for c in range(3):
+                preds[c] = _jpeg_encode_block(
+                    w, fqs[c][b].reshape(64)[zz], preds[c], *tabs[c]
+                )
+        samp = (b"\x11", b"\x11", b"\x11")
+    else:
+        # 4:2:0: pad everything to 16-multiples (edge replicate), box-
+        # average chroma 2×2 (integer contract), emit 4 Y + Cb + Cr
+        # blocks per MCU
+        ph, pw = -(-height // 16) * 16, -(-width // 16) * 16
+
+        def pad16(plane):
+            padded = np.empty((ph, pw), dtype=np.int64)
+            padded[:height, :width] = plane
+            padded[height:, :width] = plane[-1:, :]
+            padded[:, width:] = padded[:, width - 1 : width]
+            return padded
+
+        Yp = pad16(Y)
+        sub = [
+            _jpeg_rsr(
+                p.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3)), 2
             )
+            for p in (pad16(Cb), pad16(Cr))
+        ]
+        fqY = _jpeg_fdct_quant(Yp, qY)
+        fqC = [_jpeg_fdct_quant(s, qC) for s in sub]
+        mcus_y, mcus_x = ph // 16, pw // 16
+        nbxY = pw // 8
+        nbxC = pw // 16
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for vy in range(2):  # 4 Y data units, raster order
+                    for vx in range(2):
+                        b = (my * 2 + vy) * nbxY + (mx * 2 + vx)
+                        preds[0] = _jpeg_encode_block(
+                            w, fqY[b].reshape(64)[zz], preds[0], *tabs[0]
+                        )
+                bc = my * nbxC + mx
+                for c in (1, 2):
+                    preds[c] = _jpeg_encode_block(
+                        w, fqC[c - 1][bc].reshape(64)[zz], preds[c], *tabs[c]
+                    )
+        samp = (b"\x22", b"\x11", b"\x11")
     scan = w.flush()
 
     out = b"\xff\xd8"
@@ -587,9 +642,9 @@ def encode_jpeg_color(width: int, height: int, seed: int, quality: int = 85) -> 
     out += _jpeg_seg(
         0xFFC0,
         struct.pack(">BHHB", 8, height, width, 3)
-        + b"\x01\x11\x00"  # Y: id 1, 1x1, tq 0
-        + b"\x02\x11\x01"  # Cb: id 2, 1x1, tq 1
-        + b"\x03\x11\x01",  # Cr: id 3, 1x1, tq 1
+        + b"\x01" + samp[0] + b"\x00"  # Y: id 1, tq 0
+        + b"\x02" + samp[1] + b"\x01"  # Cb: id 2, tq 1
+        + b"\x03" + samp[2] + b"\x01",  # Cr: id 3, tq 1
     )
     out += _jpeg_seg(
         0xFFC4,
@@ -607,15 +662,17 @@ def encode_jpeg_color(width: int, height: int, seed: int, quality: int = 85) -> 
 
 def _decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     """Decode a baseline sequential JPEG (1 component, or 3 components
-    at 1x1 sampling — grayscale or YCbCr 4:4:4) → (width, height,
-    [uint8 plane, ...]).
+    with sampling factors in {1,2} — grayscale, YCbCr 4:4:4, 4:2:2 or
+    4:2:0) → (width, height, [uint8 plane, ...]) with subsampled
+    chroma planes box-replicated back to full resolution.
 
     Full bitstream decode: marker walk (DQT/SOF0/DHT/SOS; progressive
-    SOFs, DRI and subsampled layouts refused as out of the supported
+    SOFs, DRI and sampling factors >2 refused as out of the supported
     baseline subset), canonical Huffman entropy decode with 0xFF00
-    unstuffing, interleaved one-block-per-component MCUs with separate
-    DC predictors, dequantize, un-zigzag, and the module's integer
-    IDCT contract (numpy int64 across all blocks per component)."""
+    unstuffing, interleaved MCUs (Hc×Vc data units per component in
+    raster order, separate DC predictors — T.81 A.2.3), dequantize,
+    un-zigzag, and the module's integer IDCT contract (numpy int64
+    across all blocks per component)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("bad JPEG magic (want SOI)")
     pos = 2
@@ -624,6 +681,7 @@ def _decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     width = height = None
     comp_ids: list[int] = []
     comp_tq: list[int] = []
+    comp_hv: list[tuple[int, int]] = []
     comp_tabs: dict[int, tuple[int, int]] = {}
     scan_start = None
     while pos < len(payload):
@@ -653,13 +711,15 @@ def _decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
                 raise ValueError("only 1- or 3-component baseline JPEG")
             for c in range(ncomp):
                 cid, samp, tq_ = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
+                hc, vc = samp >> 4, samp & 0xF
+                if hc not in (1, 2) or vc not in (1, 2):
                     raise ValueError(
-                        "only 1x1 sampling (grayscale / YCbCr 4:4:4) "
-                        "is supported — subsampled chroma is not"
+                        "only sampling factors 1 and 2 are supported "
+                        "(grayscale / 4:4:4 / 4:2:2 / 4:2:0)"
                     )
                 comp_ids.append(cid)
                 comp_tq.append(tq_)
+                comp_hv.append((hc, vc))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("only baseline (SOF0) JPEG is supported")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -704,9 +764,19 @@ def _decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
         p += 1
 
     ncomp = len(comp_ids)
-    nby, nbx = -(-height // 8), -(-width // 8)
-    nblocks = nby * nbx
-    coefs = [np.zeros((nblocks, 64), dtype=np.int64) for _ in range(ncomp)]
+    if ncomp == 1:
+        # single-component scans are non-interleaved: the MCU is ONE
+        # data unit and sampling factors are ignored (T.81 A.2.2)
+        comp_hv = [(1, 1)]
+    hmax = max(hc for hc, _ in comp_hv)
+    vmax = max(vc for _, vc in comp_hv)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    # per-component block grids (rows, cols) and coefficient stores
+    grids = [(mcus_y * vc, mcus_x * hc) for hc, vc in comp_hv]
+    coefs = [
+        np.zeros((gr * gc, 64), dtype=np.int64) for gr, gc in grids
+    ]
     maps = [
         (huff[(0, comp_tabs[cid][0])], huff[(1, comp_tabs[cid][1])])
         for cid in comp_ids
@@ -742,38 +812,51 @@ def _decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
         return v
 
     preds = [0] * ncomp
-    for b in range(nblocks):  # MCU = one block per component (1x1)
-        for c in range(ncomp):
-            dc_map, ac_map = maps[c]
-            cat = read_huff(dc_map)
-            preds[c] += read_amp(cat)
-            coefs[c][b, 0] = preds[c]
-            k = 1
-            while k < 64:
-                rs = read_huff(ac_map)
-                if rs == 0x00:  # EOB
-                    break
-                run, size = rs >> 4, rs & 0xF
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("invalid AC run/size")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k >= 64:
-                    raise ValueError("AC coefficient index out of range")
-                coefs[c][b, k] = read_amp(size)
-                k += 1
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            # MCU: Hc×Vc data units per component, raster order
+            for c in range(ncomp):
+                hc, vc = comp_hv[c]
+                dc_map, ac_map = maps[c]
+                _, gcols = grids[c]
+                for vy in range(vc):
+                    for vx in range(hc):
+                        b = (my * vc + vy) * gcols + (mx * hc + vx)
+                        cat = read_huff(dc_map)
+                        preds[c] += read_amp(cat)
+                        coefs[c][b, 0] = preds[c]
+                        k = 1
+                        while k < 64:
+                            rs = read_huff(ac_map)
+                            if rs == 0x00:  # EOB
+                                break
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("invalid AC run/size")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k >= 64:
+                                raise ValueError(
+                                    "AC coefficient index out of range"
+                                )
+                            coefs[c][b, k] = read_amp(size)
+                            k += 1
 
-    # per component: dequantize + un-zigzag + integer IDCT (contract)
+    # per component: dequantize + un-zigzag + integer IDCT (contract),
+    # then box-replicate subsampled planes back to full resolution
     T = np.array(_jpeg_cos_table(), dtype=np.int64)
     CU = np.array(_JPEG_CU, dtype=np.int64)
     zz = np.array(_ZIGZAG)
     planes = []
     for c in range(ncomp):
-        nat = np.zeros((nblocks, 64), dtype=np.int64)
+        hc, vc = comp_hv[c]
+        gr, gc = grids[c]
+        nblocks_c = gr * gc
+        nat = np.zeros((nblocks_c, 64), dtype=np.int64)
         nat[:, zz] = coefs[c]
-        r = nat.reshape(nblocks, 8, 8) * np.array(
+        r = nat.reshape(nblocks_c, 8, 8) * np.array(
             qtables[comp_tq[c]], dtype=np.int64
         ).reshape(8, 8)
         rs_ = _jpeg_rsr(r * CU[None, :, None] * CU[None, None, :], 16)
@@ -781,11 +864,16 @@ def _decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
         p_ = 128 + _jpeg_rsr(np.einsum("bvx,vy->byx", m, T), 28)  # over v
         pix = np.clip(p_, 0, 255).astype(np.uint8)
         full = (
-            pix.reshape(nby, nbx, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(nby * 8, nbx * 8)
+            pix.reshape(gr, gc, 8, 8).transpose(0, 2, 1, 3).reshape(gr * 8, gc * 8)
         )
-        planes.append(full[:height, :width])
+        cw = -(-width * hc // hmax)
+        ch = -(-height * vc // vmax)
+        comp = full[:ch, :cw]
+        if hc != hmax or vc != vmax:
+            comp = np.repeat(
+                np.repeat(comp, vmax // vc, axis=0), hmax // hc, axis=1
+            )
+        planes.append(comp[:height, :width])
     return width, height, planes
 
 

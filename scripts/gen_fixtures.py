@@ -341,7 +341,7 @@ def _plain_jpeg_decode(payload: bytes):
     i = 2
     qts, tabs = {}, {}
     w = h = None
-    cids, ctq, ctabs = [], [], {}
+    cids, ctq, chv, ctabs = [], [], [], {}
     scan_at = None
     while i < len(payload):
         assert payload[i] == 0xFF
@@ -365,9 +365,10 @@ def _plain_jpeg_decode(payload: bytes):
             assert nc in (1, 3)
             for c in range(nc):
                 cid, samp, tq_ = body[6 + 3 * c : 9 + 3 * c]
-                assert samp == 0x11
+                assert samp >> 4 in (1, 2) and samp & 0xF in (1, 2)
                 cids.append(cid)
                 ctq.append(tq_)
+                chv.append((samp >> 4, samp & 0xF))
         elif marker == 0xC4:
             j = 0
             while j < len(body):
@@ -425,60 +426,87 @@ def _plain_jpeg_decode(payload: bytes):
         return v
 
     ncomp = len(cids)
-    nby, nbx = -(-h // 8), -(-w // 8)
-    planes = [[[0] * (nbx * 8) for _ in range(nby * 8)] for _ in range(ncomp)]
+    if ncomp == 1:
+        chv = [(1, 1)]  # non-interleaved single-component scan
+    hmax = max(hc for hc, _ in chv)
+    vmax = max(vc for _, vc in chv)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    grids = [(mcus_y * vc, mcus_x * hc) for hc, vc in chv]
+    planes = [
+        [[0] * (gc * 8) for _ in range(gr * 8)] for gr, gc in grids
+    ]
     preds = [0] * ncomp
     comp_decode = [
         (tabs[(0, ctabs[cid][0])], tabs[(1, ctabs[cid][1])], qts[ctq[c]])
         for c, cid in enumerate(cids)
     ]
-    for bidx in range(nby * nbx):  # MCU = one block per component
-        for c in range(ncomp):
-            dc_tab, ac_tab, q = comp_decode[c]
-            zz = [0] * 64
-            preds[c] += receive_extend(decode(dc_tab))
-            zz[0] = preds[c]
-            k = 1
-            while k < 64:
-                rs_ = decode(ac_tab)
-                if rs_ == 0:
-                    break
-                run, size = rs_ >> 4, rs_ & 0xF
-                if size == 0:
-                    assert run == 15
-                    k += 16
-                    continue
-                k += run
-                zz[k] = receive_extend(size)
-                k += 1
-            # natural-order dequantized block r[v][u]
-            nat = [0] * 64
-            for z in range(64):
-                nat[ZZ[z]] = zz[z]
-            r = [
-                [nat[v * 8 + u] * q[v * 8 + u] for u in range(8)]
-                for v in range(8)
+
+    def decode_block(c, by, bx):
+        dc_tab, ac_tab, q = comp_decode[c]
+        zz = [0] * 64
+        preds[c] += receive_extend(decode(dc_tab))
+        zz[0] = preds[c]
+        k = 1
+        while k < 64:
+            rs_ = decode(ac_tab)
+            if rs_ == 0:
+                break
+            run, size = rs_ >> 4, rs_ & 0xF
+            if size == 0:
+                assert run == 15
+                k += 16
+                continue
+            k += run
+            zz[k] = receive_extend(size)
+            k += 1
+        # natural-order dequantized block r[v][u]
+        nat = [0] * 64
+        for z in range(64):
+            nat[ZZ[z]] = zz[z]
+        r = [
+            [nat[v * 8 + u] * q[v * 8 + u] for u in range(8)]
+            for v in range(8)
+        ]
+        rs2 = [
+            [rsr(r[v][u] * CU[v] * CU[u], 16) for u in range(8)]
+            for v in range(8)
+        ]
+        m = [
+            [
+                rsr(sum(rs2[v][u] * T[u][x] for u in range(8)), 14)
+                for x in range(8)
             ]
-            rs2 = [
-                [rsr(r[v][u] * CU[v] * CU[u], 16) for u in range(8)]
-                for v in range(8)
-            ]
-            m = [
-                [
-                    rsr(sum(rs2[v][u] * T[u][x] for u in range(8)), 14)
-                    for x in range(8)
-                ]
-                for v in range(8)
-            ]
-            by, bx = divmod(bidx, nbx)
-            px = planes[c]
-            for y in range(8):
-                for x in range(8):
-                    pv = 128 + rsr(
-                        sum(m[v][x] * T[v][y] for v in range(8)), 28
-                    )
-                    px[by * 8 + y][bx * 8 + x] = min(255, max(0, pv))
-    return w, h, planes
+            for v in range(8)
+        ]
+        px = planes[c]
+        for y in range(8):
+            for x in range(8):
+                pv = 128 + rsr(sum(m[v][x] * T[v][y] for v in range(8)), 28)
+                px[by * 8 + y][bx * 8 + x] = min(255, max(0, pv))
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in range(ncomp):  # Hc×Vc data units, raster order
+                hc, vc = chv[c]
+                for vy in range(vc):
+                    for vx in range(hc):
+                        decode_block(c, my * vc + vy, mx * hc + vx)
+
+    # crop each plane to component resolution and box-replicate
+    # subsampled planes back to full resolution
+    out_planes = []
+    for c in range(ncomp):
+        hc, vc = chv[c]
+        cw = -(-(w * hc) // hmax)
+        ch = -(-(h * vc) // vmax)
+        fy, fx = vmax // vc, hmax // hc
+        rows = []
+        for y in range(h):
+            src = planes[c][min(y // fy, ch - 1)]
+            rows.append([src[min(x // fx, cw - 1)] for x in range(w)])
+        out_planes.append(rows)
+    return w, h, out_planes
 
 
 def gen_image_features_jpeg(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
@@ -551,6 +579,53 @@ def gen_image_features_jpeg_color(sf_dir: str = DEFAULT_SF, n: int = 200) -> str
             int.from_bytes(hashlib.sha1(bytes(body_bytes)).digest()[:8], "big")
         )
     path = os.path.join(FIXTURES_DIR, "image_features_jpeg_color_n200.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "phash": pa.array(phashes, pa.uint64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {n} rows"
+
+
+def gen_image_features_jpeg420(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the baseline 4:2:0 color-JPEG decode: the
+    general `_plain_jpeg_decode` (Hc×Vc interleave + box-replication
+    upsample in plain Python) + the plain-int inverse color transform.
+    The camera-default chroma layout, byte-wise pinned."""
+    from ontograph_ray.stages.multimodal import encode_jpeg_color  # encoder only
+
+    def rsr(v: int, s: int) -> int:
+        return (v + (1 << (s - 1))) >> s
+
+    media_ids, widths, heights, phashes = [], [], [], []
+    for i in range(n):
+        w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
+        payload = encode_jpeg_color(w, h, 4042 + i, subsampling="420")
+        pw, ph, planes = _plain_jpeg_decode(payload)
+        assert (pw, ph) == (w, h) and len(planes) == 3
+        body_bytes = bytearray()
+        for y in range(h):
+            for x in range(w):
+                Y = planes[0][y][x]
+                Cb = planes[1][y][x] - 128
+                Cr = planes[2][y][x] - 128
+                r_ = min(255, max(0, Y + rsr(91881 * Cr, 16)))
+                g_ = min(255, max(0, Y - rsr(22554 * Cb + 46802 * Cr, 16)))
+                b_ = min(255, max(0, Y + rsr(116130 * Cb, 16)))
+                body_bytes += bytes((r_, g_, b_))
+        media_ids.append(i)
+        widths.append(w)
+        heights.append(h)
+        phashes.append(
+            int.from_bytes(hashlib.sha1(bytes(body_bytes)).digest()[:8], "big")
+        )
+    path = os.path.join(FIXTURES_DIR, "image_features_jpeg420_n200.parquet")
     pq.write_table(
         pa.table(
             {
@@ -1819,6 +1894,10 @@ _SF_INDEPENDENT = {
     "image_features_jpeg_color": (
         gen_image_features_jpeg_color,
         "image_features_jpeg_color_n200.parquet",
+    ),
+    "image_features_jpeg420": (
+        gen_image_features_jpeg420,
+        "image_features_jpeg420_n200.parquet",
     ),
     "audio_features_wav": (gen_audio_features_wav, "audio_features_wav_n200.parquet"),
     "video_frames_y4m": (gen_video_frames_y4m, "video_frames_y4m_n150.parquet"),

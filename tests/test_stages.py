@@ -536,6 +536,31 @@ class TestRealCodecs:
             err = np.abs(img.astype(int) - src.astype(int))
             assert err.mean() < 20
 
+    def test_jpeg_420_roundtrip_and_smooth_content(self):
+        # the camera-default 4:2:0 layout: dims survive; on smooth,
+        # constant-chroma content the subsample round-trip is near-
+        # lossless (the real geometry check — noise content only
+        # proves nothing about MCU interleave correctness)
+        import numpy as np
+
+        p = multimodal.encode_jpeg_color(33, 17, 9000, subsampling="420")
+        img = multimodal.decode_jpeg_color(p)
+        assert img.shape == (17, 33, 3)
+        # structured content via a gradient image: patch the source
+        y = (np.tile(np.arange(24).reshape(24, 1), (1, 40)) * 3 % 200 + 20)
+        rgb = np.stack(
+            [np.clip(y + 30, 0, 255), y, np.clip(y - 20, 0, 255)]
+        ).astype(np.uint8)
+        orig = multimodal._rgb_pixels
+        multimodal._rgb_pixels = lambda w, h, s: rgb[:, :h, :w]
+        try:
+            p = multimodal.encode_jpeg_color(40, 24, 0, subsampling="420")
+            img = multimodal.decode_jpeg_color(p)
+        finally:
+            multimodal._rgb_pixels = orig
+        err = np.abs(img.astype(int) - rgb.transpose(1, 2, 0).astype(int))
+        assert err.max() <= 4
+
     def test_jpeg_color_vs_gray_decoders_typed(self):
         gray = multimodal.encode_jpeg_gray(16, 16, 1)
         color = multimodal.encode_jpeg_color(16, 16, 1)
