@@ -237,6 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_filter_abs": q.q_sparql_filter_abs,
         "image_features_jpeg_color": q.q_image_features_jpeg_color,
         "image_features_jpeg420": q.q_image_features_jpeg420,
+        "image_features_png": q.q_image_features_png,
+        "image_features_png_color": q.q_image_features_png_color,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

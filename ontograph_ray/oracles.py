@@ -907,6 +907,12 @@ SELECT l_orderkey, l_linenumber, 'l_discount',
         "image_features_jpeg420": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_jpeg420_n200.parquet')"
         ),
+        "image_features_png": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_png_n200.parquet')"
+        ),
+        "image_features_png_color": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_png_color_n200.parquet')"
+        ),
         "image_features_pgm": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_pgm_n200.parquet')"
         ),

@@ -1796,6 +1796,38 @@ def q_image_features_jpeg420(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "phash"])
 
 
+def q_image_features_png(sf_dir: str):
+    """REAL compressed-codec LOSSLESS image decode: 8-bit grayscale
+    PNG (RFC 2083 — CRC-verified chunk walk, stdlib-zlib inflate, the
+    full five-filter unfilter grammar; the encoder cycles filter types
+    per scanline so None/Sub/Up/Average/Paeth are all on the decode
+    path) via stages/multimodal.py::decode_png_gray. Oracle is an
+    independent plain-Python unfilter
+    (scripts/gen_fixtures.py::_plain_png_decode); phash pins the
+    reconstructed pixels byte-wise — and PNG being lossless, equals
+    the hash of the synthesized content."""
+    from .stages.multimodal import decode_images, synthesize_media
+
+    ds = ray.data.from_arrow(synthesize_media(200, seed=5042, codec="png"))
+    out = decode_images(ds, codec="png")
+    return out.select_columns(["media_id", "width", "height", "phash"])
+
+
+def q_image_features_png_color(sf_dir: str):
+    """REAL compressed-codec LOSSLESS truecolor decode: 8-bit RGB PNG
+    (color type 2, 3-byte pixels — the unfilter recurrences step by
+    bpp=3) via stages/multimodal.py::decode_png_color. Oracle:
+    independent plain-Python unfilter twin, byte-wise interleaved-RGB
+    pin (gen_fixtures.gen_image_features_png_color)."""
+    from .stages.multimodal import decode_images, synthesize_media
+
+    ds = ray.data.from_arrow(
+        synthesize_media(200, seed=6042, codec="png_color")
+    )
+    out = decode_images(ds, codec="png_color")
+    return out.select_columns(["media_id", "width", "height", "phash"])
+
+
 def q_audio_features_wav(sf_dir: str):
     """REAL-codec audio decode: RIFF/WAVE mono PCM16 payloads parsed
     via stdlib ``wave`` (stages/multimodal.py::decode_wav); duration/

@@ -11,12 +11,15 @@ and tested. Codecs come in three tiers:
   (YUV4MPEG2 mono video streams), and — round 5 — ``codec="jpeg"`` / ``"jpeg_color"``:
   baseline sequential JPEG — grayscale, YCbCr 4:4:4 color, and 4:2:0 subsampled (ITU-T T.81 markers, Annex-K
   tables, canonical Huffman entropy coding, byte stuffing, integer
-  DCT contract; see the JPEG section below). These are genuine
-  on-disk formats a user can produce with ImageMagick / ffmpeg, so
-  the decode stages are real codecs, not stubs.
+  DCT contract; see the JPEG section below), and ``codec="png"`` /
+  ``"png_color"``: lossless PNG (RFC 2083 — chunk CRCs, stdlib-zlib
+  DEFLATE, all five scanline filters; see the PNG section below).
+  These are genuine on-disk formats a user can produce with
+  ImageMagick / ffmpeg, so the decode stages are real codecs, not
+  stubs.
 - the deterministic ``codec="fake"`` header+bytes format kept for the
   original fixture twins.
-- everything else compressed (progressive JPEG, PNG, MP3, H.264 —
+- everything else compressed (progressive JPEG, MP3, H.264 —
   ``codec="pillow"`` / ``"ffmpeg"``) still raises
   NotImplementedError at construction: the sandbox ships no
   compression codecs and we do not fake them.
@@ -33,6 +36,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -114,6 +118,8 @@ def synthesize_media(n: int, seed: int = 42, codec: str = "fake") -> pa.Table:
         "jpeg_420": lambda w, h, s: encode_jpeg_color(
             w, h, s, subsampling="420"
         ),
+        "png": encode_png_gray,
+        "png_color": encode_png_color,
     }[codec]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
@@ -135,18 +141,20 @@ class ImageDecoder:
     the in-module pure-numpy parser; ``codec="jpeg"`` / ``"jpeg_color"``
     REAL baseline JPEG (grayscale / YCbCr 4:4:4) with the in-module
     entropy decoder + integer IDCT (+ integer inverse color transform);
+    ``codec="png"`` / ``"png_color"`` REAL lossless PNG (stdlib-zlib
+    inflate + full five-filter unfilter grammar, chunk CRCs verified);
     ``codec="fake"`` the deterministic test format. Other compressed
-    codecs (``"pillow"``/subsampled or progressive JPEG/PNG) raise
+    codecs (``"pillow"`` or progressive JPEG) raise
     NotImplementedError at construction — the sandbox ships no
     compression libraries — with the stage shape (schema in/out,
     batching, actor pool) identical across codecs."""
 
     def __init__(self, codec: str = "fake"):
-        if codec not in ("fake", "pgm", "jpeg", "jpeg_color"):
+        if codec not in ("fake", "pgm", "jpeg", "jpeg_color", "png", "png_color"):
             raise NotImplementedError(
                 f"codec {codec!r} requires image-compression libraries not "
                 "present in this environment; use codec='jpeg', "
-                "'jpeg_color', 'pgm' or 'fake'"
+                "'jpeg_color', 'png', 'png_color', 'pgm' or 'fake'"
             )
         self.codec = codec
 
@@ -157,6 +165,10 @@ class ImageDecoder:
             return decode_jpeg_gray(payload)
         if self.codec == "jpeg_color":
             return decode_jpeg_color(payload)
+        if self.codec == "png":
+            return decode_png_gray(payload)
+        if self.codec == "png_color":
+            return decode_png_color(payload)
         if not payload.startswith(_FAKE_MAGIC):
             raise ValueError("bad fake-image magic")
         w, h = struct.unpack("<II", payload[8:16])
@@ -898,6 +910,206 @@ def decode_jpeg_color(payload: bytes) -> np.ndarray:
     G = np.clip(Y - _jpeg_rsr(22554 * Cb + 46802 * Cr, 16), 0, 255)
     Bp = np.clip(Y + _jpeg_rsr(116130 * Cb, 16), 0, 255)
     return np.stack([R, G, Bp], axis=-1).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# PNG — a REAL compressed codec via stdlib ``zlib`` (RFC 2083).
+#
+# PNG is DEFLATE (zlib, stdlib — no external libraries) over
+# per-scanline filtered bytes. The encoder here writes the full
+# container: signature, IHDR/IDAT/IEND chunks with CRC-32, and cycles
+# through ALL FIVE filter types (None/Sub/Up/Average/Paeth, one per
+# scanline, ``y % 5``) so the decoder's complete unfilter grammar is
+# exercised on every image taller than 4 rows. 8-bit grayscale
+# (color type 0) and 8-bit truecolor RGB (color type 2) — the two
+# layouts `convert img.pgm img.png` / `convert img.ppm img.png` emit
+# for our content. Unlike JPEG this codec is LOSSLESS, so the decoded
+# pixels are pinned byte-identical to the synthesized content as well
+# as to the independent fixture twin.
+#
+# Decode is chunk walk (CRC-verified) → one ``zlib.decompress`` →
+# unfilter. Filters None/Up are whole-row vector ops; Sub is a modular
+# prefix sum (``np.add.accumulate`` with uint8 wraparound, one call
+# per row); Average/Paeth recurrences depend on the reconstructed left
+# neighbor so they run as an x-loop with the channel vector inside —
+# bounded per row, and only 2 of every 5 rows use them.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode(img: np.ndarray) -> bytes:
+    """Encode a (height, width, channels) uint8 array (channels 1 or 3)
+    as a PNG, cycling filter types ``y % 5`` per scanline."""
+    h, w, c = img.shape
+    bpp = c
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        row = img[y].reshape(-1).astype(np.int64)
+        left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = row - left
+        elif ft == 2:  # Up
+            filt = row - prev
+        elif ft == 3:  # Average
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa_ = np.abs(p - left)
+            pb_ = np.abs(p - prev)
+            pc_ = np.abs(p - upleft)
+            pred = np.where(
+                (pa_ <= pb_) & (pa_ <= pc_),
+                left,
+                np.where(pb_ <= pc_, prev, upleft),
+            )
+            filt = row - pred
+        raw.append(ft)
+        raw.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if c == 1 else 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_gray(width: int, height: int, seed: int) -> bytes:
+    """REAL compressed codec: 8-bit grayscale PNG (color type 0). Same
+    deterministic pixel content as the other grayscale image codecs."""
+    px = _image_pixels(width, height, seed).reshape(height, width)
+    return _png_encode(px[:, :, None])
+
+
+def encode_png_color(width: int, height: int, seed: int) -> bytes:
+    """REAL compressed codec: 8-bit truecolor PNG (color type 2). Same
+    deterministic RGB content as the color-JPEG codec for a given
+    (dims, seed)."""
+    px = _rgb_pixels(width, height, seed)  # (3, h, w)
+    return _png_encode(np.moveaxis(px, 0, -1))
+
+
+def _decode_png_pixels(payload: bytes) -> np.ndarray:
+    """Decode a PNG payload → uint8 array, (h, w) grayscale or
+    (h, w, 3) RGB. Verifies the signature and every chunk CRC; accepts
+    8-bit depth, color types 0/2, no interlace — the layouts the
+    module encoder and common converters emit for this content."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos = 8
+    ihdr = b""
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    w, h, depth, ctype_i, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or ctype_i not in (0, 2):
+        raise ValueError(
+            f"only 8-bit grayscale/truecolor PNG supported "
+            f"(depth {depth}, color type {ctype_i})"
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG compression/filter/interlace method")
+    c = 1 if ctype_i == 0 else 3
+    stride = w * c
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline data has the wrong length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        off = y * (1 + stride)
+        ft = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, offset=off + 1).astype(
+            np.int64
+        )
+        if ft == 0:
+            recon = line
+        elif ft == 1:  # Sub: modular prefix sum along x per channel
+            recon = np.add.accumulate(
+                line.reshape(w, c).astype(np.uint8), axis=0, dtype=np.uint8
+            ).reshape(-1).astype(np.int64)
+        elif ft == 2:  # Up
+            recon = (line + prev) & 0xFF
+        elif ft == 3:  # Average — left-neighbor recurrence, x-loop
+            rec2 = line.reshape(w, c)
+            pr2 = prev.reshape(w, c)
+            acc = np.zeros(c, dtype=np.int64)
+            outrows = np.empty((w, c), dtype=np.int64)
+            for x in range(w):
+                acc = (rec2[x] + (acc + pr2[x]) // 2) & 0xFF
+                outrows[x] = acc
+            recon = outrows.reshape(-1)
+        elif ft == 4:  # Paeth — left-neighbor recurrence, x-loop
+            rec2 = line.reshape(w, c)
+            pr2 = prev.reshape(w, c)
+            acc = np.zeros(c, dtype=np.int64)
+            accul = np.zeros(c, dtype=np.int64)
+            outrows = np.empty((w, c), dtype=np.int64)
+            for x in range(w):
+                p = acc + pr2[x] - accul
+                pa_ = np.abs(p - acc)
+                pb_ = np.abs(p - pr2[x])
+                pc_ = np.abs(p - accul)
+                pred = np.where(
+                    (pa_ <= pb_) & (pa_ <= pc_),
+                    acc,
+                    np.where(pb_ <= pc_, pr2[x], accul),
+                )
+                acc = (rec2[x] + pred) & 0xFF
+                accul = pr2[x]
+                outrows[x] = acc
+            recon = outrows.reshape(-1)
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    return out.reshape(h, w) if c == 1 else out.reshape(h, w, 3)
+
+
+def decode_png_gray(payload: bytes) -> np.ndarray:
+    """Decode a grayscale PNG → uint8 (h, w)."""
+    img = _decode_png_pixels(payload)
+    if img.ndim != 2:
+        raise ValueError("expected a grayscale (color type 0) PNG")
+    return img
+
+
+def decode_png_color(payload: bytes) -> np.ndarray:
+    """Decode a truecolor PNG → uint8 (h, w, 3) RGB."""
+    img = _decode_png_pixels(payload)
+    if img.ndim != 3:
+        raise ValueError("expected a truecolor (color type 2) PNG")
+    return img
 
 
 _FAKE_AUDIO_MAGIC = b"FAKEAUD1"

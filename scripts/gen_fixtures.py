@@ -640,6 +640,124 @@ def gen_image_features_jpeg420(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     return f"{path}: {n} rows"
 
 
+def _plain_png_decode(payload: bytes) -> tuple[int, int, int, list[list[int]]]:
+    """Independent plain-Python PNG decoder (twin of
+    stages/multimodal.py::_decode_png_pixels — no shared code, no
+    numpy): chunk walk with CRC verification, one zlib inflate, then
+    the five-filter unfilter written as the RFC 2083 recurrences over
+    plain ints. Returns (width, height, channels, rows) with each row
+    a flat list of reconstructed bytes."""
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, ihdr, idat = 8, b"", bytearray()
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        assert zlib.crc32(ctype + data) & 0xFFFFFFFF == crc
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    assert depth == 8 and color_type in (0, 2)
+    assert comp == 0 and filt == 0 and interlace == 0
+    c = 1 if color_type == 0 else 3
+    stride = w * c
+    raw = zlib.decompress(bytes(idat))
+    assert len(raw) == h * (1 + stride)
+
+    def paeth(a: int, b: int, cc: int) -> int:
+        p = a + b - cc
+        pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+        if pa_ <= pb_ and pa_ <= pc_:
+            return a
+        return b if pb_ <= pc_ else cc
+
+    rows: list[list[int]] = []
+    prior = [0] * stride
+    for y in range(h):
+        off = y * (1 + stride)
+        ft = raw[off]
+        line = list(raw[off + 1 : off + 1 + stride])
+        recon = [0] * stride
+        for x in range(stride):
+            a = recon[x - c] if x >= c else 0
+            b = prior[x]
+            cc = prior[x - c] if x >= c else 0
+            if ft == 0:
+                v = line[x]
+            elif ft == 1:
+                v = line[x] + a
+            elif ft == 2:
+                v = line[x] + b
+            elif ft == 3:
+                v = line[x] + (a + b) // 2
+            elif ft == 4:
+                v = line[x] + paeth(a, b, cc)
+            else:
+                raise AssertionError(f"bad filter {ft}")
+            recon[x] = v & 0xFF
+        rows.append(recon)
+        prior = recon
+    return w, h, c, rows
+
+
+def _gen_image_features_png_variant(codec: str, seed0: int, fname: str, n: int) -> str:
+    from ontograph_ray.stages import multimodal as mm  # encoders only
+
+    enc = mm.encode_png_gray if codec == "png" else mm.encode_png_color
+    media_ids, widths, heights, phashes = [], [], [], []
+    for i in range(n):
+        w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4  # synthesize_media's shape
+        payload = enc(w, h, seed0 + i)
+        pw, ph, c, rows = _plain_png_decode(payload)
+        assert (pw, ph) == (w, h) and c == (1 if codec == "png" else 3)
+        body = bytearray()
+        for row in rows:
+            body.extend(row)
+        media_ids.append(i)
+        widths.append(w)
+        heights.append(h)
+        phashes.append(
+            int.from_bytes(hashlib.sha1(bytes(body)).digest()[:8], "big")
+        )
+    path = os.path.join(FIXTURES_DIR, fname)
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "phash": pa.array(phashes, pa.uint64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {n} rows"
+
+
+def gen_image_features_png(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the REAL lossless-PNG grayscale decode;
+    ``phash`` pins the reconstructed pixel bytes byte-wise (and,
+    because PNG is lossless, equals the hash of the synthesized
+    content — a second, codec-independent anchor)."""
+    return _gen_image_features_png_variant(
+        "png", 5042, "image_features_png_n200.parquet", n
+    )
+
+
+def gen_image_features_png_color(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the REAL lossless-PNG truecolor decode;
+    ``phash`` pins the interleaved RGB bytes byte-wise."""
+    return _gen_image_features_png_variant(
+        "png_color", 6042, "image_features_png_color_n200.parquet", n
+    )
+
+
 def gen_audio_features_wav(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     """Independent twin of the REAL-codec WAV decode: walks the RIFF
     chunk list with its own struct-based reader (no stdlib ``wave``, no
@@ -1898,6 +2016,11 @@ _SF_INDEPENDENT = {
     "image_features_jpeg420": (
         gen_image_features_jpeg420,
         "image_features_jpeg420_n200.parquet",
+    ),
+    "image_features_png": (gen_image_features_png, "image_features_png_n200.parquet"),
+    "image_features_png_color": (
+        gen_image_features_png_color,
+        "image_features_png_color_n200.parquet",
     ),
     "audio_features_wav": (gen_audio_features_wav, "audio_features_wav_n200.parquet"),
     "video_frames_y4m": (gen_video_frames_y4m, "video_frames_y4m_n150.parquet"),

@@ -578,6 +578,73 @@ class TestRealCodecs:
         assert all(r["phash"] > 0 for r in out)
 
 
+class TestPngCodec:
+    def test_png_gray_lossless_roundtrip(self):
+        # PNG is lossless: decoded pixels must equal the synthesized
+        # content EXACTLY (stronger than the JPEG quality bound).
+        for i in range(10):
+            w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
+            payload = multimodal.encode_png_gray(w, h, 5000 + i)
+            img = multimodal.decode_png_gray(payload)
+            want = multimodal._image_pixels(w, h, 5000 + i).reshape(h, w)
+            assert img.shape == (h, w)
+            assert np.array_equal(img, want)
+
+    def test_png_color_lossless_roundtrip(self):
+        for i in range(10):
+            w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
+            payload = multimodal.encode_png_color(w, h, 6000 + i)
+            img = multimodal.decode_png_color(payload)
+            want = np.moveaxis(multimodal._rgb_pixels(w, h, 6000 + i), 0, -1)
+            assert img.shape == (h, w, 3)
+            assert np.array_equal(img, want)
+
+    def test_png_container_structure(self):
+        payload = multimodal.encode_png_gray(24, 16, 7)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        assert payload[12:16] == b"IHDR"
+        assert payload[-8:-4] == b"IEND"
+        # 16 rows → filter types 0..4 all present (y % 5 cycling)
+        import struct as _s
+        import zlib as _z
+
+        (ihdr_len,) = _s.unpack(">I", payload[8:12])
+        pos = 8 + 12 + ihdr_len
+        idat = bytearray()
+        while pos + 12 <= len(payload):
+            (length,) = _s.unpack(">I", payload[pos : pos + 4])
+            if payload[pos + 4 : pos + 8] == b"IDAT":
+                idat.extend(payload[pos + 8 : pos + 8 + length])
+            pos += 12 + length
+        raw = _z.decompress(bytes(idat))
+        fts = {raw[y * (1 + 24)] for y in range(16)}
+        assert fts == {0, 1, 2, 3, 4}
+
+    def test_png_decode_refusals(self):
+        payload = multimodal.encode_png_gray(16, 16, 1)
+        with pytest.raises(ValueError, match="signature"):
+            multimodal.decode_png_gray(b"\x00" + payload)
+        # flip a byte inside IDAT → chunk CRC must catch it
+        bad = bytearray(payload)
+        bad[40] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            multimodal.decode_png_gray(bytes(bad))
+        # typed channel-count mismatch between the two wrappers
+        color = multimodal.encode_png_color(16, 16, 1)
+        with pytest.raises(ValueError, match="grayscale"):
+            multimodal.decode_png_gray(color)
+        with pytest.raises(ValueError, match="truecolor"):
+            multimodal.decode_png_color(payload)
+
+    def test_png_decode_images_stage(self, ray_session):
+        ds = ray.data.from_arrow(
+            multimodal.synthesize_media(12, seed=78, codec="png")
+        )
+        out = multimodal.decode_images(ds, codec="png").take_all()
+        assert len(out) == 12
+        assert all(r["phash"] > 0 for r in out)
+
+
 class TestGopherRules:
     def test_all_rules_fire(self, ray_session):
         import ray as _ray
