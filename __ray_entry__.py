@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_jpeg420": q.q_image_features_jpeg420,
         "image_features_png": q.q_image_features_png,
         "image_features_png_color": q.q_image_features_png_color,
+        "audio_features_adpcm": q.q_audio_features_adpcm,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

@@ -1853,6 +1853,33 @@ def q_audio_features_wav(sf_dir: str):
     )
 
 
+def q_audio_features_adpcm(sf_dir: str):
+    """REAL COMPRESSED-codec audio decode: mono IMA ADPCM (WAVE format
+    tag 0x0011, 4 bits/sample, 4:1 vs PCM16 — what `ffmpeg -c:a
+    adpcm_ima_wav` emits) decoded by the in-module block-vectorized
+    integer recurrence (stages/multimodal.py::decode_adpcm); duration/
+    RMS/ZCR per clip rounded to 9 dp. Oracle twin decodes the same
+    bytes with a plain-Python per-nibble recurrence
+    (scripts/gen_fixtures.py::_plain_adpcm_decode) — the lossy codec's
+    output is pinned byte-identical, then features compared."""
+    from .stages.multimodal import featurize_audio, synthesize_audio
+
+    ds = ray.data.from_arrow(synthesize_audio(200, seed=2007, codec="adpcm"))
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        for col in ("duration_sec", "rms", "zero_crossing_rate"):
+            batch = batch.set_column(
+                batch.schema.get_field_index(col),
+                col,
+                pc.round(batch[col], ndigits=9),
+            )
+        return batch
+
+    return featurize_audio(ds, codec="adpcm").map_batches(
+        rounded, batch_format="pyarrow"
+    )
+
+
 def q_video_frames_y4m(sf_dir: str):
     """REAL-codec video frame sampling: YUV4MPEG2 mono streams parsed
     by the in-module parser (stages/multimodal.py::decode_y4m), every

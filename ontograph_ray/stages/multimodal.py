@@ -1155,26 +1155,205 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return pcm, sr
 
 
+# ---------------------------------------------------------------------------
+# IMA ADPCM — a REAL compressed audio codec, pure integer, no external
+# libraries (IMA Digital Audio Focus Group "Recommended Practices",
+# 1992; the `adpcm_ima_wav` codec ffmpeg/sox emit, WAVE format tag
+# 0x0011). 4 bits per sample (4:1 vs PCM16), mono.
+#
+# The bitstream is block-structured: each block opens with a 4-byte
+# header (initial predictor as a raw int16 sample, initial step-table
+# index, reserved byte) followed by 4-bit codes, low nibble first.
+# Blocks are INDEPENDENTLY decodable — the header re-seeds the
+# predictor state — which is exactly what makes the codec
+# vectorizable and scale-friendly: the adaptive-predictor recurrence
+# is inherently sequential per sample, so the decoder loops over
+# sample POSITIONS within a block (bounded: samples_per_block) with
+# numpy vectors ACROSS all of a payload's blocks. Sequential depth is
+# the block length, parallel width the clip length — the same
+# shape a GPU/SIMD ADPCM decoder uses.
+#
+# Like JPEG (and unlike PNG) the codec is lossy; correctness is pinned
+# by decoding the same bytes in the independent plain-Python fixture
+# twin (scripts/gen_fixtures.py) — byte-identical PCM out.
+# ---------------------------------------------------------------------------
+
+_ADPCM_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+        19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+        50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+        130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+        337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+        876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+        5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+        15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+_ADPCM_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+_ADPCM_BLOCK_ALIGN = 256  # bytes per block → 505 samples/block
+
+
+def _adpcm_step_state(
+    pred: np.ndarray, index: np.ndarray, code: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """One IMA ADPCM state transition, vectorized over blocks: given
+    predictor/step-index vectors and a 4-bit code vector, return the
+    updated (predictor, index). Shared by encode and decode so the
+    encoder tracks exactly what the decoder will reconstruct."""
+    step = _ADPCM_STEPS[index]
+    diffq = (
+        (step >> 3)
+        + step * ((code >> 2) & 1)
+        + (step >> 1) * ((code >> 1) & 1)
+        + (step >> 2) * (code & 1)
+    )
+    pred = np.clip(
+        np.where(code & 8, pred - diffq, pred + diffq), -32768, 32767
+    )
+    index = np.clip(index + _ADPCM_INDEX_ADJ[code & 7], 0, 88)
+    return pred, index
+
+
+def encode_adpcm_audio(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    """REAL compressed codec: mono IMA ADPCM in a WAVE container
+    (format tag 0x0011, block align 256, fact chunk with the true
+    sample count). Same deterministic PCM content as the other audio
+    codecs. The last block is padded by repeating the final sample;
+    the fact chunk trims it on decode."""
+    pcm = _audio_pcm(n_samples, seed).astype(np.int64)
+    spb = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1  # samples per block (505)
+    n_blocks = -(-n_samples // spb)
+    padded = np.full(n_blocks * spb, pcm[-1] if n_samples else 0, dtype=np.int64)
+    padded[:n_samples] = pcm
+    blocks = padded.reshape(n_blocks, spb)
+
+    pred = blocks[:, 0].copy()  # header seeds the first sample verbatim
+    index = np.zeros(n_blocks, dtype=np.int64)
+    codes = np.empty((n_blocks, spb - 1), dtype=np.uint8)
+    for t in range(spb - 1):
+        target = blocks[:, t + 1]
+        diff = target - pred
+        sign = (diff < 0).astype(np.int64) << 3
+        mag = np.abs(diff)
+        step = _ADPCM_STEPS[index]
+        b2 = (mag >= step).astype(np.int64)
+        mag = mag - step * b2
+        b1 = (mag >= (step >> 1)).astype(np.int64)
+        mag = mag - (step >> 1) * b1
+        b0 = (mag >= (step >> 2)).astype(np.int64)
+        code = sign | (b2 << 2) | (b1 << 1) | b0
+        codes[:, t] = code
+        pred, index = _adpcm_step_state(pred, index, code)
+
+    # pack: header (int16 predictor, uint8 index, reserved) + nibbles,
+    # LOW nibble = earlier sample
+    lo = codes[:, 0::2].astype(np.uint8)
+    hi = codes[:, 1::2].astype(np.uint8)
+    body = (lo | (hi << 4)).astype(np.uint8)
+    head = np.zeros((n_blocks, 4), dtype=np.uint8)
+    head[:, 0] = blocks[:, 0] & 0xFF
+    head[:, 1] = (blocks[:, 0] >> 8) & 0xFF
+    head[:, 2] = 0  # starting step index (stored per block → independent)
+    data = np.concatenate([head, body], axis=1).reshape(-1).tobytes()
+
+    byte_rate = (sample_rate * _ADPCM_BLOCK_ALIGN) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x0011, 1, sample_rate, byte_rate, _ADPCM_BLOCK_ALIGN, 4, 2, spb,
+    )
+    fact = struct.pack("<I", n_samples)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a mono IMA ADPCM WAVE payload → (int16 PCM, sample_rate).
+    Walks the RIFF chunks with struct (stdlib ``wave`` rejects
+    compressed formats); the nibble→PCM recurrence loops over the
+    samples-per-block axis with numpy vectors across blocks."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("bad RIFF/WAVE header")
+    pos, fmt, fact_n, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"fact":
+            (fact_n,) = struct.unpack("<I", body[:4])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, nch, sr, _rate, align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != 0x0011 or nch != 1 or bits != 4:
+        raise ValueError(
+            f"only mono 4-bit IMA ADPCM supported (tag 0x{tag:04x}, {nch}ch)"
+        )
+    spb = (align - 4) * 2 + 1
+    if len(fmt) >= 20:
+        (spb_hdr,) = struct.unpack("<H", fmt[18:20])
+        if spb_hdr != spb:
+            raise ValueError("inconsistent samples-per-block")
+    n_blocks = len(data) // align
+    raw = np.frombuffer(data, dtype=np.uint8, count=n_blocks * align).reshape(
+        n_blocks, align
+    )
+    pred = (
+        raw[:, 0].astype(np.int64) | (raw[:, 1].astype(np.int64) << 8)
+    )
+    pred = np.where(pred >= 32768, pred - 65536, pred)
+    index = np.clip(raw[:, 2].astype(np.int64), 0, 88)
+    body = raw[:, 4:]
+    codes = np.empty((n_blocks, (align - 4) * 2), dtype=np.uint8)
+    codes[:, 0::2] = body & 0x0F
+    codes[:, 1::2] = body >> 4
+    out = np.empty((n_blocks, spb), dtype=np.int64)
+    out[:, 0] = pred
+    for t in range(spb - 1):
+        pred, index = _adpcm_step_state(pred, index, codes[:, t])
+        out[:, t + 1] = pred
+    pcm = out.reshape(-1)
+    if fact_n is not None:
+        pcm = pcm[:fact_n]
+    return pcm.astype(np.int16), sr
+
+
 class AudioFeaturizer:
     """Actor stage: decode + feature-extract audio payloads (duration,
     RMS level, zero-crossing rate). ``codec="wav"`` decodes REAL
-    RIFF/WAVE PCM16 via stdlib ``wave``; ``"fake"`` the deterministic
-    test format. Compressed codecs (MP3/OGG — ``"ffmpeg"``) raise
+    RIFF/WAVE PCM16 via stdlib ``wave``; ``codec="adpcm"`` REAL
+    COMPRESSED mono IMA ADPCM (WAVE tag 0x0011, 4 bits/sample) with
+    the in-module block-vectorized integer decoder; ``"fake"`` the
+    deterministic test format. Other compressed codecs (MP3/OGG —
+    ``"ffmpeg"``) raise
     NotImplementedError at construction, with the stage shape —
     per-actor setup, small batches, payload dropped on output —
     unchanged."""
 
     def __init__(self, codec: str = "fake"):
-        if codec not in ("fake", "wav"):
+        if codec not in ("fake", "wav", "adpcm"):
             raise NotImplementedError(
                 f"codec {codec!r} requires audio-compression libraries not "
-                "present in this environment; use codec='wav' or 'fake'"
+                "present in this environment; use codec='adpcm', 'wav' or "
+                "'fake'"
             )
         self.codec = codec
 
     def _decode(self, payload: bytes):
         if self.codec == "wav":
             return decode_wav(payload)
+        if self.codec == "adpcm":
+            return decode_adpcm(payload)
         if not payload.startswith(_FAKE_AUDIO_MAGIC):
             raise ValueError("bad fake-audio magic")
         n, sr = struct.unpack("<II", payload[8:16])
@@ -1216,7 +1395,11 @@ def featurize_audio(
 
 
 def synthesize_audio(n: int, seed: int = 7, codec: str = "fake") -> pa.Table:
-    enc = {"fake": encode_fake_audio, "wav": encode_wav_audio}[codec]
+    enc = {
+        "fake": encode_fake_audio,
+        "wav": encode_wav_audio,
+        "adpcm": encode_adpcm_audio,
+    }[codec]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
         sr = 8000

@@ -807,6 +807,100 @@ def gen_audio_features_wav(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     return f"{path}: {n} rows"
 
 
+_PLAIN_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_PLAIN_ADPCM_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _plain_adpcm_decode(payload: bytes) -> tuple[list[int], int]:
+    """Independent plain-Python IMA ADPCM decoder (twin of
+    stages/multimodal.py::decode_adpcm — no shared code, no numpy):
+    struct-based RIFF walk, then the per-sample IMA recurrence over
+    plain ints, block by block, nibble by nibble."""
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    pos, fmt, fact_n, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"fact":
+            (fact_n,) = struct.unpack("<I", body[:4])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    tag, nch, sr, _rate, align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    assert (tag, nch, bits) == (0x0011, 1, 4)
+    pcm: list[int] = []
+    for boff in range(0, len(data) - align + 1, align):
+        block = data[boff : boff + align]
+        (pred,) = struct.unpack("<h", block[0:2])
+        index = min(88, max(0, block[2]))
+        pcm.append(pred)
+        for byte in block[4:]:
+            for code in (byte & 0x0F, byte >> 4):
+                step = _PLAIN_ADPCM_STEPS[index]
+                diffq = step >> 3
+                if code & 4:
+                    diffq += step
+                if code & 2:
+                    diffq += step >> 1
+                if code & 1:
+                    diffq += step >> 2
+                pred = pred - diffq if code & 8 else pred + diffq
+                pred = min(32767, max(-32768, pred))
+                index = min(88, max(0, index + _PLAIN_ADPCM_INDEX[code & 7]))
+                pcm.append(pred)
+    if fact_n is not None:
+        pcm = pcm[:fact_n]
+    return pcm, sr
+
+
+def gen_audio_features_adpcm(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the REAL COMPRESSED-codec IMA ADPCM decode:
+    plain-Python per-nibble recurrence vs the engine's block-vectorized
+    numpy loop — byte-identical PCM required, then duration/RMS/ZCR in
+    plain Python (rounded 9 dp, same discipline as the WAV twin)."""
+    from ontograph_ray.stages.multimodal import encode_adpcm_audio  # encoder only
+
+    media_ids, durs, rmss, zcrs = [], [], [], []
+    for i in range(n):
+        sr = 8000
+        samples = sr * (1 + i % 3)  # synthesize_audio's shape
+        payload = encode_adpcm_audio(samples, sr, 2007 + i)
+        pcm, psr = _plain_adpcm_decode(payload)
+        assert psr == sr and len(pcm) == samples
+        x = [s / 32768.0 for s in pcm]
+        media_ids.append(i)
+        durs.append(round(len(pcm) / psr, 9))
+        rmss.append(round(math.sqrt(math.fsum(v * v for v in x) / len(x)), 9))
+        flips = sum(1 for a, b in zip(x[1:], x[:-1]) if (a < 0) != (b < 0))
+        zcrs.append(round(flips / (len(x) - 1), 9))
+    path = os.path.join(FIXTURES_DIR, "audio_features_adpcm_n200.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "duration_sec": pa.array(durs, pa.float64()),
+                "rms": pa.array(rmss, pa.float64()),
+                "zero_crossing_rate": pa.array(zcrs, pa.float64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {n} rows"
+
+
 def gen_video_frames_y4m(sf_dir: str = DEFAULT_SF, n: int = 150) -> str:
     """Independent twin of the REAL-codec y4m frame sampling
     (every_n=3): splits the stream on the FRAME markers and regex-
@@ -2023,6 +2117,10 @@ _SF_INDEPENDENT = {
         "image_features_png_color_n200.parquet",
     ),
     "audio_features_wav": (gen_audio_features_wav, "audio_features_wav_n200.parquet"),
+    "audio_features_adpcm": (
+        gen_audio_features_adpcm,
+        "audio_features_adpcm_n200.parquet",
+    ),
     "video_frames_y4m": (gen_video_frames_y4m, "video_frames_y4m_n150.parquet"),
     "c4_line_filter": (gen_c4_line_filter, "c4_line_filter_n400.parquet"),
 }

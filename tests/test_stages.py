@@ -418,6 +418,48 @@ class TestRealCodecs:
         assert sr == 8000
         assert (pcm == multimodal._audio_pcm(16000, 3)).all()
 
+    def test_adpcm_roundtrip_bounds(self):
+        # ADPCM is lossy: assert exact length/rate recovery, 4:1
+        # compression, and a sane reconstruction error for the
+        # white-noise test content (the step adapter tracks amplitude,
+        # so relative RMS error stays well under 1).
+        for n in (8000, 505, 506, 1, 100):
+            payload = multimodal.encode_adpcm_audio(n, 8000, 3)
+            pcm, sr = multimodal.decode_adpcm(payload)
+            assert sr == 8000 and len(pcm) == n
+        payload = multimodal.encode_adpcm_audio(8000, 8000, 3)
+        pcm, _ = multimodal.decode_adpcm(payload)
+        orig = multimodal._audio_pcm(8000, 3).astype(np.float64)
+        dec = pcm.astype(np.float64)
+        rel = np.sqrt(np.mean((orig - dec) ** 2)) / np.sqrt(np.mean(orig**2))
+        assert rel < 0.5
+        assert len(payload) < 8000 * 2 * 0.3  # ~4:1 vs PCM16
+
+    def test_adpcm_container_structure_and_refusals(self):
+        payload = multimodal.encode_adpcm_audio(1000, 8000, 1)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        assert b"fact" in payload[:64]  # compressed WAV requires fact
+        import struct as _s
+
+        tag = _s.unpack("<H", payload[payload.index(b"fmt ") + 8 :][:2])[0]
+        assert tag == 0x0011
+        with pytest.raises(ValueError, match="RIFF"):
+            multimodal.decode_adpcm(b"\x00" + payload)
+        # a PCM16 wav through the adpcm decoder → typed refusal
+        pcm_wav = multimodal.encode_wav_audio(100, 8000, 1)
+        with pytest.raises(ValueError, match="IMA ADPCM"):
+            multimodal.decode_adpcm(pcm_wav)
+
+    def test_adpcm_stage(self, ray_session):
+        out = multimodal.featurize_audio(
+            ray.data.from_arrow(multimodal.synthesize_audio(12, codec="adpcm")),
+            codec="adpcm",
+        ).take_all()
+        assert len(out) == 12
+        # durations are exact (fact chunk trims padding); levels sane
+        assert all(abs(r["duration_sec"] - (1 + r["media_id"] % 3)) < 1e-9 for r in out)
+        assert all(0.0 < r["rms"] < 1.0 for r in out)
+
     def test_y4m_roundtrip_and_colorspace_guard(self):
         v = multimodal.decode_y4m(multimodal.encode_y4m_video(12, 8, 5, 9))
         assert v.shape == (5, 8, 12)
