@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_png": q.q_image_features_png,
         "image_features_png_color": q.q_image_features_png_color,
         "audio_features_adpcm": q.q_audio_features_adpcm,
+        "sparql_group_keys": q.q_sparql_group_keys,
+        "sparql_distinct_agg": q.q_sparql_distinct_agg,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

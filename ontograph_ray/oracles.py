@@ -512,6 +512,15 @@ WHERE ABS(v - 500000) <= 100000""",
 SELECT t1.subject AS c, t1.object AS n, t2.object AS r
 FROM t t1 JOIN t t2 ON t2.subject = t1.object
 WHERE t1.predicate = '<{IN_NATION}>' AND t2.predicate = '<{IN_REGION}>'""",
+        # GROUP BY with no aggregates → one row per group key
+        "sparql_group_keys": f"""{_T}
+SELECT DISTINCT object AS n FROM t WHERE predicate = '<{IN_NATION}>'""",
+        # SELECT DISTINCT over aggregate rows → distinct count values
+        "sparql_distinct_agg": f"""{_T}
+SELECT DISTINCT cnt FROM (
+  SELECT object, COUNT(*) AS cnt FROM t
+  WHERE predicate = '<{IN_NATION}>' GROUP BY object
+)""",
         # SUM(DISTINCT ?b) per nation over the decoded integer cents
         "sparql_sum_distinct": f"""{_T}
 SELECT t1.object AS n,

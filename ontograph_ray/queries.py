@@ -3416,6 +3416,48 @@ def q_sparql_subquery_star(sf_dir: str):
     )
 
 
+def q_sparql_group_keys(sf_dir: str):
+    """E8 extension: GROUP BY with NO aggregates — valid SPARQL that
+    projects one solution per group (select ⊆ group keys, pinned at
+    parse time); executes as a single bucketed distinct exchange over
+    the group keys (store/sparql.py, the `elif q.group_by` executor
+    branch)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX rel: <urn:og:rel/>
+        SELECT ?n WHERE {
+          ?c rel:inNation ?n .
+        } GROUP BY ?n
+        """,
+    )
+
+
+def q_sparql_distinct_agg(sf_dir: str):
+    """E8 extension: SELECT DISTINCT composed with aggregates — per
+    spec DISTINCT dedups the PROJECTED solution multiset after
+    grouping, so distinct per-nation customer counts collapse to the
+    distinct count values (the aggregate exchange, then the standard
+    post-projection distinct_on pass)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX rel: <urn:og:rel/>
+        SELECT DISTINCT (COUNT(?c) AS ?cnt) WHERE {
+          ?c rel:inNation ?n .
+        } GROUP BY ?n
+        """,
+    )
+
+
 def q_sparql_sum_distinct(sf_dir: str):
     """E8 extension: SUM(DISTINCT ?v) — per-group distinct rows carried
     through the exchange by a dedicated distinct-aggregate plan

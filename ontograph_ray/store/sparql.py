@@ -125,7 +125,9 @@ silently misanswering):
                                       then ONE bucketed inner hash join
                                       on the shared variables; must
                                       share ≥1 variable with the outer
-                                      patterns; SELECT * bodies refused)
+                                      patterns; SELECT * bodies project
+                                      the statically-derived variable
+                                      scope)
       FILTER ( COALESCE(?a, ?b, t) = term )   (first bound argument —
                                       ground-term defaults allowed —
                                       compared via = / !=)
@@ -159,7 +161,11 @@ silently misanswering):
                                       groups post-aggregate — the
                                       aggregate must also appear in
                                       SELECT; no GROUP BY → one
-                                      whole-result row)
+                                      whole-result row; GROUP BY with
+                                      NO aggregates → one row per
+                                      group, select ⊆ keys; SELECT
+                                      DISTINCT composes — dedup of the
+                                      projected rows after grouping)
     VALUES ?v { t ... }               (postfix inline-data join over
     VALUES (?a ?b) { (t t) ... }      required-bound variables: one
                                       vectorized membership kernel per
@@ -612,8 +618,9 @@ def parse(text: str) -> _Query:
         raise SparqlSyntaxError("SELECT needs variables or *")
     if aggregates and "*" in select:
         raise SparqlSyntaxError("SELECT * cannot be mixed with aggregates")
-    if aggregates and distinct:
-        raise SparqlUnsupportedError("DISTINCT with aggregates is not supported")
+    # SELECT DISTINCT with aggregates is allowed: per spec DISTINCT
+    # applies to the projected solution multiset AFTER grouping, which
+    # is exactly the executor's post-projection distinct_on pass.
 
     if take().upper() != "WHERE" or take() != "{":
         raise SparqlSyntaxError("expected WHERE {")
@@ -1728,7 +1735,17 @@ def parse(text: str) -> _Query:
         # no keys — handled in the executor
         pass
     if group_by and not aggregates:
-        raise SparqlUnsupportedError("GROUP BY without aggregates")
+        # valid SPARQL: grouping with no aggregates projects ONE row
+        # per group — the selected variables must all be group keys
+        # (a non-key variable's per-group value is undefined; standard
+        # engines reject it too)
+        if select == ["*"]:
+            select = list(group_by)
+        bad = [v for v in select if v not in group_by]
+        if bad:
+            raise SparqlSyntaxError(
+                f"selected variables not in GROUP BY: {bad}"
+            )
     if aggregates:
         bad = [v for v in select if v not in group_by
                and v not in {a for _, _, a in aggregates}]
@@ -3049,6 +3066,17 @@ def sparql_select(
 
                 joined = rd.from_pandas(pd.DataFrame([row]))
             bound = group_by + aliases
+    elif q.group_by:
+        # GROUP BY without aggregates: one solution per group → a
+        # distinct projection onto the group keys (the parse pass
+        # already pinned select ⊆ group_by). Single bucketed
+        # distinct exchange — same plan DISTINCT uses.
+        bad = [v for v in q.group_by if v not in bound]
+        if bad:
+            raise SparqlSyntaxError(f"GROUP BY variables never bound: {bad}")
+        gb = list(q.group_by)
+        joined = dstore.distinct_on(joined.select_columns(gb), gb)
+        bound = gb
 
     if q.having:
         # post-aggregate filter on the already-computed alias columns

@@ -2832,6 +2832,62 @@ class TestSparqlSumAvgDistinct:
         ]
 
 
+class TestSparqlGroupByNoAggregates:
+    """GROUP BY with no aggregates → one solution per group; SELECT
+    DISTINCT composes with aggregates (dedup of projected rows)."""
+
+    def _store(self):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = []
+        # groups a(×2), b(×2), c(×1) → counts {2, 2, 1}
+        for i, g in enumerate(["a", "a", "b", "b", "c"]):
+            trps.append(new_triple(r(f"urn:e{i}"), r("urn:grp"), l(g)))
+        return DatasetGraphStore.from_triples("urn:g", trps)
+
+    def test_group_by_projects_one_row_per_group(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        out = sparql_select(
+            self._store(),
+            "SELECT ?g WHERE { ?e <urn:grp> ?g . } GROUP BY ?g",
+        ).to_pandas()
+        assert sorted(out["g"].tolist()) == ['"a"', '"b"', '"c"']
+
+    def test_select_star_maps_to_group_keys(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        out = sparql_select(
+            self._store(),
+            "SELECT * WHERE { ?e <urn:grp> ?g . } GROUP BY ?g",
+        ).to_pandas()
+        assert sorted(out["g"].tolist()) == ['"a"', '"b"', '"c"']
+
+    def test_non_key_selection_is_typed_error(self, ray_session):
+        from ontograph_ray.store.sparql import SparqlSyntaxError, sparql_select
+
+        with pytest.raises(SparqlSyntaxError, match="not in GROUP BY"):
+            sparql_select(
+                self._store(),
+                "SELECT ?e WHERE { ?e <urn:grp> ?g . } GROUP BY ?g",
+            )
+
+    def test_distinct_with_aggregates_dedups_projection(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        q = (
+            "SELECT {d}(COUNT(?e) AS ?n) WHERE {{ ?e <urn:grp> ?g . }} "
+            "GROUP BY ?g"
+        )
+        plain = sparql_select(self._store(), q.format(d="")).to_pandas()
+        assert sorted(plain["n"].tolist()) == [1, 2, 2]
+        ded = sparql_select(self._store(), q.format(d="DISTINCT ")).to_pandas()
+        assert sorted(ded["n"].tolist()) == [1, 2]
+
+
 class TestSparqlSubqueryStar:
     """{ SELECT * } subquery bodies: projection derived statically."""
 
