@@ -3736,6 +3736,33 @@ def q_sparql_values(sf_dir: str):
     )
 
 
+def q_sparql_values_undef(sf_dir: str):
+    """E8 extension: UNDEF wildcards in multi-variable VALUES rows
+    (SPARQL 11.8.2 solution compatibility) — an UNDEF cell drops out
+    of that row's conjunction, so each row constrains only its bound
+    cells; rows OR together in the same broadcast membership kernel.
+    Here: customers in nation 3 with ANY segment, plus BUILDING
+    customers in ANY nation."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX rel: <urn:og:rel/>
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?cust ?n ?seg WHERE {
+          ?cust rel:inNation ?n .
+          ?cust attr:mktsegment ?seg .
+        } VALUES (?n ?seg) {
+          (<urn:og:nation/3> UNDEF)
+          (UNDEF "BUILDING")
+        }
+        """,
+    )
+
+
 def q_copurchase_edges(sf_dir: str):
     """Market-basket co-occurrence graph: parts sharing an order →
     support-weighted undirected edges (support ≥ 2). Pair generation

@@ -170,7 +170,8 @@ silently misanswering):
     VALUES (?a ?b) { (t t) ... }      required-bound variables: one
                                       vectorized membership kernel per
                                       batch — broadcast, no exchange;
-                                      ground terms only, no UNDEF)
+                                      UNDEF cells are wildcards, no
+                                      variables in rows)
     ORDER BY (?v | ASC(?v) | DESC(?v)) ...   (optional)
     LIMIT n                           (optional)
     OFFSET n                          (requires ORDER BY + LIMIT: the
@@ -1610,21 +1611,27 @@ def parse(text: str) -> _Query:
                 raise SparqlSyntaxError("VALUES needs at least one ?variable")
             if take() != "{":
                 raise SparqlSyntaxError("expected { opening the VALUES block")
-            rows: list[tuple[str, ...]] = []
+            def vcell() -> str | None:
+                # UNDEF = a wildcard cell: the row places no constraint
+                # on that variable (SPARQL 11.8.2 solution compatibility)
+                if peek().upper() == "UNDEF":
+                    take()
+                    return None
+                return _expand(take(), prefixes, "object")
+
+            rows: list[tuple[str | None, ...]] = []
             while peek() != "}":
                 if len(vvars) == 1 and peek() != "(":
-                    row = (_expand(take(), prefixes, "object"),)
+                    row = (vcell(),)
                 else:
                     if take() != "(":
                         raise SparqlSyntaxError("expected ( opening a VALUES row")
-                    row = tuple(
-                        _expand(take(), prefixes, "object") for _ in vvars
-                    )
+                    row = tuple(vcell() for _ in vvars)
                     if take() != ")":
                         raise SparqlSyntaxError("expected ) closing a VALUES row")
-                if any(t.startswith("?") for t in row):
+                if any(t is not None and t.startswith("?") for t in row):
                     raise SparqlUnsupportedError(
-                        "UNDEF / variables in VALUES rows are not supported"
+                        "variables in VALUES rows are not supported"
                     )
                 rows.append(row)
             take()  # '}'
@@ -2790,31 +2797,48 @@ def sparql_select(
                 f"VALUES on OPTIONAL-only variables is not supported: {bad}"
             )
 
-        if len(vvars) == 1:
-            allowed = pa.array([r[0] for r in vrows], type=pa.string())
-            col = vvars[0]
-
-            def apply_values(batch: pa.Table) -> pa.Table:
+        if any(all(c is None for c in row) for row in vrows):
+            # a row of only UNDEF cells constrains nothing — the whole
+            # VALUES clause is a no-op filter
+            apply_values = None
+        elif len(vvars) == 1:
+            # NOTE both closures bind their captures as DEFAULT ARGS:
+            # map_batches executes lazily and this function reassigns
+            # names like ``cols`` further down, so a by-reference
+            # capture would read the projection's value, not VALUES'.
+            def apply_values(
+                batch: pa.Table,
+                col=vvars[0],
+                allowed=pa.array(
+                    [r[0] for r in vrows if r[0] is not None],
+                    type=pa.string(),
+                ),
+            ) -> pa.Table:
                 return batch.filter(pc.is_in(batch[col], value_set=allowed))
 
         else:
             # multi-var rows: exact per-row conjunction OR-ed across the
             # (small, inline) row set — no composite-key encoding, so
-            # literal content can never alias a row boundary
-            rows = list(vrows)
-            cols = list(vvars)
-
-            def apply_values(batch: pa.Table) -> pa.Table:
+            # literal content can never alias a row boundary. UNDEF
+            # cells place no constraint and drop out of the conjunction.
+            def apply_values(
+                batch: pa.Table, vr=tuple(vrows), vc=tuple(vvars)
+            ) -> pa.Table:
                 mask = None
-                for row in rows:
+                for row in vr:
                     m = None
-                    for c, val in zip(cols, row):
+                    for c, val in zip(vc, row):
+                        if val is None:  # UNDEF wildcard
+                            continue
                         eq = pc.equal(batch[c], val)
                         m = eq if m is None else pc.and_(m, eq)
+                    if m is None:  # all-UNDEF row (guarded above)
+                        m = pa.array([True] * len(batch))
                     mask = m if mask is None else pc.or_(mask, m)
                 return batch.filter(pc.fill_null(mask, False))
 
-        joined = joined.map_batches(apply_values, batch_format="pyarrow")
+        if apply_values is not None:
+            joined = joined.map_batches(apply_values, batch_format="pyarrow")
 
     if q.aggregates:
         import pandas as pd

@@ -1045,10 +1045,14 @@ class TestSparql:
                 dstore,
                 "SELECT (MEDIAN(?o) AS ?n) WHERE { ?s ?p ?o . }",
             )  # non-algebraic aggregates stay unsupported
-        with pytest.raises(SparqlUnsupportedError):
-            sparql_select(
-                dstore, "SELECT ?s WHERE { ?s ?p ?o . } GROUP BY ?s"
-            )
+        # GROUP BY without aggregates is now supported (one row per
+        # group); only a NON-KEY selection stays a typed error
+        out = sparql_select(
+            dstore, "SELECT ?s WHERE { ?s ?p ?o . } GROUP BY ?s"
+        ).to_pandas()
+        assert len(out) == len(set(out["s"]))
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(dstore, "SELECT ?o WHERE { ?s ?p ?o . } GROUP BY ?s")
 
     def test_union_errors(self, dstore):
         from ontograph_ray.store.sparql import (
@@ -1653,6 +1657,40 @@ class TestSparqlExtensions:
             'VALUES (?p ?n) { (<urn:p1> "alice") (<urn:p2> "nope") }',
         )
         assert multi.values.tolist() == [["<urn:p1>", '"alice"']]
+
+    def test_values_vars_differ_from_select_order(self, ray_session):
+        # regression: the VALUES filter closure must bind its own
+        # variable list — lazy execution once read the later-reassigned
+        # projection columns when SELECT and VALUES listed different
+        # variables (here VALUES only constrains ?n, SELECT adds ?p
+        # first)
+        ds = self._people()
+        out = self._q(
+            ds,
+            "SELECT ?p ?n ?e WHERE { ?p <urn:name> ?n . ?p <urn:email> ?e . } "
+            'VALUES (?n ?e) { ("alice" UNDEF) }',
+        )
+        assert out["n"].tolist() == ['"alice"']
+
+    def test_values_undef_wildcards(self, ray_session):
+        ds = self._people()
+        # UNDEF row cells = no constraint on that variable in that row
+        out = self._q(
+            ds,
+            "SELECT ?p ?n WHERE { ?p <urn:name> ?n . } "
+            'VALUES (?p ?n) { (<urn:p1> UNDEF) (UNDEF "carol") } ORDER BY ?n',
+        )
+        assert out.values.tolist() == [
+            ["<urn:p1>", '"alice"'], ["<urn:p3>", '"carol"'],
+        ]
+        # an all-UNDEF row constrains nothing → VALUES is a no-op
+        allrows = self._q(
+            ds,
+            "SELECT ?p ?n WHERE { ?p <urn:name> ?n . } "
+            'VALUES (?p ?n) { (UNDEF UNDEF) }',
+        )
+        base = self._q(ds, "SELECT ?p ?n WHERE { ?p <urn:name> ?n . }")
+        assert len(allrows) == len(base)
 
     def test_offset(self, ray_session):
         ds = self._people()
