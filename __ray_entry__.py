@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_group_keys": q.q_sparql_group_keys,
         "sparql_distinct_agg": q.q_sparql_distinct_agg,
         "sparql_values_undef": q.q_sparql_values_undef,
+        "image_features_gif": q.q_image_features_gif,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

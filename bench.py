@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "ann_topk_ivfpq",
     "image_features_pgm",
     "image_features_jpeg",
+    "image_features_png",
+    "image_features_gif",
+    "audio_features_adpcm",
     "video_frames_y4m",
     "gopher_quality",
     "c4_line_filter",

@@ -1828,6 +1828,21 @@ def q_image_features_png_color(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "phash"])
 
 
+def q_image_features_gif(sf_dir: str):
+    """REAL compressed-codec LOSSLESS image decode: GIF87a with LZW
+    dictionary coding (variable 9→12-bit codes, LSB-first packing,
+    CLEAR/EOI, KwKwK case, pre-full dictionary reset) and a gray-ramp
+    palette, via stages/multimodal.py::decode_gif_gray. Oracle is an
+    independent plain-Python LZW decoder with its own bit cursor and
+    string table (scripts/gen_fixtures.py::_plain_gif_decode);
+    lossless, so phash also equals the synthesized-content hash."""
+    from .stages.multimodal import decode_images, synthesize_media
+
+    ds = ray.data.from_arrow(synthesize_media(200, seed=7042, codec="gif"))
+    out = decode_images(ds, codec="gif")
+    return out.select_columns(["media_id", "width", "height", "phash"])
+
+
 def q_audio_features_wav(sf_dir: str):
     """REAL-codec audio decode: RIFF/WAVE mono PCM16 payloads parsed
     via stdlib ``wave`` (stages/multimodal.py::decode_wav); duration/

@@ -11,9 +11,12 @@ and tested. Codecs come in three tiers:
   (YUV4MPEG2 mono video streams), and — round 5 — ``codec="jpeg"`` / ``"jpeg_color"``:
   baseline sequential JPEG — grayscale, YCbCr 4:4:4 color, and 4:2:0 subsampled (ITU-T T.81 markers, Annex-K
   tables, canonical Huffman entropy coding, byte stuffing, integer
-  DCT contract; see the JPEG section below), and ``codec="png"`` /
+  DCT contract; see the JPEG section below), ``codec="png"`` /
   ``"png_color"``: lossless PNG (RFC 2083 — chunk CRCs, stdlib-zlib
-  DEFLATE, all five scanline filters; see the PNG section below).
+  DEFLATE, all five scanline filters; see the PNG section below),
+  ``codec="gif"``: GIF87a LZW with a gray-ramp palette (lossless;
+  see the GIF section below), and ``codec="adpcm"``: IMA ADPCM
+  compressed audio (WAVE tag 0x0011; see the ADPCM section below).
   These are genuine on-disk formats a user can produce with
   ImageMagick / ffmpeg, so the decode stages are real codecs, not
   stubs.
@@ -120,6 +123,7 @@ def synthesize_media(n: int, seed: int = 42, codec: str = "fake") -> pa.Table:
         ),
         "png": encode_png_gray,
         "png_color": encode_png_color,
+        "gif": encode_gif_gray,
     }[codec]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
@@ -150,11 +154,13 @@ class ImageDecoder:
     batching, actor pool) identical across codecs."""
 
     def __init__(self, codec: str = "fake"):
-        if codec not in ("fake", "pgm", "jpeg", "jpeg_color", "png", "png_color"):
+        if codec not in (
+            "fake", "pgm", "jpeg", "jpeg_color", "png", "png_color", "gif"
+        ):
             raise NotImplementedError(
                 f"codec {codec!r} requires image-compression libraries not "
                 "present in this environment; use codec='jpeg', "
-                "'jpeg_color', 'png', 'png_color', 'pgm' or 'fake'"
+                "'jpeg_color', 'png', 'png_color', 'gif', 'pgm' or 'fake'"
             )
         self.codec = codec
 
@@ -169,6 +175,8 @@ class ImageDecoder:
             return decode_png_gray(payload)
         if self.codec == "png_color":
             return decode_png_color(payload)
+        if self.codec == "gif":
+            return decode_gif_gray(payload)
         if not payload.startswith(_FAKE_MAGIC):
             raise ValueError("bad fake-image magic")
         w, h = struct.unpack("<II", payload[8:16])
@@ -1110,6 +1118,186 @@ def decode_png_color(payload: bytes) -> np.ndarray:
     if img.ndim != 3:
         raise ValueError("expected a truecolor (color type 2) PNG")
     return img
+
+
+# ---------------------------------------------------------------------------
+# GIF87a — a REAL compressed codec: LZW dictionary coding (the CompuServe
+# GIF87a specification; with JPEG's DCT, PNG's DEFLATE and ADPCM's
+# adaptive quantization this covers a fourth compression family).
+# Grayscale via a 256-entry gray-ramp global color table, so palette
+# index == pixel value and the codec is LOSSLESS for our content.
+#
+# The LZW stream is variable-width codes (9→12 bits), LSB-first bit
+# packing, 255-byte data sub-blocks, CLEAR/EOI control codes, with the
+# standard table-growth discipline: both sides widen the code size when
+# the table reaches 1 << code_size, and the encoder emits CLEAR before
+# the 12-bit table fills. Encode/decode are per-payload Python loops —
+# LZW's chained dictionary is inherently sequential; payloads are the
+# parallel axis (one per row through the actor pool), which is the
+# right axis at scale.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    code_size = min_code_size + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    emit(clear, code_size)
+    it = iter(data)
+    w = next(it)
+    for k in it:
+        if (w, k) in table:
+            w = table[(w, k)]
+            continue
+        emit(w, code_size)
+        table[(w, k)] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif next_code >= 4094:  # reset before the 12-bit table fills
+            emit(clear, code_size)
+            table.clear()
+            code_size = min_code_size + 1
+            next_code = eoi + 1
+        w = k
+    emit(w, code_size)
+    # the decoder performs one more table add after reading this final
+    # code (catching up to next_code) and widens on its (1<<S)-1
+    # threshold — mirror that so EOI is written at the size it will be
+    # read at
+    if next_code == (1 << code_size) - 1 and code_size < 12:
+        code_size += 1
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(stream: bytes, min_code_size: int = 8) -> bytes:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    pos = 0  # bit cursor
+
+    def read(size: int) -> int:
+        nonlocal pos
+        v = 0
+        for i in range(size):
+            byte = pos >> 3
+            if byte >= len(stream):
+                raise ValueError("truncated GIF LZW stream")
+            v |= ((stream[byte] >> (pos & 7)) & 1) << i
+            pos += 1
+        return v
+
+    table = {i: bytes([i]) for i in range(1 << min_code_size)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = read(code_size)
+        if code == clear:
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(1 << min_code_size)}
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # the decoder's table lags the encoder's by one entry, so
+            # it widens one early relative to its own count — the
+            # standard GIF convention
+            if next_code == (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif_gray(width: int, height: int, seed: int) -> bytes:
+    """REAL compressed codec: GIF87a with a 256-entry grayscale ramp
+    palette (index == gray value → lossless for 8-bit content). Same
+    deterministic pixel content as the other grayscale image codecs."""
+    px = _image_pixels(width, height, seed).tobytes()
+    out = bytearray(b"GIF87a")
+    # logical screen descriptor: global color table, 8 bits/pixel
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):  # gray ramp
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(8)  # LZW minimum code size
+    lzw = _gif_lzw_encode(px)
+    for off in range(0, len(lzw), 255):  # 255-byte sub-blocks
+        chunk = lzw[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_gray(payload: bytes) -> np.ndarray:
+    """Decode a GIF87a grayscale-palette image → uint8 (h, w). Parses
+    the logical screen + image descriptors, requires a gray-ramp global
+    color table (palette[i] == (i,i,i)) and no interlace, reassembles
+    the sub-blocks and LZW-decompresses."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    if not flags & 0x80:
+        raise ValueError("GIF without a global color table")
+    gct_size = 2 << (flags & 0x07)
+    pos = 13
+    pal = payload[pos : pos + 3 * gct_size]
+    pos += 3 * gct_size
+    if gct_size != 256 or any(
+        pal[3 * i] != i or pal[3 * i + 1] != i or pal[3 * i + 2] != i
+        for i in range(256)
+    ):
+        raise ValueError("only gray-ramp-palette GIFs supported")
+    while payload[pos] != 0x2C:  # skip extension blocks to the image
+        if payload[pos] != 0x21:
+            raise ValueError(f"unexpected GIF block 0x{payload[pos]:02x}")
+        pos += 2
+        while payload[pos]:  # extension sub-blocks
+            pos += 1 + payload[pos]
+        pos += 1
+    left, top, w, h, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+    pos += 10
+    if iflags & 0xC0:
+        raise ValueError("local color tables / interlace not supported")
+    min_code = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while payload[pos]:
+        n = payload[pos]
+        lzw += payload[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+    data = _gif_lzw_decode(bytes(lzw), min_code)
+    if len(data) != w * h:
+        raise ValueError("GIF pixel count mismatch")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w)
 
 
 _FAKE_AUDIO_MAGIC = b"FAKEAUD1"

@@ -758,6 +758,112 @@ def gen_image_features_png_color(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     )
 
 
+def _plain_gif_decode(payload: bytes) -> tuple[int, int, list[int]]:
+    """Independent plain-Python GIF87a decoder (twin of
+    stages/multimodal.py::decode_gif_gray — no shared code): header +
+    descriptor walk, sub-block reassembly, then LZW with its own
+    bit-cursor reader and list-backed string table. Returns
+    (width, height, flat pixel list)."""
+    assert payload[:6] in (b"GIF87a", b"GIF89a")
+    flags = payload[10]
+    assert flags & 0x80
+    gct = 2 << (flags & 0x07)
+    pos = 13
+    pal = payload[pos : pos + 3 * gct]
+    assert gct == 256 and all(
+        pal[3 * i] == i and pal[3 * i + 1] == i and pal[3 * i + 2] == i
+        for i in range(256)
+    )
+    pos += 3 * gct
+    while payload[pos] == 0x21:  # extensions
+        pos += 2
+        while payload[pos]:
+            pos += 1 + payload[pos]
+        pos += 1
+    assert payload[pos] == 0x2C
+    w, h = struct.unpack("<HH", payload[pos + 5 : pos + 9])
+    assert payload[pos + 9] & 0xC0 == 0
+    pos += 10
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while payload[pos]:
+        k = payload[pos]
+        data += payload[pos + 1 : pos + 1 + k]
+        pos += 1 + k
+
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    bitpos = 0
+
+    def read(size: int) -> int:
+        nonlocal bitpos
+        v = 0
+        for i in range(size):
+            v |= ((data[bitpos >> 3] >> (bitpos & 7)) & 1) << i
+            bitpos += 1
+        return v
+
+    out: list[int] = []
+    strings: list[list[int]] = [[i] for i in range(1 << min_code)] + [[], []]
+    size = min_code + 1
+    prev: list[int] | None = None
+    while True:
+        code = read(size)
+        if code == clear:
+            strings = strings[: (1 << min_code) + 2]
+            size = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(strings) and code not in (clear, eoi):
+            entry = strings[code]
+        else:
+            assert code == len(strings) and prev is not None
+            entry = prev + prev[:1]
+        out.extend(entry)
+        if prev is not None:
+            strings.append(prev + entry[:1])
+            if len(strings) == (1 << size) - 1 and size < 12:
+                size += 1
+        prev = entry
+    assert len(out) == w * h
+    return w, h, out
+
+
+def gen_image_features_gif(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the REAL GIF87a/LZW decode; gray-ramp
+    palette makes the codec lossless, so ``phash`` pins the decoded
+    pixels byte-wise AND equals the synthesized-content hash."""
+    from ontograph_ray.stages.multimodal import encode_gif_gray  # encoder only
+
+    media_ids, widths, heights, phashes = [], [], [], []
+    for i in range(n):
+        w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
+        payload = encode_gif_gray(w, h, 7042 + i)
+        pw, ph, px = _plain_gif_decode(payload)
+        assert (pw, ph) == (w, h)
+        media_ids.append(i)
+        widths.append(w)
+        heights.append(h)
+        phashes.append(
+            int.from_bytes(hashlib.sha1(bytes(px)).digest()[:8], "big")
+        )
+    path = os.path.join(FIXTURES_DIR, "image_features_gif_n200.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "phash": pa.array(phashes, pa.uint64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {n} rows"
+
+
 def gen_audio_features_wav(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     """Independent twin of the REAL-codec WAV decode: walks the RIFF
     chunk list with its own struct-based reader (no stdlib ``wave``, no
@@ -2112,6 +2218,7 @@ _SF_INDEPENDENT = {
         "image_features_jpeg420_n200.parquet",
     ),
     "image_features_png": (gen_image_features_png, "image_features_png_n200.parquet"),
+    "image_features_gif": (gen_image_features_gif, "image_features_gif_n200.parquet"),
     "image_features_png_color": (
         gen_image_features_png_color,
         "image_features_png_color_n200.parquet",

@@ -687,6 +687,58 @@ class TestPngCodec:
         assert all(r["phash"] > 0 for r in out)
 
 
+class TestGifCodec:
+    def test_gif_lossless_roundtrip(self):
+        # gray-ramp palette → index == value → lossless
+        for i in range(10):
+            w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
+            payload = multimodal.encode_gif_gray(w, h, 7000 + i)
+            img = multimodal.decode_gif_gray(payload)
+            want = multimodal._image_pixels(w, h, 7000 + i).reshape(h, w)
+            assert np.array_equal(img, want)
+
+    def test_lzw_boundary_alignments(self):
+        # sweep stream lengths across the 9→10-bit table boundary and
+        # the final-code/EOI widen edge (a 1-in-256 alignment)
+        import random
+
+        rng = random.Random(11)
+        for n in list(range(240, 280)) + [rng.randrange(1, 3000) for _ in range(60)]:
+            data = bytes(rng.randrange(256) for _ in range(n))
+            enc = multimodal._gif_lzw_encode(data)
+            assert multimodal._gif_lzw_decode(enc) == data, n
+
+    def test_gif_container_structure(self):
+        payload = multimodal.encode_gif_gray(20, 16, 3)
+        assert payload[:6] == b"GIF87a"
+        assert payload[-1:] == b"\x3b"  # trailer
+        assert payload[13 + 3 * 128 : 13 + 3 * 128 + 3] == bytes((128,) * 3)
+
+    def test_gif_decode_refusals(self):
+        payload = multimodal.encode_gif_gray(16, 16, 1)
+        with pytest.raises(ValueError, match="signature"):
+            multimodal.decode_gif_gray(b"\x00" + payload)
+        # non-gray palette → typed refusal
+        bad = bytearray(payload)
+        bad[13] ^= 0xFF  # palette[0].r
+        with pytest.raises(ValueError, match="gray-ramp"):
+            multimodal.decode_gif_gray(bytes(bad))
+
+    def test_gif_decode_images_stage(self, ray_session):
+        ds = ray.data.from_arrow(
+            multimodal.synthesize_media(12, seed=79, codec="gif")
+        )
+        out = multimodal.decode_images(ds, codec="gif").take_all()
+        assert len(out) == 12
+        # lossless: features equal the fake-codec features for the
+        # same (dims, seed) content
+        fake = multimodal.decode_images(
+            ray.data.from_arrow(multimodal.synthesize_media(12, seed=79))
+        ).take_all()
+        key = lambda rows: {r["media_id"]: r["phash"] for r in rows}
+        assert key(out) == key(fake)
+
+
 class TestGopherRules:
     def test_all_rules_fire(self, ray_session):
         import ray as _ray
