@@ -831,6 +831,7 @@ SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
         # full plain-Python near-dup chain (shingle→minhash→LSH→verify→
         # union-find) reimplemented independently in gen_fixtures.py
         "minhash_dedup": _fx("minhash_dedup"),
+        "ngram_lm_perplexity": _fx("ngram_lm_scores"),
         "ngram_jaccard": _fx("ngram_jaccard"),
         "curate_full": _fx("curate_full"),
         "kmv_distinct": _fx("kmv_distinct"),

@@ -4262,6 +4262,21 @@ def q_dsir_scores(sf_dir: str):
     return dsir_scores(docs, target_col="lang", target_value="en")
 
 
+def q_ngram_lm_perplexity(sf_dir: str):
+    """CCNet-style bigram-LM scoring (stages/text.py::ngram_lm_scores,
+    Wenzek et al. 2020): add-one-smoothed bigram LM trained on the
+    English slice, every doc scored by exact MICRO-NAT integer
+    cross-entropy (costs quantized once on the driver with scalar
+    math.log, workers do int64 lookups/sums only). Oracle is the
+    independent plain-Python twin
+    (scripts/gen_fixtures.py::gen_ngram_lm_scores) — bit-identical
+    integers."""
+    from .stages.text import ngram_lm_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ngram_lm_scores(docs, ref_col="lang", ref_value="en")
+
+
 def q_url_dedup(sf_dir: str):
     """CCNet-style canonical-URL dedup (stages/scrub.py::url_dedup):
     messy URLs synthesized deterministically from doc_id (mixed-case

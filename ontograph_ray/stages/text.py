@@ -1096,3 +1096,135 @@ def dsir_scores(
         )
 
     return ds.map_batches(score, batch_format="pandas", batch_size=4096)
+
+
+def ngram_lm_scores(
+    ds: ray.data.Dataset,
+    ref_col: str = "lang",
+    ref_value: str = "en",
+    scale: int = 1_000_000,
+    max_vocab: int = 2_000_000,
+) -> ray.data.Dataset:
+    """CCNet-style n-gram language-model scoring (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): train a bigram LM with add-one smoothing on the REFERENCE
+    slice (rows where ``ref_col == ref_value``), then score every
+    document by its total and per-token cross-entropy — the filter
+    CCNet buckets corpora with (head/middle/tail by perplexity).
+
+    Exact-integer contract (the dsir_scores discipline): every
+    per-bigram cost is the MICRO-NAT integer
+    ``round((ln(c1[w1] + V) - ln(c2[w1,w2] + 1)) * scale)`` — i.e.
+    -ln p(w2|w1) under add-one smoothing, quantized once. The
+    quantization happens on the DRIVER with scalar ``math.log`` while
+    building the broadcast cost tables, so workers do integer lookups
+    and int64 sums only — no vectorized-libm ulp drift can reach the
+    output, and the plain-Python fixture twin reproduces the numbers
+    bit-for-bit. Unseen bigram with known ``w1`` costs
+    ``round(ln(c1[w1]+V)*scale)`` (numerator 1); unknown ``w1`` costs
+    ``round(ln(V)*scale)``.
+
+    Output: (doc_id, n_bigrams, lm_cost_micro, xent_micro, is_ref)
+    with ``xent_micro = lm_cost_micro // n_bigrams`` (0 for docs under
+    two tokens) — rank by ``xent_micro`` for the CCNet bucketing.
+
+    Physical plan: ONE bigram-keyed combiner-backed exchange over the
+    reference slice builds the count table; costs are broadcast once
+    (``ray.put``), scoring is a single streaming map. The explicit
+    table is bounded by ``max_vocab`` (guarded); at open-web scale
+    hash bigrams into fixed buckets first (stages/export.splitmix64)
+    so the broadcast side is O(buckets).
+    """
+    import math
+
+    from ..store.dataset import bucketed_group_map
+
+    def bigram_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=["w1", "w2", "c"])
+        ref = df[df[ref_col] == ref_value]
+        if not len(ref):
+            return pd.DataFrame(columns=["w1", "w2", "c"])
+        words = ref["text"].astype(str).str.split()
+        w1s: list[str] = []
+        w2s: list[str] = []
+        for toks in words:
+            w1s.extend(toks[:-1])
+            w2s.extend(toks[1:])
+        if not w1s:
+            return pd.DataFrame(columns=["w1", "w2", "c"])
+        out = (
+            pd.DataFrame({"w1": w1s, "w2": w2s})
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        return out.astype({"c": "int64"})
+
+    def sum_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=["w1", "w2", "c"])
+        out = df.groupby(["w1", "w2"], sort=False)["c"].sum().reset_index()
+        return out.astype({"c": "int64"})
+
+    counts = bucketed_group_map(
+        ds.map_batches(bigram_counts, batch_format="pandas"),
+        ["w1"],
+        sum_counts,
+        partial_fn=sum_counts,
+    ).materialize()
+    n_bigram_vocab = counts.count()
+    if n_bigram_vocab > max_vocab:
+        raise ValueError(
+            f"ngram_lm_scores explicit bigram vocabulary ({n_bigram_vocab}) "
+            f"exceeds max_vocab={max_vocab}; hash bigrams into fixed "
+            "buckets first (stages/export.splitmix64) so the broadcast "
+            "cost table is bounded"
+        )
+    cdf = counts.to_pandas()
+    c1: dict[str, int] = {}
+    for w1, c in zip(cdf["w1"], cdf["c"]):
+        c1[w1] = c1.get(w1, 0) + int(c)
+    # vocabulary size for add-one smoothing: distinct UNIGRAM types in
+    # the reference (all words, incl. final tokens = distinct w1 ∪ w2)
+    vocab = set(c1)
+    vocab.update(cdf["w2"])
+    V = max(1, len(vocab))
+    # quantize every cost ONCE, with scalar math.log, on the driver
+    cost2 = {
+        (w1, w2): round((math.log(c1[w1] + V) - math.log(int(c) + 1)) * scale)
+        for w1, w2, c in zip(cdf["w1"], cdf["w2"], cdf["c"])
+    }
+    cost1 = {w1: round(math.log(cnt + V) * scale) for w1, cnt in c1.items()}
+    cost0 = round(math.log(V) * scale)
+    tref = ray.put((cost2, cost1, cost0))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        t2, t1, t0 = cached_get(_MODEL_CACHE, tref)
+        totals: list[int] = []
+        nbs: list[int] = []
+        for text in df["text"].astype(str):
+            toks = text.split()
+            tot = 0
+            for a, b in zip(toks[:-1], toks[1:]):
+                c = t2.get((a, b))
+                if c is None:
+                    c = t1.get(a, t0)
+                tot += c
+            n = max(0, len(toks) - 1)
+            totals.append(tot)
+            nbs.append(n)
+        nb = np.asarray(nbs, dtype=np.int64)
+        tots = np.asarray(totals, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_bigrams": nb,
+                "lm_cost_micro": tots,
+                "xent_micro": np.where(nb > 0, tots // np.maximum(nb, 1), 0),
+                "is_ref": (df[ref_col] == ref_value).astype("int8").to_numpy(),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas", batch_size=4096)

@@ -2173,8 +2173,79 @@ def gen_c4_line_filter(sf_dir: str = DEFAULT_SF, n: int = 400) -> str:
 # fixture base name (as used by oracles.fixture_path) → generator.
 # multimodal/audio are keyed by n, not sf — their generator ignores
 # sf_dir and always (re)writes the n-keyed file.
+def gen_ngram_lm_scores(sf_dir: str = DEFAULT_SF) -> str:
+    """Independent twin of the CCNet-style bigram-LM scoring
+    (stages/text.py::ngram_lm_scores): plain-Python dict counters and
+    scalar math.log over the same documents table — the engine's
+    micro-nat quantization happens once on the driver with the same
+    scalar libm, so every integer matches bit-for-bit."""
+    import math
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    ids = docs["doc_id"].to_pylist()
+    texts = [str(t) for t in docs["text"].to_pylist()]
+    langs = docs["lang"].to_pylist()
+
+    c2: dict[tuple[str, str], int] = {}
+    for t, lg in zip(texts, langs):
+        if lg != "en":
+            continue
+        toks = t.split()
+        for a, b in zip(toks[:-1], toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    vocab: set[str] = set()
+    for (a, b), c in c2.items():
+        c1[a] = c1.get(a, 0) + c
+        vocab.add(a)
+        vocab.add(b)
+    V = max(1, len(vocab))
+    scale = 1_000_000
+    cost2 = {
+        k: round((math.log(c1[k[0]] + V) - math.log(c + 1)) * scale)
+        for k, c in c2.items()
+    }
+    cost1 = {w: round(math.log(c + V) * scale) for w, c in c1.items()}
+    cost0 = round(math.log(V) * scale)
+
+    rows = {"doc_id": [], "n_bigrams": [], "lm_cost_micro": [],
+            "xent_micro": [], "is_ref": []}
+    for did, t, lg in zip(ids, texts, langs):
+        toks = t.split()
+        tot = 0
+        for a, b in zip(toks[:-1], toks[1:]):
+            c = cost2.get((a, b))
+            if c is None:
+                c = cost1.get(a, cost0)
+            tot += c
+        n = max(0, len(toks) - 1)
+        rows["doc_id"].append(int(did))
+        rows["n_bigrams"].append(n)
+        rows["lm_cost_micro"].append(tot)
+        rows["xent_micro"].append(tot // n if n > 0 else 0)
+        rows["is_ref"].append(1 if lg == "en" else 0)
+    path = _path("ngram_lm_scores", sf_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "n_bigrams": pa.array(rows["n_bigrams"], pa.int64()),
+                "lm_cost_micro": pa.array(rows["lm_cost_micro"], pa.int64()),
+                "xent_micro": pa.array(rows["xent_micro"], pa.int64()),
+                "is_ref": pa.array(rows["is_ref"], pa.int8()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(rows['doc_id'])} rows"
+
+
 GENERATORS = {
     "entity_pagerank": gen_entity_pagerank,
+    "ngram_lm_scores": gen_ngram_lm_scores,
     "entity_hits": gen_entity_hits,
     "entity_communities": gen_entity_communities,
     "pq_codes": gen_pq_codes,

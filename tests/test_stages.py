@@ -841,6 +841,80 @@ class TestUrlCanonicalize:
         assert got["http://a.com/y"] == (5, 1)
 
 
+class TestNgramLmScores:
+    def test_hand_computed(self, ray_session):
+        import math
+
+        import ray as _ray
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "the cat sat",      # reference
+                    "the cat",          # seen bigram
+                    "the zebra",        # unseen bigram, known w1
+                    "qq zz one",        # unknown w1s + empty-ish
+                ],
+                "lang": ["en", "en", "fr", "fr"],
+            }
+        )
+        out = (
+            text.ngram_lm_scores(_ray.data.from_pandas(docs))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # reference slice = docs 0,1 → bigrams: (the,cat)×2, (cat,sat)×1
+        # c1: the=2, cat=1; vocab={the,cat,sat} → V=3
+        s = 1_000_000
+        c_the_cat = round((math.log(2 + 3) - math.log(2 + 1)) * s)
+        c_cat_sat = round((math.log(1 + 3) - math.log(1 + 1)) * s)
+        c_the_unseen = round(math.log(2 + 3) * s)
+        c_unknown = round(math.log(3) * s)
+        assert out.loc[0, "lm_cost_micro"] == c_the_cat + c_cat_sat
+        assert out.loc[1, "lm_cost_micro"] == c_the_cat
+        assert out.loc[2, "lm_cost_micro"] == c_the_unseen
+        assert out.loc[3, "lm_cost_micro"] == 2 * c_unknown
+        assert out["n_bigrams"].tolist() == [2, 1, 1, 2]
+        assert out.loc[0, "xent_micro"] == (c_the_cat + c_cat_sat) // 2
+        assert out["is_ref"].tolist() == [1, 1, 0, 0]
+        # reference text scores lower per-token than off-reference
+        assert out.loc[0, "xent_micro"] < out.loc[3, "xent_micro"]
+
+    def test_single_token_doc_scores_zero(self, ray_session):
+        import ray as _ray
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["a b a b", "solo"],
+                "lang": ["en", "en"],
+            }
+        )
+        out = (
+            text.ngram_lm_scores(_ray.data.from_pandas(docs))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "n_bigrams"] == 0
+        assert out.loc[1, "lm_cost_micro"] == 0
+        assert out.loc[1, "xent_micro"] == 0
+
+    def test_vocab_guard(self, ray_session):
+        import ray as _ray
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0],
+                "text": ["a b c d e f"],
+                "lang": ["en"],
+            }
+        )
+        with pytest.raises(ValueError, match="max_vocab"):
+            text.ngram_lm_scores(_ray.data.from_pandas(docs), max_vocab=2)
+
+
 class TestDsirScores:
     def test_hand_computed(self, ray_session):
         import ray as _ray
