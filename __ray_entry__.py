@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_values_undef": q.q_sparql_values_undef,
         "image_features_gif": q.q_image_features_gif,
         "ngram_lm_perplexity": q.q_ngram_lm_perplexity,
+        "image_features_jpeg_prog": q.q_image_features_jpeg_prog,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

@@ -1828,6 +1828,26 @@ def q_image_features_png_color(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "phash"])
 
 
+def q_image_features_jpeg_prog(sf_dir: str):
+    """REAL compressed-codec PROGRESSIVE image decode: SOF2 grayscale
+    JPEG with the full progressive semantics — spectral selection
+    (per-band AC scans), successive approximation (DC+AC first and
+    refinement scans, correction bits, EOB runs) — via
+    stages/multimodal.py::decode_jpeg_prog. Pinned TWO ways: an
+    independent plain-Python progressive twin
+    (scripts/gen_fixtures.py::_plain_jpeg_prog_decode), and — because
+    the progressive encoder writes the same quantized coefficients as
+    the baseline one — byte-equality with the baseline decode of the
+    same content (asserted in tests)."""
+    from .stages.multimodal import decode_images, synthesize_media
+
+    ds = ray.data.from_arrow(
+        synthesize_media(200, seed=8042, codec="jpeg_prog")
+    )
+    out = decode_images(ds, codec="jpeg_prog")
+    return out.select_columns(["media_id", "width", "height", "phash"])
+
+
 def q_image_features_gif(sf_dir: str):
     """REAL compressed-codec LOSSLESS image decode: GIF87a with LZW
     dictionary coding (variable 9→12-bit codes, LSB-first packing,

@@ -11,7 +11,9 @@ and tested. Codecs come in three tiers:
   (YUV4MPEG2 mono video streams), and — round 5 — ``codec="jpeg"`` / ``"jpeg_color"``:
   baseline sequential JPEG — grayscale, YCbCr 4:4:4 color, and 4:2:0 subsampled (ITU-T T.81 markers, Annex-K
   tables, canonical Huffman entropy coding, byte stuffing, integer
-  DCT contract; see the JPEG section below), ``codec="png"`` /
+  DCT contract; see the JPEG section below), ``codec="jpeg_prog"``:
+  PROGRESSIVE grayscale JPEG (SOF2 — spectral selection, successive
+  approximation, EOB runs; see the progressive section), ``codec="png"`` /
   ``"png_color"``: lossless PNG (RFC 2083 — chunk CRCs, stdlib-zlib
   DEFLATE, all five scanline filters; see the PNG section below),
   ``codec="gif"``: GIF87a LZW with a gray-ramp palette (lossless;
@@ -22,8 +24,8 @@ and tested. Codecs come in three tiers:
   stubs.
 - the deterministic ``codec="fake"`` header+bytes format kept for the
   original fixture twins.
-- everything else compressed (progressive JPEG, MP3, H.264 —
-  ``codec="pillow"`` / ``"ffmpeg"``) still raises
+- everything else compressed (multi-component progressive JPEG, MP3,
+  H.264 — ``codec="pillow"`` / ``"ffmpeg"``) still raises
   NotImplementedError at construction: the sandbox ships no
   compression codecs and we do not fake them.
 
@@ -124,6 +126,7 @@ def synthesize_media(n: int, seed: int = 42, codec: str = "fake") -> pa.Table:
         "png": encode_png_gray,
         "png_color": encode_png_color,
         "gif": encode_gif_gray,
+        "jpeg_prog": encode_jpeg_prog,
     }[codec]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
@@ -155,12 +158,14 @@ class ImageDecoder:
 
     def __init__(self, codec: str = "fake"):
         if codec not in (
-            "fake", "pgm", "jpeg", "jpeg_color", "png", "png_color", "gif"
+            "fake", "pgm", "jpeg", "jpeg_color", "jpeg_prog",
+            "png", "png_color", "gif",
         ):
             raise NotImplementedError(
                 f"codec {codec!r} requires image-compression libraries not "
                 "present in this environment; use codec='jpeg', "
-                "'jpeg_color', 'png', 'png_color', 'gif', 'pgm' or 'fake'"
+                "'jpeg_color', 'jpeg_prog', 'png', 'png_color', 'gif', "
+                "'pgm' or 'fake'"
             )
         self.codec = codec
 
@@ -177,6 +182,8 @@ class ImageDecoder:
             return decode_png_color(payload)
         if self.codec == "gif":
             return decode_gif_gray(payload)
+        if self.codec == "jpeg_prog":
+            return decode_jpeg_prog(payload)
         if not payload.startswith(_FAKE_MAGIC):
             raise ValueError("bad fake-image magic")
         w, h = struct.unpack("<II", payload[8:16])
@@ -921,6 +928,413 @@ def decode_jpeg_color(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Progressive JPEG (grayscale) — ITU-T T.81 SOF2 with the full
+# progressive semantics: SPECTRAL SELECTION (each AC scan covers a
+# band Ss..Se of zigzag indices) and SUCCESSIVE APPROXIMATION (each
+# coefficient is delivered high-bits-first across scans: first scans
+# carry coef >> Al, refinement scans carry one bit each).
+#
+# The encoder emits the classic six-scan script: DC first (Al=1), AC
+# first for bands 1-5 and 6-63 (Al=2), AC refinement Ah=2→Al=1, DC
+# refinement (raw bits, no Huffman), AC refinement Ah=1→Al=0. AC scans
+# use the Annex-K tables, which carry no EOBn (n>0) symbols, so this
+# encoder flushes every end-of-band as EOB0 (spec-valid; the decoder
+# implements the general EOBn run semantics, incl. the refinement
+# rule that skipped blocks still consume correction bits).
+#
+# The quantized coefficients are IDENTICAL to the baseline encoder's
+# (same _jpeg_fdct_quant, same tables), so progressive decode is
+# pinned two ways: byte-equal to decode_jpeg_gray(baseline encoding)
+# AND to the independent plain-Python progressive twin.
+# ---------------------------------------------------------------------------
+
+
+def encode_jpeg_prog(width: int, height: int, seed: int, quality: int = 85) -> bytes:
+    """REAL compressed codec: PROGRESSIVE grayscale JFIF (SOF2). Same
+    deterministic pixel content and quantized coefficients as
+    encode_jpeg_gray — only the scan structure differs."""
+    q = _jpeg_qtable(quality)
+    px = _image_pixels(width, height, seed).reshape(height, width)
+    fq = _jpeg_fdct_quant(px.astype(np.int64), q)
+    zz = np.array(_ZIGZAG)
+    coefs = fq.reshape(-1, 64)[:, zz]  # zigzag-ordered (nblocks, 64)
+    nblocks = coefs.shape[0]
+    dc_huff = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def sos_seg(ss: int, se: int, ah: int, al: int) -> bytes:
+        return _jpeg_seg(
+            0xFFDA, b"\x01\x01\x00" + bytes([ss, se, (ah << 4) | al])
+        )
+
+    def put_amp(w: _BitWriter, v: int, cat: int) -> None:
+        w.put(v if v >= 0 else v + (1 << cat) - 1, cat)
+
+    scans: list[bytes] = []
+
+    # --- scan 1: DC first, Al=1 (point transform = arithmetic shift)
+    w_ = _BitWriter()
+    pred = 0
+    for b in range(nblocks):
+        dc = int(coefs[b, 0]) >> 1
+        diff = dc - pred
+        pred = dc
+        cat = _jpeg_category(diff)
+        code, ln = dc_huff[cat]
+        w_.put(code, ln)
+        if cat:
+            put_amp(w_, diff, cat)
+    scans.append(sos_seg(0, 0, 0, 1) + w_.flush())
+
+    # --- AC first scans, Al=2 (point transform = magnitude shift)
+    for ss, se in ((1, 5), (6, 63)):
+        w_ = _BitWriter()
+        for b in range(nblocks):
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(coefs[b, k])
+                t = abs(v) >> 2
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac_huff[0xF0]
+                    w_.put(code, ln)
+                    r -= 16
+                cat = _jpeg_category(t)
+                code, ln = ac_huff[(r << 4) | cat]
+                w_.put(code, ln)
+                put_amp(w_, t if v >= 0 else -t, cat)
+                r = 0
+            if r > 0:  # trailing zeros in band → EOB0
+                code, ln = ac_huff[0x00]
+                w_.put(code, ln)
+        scans.append(sos_seg(ss, se, 0, 2) + w_.flush())
+
+    # --- AC refinement Ah=2 → Al=1
+    def ac_refine_scan(ah: int, al: int) -> bytes:
+        w = _BitWriter()
+        for b in range(nblocks):
+            absv = [abs(int(coefs[b, k])) >> al for k in range(1, 64)]
+            # newly significant this scan: shifted magnitude exactly 1
+            eobpos = -1
+            for k in range(1, 64):
+                if absv[k - 1] == 1:
+                    eobpos = k
+            r = 0
+            br: list[int] = []
+            for k in range(1, 64):
+                t = absv[k - 1]
+                if t == 0:
+                    r += 1
+                    continue
+                # ZRLs, but only when they cannot fold into the EOB
+                while r > 15 and k <= eobpos:
+                    code, ln = ac_huff[0xF0]
+                    w.put(code, ln)
+                    r -= 16
+                    for bit in br:
+                        w.put(bit, 1)
+                    br = []
+                if t > 1:  # already significant → buffer correction bit
+                    br.append(t & 1)
+                    continue
+                # newly significant: run/1 symbol, sign bit, buffered bits
+                code, ln = ac_huff[(r << 4) | 1]
+                w.put(code, ln)
+                w.put(1 if int(coefs[b, k]) >= 0 else 0, 1)
+                for bit in br:
+                    w.put(bit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:  # end-of-band: EOB0 + its correction bits
+                code, ln = ac_huff[0x00]
+                w.put(code, ln)
+                for bit in br:
+                    w.put(bit, 1)
+        return sos_seg(1, 63, ah, al) + w.flush()
+
+    scans.append(ac_refine_scan(2, 1))
+
+    # --- DC refinement Ah=1 → Al=0: one raw bit per block, no Huffman
+    w_ = _BitWriter()
+    for b in range(nblocks):
+        w_.put(int(coefs[b, 0]) & 1, 1)
+    scans.append(sos_seg(0, 0, 1, 0) + w_.flush())
+
+    # --- AC refinement Ah=1 → Al=0
+    scans.append(ac_refine_scan(1, 0))
+
+    zz_q = bytes(q[_ZIGZAG[i]] for i in range(64))
+    out = b"\xff\xd8"
+    out += _jpeg_seg(0xFFE0, _JFIF_APP0)
+    out += _jpeg_seg(0xFFDB, b"\x00" + zz_q)
+    out += _jpeg_seg(
+        0xFFC2, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    )  # SOF2 progressive
+    out += _jpeg_seg(
+        0xFFC4,
+        b"\x00"
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS)
+        + b"\x10"
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS),
+    )
+    return out + b"".join(scans) + b"\xff\xd9"
+
+
+def decode_jpeg_prog(payload: bytes) -> np.ndarray:
+    """Decode a PROGRESSIVE grayscale JPEG (SOF2, single component) →
+    uint8 (h, w). Full progressive entropy decode: multiple scans with
+    spectral selection and successive approximation — DC first/refine,
+    AC first with general EOBn runs, AC refinement with correction
+    bits consumed inside skipped EOB-run blocks (T.81 G.2) — then the
+    module's shared integer IDCT contract."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG magic (want SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comp_tq = 0
+    dc_tab = ac_tab = (0, 0)
+    coefs = None  # zigzag-ordered (nblocks, 64) int64
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", payload[pos : pos + 2])[0]
+        body = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:
+            bp = 0
+            while bp < len(body):
+                if body[bp] >> 4 != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                zzq = list(body[bp + 1 : bp + 65])
+                nat = [0] * 64
+                for i, v in enumerate(zzq):
+                    nat[_ZIGZAG[i]] = v
+                qtables[body[bp] & 0xF] = nat
+                bp += 65
+        elif marker == 0xC2:
+            _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError(
+                    "only single-component progressive JPEG supported"
+                )
+            comp_tq = body[8]
+            nbx = -(-width // 8)
+            nby = -(-height // 8)
+            coefs = np.zeros((nby * nbx, 64), dtype=np.int64)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("expected a progressive (SOF2) JPEG")
+        elif marker == 0xC4:
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0xF
+                bits = list(body[bp + 1 : bp + 17])
+                nv = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + nv])
+                codes = _huff_codes(bits, vals)
+                huff[(tc, th)] = {(l, c): v for v, (c, l) in codes.items()}
+                bp += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("restart intervals (DRI) not supported")
+        elif marker == 0xDA:
+            if coefs is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("progressive scans here are single-component")
+            tt = body[2]
+            dc_tab, ac_tab = (0, tt >> 4), (1, tt & 0xF)
+            ss, se, ahl = body[3], body[4], body[5]
+            ah, al = ahl >> 4, ahl & 0xF
+            # un-stuff this scan's entropy bytes
+            data = bytearray()
+            p = pos + ln
+            while p < len(payload):
+                bb = payload[p]
+                if bb == 0xFF:
+                    if payload[p + 1] == 0x00:
+                        data.append(0xFF)
+                        p += 2
+                        continue
+                    break
+                data.append(bb)
+                p += 1
+            _jpeg_prog_scan(
+                coefs, bytes(data), huff, dc_tab, ac_tab, ss, se, ah, al
+            )
+            pos = p
+            continue
+        pos += ln
+    if coefs is None or width is None:
+        raise ValueError("truncated progressive JPEG")
+
+    T = np.array(_jpeg_cos_table(), dtype=np.int64)
+    CU = np.array(_JPEG_CU, dtype=np.int64)
+    zz = np.array(_ZIGZAG)
+    nbx = -(-width // 8)
+    nby = -(-height // 8)
+    nat = np.zeros_like(coefs)
+    nat[:, zz] = coefs
+    r = nat.reshape(-1, 8, 8) * np.array(
+        qtables[comp_tq], dtype=np.int64
+    ).reshape(8, 8)
+    rs_ = _jpeg_rsr(r * CU[None, :, None] * CU[None, None, :], 16)
+    m = _jpeg_rsr(np.einsum("bvu,ux->bvx", rs_, T), 14)
+    p_ = 128 + _jpeg_rsr(np.einsum("bvx,vy->byx", m, T), 28)
+    pix = np.clip(p_, 0, 255).astype(np.uint8)
+    full = pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(
+        nby * 8, nbx * 8
+    )
+    return full[:height, :width]
+
+
+def _jpeg_prog_scan(
+    coefs: np.ndarray,
+    data: bytes,
+    huff: dict,
+    dc_tab: tuple[int, int],
+    ac_tab: tuple[int, int],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Apply ONE progressive scan's entropy data to the zigzag-ordered
+    coefficient store (T.81 G.2 semantics)."""
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_bit() -> int:
+        nonlocal bitpos
+        if bitpos >= total_bits:
+            raise ValueError("truncated progressive entropy stream")
+        byte = data[bitpos >> 3]
+        bit = (byte >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        return bit
+
+    def read_bits(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | read_bit()
+        return v
+
+    def read_huff(table) -> int:
+        code, ln = 0, 0
+        while True:
+            code = (code << 1) | read_bit()
+            ln += 1
+            if (ln, code) in table:
+                return table[(ln, code)]
+            if ln > 16:
+                raise ValueError("invalid Huffman code")
+
+    def extend(v: int, size: int) -> int:
+        if size and v < (1 << (size - 1)):
+            v -= (1 << size) - 1
+        return v
+
+    nblocks = coefs.shape[0]
+    if ss == 0:  # DC scan (se must be 0)
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        if ah == 0:  # DC first
+            table = huff[dc_tab]
+            pred = 0
+            for b in range(nblocks):
+                cat = read_huff(table)
+                pred += extend(read_bits(cat), cat)
+                coefs[b, 0] = pred << al
+        else:  # DC refinement: one raw bit per block
+            p1 = 1 << al
+            for b in range(nblocks):
+                if read_bit():
+                    coefs[b, 0] |= p1
+        return
+
+    table = huff[ac_tab]
+    if ah == 0:  # AC first scan
+        eobrun = 0
+        for b in range(nblocks):
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = read_huff(table)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:  # EOBn
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += read_bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC coefficient index out of band")
+                coefs[b, k] = extend(read_bits(s), s) << al
+                k += 1
+        return
+
+    # AC refinement scan (T.81 G.2; the libjpeg decode_mcu_AC_refine
+    # control flow: r counts ZERO-HISTORY positions only, correction
+    # bits are consumed on every nonzero-history position crossed —
+    # including inside EOB-run blocks)
+    p1 = 1 << al
+    m1 = -(1 << al)
+    eobrun = 0
+    for b in range(nblocks):
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = read_huff(table)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r != 15:  # EOBn
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += read_bits(r)
+                        break
+                    # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("refinement size must be 1")
+                    newval = p1 if read_bit() else m1
+                while k <= se:
+                    c = int(coefs[b, k])
+                    if c != 0:
+                        if read_bit() and (c & p1) == 0:
+                            coefs[b, k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            if newval:
+                                coefs[b, k] = newval
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            while k <= se:
+                c = int(coefs[b, k])
+                if c != 0:
+                    if read_bit() and (c & p1) == 0:
+                        coefs[b, k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+
+# ---------------------------------------------------------------------------
 # PNG — a REAL compressed codec via stdlib ``zlib`` (RFC 2083).
 #
 # PNG is DEFLATE (zlib, stdlib — no external libraries) over
@@ -1405,19 +1819,12 @@ def _adpcm_step_state(
     return pred, index
 
 
-def encode_adpcm_audio(n_samples: int, sample_rate: int, seed: int) -> bytes:
-    """REAL compressed codec: mono IMA ADPCM in a WAVE container
-    (format tag 0x0011, block align 256, fact chunk with the true
-    sample count). Same deterministic PCM content as the other audio
-    codecs. The last block is padded by repeating the final sample;
-    the fact chunk trims it on decode."""
-    pcm = _audio_pcm(n_samples, seed).astype(np.int64)
-    spb = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1  # samples per block (505)
-    n_blocks = -(-n_samples // spb)
-    padded = np.full(n_blocks * spb, pcm[-1] if n_samples else 0, dtype=np.int64)
-    padded[:n_samples] = pcm
-    blocks = padded.reshape(n_blocks, spb)
-
+def _adpcm_encode_blocks(blocks: np.ndarray) -> np.ndarray:
+    """The vectorized IMA encode recurrence: (n_blocks, spb) int64 PCM
+    → (n_blocks, align) raw bytes (4-byte header + packed nibbles).
+    Like the decoder kernel, callers may stack blocks from MANY clips
+    so the sequential samples-per-block axis is paid once."""
+    n_blocks, spb = blocks.shape
     pred = blocks[:, 0].copy()  # header seeds the first sample verbatim
     index = np.zeros(n_blocks, dtype=np.int64)
     codes = np.empty((n_blocks, spb - 1), dtype=np.uint8)
@@ -1445,8 +1852,23 @@ def encode_adpcm_audio(n_samples: int, sample_rate: int, seed: int) -> bytes:
     head[:, 0] = blocks[:, 0] & 0xFF
     head[:, 1] = (blocks[:, 0] >> 8) & 0xFF
     head[:, 2] = 0  # starting step index (stored per block → independent)
-    data = np.concatenate([head, body], axis=1).reshape(-1).tobytes()
+    return np.concatenate([head, body], axis=1)
 
+
+def _adpcm_blocks_of(n_samples: int, seed: int) -> np.ndarray:
+    """Deterministic PCM content → padded (n_blocks, spb) block matrix
+    (last block padded by repeating the final sample; the container's
+    fact chunk trims it on decode)."""
+    pcm = _audio_pcm(n_samples, seed).astype(np.int64)
+    spb = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1  # samples per block (505)
+    n_blocks = -(-n_samples // spb)
+    padded = np.full(n_blocks * spb, pcm[-1] if n_samples else 0, dtype=np.int64)
+    padded[:n_samples] = pcm
+    return padded.reshape(n_blocks, spb)
+
+
+def _adpcm_container(data: bytes, n_samples: int, sample_rate: int) -> bytes:
+    spb = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1
     byte_rate = (sample_rate * _ADPCM_BLOCK_ALIGN) // spb
     fmt = struct.pack(
         "<HHIIHHHH",
@@ -1461,11 +1883,18 @@ def encode_adpcm_audio(n_samples: int, sample_rate: int, seed: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-def decode_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode a mono IMA ADPCM WAVE payload → (int16 PCM, sample_rate).
-    Walks the RIFF chunks with struct (stdlib ``wave`` rejects
-    compressed formats); the nibble→PCM recurrence loops over the
-    samples-per-block axis with numpy vectors across blocks."""
+def encode_adpcm_audio(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    """REAL compressed codec: mono IMA ADPCM in a WAVE container
+    (format tag 0x0011, block align 256, fact chunk with the true
+    sample count). Same deterministic PCM content as the other audio
+    codecs."""
+    raw = _adpcm_encode_blocks(_adpcm_blocks_of(n_samples, seed))
+    return _adpcm_container(raw.reshape(-1).tobytes(), n_samples, sample_rate)
+
+
+def _adpcm_parse(payload: bytes) -> tuple[np.ndarray, int, int, int | None]:
+    """RIFF walk for a mono IMA ADPCM payload → (raw block matrix
+    (n_blocks, align) uint8, sample_rate, align, fact_samples)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("bad RIFF/WAVE header")
     pos, fmt, fact_n, data = 12, None, None, None
@@ -1496,9 +1925,18 @@ def decode_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
     raw = np.frombuffer(data, dtype=np.uint8, count=n_blocks * align).reshape(
         n_blocks, align
     )
-    pred = (
-        raw[:, 0].astype(np.int64) | (raw[:, 1].astype(np.int64) << 8)
-    )
+    return raw, sr, align, fact_n
+
+
+def _adpcm_decode_blocks(raw: np.ndarray, align: int) -> np.ndarray:
+    """The vectorized IMA recurrence over a block matrix: (n_blocks,
+    align) raw bytes → (n_blocks, samples_per_block) int64 PCM. One
+    numpy op sequence per SAMPLE POSITION, vectors across blocks —
+    callers stack blocks from MANY payloads so the sequential axis is
+    paid once per batch, not once per clip."""
+    spb = (align - 4) * 2 + 1
+    n_blocks = raw.shape[0]
+    pred = raw[:, 0].astype(np.int64) | (raw[:, 1].astype(np.int64) << 8)
     pred = np.where(pred >= 32768, pred - 65536, pred)
     index = np.clip(raw[:, 2].astype(np.int64), 0, 88)
     body = raw[:, 4:]
@@ -1510,7 +1948,50 @@ def decode_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
     for t in range(spb - 1):
         pred, index = _adpcm_step_state(pred, index, codes[:, t])
         out[:, t + 1] = pred
-    pcm = out.reshape(-1)
+    return out
+
+
+def decode_adpcm_batch(payloads: list[bytes]) -> list[tuple[np.ndarray, int]]:
+    """Decode MANY mono IMA ADPCM payloads with ONE recurrence pass:
+    blocks are independently seeded, so every payload's blocks stack
+    into a single (total_blocks, align) matrix and the
+    samples-per-block loop runs once for the whole batch (grouped by
+    block align if payloads differ). This is the actor-pool hot path —
+    per-clip decode would pay the 500-step loop once per clip."""
+    parsed = [_adpcm_parse(p) for p in payloads]
+    by_align: dict[int, list[int]] = {}
+    for i, (_, _, align, _) in enumerate(parsed):
+        by_align.setdefault(align, []).append(i)
+    results: list[tuple[np.ndarray, int] | None] = [None] * len(payloads)
+    for align, idxs in by_align.items():
+        spb = (align - 4) * 2 + 1
+        stacks = [parsed[i][0] for i in idxs]
+        counts = [s.shape[0] for s in stacks]
+        pcm_all = _adpcm_decode_blocks(
+            np.concatenate(stacks, axis=0) if len(stacks) > 1 else stacks[0],
+            align,
+        )
+        off = 0
+        for i, nb in zip(idxs, counts):
+            _, sr, _, fact_n = parsed[i]
+            pcm = pcm_all[off : off + nb].reshape(-1)
+            off += nb
+            if fact_n is not None:
+                pcm = pcm[:fact_n]
+            results[i] = (pcm.astype(np.int16), sr)
+        assert off == pcm_all.shape[0]
+    return results  # type: ignore[return-value]
+
+
+def decode_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a mono IMA ADPCM WAVE payload → (int16 PCM, sample_rate).
+    Walks the RIFF chunks with struct (stdlib ``wave`` rejects
+    compressed formats); the nibble→PCM recurrence loops over the
+    samples-per-block axis with numpy vectors across blocks. For many
+    payloads prefer :func:`decode_adpcm_batch` (one recurrence pass
+    per batch)."""
+    raw, sr, align, fact_n = _adpcm_parse(payload)
+    pcm = _adpcm_decode_blocks(raw, align).reshape(-1)
     if fact_n is not None:
         pcm = pcm[:fact_n]
     return pcm.astype(np.int16), sr
@@ -1550,8 +2031,14 @@ class AudioFeaturizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         durs, rms, zcr = [], [], []
-        for payload in batch["payload"].to_pylist():
-            pcm, sr = self._decode(payload)
+        payloads = batch["payload"].to_pylist()
+        if self.codec == "adpcm":
+            # batch path: one recurrence pass over every payload's
+            # stacked blocks instead of a ~500-step loop per clip
+            decoded = decode_adpcm_batch(payloads)
+        else:
+            decoded = [self._decode(p) for p in payloads]
+        for pcm, sr in decoded:
             x = pcm.astype(np.float64) / (1 << 15)
             durs.append(len(pcm) / max(1, sr))
             rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
@@ -1588,16 +2075,32 @@ def synthesize_audio(n: int, seed: int = 7, codec: str = "fake") -> pa.Table:
         "wav": encode_wav_audio,
         "adpcm": encode_adpcm_audio,
     }[codec]
+    sr = 8000
+    specs = [(sr * (1 + i % 3), sr, seed + i) for i in range(n)]
+    if codec == "adpcm":
+        # one encode-recurrence pass over ALL clips' stacked blocks
+        # (blocks are independently seeded) — per-clip encode would pay
+        # the ~500-step loop n times
+        stacks = [_adpcm_blocks_of(ns, sd) for ns, _, sd in specs]
+        counts = [s.shape[0] for s in stacks]
+        raw_all = _adpcm_encode_blocks(np.concatenate(stacks, axis=0))
+        payloads, off = [], 0
+        for (ns, psr, _), nb in zip(specs, counts):
+            raw = raw_all[off : off + nb]
+            off += nb
+            payloads.append(
+                _adpcm_container(raw.reshape(-1).tobytes(), ns, psr)
+            )
+    else:
+        payloads = [enc(ns, psr, sd) for ns, psr, sd in specs]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
-    for i in range(n):
-        sr = 8000
-        samples = sr * (1 + i % 3)
+    for i, (ns, psr, _) in enumerate(specs):
         rows["media_id"].append(i)
         rows["kind"].append("audio")
-        rows["payload"].append(enc(samples, sr, seed + i))
+        rows["payload"].append(payloads[i])
         rows["width"].append(0)
         rows["height"].append(0)
-        rows["sample_rate"].append(sr)
+        rows["sample_rate"].append(psr)
         rows["n_frames"].append(0)
     return pa.table(rows, schema=MEDIA_SCHEMA)
 

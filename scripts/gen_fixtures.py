@@ -509,6 +509,271 @@ def _plain_jpeg_decode(payload: bytes):
     return w, h, out_planes
 
 
+def _plain_jpeg_prog_decode(payload: bytes):
+    """Independent plain-Python PROGRESSIVE-JPEG decoder (twin of
+    stages/multimodal.py::decode_jpeg_prog, sharing NO decode code):
+    own marker walk, the T.81 F.15 MINCODE/MAXCODE/VALPTR Huffman
+    procedure, per-scan G.2 coefficient accumulation (DC first/refine,
+    AC first with EOBn runs, AC refinement with correction bits inside
+    EOB-run blocks), then the integer IDCT contract in plain ints.
+    Single grayscale component. Returns (w, h, rows)."""
+    import math
+    import struct as _struct
+
+    ZZ = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    T = [
+        [round(math.cos((2 * x + 1) * u * math.pi / 16) * 16384) for x in range(8)]
+        for u in range(8)
+    ]
+    CU = [11585] + [16384] * 7
+
+    def rsr(v: int, s: int) -> int:
+        return (v + (1 << (s - 1))) >> s
+
+    def build_tables(bits, vals):
+        mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+        code, k = 0, 0
+        for ln in range(1, 17):
+            if bits[ln - 1]:
+                valptr[ln] = k
+                mincode[ln] = code
+                code += bits[ln - 1]
+                k += bits[ln - 1]
+                maxcode[ln] = code - 1
+            else:
+                maxcode[ln] = -1
+            code <<= 1
+        return mincode, maxcode, valptr, vals
+
+    assert payload[:2] == b"\xff\xd8"
+    i = 2
+    qts, tabs = {}, {}
+    w = h = None
+    tq = 0
+    coefs = None  # list of per-block zigzag lists
+    while i < len(payload):
+        assert payload[i] == 0xFF
+        marker = payload[i + 1]
+        i += 2
+        if marker == 0xD9:
+            break
+        (seglen,) = _struct.unpack(">H", payload[i : i + 2])
+        body = payload[i + 2 : i + seglen]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                assert body[j] >> 4 == 0
+                nat = [0] * 64
+                for z in range(64):
+                    nat[ZZ[z]] = body[j + 1 + z]
+                qts[body[j] & 0xF] = nat
+                j += 65
+        elif marker == 0xC2:
+            _, h, w, nc = _struct.unpack(">BHHB", body[:6])
+            assert nc == 1
+            tq = body[8]
+            coefs = [
+                [0] * 64 for _ in range((-(-h // 8)) * (-(-w // 8)))
+            ]
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0xF
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                tabs[(tc, th)] = build_tables(bits, list(body[j + 17 : j + 17 + nv]))
+                j += 17 + nv
+        elif marker == 0xDA:
+            assert coefs is not None and body[0] == 1
+            tt = body[2]
+            dtab, atab = tabs.get((0, tt >> 4)), tabs.get((1, tt & 0xF))
+            ss, se, ah, al = body[3], body[4], body[5] >> 4, body[5] & 0xF
+            data = bytearray()
+            p = i + seglen
+            while p < len(payload):
+                bb = payload[p]
+                if bb == 0xFF:
+                    if payload[p + 1] == 0x00:
+                        data.append(0xFF)
+                        p += 2
+                        continue
+                    break
+                data.append(bb)
+                p += 1
+
+            pos = [0]
+
+            def nextbit() -> int:
+                byte = data[pos[0] >> 3]
+                bit = (byte >> (7 - (pos[0] & 7))) & 1
+                pos[0] += 1
+                return bit
+
+            def readn(n: int) -> int:
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | nextbit()
+                return v
+
+            def decode(tab) -> int:
+                mincode, maxcode, valptr, vals = tab
+                code, ln = nextbit(), 1
+                while maxcode[ln] == -1 or code > maxcode[ln]:
+                    code = (code << 1) | nextbit()
+                    ln += 1
+                    assert ln <= 16
+                return vals[valptr[ln] + code - mincode[ln]]
+
+            def extend(v: int, size: int) -> int:
+                if size and v < (1 << (size - 1)):
+                    v -= (1 << size) - 1
+                return v
+
+            if ss == 0:
+                assert se == 0
+                if ah == 0:  # DC first
+                    pred = 0
+                    for blk in coefs:
+                        cat = decode(dtab)
+                        pred += extend(readn(cat), cat)
+                        blk[0] = pred << al
+                else:  # DC refine
+                    for blk in coefs:
+                        if nextbit():
+                            blk[0] |= 1 << al
+            elif ah == 0:  # AC first
+                eobrun = 0
+                for blk in coefs:
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = decode(atab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1 + (readn(r) if r else 0)
+                                break
+                            k += 16
+                            continue
+                        k += r
+                        assert k <= se
+                        blk[k] = extend(readn(s), s) << al
+                        k += 1
+            else:  # AC refinement
+                p1, m1 = 1 << al, -(1 << al)
+                eobrun = 0
+                for blk in coefs:
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = decode(atab)
+                            r, s = rs >> 4, rs & 0xF
+                            newval = 0
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = (1 << r) + (readn(r) if r else 0)
+                                    break
+                            else:
+                                assert s == 1
+                                newval = p1 if nextbit() else m1
+                            while k <= se:
+                                c = blk[k]
+                                if c != 0:
+                                    if nextbit() and (c & p1) == 0:
+                                        blk[k] = c + (p1 if c >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        if newval:
+                                            blk[k] = newval
+                                        k += 1
+                                        break
+                                    r -= 1
+                                k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            c = blk[k]
+                            if c != 0:
+                                if nextbit() and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+            i = p
+            continue
+        i += seglen
+
+    assert coefs is not None and w is not None
+    q = qts[tq]
+    nbx = -(-w // 8)
+    nby = -(-h // 8)
+    rows = [[0] * (nbx * 8) for _ in range(nby * 8)]
+    for bidx, blk in enumerate(coefs):
+        by, bx = divmod(bidx, nbx)
+        nat = [0] * 64
+        for z in range(64):
+            nat[ZZ[z]] = blk[z]
+        r_ = [
+            [nat[v * 8 + u] * q[v * 8 + u] for u in range(8)] for v in range(8)
+        ]
+        rs2 = [
+            [rsr(r_[v][u] * CU[v] * CU[u], 16) for u in range(8)]
+            for v in range(8)
+        ]
+        m = [
+            [rsr(sum(rs2[v][u] * T[u][x] for u in range(8)), 14) for x in range(8)]
+            for v in range(8)
+        ]
+        for y in range(8):
+            for x in range(8):
+                pv = 128 + rsr(sum(m[v][x] * T[v][y] for v in range(8)), 28)
+                rows[by * 8 + y][bx * 8 + x] = min(255, max(0, pv))
+    return w, h, [row[:w] for row in rows[:h]]
+
+
+def gen_image_features_jpeg_prog(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the REAL progressive-JPEG decode; phash
+    pins the decoded pixels byte-wise. Because the progressive encoder
+    writes the same quantized coefficients as the baseline one, these
+    hashes ALSO equal the baseline decode of the same (dims, seed)
+    content — a second, scan-structure-independent anchor."""
+    from ontograph_ray.stages.multimodal import encode_jpeg_prog  # encoder only
+
+    media_ids, widths, heights, phashes = [], [], [], []
+    for i in range(n):
+        w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
+        payload = encode_jpeg_prog(w, h, 8042 + i)
+        pw, ph, rows = _plain_jpeg_prog_decode(payload)
+        assert (pw, ph) == (w, h)
+        body = bytearray()
+        for row in rows:
+            body.extend(row)
+        media_ids.append(i)
+        widths.append(w)
+        heights.append(h)
+        phashes.append(
+            int.from_bytes(hashlib.sha1(bytes(body)).digest()[:8], "big")
+        )
+    path = os.path.join(FIXTURES_DIR, "image_features_jpeg_prog_n200.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "phash": pa.array(phashes, pa.uint64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {n} rows"
+
+
 def gen_image_features_jpeg(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     """Independent twin of the REAL baseline-JPEG grayscale decode
     (see ``_plain_jpeg_decode``); ``phash`` pins the decoded pixel
@@ -2290,6 +2555,10 @@ _SF_INDEPENDENT = {
     ),
     "image_features_png": (gen_image_features_png, "image_features_png_n200.parquet"),
     "image_features_gif": (gen_image_features_gif, "image_features_gif_n200.parquet"),
+    "image_features_jpeg_prog": (
+        gen_image_features_jpeg_prog,
+        "image_features_jpeg_prog_n200.parquet",
+    ),
     "image_features_png_color": (
         gen_image_features_png_color,
         "image_features_png_color_n200.parquet",

@@ -620,6 +620,115 @@ class TestRealCodecs:
         assert all(r["phash"] > 0 for r in out)
 
 
+class TestProgressiveJpeg:
+    def test_progressive_equals_baseline_decode(self):
+        # same quantized coefficients + shared integer IDCT contract →
+        # progressive decode must be BYTE-IDENTICAL to baseline decode
+        for i in range(12):
+            w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
+            prog = multimodal.decode_jpeg_prog(
+                multimodal.encode_jpeg_prog(w, h, 8100 + i)
+            )
+            base = multimodal.decode_jpeg_gray(
+                multimodal.encode_jpeg_gray(w, h, 8100 + i)
+            )
+            assert np.array_equal(prog, base), i
+
+    def test_bitstream_structure(self):
+        payload = multimodal.encode_jpeg_prog(24, 16, 7)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        assert b"\xff\xc2" in payload  # SOF2, not SOF0
+        assert payload.count(b"\xff\xda") >= 6  # six scans
+
+    def test_typed_refusals_between_decoders(self):
+        prog = multimodal.encode_jpeg_prog(16, 16, 1)
+        base = multimodal.encode_jpeg_gray(16, 16, 1)
+        with pytest.raises(ValueError, match="SOF0"):
+            multimodal.decode_jpeg_gray(prog)  # baseline decoder refuses SOF2
+        with pytest.raises(ValueError, match="SOF2"):
+            multimodal.decode_jpeg_prog(base)  # progressive decoder refuses SOF0
+
+    def test_eobn_run_decoding(self):
+        # our encoder only emits EOB0 (Annex-K tables carry no EOBn
+        # symbols), so exercise the general EOBn path with a
+        # hand-built scan: custom AC table {EOB0, EOB1, 0x12=run1/size2},
+        # 4 blocks, DC-first then one AC-first scan where block 0
+        # carries coef then EOB1(+1 bit)=eobrun 2 skips blocks 1-2,
+        # and block 3 ends with EOB0.
+        import struct as _s
+
+        mm = multimodal
+        dc_huff = mm._huff_codes(mm._JPEG_DC_BITS, mm._JPEG_DC_VALS)
+        ac_bits = [0, 0, 3] + [0] * 13  # three 3-bit codes
+        ac_vals = [0x00, 0x10, 0x12]
+        ac_huff = mm._huff_codes(ac_bits, ac_vals)
+
+        q = [1] * 64  # identity quantization
+        out = b"\xff\xd8"
+        out += mm._jpeg_seg(0xFFE0, mm._JFIF_APP0)
+        out += mm._jpeg_seg(0xFFDB, b"\x00" + bytes(q))
+        out += mm._jpeg_seg(
+            0xFFC2, _s.pack(">BHHB", 8, 8, 32, 1) + b"\x01\x11\x00"
+        )  # 32x8 → 4 blocks
+        out += mm._jpeg_seg(
+            0xFFC4,
+            b"\x00" + bytes(mm._JPEG_DC_BITS) + bytes(mm._JPEG_DC_VALS)
+            + b"\x10" + bytes(ac_bits) + bytes(ac_vals),
+        )
+        # scan 1: DC first (Al=0), all-zero diffs (category 0)
+        w = mm._BitWriter()
+        for _ in range(4):
+            c, ln = dc_huff[0]
+            w.put(c, ln)
+        out += mm._jpeg_seg(0xFFDA, b"\x01\x01\x00" + bytes([0, 0, 0]))
+        out += w.flush()
+        # scan 2: AC first band 1-63, Al=0
+        w = mm._BitWriter()
+        c, ln = ac_huff[0x12]
+        w.put(c, ln)        # block 0: run 1, size 2
+        w.put(0b11, 2)      # amplitude +3 at zigzag k=2
+        c, ln = ac_huff[0x10]
+        w.put(c, ln)        # EOB1 ...
+        w.put(1, 1)         # ... +1 extra bit → eobrun = 2 (skip blocks 1,2)
+        c, ln = ac_huff[0x00]
+        w.put(c, ln)        # block 3: EOB0
+        out += mm._jpeg_seg(0xFFDA, b"\x01\x01\x00" + bytes([1, 63, 0]))
+        out += w.flush() + b"\xff\xd9"
+
+        img = mm.decode_jpeg_prog(out)
+        assert img.shape == (8, 32)
+        # expected: DC=0 everywhere; block 0 has coefficient 3 at
+        # zigzag index 2 (natural (1,0)); compute via the contract
+        T = np.array(mm._jpeg_cos_table(), dtype=np.int64)
+        CU = np.array(mm._JPEG_CU, dtype=np.int64)
+        nat = np.zeros((1, 64), dtype=np.int64)
+        nat[0, mm._ZIGZAG[2]] = 3
+        r = nat.reshape(1, 8, 8)
+        rs_ = mm._jpeg_rsr(r * CU[None, :, None] * CU[None, None, :], 16)
+        m = mm._jpeg_rsr(np.einsum("bvu,ux->bvx", rs_, T), 14)
+        want0 = np.clip(
+            128 + mm._jpeg_rsr(np.einsum("bvx,vy->byx", m, T), 28), 0, 255
+        ).astype(np.uint8)[0]
+        assert np.array_equal(img[:, :8], want0)
+        assert (img[:, 8:] == 128).all()  # skipped + empty blocks flat
+
+    def test_stage(self, ray_session):
+        ds = ray.data.from_arrow(
+            multimodal.synthesize_media(12, seed=80, codec="jpeg_prog")
+        )
+        out = multimodal.decode_images(ds, codec="jpeg_prog").take_all()
+        assert len(out) == 12
+        # features equal the BASELINE jpeg stage for the same content
+        base = multimodal.decode_images(
+            ray.data.from_arrow(
+                multimodal.synthesize_media(12, seed=80, codec="jpeg")
+            ),
+            codec="jpeg",
+        ).take_all()
+        key = lambda rows: {r["media_id"]: r["phash"] for r in rows}
+        assert key(out) == key(base)
+
+
 class TestPngCodec:
     def test_png_gray_lossless_roundtrip(self):
         # PNG is lossless: decoded pixels must equal the synthesized
