@@ -246,6 +246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_gif": q.q_image_features_gif,
         "ngram_lm_perplexity": q.q_ngram_lm_perplexity,
         "image_features_jpeg_prog": q.q_image_features_jpeg_prog,
+        "image_features_jpeg_prog_color": q.q_image_features_jpeg_prog_color,
+        "image_features_jpeg_prog420": q.q_image_features_jpeg_prog420,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

@@ -933,6 +933,12 @@ SELECT l_orderkey, l_linenumber, 'l_discount',
         "image_features_jpeg_prog": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_jpeg_prog_n200.parquet')"
         ),
+        "image_features_jpeg_prog_color": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_jpeg_prog_color_n200.parquet')"
+        ),
+        "image_features_jpeg_prog420": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_jpeg_prog420_n200.parquet')"
+        ),
         "image_features_png_color": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_png_color_n200.parquet')"
         ),

@@ -1848,6 +1848,38 @@ def q_image_features_jpeg_prog(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "phash"])
 
 
+def q_image_features_jpeg_prog_color(sf_dir: str):
+    """REAL compressed-codec PROGRESSIVE COLOR decode: SOF2 YCbCr
+    4:4:4 with libjpeg's default 10-scan script (interleaved DC first/
+    refinement, per-component spectral-selection AC scans, successive
+    approximation) via stages/multimodal.py::decode_jpeg_prog_color.
+    Oracle: independent plain-Python progressive twin + plain-int
+    color transform (gen_fixtures.gen_image_features_jpeg_prog_color),
+    byte-wise RGB pin."""
+    from .stages.multimodal import decode_images, synthesize_media
+
+    ds = ray.data.from_arrow(
+        synthesize_media(200, seed=9042, codec="jpeg_prog_color")
+    )
+    out = decode_images(ds, codec="jpeg_prog_color")
+    return out.select_columns(["media_id", "width", "height", "phash"])
+
+
+def q_image_features_jpeg_prog420(sf_dir: str):
+    """REAL compressed-codec decode of the PROGRESSIVE camera-default
+    layout: SOF2 4:2:0 — interleaved DC scans over 2x2-sampled MCUs,
+    non-interleaved AC scans over each component's own (unpadded)
+    block grid, chroma box-replication upsample. Oracle: the
+    generalized plain-Python progressive twin, byte-wise RGB pin."""
+    from .stages.multimodal import decode_images, synthesize_media
+
+    ds = ray.data.from_arrow(
+        synthesize_media(200, seed=9542, codec="jpeg_prog_420")
+    )
+    out = decode_images(ds, codec="jpeg_prog_color")
+    return out.select_columns(["media_id", "width", "height", "phash"])
+
+
 def q_image_features_gif(sf_dir: str):
     """REAL compressed-codec LOSSLESS image decode: GIF87a with LZW
     dictionary coding (variable 9→12-bit codes, LSB-first packing,

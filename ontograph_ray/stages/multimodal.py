@@ -11,9 +11,11 @@ and tested. Codecs come in three tiers:
   (YUV4MPEG2 mono video streams), and — round 5 — ``codec="jpeg"`` / ``"jpeg_color"``:
   baseline sequential JPEG — grayscale, YCbCr 4:4:4 color, and 4:2:0 subsampled (ITU-T T.81 markers, Annex-K
   tables, canonical Huffman entropy coding, byte stuffing, integer
-  DCT contract; see the JPEG section below), ``codec="jpeg_prog"``:
-  PROGRESSIVE grayscale JPEG (SOF2 — spectral selection, successive
-  approximation, EOB runs; see the progressive section), ``codec="png"`` /
+  DCT contract; see the JPEG section below), ``codec="jpeg_prog"`` /
+  ``"jpeg_prog_color"`` / ``"jpeg_prog_420"``: PROGRESSIVE JPEG (SOF2
+  — spectral selection, successive approximation, EOB runs;
+  grayscale, YCbCr 4:4:4 and 4:2:0 with libjpeg's default 10-scan
+  script; see the progressive section), ``codec="png"`` /
   ``"png_color"``: lossless PNG (RFC 2083 — chunk CRCs, stdlib-zlib
   DEFLATE, all five scanline filters; see the PNG section below),
   ``codec="gif"``: GIF87a LZW with a gray-ramp palette (lossless;
@@ -24,8 +26,8 @@ and tested. Codecs come in three tiers:
   stubs.
 - the deterministic ``codec="fake"`` header+bytes format kept for the
   original fixture twins.
-- everything else compressed (multi-component progressive JPEG, MP3,
-  H.264 — ``codec="pillow"`` / ``"ffmpeg"``) still raises
+- everything else compressed (MP3, H.264, JPEG sampling factors >2 —
+  ``codec="pillow"`` / ``"ffmpeg"``) still raises
   NotImplementedError at construction: the sandbox ships no
   compression codecs and we do not fake them.
 
@@ -127,6 +129,10 @@ def synthesize_media(n: int, seed: int = 42, codec: str = "fake") -> pa.Table:
         "png_color": encode_png_color,
         "gif": encode_gif_gray,
         "jpeg_prog": encode_jpeg_prog,
+        "jpeg_prog_color": encode_jpeg_prog_color,
+        "jpeg_prog_420": lambda w, h, s: encode_jpeg_prog_color(
+            w, h, s, subsampling="420"
+        ),
     }[codec]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
@@ -159,13 +165,13 @@ class ImageDecoder:
     def __init__(self, codec: str = "fake"):
         if codec not in (
             "fake", "pgm", "jpeg", "jpeg_color", "jpeg_prog",
-            "png", "png_color", "gif",
+            "jpeg_prog_color", "png", "png_color", "gif",
         ):
             raise NotImplementedError(
                 f"codec {codec!r} requires image-compression libraries not "
                 "present in this environment; use codec='jpeg', "
-                "'jpeg_color', 'jpeg_prog', 'png', 'png_color', 'gif', "
-                "'pgm' or 'fake'"
+                "'jpeg_color', 'jpeg_prog', 'jpeg_prog_color', 'png', "
+                "'png_color', 'gif', 'pgm' or 'fake'"
             )
         self.codec = codec
 
@@ -184,6 +190,8 @@ class ImageDecoder:
             return decode_gif_gray(payload)
         if self.codec == "jpeg_prog":
             return decode_jpeg_prog(payload)
+        if self.codec == "jpeg_prog_color":
+            return decode_jpeg_prog_color(payload)
         if not payload.startswith(_FAKE_MAGIC):
             raise ValueError("bad fake-image magic")
         w, h = struct.unpack("<II", payload[8:16])
@@ -949,16 +957,95 @@ def decode_jpeg_color(payload: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _jpeg_put_amp(w: "_BitWriter", v: int, cat: int) -> None:
+    w.put(v if v >= 0 else v + (1 << cat) - 1, cat)
+
+
+def _jpeg_prog_ac_first(
+    w: "_BitWriter", coefs, blocks, ac_huff, ss: int, se: int, al: int
+) -> None:
+    """Emit one AC FIRST scan (spectral band ss..se at approximation
+    al) over the given block list. Point transform = magnitude shift;
+    end-of-band flushed as EOB0 per block (the Annex-K tables carry no
+    EOBn symbols — spec-valid, just less packed)."""
+    for b in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(coefs[b, k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = ac_huff[0xF0]
+                w.put(code, ln)
+                r -= 16
+            cat = _jpeg_category(t)
+            code, ln = ac_huff[(r << 4) | cat]
+            w.put(code, ln)
+            _jpeg_put_amp(w, t if v >= 0 else -t, cat)
+            r = 0
+        if r > 0:  # trailing zeros in band → EOB0
+            code, ln = ac_huff[0x00]
+            w.put(code, ln)
+
+
+def _jpeg_prog_ac_refine(
+    w: "_BitWriter", coefs, blocks, ac_huff, ss: int, se: int, al: int
+) -> None:
+    """Emit one AC REFINEMENT scan (Ah = al+1 → Al = al): newly
+    significant coefficients as run/1 symbols + sign bit, correction
+    bits buffered and flushed after each symbol (and with the block's
+    EOB0), ZRLs only where they cannot fold into the end-of-band."""
+    for b in blocks:
+        absv = [abs(int(coefs[b, k])) >> al for k in range(ss, se + 1)]
+        eobpos = -1
+        for k in range(ss, se + 1):
+            if absv[k - ss] == 1:
+                eobpos = k
+        r = 0
+        br: list[int] = []
+        for k in range(ss, se + 1):
+            t = absv[k - ss]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eobpos:
+                code, ln = ac_huff[0xF0]
+                w.put(code, ln)
+                r -= 16
+                for bit in br:
+                    w.put(bit, 1)
+                br = []
+            if t > 1:  # already significant → buffer correction bit
+                br.append(t & 1)
+                continue
+            code, ln = ac_huff[(r << 4) | 1]
+            w.put(code, ln)
+            w.put(1 if int(coefs[b, k]) >= 0 else 0, 1)
+            for bit in br:
+                w.put(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:  # end-of-band: EOB0 + its correction bits
+            code, ln = ac_huff[0x00]
+            w.put(code, ln)
+            for bit in br:
+                w.put(bit, 1)
+
+
 def encode_jpeg_prog(width: int, height: int, seed: int, quality: int = 85) -> bytes:
     """REAL compressed codec: PROGRESSIVE grayscale JFIF (SOF2). Same
     deterministic pixel content and quantized coefficients as
-    encode_jpeg_gray — only the scan structure differs."""
+    encode_jpeg_gray — only the scan structure differs (six scans:
+    DC first Al=1, AC first bands 1-5 and 6-63 at Al=2, AC refinement
+    2→1, DC refinement raw bits, AC refinement 1→0)."""
     q = _jpeg_qtable(quality)
     px = _image_pixels(width, height, seed).reshape(height, width)
     fq = _jpeg_fdct_quant(px.astype(np.int64), q)
     zz = np.array(_ZIGZAG)
     coefs = fq.reshape(-1, 64)[:, zz]  # zigzag-ordered (nblocks, 64)
-    nblocks = coefs.shape[0]
+    blocks = range(coefs.shape[0])
     dc_huff = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_huff = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
 
@@ -967,15 +1054,12 @@ def encode_jpeg_prog(width: int, height: int, seed: int, quality: int = 85) -> b
             0xFFDA, b"\x01\x01\x00" + bytes([ss, se, (ah << 4) | al])
         )
 
-    def put_amp(w: _BitWriter, v: int, cat: int) -> None:
-        w.put(v if v >= 0 else v + (1 << cat) - 1, cat)
-
     scans: list[bytes] = []
 
-    # --- scan 1: DC first, Al=1 (point transform = arithmetic shift)
+    # --- DC first, Al=1 (point transform = arithmetic shift)
     w_ = _BitWriter()
     pred = 0
-    for b in range(nblocks):
+    for b in blocks:
         dc = int(coefs[b, 0]) >> 1
         diff = dc - pred
         pred = dc
@@ -983,87 +1067,27 @@ def encode_jpeg_prog(width: int, height: int, seed: int, quality: int = 85) -> b
         code, ln = dc_huff[cat]
         w_.put(code, ln)
         if cat:
-            put_amp(w_, diff, cat)
+            _jpeg_put_amp(w_, diff, cat)
     scans.append(sos_seg(0, 0, 0, 1) + w_.flush())
 
-    # --- AC first scans, Al=2 (point transform = magnitude shift)
     for ss, se in ((1, 5), (6, 63)):
         w_ = _BitWriter()
-        for b in range(nblocks):
-            r = 0
-            for k in range(ss, se + 1):
-                v = int(coefs[b, k])
-                t = abs(v) >> 2
-                if t == 0:
-                    r += 1
-                    continue
-                while r > 15:
-                    code, ln = ac_huff[0xF0]
-                    w_.put(code, ln)
-                    r -= 16
-                cat = _jpeg_category(t)
-                code, ln = ac_huff[(r << 4) | cat]
-                w_.put(code, ln)
-                put_amp(w_, t if v >= 0 else -t, cat)
-                r = 0
-            if r > 0:  # trailing zeros in band → EOB0
-                code, ln = ac_huff[0x00]
-                w_.put(code, ln)
+        _jpeg_prog_ac_first(w_, coefs, blocks, ac_huff, ss, se, 2)
         scans.append(sos_seg(ss, se, 0, 2) + w_.flush())
 
-    # --- AC refinement Ah=2 → Al=1
-    def ac_refine_scan(ah: int, al: int) -> bytes:
-        w = _BitWriter()
-        for b in range(nblocks):
-            absv = [abs(int(coefs[b, k])) >> al for k in range(1, 64)]
-            # newly significant this scan: shifted magnitude exactly 1
-            eobpos = -1
-            for k in range(1, 64):
-                if absv[k - 1] == 1:
-                    eobpos = k
-            r = 0
-            br: list[int] = []
-            for k in range(1, 64):
-                t = absv[k - 1]
-                if t == 0:
-                    r += 1
-                    continue
-                # ZRLs, but only when they cannot fold into the EOB
-                while r > 15 and k <= eobpos:
-                    code, ln = ac_huff[0xF0]
-                    w.put(code, ln)
-                    r -= 16
-                    for bit in br:
-                        w.put(bit, 1)
-                    br = []
-                if t > 1:  # already significant → buffer correction bit
-                    br.append(t & 1)
-                    continue
-                # newly significant: run/1 symbol, sign bit, buffered bits
-                code, ln = ac_huff[(r << 4) | 1]
-                w.put(code, ln)
-                w.put(1 if int(coefs[b, k]) >= 0 else 0, 1)
-                for bit in br:
-                    w.put(bit, 1)
-                br = []
-                r = 0
-            if r > 0 or br:  # end-of-band: EOB0 + its correction bits
-                code, ln = ac_huff[0x00]
-                w.put(code, ln)
-                for bit in br:
-                    w.put(bit, 1)
-        return sos_seg(1, 63, ah, al) + w.flush()
-
-    scans.append(ac_refine_scan(2, 1))
+    w_ = _BitWriter()
+    _jpeg_prog_ac_refine(w_, coefs, blocks, ac_huff, 1, 63, 1)
+    scans.append(sos_seg(1, 63, 2, 1) + w_.flush())
 
     # --- DC refinement Ah=1 → Al=0: one raw bit per block, no Huffman
     w_ = _BitWriter()
-    for b in range(nblocks):
+    for b in blocks:
         w_.put(int(coefs[b, 0]) & 1, 1)
     scans.append(sos_seg(0, 0, 1, 0) + w_.flush())
 
-    # --- AC refinement Ah=1 → Al=0
-    scans.append(ac_refine_scan(1, 0))
+    w_ = _BitWriter()
+    _jpeg_prog_ac_refine(w_, coefs, blocks, ac_huff, 1, 63, 0)
+    scans.append(sos_seg(1, 63, 1, 0) + w_.flush())
 
     zz_q = bytes(q[_ZIGZAG[i]] for i in range(64))
     out = b"\xff\xd8"
@@ -1084,22 +1108,201 @@ def encode_jpeg_prog(width: int, height: int, seed: int, quality: int = 85) -> b
     return out + b"".join(scans) + b"\xff\xd9"
 
 
-def decode_jpeg_prog(payload: bytes) -> np.ndarray:
-    """Decode a PROGRESSIVE grayscale JPEG (SOF2, single component) →
-    uint8 (h, w). Full progressive entropy decode: multiple scans with
-    spectral selection and successive approximation — DC first/refine,
-    AC first with general EOBn runs, AC refinement with correction
-    bits consumed inside skipped EOB-run blocks (T.81 G.2) — then the
-    module's shared integer IDCT contract."""
+def encode_jpeg_prog_color(
+    width: int,
+    height: int,
+    seed: int,
+    quality: int = 85,
+    subsampling: str = "444",
+) -> bytes:
+    """REAL compressed codec: PROGRESSIVE YCbCr JFIF (SOF2), 4:4:4 or
+    4:2:0, with libjpeg's default 10-scan script — interleaved DC
+    first (Al=1), Y AC bands 1-5/6-63 at Al=2, chroma AC 1-63 at Al=1,
+    Y AC refinement 2→1, interleaved DC refinement (raw bits), then
+    chroma and Y AC refinements to Al=0. Same pixel content, color
+    transform, quantization and (for the visible region) decoded
+    output as encode_jpeg_color."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    qY = _jpeg_qtable(quality)
+    qC = _jpeg_qtable(quality, base=_JPEG_QTBL_C)
+    rgb = _rgb_pixels(width, height, seed).astype(np.int64)
+    R, G, Bp = rgb[0], rgb[1], rgb[2]
+    Y = np.clip(_jpeg_rsr(19595 * R + 38470 * G + 7471 * Bp, 16), 0, 255)
+    Cb = np.clip(128 + _jpeg_rsr(-11059 * R - 21709 * G + 32768 * Bp, 16), 0, 255)
+    Cr = np.clip(128 + _jpeg_rsr(32768 * R - 27439 * G - 5329 * Bp, 16), 0, 255)
+    zz = np.array(_ZIGZAG)
+
+    if subsampling == "444":
+        comp_hv = [(1, 1)] * 3
+        fqs = [
+            _jpeg_fdct_quant(Y, qY),
+            _jpeg_fdct_quant(Cb, qC),
+            _jpeg_fdct_quant(Cr, qC),
+        ]
+        samp = (b"\x11", b"\x11", b"\x11")
+    else:
+        comp_hv = [(2, 2), (1, 1), (1, 1)]
+        ph, pw = -(-height // 16) * 16, -(-width // 16) * 16
+
+        def pad16(plane):
+            padded = np.empty((ph, pw), dtype=np.int64)
+            padded[:height, :width] = plane
+            padded[height:, :width] = plane[-1:, :]
+            padded[:, width:] = padded[:, width - 1 : width]
+            return padded
+
+        sub = [
+            _jpeg_rsr(p.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3)), 2)
+            for p in (pad16(Cb), pad16(Cr))
+        ]
+        fqs = [
+            _jpeg_fdct_quant(pad16(Y), qY),
+            _jpeg_fdct_quant(sub[0], qC),
+            _jpeg_fdct_quant(sub[1], qC),
+        ]
+        samp = (b"\x22", b"\x11", b"\x11")
+
+    coefs = [fq.reshape(-1, 64)[:, zz] for fq in fqs]
+    hmax = max(hc for hc, _ in comp_hv)
+    vmax = max(vc for _, vc in comp_hv)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    gcols = [mcus_x * hc for hc, _ in comp_hv]
+    # non-interleaved block lists (AC scans never visit padding blocks
+    # outside a component's own ceil(cw/8)×ceil(ch/8) grid)
+    nblocks = []
+    for c in range(3):
+        hc, vc = comp_hv[c]
+        cw = -(-width * hc // hmax)
+        ch = -(-height * vc // vmax)
+        nblocks.append(
+            [
+                by * gcols[c] + bx
+                for by in range(-(-ch // 8))
+                for bx in range(-(-cw // 8))
+            ]
+        )
+    dcY = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    acY = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dcC = _huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    acC = _huff_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+    dc_tabs = [dcY, dcC, dcC]
+    ac_tabs = [acY, acC, acC]
+
+    def mcu_units():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for c in range(3):
+                    hc, vc = comp_hv[c]
+                    for vy in range(vc):
+                        for vx in range(hc):
+                            yield c, (my * vc + vy) * gcols[c] + (mx * hc + vx)
+
+    def sos_all(ah: int, al: int) -> bytes:
+        return _jpeg_seg(
+            0xFFDA,
+            b"\x03\x01\x00\x02\x11\x03\x11" + bytes([0, 0, (ah << 4) | al]),
+        )
+
+    def sos_one(c: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        comp = bytes([c + 1, 0x00 if c == 0 else 0x11])
+        return _jpeg_seg(
+            0xFFDA, b"\x01" + comp + bytes([ss, se, (ah << 4) | al])
+        )
+
+    scans: list[bytes] = []
+    # 1) interleaved DC first, Al=1
+    w_ = _BitWriter()
+    preds = [0, 0, 0]
+    for c, b in mcu_units():
+        dc = int(coefs[c][b, 0]) >> 1
+        diff = dc - preds[c]
+        preds[c] = dc
+        cat = _jpeg_category(diff)
+        code, ln = dc_tabs[c][cat]
+        w_.put(code, ln)
+        if cat:
+            _jpeg_put_amp(w_, diff, cat)
+    scans.append(sos_all(0, 1) + w_.flush())
+    # 2) Y AC 1-5 first Al=2
+    w_ = _BitWriter()
+    _jpeg_prog_ac_first(w_, coefs[0], nblocks[0], acY, 1, 5, 2)
+    scans.append(sos_one(0, 1, 5, 0, 2) + w_.flush())
+    # 3-4) chroma AC 1-63 first Al=1
+    for c in (1, 2):
+        w_ = _BitWriter()
+        _jpeg_prog_ac_first(w_, coefs[c], nblocks[c], acC, 1, 63, 1)
+        scans.append(sos_one(c, 1, 63, 0, 1) + w_.flush())
+    # 5) Y AC 6-63 first Al=2
+    w_ = _BitWriter()
+    _jpeg_prog_ac_first(w_, coefs[0], nblocks[0], acY, 6, 63, 2)
+    scans.append(sos_one(0, 6, 63, 0, 2) + w_.flush())
+    # 6) Y AC refinement 2→1
+    w_ = _BitWriter()
+    _jpeg_prog_ac_refine(w_, coefs[0], nblocks[0], acY, 1, 63, 1)
+    scans.append(sos_one(0, 1, 63, 2, 1) + w_.flush())
+    # 7) interleaved DC refinement (raw bits)
+    w_ = _BitWriter()
+    for c, b in mcu_units():
+        w_.put(int(coefs[c][b, 0]) & 1, 1)
+    scans.append(sos_all(1, 0) + w_.flush())
+    # 8-9) chroma AC refinement 1→0
+    for c in (1, 2):
+        w_ = _BitWriter()
+        _jpeg_prog_ac_refine(w_, coefs[c], nblocks[c], acC, 1, 63, 0)
+        scans.append(sos_one(c, 1, 63, 1, 0) + w_.flush())
+    # 10) Y AC refinement 1→0
+    w_ = _BitWriter()
+    _jpeg_prog_ac_refine(w_, coefs[0], nblocks[0], acY, 1, 63, 0)
+    scans.append(sos_one(0, 1, 63, 1, 0) + w_.flush())
+
+    out = b"\xff\xd8"
+    out += _jpeg_seg(0xFFE0, _JFIF_APP0)
+    out += _jpeg_seg(
+        0xFFDB,
+        b"\x00" + bytes(qY[_ZIGZAG[i]] for i in range(64))
+        + b"\x01" + bytes(qC[_ZIGZAG[i]] for i in range(64)),
+    )
+    out += _jpeg_seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"\x01" + samp[0] + b"\x00"
+        + b"\x02" + samp[1] + b"\x01"
+        + b"\x03" + samp[2] + b"\x01",
+    )
+    out += _jpeg_seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        + b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+        + b"\x11" + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C),
+    )
+    return out + b"".join(scans) + b"\xff\xd9"
+
+
+def _decode_jpeg_prog_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Decode a PROGRESSIVE JPEG (SOF2; 1 component, or 3 components
+    with sampling factors in {1,2}) → (width, height, [uint8 plane,
+    ...]) with subsampled chroma planes box-replicated to full
+    resolution. Full multi-scan entropy decode per T.81 G.2:
+    interleaved DC scans (first + refinement) over MCU order,
+    non-interleaved per-component AC scans with spectral selection,
+    successive approximation, general EOBn runs, and refinement
+    correction bits consumed inside skipped blocks — then the module's
+    shared integer IDCT contract."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("bad JPEG magic (want SOI)")
     pos = 2
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     width = height = None
-    comp_tq = 0
-    dc_tab = ac_tab = (0, 0)
-    coefs = None  # zigzag-ordered (nblocks, 64) int64
+    comp_ids: list[int] = []
+    comp_tq: list[int] = []
+    comp_hv: list[tuple[int, int]] = []
+    grids: list[tuple[int, int]] = []
+    stores: list[np.ndarray] = []
+    hmax = vmax = 1
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1122,14 +1325,29 @@ def decode_jpeg_prog(payload: bytes) -> np.ndarray:
                 bp += 65
         elif marker == 0xC2:
             _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                raise ValueError(
-                    "only single-component progressive JPEG supported"
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component progressive JPEG")
+            for c in range(ncomp):
+                cid, samp, tq_ = body[6 + 3 * c : 9 + 3 * c]
+                hc, vc = samp >> 4, samp & 0xF
+                if hc not in (1, 2) or vc not in (1, 2):
+                    raise ValueError(
+                        "only sampling factors 1 and 2 are supported"
+                    )
+                comp_ids.append(cid)
+                comp_tq.append(tq_)
+                comp_hv.append((hc, vc))
+            if ncomp == 1:
+                comp_hv = [(1, 1)]
+            hmax = max(hc for hc, _ in comp_hv)
+            vmax = max(vc for _, vc in comp_hv)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            for hc, vc in comp_hv:
+                grids.append((mcus_y * vc, mcus_x * hc))
+                stores.append(
+                    np.zeros((mcus_y * vc * mcus_x * hc, 64), dtype=np.int64)
                 )
-            comp_tq = body[8]
-            nbx = -(-width // 8)
-            nby = -(-height // 8)
-            coefs = np.zeros((nby * nbx, 64), dtype=np.int64)
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("expected a progressive (SOF2) JPEG")
         elif marker == 0xC4:
@@ -1145,16 +1363,19 @@ def decode_jpeg_prog(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:
             raise ValueError("restart intervals (DRI) not supported")
         elif marker == 0xDA:
-            if coefs is None:
+            if not stores:
                 raise ValueError("SOS before SOF2")
             ns = body[0]
-            if ns != 1:
-                raise ValueError("progressive scans here are single-component")
-            tt = body[2]
-            dc_tab, ac_tab = (0, tt >> 4), (1, tt & 0xF)
-            ss, se, ahl = body[3], body[4], body[5]
+            scan_cidx: list[int] = []
+            scan_tabs: list[tuple[tuple[int, int], tuple[int, int]]] = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                ci = comp_ids.index(cs)
+                scan_cidx.append(ci)
+                scan_tabs.append(((0, tt >> 4), (1, tt & 0xF)))
+            off = 1 + 2 * ns
+            ss, se, ahl = body[off], body[off + 1], body[off + 2]
             ah, al = ahl >> 4, ahl & 0xF
-            # un-stuff this scan's entropy bytes
             data = bytearray()
             p = pos + ln
             while p < len(payload):
@@ -1167,48 +1388,88 @@ def decode_jpeg_prog(payload: bytes) -> np.ndarray:
                     break
                 data.append(bb)
                 p += 1
-            _jpeg_prog_scan(
-                coefs, bytes(data), huff, dc_tab, ac_tab, ss, se, ah, al
+            _jpeg_prog_apply_scan(
+                stores, grids, comp_hv, hmax, vmax, width, height,
+                scan_cidx, scan_tabs, bytes(data), huff, ss, se, ah, al,
             )
             pos = p
             continue
         pos += ln
-    if coefs is None or width is None:
+    if not stores or width is None:
         raise ValueError("truncated progressive JPEG")
 
     T = np.array(_jpeg_cos_table(), dtype=np.int64)
     CU = np.array(_JPEG_CU, dtype=np.int64)
     zz = np.array(_ZIGZAG)
-    nbx = -(-width // 8)
-    nby = -(-height // 8)
-    nat = np.zeros_like(coefs)
-    nat[:, zz] = coefs
-    r = nat.reshape(-1, 8, 8) * np.array(
-        qtables[comp_tq], dtype=np.int64
-    ).reshape(8, 8)
-    rs_ = _jpeg_rsr(r * CU[None, :, None] * CU[None, None, :], 16)
-    m = _jpeg_rsr(np.einsum("bvu,ux->bvx", rs_, T), 14)
-    p_ = 128 + _jpeg_rsr(np.einsum("bvx,vy->byx", m, T), 28)
-    pix = np.clip(p_, 0, 255).astype(np.uint8)
-    full = pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(
-        nby * 8, nbx * 8
-    )
-    return full[:height, :width]
+    planes = []
+    for c in range(len(stores)):
+        hc, vc = comp_hv[c]
+        gr, gc = grids[c]
+        nat = np.zeros_like(stores[c])
+        nat[:, zz] = stores[c]
+        r = nat.reshape(-1, 8, 8) * np.array(
+            qtables[comp_tq[c]], dtype=np.int64
+        ).reshape(8, 8)
+        rs_ = _jpeg_rsr(r * CU[None, :, None] * CU[None, None, :], 16)
+        m = _jpeg_rsr(np.einsum("bvu,ux->bvx", rs_, T), 14)
+        p_ = 128 + _jpeg_rsr(np.einsum("bvx,vy->byx", m, T), 28)
+        pix = np.clip(p_, 0, 255).astype(np.uint8)
+        full = (
+            pix.reshape(gr, gc, 8, 8).transpose(0, 2, 1, 3).reshape(gr * 8, gc * 8)
+        )
+        cw = -(-width * hc // hmax)
+        ch = -(-height * vc // vmax)
+        comp = full[:ch, :cw]
+        if hc != hmax or vc != vmax:
+            comp = np.repeat(
+                np.repeat(comp, vmax // vc, axis=0), hmax // hc, axis=1
+            )
+        planes.append(comp[:height, :width])
+    return width, height, planes
 
 
-def _jpeg_prog_scan(
-    coefs: np.ndarray,
+def decode_jpeg_prog(payload: bytes) -> np.ndarray:
+    """Decode a PROGRESSIVE grayscale JPEG (SOF2) → uint8 (h, w)."""
+    _, _, planes = _decode_jpeg_prog_planes(payload)
+    if len(planes) != 1:
+        raise ValueError("expected a single-component progressive JPEG")
+    return planes[0]
+
+
+def decode_jpeg_prog_color(payload: bytes) -> np.ndarray:
+    """Decode a PROGRESSIVE YCbCr JPEG (SOF2, 4:4:4 or 4:2:0) → uint8
+    (h, w, 3) RGB via the module's integer inverse color transform."""
+    _, _, planes = _decode_jpeg_prog_planes(payload)
+    if len(planes) != 3:
+        raise ValueError("expected a three-component progressive JPEG")
+    Y = planes[0].astype(np.int64)
+    Cb = planes[1].astype(np.int64) - 128
+    Cr = planes[2].astype(np.int64) - 128
+    R = np.clip(Y + _jpeg_rsr(91881 * Cr, 16), 0, 255)
+    G = np.clip(Y - _jpeg_rsr(22554 * Cb + 46802 * Cr, 16), 0, 255)
+    Bp = np.clip(Y + _jpeg_rsr(116130 * Cb, 16), 0, 255)
+    return np.stack([R, G, Bp], axis=-1).astype(np.uint8)
+
+
+def _jpeg_prog_apply_scan(
+    stores: list[np.ndarray],
+    grids: list[tuple[int, int]],
+    comp_hv: list[tuple[int, int]],
+    hmax: int,
+    vmax: int,
+    width: int,
+    height: int,
+    scan_cidx: list[int],
+    scan_tabs: list[tuple[tuple[int, int], tuple[int, int]]],
     data: bytes,
     huff: dict,
-    dc_tab: tuple[int, int],
-    ac_tab: tuple[int, int],
     ss: int,
     se: int,
     ah: int,
     al: int,
 ) -> None:
-    """Apply ONE progressive scan's entropy data to the zigzag-ordered
-    coefficient store (T.81 G.2 semantics)."""
+    """Apply ONE progressive scan to the per-component zigzag-ordered
+    coefficient stores (T.81 G.2 semantics)."""
     bitpos = 0
     total_bits = len(data) * 8
 
@@ -1242,28 +1503,70 @@ def _jpeg_prog_scan(
             v -= (1 << size) - 1
         return v
 
-    nblocks = coefs.shape[0]
-    if ss == 0:  # DC scan (se must be 0)
+    if ss == 0:  # DC scan (interleaved or single-component)
         if se != 0:
             raise ValueError("DC scan must have Se=0")
-        if ah == 0:  # DC first
-            table = huff[dc_tab]
-            pred = 0
-            for b in range(nblocks):
-                cat = read_huff(table)
-                pred += extend(read_bits(cat), cat)
-                coefs[b, 0] = pred << al
-        else:  # DC refinement: one raw bit per block
+        # block visit order: interleaved MCU order when ns>1, else the
+        # component's non-interleaved raster over its own block grid
+        if len(scan_cidx) > 1:
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            visit: list[tuple[int, int]] = []  # (component index, store row)
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci in scan_cidx:
+                        hc, vc = comp_hv[ci]
+                        _, gcols = grids[ci]
+                        for vy in range(vc):
+                            for vx in range(hc):
+                                visit.append(
+                                    (ci, (my * vc + vy) * gcols + (mx * hc + vx))
+                                )
+        else:
+            ci = scan_cidx[0]
+            hc, vc = comp_hv[ci]
+            cw = -(-width * hc // hmax)
+            ch = -(-height * vc // vmax)
+            _, gcols = grids[ci]
+            visit = [
+                (ci, by * gcols + bx)
+                for by in range(-(-ch // 8))
+                for bx in range(-(-cw // 8))
+            ]
+        if ah == 0:  # DC first: per-component predictors, diff coding
+            preds = {ci: 0 for ci in scan_cidx}
+            dctabs = {
+                ci: huff[scan_tabs[i][0]] for i, ci in enumerate(scan_cidx)
+            }
+            for ci, b in visit:
+                cat = read_huff(dctabs[ci])
+                preds[ci] += extend(read_bits(cat), cat)
+                stores[ci][b, 0] = preds[ci] << al
+        else:  # DC refinement: one raw bit per data unit
             p1 = 1 << al
-            for b in range(nblocks):
+            for ci, b in visit:
                 if read_bit():
-                    coefs[b, 0] |= p1
+                    stores[ci][b, 0] |= p1
         return
 
-    table = huff[ac_tab]
+    # AC scans are single-component non-interleaved (T.81 B.2.3)
+    if len(scan_cidx) != 1:
+        raise ValueError("progressive AC scans must be single-component")
+    ci = scan_cidx[0]
+    coefs = stores[ci]
+    table = huff[scan_tabs[0][1]]
+    hc, vc = comp_hv[ci]
+    cw = -(-width * hc // hmax)
+    ch = -(-height * vc // vmax)
+    _, gcols = grids[ci]
+    blocks = [
+        by * gcols + bx
+        for by in range(-(-ch // 8))
+        for bx in range(-(-cw // 8))
+    ]
     if ah == 0:  # AC first scan
         eobrun = 0
-        for b in range(nblocks):
+        for b in blocks:
             if eobrun > 0:
                 eobrun -= 1
                 continue
@@ -1286,14 +1589,14 @@ def _jpeg_prog_scan(
                 k += 1
         return
 
-    # AC refinement scan (T.81 G.2; the libjpeg decode_mcu_AC_refine
-    # control flow: r counts ZERO-HISTORY positions only, correction
-    # bits are consumed on every nonzero-history position crossed —
-    # including inside EOB-run blocks)
+    # AC refinement scan (T.81 G.2 / libjpeg decode_mcu_AC_refine:
+    # r counts ZERO-HISTORY positions only; correction bits are
+    # consumed on every nonzero-history position crossed — including
+    # inside EOB-run blocks)
     p1 = 1 << al
     m1 = -(1 << al)
     eobrun = 0
-    for b in range(nblocks):
+    for b in blocks:
         k = ss
         if eobrun == 0:
             while k <= se:

@@ -511,12 +511,14 @@ def _plain_jpeg_decode(payload: bytes):
 
 def _plain_jpeg_prog_decode(payload: bytes):
     """Independent plain-Python PROGRESSIVE-JPEG decoder (twin of
-    stages/multimodal.py::decode_jpeg_prog, sharing NO decode code):
-    own marker walk, the T.81 F.15 MINCODE/MAXCODE/VALPTR Huffman
-    procedure, per-scan G.2 coefficient accumulation (DC first/refine,
-    AC first with EOBn runs, AC refinement with correction bits inside
-    EOB-run blocks), then the integer IDCT contract in plain ints.
-    Single grayscale component. Returns (w, h, rows)."""
+    stages/multimodal.py::_decode_jpeg_prog_planes, sharing NO decode
+    code): own marker walk, the T.81 F.15 MINCODE/MAXCODE/VALPTR
+    Huffman procedure, per-scan G.2 coefficient accumulation —
+    interleaved DC scans in MCU order, non-interleaved AC scans over
+    each component's own block grid, EOBn runs, refinement correction
+    bits inside skipped blocks — then the integer IDCT contract in
+    plain ints. 1 or 3 components, sampling factors in {1,2}.
+    Returns (w, h, [plane rows, ...]) at full resolution."""
     import math
     import struct as _struct
 
@@ -554,8 +556,11 @@ def _plain_jpeg_prog_decode(payload: bytes):
     i = 2
     qts, tabs = {}, {}
     w = h = None
-    tq = 0
-    coefs = None  # list of per-block zigzag lists
+    cids, ctq, chv = [], [], []
+    stores = []  # per component: list of per-block zigzag lists
+    gcols = []
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
     while i < len(payload):
         assert payload[i] == 0xFF
         marker = payload[i + 1]
@@ -575,11 +580,24 @@ def _plain_jpeg_prog_decode(payload: bytes):
                 j += 65
         elif marker == 0xC2:
             _, h, w, nc = _struct.unpack(">BHHB", body[:6])
-            assert nc == 1
-            tq = body[8]
-            coefs = [
-                [0] * 64 for _ in range((-(-h // 8)) * (-(-w // 8)))
-            ]
+            assert nc in (1, 3)
+            for c in range(nc):
+                cid, samp, tq_ = body[6 + 3 * c : 9 + 3 * c]
+                assert samp >> 4 in (1, 2) and samp & 0xF in (1, 2)
+                cids.append(cid)
+                ctq.append(tq_)
+                chv.append((samp >> 4, samp & 0xF))
+            if nc == 1:
+                chv = [(1, 1)]
+            hmax = max(hc for hc, _ in chv)
+            vmax = max(vc for _, vc in chv)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for hc, vc in chv:
+                gcols.append(mcus_x * hc)
+                stores.append(
+                    [[0] * 64 for _ in range((mcus_y * vc) * (mcus_x * hc))]
+                )
         elif marker == 0xC4:
             j = 0
             while j < len(body):
@@ -589,10 +607,16 @@ def _plain_jpeg_prog_decode(payload: bytes):
                 tabs[(tc, th)] = build_tables(bits, list(body[j + 17 : j + 17 + nv]))
                 j += 17 + nv
         elif marker == 0xDA:
-            assert coefs is not None and body[0] == 1
-            tt = body[2]
-            dtab, atab = tabs.get((0, tt >> 4)), tabs.get((1, tt & 0xF))
-            ss, se, ah, al = body[3], body[4], body[5] >> 4, body[5] & 0xF
+            assert stores
+            ns = body[0]
+            scan_cidx, scan_tt = [], []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan_cidx.append(cids.index(cs))
+                scan_tt.append(tt)
+            off = 1 + 2 * ns
+            ss, se = body[off], body[off + 1]
+            ah, al = body[off + 2] >> 4, body[off + 2] & 0xF
             data = bytearray()
             p = i + seglen
             while p < len(payload):
@@ -634,106 +658,153 @@ def _plain_jpeg_prog_decode(payload: bytes):
                     v -= (1 << size) - 1
                 return v
 
+            def nonint_blocks(ci: int):
+                hc, vc = chv[ci]
+                cw = -(-w * hc // hmax)
+                ch = -(-h * vc // vmax)
+                return [
+                    by * gcols[ci] + bx
+                    for by in range(-(-ch // 8))
+                    for bx in range(-(-cw // 8))
+                ]
+
             if ss == 0:
                 assert se == 0
-                if ah == 0:  # DC first
-                    pred = 0
-                    for blk in coefs:
-                        cat = decode(dtab)
-                        pred += extend(readn(cat), cat)
-                        blk[0] = pred << al
-                else:  # DC refine
-                    for blk in coefs:
+                if ns > 1:  # interleaved DC in MCU order
+                    visit = []
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            for ci in scan_cidx:
+                                hc, vc = chv[ci]
+                                for vy in range(vc):
+                                    for vx in range(hc):
+                                        visit.append(
+                                            (ci, (my * vc + vy) * gcols[ci] + (mx * hc + vx))
+                                        )
+                else:
+                    ci = scan_cidx[0]
+                    visit = [(ci, b) for b in nonint_blocks(ci)]
+                if ah == 0:
+                    preds = {ci: 0 for ci in scan_cidx}
+                    dtabs = {
+                        ci: tabs[(0, scan_tt[j] >> 4)]
+                        for j, ci in enumerate(scan_cidx)
+                    }
+                    for ci, b in visit:
+                        cat = decode(dtabs[ci])
+                        preds[ci] += extend(readn(cat), cat)
+                        stores[ci][b][0] = preds[ci] << al
+                else:
+                    for ci, b in visit:
                         if nextbit():
-                            blk[0] |= 1 << al
-            elif ah == 0:  # AC first
-                eobrun = 0
-                for blk in coefs:
-                    if eobrun > 0:
-                        eobrun -= 1
-                        continue
-                    k = ss
-                    while k <= se:
-                        rs = decode(atab)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r != 15:
-                                eobrun = (1 << r) - 1 + (readn(r) if r else 0)
-                                break
-                            k += 16
+                            stores[ci][b][0] |= 1 << al
+            else:
+                assert ns == 1
+                ci = scan_cidx[0]
+                atab = tabs[(1, scan_tt[0] & 0xF)]
+                blks = nonint_blocks(ci)
+                if ah == 0:  # AC first
+                    eobrun = 0
+                    for b in blks:
+                        blk = stores[ci][b]
+                        if eobrun > 0:
+                            eobrun -= 1
                             continue
-                        k += r
-                        assert k <= se
-                        blk[k] = extend(readn(s), s) << al
-                        k += 1
-            else:  # AC refinement
-                p1, m1 = 1 << al, -(1 << al)
-                eobrun = 0
-                for blk in coefs:
-                    k = ss
-                    if eobrun == 0:
+                        k = ss
                         while k <= se:
                             rs = decode(atab)
                             r, s = rs >> 4, rs & 0xF
-                            newval = 0
                             if s == 0:
                                 if r != 15:
-                                    eobrun = (1 << r) + (readn(r) if r else 0)
+                                    eobrun = (1 << r) - 1 + (readn(r) if r else 0)
                                     break
-                            else:
-                                assert s == 1
-                                newval = p1 if nextbit() else m1
+                                k += 16
+                                continue
+                            k += r
+                            assert k <= se
+                            blk[k] = extend(readn(s), s) << al
+                            k += 1
+                else:  # AC refinement
+                    p1, m1 = 1 << al, -(1 << al)
+                    eobrun = 0
+                    for b in blks:
+                        blk = stores[ci][b]
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = decode(atab)
+                                r, s = rs >> 4, rs & 0xF
+                                newval = 0
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = (1 << r) + (readn(r) if r else 0)
+                                        break
+                                else:
+                                    assert s == 1
+                                    newval = p1 if nextbit() else m1
+                                while k <= se:
+                                    c = blk[k]
+                                    if c != 0:
+                                        if nextbit() and (c & p1) == 0:
+                                            blk[k] = c + (p1 if c >= 0 else m1)
+                                    else:
+                                        if r == 0:
+                                            if newval:
+                                                blk[k] = newval
+                                            k += 1
+                                            break
+                                        r -= 1
+                                    k += 1
+                        if eobrun > 0:
                             while k <= se:
                                 c = blk[k]
                                 if c != 0:
                                     if nextbit() and (c & p1) == 0:
                                         blk[k] = c + (p1 if c >= 0 else m1)
-                                else:
-                                    if r == 0:
-                                        if newval:
-                                            blk[k] = newval
-                                        k += 1
-                                        break
-                                    r -= 1
                                 k += 1
-                    if eobrun > 0:
-                        while k <= se:
-                            c = blk[k]
-                            if c != 0:
-                                if nextbit() and (c & p1) == 0:
-                                    blk[k] = c + (p1 if c >= 0 else m1)
-                            k += 1
-                        eobrun -= 1
+                            eobrun -= 1
             i = p
             continue
         i += seglen
 
-    assert coefs is not None and w is not None
-    q = qts[tq]
-    nbx = -(-w // 8)
-    nby = -(-h // 8)
-    rows = [[0] * (nbx * 8) for _ in range(nby * 8)]
-    for bidx, blk in enumerate(coefs):
-        by, bx = divmod(bidx, nbx)
-        nat = [0] * 64
-        for z in range(64):
-            nat[ZZ[z]] = blk[z]
-        r_ = [
-            [nat[v * 8 + u] * q[v * 8 + u] for u in range(8)] for v in range(8)
-        ]
-        rs2 = [
-            [rsr(r_[v][u] * CU[v] * CU[u], 16) for u in range(8)]
-            for v in range(8)
-        ]
-        m = [
-            [rsr(sum(rs2[v][u] * T[u][x] for u in range(8)), 14) for x in range(8)]
-            for v in range(8)
-        ]
-        for y in range(8):
-            for x in range(8):
-                pv = 128 + rsr(sum(m[v][x] * T[v][y] for v in range(8)), 28)
-                rows[by * 8 + y][bx * 8 + x] = min(255, max(0, pv))
-    return w, h, [row[:w] for row in rows[:h]]
+    assert stores and w is not None
+    out_planes = []
+    for ci in range(len(stores)):
+        hc, vc = chv[ci]
+        q = qts[ctq[ci]]
+        nbx = gcols[ci]
+        gr = mcus_y * vc
+        plane = [[0] * (nbx * 8) for _ in range(gr * 8)]
+        for bidx, blk in enumerate(stores[ci]):
+            by, bx = divmod(bidx, nbx)
+            nat = [0] * 64
+            for z in range(64):
+                nat[ZZ[z]] = blk[z]
+            r_ = [
+                [nat[v * 8 + u] * q[v * 8 + u] for u in range(8)]
+                for v in range(8)
+            ]
+            rs2 = [
+                [rsr(r_[v][u] * CU[v] * CU[u], 16) for u in range(8)]
+                for v in range(8)
+            ]
+            m = [
+                [rsr(sum(rs2[v][u] * T[u][x] for u in range(8)), 14) for x in range(8)]
+                for v in range(8)
+            ]
+            for y in range(8):
+                for x in range(8):
+                    pv = 128 + rsr(sum(m[v][x] * T[v][y] for v in range(8)), 28)
+                    plane[by * 8 + y][bx * 8 + x] = min(255, max(0, pv))
+        cw = -(-w * hc // hmax)
+        ch = -(-h * vc // vmax)
+        fy, fx = vmax // vc, hmax // hc
+        rows = []
+        for y in range(h):
+            src_row = plane[min(y // fy, ch - 1)]
+            rows.append([src_row[min(x // fx, cw - 1)] for x in range(w)])
+        out_planes.append(rows)
+    return w, h, out_planes
 
 
 def gen_image_features_jpeg_prog(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
@@ -772,6 +843,73 @@ def gen_image_features_jpeg_prog(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
         path,
     )
     return f"{path}: {n} rows"
+
+
+def _gen_image_features_jpeg_prog_color_variant(
+    sub: str, seed0: int, fname: str, n: int
+) -> str:
+    from ontograph_ray.stages.multimodal import (
+        encode_jpeg_prog_color,  # encoder only
+    )
+
+    def rsr_(v: int, s: int) -> int:
+        return (v + (1 << (s - 1))) >> s
+
+    media_ids, widths, heights, phashes = [], [], [], []
+    for i in range(n):
+        w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
+        payload = encode_jpeg_prog_color(w, h, seed0 + i, subsampling=sub)
+        pw, ph, planes = _plain_jpeg_prog_decode(payload)
+        assert (pw, ph) == (w, h) and len(planes) == 3
+        body = bytearray()
+        for y in range(h):
+            for x in range(w):
+                Y = planes[0][y][x]
+                Cb = planes[1][y][x] - 128
+                Cr = planes[2][y][x] - 128
+                r_ = min(255, max(0, Y + rsr_(91881 * Cr, 16)))
+                g_ = min(255, max(0, Y - rsr_(22554 * Cb + 46802 * Cr, 16)))
+                b_ = min(255, max(0, Y + rsr_(116130 * Cb, 16)))
+                body.extend((r_, g_, b_))
+        media_ids.append(i)
+        widths.append(w)
+        heights.append(h)
+        phashes.append(
+            int.from_bytes(hashlib.sha1(bytes(body)).digest()[:8], "big")
+        )
+    path = os.path.join(FIXTURES_DIR, fname)
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "phash": pa.array(phashes, pa.uint64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {n} rows"
+
+
+def gen_image_features_jpeg_prog_color(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the REAL progressive COLOR (4:4:4) JPEG
+    decode — libjpeg's default 10-scan script through the plain-Python
+    progressive twin + plain-int inverse color transform; byte-wise
+    interleaved-RGB pin (also equals the baseline color decode of the
+    same content)."""
+    return _gen_image_features_jpeg_prog_color_variant(
+        "444", 9042, "image_features_jpeg_prog_color_n200.parquet", n
+    )
+
+
+def gen_image_features_jpeg_prog420(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the REAL progressive 4:2:0 JPEG decode
+    (interleaved DC scans over 2x2-sampled MCUs + per-component
+    non-interleaved AC scans over each component's own block grid)."""
+    return _gen_image_features_jpeg_prog_color_variant(
+        "420", 9542, "image_features_jpeg_prog420_n200.parquet", n
+    )
 
 
 def gen_image_features_jpeg(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
@@ -2558,6 +2696,14 @@ _SF_INDEPENDENT = {
     "image_features_jpeg_prog": (
         gen_image_features_jpeg_prog,
         "image_features_jpeg_prog_n200.parquet",
+    ),
+    "image_features_jpeg_prog_color": (
+        gen_image_features_jpeg_prog_color,
+        "image_features_jpeg_prog_color_n200.parquet",
+    ),
+    "image_features_jpeg_prog420": (
+        gen_image_features_jpeg_prog420,
+        "image_features_jpeg_prog420_n200.parquet",
     ),
     "image_features_png_color": (
         gen_image_features_png_color,

@@ -712,6 +712,24 @@ class TestProgressiveJpeg:
         assert np.array_equal(img[:, :8], want0)
         assert (img[:, 8:] == 128).all()  # skipped + empty blocks flat
 
+    def test_color_progressive_equals_baseline(self):
+        # 4:4:4 and 4:2:0, incl. odd dims (crop + pad + per-component
+        # non-interleaved AC grids differ from the interleaved DC grid)
+        for sub in ("444", "420"):
+            for i in range(6):
+                w, h = 17 + (i % 8) * 4, 15 + (i % 5) * 4
+                p = multimodal.decode_jpeg_prog_color(
+                    multimodal.encode_jpeg_prog_color(w, h, 9600 + i, subsampling=sub)
+                )
+                b = multimodal.decode_jpeg_color(
+                    multimodal.encode_jpeg_color(w, h, 9600 + i, subsampling=sub)
+                )
+                assert np.array_equal(p, b), (sub, i)
+
+    def test_color_progressive_scan_count(self):
+        payload = multimodal.encode_jpeg_prog_color(24, 16, 7)
+        assert payload.count(b"\xff\xda") >= 10  # libjpeg default script
+
     def test_stage(self, ray_session):
         ds = ray.data.from_arrow(
             multimodal.synthesize_media(12, seed=80, codec="jpeg_prog")
