@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "docs_sorted_neighborhood",
     "ann_topk_ivfpq",
+    "ann_topk_hnsw",
     "image_features_pgm",
     "image_features_jpeg",
     "image_features_png",

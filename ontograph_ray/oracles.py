@@ -1193,6 +1193,7 @@ SELECT query_id, vec_id FROM ranked WHERE rn <= 10""",
         # and sign codes are pure deterministic functions; k-boundary
         # distinctness asserted at fixture-gen time)
         "ann_topk_lsh": _fx("ann_lsh"),
+        "ann_topk_hnsw": _fx("ann_hnsw"),
         # int64 fixed-point k-means — plain-numpy twin (exact integer
         # arithmetic is block-layout invariant, unlike float Lloyd)
         "kmeans_clusters": _fx("kmeans_clusters"),

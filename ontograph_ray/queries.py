@@ -1186,6 +1186,26 @@ def q_ann_topk_lsh(sf_dir: str):
     return df[["query_id", "vec_id"]]
 
 
+def q_ann_topk_hnsw(sf_dir: str):
+    """Sharded deterministic HNSW top-10 (Malkov & Yashunin 2016) —
+    the graph-based ANN family next to IVF/LSH/IVF-PQ: one shard-keyed
+    exchange builds an independent small-world graph per shard, the
+    broadcast queries fan out, per-shard top-k merge by (score desc,
+    id asc). The build is made oracle-able by a determinism contract
+    (ascending-id inserts, splitmix64-hash level assignment — no RNG
+    state — and (dist, id) tie-breaks everywhere), so the approximate
+    result sits under an exact fixture oracle: an independent
+    plain-Python/heapq reimplementation of the whole sharded
+    build+search (scripts/gen_fixtures.py::gen_ann_hnsw) with the
+    LSH-twin k-boundary distinctness guard."""
+    from .stages.ann import hnsw_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids, qvecs = _ann_query_vectors(sf_dir)
+    df = hnsw_topk(emb, qids, qvecs, k=10)
+    return df[["query_id", "vec_id"]]
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash-LSH near-dup removal survivors. Value-pinned by an
     independent plain-Python reimplementation of the whole chain

@@ -721,3 +721,189 @@ def hard_negatives(
         ["query_id", "score", id_col], ascending=[True, False, True], kind="stable"
     )
     return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Sharded deterministic HNSW (Malkov & Yashunin 2016, arXiv:1603.09320)
+#
+# The standard distributed deployment: the corpus is hash-partitioned
+# into shards, each shard builds its OWN small-world graph, queries
+# fan out to every shard index and the per-shard top-k merge globally
+# (score desc, id asc). Shards are the parallel axis — graph
+# construction is inherently sequential per shard (each insert greedy-
+# searches the graph so far), which is exactly why a single global
+# HNSW does not distribute; the shard form keeps per-actor build
+# sequential and bounded while the corpus scales with the shard count.
+#
+# Determinism contract (what makes an approximate index oracle-able,
+# same discipline as the IVF/LSH twins): insertion order = ascending
+# vec_id within a shard; level assignment = a pure function of vec_id
+# (splitmix64 → exponential via math.log, no RNG state); all candidate
+# orderings tie-broken by (distance, vec_id); float64 cosine
+# throughout. The fixture twin re-implements the whole build+search in
+# plain numpy/heapq and must match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _hnsw_level(vid: int, m_l: float) -> int:
+    import math
+
+    from .export import splitmix64 as _smix
+
+    h = int(_smix(np.asarray([vid], dtype=np.uint64))[0])
+    u = (h + 1) / 2.0**64  # (0, 1]
+    return int(-math.log(u) * m_l)
+
+
+class _HnswGraph:
+    """One shard's in-memory HNSW graph (deterministic build)."""
+
+    def __init__(self, M: int = 8, ef_construction: int = 64):
+        import math
+
+        self.M = M
+        self.m_l = 1.0 / math.log(M)
+        self.efc = ef_construction
+        self.ids: list[int] = []
+        self.vecs: np.ndarray | None = None  # normalized, row per node
+        self.levels: list[int] = []
+        self.links: list[list[list[int]]] = []  # node → level → neighbors
+        self.entry = -1
+
+    def _dist(self, a: int, q: np.ndarray) -> float:
+        return float(1.0 - self.vecs[a] @ q)
+
+    def _search_layer(self, q: np.ndarray, eps: list[int], ef: int, lvl: int):
+        """Best-first search on one layer → [(dist, node)] sorted,
+        tie-broken by node id (heapq tuples)."""
+        import heapq
+
+        visited = set(eps)
+        cand = [(self._dist(e, q), e) for e in eps]
+        heapq.heapify(cand)  # min-heap: closest candidate first
+        best = [(-d, -e) for d, e in cand]  # max-heap on (dist, id)
+        heapq.heapify(best)
+        while cand:
+            d, n = heapq.heappop(cand)
+            if len(best) >= ef and (d, n) > (-best[0][0], -best[0][1]):
+                break
+            for nb in self.links[n][lvl]:
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                dn = self._dist(nb, q)
+                if len(best) < ef or (dn, nb) < (-best[0][0], -best[0][1]):
+                    heapq.heappush(cand, (dn, nb))
+                    heapq.heappush(best, (-dn, -nb))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return sorted((-d, -n) for d, n in best)
+
+    def insert(self, vid_row: int) -> None:
+        lvl = self.levels[vid_row]
+        if self.entry < 0:
+            self.entry = vid_row
+            return
+        q = self.vecs[vid_row]
+        top = self.levels[self.entry]
+        eps = [self.entry]
+        for l in range(top, lvl, -1):
+            eps = [self._search_layer(q, eps, 1, l)[0][1]]
+        for l in range(min(lvl, top), -1, -1):
+            found = self._search_layer(q, eps, self.efc, l)
+            m = self.M if l > 0 else 2 * self.M  # M0 = 2M per the paper
+            nbrs = [n for _, n in found[:m]]
+            self.links[vid_row][l] = list(nbrs)
+            for n in nbrs:
+                ln = self.links[n][l]
+                ln.append(vid_row)
+                if len(ln) > m:
+                    # simple M-nearest pruning, tie-broken by id
+                    scored = sorted(
+                        (self._dist(x, self.vecs[n]), x) for x in ln
+                    )
+                    self.links[n][l] = [x for _, x in scored[:m]]
+            eps = [n for _, n in found]
+        if lvl > top:
+            self.entry = vid_row
+
+    def build(self, ids: np.ndarray, vecs: np.ndarray) -> None:
+        order = np.argsort(ids, kind="stable")  # ascending vec_id
+        self.ids = ids[order].tolist()
+        self.vecs = _normalize(vecs[order].astype(np.float64))
+        self.levels = [_hnsw_level(int(v), self.m_l) for v in self.ids]
+        self.links = [
+            [[] for _ in range(lv + 1)] for lv in self.levels
+        ]
+        for row in range(len(self.ids)):
+            self.insert(row)
+
+    def search(self, q: np.ndarray, k: int, ef: int):
+        if self.entry < 0:
+            return []
+        qn = q / (np.linalg.norm(q) or 1.0)
+        eps = [self.entry]
+        for l in range(self.levels[self.entry], 0, -1):
+            eps = [self._search_layer(qn, eps, 1, l)[0][1]]
+        found = self._search_layer(qn, eps, max(ef, k), 0)
+        return [
+            (float(1.0 - d), self.ids[n]) for d, n in found[:k]
+        ]  # (cosine score, vec_id)
+
+
+def hnsw_topk(
+    emb_ds: ray.data.Dataset,
+    query_ids: list[int],
+    query_vecs: np.ndarray,
+    k: int = 10,
+    M: int = 8,
+    ef_construction: int = 64,
+    ef_search: int = 48,
+    n_shards: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Sharded HNSW approximate top-k: ONE shard-keyed exchange
+    co-locates each shard's vectors, each group builds its graph and
+    answers the broadcast queries, and the per-shard partials (at most
+    k·n_queries·n_shards rows) merge on the driver by (score desc,
+    vec_id asc). Returns (query_id, vec_id, score), k rows per query."""
+    queries_ref = ray.put(
+        {"ids": list(query_ids), "vecs": np.asarray(query_vecs, dtype=np.float64)}
+    )
+    from ..store.dataset import bucketed_group_map
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "__shard", pa.array((ids % n_shards).astype(np.int64))
+        )
+
+    def build_and_search(df: pd.DataFrame) -> pd.DataFrame:
+        from .bcast import cached_get
+
+        q = cached_get(_ANN_CACHE, queries_ref)
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        vecs = np.asarray(df[vec_col].tolist(), dtype=np.float64)
+        g = _HnswGraph(M=M, ef_construction=ef_construction)
+        g.build(ids, vecs)
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(q["ids"]):
+            for score, vid in g.search(q["vecs"][qi], k, ef_search):
+                out_q.append(int(qid))
+                out_id.append(int(vid))
+                out_s.append(score)
+        return pd.DataFrame(
+            {"query_id": out_q, id_col: out_id, "score": out_s}
+        )
+
+    partial = bucketed_group_map(
+        emb_ds.map_batches(add_shard, batch_format="pyarrow"),
+        ["__shard"],
+        build_and_search,
+    )
+    df = partial.to_pandas()  # ≤ k · n_queries · n_shards rows
+    df = df.sort_values(
+        ["query_id", "score", id_col], ascending=[True, False, True], kind="stable"
+    )
+    return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)

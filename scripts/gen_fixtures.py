@@ -2646,9 +2646,164 @@ def gen_ngram_lm_scores(sf_dir: str = DEFAULT_SF) -> str:
     return f"{path}: {len(rows['doc_id'])} rows"
 
 
+def gen_ann_hnsw(
+    sf_dir: str = DEFAULT_SF,
+    k: int = 10,
+    M: int = 8,
+    efc: int = 64,
+    efs: int = 48,
+    n_shards: int = 4,
+    n_queries: int = 5,
+) -> str:
+    """Plain-Python/heapq twin of stages/ann.py::hnsw_topk (mirrors
+    q_ann_topk_hnsw): shard by vec_id % n_shards, build each shard's
+    small-world graph with the same determinism contract (ascending-id
+    inserts, splitmix64→exponential level assignment, (dist, id)
+    tie-breaks, float64 cosine), search with the same ef, merge by
+    (score desc, id asc). Restructured independently (dict-of-layers
+    graph, no class) but bit-reproducing the engine output."""
+    import heapq
+    import math
+
+    import numpy as np
+
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids_all = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    m_all = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+
+    def norm(v):
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return v / n
+
+    M64 = (1 << 64) - 1
+
+    def smix(x: int) -> int:
+        h = (x + 0x9E3779B97F4A7C15) & M64
+        h ^= h >> 30
+        h = (h * 0xBF58476D1CE4E5B9) & M64
+        h ^= h >> 27
+        h = (h * 0x94D049BB133111EB) & M64
+        h ^= h >> 31
+        return h
+
+    m_l = 1.0 / math.log(M)
+
+    def level_of(vid: int) -> int:
+        return int(-math.log((smix(vid) + 1) / 2.0**64) * m_l)
+
+    qmask = ids_all < n_queries
+    qids = ids_all[qmask]
+    qo = np.argsort(qids, kind="stable")
+    qids = qids[qo]
+    qvecs = norm(m_all[qmask][qo])
+
+    partials: list[tuple[int, float, int]] = []  # (query_id, -score, vec_id)
+    for shard in range(n_shards):
+        smask = ids_all % n_shards == shard
+        sids = ids_all[smask]
+        order = np.argsort(sids, kind="stable")
+        sids = sids[order]
+        svecs = norm(m_all[smask][order])
+        levels = [level_of(int(v)) for v in sids]
+        links: dict[tuple[int, int], list[int]] = {
+            (row, l): [] for row in range(len(sids)) for l in range(levels[row] + 1)
+        }
+        entry = -1
+
+        def dist(row: int, q) -> float:
+            return float(1.0 - svecs[row] @ q)
+
+        def search_layer(q, eps, ef, lvl):
+            visited = set(eps)
+            cand = [(dist(e, q), e) for e in eps]
+            heapq.heapify(cand)
+            best = [(-d, -e) for d, e in cand]
+            heapq.heapify(best)
+            while cand:
+                d, nnode = heapq.heappop(cand)
+                if len(best) >= ef and (d, nnode) > (-best[0][0], -best[0][1]):
+                    break
+                for nb in links[(nnode, lvl)]:
+                    if nb in visited:
+                        continue
+                    visited.add(nb)
+                    dn = dist(nb, q)
+                    if len(best) < ef or (dn, nb) < (-best[0][0], -best[0][1]):
+                        heapq.heappush(cand, (dn, nb))
+                        heapq.heappush(best, (-dn, -nb))
+                        if len(best) > ef:
+                            heapq.heappop(best)
+            return sorted((-d, -n_) for d, n_ in best)
+
+        for row in range(len(sids)):
+            lvl = levels[row]
+            if entry < 0:
+                entry = row
+                continue
+            q = svecs[row]
+            top = levels[entry]
+            eps = [entry]
+            for l in range(top, lvl, -1):
+                eps = [search_layer(q, eps, 1, l)[0][1]]
+            for l in range(min(lvl, top), -1, -1):
+                found = search_layer(q, eps, efc, l)
+                mm = M if l > 0 else 2 * M
+                nbrs = [n_ for _, n_ in found[:mm]]
+                links[(row, l)] = list(nbrs)
+                for n_ in nbrs:
+                    ln = links[(n_, l)]
+                    ln.append(row)
+                    if len(ln) > mm:
+                        scored = sorted((dist(x, svecs[n_]), x) for x in ln)
+                        links[(n_, l)] = [x for _, x in scored[:mm]]
+                eps = [n_ for _, n_ in found]
+            if lvl > top:
+                entry = row
+
+        for qi, qid in enumerate(qids):
+            if entry < 0:
+                continue
+            q = qvecs[qi]
+            eps = [entry]
+            for l in range(levels[entry], 0, -1):
+                eps = [search_layer(q, eps, 1, l)[0][1]]
+            found = search_layer(q, eps, max(efs, k), 0)
+            for d, row in found[:k]:
+                partials.append((int(qid), d - 1.0, int(sids[row])))
+
+    out_q, out_id = [], []
+    partials.sort(key=lambda t: (t[0], t[1], t[2]))  # qid, dist asc = score desc, id
+    for qid in qids:
+        rows = [t for t in partials if t[0] == qid][:k]
+        # layout-safety: the merged k-boundary must be score-distinct
+        scores = [t[1] for t in [x for x in partials if x[0] == qid][: k + 1]]
+        if len(set(scores)) != len(scores):
+            raise RuntimeError(
+                f"duplicate merged score in the top-{k + 1} for query {qid}"
+            )
+        for _, _, vid in rows:
+            out_q.append(int(qid))
+            out_id.append(vid)
+    path = _path("ann_hnsw", sf_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(out_q)} rows"
+
+
 GENERATORS = {
     "entity_pagerank": gen_entity_pagerank,
     "ngram_lm_scores": gen_ngram_lm_scores,
+    "ann_hnsw": gen_ann_hnsw,
     "entity_hits": gen_entity_hits,
     "entity_communities": gen_entity_communities,
     "pq_codes": gen_pq_codes,

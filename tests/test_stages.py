@@ -1716,6 +1716,39 @@ class TestLshAnn:
         pd.testing.assert_frame_equal(got, again)
 
 
+class TestHnswAnn:
+    def test_hnsw_self_match_recall_and_determinism(self, ray_session, embs):
+        from ontograph_ray.stages import ann
+
+        rows = embs.take(5)
+        qids = [r["vec_id"] for r in rows]
+        qvecs = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+        exact = ann.brute_force_topk(embs, qids, qvecs, k=5)
+        got = ann.hnsw_topk(embs, qids, qvecs, k=5)
+        # a query IS a corpus vector → its own shard returns it top-1
+        for qid in qids:
+            top = got[got["query_id"] == qid].iloc[0]
+            assert top["vec_id"] == qid and top["score"] > 0.999
+        recall = 0.0
+        for qid in qids:
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            a = set(got[got["query_id"] == qid]["vec_id"])
+            recall += len(e & a) / len(e)
+        assert recall / len(qids) >= 0.6
+        # deterministic across block layouts (the oracle-ability claim)
+        again = ann.hnsw_topk(embs.repartition(5), qids, qvecs, k=5)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), again.reset_index(drop=True)
+        )
+
+    def test_hnsw_level_function_is_pure(self):
+        from ontograph_ray.stages.ann import _hnsw_level
+
+        ls = [_hnsw_level(v, 1.0) for v in range(2000)]
+        assert ls == [_hnsw_level(v, 1.0) for v in range(2000)]
+        assert max(ls) >= 1 and min(ls) == 0  # multi-layer graphs occur
+
+
 class TestCuratePipeline:
     def test_curate_exact_filters_and_dedups(self, ray_session):
         from ontograph_ray.pipelines.curate import (
