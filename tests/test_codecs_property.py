@@ -1,0 +1,101 @@
+"""Property-based codec tests (hypothesis) — the multimodal codecs'
+invariants over arbitrary dimensions and content, beyond the fixed
+fixture seeds:
+
+- PNG and GIF are LOSSLESS: decode(encode(img)) == img exactly.
+- GIF's LZW layer round-trips arbitrary byte strings (dictionary
+  growth, resets, KwKwK, width-boundary alignments).
+- Progressive JPEG decodes byte-identically to baseline JPEG for the
+  same content (both encoders write identical quantized coefficients
+  through the shared integer IDCT contract) — grayscale and color.
+- ADPCM recovers exact length/rate and stays within the adaptive
+  quantizer's error envelope.
+
+These run pure numpy/stdlib — no Ray session needed.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from ontograph_ray.stages import multimodal as mm
+
+dims = st.tuples(st.integers(1, 40), st.integers(1, 40))
+seeds = st.integers(0, 2**31 - 1)
+
+
+@settings(max_examples=40, deadline=None)
+@given(dims, seeds)
+def test_png_gray_lossless(wh, seed):
+    w, h = wh
+    img = mm.decode_png_gray(mm.encode_png_gray(w, h, seed))
+    assert np.array_equal(img, mm._image_pixels(w, h, seed).reshape(h, w))
+
+
+@settings(max_examples=25, deadline=None)
+@given(dims, seeds)
+def test_png_color_lossless(wh, seed):
+    w, h = wh
+    img = mm.decode_png_color(mm.encode_png_color(w, h, seed))
+    assert np.array_equal(img, np.moveaxis(mm._rgb_pixels(w, h, seed), 0, -1))
+
+
+@settings(max_examples=40, deadline=None)
+@given(dims, seeds)
+def test_gif_lossless(wh, seed):
+    w, h = wh
+    img = mm.decode_gif_gray(mm.encode_gif_gray(w, h, seed))
+    assert np.array_equal(img, mm._image_pixels(w, h, seed).reshape(h, w))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=6000))
+def test_gif_lzw_roundtrip_arbitrary_bytes(data):
+    assert mm._gif_lzw_decode(mm._gif_lzw_encode(data)) == data
+
+
+@settings(max_examples=20, deadline=None)
+@given(dims, seeds)
+def test_progressive_jpeg_equals_baseline(wh, seed):
+    w, h = wh
+    prog = mm.decode_jpeg_prog(mm.encode_jpeg_prog(w, h, seed))
+    base = mm.decode_jpeg_gray(mm.encode_jpeg_gray(w, h, seed))
+    assert np.array_equal(prog, base)
+
+
+@settings(max_examples=10, deadline=None)
+@given(dims, seeds, st.sampled_from(["444", "420"]))
+def test_progressive_color_equals_baseline(wh, seed, sub):
+    w, h = wh
+    prog = mm.decode_jpeg_prog_color(
+        mm.encode_jpeg_prog_color(w, h, seed, subsampling=sub)
+    )
+    base = mm.decode_jpeg_color(
+        mm.encode_jpeg_color(w, h, seed, subsampling=sub)
+    )
+    assert np.array_equal(prog, base)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 30000), seeds)
+def test_adpcm_length_and_error_envelope(n, seed):
+    pcm, sr = mm.decode_adpcm(mm.encode_adpcm_audio(n, 8000, seed))
+    assert sr == 8000 and len(pcm) == n
+    if n >= 64:
+        orig = mm._audio_pcm(n, seed).astype(np.float64)
+        dec = pcm.astype(np.float64)
+        rel = np.sqrt(np.mean((orig - dec) ** 2)) / (
+            np.sqrt(np.mean(orig**2)) or 1.0
+        )
+        assert rel < 0.6  # white noise is ADPCM's worst case
+
+
+@settings(max_examples=25, deadline=None)
+@given(dims, seeds)
+def test_jpeg_baseline_quality_envelope(wh, seed):
+    # lossy, but the integer contract bounds reconstruction error for
+    # any content at quality 85
+    w, h = wh
+    img = mm.decode_jpeg_gray(mm.encode_jpeg_gray(w, h, seed))
+    want = mm._image_pixels(w, h, seed).reshape(h, w).astype(np.int64)
+    err = np.abs(img.astype(np.int64) - want)
+    assert float(err.mean()) < 48  # random noise ≈ worst case for DCT
