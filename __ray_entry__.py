@@ -255,14 +255,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # first. The verified set is read from every CORRECTNESS_r*.json
     # present at the repo root (union of all prior driver runs), so the
     # rotation stays fresh each round without a hand-maintained list.
-    verified = _driver_verified_keys()
+    verified = _driver_verified_keys() | _prior_round_verified(
+        list(registry.keys())
+    )
     rotated = {k: v for k, v in registry.items() if k not in verified}
     rotated.update(registry)
     return rotated
 
 
+# Keys that were NEVER driver-verified through round 4 (VERDICT.md r04
+# lists them; every one is judge-verified green at sf0.01). The r02-r04
+# CORRECTNESS files are not always retained on disk between rounds, so
+# the r01∪…∪r04 union is reconstructed as: every key that existed at
+# round 4 EXCEPT these — keeping this set (plus all round-5 additions)
+# at the front of the rotation, where the driver's 50-key sample will
+# finally reach them.
+_NEVER_VERIFIED_R04 = frozenset(
+    {
+        "collocations_top", "dict_encode_ids", "docs_sorted_neighborhood",
+        "dup_ngrams", "event_funnel", "event_props_stats",
+        "event_value_outliers", "events_ohlc", "events_zorder",
+        "export_shards", "ngram_novelty", "perceptron_filter",
+        "quantile_sketch", "repetition_stats", "source_concentration",
+        "sparql_ask", "sparql_construct", "sparql_describe",
+        "sparql_select", "sparql_values", "train_val_test_split",
+        "user_activity_islands", "user_modal_event",
+        "user_retention_cohorts", "vocab_coverage",
+    }
+)
+
+# First key of the round-5 tail in the registry dict (everything from
+# here on was added in round 5 and has no prior driver verification).
+_ROUND5_FIRST_KEY = "sparql_bind_div"
+
+
 def _driver_verified_keys() -> frozenset[str]:
-    """Union of keys green in any prior round's CORRECTNESS_r*.json.
+    """Union of keys green in any prior round's CORRECTNESS_r*.json,
+    plus the reconstructed r01-r04 union (see _NEVER_VERIFIED_R04).
 
     A key counts as verified only if its row-count check passed and it
     raised no error — failed/errored keys rotate back to the front so
@@ -284,6 +313,16 @@ def _driver_verified_keys() -> frozenset[str]:
             if isinstance(res, dict) and res.get("rows_match") and not res.get("err"):
                 keys.add(key)
     return frozenset(keys)
+
+
+def _prior_round_verified(registry_keys: list[str]) -> frozenset[str]:
+    """The reconstructed r01∪…∪r04 verified set: every key that
+    existed before the round-5 tail, minus the never-verified 25."""
+    if _ROUND5_FIRST_KEY in registry_keys:
+        r04_keys = registry_keys[: registry_keys.index(_ROUND5_FIRST_KEY)]
+    else:  # tail marker renamed — fall back to file-based union only
+        r04_keys = []
+    return frozenset(r04_keys) - _NEVER_VERIFIED_R04
 
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
