@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_jpeg_prog_color": q.q_image_features_jpeg_prog_color,
         "image_features_jpeg_prog420": q.q_image_features_jpeg_prog420,
         "ann_topk_hnsw": q.q_ann_topk_hnsw,
+        "jsonl_gz_roundtrip": q.q_jsonl_gz_roundtrip,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

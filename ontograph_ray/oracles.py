@@ -1094,6 +1094,9 @@ FROM documents""",
         "jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
+        "jsonl_gz_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
         "csv_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),

@@ -2774,6 +2774,25 @@ def q_jsonl_roundtrip(sf_dir: str):
     return read_documents_jsonl(out)
 
 
+def q_jsonl_gz_roundtrip(sf_dir: str):
+    """GZIP JSONL interchange round-trip — the compressed form public
+    web corpora actually ship as: documents → content-hash-named
+    ``part-*.jsonl.gz`` shards (stdlib gzip per block, resumable at
+    file granularity) → file-parallel gunzip+parse reader. Oracle is
+    the original table (set equality proves losslessness through the
+    compression layer)."""
+    import tempfile
+
+    from .sources.jsonl import (
+        read_documents_jsonl_gz,
+        write_documents_jsonl_gz,
+    )
+
+    out = tempfile.mkdtemp(prefix="og_jsonlgz_", dir="/tmp")
+    write_documents_jsonl_gz(_read(sf_dir, "documents"), out)
+    return read_documents_jsonl_gz(out)
+
+
 def q_csv_roundtrip(sf_dir: str):
     """CSV interchange round-trip: documents → partitioned CSV sink →
     schema-pinned reader; oracle is the original table (set equality

@@ -2689,6 +2689,40 @@ class TestJsonlSource:
         want = pd.DataFrame(rows)
         pd.testing.assert_frame_equal(back, want)
 
+    def test_jsonl_gz_roundtrip_exact_and_compressed(self, ray_session, tmp_path):
+        import gzip
+        import os
+
+        import pandas as pd
+
+        from ontograph_ray.sources.jsonl import (
+            read_documents_jsonl_gz,
+            write_documents_jsonl_gz,
+        )
+
+        rows = [
+            {"doc_id": i, "text": f"doc {i} unicode é 中文", "lang": "en",
+             "source": f"s{i % 2}", "n_chars": 10 + i}
+            for i in range(9)
+        ]
+        ds = ray.data.from_items(rows).repartition(3)
+        out = str(tmp_path / "jsonlgz")
+        write_documents_jsonl_gz(ds, out)
+        files = sorted(os.listdir(out))
+        assert files and all(f.endswith(".jsonl.gz") for f in files)
+        # the shards are REAL gzip members
+        with open(os.path.join(out, files[0]), "rb") as f:
+            raw = f.read()
+        assert raw[:2] == b"\x1f\x8b" and gzip.decompress(raw).startswith(b"{")
+        back = (
+            read_documents_jsonl_gz(out)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = pd.DataFrame(rows)[["doc_id", "text", "lang", "source", "n_chars"]]
+        pd.testing.assert_frame_equal(back[want.columns.tolist()], want)
+
     def test_csv_roundtrip_hostile_text(self, ray_session, tmp_path):
         import pandas as pd
 
