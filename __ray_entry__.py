@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_jpeg_prog420": q.q_image_features_jpeg_prog420,
         "ann_topk_hnsw": q.q_ann_topk_hnsw,
         "jsonl_gz_roundtrip": q.q_jsonl_gz_roundtrip,
+        "sparql_filter_negvar": q.q_sparql_filter_negvar,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

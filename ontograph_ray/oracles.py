@@ -472,6 +472,13 @@ v AS (SELECT subject, object,
 SELECT subject AS c, object AS b FROM v
 WHERE {_sql_div_u("v", 7)} > 50000500000
    OR {_sql_div_u("v", 3)} <= -25000250000""",
+        # unary minus on variables: -b > 400000 OR b-100000 >= -b
+        "sparql_filter_negvar": f"""{_T}
+SELECT subject AS c, object AS b FROM (
+  SELECT subject, object,
+         CAST(regexp_extract(object, '"([+-]?\\d+)"', 1) AS BIGINT) AS v
+  FROM t WHERE predicate = '<{ACCTBAL}>')
+WHERE -v > 400000 OR v - 100000 >= -v""",
         # ABS/CEIL/FLOOR/ROUND over the decimal lane (NOTE: DuckDB //
         # truncates toward zero, numpy floor-divides — floor/ceil are
         # spelled out sign-explicitly)

@@ -3428,6 +3428,28 @@ def q_sparql_filter_decimal(sf_dir: str):
     )
 
 
+def q_sparql_filter_negvar(sf_dir: str):
+    """E8 extension: unary minus on variables in FILTER arithmetic —
+    ``-?v`` as a leading operand, combined with further arithmetic and
+    on either comparison side. Negated variables evaluate on the exact
+    scale-6 decimal lane (negation is exact), so the thresholds are
+    decided without float rounding."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?c ?b WHERE {
+          ?c attr:acctbalCents ?b .
+          FILTER ( -?b > 400000 || ?b - 100000 >= -?b )
+        }
+        """,
+    )
+
+
 def q_sparql_bind_round(sf_dir: str):
     """E8 extension: ABS/CEIL/FLOOR/ROUND numeric builtins in BIND —
     XPath semantics (fn:round ties toward +inf) evaluated exactly on

@@ -661,18 +661,18 @@ def parse(text: str) -> _Query:
 
         def _arith_operand():
             # one operand of a numeric FILTER expression:
-            # ?var | [-]int | [-]decimal (decimal → the scale-6 lane,
-            # carried as ("dec", unscaled))
+            # ?var | -?var | [-]int | [-]decimal (decimal and negated
+            # variables → the scale-6 lane; ("dec", unscaled) /
+            # ("negvar", name) leaves)
             t = take()
             neg = t == "-"
             if neg:
                 t = take()
             if t.startswith("?"):
-                if neg:
-                    raise SparqlUnsupportedError(
-                        "unary minus before a ?variable in FILTER arithmetic"
-                    )
-                return t[1:]
+                # unary minus on a variable evaluates on the decimal
+                # lane (exact negation; mask-only semantics make the
+                # integer/decimal distinction moot in FILTER)
+                return ("negvar", t[1:]) if neg else t[1:]
             if _IS_DEC_TOK.fullmatch(t):
                 u = _dec_const(t)
                 return ("dec", -u if neg else u)
@@ -945,6 +945,22 @@ def parse(text: str) -> _Query:
                     tuple(args),
                     val,
                 )
+            if var == "-" and peek().startswith("?"):
+                # leading unary minus: -?v [⊕ operand] cmp expr — the
+                # negated variable evaluates on the decimal lane
+                negop = ("negvar", take()[1:])
+                if peek() in ("+", "-", "*", "/"):
+                    lexpr = (take(), negop, _arith_operand())
+                else:
+                    lexpr = (None, negop, None)
+                cmp = take()
+                if cmp not in ("<", ">", "<=", ">=", "=", "!="):
+                    raise SparqlSyntaxError(
+                        f"expected a comparison after -?var, got {cmp!r}"
+                    )
+                cmp_key = {"<": "lt", ">": "gt", "<=": "le", ">=": "ge",
+                           "=": "num_eq", "!=": "num_ne"}[cmp]
+                return ("numcmp", (cmp_key, lexpr, _arith_expr()), "")
             if not var.startswith("?"):
                 raise SparqlSyntaxError("FILTER needs a ?variable on the left")
             op = take()
@@ -2631,6 +2647,9 @@ def sparql_select(
                         if fn == "ceil":
                             return -((-xa) // S) * S, xv
                         return ((xa + S // 2) // S) * S, xv
+                    if isinstance(operand, tuple) and operand[0] == "negvar":
+                        xa, xv = _dec_decode(batch[operand[1]])
+                        return -xa, xv
                     if isinstance(operand, tuple):  # ("dec", unscaled)
                         return (
                             np.full(n, operand[1], np.int64),

@@ -2926,6 +2926,55 @@ class TestSparqlGroupByNoAggregates:
         assert sorted(ded["n"].tolist()) == [1, 2]
 
 
+class TestSparqlNegVar:
+    """Unary minus on variables in FILTER arithmetic (decimal lane)."""
+
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+    def _store(self):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(
+                r(f"urn:e{i}"), r("urn:val"), l(str(v), datatype=self.XSD_INT)
+            )
+            for i, v in enumerate([-8, -3, 0, 3, 8])
+        ]
+        return DatasetGraphStore.from_triples("urn:g", trps)
+
+    def test_leading_negvar_forms(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        st = self._store()
+        q = "SELECT ?e WHERE {{ ?e <urn:val> ?v . FILTER ( {f} ) }}"
+        cases = [
+            ("-?v > 2", ["<urn:e0>", "<urn:e1>"]),       # v < -2
+            ("-?v = 3", ["<urn:e1>"]),                   # v = -3
+            ("-?v + 10 >= 13", ["<urn:e0>", "<urn:e1>"]),  # v <= -3
+        ]
+        for f, want in cases:
+            out = sparql_select(st, q.format(f=f)).to_pandas()
+            assert sorted(out["e"]) == want, f
+
+    def test_negvar_on_rhs_and_both_sides(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        st = self._store()
+        out = sparql_select(
+            st,
+            "SELECT ?e WHERE { ?e <urn:val> ?v . FILTER ( ?v - 1 > -?v ) }",
+        ).to_pandas()
+        assert sorted(out["e"]) == ["<urn:e3>", "<urn:e4>"]  # 2v > 1
+        out = sparql_select(
+            st,
+            "SELECT ?e WHERE { ?e <urn:val> ?v . FILTER ( -?v >= -?v ) }",
+        ).to_pandas()
+        assert len(out) == 5  # tautology keeps every bound row
+
+
 class TestSparqlSubqueryStar:
     """{ SELECT * } subquery bodies: projection derived statically."""
 
