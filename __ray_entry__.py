@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_hnsw": q.q_ann_topk_hnsw,
         "jsonl_gz_roundtrip": q.q_jsonl_gz_roundtrip,
         "sparql_filter_negvar": q.q_sparql_filter_negvar,
+        "sparql_coalesce_cmp": q.q_sparql_coalesce_cmp,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

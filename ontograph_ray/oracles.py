@@ -472,6 +472,12 @@ v AS (SELECT subject, object,
 SELECT subject AS c, object AS b FROM v
 WHERE {_sql_div_u("v", 7)} > 50000500000
    OR {_sql_div_u("v", 3)} <= -25000250000""",
+        # COALESCE numeric comparison: subjects whose (optional)
+        # balance >= 900000; unbound coalesces to -1 → excluded
+        "sparql_coalesce_cmp": f"""{_T}
+SELECT DISTINCT subject AS s FROM t
+WHERE predicate = '<{ACCTBAL}>'
+  AND CAST(regexp_extract(object, '"([+-]?\\d+)"', 1) AS BIGINT) >= 900000""",
         # unary minus on variables: -b > 400000 OR b-100000 >= -b
         "sparql_filter_negvar": f"""{_T}
 SELECT subject AS c, object AS b FROM (

@@ -3450,6 +3450,29 @@ def q_sparql_filter_negvar(sf_dir: str):
     )
 
 
+def q_sparql_coalesce_cmp(sf_dir: str):
+    """E8 extension: numeric comparisons over COALESCE — the coalesced
+    term decodes on the exact decimal lane, bare numeric defaults
+    become typed literals, non-numeric/all-unbound rows drop (type
+    error). Subjects WITHOUT the optional balance coalesce to -1 and
+    are excluded; GROUP BY dedups the generic-pattern rows."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?s WHERE {
+          ?s ?p ?o .
+          OPTIONAL { ?s attr:acctbalCents ?b . }
+          FILTER ( COALESCE(?b, -1) >= 900000 )
+        } GROUP BY ?s
+        """,
+    )
+
+
 def q_sparql_bind_round(sf_dir: str):
     """E8 extension: ABS/CEIL/FLOOR/ROUND numeric builtins in BIND —
     XPath semantics (fn:round ties toward +inf) evaluated exactly on

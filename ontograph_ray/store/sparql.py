@@ -918,9 +918,20 @@ def parse(text: str) -> _Query:
                 args: list[str] = []
                 while True:
                     t = take()
-                    args.append(
-                        t if t.startswith("?") else _expand(t, prefixes, "object")
-                    )
+                    if t == "-" and (
+                        peek().isdigit() or _IS_DEC_TOK.fullmatch(peek())
+                    ):
+                        t = "-" + take()
+                    body = t[1:] if t.startswith("-") else t
+                    if t.startswith("?"):
+                        args.append(t)
+                    elif body.isdigit():
+                        # bare numeric default → typed integer literal
+                        args.append(f'"{t}"^^<{C.XSD_INTEGER}>')
+                    elif _IS_DEC_TOK.fullmatch(body):
+                        args.append(f'"{t}"^^<{C.XSD_DECIMAL}>')
+                    else:
+                        args.append(_expand(t, prefixes, "object"))
                     nxt = take()
                     if nxt == ")":
                         break
@@ -931,9 +942,31 @@ def parse(text: str) -> _Query:
                         "COALESCE needs at least one ?variable"
                     )
                 bop = take()
+                if bop in ("<", ">", "<=", ">="):
+                    # numeric comparison of the coalesced term against
+                    # a number — decoded on the exact decimal lane
+                    nt = take()
+                    neg = nt == "-"
+                    if neg:
+                        nt = take()
+                    if nt.isdigit():
+                        u = int(nt) * _DEC_SCALE
+                    elif _IS_DEC_TOK.fullmatch(nt):
+                        u = _dec_const(nt)
+                    else:
+                        raise SparqlSyntaxError(
+                            "COALESCE numeric comparison needs a number "
+                            f"on the right, got {nt!r}"
+                        )
+                    key = {"<": "lt", ">": "gt", "<=": "le", ">=": "ge"}[bop]
+                    return (
+                        "coalesce_cmp",
+                        (key, tuple(args), -u if neg else u),
+                        "",
+                    )
                 if bop not in ("=", "!="):
                     raise SparqlUnsupportedError(
-                        "COALESCE() filter supports = and != only"
+                        "COALESCE() filter supports = != < > <= >= only"
                     )
                 val = _expand(take(), prefixes, "object")
                 if val.startswith("?"):
@@ -2539,9 +2572,14 @@ def sparql_select(
                             out.append(x)
                         elif isinstance(x, tuple) and x and x[0] == "fnexpr":
                             out += _expr_vars(x[2])
+                        elif isinstance(x, tuple) and x and x[0] == "negvar":
+                            out.append(x[1])
                     return out
 
                 return [x for e in (v[1], v[2]) for x in _expr_vars(e)]
+            if op == "coalesce_cmp":
+                # (key, args, const): vars live in the args tuple
+                return [a[1:] for a in v[1] if a.startswith("?")]
             return _fvars(v)
 
         bad = [
@@ -2692,6 +2730,25 @@ def sparql_select(
                 return (pc.equal if op == "coalesce_eq" else pc.not_equal)(
                     co, val
                 )
+            if op == "coalesce_cmp":
+                import numpy as np
+
+                key, args_, u = var
+                co = pc.coalesce(
+                    *[
+                        batch[a[1:]] if a.startswith("?") else pa.scalar(a)
+                        for a in args_
+                    ]
+                )
+                if isinstance(co, pa.Scalar):  # all-constant COALESCE
+                    co = pa.array([co.as_py()] * batch.num_rows, pa.string())
+                xa, xv = _dec_decode(co)
+                fn_np = {
+                    "lt": np.less, "gt": np.greater,
+                    "le": np.less_equal, "ge": np.greater_equal,
+                }[key]
+                # non-numeric / all-unbound rows → false (type error)
+                return pa.array(fn_np(xa, u) & xv)
             col = batch[var]
             if op == "eq":
                 return pc.equal(col, val)

@@ -2975,6 +2975,64 @@ class TestSparqlNegVar:
         assert len(out) == 5  # tautology keeps every bound row
 
 
+class TestSparqlCoalesceCmp:
+    """Numeric comparisons over COALESCE (decimal-lane decode; bare
+    numeric defaults become typed literals)."""
+
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+    def _store(self):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = []
+        for i, v in enumerate([5, -2, 10]):
+            trps.append(
+                new_triple(
+                    r(f"urn:e{i}"), r("urn:val"),
+                    l(str(v), datatype=self.XSD_INT),
+                )
+            )
+        trps.append(
+            new_triple(r("urn:e3"), r("urn:alt"), l("7", datatype=self.XSD_INT))
+        )
+        trps.append(new_triple(r("urn:e4"), r("urn:other"), l("x")))
+        return DatasetGraphStore.from_triples("urn:g", trps)
+
+    def test_two_var_coalesce_ge(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        out = sparql_select(
+            self._store(),
+            "SELECT ?e WHERE { ?e ?p ?o . "
+            "OPTIONAL { ?e <urn:val> ?v . } OPTIONAL { ?e <urn:alt> ?a . } "
+            "FILTER ( COALESCE(?v, ?a) >= 6 ) }",
+        ).to_pandas()
+        assert sorted(set(out["e"])) == ["<urn:e2>", "<urn:e3>"]
+
+    def test_numeric_default_and_type_error_drop(self, ray_session):
+        from ontograph_ray.store.sparql import sparql_select
+
+        st = self._store()
+        out = sparql_select(
+            st,
+            "SELECT ?e WHERE { ?e ?p ?o . OPTIONAL { ?e <urn:val> ?v . } "
+            "FILTER ( COALESCE(?v, 0) < 0 ) }",
+        ).to_pandas()
+        assert sorted(set(out["e"])) == ["<urn:e1>"]
+        # decimal default + non-numeric coalesced term drops the row
+        out2 = sparql_select(
+            st,
+            "SELECT ?e WHERE { ?e ?p ?o . OPTIONAL { ?e <urn:other> ?x . } "
+            "FILTER ( COALESCE(?x, -0.5) < 0 ) }",
+        ).to_pandas()
+        # e4's ?x = plain literal "x" → type error → dropped; all
+        # others coalesce to -0.5 → pass
+        assert "<urn:e4>" not in set(out2["e"]) and len(set(out2["e"])) == 4
+
+
 class TestSparqlSubqueryStar:
     """{ SELECT * } subquery bodies: projection derived statically."""
 
