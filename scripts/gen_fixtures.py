@@ -819,10 +819,10 @@ def gen_image_features_jpeg_prog(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     for i in range(n):
         w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
         payload = encode_jpeg_prog(w, h, 8042 + i)
-        pw, ph, rows = _plain_jpeg_prog_decode(payload)
-        assert (pw, ph) == (w, h)
+        pw, ph, planes = _plain_jpeg_prog_decode(payload)
+        assert (pw, ph) == (w, h) and len(planes) == 1
         body = bytearray()
-        for row in rows:
+        for row in planes[0]:
             body.extend(row)
         media_ids.append(i)
         widths.append(w)
