@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_gz_roundtrip": q.q_jsonl_gz_roundtrip,
         "sparql_filter_negvar": q.q_sparql_filter_negvar,
         "sparql_coalesce_cmp": q.q_sparql_coalesce_cmp,
+        "image_features_tiff": q.q_image_features_tiff,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "image_features_jpeg",
     "image_features_png",
     "image_features_gif",
+    "image_features_tiff",
     "image_features_jpeg_prog",
     "image_features_jpeg_prog420",
     "audio_features_adpcm",

@@ -943,6 +943,9 @@ SELECT l_orderkey, l_linenumber, 'l_discount',
         "image_features_gif": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_gif_n200.parquet')"
         ),
+        "image_features_tiff": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_tiff_n200.parquet')"
+        ),
         "image_features_jpeg_prog": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_jpeg_prog_n200.parquet')"
         ),

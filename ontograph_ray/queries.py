@@ -1900,6 +1900,22 @@ def q_image_features_jpeg_prog420(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "phash"])
 
 
+def q_image_features_tiff(sf_dir: str):
+    """REAL compressed-codec LOSSLESS image decode: TIFF 6.0 §13 LZW —
+    the OTHER LZW dialect from GIF's (MSB-first code packing,
+    EARLY-CHANGE width bumps, same CLEAR/EOI/KwKwK machinery) inside
+    the classic little-endian IFD container, via
+    stages/multimodal.py::decode_tiff_gray. Oracle: independent
+    plain-Python MSB-first LZW twin
+    (scripts/gen_fixtures.py::_plain_tiff_decode); lossless, so phash
+    also equals the synthesized-content hash."""
+    from .stages.multimodal import decode_images, synthesize_media
+
+    ds = ray.data.from_arrow(synthesize_media(200, seed=10042, codec="tiff"))
+    out = decode_images(ds, codec="tiff")
+    return out.select_columns(["media_id", "width", "height", "phash"])
+
+
 def q_image_features_gif(sf_dir: str):
     """REAL compressed-codec LOSSLESS image decode: GIF87a with LZW
     dictionary coding (variable 9→12-bit codes, LSB-first packing,

@@ -19,7 +19,9 @@ and tested. Codecs come in three tiers:
   ``"png_color"``: lossless PNG (RFC 2083 — chunk CRCs, stdlib-zlib
   DEFLATE, all five scanline filters; see the PNG section below),
   ``codec="gif"``: GIF87a LZW with a gray-ramp palette (lossless;
-  see the GIF section below), and ``codec="adpcm"``: IMA ADPCM
+  see the GIF section below), ``codec="tiff"``: TIFF 6.0 LZW — the
+  opposite LZW dialect, MSB-first with early-change width bumps (see
+  the TIFF section below), and ``codec="adpcm"``: IMA ADPCM
   compressed audio (WAVE tag 0x0011; see the ADPCM section below).
   These are genuine on-disk formats a user can produce with
   ImageMagick / ffmpeg, so the decode stages are real codecs, not
@@ -128,6 +130,7 @@ def synthesize_media(n: int, seed: int = 42, codec: str = "fake") -> pa.Table:
         "png": encode_png_gray,
         "png_color": encode_png_color,
         "gif": encode_gif_gray,
+        "tiff": encode_tiff_gray,
         "jpeg_prog": encode_jpeg_prog,
         "jpeg_prog_color": encode_jpeg_prog_color,
         "jpeg_prog_420": lambda w, h, s: encode_jpeg_prog_color(
@@ -165,13 +168,13 @@ class ImageDecoder:
     def __init__(self, codec: str = "fake"):
         if codec not in (
             "fake", "pgm", "jpeg", "jpeg_color", "jpeg_prog",
-            "jpeg_prog_color", "png", "png_color", "gif",
+            "jpeg_prog_color", "png", "png_color", "gif", "tiff",
         ):
             raise NotImplementedError(
                 f"codec {codec!r} requires image-compression libraries not "
                 "present in this environment; use codec='jpeg', "
                 "'jpeg_color', 'jpeg_prog', 'jpeg_prog_color', 'png', "
-                "'png_color', 'gif', 'pgm' or 'fake'"
+                "'png_color', 'gif', 'tiff', 'pgm' or 'fake'"
             )
         self.codec = codec
 
@@ -188,6 +191,8 @@ class ImageDecoder:
             return decode_png_color(payload)
         if self.codec == "gif":
             return decode_gif_gray(payload)
+        if self.codec == "tiff":
+            return decode_tiff_gray(payload)
         if self.codec == "jpeg_prog":
             return decode_jpeg_prog(payload)
         if self.codec == "jpeg_prog_color":
@@ -2015,6 +2020,208 @@ def decode_gif_gray(payload: bytes) -> np.ndarray:
     if len(data) != w * h:
         raise ValueError("GIF pixel count mismatch")
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# TIFF with LZW compression (TIFF 6.0 §13) — the OTHER LZW dialect.
+#
+# Where GIF packs codes LSB-first and widens "late", TIFF LZW packs
+# MSB-first and uses EARLY CHANGE: the code width bumps one code
+# sooner (the width must fit the NEXT code the decoder's lagged table
+# will assign, per the spec's published off-by-one). Both dialects now
+# live side by side, each pinned by its own independent twin —
+# documentary proof the width-sync discipline is understood, not
+# cargo-culted. Grayscale 8-bit, single strip, classic little-endian
+# container (II*\0, the 10 baseline IFD tags) — what `convert img.pgm
+# -compress LZW img.tif` emits for this content. Lossless.
+# ---------------------------------------------------------------------------
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << size) | code  # MSB-first
+        nbits += size
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    code_size = 9
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    emit(clear, code_size)
+    it = iter(data)
+    w = next(it)
+    for k in it:
+        if (w, k) in table:
+            w = table[(w, k)]
+            continue
+        emit(w, code_size)
+        table[(w, k)] = next_code
+        next_code += 1
+        # EARLY CHANGE: widen one code sooner than GIF
+        if next_code == (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+        elif next_code >= 4093:  # reset before the 12-bit table fills
+            emit(clear, code_size)
+            table.clear()
+            code_size = 9
+            next_code = eoi + 1
+        w = k
+    emit(w, code_size)
+    # mirror the decoder's post-final-add early-change widen so EOI is
+    # written at the width it will be read at (same structural edge as
+    # the GIF encoder, shifted one by the early-change convention)
+    if next_code == (1 << code_size) - 2 and code_size < 12:
+        code_size += 1
+    emit(eoi, code_size)
+    if nbits:
+        emit(0, 8 - nbits)  # zero-pad to a byte boundary
+    return bytes(out)
+
+
+def _tiff_lzw_decode(stream: bytes) -> bytes:
+    clear, eoi = 256, 257
+    out = bytearray()
+    pos = 0
+
+    def read(size: int) -> int:
+        nonlocal pos
+        v = 0
+        for _ in range(size):
+            byte = pos >> 3
+            if byte >= len(stream):
+                raise ValueError("truncated TIFF LZW stream")
+            v = (v << 1) | ((stream[byte] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        return v
+
+    table = {i: bytes([i]) for i in range(256)}
+    next_code = eoi + 1
+    code_size = 9
+    prev: bytes | None = None
+    while True:
+        code = read(code_size)
+        if code == clear:
+            table = {i: bytes([i]) for i in range(256)}
+            next_code = eoi + 1
+            code_size = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad TIFF LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # decoder lags one add; with early change its threshold
+            # sits one below the encoder's (cf. the GIF pair at
+            # (1<<size) vs (1<<size)-1)
+            if next_code == (1 << code_size) - 2 and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_tiff_gray(width: int, height: int, seed: int) -> bytes:
+    """REAL compressed codec: classic little-endian TIFF, 8-bit
+    grayscale, one LZW-compressed strip. Same deterministic pixel
+    content as the other grayscale image codecs; lossless."""
+    px = _image_pixels(width, height, seed).tobytes()
+    strip = _tiff_lzw_encode(px)
+    # layout: header (8) | strip data | IFD
+    strip_off = 8
+    ifd_off = strip_off + len(strip)
+    if ifd_off % 2:  # IFD must be word-aligned
+        strip += b"\x00"
+        ifd_off += 1
+    tags = [
+        (256, 3, 1, width),        # ImageWidth, SHORT
+        (257, 3, 1, height),       # ImageLength
+        (258, 3, 1, 8),            # BitsPerSample
+        (259, 3, 1, 5),            # Compression = LZW
+        (262, 3, 1, 1),            # PhotometricInterpretation = BlackIsZero
+        (273, 4, 1, strip_off),    # StripOffsets
+        (277, 3, 1, 1),            # SamplesPerPixel
+        (278, 3, 1, height),       # RowsPerStrip (single strip)
+        (279, 4, 1, len(strip)),   # StripByteCounts
+    ]
+    ifd = struct.pack("<H", len(tags))
+    for tag, typ, cnt, val in tags:
+        ifd += struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val)
+    ifd += struct.pack("<I", 0)  # next-IFD pointer
+    return b"II*\x00" + struct.pack("<I", ifd_off) + strip + ifd
+
+
+def decode_tiff_gray(payload: bytes) -> np.ndarray:
+    """Decode a grayscale LZW TIFF → uint8 (h, w). Classic
+    little-endian container, 8-bit BlackIsZero, LZW strips (multiple
+    strips concatenate in row order); predictors/other compressions
+    refused."""
+    if payload[:4] != b"II*\x00":
+        raise ValueError("bad TIFF magic (want little-endian classic)")
+    (ifd_off,) = struct.unpack("<I", payload[4:8])
+    (ntags,) = struct.unpack("<H", payload[ifd_off : ifd_off + 2])
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(ntags):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack("<HHI", payload[off : off + 8])
+        tags[tag] = (typ, cnt, payload[off + 8 : off + 12])
+
+    def val(tag: int, default=None) -> int:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF tag {tag} missing")
+            return default
+        typ, cnt, raw = tags[tag]
+        if cnt != 1:
+            raise ValueError(f"TIFF tag {tag}: expected a single value")
+        if typ == 3:  # SHORT
+            return struct.unpack("<H", raw[:2])[0]
+        if typ == 4:  # LONG
+            return struct.unpack("<I", raw)[0]
+        raise ValueError(f"TIFF tag {tag}: unsupported type {typ}")
+
+    def vals(tag: int) -> list[int]:
+        typ, cnt, raw = tags[tag]
+        size = 2 if typ == 3 else 4
+        fmtc = "H" if typ == 3 else "I"
+        if cnt * size <= 4:
+            buf = raw[: cnt * size]
+        else:
+            (p,) = struct.unpack("<I", raw)
+            buf = payload[p : p + cnt * size]
+        return list(struct.unpack("<" + fmtc * cnt, buf))
+
+    w, h = val(256), val(257)
+    if val(258, 8) != 8 or val(277, 1) != 1:
+        raise ValueError("only 8-bit single-sample TIFF supported")
+    if val(259, 1) != 5:
+        raise ValueError("only LZW-compressed TIFF supported here")
+    if val(262, 1) != 1:
+        raise ValueError("only BlackIsZero grayscale TIFF supported")
+    if val(317, 1) != 1:
+        raise ValueError("TIFF predictors not supported")
+    offs = vals(273)
+    lens = vals(279)
+    data = bytearray()
+    for o, ln in zip(offs, lens):
+        data.extend(_tiff_lzw_decode(payload[o : o + ln]))
+    if len(data) < w * h:
+        raise ValueError("TIFF strip data short of width*height")
+    return np.frombuffer(bytes(data[: w * h]), dtype=np.uint8).reshape(h, w)
 
 
 _FAKE_AUDIO_MAGIC = b"FAKEAUD1"

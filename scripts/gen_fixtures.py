@@ -1267,6 +1267,104 @@ def gen_image_features_gif(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     return f"{path}: {n} rows"
 
 
+def _plain_tiff_decode(payload: bytes) -> tuple[int, int, list[int]]:
+    """Independent plain-Python TIFF-LZW decoder (twin of
+    stages/multimodal.py::decode_tiff_gray — no shared code): IFD walk
+    with struct, then MSB-first LZW with the early-change width
+    convention written over its own list-backed string table. Returns
+    (width, height, flat pixel list)."""
+    assert payload[:4] == b"II*\x00"
+    (ifd_off,) = struct.unpack("<I", payload[4:8])
+    (ntags,) = struct.unpack("<H", payload[ifd_off : ifd_off + 2])
+    tags = {}
+    for i in range(ntags):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack("<HHI", payload[off : off + 8])
+        tags[tag] = (typ, cnt, payload[off + 8 : off + 12])
+
+    def one(tag):
+        typ, cnt, raw = tags[tag]
+        assert cnt == 1
+        return struct.unpack("<H" if typ == 3 else "<I", raw[: 2 if typ == 3 else 4])[0]
+
+    w, h = one(256), one(257)
+    assert one(258) == 8 and one(259) == 5 and one(262) == 1
+    strip_off, strip_len = one(273), one(279)
+    data = payload[strip_off : strip_off + strip_len]
+
+    out: list[int] = []
+    bitpos = 0
+
+    def read(size: int) -> int:
+        nonlocal bitpos
+        v = 0
+        for _ in range(size):
+            v = (v << 1) | ((data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        return v
+
+    strings: list[list[int]] = [[i] for i in range(256)] + [[], []]
+    size = 9
+    prev: list[int] | None = None
+    while True:
+        code = read(size)
+        if code == 256:  # Clear
+            strings = strings[:258]
+            size = 9
+            prev = None
+            continue
+        if code == 257:  # EOI
+            break
+        if code < len(strings):
+            entry = strings[code]
+        else:
+            assert code == len(strings) and prev is not None
+            entry = prev + prev[:1]
+        out.extend(entry)
+        if prev is not None:
+            strings.append(prev + entry[:1])
+            # early change: one below the GIF twin's threshold
+            if len(strings) == (1 << size) - 2 and size < 12:
+                size += 1
+        prev = entry
+    assert len(out) >= w * h
+    return w, h, out[: w * h]
+
+
+def gen_image_features_tiff(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the REAL TIFF-LZW decode (MSB-first packing,
+    early-change widening — the opposite LZW dialect from GIF's);
+    lossless, so ``phash`` pins the pixels byte-wise AND equals the
+    synthesized-content hash."""
+    from ontograph_ray.stages.multimodal import encode_tiff_gray  # encoder only
+
+    media_ids, widths, heights, phashes = [], [], [], []
+    for i in range(n):
+        w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
+        payload = encode_tiff_gray(w, h, 10042 + i)
+        pw, ph, px = _plain_tiff_decode(payload)
+        assert (pw, ph) == (w, h)
+        media_ids.append(i)
+        widths.append(w)
+        heights.append(h)
+        phashes.append(
+            int.from_bytes(hashlib.sha1(bytes(px)).digest()[:8], "big")
+        )
+    path = os.path.join(FIXTURES_DIR, "image_features_tiff_n200.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "phash": pa.array(phashes, pa.uint64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {n} rows"
+
+
 def gen_audio_features_wav(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     """Independent twin of the REAL-codec WAV decode: walks the RIFF
     chunk list with its own struct-based reader (no stdlib ``wave``, no
@@ -2848,6 +2946,10 @@ _SF_INDEPENDENT = {
     ),
     "image_features_png": (gen_image_features_png, "image_features_png_n200.parquet"),
     "image_features_gif": (gen_image_features_gif, "image_features_gif_n200.parquet"),
+    "image_features_tiff": (
+        gen_image_features_tiff,
+        "image_features_tiff_n200.parquet",
+    ),
     "image_features_jpeg_prog": (
         gen_image_features_jpeg_prog,
         "image_features_jpeg_prog_n200.parquet",

@@ -866,6 +866,73 @@ class TestGifCodec:
         assert key(out) == key(fake)
 
 
+class TestTiffCodec:
+    def test_tiff_lossless_roundtrip(self):
+        for i in range(10):
+            w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
+            payload = multimodal.encode_tiff_gray(w, h, 7300 + i)
+            img = multimodal.decode_tiff_gray(payload)
+            want = multimodal._image_pixels(w, h, 7300 + i).reshape(h, w)
+            assert np.array_equal(img, want)
+
+    def test_tiff_lzw_is_the_other_dialect(self):
+        # MSB-first + early change: the two dialects must NOT be
+        # interchangeable — a GIF-packed stream is garbage to the TIFF
+        # reader and vice versa (differing first-code bit layout)
+        import random
+
+        rng = random.Random(13)
+        data = bytes(rng.randrange(256) for _ in range(500))
+        t = multimodal._tiff_lzw_encode(data)
+        g = multimodal._gif_lzw_encode(data)
+        assert t != g
+        assert multimodal._tiff_lzw_decode(t) == data
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            if multimodal._tiff_lzw_decode(g) != data:
+                raise ValueError("dialect mismatch")
+
+    def test_tiff_lzw_boundary_alignments(self):
+        import random
+
+        rng = random.Random(17)
+        for n in list(range(240, 280)) + [rng.randrange(1, 3000) for _ in range(60)]:
+            data = bytes(rng.randrange(256) for _ in range(n))
+            assert multimodal._tiff_lzw_decode(multimodal._tiff_lzw_encode(data)) == data, n
+
+    def test_tiff_container_and_refusals(self):
+        payload = multimodal.encode_tiff_gray(20, 16, 3)
+        assert payload[:4] == b"II*\x00"
+        with pytest.raises(ValueError, match="magic"):
+            multimodal.decode_tiff_gray(b"MM\x00*" + payload[4:])
+        # uncompressed TIFF (tag 259 = 1) → typed refusal: flip the
+        # compression tag value in place
+        import struct as _s
+
+        (ifd_off,) = _s.unpack("<I", payload[4:8])
+        (ntags,) = _s.unpack("<H", payload[ifd_off : ifd_off + 2])
+        bad = bytearray(payload)
+        for i in range(ntags):
+            off = ifd_off + 2 + 12 * i
+            tag = _s.unpack("<H", payload[off : off + 2])[0]
+            if tag == 259:
+                bad[off + 8 : off + 10] = _s.pack("<H", 1)
+        with pytest.raises(ValueError, match="LZW"):
+            multimodal.decode_tiff_gray(bytes(bad))
+
+    def test_tiff_stage(self, ray_session):
+        ds = ray.data.from_arrow(
+            multimodal.synthesize_media(12, seed=81, codec="tiff")
+        )
+        out = multimodal.decode_images(ds, codec="tiff").take_all()
+        fake = multimodal.decode_images(
+            ray.data.from_arrow(multimodal.synthesize_media(12, seed=81))
+        ).take_all()
+        key = lambda rows: {r["media_id"]: r["phash"] for r in rows}
+        assert key(out) == key(fake)  # lossless == fake-codec features
+
+
 class TestGopherRules:
     def test_all_rules_fire(self, ray_session):
         import ray as _ray
