@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_filter_negvar": q.q_sparql_filter_negvar,
         "sparql_coalesce_cmp": q.q_sparql_coalesce_cmp,
         "image_features_tiff": q.q_image_features_tiff,
+        "audio_features_g711": q.q_audio_features_g711,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "image_features_jpeg_prog",
     "image_features_jpeg_prog420",
     "audio_features_adpcm",
+    "audio_features_g711",
     "video_frames_y4m",
     "gopher_quality",
     "c4_line_filter",

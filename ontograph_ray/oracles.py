@@ -967,6 +967,9 @@ SELECT l_orderkey, l_linenumber, 'l_discount',
         "audio_features_adpcm": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/audio_features_adpcm_n200.parquet')"
         ),
+        "audio_features_g711": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/audio_features_g711_n200.parquet')"
+        ),
         "video_frames_y4m": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/video_frames_y4m_n150.parquet')"
         ),

@@ -1983,6 +1983,49 @@ def q_audio_features_adpcm(sf_dir: str):
     )
 
 
+def q_audio_features_g711(sf_dir: str):
+    """REAL COMPRESSED-codec telephony audio decode: ITU-T G.711
+    µ-law AND A-law companding (WAVE tags 7/6, 8 bits/sample — the
+    storage form of telephone-speech corpora), clips alternating law
+    by id; ONE featurize pass handles both (the decoder dispatches on
+    the fmt tag). Duration/RMS/ZCR rounded to 9 dp. Oracle twin
+    expands every byte with plain-int ITU bit algorithms
+    (scripts/gen_fixtures.py::_plain_g711_decode) — byte-identical
+    PCM."""
+    from .stages.multimodal import (
+        MEDIA_SCHEMA,
+        encode_g711_audio,
+        featurize_audio,
+    )
+
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(200):
+        sr = 8000
+        samples = sr * (1 + i % 3)
+        law = "mulaw" if i % 2 == 0 else "alaw"
+        rows["media_id"].append(i)
+        rows["kind"].append("audio")
+        rows["payload"].append(encode_g711_audio(samples, sr, 3007 + i, law=law))
+        rows["width"].append(0)
+        rows["height"].append(0)
+        rows["sample_rate"].append(sr)
+        rows["n_frames"].append(0)
+    ds = ray.data.from_arrow(pa.table(rows, schema=MEDIA_SCHEMA))
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        for col in ("duration_sec", "rms", "zero_crossing_rate"):
+            batch = batch.set_column(
+                batch.schema.get_field_index(col),
+                col,
+                pc.round(batch[col], ndigits=9),
+            )
+        return batch
+
+    return featurize_audio(ds, codec="mulaw").map_batches(
+        rounded, batch_format="pyarrow"
+    )
+
+
 def q_video_frames_y4m(sf_dir: str):
     """REAL-codec video frame sampling: YUV4MPEG2 mono streams parsed
     by the in-module parser (stages/multimodal.py::decode_y4m), every

@@ -2393,6 +2393,117 @@ def _adpcm_container(data: bytes, n_samples: int, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+# ---------------------------------------------------------------------------
+# G.711 µ-law / A-law — the REAL telephony companding codecs (ITU-T
+# G.711, 1972): 8 bits/sample logarithmic PCM, WAVE format tags 7
+# (µ-law) and 6 (A-law). The standard storage form of telephone-speech
+# corpora (Switchboard, Fisher, CallHome), so a speech-data pipeline
+# must read them. Both directions are pure integer bit algorithms —
+# segment/exponent search, mantissa slice, XOR masks — fully
+# vectorized (one numpy pass per batch, no per-sample loop: unlike
+# ADPCM there is no cross-sample recurrence).
+# ---------------------------------------------------------------------------
+
+
+def _mulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM → µ-law bytes (G.711 §4.2, bias-0x84 form)."""
+    x = pcm.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84  # bias; clamp per spec
+    exp = (np.floor(np.log2(mag)).astype(np.int64) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def _mulaw_decode(u: np.ndarray) -> np.ndarray:
+    """µ-law bytes → int16 PCM (exact inverse companding)."""
+    c = (~u.astype(np.int64)) & 0xFF
+    sign = c & 0x80
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM → A-law bytes (G.711 §4.1, 0x55 toggle)."""
+    x = pcm.astype(np.int64)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767) >> 3  # 13-bit magnitude
+    exp = np.zeros_like(mag)
+    m = mag.copy()
+    for e in range(1, 8):  # 7 fixed steps, vectorized compare
+        exp = np.where(mag >= (1 << (e + 4)), e, exp)
+    mant = np.where(exp == 0, mag >> 1, (mag >> exp) & 0x0F)
+    del m
+    return ((sign | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+def _alaw_decode(a: np.ndarray) -> np.ndarray:
+    """A-law bytes → int16 PCM."""
+    c = a.astype(np.int64) ^ 0x55
+    sign = c & 0x80
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = np.where(exp == 0, (mant << 1) + 1, ((mant << 1) + 33) << (exp - 1))
+    mag = mag << 3  # back to 16-bit scale
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+def encode_g711_audio(
+    n_samples: int, sample_rate: int, seed: int, law: str = "mulaw"
+) -> bytes:
+    """REAL compressed codec: mono G.711 in a WAVE container (format
+    tag 7 for µ-law, 6 for A-law; 8 bits/sample, 2:1 vs PCM16, fact
+    chunk with the sample count). Same deterministic PCM content as
+    the other audio codecs."""
+    pcm = _audio_pcm(n_samples, seed)
+    if law == "mulaw":
+        body, tag = _mulaw_encode(pcm), 7
+    elif law == "alaw":
+        body, tag = _alaw_encode(pcm), 6
+    else:
+        raise ValueError("law must be 'mulaw' or 'alaw'")
+    data = body.tobytes()
+    fmt = struct.pack(
+        "<HHIIHHH", tag, 1, sample_rate, sample_rate, 1, 8, 0
+    )
+    fact = struct.pack("<I", n_samples)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_g711(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a mono G.711 WAVE payload (µ-law tag 7 or A-law tag 6)
+    → (int16 PCM, sample_rate). One vectorized expansion pass."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("bad RIFF/WAVE header")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, nch, sr, _rate, _align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag not in (6, 7) or nch != 1 or bits != 8:
+        raise ValueError(
+            f"only mono 8-bit G.711 supported (tag 0x{tag:04x}, {nch}ch)"
+        )
+    raw = np.frombuffer(data, dtype=np.uint8)
+    pcm = _mulaw_decode(raw) if tag == 7 else _alaw_decode(raw)
+    return pcm, sr
+
+
 def encode_adpcm_audio(n_samples: int, sample_rate: int, seed: int) -> bytes:
     """REAL compressed codec: mono IMA ADPCM in a WAVE container
     (format tag 0x0011, block align 256, fact chunk with the true
@@ -2520,11 +2631,11 @@ class AudioFeaturizer:
     unchanged."""
 
     def __init__(self, codec: str = "fake"):
-        if codec not in ("fake", "wav", "adpcm"):
+        if codec not in ("fake", "wav", "adpcm", "mulaw", "alaw"):
             raise NotImplementedError(
                 f"codec {codec!r} requires audio-compression libraries not "
-                "present in this environment; use codec='adpcm', 'wav' or "
-                "'fake'"
+                "present in this environment; use codec='adpcm', 'mulaw', "
+                "'alaw', 'wav' or 'fake'"
             )
         self.codec = codec
 
@@ -2533,6 +2644,8 @@ class AudioFeaturizer:
             return decode_wav(payload)
         if self.codec == "adpcm":
             return decode_adpcm(payload)
+        if self.codec in ("mulaw", "alaw"):
+            return decode_g711(payload)
         if not payload.startswith(_FAKE_AUDIO_MAGIC):
             raise ValueError("bad fake-audio magic")
         n, sr = struct.unpack("<II", payload[8:16])
@@ -2584,6 +2697,8 @@ def synthesize_audio(n: int, seed: int = 7, codec: str = "fake") -> pa.Table:
         "fake": encode_fake_audio,
         "wav": encode_wav_audio,
         "adpcm": encode_adpcm_audio,
+        "mulaw": lambda n_, sr_, sd_: encode_g711_audio(n_, sr_, sd_, "mulaw"),
+        "alaw": lambda n_, sr_, sd_: encode_g711_audio(n_, sr_, sd_, "alaw"),
     }[codec]
     sr = 8000
     specs = [(sr * (1 + i % 3), sr, seed + i) for i in range(n)]

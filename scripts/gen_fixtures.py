@@ -1508,6 +1508,76 @@ def gen_audio_features_adpcm(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     return f"{path}: {n} rows"
 
 
+def _plain_g711_decode(payload: bytes) -> tuple[list[int], int]:
+    """Independent plain-Python G.711 decoder (twin of
+    stages/multimodal.py::decode_g711 — no shared code, no numpy):
+    struct RIFF walk, then per-byte µ-law/A-law expansion written as
+    the ITU-T bit algorithms over plain ints."""
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    tag, nch, sr, _rate, _align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    assert tag in (6, 7) and nch == 1 and bits == 8
+    pcm: list[int] = []
+    if tag == 7:  # µ-law
+        for b in data:
+            c = (~b) & 0xFF
+            sign, exp, mant = c & 0x80, (c >> 4) & 0x07, c & 0x0F
+            mag = (((mant << 3) + 0x84) << exp) - 0x84
+            pcm.append(-mag if sign else mag)
+    else:  # A-law
+        for b in data:
+            c = b ^ 0x55
+            sign, exp, mant = c & 0x80, (c >> 4) & 0x07, c & 0x0F
+            mag = (mant << 1) + 1 if exp == 0 else ((mant << 1) + 33) << (exp - 1)
+            mag <<= 3
+            pcm.append(mag if sign else -mag)
+    return pcm, sr
+
+
+def gen_audio_features_g711(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the REAL G.711 decode: clips alternate
+    µ-law/A-law by media_id parity; byte-identical PCM required, then
+    duration/RMS/ZCR in plain Python (9 dp, the WAV-twin discipline)."""
+    from ontograph_ray.stages.multimodal import encode_g711_audio  # encoder only
+
+    media_ids, durs, rmss, zcrs = [], [], [], []
+    for i in range(n):
+        sr = 8000
+        samples = sr * (1 + i % 3)
+        law = "mulaw" if i % 2 == 0 else "alaw"
+        payload = encode_g711_audio(samples, sr, 3007 + i, law=law)
+        pcm, psr = _plain_g711_decode(payload)
+        assert psr == sr and len(pcm) == samples
+        x = [s / 32768.0 for s in pcm]
+        media_ids.append(i)
+        durs.append(round(len(pcm) / psr, 9))
+        rmss.append(round(math.sqrt(math.fsum(v * v for v in x) / len(x)), 9))
+        flips = sum(1 for a, b in zip(x[1:], x[:-1]) if (a < 0) != (b < 0))
+        zcrs.append(round(flips / (len(x) - 1), 9))
+    path = os.path.join(FIXTURES_DIR, "audio_features_g711_n200.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "duration_sec": pa.array(durs, pa.float64()),
+                "rms": pa.array(rmss, pa.float64()),
+                "zero_crossing_rate": pa.array(zcrs, pa.float64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {n} rows"
+
+
 def gen_video_frames_y4m(sf_dir: str = DEFAULT_SF, n: int = 150) -> str:
     """Independent twin of the REAL-codec y4m frame sampling
     (every_n=3): splits the stream on the FRAME markers and regex-
@@ -2970,6 +3040,10 @@ _SF_INDEPENDENT = {
     "audio_features_adpcm": (
         gen_audio_features_adpcm,
         "audio_features_adpcm_n200.parquet",
+    ),
+    "audio_features_g711": (
+        gen_audio_features_g711,
+        "audio_features_g711_n200.parquet",
     ),
     "video_frames_y4m": (gen_video_frames_y4m, "video_frames_y4m_n150.parquet"),
     "c4_line_filter": (gen_c4_line_filter, "c4_line_filter_n400.parquet"),

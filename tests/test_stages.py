@@ -450,6 +450,55 @@ class TestRealCodecs:
         with pytest.raises(ValueError, match="IMA ADPCM"):
             multimodal.decode_adpcm(pcm_wav)
 
+    def test_g711_companding_envelopes(self):
+        # full 16-bit sweep: logarithmic companding → bounded RELATIVE
+        # error above the first segment, idempotent on codec outputs
+        x = np.arange(-32768, 32768, dtype=np.int16)
+        for enc, dec in (
+            (multimodal._mulaw_encode, multimodal._mulaw_decode),
+            (multimodal._alaw_encode, multimodal._alaw_decode),
+        ):
+            y = dec(enc(x)).astype(np.int64)
+            rel = np.abs(y - x.astype(np.int64)) / np.maximum(
+                np.abs(x.astype(np.int64)), 1
+            )
+            assert rel[np.abs(x) > 1000].max() < 0.04
+            assert np.array_equal(dec(enc(y.astype(np.int16))), y.astype(np.int16))
+
+    def test_g711_container_and_tag_dispatch(self):
+        for law, tag in (("mulaw", 7), ("alaw", 6)):
+            p = multimodal.encode_g711_audio(1000, 8000, 1, law=law)
+            import struct as _s
+
+            got = _s.unpack("<H", p[p.index(b"fmt ") + 8 :][:2])[0]
+            assert got == tag
+            pcm, sr = multimodal.decode_g711(p)
+            assert sr == 8000 and len(pcm) == 1000
+        # PCM16 wav through the G.711 decoder → typed refusal
+        with pytest.raises(ValueError, match="G.711"):
+            multimodal.decode_g711(multimodal.encode_wav_audio(100, 8000, 1))
+
+    def test_g711_stage_mixed_laws(self, ray_session):
+        # one featurizer pass over mixed mu/A clips (tag dispatch)
+        from ontograph_ray.stages.multimodal import MEDIA_SCHEMA
+        import pyarrow as _pa
+
+        rows = {k: [] for k in MEDIA_SCHEMA.names}
+        for i in range(8):
+            law = "mulaw" if i % 2 == 0 else "alaw"
+            rows["media_id"].append(i)
+            rows["kind"].append("audio")
+            rows["payload"].append(
+                multimodal.encode_g711_audio(4000, 8000, 50 + i, law=law)
+            )
+            rows["width"].append(0)
+            rows["height"].append(0)
+            rows["sample_rate"].append(8000)
+            rows["n_frames"].append(0)
+        ds = ray.data.from_arrow(_pa.table(rows, schema=MEDIA_SCHEMA))
+        out = multimodal.featurize_audio(ds, codec="mulaw").take_all()
+        assert len(out) == 8 and all(0.0 < r["rms"] < 1.0 for r in out)
+
     def test_adpcm_stage(self, ray_session):
         out = multimodal.featurize_audio(
             ray.data.from_arrow(multimodal.synthesize_audio(12, codec="adpcm")),
