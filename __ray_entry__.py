@@ -254,6 +254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_coalesce_cmp": q.q_sparql_coalesce_cmp,
         "image_features_tiff": q.q_image_features_tiff,
         "audio_features_g711": q.q_audio_features_g711,
+        "image_features_jpeg_dri": q.q_image_features_jpeg_dri,
+        "image_features_jpeg_dri420": q.q_image_features_jpeg_dri420,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

@@ -1816,6 +1816,39 @@ def q_image_features_jpeg420(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "phash"])
 
 
+def q_image_features_jpeg_dri(sf_dir: str):
+    """REAL compressed-codec decode with DRI RESTART INTERVALS — the
+    error-resilience layer virtually every camera JPEG carries (T.81
+    B.2.4.4/E.2.4): baseline grayscale with an RSTn marker every
+    1+(seed%5) MCUs (cyclic sequence verified, byte-aligned segment
+    jump, DC predictor reset). Oracle: the independent plain-Python
+    twin, which consumes RSTn inline in its raw-payload bit reader
+    (the engine pre-splits segments instead); byte-wise phash pin
+    (gen_fixtures.gen_image_features_jpeg_dri)."""
+    from .stages.multimodal import decode_images, synthesize_media
+
+    ds = ray.data.from_arrow(
+        synthesize_media(200, seed=11042, codec="jpeg_dri")
+    )
+    out = decode_images(ds, codec="jpeg")
+    return out.select_columns(["media_id", "width", "height", "phash"])
+
+
+def q_image_features_jpeg_dri420(sf_dir: str):
+    """REAL compressed-codec decode: DRI restarts over the
+    camera-default 4:2:0 layout — interleaved 6-block MCUs, all three
+    DC predictors reset at each RSTn, interval 1+(seed%3). Oracle: the
+    independent plain-Python twin + plain-int color transform,
+    byte-wise RGB pin (gen_fixtures.gen_image_features_jpeg_dri420)."""
+    from .stages.multimodal import decode_images, synthesize_media
+
+    ds = ray.data.from_arrow(
+        synthesize_media(200, seed=12042, codec="jpeg_dri420")
+    )
+    out = decode_images(ds, codec="jpeg_color")
+    return out.select_columns(["media_id", "width", "height", "phash"])
+
+
 def q_image_features_png(sf_dir: str):
     """REAL compressed-codec LOSSLESS image decode: 8-bit grayscale
     PNG (RFC 2083 — CRC-verified chunk walk, stdlib-zlib inflate, the

@@ -127,6 +127,16 @@ def synthesize_media(n: int, seed: int = 42, codec: str = "fake") -> pa.Table:
         "jpeg_420": lambda w, h, s: encode_jpeg_color(
             w, h, s, subsampling="420"
         ),
+        # DRI variants: restart interval varies per clip with the seed
+        # so the battery covers ri=1 (restart every MCU), intervals
+        # that do / don't divide the MCU count, and >8 restarts (the
+        # cyclic RSTn wrap)
+        "jpeg_dri": lambda w, h, s: encode_jpeg_gray(
+            w, h, s, restart_interval=1 + (s % 5)
+        ),
+        "jpeg_dri420": lambda w, h, s: encode_jpeg_color(
+            w, h, s, subsampling="420", restart_interval=1 + (s % 3)
+        ),
         "png": encode_png_gray,
         "png_color": encode_png_color,
         "gif": encode_gif_gray,
@@ -454,6 +464,15 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # 1-fill padding per spec
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-fill pad, stuffing applies if the pad byte
+        lands on 0xFF) and emit the RSTn marker RAW — markers are not
+        entropy data, so no stuffing (T.81 B.2.1.2 / E.1.4)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes((0xFF, 0xD0 + (n & 7)))
+
 
 def _jpeg_category(v: int) -> int:
     """DC/AC magnitude category (number of amplitude bits)."""
@@ -538,12 +557,22 @@ def _jpeg_seg(marker: int, body: bytes) -> bytes:
 _JFIF_APP0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
 
 
-def encode_jpeg_gray(width: int, height: int, seed: int, quality: int = 85) -> bytes:
+def encode_jpeg_gray(
+    width: int,
+    height: int,
+    seed: int,
+    quality: int = 85,
+    restart_interval: int = 0,
+) -> bytes:
     """REAL compressed codec: baseline sequential grayscale JFIF.
 
     Same deterministic pixel content as the other image codecs for a
     given (dims, seed). The forward DCT follows the module's integer
-    contract; quantization rounds half away from zero."""
+    contract; quantization rounds half away from zero.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (byte-aligned, cyclic n, DC predictor reset) before every
+    ``restart_interval``-th MCU — the error-resilience layer virtually
+    every camera JPEG carries (T.81 B.2.4.4 / E.1.4)."""
     q = _jpeg_qtable(quality)
     px = _image_pixels(width, height, seed).reshape(height, width)
     fq = _jpeg_fdct_quant(px.astype(np.int64), q)
@@ -552,7 +581,12 @@ def encode_jpeg_gray(width: int, height: int, seed: int, quality: int = 85) -> b
     zz = np.array(_ZIGZAG)
     w = _BitWriter()
     pred = 0
+    rst = 0
     for b in range(fq.shape[0]):
+        if restart_interval and b and b % restart_interval == 0:
+            w.restart(rst)
+            rst += 1
+            pred = 0
         pred = _jpeg_encode_block(w, fq[b].reshape(64)[zz], pred, dc_huff, ac_huff)
     scan = w.flush()
 
@@ -563,6 +597,8 @@ def encode_jpeg_gray(width: int, height: int, seed: int, quality: int = 85) -> b
     out += _jpeg_seg(
         0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
     )  # SOF0: precision 8, dims, 1 component (id 1, 1x1, tq 0)
+    if restart_interval:
+        out += _jpeg_seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += _jpeg_seg(
         0xFFC4,
         b"\x00"
@@ -590,6 +626,7 @@ def encode_jpeg_color(
     seed: int,
     quality: int = 85,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """REAL compressed codec: baseline sequential YCbCr JFIF.
 
@@ -599,7 +636,10 @@ def encode_jpeg_color(
     (one block per component per MCU); ``"420"`` is the camera-default
     layout — Y at 2x2, chroma averaged over 2×2 pixel boxes (integer
     contract: rsr(sum of 4, 2)) and one chroma block per 16×16 MCU.
-    Color transform per the module's integer YCbCr contract."""
+    Color transform per the module's integer YCbCr contract.
+    ``restart_interval`` > 0 emits DRI + cyclic RSTn markers every
+    that many interleaved MCUs, resetting all three DC predictors
+    (T.81 B.2.4.4 / E.1.4)."""
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
     qY = _jpeg_qtable(quality)
@@ -619,6 +659,7 @@ def encode_jpeg_color(
     w = _BitWriter()
     preds = [0, 0, 0]
 
+    rst = 0
     if subsampling == "444":
         fqs = [
             _jpeg_fdct_quant(Y, qY),
@@ -626,6 +667,10 @@ def encode_jpeg_color(
             _jpeg_fdct_quant(Cr, qC),
         ]
         for b in range(fqs[0].shape[0]):  # MCU = one block per component
+            if restart_interval and b and b % restart_interval == 0:
+                w.restart(rst)
+                rst += 1
+                preds = [0, 0, 0]
             for c in range(3):
                 preds[c] = _jpeg_encode_block(
                     w, fqs[c][b].reshape(64)[zz], preds[c], *tabs[c]
@@ -658,6 +703,11 @@ def encode_jpeg_color(
         nbxC = pw // 16
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                m = my * mcus_x + mx
+                if restart_interval and m and m % restart_interval == 0:
+                    w.restart(rst)
+                    rst += 1
+                    preds = [0, 0, 0]
                 for vy in range(2):  # 4 Y data units, raster order
                     for vx in range(2):
                         b = (my * 2 + vy) * nbxY + (mx * 2 + vx)
@@ -686,6 +736,8 @@ def encode_jpeg_color(
         + b"\x02" + samp[1] + b"\x01"  # Cb: id 2, tq 1
         + b"\x03" + samp[2] + b"\x01",  # Cr: id 3, tq 1
     )
+    if restart_interval:
+        out += _jpeg_seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += _jpeg_seg(
         0xFFC4,
         b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
@@ -706,10 +758,12 @@ def _decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     4:2:0) → (width, height, [uint8 plane, ...]) with subsampled
     chroma planes box-replicated back to full resolution.
 
-    Full bitstream decode: marker walk (DQT/SOF0/DHT/SOS; progressive
-    SOFs, DRI and sampling factors >2 refused as out of the supported
-    baseline subset), canonical Huffman entropy decode with 0xFF00
-    unstuffing, interleaved MCUs (Hc×Vc data units per component in
+    Full bitstream decode: marker walk (DQT/SOF0/DHT/DRI/SOS;
+    progressive SOFs and sampling factors >2 refused as out of the
+    supported baseline subset), canonical Huffman entropy decode with
+    0xFF00 unstuffing, DRI restart intervals (RSTn sequence verified,
+    byte-aligned segment jump + DC predictor reset every ``ri`` MCUs
+    — T.81 E.2.4), interleaved MCUs (Hc×Vc data units per component in
     raster order, separate DC predictors — T.81 A.2.3), dequantize,
     un-zigzag, and the module's integer IDCT contract (numpy int64
     across all blocks per component)."""
@@ -718,6 +772,7 @@ def _decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     pos = 2
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
+    ri = 0
     width = height = None
     comp_ids: list[int] = []
     comp_tq: list[int] = []
@@ -773,8 +828,8 @@ def _decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
                 # invert: (length, code) → value, for bit-serial decode
                 huff[(tc, th)] = {(l, c): v for v, (c, l) in codes.items()}
                 bp += 17 + nv
-        elif marker == 0xDD:
-            raise ValueError("restart intervals (DRI) not supported")
+        elif marker == 0xDD:  # DRI: restart every `ri` MCUs (0 = off)
+            ri = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             if ns != len(comp_ids):
@@ -788,20 +843,31 @@ def _decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     if scan_start is None or width is None:
         raise ValueError("truncated JPEG (no SOS/SOF0)")
 
-    # un-stuff the entropy-coded bytes up to the next marker
-    data = bytearray()
+    # un-stuff the entropy-coded bytes up to the next marker; RSTn
+    # markers (DRI restarts) split the scan into byte-aligned segments
+    # and must carry the cyclic sequence number n = 0,1,…,7,0,…
+    segments: list[bytearray] = [bytearray()]
     p = scan_start
     while p < len(payload):
         b = payload[p]
         if b == 0xFF:
             nxt = payload[p + 1]
             if nxt == 0x00:
-                data.append(0xFF)
+                segments[-1].append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn between restart intervals
+                if ri == 0:
+                    raise ValueError("RST marker in a scan without DRI")
+                if nxt - 0xD0 != (len(segments) - 1) & 7:
+                    raise ValueError("RST marker out of sequence")
+                segments.append(bytearray())
                 p += 2
                 continue
             break  # a real marker ends the scan
-        data.append(b)
+        segments[-1].append(b)
         p += 1
+    data = segments[0]
 
     ncomp = len(comp_ids)
     if ncomp == 1:
@@ -854,6 +920,17 @@ def _decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     preds = [0] * ncomp
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            m = my * mcus_x + mx
+            if ri and m and m % ri == 0:
+                # restart: jump to the next byte-aligned segment and
+                # reset every DC predictor (T.81 E.2.4)
+                seg_idx = m // ri
+                if seg_idx >= len(segments):
+                    raise ValueError("missing RST marker")
+                data = segments[seg_idx]
+                total_bits = len(data) * 8
+                bitpos = 0
+                preds = [0] * ncomp
             # MCU: Hc×Vc data units per component, raster order
             for c in range(ncomp):
                 hc, vc = comp_hv[c]
@@ -1366,7 +1443,10 @@ def _decode_jpeg_prog_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]
                 huff[(tc, th)] = {(l, c): v for v, (c, l) in codes.items()}
                 bp += 17 + nv
         elif marker == 0xDD:
-            raise ValueError("restart intervals (DRI) not supported")
+            # baseline DRI is supported (_decode_jpeg_planes); the
+            # progressive encoder here never emits restarts, so the
+            # progressive path keeps the typed refusal
+            raise ValueError("restart intervals (DRI) in progressive scans not supported")
         elif marker == 0xDA:
             if not stores:
                 raise ValueError("SOS before SOF2")

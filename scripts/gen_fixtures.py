@@ -341,6 +341,7 @@ def _plain_jpeg_decode(payload: bytes):
     i = 2
     qts, tabs = {}, {}
     w = h = None
+    dri = 0
     cids, ctq, chv, ctabs = [], [], [], {}
     scan_at = None
     while i < len(payload):
@@ -378,6 +379,8 @@ def _plain_jpeg_decode(payload: bytes):
                 vals = list(body[j + 17 : j + 17 + nv])
                 tabs[(tc, th)] = build_decode_tables(bits, vals)
                 j += 17 + nv
+        elif marker == 0xDD:
+            (dri,) = _struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             ns = body[0]
             assert ns == len(cids)
@@ -387,26 +390,26 @@ def _plain_jpeg_decode(payload: bytes):
             scan_at = i + seglen
             break
         i += seglen
-    data = bytearray()
-    p = scan_at
-    while p < len(payload):
-        b = payload[p]
-        if b == 0xFF:
-            if payload[p + 1] == 0x00:
-                data.append(0xFF)
-                p += 2
-                continue
-            break
-        data.append(b)
-        p += 1
 
-    pos = [0]
+    # inline raw-payload bit reader (the engine pre-splits the scan
+    # into unstuffed segments instead — structurally independent):
+    # un-stuffing happens byte-by-byte as bits are requested, and DRI
+    # restarts consume the RSTn marker in place
+    rdpos = [scan_at]
+    bitbuf = [0, 0]  # current byte value, bits remaining
 
     def nextbit() -> int:
-        byte = data[pos[0] >> 3]
-        bit = (byte >> (7 - (pos[0] & 7))) & 1
-        pos[0] += 1
-        return bit
+        if bitbuf[1] == 0:
+            b = payload[rdpos[0]]
+            if b == 0xFF:
+                assert payload[rdpos[0] + 1] == 0x00, "marker in entropy data"
+                rdpos[0] += 2
+            else:
+                rdpos[0] += 1
+            bitbuf[0] = b
+            bitbuf[1] = 8
+        bitbuf[1] -= 1
+        return (bitbuf[0] >> bitbuf[1]) & 1
 
     def decode(tab) -> int:
         mincode, maxcode, valptr, vals = tab
@@ -485,8 +488,22 @@ def _plain_jpeg_decode(payload: bytes):
                 pv = 128 + rsr(sum(m[v][x] * T[v][y] for v in range(8)), 28)
                 px[by * 8 + y][bx * 8 + x] = min(255, max(0, pv))
 
+    nrst = [0]
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            mcu = my * mcus_x + mx
+            if dri and mcu and mcu % dri == 0:
+                # restart: drop the 1-padding bits, consume the cyclic
+                # RSTn marker in place, reset every DC predictor
+                bitbuf[1] = 0
+                assert payload[rdpos[0]] == 0xFF, "expected RST marker"
+                assert payload[rdpos[0] + 1] == 0xD0 + (nrst[0] & 7), (
+                    "RST marker out of sequence"
+                )
+                rdpos[0] += 2
+                nrst[0] += 1
+                for c in range(ncomp):
+                    preds[c] = 0
             for c in range(ncomp):  # Hc×Vc data units, raster order
                 hc, vc = chv[c]
                 for vy in range(vc):
@@ -1029,6 +1046,98 @@ def gen_image_features_jpeg420(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
             int.from_bytes(hashlib.sha1(bytes(body_bytes)).digest()[:8], "big")
         )
     path = os.path.join(FIXTURES_DIR, "image_features_jpeg420_n200.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "phash": pa.array(phashes, pa.uint64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {n} rows"
+
+
+def gen_image_features_jpeg_dri(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the baseline grayscale JPEG decode WITH DRI
+    restart intervals (T.81 E.2.4): the twin consumes RSTn markers
+    inline in its raw-payload bit reader (the engine pre-splits the
+    scan into segments — structurally independent), verifying the
+    cyclic sequence and resetting the DC predictor. The per-clip
+    interval 1+(seed%5) covers ri=1, intervals that do and don't
+    divide the MCU count, and >8 restarts (RSTn wrap). Byte-wise
+    phash pin."""
+    from ontograph_ray.stages.multimodal import encode_jpeg_gray  # encoder only
+
+    media_ids, widths, heights, phashes = [], [], [], []
+    for i in range(n):
+        w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
+        s = 11042 + i
+        payload = encode_jpeg_gray(w, h, s, restart_interval=1 + (s % 5))
+        pw, ph, planes = _plain_jpeg_decode(payload)
+        assert (pw, ph) == (w, h) and len(planes) == 1
+        body_bytes = bytearray()
+        for y in range(h):
+            body_bytes.extend(planes[0][y][:w])
+        media_ids.append(i)
+        widths.append(w)
+        heights.append(h)
+        phashes.append(
+            int.from_bytes(hashlib.sha1(bytes(body_bytes)).digest()[:8], "big")
+        )
+    path = os.path.join(FIXTURES_DIR, "image_features_jpeg_dri_n200.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "phash": pa.array(phashes, pa.uint64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {n} rows"
+
+
+def gen_image_features_jpeg_dri420(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the baseline 4:2:0 color JPEG decode WITH
+    DRI restarts — interleaved 6-block MCUs with all three DC
+    predictors reset at each RSTn (interval 1+(seed%3)); plain-int
+    inverse color transform, byte-wise interleaved-RGB phash pin."""
+    from ontograph_ray.stages.multimodal import encode_jpeg_color  # encoder only
+
+    def rsr(v: int, s: int) -> int:
+        return (v + (1 << (s - 1))) >> s
+
+    media_ids, widths, heights, phashes = [], [], [], []
+    for i in range(n):
+        w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
+        s = 12042 + i
+        payload = encode_jpeg_color(
+            w, h, s, subsampling="420", restart_interval=1 + (s % 3)
+        )
+        pw, ph, planes = _plain_jpeg_decode(payload)
+        assert (pw, ph) == (w, h) and len(planes) == 3
+        body_bytes = bytearray()
+        for y in range(h):
+            for x in range(w):
+                Y = planes[0][y][x]
+                Cb = planes[1][y][x] - 128
+                Cr = planes[2][y][x] - 128
+                r_ = min(255, max(0, Y + rsr(91881 * Cr, 16)))
+                g_ = min(255, max(0, Y - rsr(22554 * Cb + 46802 * Cr, 16)))
+                b_ = min(255, max(0, Y + rsr(116130 * Cb, 16)))
+                body_bytes += bytes((r_, g_, b_))
+        media_ids.append(i)
+        widths.append(w)
+        heights.append(h)
+        phashes.append(
+            int.from_bytes(hashlib.sha1(bytes(body_bytes)).digest()[:8], "big")
+        )
+    path = os.path.join(FIXTURES_DIR, "image_features_jpeg_dri420_n200.parquet")
     pq.write_table(
         pa.table(
             {
@@ -3013,6 +3122,14 @@ _SF_INDEPENDENT = {
     "image_features_jpeg420": (
         gen_image_features_jpeg420,
         "image_features_jpeg420_n200.parquet",
+    ),
+    "image_features_jpeg_dri": (
+        gen_image_features_jpeg_dri,
+        "image_features_jpeg_dri_n200.parquet",
+    ),
+    "image_features_jpeg_dri420": (
+        gen_image_features_jpeg_dri420,
+        "image_features_jpeg_dri420_n200.parquet",
     ),
     "image_features_png": (gen_image_features_png, "image_features_png_n200.parquet"),
     "image_features_gif": (gen_image_features_gif, "image_features_gif_n200.parquet"),

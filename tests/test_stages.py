@@ -669,6 +669,87 @@ class TestRealCodecs:
         assert all(r["phash"] > 0 for r in out)
 
 
+class TestJpegRestartIntervals:
+    """DRI restart markers (T.81 B.2.4.4/E.2.4) — the error-resilience
+    layer virtually every camera JPEG carries."""
+
+    def test_dri_decode_equals_plain_decode(self):
+        # restarts change only the entropy framing, never the
+        # coefficients → decoded pixels must be BYTE-IDENTICAL to the
+        # no-DRI encode of the same content, for every layout
+        import numpy as np
+
+        for w, h in ((16, 16), (20, 36), (44, 28), (17, 9)):
+            for ri in (1, 2, 3, 5, 7, 1000):
+                a = multimodal.decode_jpeg_gray(
+                    multimodal.encode_jpeg_gray(w, h, 123, restart_interval=ri)
+                )
+                b = multimodal.decode_jpeg_gray(multimodal.encode_jpeg_gray(w, h, 123))
+                assert np.array_equal(a, b)
+                for sub in ("444", "420"):
+                    c = multimodal.decode_jpeg_color(
+                        multimodal.encode_jpeg_color(
+                            w, h, 77, subsampling=sub, restart_interval=ri
+                        )
+                    )
+                    d = multimodal.decode_jpeg_color(
+                        multimodal.encode_jpeg_color(w, h, 77, subsampling=sub)
+                    )
+                    assert np.array_equal(c, d)
+
+    def test_rstn_cyclic_wrap(self):
+        # 64x64 gray at ri=1 → 63 restarts: the RSTn index must wrap
+        # 0..7 cyclically and still decode byte-identical
+        import numpy as np
+
+        p = multimodal.encode_jpeg_gray(64, 64, 5, restart_interval=1)
+        scan = p[p.index(b"\xff\xda") + 10 : -2]
+        rsts = [
+            scan[k + 1] - 0xD0
+            for k in range(len(scan) - 1)
+            if scan[k] == 0xFF and 0xD0 <= scan[k + 1] <= 0xD7
+        ]
+        assert rsts == [i & 7 for i in range(63)]
+        assert np.array_equal(
+            multimodal.decode_jpeg_gray(p),
+            multimodal.decode_jpeg_gray(multimodal.encode_jpeg_gray(64, 64, 5)),
+        )
+
+    def test_dri_segment_emitted(self):
+        p = multimodal.encode_jpeg_gray(32, 16, 3, restart_interval=2)
+        i = p.index(b"\xff\xdd")
+        assert p[i + 2 : i + 6] == b"\x00\x04\x00\x02"  # len 4, ri 2
+
+    def test_dri_typed_refusals(self):
+        p = bytearray(multimodal.encode_jpeg_gray(32, 32, 5, restart_interval=2))
+        # out-of-sequence RST
+        i = p.find(b"\xff\xd0")
+        bad = bytearray(p)
+        bad[i + 1] = 0xD3
+        with pytest.raises(ValueError, match="out of sequence"):
+            multimodal.decode_jpeg_gray(bytes(bad))
+        # RST marker present but no DRI segment declared
+        j = p.index(b"\xff\xdd")
+        no_dri = bytes(p[:j]) + bytes(p[j + 6 :])
+        with pytest.raises(ValueError, match="without DRI"):
+            multimodal.decode_jpeg_gray(no_dri)
+        # DRI declared but markers missing → typed error, not garbage
+        q = bytearray(multimodal.encode_jpeg_gray(32, 32, 5))
+        sof_end = q.index(b"\xff\xc4")
+        with_dri = (
+            bytes(q[:sof_end]) + b"\xff\xdd\x00\x04\x00\x02" + bytes(q[sof_end:])
+        )
+        with pytest.raises(ValueError, match="missing RST"):
+            multimodal.decode_jpeg_gray(with_dri)
+
+    def test_dri_decode_images_stage(self, ray_session):
+        ds = ray.data.from_arrow(
+            multimodal.synthesize_media(10, seed=11042, codec="jpeg_dri")
+        )
+        out = multimodal.decode_images(ds, codec="jpeg").take_all()
+        assert len(out) == 10 and all(r["phash"] > 0 for r in out)
+
+
 class TestProgressiveJpeg:
     def test_progressive_equals_baseline_decode(self):
         # same quantized coefficients + shared integer IDCT contract →
