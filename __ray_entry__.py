@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features_g711": q.q_audio_features_g711,
         "image_features_jpeg_dri": q.q_image_features_jpeg_dri,
         "image_features_jpeg_dri420": q.q_image_features_jpeg_dri420,
+        "image_features_jpeg411": q.q_image_features_jpeg411,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

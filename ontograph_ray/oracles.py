@@ -934,6 +934,9 @@ SELECT l_orderkey, l_linenumber, 'l_discount',
         "image_features_jpeg_color": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_jpeg_color_n200.parquet')"
         ),
+        "image_features_jpeg411": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_jpeg411_n200.parquet')"
+        ),
         "image_features_jpeg_dri": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/image_features_jpeg_dri_n200.parquet')"
         ),

@@ -1816,6 +1816,23 @@ def q_image_features_jpeg420(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "phash"])
 
 
+def q_image_features_jpeg411(sf_dir: str):
+    """REAL compressed-codec decode of the 4:1:1 layout (DV /
+    NTSC-lineage cameras): baseline JPEG with Y at sampling factor
+    4x1 — the general Hc×Vc interleaved decoder with 4× horizontal
+    chroma box-replication. Closes the former 'sampling factors >2'
+    refusal for baseline scans. Oracle: the independent plain-Python
+    decoder + plain-int color transform
+    (gen_fixtures.gen_image_features_jpeg411), byte-wise RGB pin."""
+    from .stages.multimodal import decode_images, synthesize_media
+
+    ds = ray.data.from_arrow(
+        synthesize_media(200, seed=13042, codec="jpeg_411")
+    )
+    out = decode_images(ds, codec="jpeg_color")
+    return out.select_columns(["media_id", "width", "height", "phash"])
+
+
 def q_image_features_jpeg_dri(sf_dir: str):
     """REAL compressed-codec decode with DRI RESTART INTERVALS — the
     error-resilience layer virtually every camera JPEG carries (T.81

@@ -28,10 +28,12 @@ and tested. Codecs come in three tiers:
   stubs.
 - the deterministic ``codec="fake"`` header+bytes format kept for the
   original fixture twins.
-- everything else compressed (MP3, H.264, JPEG sampling factors >2 —
-  ``codec="pillow"`` / ``"ffmpeg"``) still raises
-  NotImplementedError at construction: the sandbox ships no
-  compression codecs and we do not fake them.
+- everything else compressed (MP3, H.264 — ``codec="pillow"`` /
+  ``"ffmpeg"``) still raises NotImplementedError at construction: the
+  sandbox ships no compression codecs and we do not fake them.
+  (Baseline JPEG accepts sampling factors {1,2,4} — grayscale, 4:4:4,
+  4:2:2, 4:2:0 and 4:1:1 — plus DRI restarts; progressive keeps the
+  {1,2} subset.)
 
 Scale notes baked into the stage defaults: binary rows are wide, so
 ``batch_size`` is small (64) and the actor pool bounds concurrent
@@ -126,6 +128,9 @@ def synthesize_media(n: int, seed: int = 42, codec: str = "fake") -> pa.Table:
         "jpeg_color": encode_jpeg_color,
         "jpeg_420": lambda w, h, s: encode_jpeg_color(
             w, h, s, subsampling="420"
+        ),
+        "jpeg_411": lambda w, h, s: encode_jpeg_color(
+            w, h, s, subsampling="411"
         ),
         # DRI variants: restart interval varies per clip with the seed
         # so the battery covers ri=1 (restart every MCU), intervals
@@ -640,8 +645,8 @@ def encode_jpeg_color(
     ``restart_interval`` > 0 emits DRI + cyclic RSTn markers every
     that many interleaved MCUs, resetting all three DC predictors
     (T.81 B.2.4.4 / E.1.4)."""
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "420", "411"):
+        raise ValueError("subsampling must be '444', '420' or '411'")
     qY = _jpeg_qtable(quality)
     qC = _jpeg_qtable(quality, base=_JPEG_QTBL_C)
     rgb = _rgb_pixels(width, height, seed).astype(np.int64)
@@ -676,6 +681,47 @@ def encode_jpeg_color(
                     w, fqs[c][b].reshape(64)[zz], preds[c], *tabs[c]
                 )
         samp = (b"\x11", b"\x11", b"\x11")
+    elif subsampling == "411":
+        # 4:1:1 (the DV / NTSC-lineage layout): Y at 4x1, chroma
+        # averaged over 4×1 horizontal boxes (integer contract:
+        # rsr(sum of 4, 2)); MCU covers 32×8 pixels = 4 Y + Cb + Cr
+        ph, pw = -(-height // 8) * 8, -(-width // 32) * 32
+
+        def pad411(plane):
+            padded = np.empty((ph, pw), dtype=np.int64)
+            padded[:height, :width] = plane
+            padded[height:, :width] = plane[-1:, :]
+            padded[:, width:] = padded[:, width - 1 : width]
+            return padded
+
+        Yp = pad411(Y)
+        sub = [
+            _jpeg_rsr(p.reshape(ph, pw // 4, 4).sum(axis=2), 2)
+            for p in (pad411(Cb), pad411(Cr))
+        ]
+        fqY = _jpeg_fdct_quant(Yp, qY)
+        fqC = [_jpeg_fdct_quant(s, qC) for s in sub]
+        mcus_y, mcus_x = ph // 8, pw // 32
+        nbxY = pw // 8
+        nbxC = pw // 32
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                m = my * mcus_x + mx
+                if restart_interval and m and m % restart_interval == 0:
+                    w.restart(rst)
+                    rst += 1
+                    preds = [0, 0, 0]
+                for vx in range(4):  # 4 Y data units, one row
+                    b = my * nbxY + (mx * 4 + vx)
+                    preds[0] = _jpeg_encode_block(
+                        w, fqY[b].reshape(64)[zz], preds[0], *tabs[0]
+                    )
+                bc = my * nbxC + mx
+                for c in (1, 2):
+                    preds[c] = _jpeg_encode_block(
+                        w, fqC[c - 1][bc].reshape(64)[zz], preds[c], *tabs[c]
+                    )
+        samp = (b"\x41", b"\x11", b"\x11")
     else:
         # 4:2:0: pad everything to 16-multiples (edge replicate), box-
         # average chroma 2×2 (integer contract), emit 4 Y + Cb + Cr
@@ -807,10 +853,10 @@ def _decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
             for c in range(ncomp):
                 cid, samp, tq_ = body[6 + 3 * c : 9 + 3 * c]
                 hc, vc = samp >> 4, samp & 0xF
-                if hc not in (1, 2) or vc not in (1, 2):
+                if hc not in (1, 2, 4) or vc not in (1, 2, 4):
                     raise ValueError(
-                        "only sampling factors 1 and 2 are supported "
-                        "(grayscale / 4:4:4 / 4:2:2 / 4:2:0)"
+                        "only sampling factors 1, 2 and 4 are supported "
+                        "(grayscale / 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1)"
                     )
                 comp_ids.append(cid)
                 comp_tq.append(tq_)

@@ -366,7 +366,7 @@ def _plain_jpeg_decode(payload: bytes):
             assert nc in (1, 3)
             for c in range(nc):
                 cid, samp, tq_ = body[6 + 3 * c : 9 + 3 * c]
-                assert samp >> 4 in (1, 2) and samp & 0xF in (1, 2)
+                assert samp >> 4 in (1, 2, 4) and samp & 0xF in (1, 2, 4)
                 cids.append(cid)
                 ctq.append(tq_)
                 chv.append((samp >> 4, samp & 0xF))
@@ -1046,6 +1046,54 @@ def gen_image_features_jpeg420(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
             int.from_bytes(hashlib.sha1(bytes(body_bytes)).digest()[:8], "big")
         )
     path = os.path.join(FIXTURES_DIR, "image_features_jpeg420_n200.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "phash": pa.array(phashes, pa.uint64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {n} rows"
+
+
+def gen_image_features_jpeg411(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the baseline 4:1:1 color JPEG decode (the
+    DV / NTSC-lineage layout: Y at 4x1, chroma averaged over 4×1
+    horizontal boxes, 32×8-pixel MCUs = 4 Y + Cb + Cr) — the general
+    Hc×Vc plain-Python decoder + plain-int inverse color transform,
+    byte-wise interleaved-RGB phash pin."""
+    from ontograph_ray.stages.multimodal import encode_jpeg_color  # encoder only
+
+    def rsr(v: int, s: int) -> int:
+        return (v + (1 << (s - 1))) >> s
+
+    media_ids, widths, heights, phashes = [], [], [], []
+    for i in range(n):
+        w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
+        payload = encode_jpeg_color(w, h, 13042 + i, subsampling="411")
+        pw, ph, planes = _plain_jpeg_decode(payload)
+        assert (pw, ph) == (w, h) and len(planes) == 3
+        body_bytes = bytearray()
+        for y in range(h):
+            for x in range(w):
+                Y = planes[0][y][x]
+                Cb = planes[1][y][x] - 128
+                Cr = planes[2][y][x] - 128
+                r_ = min(255, max(0, Y + rsr(91881 * Cr, 16)))
+                g_ = min(255, max(0, Y - rsr(22554 * Cb + 46802 * Cr, 16)))
+                b_ = min(255, max(0, Y + rsr(116130 * Cb, 16)))
+                body_bytes += bytes((r_, g_, b_))
+        media_ids.append(i)
+        widths.append(w)
+        heights.append(h)
+        phashes.append(
+            int.from_bytes(hashlib.sha1(bytes(body_bytes)).digest()[:8], "big")
+        )
+    path = os.path.join(FIXTURES_DIR, "image_features_jpeg411_n200.parquet")
     pq.write_table(
         pa.table(
             {
@@ -3122,6 +3170,10 @@ _SF_INDEPENDENT = {
     "image_features_jpeg420": (
         gen_image_features_jpeg420,
         "image_features_jpeg420_n200.parquet",
+    ),
+    "image_features_jpeg411": (
+        gen_image_features_jpeg411,
+        "image_features_jpeg411_n200.parquet",
     ),
     "image_features_jpeg_dri": (
         gen_image_features_jpeg_dri,

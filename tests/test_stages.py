@@ -652,6 +652,44 @@ class TestRealCodecs:
         err = np.abs(img.astype(int) - rgb.transpose(1, 2, 0).astype(int))
         assert err.max() <= 4
 
+    def test_jpeg_411_roundtrip_and_smooth_content(self):
+        # the DV-lineage 4:1:1 layout (Y at 4x1): dims survive; on
+        # smooth constant-chroma content the 4×1 horizontal subsample
+        # round-trip is near-lossless — the geometry check that
+        # actually proves the 32×8 MCU interleave is right
+        import numpy as np
+
+        p = multimodal.encode_jpeg_color(33, 17, 9100, subsampling="411")
+        img = multimodal.decode_jpeg_color(p)
+        assert img.shape == (17, 33, 3)
+        y = (np.tile(np.arange(24).reshape(24, 1), (1, 40)) * 3 % 200 + 20)
+        rgb = np.stack(
+            [np.clip(y + 30, 0, 255), y, np.clip(y - 20, 0, 255)]
+        ).astype(np.uint8)
+        orig = multimodal._rgb_pixels
+        multimodal._rgb_pixels = lambda w, h, s: rgb[:, :h, :w]
+        try:
+            p = multimodal.encode_jpeg_color(40, 24, 0, subsampling="411")
+            img = multimodal.decode_jpeg_color(p)
+        finally:
+            multimodal._rgb_pixels = orig
+        err = np.abs(img.astype(int) - rgb.transpose(1, 2, 0).astype(int))
+        assert err.max() <= 4
+
+    def test_jpeg_411_sof_sampling_bytes(self):
+        p = multimodal.encode_jpeg_color(32, 16, 3, subsampling="411")
+        i = p.index(b"\xff\xc0")
+        # SOF0 body: prec(1) dims(4) ncomp(1), then id/samp/tq triples
+        assert p[i + 11] == 0x41 and p[i + 14] == 0x11 and p[i + 17] == 0x11
+
+    def test_jpeg_sampling_factor_refusal_is_factor_3(self):
+        # factors 1/2/4 are supported; 3 stays a typed refusal
+        p = bytearray(multimodal.encode_jpeg_color(32, 16, 3, subsampling="411"))
+        i = p.index(b"\xff\xc0")
+        p[i + 11] = 0x31
+        with pytest.raises(ValueError, match="sampling factors"):
+            multimodal.decode_jpeg_color(bytes(p))
+
     def test_jpeg_color_vs_gray_decoders_typed(self):
         gray = multimodal.encode_jpeg_gray(16, 16, 1)
         color = multimodal.encode_jpeg_color(16, 16, 1)
