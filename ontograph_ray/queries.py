@@ -2033,6 +2033,34 @@ def q_audio_features_adpcm(sf_dir: str):
     )
 
 
+def q_audio_features_flac(sf_dir: str):
+    """REAL COMPRESSED lossless-codec audio decode: mono 16-bit FLAC
+    (the shipping form of open speech corpora — LibriSpeech, MLS):
+    fixed predictors 0-2, Rice partitions + raw escape, UTF-8 frame
+    numbers, CRC-8/CRC-16, STREAMINFO MD5 verified on every decode —
+    stages/multimodal.py::decode_flac (vectorized cumsum
+    reconstruction, amortized unary scan). Duration/RMS/ZCR rounded
+    9 dp. Oracle twin is a bit-serial plain-Python decoder with
+    table-free CRCs (scripts/gen_fixtures.py::_plain_flac_decode);
+    losslessness makes the features exact over the source PCM."""
+    from .stages.multimodal import featurize_audio, synthesize_audio
+
+    ds = ray.data.from_arrow(synthesize_audio(200, seed=4007, codec="flac"))
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        for col in ("duration_sec", "rms", "zero_crossing_rate"):
+            batch = batch.set_column(
+                batch.schema.get_field_index(col),
+                col,
+                pc.round(batch[col], ndigits=9),
+            )
+        return batch
+
+    return featurize_audio(ds, codec="flac").map_batches(
+        rounded, batch_format="pyarrow"
+    )
+
+
 def q_audio_features_g711(sf_dir: str):
     """REAL COMPRESSED-codec telephony audio decode: ITU-T G.711
     µ-law AND A-law companding (WAVE tags 7/6, 8 bits/sample — the

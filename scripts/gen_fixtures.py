@@ -1665,6 +1665,155 @@ def gen_audio_features_adpcm(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
     return f"{path}: {n} rows"
 
 
+def _plain_flac_decode(payload: bytes) -> tuple[list[int], int]:
+    """Independent plain-Python FLAC decoder (twin of
+    stages/multimodal.py::decode_flac — no shared code, no numpy):
+    bitwise (table-free) CRC-8/CRC-16, a sequential bit reader, Rice
+    decoding one bit at a time, and the fixed predictors written as
+    the per-sample binomial recurrences (the engine uses successive
+    vectorized cumsums instead). Verifies every CRC and the
+    STREAMINFO MD5."""
+    import hashlib as _hashlib
+
+    def crc8(data):
+        c = 0
+        for byte in data:
+            c ^= byte
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        return c
+
+    def crc16(data):
+        c = 0
+        for byte in data:
+            c ^= byte << 8
+            for _ in range(8):
+                c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        return c
+
+    assert payload[:4] == b"fLaC"
+    pos = 4
+    streaminfo = None
+    while True:
+        bh = payload[pos]
+        bl = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        if bh & 0x7F == 0:
+            streaminfo = payload[pos + 4 : pos + 4 + bl]
+        pos += 4 + bl
+        if bh & 0x80:
+            break
+    packed = int.from_bytes(streaminfo[10:18], "big")
+    sr = packed >> 44
+    assert ((packed >> 41) & 0x7) + 1 == 1 and ((packed >> 36) & 0x1F) + 1 == 16
+    total = packed & ((1 << 36) - 1)
+    md5_want = streaminfo[18:34]
+
+    out: list[int] = []
+    while len(out) < total:
+        fstart = pos
+        assert payload[pos] == 0xFF and (payload[pos + 1] & 0xFE) == 0xF8
+        bs_code = payload[pos + 2] >> 4
+        assert payload[pos + 2] & 0xF == 0  # sample rate from STREAMINFO
+        assert payload[pos + 3] >> 4 == 0 and ((payload[pos + 3] >> 1) & 7) == 4
+        pos += 4
+        b0 = payload[pos]
+        pos += 1 + (0 if b0 < 0x80 else (1 if b0 < 0xE0 else 2))
+        if bs_code == 7:
+            bs = (payload[pos] << 8 | payload[pos + 1]) + 1
+            pos += 2
+        elif bs_code == 6:
+            bs = payload[pos] + 1
+            pos += 1
+        elif bs_code >= 8:
+            bs = 256 << (bs_code - 8)
+        else:
+            bs = 576 << (bs_code - 2)
+        assert crc8(payload[fstart:pos]) == payload[pos], "header CRC-8"
+        pos += 1
+
+        bitpos = [pos * 8]
+
+        def rbit():
+            byte = payload[bitpos[0] >> 3]
+            bit = (byte >> (7 - (bitpos[0] & 7))) & 1
+            bitpos[0] += 1
+            return bit
+
+        def rbits(n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | rbit()
+            return v
+
+        def rsigned(n):
+            v = rbits(n)
+            return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+        assert rbit() == 0
+        stype = rbits(6)
+        assert rbit() == 0  # no wasted bits
+        if stype == 0:
+            block = [rsigned(16)] * bs
+        elif stype == 1:
+            block = [rsigned(16) for _ in range(bs)]
+        else:
+            assert 8 <= stype <= 12
+            order = stype - 8
+            block = [rsigned(16) for _ in range(order)]
+            method = rbits(2)
+            assert method in (0, 1)
+            pw, esc = (4, 15) if method == 0 else (5, 31)
+            po = rbits(4)
+            res = []
+            for pi in range(1 << po):
+                m = (bs >> po) - (order if pi == 0 else 0)
+                k = rbits(pw)
+                if k == esc:
+                    width = rbits(5)
+                    for _ in range(m):
+                        res.append(rsigned(width))
+                else:
+                    for _ in range(m):
+                        q = 0
+                        while rbit() == 0:
+                            q += 1
+                        u = (q << k) | rbits(k)
+                        res.append(-((u + 1) >> 1) if u & 1 else u >> 1)
+            for i, r in enumerate(res):
+                t = i + order
+                if order == 0:
+                    block.append(r)
+                elif order == 1:
+                    block.append(block[t - 1] + r)
+                elif order == 2:
+                    block.append(2 * block[t - 1] - block[t - 2] + r)
+                elif order == 3:
+                    block.append(
+                        3 * block[t - 1] - 3 * block[t - 2] + block[t - 3] + r
+                    )
+                else:
+                    block.append(
+                        4 * block[t - 1]
+                        - 6 * block[t - 2]
+                        + 4 * block[t - 3]
+                        - block[t - 4]
+                        + r
+                    )
+        while bitpos[0] % 8:
+            assert rbit() == 0, "nonzero padding"
+        pos = bitpos[0] >> 3
+        want = payload[pos] << 8 | payload[pos + 1]
+        assert crc16(payload[fstart:pos]) == want, "frame CRC-16"
+        pos += 2
+        out.extend(block)
+
+    body = bytearray()
+    for v in out:
+        body += (v & 0xFFFF).to_bytes(2, "little")
+    assert _hashlib.md5(bytes(body)).digest() == md5_want, "MD5"
+    return out, sr
+
+
 def _plain_g711_decode(payload: bytes) -> tuple[list[int], int]:
     """Independent plain-Python G.711 decoder (twin of
     stages/multimodal.py::decode_g711 — no shared code, no numpy):
@@ -1698,6 +1847,44 @@ def _plain_g711_decode(payload: bytes) -> tuple[list[int], int]:
             mag <<= 3
             pcm.append(mag if sign else -mag)
     return pcm, sr
+
+
+def gen_audio_features_flac(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
+    """Independent twin of the REAL COMPRESSED lossless-codec FLAC
+    decode: plain-Python bit-serial Rice/fixed-predictor decoder with
+    table-free CRCs (see ``_plain_flac_decode``) vs the engine's
+    vectorized cumsum reconstruction. FLAC being lossless (and MD5-
+    pinned in STREAMINFO), the features are computed over the exact
+    source PCM; duration/RMS/ZCR rounded 9 dp like the other audio
+    twins."""
+    from ontograph_ray.stages.multimodal import encode_flac_audio  # encoder only
+
+    media_ids, durs, rmss, zcrs = [], [], [], []
+    for i in range(n):
+        sr = 8000
+        samples = (sr // 4) * (1 + i % 3)  # synthesize_audio's flac shape
+        payload = encode_flac_audio(samples, sr, 4007 + i)
+        pcm, psr = _plain_flac_decode(payload)
+        assert psr == sr and len(pcm) == samples
+        x = [s / 32768.0 for s in pcm]
+        media_ids.append(i)
+        durs.append(round(len(pcm) / psr, 9))
+        rmss.append(round(math.sqrt(math.fsum(v * v for v in x) / len(x)), 9))
+        flips = sum(1 for a, b in zip(x[1:], x[:-1]) if (a < 0) != (b < 0))
+        zcrs.append(round(flips / (len(x) - 1), 9))
+    path = os.path.join(FIXTURES_DIR, "audio_features_flac_n200.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "duration_sec": pa.array(durs, pa.float64()),
+                "rms": pa.array(rmss, pa.float64()),
+                "zero_crossing_rate": pa.array(zcrs, pa.float64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {n} rows"
 
 
 def gen_audio_features_g711(sf_dir: str = DEFAULT_SF, n: int = 200) -> str:
@@ -3213,6 +3400,10 @@ _SF_INDEPENDENT = {
     "audio_features_g711": (
         gen_audio_features_g711,
         "audio_features_g711_n200.parquet",
+    ),
+    "audio_features_flac": (
+        gen_audio_features_flac,
+        "audio_features_flac_n200.parquet",
     ),
     "video_frames_y4m": (gen_video_frames_y4m, "video_frames_y4m_n150.parquet"),
     "c4_line_filter": (gen_c4_line_filter, "c4_line_filter_n400.parquet"),

@@ -93,6 +93,17 @@ def test_adpcm_length_and_error_envelope(n, seed):
         assert rel < (0.6 if n >= 512 else 0.85)
 
 
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 12000), seeds)
+def test_flac_lossless_any_size_and_seed(n, seed):
+    # FLAC must be EXACTLY lossless for every clip length (frame
+    # boundaries at 4096 multiples, partial last frames, tiny clips
+    # below any predictor order) and every content class / escape mix
+    pcm, sr = mm.decode_flac(mm.encode_flac_audio(n, 8000, seed))
+    assert sr == 8000
+    assert np.array_equal(pcm, mm._audio_pcm_corr(n, seed))
+
+
 @settings(max_examples=25, deadline=None)
 @given(dims, seeds)
 def test_jpeg_baseline_quality_envelope(wh, seed):

@@ -478,6 +478,64 @@ class TestRealCodecs:
         with pytest.raises(ValueError, match="G.711"):
             multimodal.decode_g711(multimodal.encode_wav_audio(100, 8000, 1))
 
+    def test_flac_lossless_roundtrip_all_content_classes(self):
+        # FLAC is lossless: decode == source PCM bit-for-bit, for all
+        # three content classes (white noise → order 0, random walk →
+        # order 1, piecewise-linear → order 2) and frame-boundary sizes
+        for seed in range(4007, 4019):
+            for n in (2000, 4096, 4097, 6000, 8192):
+                pay = multimodal.encode_flac_audio(n, 8000, seed)
+                pcm, sr = multimodal.decode_flac(pay)
+                assert sr == 8000
+                assert np.array_equal(pcm, multimodal._audio_pcm_corr(n, seed))
+
+    def test_flac_actually_compresses(self):
+        # the correlated classes must beat raw PCM16 (the codec is
+        # real compression, not a container): walk (seed%3==1) ~0.5x,
+        # ramps (seed%3==2) ~0.15x; white noise stays ~0.88x (right —
+        # noise is incompressible)
+        n = 6000
+        assert len(multimodal.encode_flac_audio(n, 8000, 4009)) < 2 * n * 0.6
+        assert len(multimodal.encode_flac_audio(n, 8000, 4007)) < 2 * n * 0.25
+        assert len(multimodal.encode_flac_audio(n, 8000, 4008)) < 2 * n
+
+    def test_flac_escape_and_rice_paths(self):
+        # seed % 5 == 0 forces the raw-escape partitions; others use
+        # Rice — both must round-trip
+        for seed in (4010, 4011):  # 4010 % 5 == 0 → escape
+            pay = multimodal.encode_flac_audio(3000, 8000, seed)
+            pcm, _ = multimodal.decode_flac(pay)
+            assert np.array_equal(pcm, multimodal._audio_pcm_corr(3000, seed))
+
+    def test_flac_integrity_checks(self):
+        pay = bytearray(multimodal.encode_flac_audio(4000, 8000, 4008))
+        # frame-body bit flip → CRC-16
+        bad = bytearray(pay)
+        bad[-20] ^= 0x10
+        with pytest.raises(ValueError, match="CRC-16"):
+            multimodal.decode_flac(bytes(bad))
+        # header byte flip → CRC-8 (blocksize nibble of the first frame)
+        bad = bytearray(pay)
+        hdr_at = 4 + 4 + 34  # magic + block header + STREAMINFO
+        assert bad[hdr_at] == 0xFF
+        bad[hdr_at + 2] ^= 0x01  # sample-rate code bits
+        with pytest.raises(ValueError):
+            multimodal.decode_flac(bytes(bad))
+        # STREAMINFO MD5 flip → lossless pin trips
+        bad = bytearray(pay)
+        bad[4 + 4 + 18] ^= 0xFF
+        with pytest.raises(ValueError, match="MD5"):
+            multimodal.decode_flac(bytes(bad))
+        with pytest.raises(ValueError, match="magic"):
+            multimodal.decode_flac(b"fLaX" + bytes(pay[4:]))
+
+    def test_flac_stage(self, ray_session):
+        ds = ray.data.from_arrow(
+            multimodal.synthesize_audio(9, seed=4007, codec="flac")
+        )
+        out = multimodal.featurize_audio(ds, codec="flac").take_all()
+        assert len(out) == 9 and all(0.0 < r["rms"] < 1.0 for r in out)
+
     def test_g711_stage_mixed_laws(self, ray_session):
         # one featurizer pass over mixed mu/A clips (tag dispatch)
         from ontograph_ray.stages.multimodal import MEDIA_SCHEMA
