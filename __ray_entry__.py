@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_jpeg_dri420": q.q_image_features_jpeg_dri420,
         "image_features_jpeg411": q.q_image_features_jpeg411,
         "audio_features_flac": q.q_audio_features_flac,
+        "video_frames_mjpeg": q.q_video_frames_mjpeg,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

@@ -976,6 +976,9 @@ SELECT l_orderkey, l_linenumber, 'l_discount',
         "audio_features_adpcm": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/audio_features_adpcm_n200.parquet')"
         ),
+        "video_frames_mjpeg": (
+            f"SELECT * FROM read_parquet('{_FIXTURES}/video_frames_mjpeg_n150.parquet')"
+        ),
         "audio_features_flac": (
             f"SELECT * FROM read_parquet('{_FIXTURES}/audio_features_flac_n200.parquet')"
         ),

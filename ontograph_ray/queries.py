@@ -2116,6 +2116,21 @@ def q_video_frames_y4m(sf_dir: str):
     return sample_video_frames(ds, every_n=3, codec="y4m")
 
 
+def q_video_frames_mjpeg(sf_dir: str):
+    """REAL COMPRESSED-codec video frame sampling: Motion JPEG in the
+    classic AVI/RIFF container (fccHandler 'MJPG', one baseline JPEG
+    per '00dc' chunk — what webcams and older cameras record), parsed
+    and entropy-decoded in-module (stages/multimodal.py::decode_mjpeg),
+    every 2nd frame kept, ONE ROW PER SAMPLED FRAME with integer
+    features. Oracle: an independent RIFF walk + the plain-Python
+    baseline-JPEG twin per frame
+    (scripts/gen_fixtures.py::gen_video_frames_mjpeg), byte-wise pin."""
+    from .stages.multimodal import sample_video_frames, synthesize_videos
+
+    ds = ray.data.from_arrow(synthesize_videos(150, seed=2009, codec="mjpeg"))
+    return sample_video_frames(ds, every_n=2, codec="mjpeg")
+
+
 # ---------------------------------------------------------------------------
 # Relational breadth (aggregate / join / window / sort+limit)
 # ---------------------------------------------------------------------------

@@ -578,8 +578,18 @@ def encode_jpeg_gray(
     (byte-aligned, cyclic n, DC predictor reset) before every
     ``restart_interval``-th MCU — the error-resilience layer virtually
     every camera JPEG carries (T.81 B.2.4.4 / E.1.4)."""
-    q = _jpeg_qtable(quality)
     px = _image_pixels(width, height, seed).reshape(height, width)
+    return _encode_jpeg_gray_px(px, quality, restart_interval)
+
+
+def _encode_jpeg_gray_px(
+    px: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """Baseline grayscale JFIF encode of an explicit uint8 plane —
+    the kernel behind :func:`encode_jpeg_gray` and the MJPEG/AVI
+    video encoder (one such JPEG per frame)."""
+    height, width = px.shape
+    q = _jpeg_qtable(quality)
     fq = _jpeg_fdct_quant(px.astype(np.int64), q)
     dc_huff = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_huff = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
@@ -3337,11 +3347,120 @@ def decode_y4m(payload: bytes) -> np.ndarray:
     return np.stack(frames).reshape(len(frames), h, w)
 
 
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def encode_mjpeg_avi(width: int, height: int, n_frames: int, seed: int) -> bytes:
+    """REAL COMPRESSED video codec: Motion JPEG in the classic AVI/RIFF
+    container (fccHandler 'MJPG', one baseline grayscale JPEG per
+    '00dc' chunk, AVIF_HASINDEX + idx1 keyframe index) — what
+    `ffmpeg -c:v mjpeg -f avi` emits and what webcams/older cameras
+    record. Frame content is the same deterministic planes as the
+    other video codecs."""
+    planes = _video_planes(width, height, n_frames, seed)
+    plane = width * height
+    jpegs = [
+        _encode_jpeg_gray_px(
+            planes[fi * plane : (fi + 1) * plane].reshape(height, width)
+        )
+        for fi in range(n_frames)
+    ]
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        40000,  # dwMicroSecPerFrame (25 fps)
+        0, 0,
+        0x10,  # AVIF_HASINDEX
+        n_frames, 0, 1, 0,  # total frames, initial, streams, bufsize
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, 25, 0, n_frames, 0, 0, -1)
+        + struct.pack("<I", 0)  # dwSampleSize
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0x47504A4D, 0, 0, 0, 0, 0
+    )  # BITMAPINFOHEADER, biCompression 'MJPG'
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    idx = b""
+    for j in jpegs:
+        # idx1 offsets are relative to the 'movi' fourcc
+        idx += b"00dc" + struct.pack("<III", 0x10, 4 + len(movi_body), len(j))
+        movi_body += _riff_chunk(b"00dc", j)
+    movi = _riff_list(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_mjpeg(payload: bytes) -> np.ndarray:
+    """Parse an MJPEG AVI payload → uint8 array (n_frames, h, w):
+    RIFF walk (hdrl avih for dims/frame count, movi '00dc' chunks),
+    each frame through the module's full baseline-JPEG entropy
+    decoder. Frame count and dimensions are validated against the
+    container header."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("bad AVI magic")
+    pos = 12
+    width = height = total = None
+    frames: list[np.ndarray] = []
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"LIST":
+            ltype = body[:4]
+            if ltype == b"hdrl":
+                # first sub-chunk must be avih
+                if body[4:8] != b"avih":
+                    raise ValueError("hdrl missing avih")
+                a = struct.unpack("<14I", body[12 : 12 + 56])
+                total, width, height = a[4], a[8], a[9]
+            elif ltype == b"movi":
+                mp = 4
+                while mp + 8 <= len(body):
+                    fid = body[mp : mp + 4]
+                    (fsz,) = struct.unpack("<I", body[mp + 4 : mp + 8])
+                    if fid == b"00dc":
+                        w_, h_, planes = _decode_jpeg_planes(
+                            bytes(body[mp + 8 : mp + 8 + fsz])
+                        )
+                        if (w_, h_) != (width, height):
+                            raise ValueError("frame dims disagree with avih")
+                        frames.append(planes[0][:height, :width])
+                    mp += 8 + fsz + (fsz & 1)
+        pos += 8 + size + (size & 1)
+    if total is None:
+        raise ValueError("missing hdrl/avih")
+    if len(frames) != total:
+        raise ValueError(
+            f"frame count mismatch: avih says {total}, movi has {len(frames)}"
+        )
+    return np.stack(frames)
+
+
 def synthesize_videos(n: int, seed: int = 9, codec: str = "fake") -> pa.Table:
     """Deterministic video table for tests/benchmarks: varying frame
     counts and plane sizes so every-nth sampling hits every remainder.
-    ``codec="y4m"`` emits real YUV4MPEG2 streams."""
-    enc = {"fake": encode_fake_video, "y4m": encode_y4m_video}[codec]
+    ``codec="y4m"`` emits real YUV4MPEG2 streams; ``"mjpeg"`` real
+    Motion-JPEG AVI."""
+    enc = {
+        "fake": encode_fake_video,
+        "y4m": encode_y4m_video,
+        "mjpeg": encode_mjpeg_avi,
+    }[codec]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
         w, h = 8 + (i % 4) * 4, 8 + (i % 3) * 4
@@ -3370,10 +3489,11 @@ class VideoFrameSampler:
     phash) so the op stays exactly oracle-able."""
 
     def __init__(self, every_n: int = 2, codec: str = "fake"):
-        if codec not in ("fake", "y4m"):
+        if codec not in ("fake", "y4m", "mjpeg"):
             raise NotImplementedError(
                 f"codec {codec!r} requires video-compression libraries not "
-                "present in this environment; use codec='y4m' or 'fake'"
+                "present in this environment; use codec='mjpeg', 'y4m' or "
+                "'fake'"
             )
         if every_n < 1:
             raise ValueError("every_n must be >= 1")
@@ -3383,6 +3503,8 @@ class VideoFrameSampler:
     def _decode(self, payload: bytes) -> np.ndarray:
         if self.codec == "y4m":
             return decode_y4m(payload)
+        if self.codec == "mjpeg":
+            return decode_mjpeg(payload)
         if not payload.startswith(_FAKE_VIDEO_MAGIC):
             raise ValueError("bad fake-video magic")
         w, h, nf = struct.unpack("<III", payload[8:20])

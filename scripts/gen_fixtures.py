@@ -1964,6 +1964,68 @@ def gen_video_frames_y4m(sf_dir: str = DEFAULT_SF, n: int = 150) -> str:
     return f"{path}: {len(ids)} rows"
 
 
+def gen_video_frames_mjpeg(sf_dir: str = DEFAULT_SF, n: int = 150) -> str:
+    """Independent twin of the REAL COMPRESSED-codec MJPEG/AVI frame
+    sampling (every_n=2): its own struct-based RIFF/LIST walk (no
+    shared code with stages/multimodal.py::decode_mjpeg), each '00dc'
+    chunk decoded with the independent plain-Python baseline-JPEG
+    decoder (``_plain_jpeg_decode``) — per-frame pixel bytes pinned
+    byte-wise via the phash."""
+    from ontograph_ray.stages.multimodal import encode_mjpeg_avi  # encoder only
+
+    ids, idxs, sums, phashes = [], [], [], []
+    for i in range(n):
+        w, h = 8 + (i % 4) * 4, 8 + (i % 3) * 4  # synthesize_videos' shape
+        nf = 4 + i % 7
+        payload = encode_mjpeg_avi(w, h, nf, 2009 + i)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+        pos, frames, avih_frames = 12, [], None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + size]
+            if cid == b"LIST" and body[:4] == b"hdrl":
+                assert body[4:8] == b"avih"
+                avih_frames = struct.unpack("<I", body[12 + 16 : 12 + 20])[0]
+            elif cid == b"LIST" and body[:4] == b"movi":
+                mp = 4
+                while mp + 8 <= len(body):
+                    fid = body[mp : mp + 4]
+                    (fsz,) = struct.unpack("<I", body[mp + 4 : mp + 8])
+                    if fid == b"00dc":
+                        pw, ph, planes = _plain_jpeg_decode(
+                            bytes(body[mp + 8 : mp + 8 + fsz])
+                        )
+                        assert (pw, ph) == (w, h) and len(planes) == 1
+                        frames.append(planes[0])
+                    mp += 8 + fsz + (fsz & 1)
+            pos += 8 + size + (size & 1)
+        assert avih_frames == nf and len(frames) == nf
+        for fi in range(0, nf, 2):
+            body_bytes = bytearray()
+            for y in range(h):
+                body_bytes.extend(frames[fi][y][:w])
+            ids.append(i)
+            idxs.append(fi)
+            sums.append(sum(body_bytes))
+            phashes.append(
+                int.from_bytes(hashlib.sha1(bytes(body_bytes)).digest()[:8], "big")
+            )
+    path = os.path.join(FIXTURES_DIR, "video_frames_mjpeg_n150.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "pixel_sum": pa.array(sums, pa.int64()),
+                "phash": pa.array(phashes, pa.uint64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(ids)} rows"
+
+
 # -- independent MinHash / LSH / n-gram-Jaccard pipeline ---------------------
 # Plain-Python reimplementation of the whole near-dup chain (shingle →
 # minhash → banded LSH → candidates → exact-Jaccard verify → min-label
@@ -3406,6 +3468,10 @@ _SF_INDEPENDENT = {
         "audio_features_flac_n200.parquet",
     ),
     "video_frames_y4m": (gen_video_frames_y4m, "video_frames_y4m_n150.parquet"),
+    "video_frames_mjpeg": (
+        gen_video_frames_mjpeg,
+        "video_frames_mjpeg_n150.parquet",
+    ),
     "c4_line_filter": (gen_c4_line_filter, "c4_line_filter_n400.parquet"),
 }
 

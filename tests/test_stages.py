@@ -574,6 +574,52 @@ class TestRealCodecs:
         with pytest.raises(ValueError):
             multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + bytes(6))
 
+    def test_mjpeg_avi_roundtrip_and_container_guards(self):
+        # every decoded frame must equal the standalone baseline-JPEG
+        # decode of the same plane (the AVI layer adds no loss), and
+        # the container headers must be validated
+        import numpy as np
+
+        pay = multimodal.encode_mjpeg_avi(16, 12, 5, 77)
+        assert pay[:4] == b"RIFF" and pay[8:12] == b"AVI "
+        assert b"MJPG" in pay and b"idx1" in pay and b"movi" in pay
+        vid = multimodal.decode_mjpeg(pay)
+        assert vid.shape == (5, 12, 16)
+        planes = multimodal._video_planes(16, 12, 5, 77)
+        for fi in range(5):
+            ref = multimodal.decode_jpeg_gray(
+                multimodal._encode_jpeg_gray_px(
+                    planes[fi * 192 : (fi + 1) * 192].reshape(12, 16)
+                )
+            )
+            assert np.array_equal(vid[fi], ref)
+        with pytest.raises(ValueError, match="magic"):
+            multimodal.decode_mjpeg(b"RIFX" + pay[4:])
+        # frame-count disagreement between avih and movi is an error
+        import struct as _s
+
+        bad = bytearray(pay)
+        at = bad.index(b"avih") + 8 + 16
+        _s.pack_into("<I", bad, at, 6)
+        with pytest.raises(ValueError, match="frame count"):
+            multimodal.decode_mjpeg(bytes(bad))
+
+    def test_mjpeg_stage(self, ray_session):
+        out = multimodal.sample_video_frames(
+            ray.data.from_arrow(multimodal.synthesize_videos(9, codec="mjpeg")),
+            every_n=2,
+            codec="mjpeg",
+        ).take_all()
+        fake = multimodal.sample_video_frames(
+            ray.data.from_arrow(multimodal.synthesize_videos(9)), every_n=2
+        ).take_all()
+        # JPEG frames are lossy → phashes differ from the fake codec's,
+        # but the row layout (which frames survive) must match
+        assert {(r["media_id"], r["frame_idx"]) for r in out} == {
+            (r["media_id"], r["frame_idx"]) for r in fake
+        }
+        assert all(r["pixel_sum"] > 0 for r in out)
+
     def test_pgm_stage_matches_fake_codec_features(self, ray_session):
         """Same (dims, seed) content through the real-PGM and the fake
         stage must produce identical features — only the container
