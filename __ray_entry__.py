@@ -259,6 +259,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_jpeg411": q.q_image_features_jpeg411,
         "audio_features_flac": q.q_audio_features_flac,
         "video_frames_mjpeg": q.q_video_frames_mjpeg,
+        "sparql_optional_filter": q.q_sparql_optional_filter,
+        "sparql_exists_filter": q.q_sparql_exists_filter,
+        "sparql_exists_correlated": q.q_sparql_exists_correlated,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

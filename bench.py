@@ -126,7 +126,11 @@ BENCH_QUERIES = [
     "image_features_jpeg_prog420",
     "audio_features_adpcm",
     "audio_features_g711",
+    "audio_features_flac",
+    "image_features_jpeg_dri420",
+    "image_features_jpeg411",
     "video_frames_y4m",
+    "video_frames_mjpeg",
     "gopher_quality",
     "c4_line_filter",
     "dsir_scores",

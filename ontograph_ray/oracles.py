@@ -464,6 +464,34 @@ v AS (SELECT subject,
       FROM t WHERE predicate = '<{ACCTBAL}>'),
 r AS (SELECT subject, {_sql_div_u("v", 7)} AS r FROM v)
 SELECT subject AS c, {_sql_dec_term("r")} AS q FROM r""",
+        # FILTER inside OPTIONAL = LEFT JOIN with the condition in the
+        # ON clause (failing rows keep the NULL binding)
+        "sparql_optional_filter": f"""{_T}
+SELECT t1.subject AS x, t2.object AS b
+FROM t t1
+LEFT JOIN t t2 ON t2.subject = t1.subject
+  AND t2.predicate = '<{ACCTBAL}>'
+  AND CAST(regexp_extract(t2.object, '"([+-]?\\d+)"', 1) AS BIGINT) > 500000
+WHERE t1.predicate = '{RDF_TYPE_T}' AND t1.object = '<{CUST_CLASS}>'""",
+        # FILTER inside EXISTS (group-internal condition)
+        "sparql_exists_filter": f"""{_T}
+SELECT t1.subject AS x, t1.object AS s
+FROM t t1
+WHERE t1.predicate = '<{SEGMENT}>'
+  AND EXISTS (
+    SELECT 1 FROM t t2
+    WHERE t2.subject = t1.subject AND t2.predicate = '<{ACCTBAL}>'
+      AND CAST(regexp_extract(t2.object, '"([+-]?\\d+)"', 1) AS BIGINT)
+          > 500000)""",
+        # correlated EXISTS: the condition references the OUTER row
+        "sparql_exists_correlated": f"""{_T}
+SELECT t1.subject AS c1, t1.object AS n
+FROM t t1
+WHERE t1.predicate = '<{IN_NATION}>'
+  AND EXISTS (
+    SELECT 1 FROM t t2
+    WHERE t2.predicate = '<{IN_NATION}>' AND t2.object = t1.object
+      AND t2.subject != t1.subject)""",
         # decimal FILTER comparisons: both sides exact unscaled BIGINT
         "sparql_filter_decimal": f"""{_T},
 v AS (SELECT subject, object,

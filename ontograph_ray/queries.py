@@ -3558,6 +3558,71 @@ def q_sparql_bind_div(sf_dir: str):
     )
 
 
+def q_sparql_optional_filter(sf_dir: str):
+    """E8 extension: FILTER inside an OPTIONAL group — SPARQL's
+    LeftJoin condition (the well-designed, group-variables-only case):
+    every customer, with their balance bound ONLY when it clears the
+    threshold; rows whose balance fails keep the NULL binding, exactly
+    a SQL LEFT JOIN with the condition in the ON clause."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?x ?b WHERE {{
+          ?x a <{CUST_CLASS}> .
+          OPTIONAL {{ ?x attr:acctbalCents ?b . FILTER ( ?b > 500000 ) }}
+        }}
+        """,
+    )
+
+
+def q_sparql_exists_filter(sf_dir: str):
+    """E8 extension: FILTER inside a FILTER EXISTS group
+    (group-internal condition): customers holding a balance above the
+    threshold — the group bindings are pre-filtered, then the usual
+    distinct-key semi-join."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?x ?s WHERE {{
+          ?x attr:mktsegment ?s .
+          FILTER EXISTS {{ ?x attr:acctbalCents ?b . FILTER ( ?b > 500000 ) }}
+        }}
+        """,
+    )
+
+
+def q_sparql_exists_correlated(sf_dir: str):
+    """E8 extension: CORRELATED FILTER EXISTS — the condition
+    references an OUTER variable (?c2 != ?c1): customers whose nation
+    has at least one OTHER customer. Evaluated as (distinct outer keys
+    × group) join + condition + distinct qualifying keys + semi-join;
+    only distinct key rows cross the wire."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX rel: <urn:og:rel/>
+        SELECT ?c1 ?n WHERE {{
+          ?c1 rel:inNation ?n .
+          FILTER EXISTS {{ ?c2 rel:inNation ?n . FILTER ( ?c2 != ?c1 ) }}
+        }}
+        """,
+    )
+
+
 def q_sparql_filter_decimal(sf_dir: str):
     """E8 extension: decimal arithmetic in computed FILTER comparisons
     — division and decimal constants route to the scale-6 fixed-point

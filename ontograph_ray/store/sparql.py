@@ -439,6 +439,283 @@ def _tokenize(text: str) -> list[str]:
     return out
 
 
+
+def _cond_mask(batch: pa.Table, op, var, val):
+    """One vectorized FILTER-condition kernel over a bindings batch —
+    module-level so the main WHERE clause, OPTIONAL groups and
+    EXISTS/MINUS groups all evaluate conditions through the SAME
+    code path (SPARQL §17.2 error semantics included)."""
+    from ..terms import (
+        v_datatype,
+        v_is_literal,
+        v_is_resource,
+        v_language,
+        v_value,
+    )
+
+    num_ops = {"lt": pc.less, "gt": pc.greater, "le": pc.less_equal,
+               "ge": pc.greater_equal}
+    _acc = {"str": v_value, "lang": v_language, "dt": v_datatype}
+    if op in ("or", "and"):
+        # SPARQL's error-handling for logical connectives
+        # (§17.2): an error operand yields false unless the
+        # other side forces the result — for FILTER purposes
+        # (where an error result also drops the row) that is
+        # exactly fill_null(False) per operand, at every
+        # nesting level
+        comb = pc.or_ if op == "or" else pc.and_
+        m = None
+        for c in var:
+            cm = pc.fill_null(_cond_mask(batch, *c), False)
+            m = cm if m is None else comb(m, cm)
+        return m
+    if op == "numcmp":
+        # two-sided numeric comparison over computed expressions
+        # (FILTER(?a > ?b + 1), FILTER(?a / 2 >= 1.5)): dual
+        # lane like BIND arithmetic — the int64 fast lane where
+        # the expression is pure-integer, the scale-6 decimal
+        # lane for '/', decimal constants and decimal-typed
+        # terms; non-numeric or unbound terms → null → row
+        # dropped (or false under a boolean connective),
+        # SPARQL's type-error rule
+        import numpy as np
+
+        key, lexpr, rexpr = var
+        use_int = not any(
+            e[0] == "/" or any(isinstance(x, tuple) for x in e[1:])
+            for e in (lexpr, rexpr)
+        )
+        int_mask = None
+        fn_np = {
+            "lt": np.less, "gt": np.greater, "le": np.less_equal,
+            "ge": np.greater_equal, "num_eq": np.equal,
+            "num_ne": np.not_equal,
+        }[key]
+        if use_int:
+
+            def _ival(operand):
+                if isinstance(operand, int):
+                    return pa.scalar(operand, pa.int64())
+                lex = pc.struct_field(
+                    pc.extract_regex(batch[operand], _INT_LIT_RE), "v"
+                )
+                return pc.cast(lex, pa.int64())
+
+            def _ev(e):
+                aop, a, b = e
+                if aop is None:
+                    return _ival(a)
+                return {
+                    "+": pc.add, "-": pc.subtract, "*": pc.multiply
+                }[aop](_ival(a), _ival(b))
+
+            fn = {
+                **num_ops,
+                "num_eq": pc.equal,
+                "num_ne": pc.not_equal,
+            }[key]
+            int_mask = fn(_ev(lexpr), _ev(rexpr))
+
+        n = batch.num_rows
+
+        def _dval(operand):
+            if isinstance(operand, int):
+                return (
+                    np.full(n, operand * _DEC_SCALE, np.int64),
+                    np.ones(n, bool),
+                )
+            if isinstance(operand, tuple) and operand[0] == "fnexpr":
+                # ABS/CEIL/FLOOR/ROUND over a nested expression
+                # (exact scale-6 ints; fn:round ties toward
+                # +inf, floor/ceil toward ∓inf)
+                _, fn, inner = operand
+                xa, xv = _dev(inner)
+                S = _DEC_SCALE
+                if fn == "abs":
+                    return np.abs(xa), xv
+                if fn == "floor":
+                    return (xa // S) * S, xv
+                if fn == "ceil":
+                    return -((-xa) // S) * S, xv
+                return ((xa + S // 2) // S) * S, xv
+            if isinstance(operand, tuple) and operand[0] == "negvar":
+                xa, xv = _dec_decode(batch[operand[1]])
+                return -xa, xv
+            if isinstance(operand, tuple):  # ("dec", unscaled)
+                return (
+                    np.full(n, operand[1], np.int64),
+                    np.ones(n, bool),
+                )
+            return _dec_decode(batch[operand])
+
+        def _dev(e):
+            aop, a, b = e
+            xa, xv = _dval(a)
+            if aop is None:
+                return xa, xv
+            ya, yv = _dval(b)
+            return _dec_arith(aop, xa, xv, ya, yv)
+
+        la, lv = _dev(lexpr)
+        ra, rv = _dev(rexpr)
+        dec_mask = pc.if_else(
+            pa.array(lv & rv),
+            pa.array(fn_np(la, ra)),
+            pa.scalar(None, pa.bool_()),
+        )
+        if int_mask is None:
+            return dec_mask
+        if isinstance(int_mask, pa.Scalar):  # const-vs-const
+            int_mask = pa.array(
+                [int_mask.as_py()] * n, pa.bool_()
+            )
+        return pc.coalesce(int_mask, dec_mask)
+    if op in ("veq", "vne"):
+        a, b = batch[var[0][1:]], batch[var[1][1:]]
+        return (pc.equal if op == "veq" else pc.not_equal)(a, b)
+    if op in ("coalesce_eq", "coalesce_ne"):
+        co = pc.coalesce(
+            *[
+                batch[a[1:]] if a.startswith("?") else pa.scalar(a)
+                for a in var
+            ]
+        )
+        return (pc.equal if op == "coalesce_eq" else pc.not_equal)(
+            co, val
+        )
+    if op == "coalesce_cmp":
+        import numpy as np
+
+        key, args_, u = var
+        co = pc.coalesce(
+            *[
+                batch[a[1:]] if a.startswith("?") else pa.scalar(a)
+                for a in args_
+            ]
+        )
+        if isinstance(co, pa.Scalar):  # all-constant COALESCE
+            co = pa.array([co.as_py()] * batch.num_rows, pa.string())
+        xa, xv = _dec_decode(co)
+        fn_np = {
+            "lt": np.less, "gt": np.greater,
+            "le": np.less_equal, "ge": np.greater_equal,
+        }[key]
+        # non-numeric / all-unbound rows → false (type error)
+        return pa.array(fn_np(xa, u) & xv)
+    col = batch[var]
+    if op == "eq":
+        return pc.equal(col, val)
+    if op == "ne":
+        return pc.not_equal(col, val)
+    if op == "bound":
+        return pc.is_valid(col) if val else pc.is_null(col)
+    if op in ("isiri", "isliteral"):
+        # T4/T5 term-kind kernels; '!' forms invert the mask
+        # (null bindings stay null → row dropped either way,
+        # SPARQL's error-on-unbound rule)
+        kind = (v_is_resource if op == "isiri" else v_is_literal)(col)
+        m = kind if val else pc.invert(kind)
+        # the kernels fill null→False; re-drop unbound rows so
+        # the '!' form can't resurrect them (error-on-unbound)
+        return pc.and_(m, pc.is_valid(col))
+    if op == "langmatches":
+        tag = pc.utf8_lower(_acc["lang"](col))
+        if val == "*":
+            return pc.not_equal(tag, "")
+        return pc.or_(
+            pc.equal(tag, val), pc.starts_with(tag, val + "-")
+        )
+    if op in ("in", "not_in"):
+        # [NOT] IN over SPARQL term equality (encoded term
+        # strings); unbound → error → drop on BOTH polarities
+        # (is_in fills null→false, so NOT IN must re-drop)
+        m = pc.is_in(col, value_set=pa.array(list(val), pa.string()))
+        if op == "not_in":
+            m = pc.and_(pc.invert(m), pc.is_valid(col))
+        return m
+    if op == "regex_val":
+        # REGEX builtin: RE2 match over the lexical form (T6
+        # Value); unbound → null → row dropped (or false under
+        # a boolean connective)
+        return pc.match_substring_regex(_acc["str"](col), val)
+    if op in ("strstarts", "strends", "contains"):
+        lex = _acc["str"](col)
+        if op == "strstarts":
+            return pc.starts_with(lex, val)
+        if op == "strends":
+            return pc.ends_with(lex, val)
+        return pc.match_substring(lex, val)
+    if op[:7] == "strlen_":
+        ln = pc.utf8_length(_acc["str"](col))
+        fn = {"eq": pc.equal, "ne": pc.not_equal, **num_ops}[op[7:]]
+        return fn(ln, val)
+    if op[:6] in ("lcase_", "ucase_"):
+        folded = (pc.utf8_lower if op[0] == "l" else pc.utf8_upper)(
+            _acc["str"](col)
+        )
+        return (pc.equal if op.endswith("_eq") else pc.not_equal)(
+            folded, val
+        )
+    if op[:-3] in _acc and op[-3:] in ("_eq", "_ne"):
+        # STR/LANG/DATATYPE builtins → the vectorized T6/T7/T8
+        # term-accessor kernels (truth tables pinned by the
+        # ported reference test suite)
+        acc = _acc[op[:-3]](col)
+        return (pc.equal if op.endswith("_eq") else pc.not_equal)(
+            acc, val
+        )
+    if op in num_ops:
+        lex = pc.struct_field(pc.extract_regex(col, _INT_LIT_RE), "v")
+        return num_ops[op](pc.cast(lex, pa.int64()), val)
+    return pc.match_substring_regex(col, val)
+
+
+def _filter_vars(op, v) -> list:
+    """Variables referenced by one parsed FILTER condition (recursing
+    through boolean connectives and computed expressions)."""
+    def _fv(v):
+        return (
+            [a[1:] for a in v if a.startswith("?")]
+            if isinstance(v, tuple)
+            else [v]
+        )
+
+    if op in ("or", "and"):
+        return [x for c in v for x in _filter_vars(c[0], c[1])]
+    if op == "numcmp":
+        def _expr_vars(e):
+            out = []
+            for x in (e[1], e[2]):
+                if isinstance(x, str):
+                    out.append(x)
+                elif isinstance(x, tuple) and x and x[0] == "fnexpr":
+                    out += _expr_vars(x[2])
+                elif isinstance(x, tuple) and x and x[0] == "negvar":
+                    out.append(x[1])
+            return out
+
+        return [x for e in (v[1], v[2]) for x in _expr_vars(e)]
+    if op == "coalesce_cmp":
+        return [a[1:] for a in v[1] if a.startswith("?")]
+    return _fv(v)
+
+
+def _apply_filters_ds(ds, filters):
+    """Apply a list of parsed FILTER conditions to a bindings Dataset
+    (AND of the per-condition masks; null mask → row dropped)."""
+    flist = list(filters)
+
+    def apply_filters(batch: pa.Table, _f=flist) -> pa.Table:
+        mask = None
+        for op, var, val in _f:
+            m = _cond_mask(batch, op, var, val)
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(mask)
+
+    return ds.map_batches(apply_filters, batch_format="pyarrow")
+
+
+
 @dataclass
 class _OptGroup:
     """One OPTIONAL group: its required BGP plus nested OPTIONAL
@@ -447,6 +724,10 @@ class _OptGroup:
 
     patterns: list[tuple[str, str, str]]
     children: "list[_OptGroup]" = field(default_factory=list)
+    # FILTER conditions inside the group — restricted to the group's
+    # own variables, applied before the left join (exactly SPARQL's
+    # LeftJoin condition for the well-designed case)
+    filters: list = field(default_factory=list)
 
 
 @dataclass
@@ -462,8 +743,10 @@ class _Query:
     # MINUS { BGP } and FILTER NOT EXISTS { BGP } — equivalent on this
     # subset (groups must share ≥1 required-bound variable) — and
     # FILTER EXISTS { BGP }: anti-/semi-join groups
-    minus_groups: list[list[tuple[str, str, str]]] = field(default_factory=list)
-    exists_groups: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    # each group is (patterns, filters): the BGP plus any FILTER
+    # conditions inside the braces
+    minus_groups: list[tuple[list, list]] = field(default_factory=list)
+    exists_groups: list[tuple[list, list]] = field(default_factory=list)
     # postfix VALUES: (vars, ground-term rows) — inline broadcast semi-join
     values_clause: tuple[list[str], list[tuple[str, ...]]] | None = None
     # top-level { g1 } UNION { g2 } ... form: pattern groups, bag union
@@ -1130,8 +1413,8 @@ def parse(text: str) -> _Query:
             filters.append(expr)
 
     optionals: list[_OptGroup] = []
-    minus_groups: list[list[tuple[str, str, str]]] = []
-    exists_groups: list[list[tuple[str, str, str]]] = []
+    minus_groups: list[tuple[list, list]] = []
+    exists_groups: list[tuple[list, list]] = []
     binds: list[tuple[str, object, str]] = []
     subqueries: list[str] = []
 
@@ -1508,31 +1791,53 @@ def parse(text: str) -> _Query:
         if peek() == ".":
             take()
 
-    def take_group(kind: str) -> list[tuple[str, str, str]]:
-        # { plain BGP } — the strict-subset group body for OPTIONAL /
-        # MINUS / FILTER [NOT] EXISTS
+    def take_group(kind: str) -> tuple[list, list]:
+        # { BGP [FILTER(...)]... } — the group body for MINUS /
+        # FILTER [NOT] EXISTS; FILTER conditions inside the braces are
+        # collected per group (nested EXISTS stays out of the subset)
         if take() != "{":
             raise SparqlSyntaxError(f"expected {{ after {kind}")
         grp: list[tuple[str, str, str]] = []
+        grp_filters: list = []
         while peek() != "}":
-            if peek().upper() in ("FILTER", "OPTIONAL", "UNION", "MINUS", "VALUES"):
+            up = peek().upper()
+            if up == "FILTER":
+                take()
+                mark_f = len(filters)
+                mark_m = len(minus_groups)
+                mark_e = len(exists_groups)
+                take_filter()
+                if len(minus_groups) > mark_m or len(exists_groups) > mark_e:
+                    raise SparqlUnsupportedError(
+                        f"nested FILTER [NOT] EXISTS inside a {kind} "
+                        "group is not supported"
+                    )
+                grp_filters.extend(filters[mark_f:])
+                del filters[mark_f:]
+                if peek() == ".":
+                    take()
+                continue
+            if up in ("OPTIONAL", "UNION", "MINUS", "VALUES"):
                 raise SparqlUnsupportedError(
-                    f"{kind} groups must be plain graph patterns"
+                    f"{kind} groups must be graph patterns plus FILTER"
                 )
             take_pattern(grp)
         take()  # '}'
         if not grp:
             raise SparqlSyntaxError(f"empty {kind} group")
-        return grp
+        return grp, grp_filters
 
     def take_optional_group() -> _OptGroup:
-        # { BGP [OPTIONAL { ... }]... } — OPTIONAL groups may nest
-        # (LeftJoin(B, C) inside LeftJoin(A, ·)); FILTER/UNION/MINUS/
-        # VALUES inside a group remain out of the subset
+        # { BGP [OPTIONAL { ... }] [FILTER(...)]... } — OPTIONAL groups
+        # may nest (LeftJoin(B, C) inside LeftJoin(A, ·)) and may carry
+        # FILTER conditions over their own variables (the LeftJoin
+        # condition of the well-designed case — see _eval_optional);
+        # UNION/MINUS/VALUES inside a group remain out of the subset
         if take() != "{":
             raise SparqlSyntaxError("expected { after OPTIONAL")
         pats: list[tuple[str, str, str]] = []
         children: list[_OptGroup] = []
+        grp_filters: list = []
         while peek() != "}":
             up = peek().upper()
             if up == "OPTIONAL":
@@ -1541,16 +1846,32 @@ def parse(text: str) -> _Query:
                 if peek() == ".":
                     take()
                 continue
-            if up in ("FILTER", "UNION", "MINUS", "VALUES"):
+            if up == "FILTER":
+                take()
+                mark_f = len(filters)
+                mark_m = len(minus_groups)
+                mark_e = len(exists_groups)
+                take_filter()
+                if len(minus_groups) > mark_m or len(exists_groups) > mark_e:
+                    raise SparqlUnsupportedError(
+                        "FILTER [NOT] EXISTS inside an OPTIONAL group "
+                        "is not supported"
+                    )
+                grp_filters.extend(filters[mark_f:])
+                del filters[mark_f:]
+                if peek() == ".":
+                    take()
+                continue
+            if up in ("UNION", "MINUS", "VALUES"):
                 raise SparqlUnsupportedError(
-                    "OPTIONAL groups may contain only graph patterns "
-                    "and nested OPTIONAL"
+                    "OPTIONAL groups may contain only graph patterns, "
+                    "nested OPTIONAL and FILTER"
                 )
             take_pattern(pats)
         take()  # '}'
         if not pats:
             raise SparqlSyntaxError("empty OPTIONAL group")
-        return _OptGroup(pats, children)
+        return _OptGroup(pats, children, grp_filters)
 
     # union form: WHERE { { g1 } UNION { g2 } [UNION { g3 } ...] } —
     # exclusive with the plain-pattern form (strict subset; branches
@@ -2167,6 +2488,27 @@ def sparql_select(
             new = [v for v in c_vars if v not in g_vars]
             nullable.update(new)
             g_vars += new
+        if grp.filters:
+            # FILTER inside the OPTIONAL group: on this subset the
+            # condition may reference only the group's own variables,
+            # which makes Filter(group) THEN LeftJoin(outer, ·, true)
+            # exactly SPARQL's LeftJoin(outer, group, C) — an errored
+            # (unbound) condition row drops here and the outer row
+            # keeps null bindings either way. Conditions over OUTER
+            # variables would need a join-time condition and are
+            # refused with a typed error.
+            fbad = [
+                x
+                for op, v, _ in grp.filters
+                for x in _filter_vars(op, v)
+                if x not in g_vars
+            ]
+            if fbad:
+                raise SparqlUnsupportedError(
+                    "FILTER inside OPTIONAL may reference only the "
+                    f"group's own variables; outer refs: {fbad}"
+                )
+            g_ds = _apply_filters_ds(g_ds, grp.filters)
         return g_ds, g_vars, nullable
 
     for grp in q.optionals:
@@ -2545,287 +2887,18 @@ def sparql_select(
 
     if q.filters:
         # applied after the BGP joins, while every bound variable is in
-        # scope (filters may reference unselected vars). eq/ne compare
-        # the full NTriples-encoded term (SPARQL term equality); regex
-        # matches the encoded term string; lt/gt/le/ge decode the
-        # xsd:integer lexical value (non-integer terms → null → row
-        # dropped, SPARQL's type-error rule) — one vectorized kernel
-        # per filter, streaming.
-        def _fvars(v):
-            return (
-                [a[1:] for a in v if a.startswith("?")]
-                if isinstance(v, tuple)
-                else [v]
-            )
-
-        def _all_fvars(op, v):
-            if op in ("or", "and"):
-                return [x for c in v for x in _all_fvars(c[0], c[1])]
-            if op == "numcmp":
-                # (key, lexpr, rexpr) with exprs (aop, a, b); string
-                # operands are bare variable names; ("fnexpr", fn,
-                # inner) operands nest a full expression
-                def _expr_vars(e):
-                    out = []
-                    for x in (e[1], e[2]):
-                        if isinstance(x, str):
-                            out.append(x)
-                        elif isinstance(x, tuple) and x and x[0] == "fnexpr":
-                            out += _expr_vars(x[2])
-                        elif isinstance(x, tuple) and x and x[0] == "negvar":
-                            out.append(x[1])
-                    return out
-
-                return [x for e in (v[1], v[2]) for x in _expr_vars(e)]
-            if op == "coalesce_cmp":
-                # (key, args, const): vars live in the args tuple
-                return [a[1:] for a in v[1] if a.startswith("?")]
-            return _fvars(v)
-
+        # scope (filters may reference unselected vars) — one vectorized
+        # kernel per condition via the module-level _cond_mask (shared
+        # with OPTIONAL/EXISTS group filters), streaming.
         bad = [
-            x for op, v, _ in q.filters for x in _all_fvars(op, v) if x not in bound
+            x for op, v, _ in q.filters for x in _filter_vars(op, v)
+            if x not in bound
         ]
         if bad:
             raise SparqlSyntaxError(f"FILTER variables never bound: {bad}")
+        joined = _apply_filters_ds(joined, q.filters)
 
-        filters = list(q.filters)
-        int_lit_re = _INT_LIT_RE
-        num_ops = {"lt": pc.less, "gt": pc.greater, "le": pc.less_equal,
-                   "ge": pc.greater_equal}
-        from ..terms import (
-            v_datatype,
-            v_is_literal,
-            v_is_resource,
-            v_language,
-            v_value,
-        )
-
-        _acc = {"str": v_value, "lang": v_language, "dt": v_datatype}
-
-        def cond_mask(batch: pa.Table, op, var, val):
-            if op in ("or", "and"):
-                # SPARQL's error-handling for logical connectives
-                # (§17.2): an error operand yields false unless the
-                # other side forces the result — for FILTER purposes
-                # (where an error result also drops the row) that is
-                # exactly fill_null(False) per operand, at every
-                # nesting level
-                comb = pc.or_ if op == "or" else pc.and_
-                m = None
-                for c in var:
-                    cm = pc.fill_null(cond_mask(batch, *c), False)
-                    m = cm if m is None else comb(m, cm)
-                return m
-            if op == "numcmp":
-                # two-sided numeric comparison over computed expressions
-                # (FILTER(?a > ?b + 1), FILTER(?a / 2 >= 1.5)): dual
-                # lane like BIND arithmetic — the int64 fast lane where
-                # the expression is pure-integer, the scale-6 decimal
-                # lane for '/', decimal constants and decimal-typed
-                # terms; non-numeric or unbound terms → null → row
-                # dropped (or false under a boolean connective),
-                # SPARQL's type-error rule
-                import numpy as np
-
-                key, lexpr, rexpr = var
-                use_int = not any(
-                    e[0] == "/" or any(isinstance(x, tuple) for x in e[1:])
-                    for e in (lexpr, rexpr)
-                )
-                int_mask = None
-                fn_np = {
-                    "lt": np.less, "gt": np.greater, "le": np.less_equal,
-                    "ge": np.greater_equal, "num_eq": np.equal,
-                    "num_ne": np.not_equal,
-                }[key]
-                if use_int:
-
-                    def _ival(operand):
-                        if isinstance(operand, int):
-                            return pa.scalar(operand, pa.int64())
-                        lex = pc.struct_field(
-                            pc.extract_regex(batch[operand], int_lit_re), "v"
-                        )
-                        return pc.cast(lex, pa.int64())
-
-                    def _ev(e):
-                        aop, a, b = e
-                        if aop is None:
-                            return _ival(a)
-                        return {
-                            "+": pc.add, "-": pc.subtract, "*": pc.multiply
-                        }[aop](_ival(a), _ival(b))
-
-                    fn = {
-                        **num_ops,
-                        "num_eq": pc.equal,
-                        "num_ne": pc.not_equal,
-                    }[key]
-                    int_mask = fn(_ev(lexpr), _ev(rexpr))
-
-                n = batch.num_rows
-
-                def _dval(operand):
-                    if isinstance(operand, int):
-                        return (
-                            np.full(n, operand * _DEC_SCALE, np.int64),
-                            np.ones(n, bool),
-                        )
-                    if isinstance(operand, tuple) and operand[0] == "fnexpr":
-                        # ABS/CEIL/FLOOR/ROUND over a nested expression
-                        # (exact scale-6 ints; fn:round ties toward
-                        # +inf, floor/ceil toward ∓inf)
-                        _, fn, inner = operand
-                        xa, xv = _dev(inner)
-                        S = _DEC_SCALE
-                        if fn == "abs":
-                            return np.abs(xa), xv
-                        if fn == "floor":
-                            return (xa // S) * S, xv
-                        if fn == "ceil":
-                            return -((-xa) // S) * S, xv
-                        return ((xa + S // 2) // S) * S, xv
-                    if isinstance(operand, tuple) and operand[0] == "negvar":
-                        xa, xv = _dec_decode(batch[operand[1]])
-                        return -xa, xv
-                    if isinstance(operand, tuple):  # ("dec", unscaled)
-                        return (
-                            np.full(n, operand[1], np.int64),
-                            np.ones(n, bool),
-                        )
-                    return _dec_decode(batch[operand])
-
-                def _dev(e):
-                    aop, a, b = e
-                    xa, xv = _dval(a)
-                    if aop is None:
-                        return xa, xv
-                    ya, yv = _dval(b)
-                    return _dec_arith(aop, xa, xv, ya, yv)
-
-                la, lv = _dev(lexpr)
-                ra, rv = _dev(rexpr)
-                dec_mask = pc.if_else(
-                    pa.array(lv & rv),
-                    pa.array(fn_np(la, ra)),
-                    pa.scalar(None, pa.bool_()),
-                )
-                if int_mask is None:
-                    return dec_mask
-                if isinstance(int_mask, pa.Scalar):  # const-vs-const
-                    int_mask = pa.array(
-                        [int_mask.as_py()] * n, pa.bool_()
-                    )
-                return pc.coalesce(int_mask, dec_mask)
-            if op in ("veq", "vne"):
-                a, b = batch[var[0][1:]], batch[var[1][1:]]
-                return (pc.equal if op == "veq" else pc.not_equal)(a, b)
-            if op in ("coalesce_eq", "coalesce_ne"):
-                co = pc.coalesce(
-                    *[
-                        batch[a[1:]] if a.startswith("?") else pa.scalar(a)
-                        for a in var
-                    ]
-                )
-                return (pc.equal if op == "coalesce_eq" else pc.not_equal)(
-                    co, val
-                )
-            if op == "coalesce_cmp":
-                import numpy as np
-
-                key, args_, u = var
-                co = pc.coalesce(
-                    *[
-                        batch[a[1:]] if a.startswith("?") else pa.scalar(a)
-                        for a in args_
-                    ]
-                )
-                if isinstance(co, pa.Scalar):  # all-constant COALESCE
-                    co = pa.array([co.as_py()] * batch.num_rows, pa.string())
-                xa, xv = _dec_decode(co)
-                fn_np = {
-                    "lt": np.less, "gt": np.greater,
-                    "le": np.less_equal, "ge": np.greater_equal,
-                }[key]
-                # non-numeric / all-unbound rows → false (type error)
-                return pa.array(fn_np(xa, u) & xv)
-            col = batch[var]
-            if op == "eq":
-                return pc.equal(col, val)
-            if op == "ne":
-                return pc.not_equal(col, val)
-            if op == "bound":
-                return pc.is_valid(col) if val else pc.is_null(col)
-            if op in ("isiri", "isliteral"):
-                # T4/T5 term-kind kernels; '!' forms invert the mask
-                # (null bindings stay null → row dropped either way,
-                # SPARQL's error-on-unbound rule)
-                kind = (v_is_resource if op == "isiri" else v_is_literal)(col)
-                m = kind if val else pc.invert(kind)
-                # the kernels fill null→False; re-drop unbound rows so
-                # the '!' form can't resurrect them (error-on-unbound)
-                return pc.and_(m, pc.is_valid(col))
-            if op == "langmatches":
-                tag = pc.utf8_lower(_acc["lang"](col))
-                if val == "*":
-                    return pc.not_equal(tag, "")
-                return pc.or_(
-                    pc.equal(tag, val), pc.starts_with(tag, val + "-")
-                )
-            if op in ("in", "not_in"):
-                # [NOT] IN over SPARQL term equality (encoded term
-                # strings); unbound → error → drop on BOTH polarities
-                # (is_in fills null→false, so NOT IN must re-drop)
-                m = pc.is_in(col, value_set=pa.array(list(val), pa.string()))
-                if op == "not_in":
-                    m = pc.and_(pc.invert(m), pc.is_valid(col))
-                return m
-            if op == "regex_val":
-                # REGEX builtin: RE2 match over the lexical form (T6
-                # Value); unbound → null → row dropped (or false under
-                # a boolean connective)
-                return pc.match_substring_regex(_acc["str"](col), val)
-            if op in ("strstarts", "strends", "contains"):
-                lex = _acc["str"](col)
-                if op == "strstarts":
-                    return pc.starts_with(lex, val)
-                if op == "strends":
-                    return pc.ends_with(lex, val)
-                return pc.match_substring(lex, val)
-            if op[:7] == "strlen_":
-                ln = pc.utf8_length(_acc["str"](col))
-                fn = {"eq": pc.equal, "ne": pc.not_equal, **num_ops}[op[7:]]
-                return fn(ln, val)
-            if op[:6] in ("lcase_", "ucase_"):
-                folded = (pc.utf8_lower if op[0] == "l" else pc.utf8_upper)(
-                    _acc["str"](col)
-                )
-                return (pc.equal if op.endswith("_eq") else pc.not_equal)(
-                    folded, val
-                )
-            if op[:-3] in _acc and op[-3:] in ("_eq", "_ne"):
-                # STR/LANG/DATATYPE builtins → the vectorized T6/T7/T8
-                # term-accessor kernels (truth tables pinned by the
-                # ported reference test suite)
-                acc = _acc[op[:-3]](col)
-                return (pc.equal if op.endswith("_eq") else pc.not_equal)(
-                    acc, val
-                )
-            if op in num_ops:
-                lex = pc.struct_field(pc.extract_regex(col, int_lit_re), "v")
-                return num_ops[op](pc.cast(lex, pa.int64()), val)
-            return pc.match_substring_regex(col, val)
-
-        def apply_filters(batch: pa.Table) -> pa.Table:
-            mask = None
-            for op, var, val in filters:
-                m = cond_mask(batch, op, var, val)
-                mask = m if mask is None else pc.and_(mask, m)
-            return batch.filter(mask)
-
-        joined = joined.map_batches(apply_filters, batch_format="pyarrow")
-
-    for grp, how in [(g, "semi") for g in q.exists_groups] + [
+    for (grp, grp_filters), how in [(g, "semi") for g in q.exists_groups] + [
         (g, "anti") for g in q.minus_groups
     ]:
         # FILTER EXISTS → distributed semi-join; MINUS / FILTER NOT
@@ -2834,7 +2907,13 @@ def sparql_select(
         # shared ones purely existential) MINUS and NOT EXISTS coincide.
         # The group's bindings are projected to the shared key and
         # globally deduped first, so the join exchange ships only
-        # distinct keys.
+        # distinct keys. FILTER conditions inside the group braces:
+        # group-internal conditions pre-filter the group bindings;
+        # CORRELATED conditions (referencing outer variables, e.g.
+        # FILTER(?z != ?o) with ?o outer) run on the joined
+        # (outer-keys × group) bindings and the qualifying key set
+        # drives the semi/anti join — still only distinct keys on the
+        # wire.
         grp_ds, grp_vars = _join_patterns(store, grp)
         shared = [v for v in grp_vars if v in bound and not v.startswith("__pp")]
         if not shared:
@@ -2849,14 +2928,55 @@ def sparql_select(
                 f"MINUS / FILTER [NOT] EXISTS on OPTIONAL-only "
                 f"variables is not supported: {bad}"
             )
-        keys = dstore.distinct_on(grp_ds.select_columns(shared), shared)
-        joined = dstore.hash_join(
-            joined,
-            keys,
-            on=shared,
-            how=how,
-            schemas=(_vars_schema(bound), _vars_schema(shared)),
-        )
+        outer_refs: list[str] = []
+        if grp_filters:
+            fvars = {
+                x for op, v, _ in grp_filters for x in _filter_vars(op, v)
+            }
+            outer_refs = sorted(v for v in fvars if v not in grp_vars)
+            fbad = [
+                v
+                for v in outer_refs
+                if v not in bound or v in opt_only
+            ]
+            if fbad:
+                raise SparqlUnsupportedError(
+                    "FILTER inside MINUS / EXISTS references variables "
+                    f"that are not required-bound outside: {fbad}"
+                )
+            if not outer_refs:
+                # internal-only condition: pre-filter the group
+                grp_ds = _apply_filters_ds(grp_ds, grp_filters)
+        if outer_refs:
+            need = shared + outer_refs
+            outer_keys = dstore.distinct_on(
+                joined.select_columns(need), need
+            )
+            probe = dstore.hash_join(
+                outer_keys,
+                grp_ds,
+                on=shared,
+                how="inner",
+                schemas=(_vars_schema(need), _vars_schema(grp_vars)),
+            )
+            qualified = _apply_filters_ds(probe, grp_filters)
+            keys = dstore.distinct_on(qualified.select_columns(need), need)
+            joined = dstore.hash_join(
+                joined,
+                keys,
+                on=need,
+                how=how,
+                schemas=(_vars_schema(bound), _vars_schema(need)),
+            )
+        else:
+            keys = dstore.distinct_on(grp_ds.select_columns(shared), shared)
+            joined = dstore.hash_join(
+                joined,
+                keys,
+                on=shared,
+                how=how,
+                schemas=(_vars_schema(bound), _vars_schema(shared)),
+            )
 
     if q.values_clause:
         # postfix VALUES = join against the inline table; ground rows

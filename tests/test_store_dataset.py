@@ -947,6 +947,111 @@ class TestSparql:
         assert out["e"].tolist()[0] == '"a@x"'
         assert out["e"].isna().tolist() == [False, True]
 
+    def test_optional_with_filter(self, ray_session):
+        # FILTER inside OPTIONAL = SPARQL's LeftJoin condition (the
+        # well-designed, group-variables-only case): a group row that
+        # fails the condition does NOT bind, but the outer row SURVIVES
+        # with a null binding — the classic left-join-with-condition
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+        trps = [
+            new_triple(r("urn:p1"), r("urn:name"), l("alice")),
+            new_triple(r("urn:p2"), r("urn:name"), l("bob")),
+            new_triple(r("urn:p3"), r("urn:name"), l("carol")),
+            new_triple(r("urn:p1"), r("urn:age"), l("30", datatype=xsd_int)),
+            new_triple(r("urn:p2"), r("urn:age"), l("7", datatype=xsd_int)),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        out = self._q(
+            ds,
+            "SELECT ?n ?a WHERE { ?p <urn:name> ?n . "
+            "OPTIONAL { ?p <urn:age> ?a . FILTER ( ?a > 18 ) } } ORDER BY ?n",
+        )
+        assert out["n"].tolist() == ['"alice"', '"bob"', '"carol"']
+        # alice's age passes, bob's fails the condition (null, row
+        # kept), carol has no age at all (null)
+        assert out["a"].isna().tolist() == [False, True, True]
+        # string-equality form too
+        out2 = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:name> ?n . "
+            'OPTIONAL { ?p <urn:age> ?a . FILTER ( ?a != "7"^^<'
+            + xsd_int
+            + '> ) } } ORDER BY ?p',
+        )
+        assert len(out2) == 3
+
+    def test_exists_minus_with_filter(self, ray_session):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+        trps = [
+            new_triple(r("urn:p1"), r("urn:name"), l("alice")),
+            new_triple(r("urn:p2"), r("urn:name"), l("bob")),
+            new_triple(r("urn:p3"), r("urn:name"), l("carol")),
+            new_triple(r("urn:p1"), r("urn:score"), l("50", datatype=xsd_int)),
+            new_triple(r("urn:p2"), r("urn:score"), l("5", datatype=xsd_int)),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        # group-internal condition: EXISTS a score > 10
+        out = self._q(
+            ds,
+            "SELECT ?n WHERE { ?p <urn:name> ?n . "
+            "FILTER EXISTS { ?p <urn:score> ?s . FILTER ( ?s > 10 ) } } "
+            "ORDER BY ?n",
+        )
+        assert out["n"].tolist() == ['"alice"']
+        # NOT EXISTS with the same condition keeps bob (score fails)
+        # and carol (no score)
+        out = self._q(
+            ds,
+            "SELECT ?n WHERE { ?p <urn:name> ?n . "
+            "FILTER NOT EXISTS { ?p <urn:score> ?s . FILTER ( ?s > 10 ) } } "
+            "ORDER BY ?n",
+        )
+        assert out["n"].tolist() == ['"bob"', '"carol"']
+
+    def test_exists_correlated_filter(self, ray_session):
+        # the classic correlated EXISTS: the condition references an
+        # OUTER variable (?o) — evaluated on (outer keys × group)
+        # bindings, qualifying keys drive the semi/anti join
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:p1"), r("urn:likes"), l("tea")),
+            new_triple(r("urn:p2"), r("urn:likes"), l("mud")),
+            new_triple(r("urn:p1"), r("urn:drinks"), l("tea")),
+            new_triple(r("urn:p2"), r("urn:drinks"), l("tea")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        # people who drink something they do NOT like: drinks ?d and
+        # NOT EXISTS a liked ?o equal to ?d  ⟺  EXISTS a like != drink
+        # here: p1 likes tea and drinks tea; p2 likes mud, drinks tea
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:drinks> ?d . "
+            "FILTER EXISTS { ?p <urn:likes> ?o . FILTER ( ?o != ?d ) } } "
+            "ORDER BY ?p",
+        )
+        assert out["p"].tolist() == ["<urn:p2>"]
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:drinks> ?d . "
+            "FILTER NOT EXISTS { ?p <urn:likes> ?o . FILTER ( ?o != ?d ) } } "
+            "ORDER BY ?p",
+        )
+        assert out["p"].tolist() == ["<urn:p1>"]
+
     def test_union_branches(self, ray_session):
         from ontograph_ray.store import DatasetGraphStore
         from ontograph_ray import terms
@@ -1085,10 +1190,15 @@ class TestSparql:
             sparql_select(
                 dstore, "SELECT ?s WHERE { ?s ?p ?o . OPTIONAL { } }"
             )
-        with pytest.raises(SparqlUnsupportedError):
+        # FILTER inside OPTIONAL is supported over the group's OWN
+        # variables (see test_optional_with_filter); a condition
+        # reaching an OUTER variable needs a join-time condition and
+        # stays a typed refusal
+        with pytest.raises(SparqlUnsupportedError, match="outer refs"):
             sparql_select(
                 dstore,
-                'SELECT ?s WHERE { ?s ?p ?o . OPTIONAL { ?s ?q ?z . FILTER ( ?z = "x" ) } }',
+                "SELECT ?s WHERE { ?s ?p ?o . "
+                "OPTIONAL { ?s ?q ?z . FILTER ( ?z = ?o ) } }",
             )
 
     def test_filter_on_unselected_var_and_errors(self, dstore):
