@@ -262,6 +262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_optional_filter": q.q_sparql_optional_filter,
         "sparql_exists_filter": q.q_sparql_exists_filter,
         "sparql_exists_correlated": q.q_sparql_exists_correlated,
+        "sparql_group_concat_distinct": q.q_sparql_group_concat_distinct,
+        "sparql_bind_hash": q.q_sparql_bind_hash,
+        "sparql_if_numeric": q.q_sparql_if_numeric,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

@@ -492,6 +492,26 @@ WHERE t1.predicate = '<{IN_NATION}>'
     SELECT 1 FROM t t2
     WHERE t2.predicate = '<{IN_NATION}>' AND t2.object = t1.object
       AND t2.subject != t1.subject)""",
+        # GROUP_CONCAT(DISTINCT ?s): distinct values, sorted order
+        "sparql_group_concat_distinct": f"""{_T}
+SELECT n, string_agg(s, ',' ORDER BY s) AS segs FROM (
+  SELECT DISTINCT t1.object AS n, t2.object AS s
+  FROM t t1 JOIN t t2 ON t2.subject = t1.subject
+  WHERE t1.predicate = '<{IN_NATION}>' AND t2.predicate = '<{SEGMENT}>')
+GROUP BY n""",
+        # MD5/SHA256 of the literal lexical form, as "hex" terms
+        "sparql_bind_hash": f"""{_T}
+SELECT subject AS c,
+       '"' || md5(regexp_extract(object, '^"(.*)"$', 1)) || '"' AS m,
+       '"' || sha256(regexp_extract(object, '^"(.*)"$', 1)) || '"' AS sh
+FROM t WHERE predicate = '<{SEGMENT}>'""",
+        # ordered IF + isNumeric: balance-sign labels
+        "sparql_if_numeric": f"""{_T}
+SELECT subject AS c,
+       CASE WHEN CAST(regexp_extract(object, '"([+-]?\\d+)"', 1) AS BIGINT)
+                 > 0
+            THEN '"credit"' ELSE '"debit"' END AS sign
+FROM t WHERE predicate = '<{ACCTBAL}>'""",
         # decimal FILTER comparisons: both sides exact unscaled BIGINT
         "sparql_filter_decimal": f"""{_T},
 v AS (SELECT subject, object,

@@ -3623,6 +3623,72 @@ def q_sparql_exists_correlated(sf_dir: str):
     )
 
 
+def q_sparql_group_concat_distinct(sf_dir: str):
+    """E8 extension: GROUP_CONCAT(DISTINCT ?v ; SEPARATOR): per-group
+    DISTINCT values in sorted deterministic order (SPARQL leaves order
+    implementation-defined; sorting gives the exact SQL twin) — the
+    distinct market segments present in each nation."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        f"""
+        PREFIX rel: <urn:og:rel/>
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?n (GROUP_CONCAT(DISTINCT ?s ; SEPARATOR=",") AS ?segs)
+        WHERE {{
+          ?c rel:inNation ?n .
+          ?c attr:mktsegment ?s .
+        }} GROUP BY ?n
+        """,
+    )
+
+
+def q_sparql_bind_hash(sf_dir: str):
+    """E8 extension: the SPARQL §17.4.4 hash builtins — MD5 and SHA256
+    hex digests of literal lexical forms in BIND (document
+    fingerprinting inside the query); exact DuckDB md5()/sha256()
+    twins."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?c ?m ?sh WHERE {
+          ?c attr:mktsegment ?s .
+          BIND(MD5(?s) AS ?m)
+          BIND(SHA256(STR(?s)) AS ?sh)
+        }
+        """,
+    )
+
+
+def q_sparql_if_numeric(sf_dir: str):
+    """E8 extension: ordered IF conditions (IF(?b > 0, ..., ...) on the
+    exact integer lane) composed with the isNumeric type-check builtin
+    in FILTER — balance-sign labeling over customers."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?c ?sign WHERE {
+          ?c attr:acctbalCents ?b .
+          FILTER ( isNumeric(?b) )
+          BIND(IF(?b > 0, "credit", "debit") AS ?sign)
+        }
+        """,
+    )
+
+
 def q_sparql_filter_decimal(sf_dir: str):
     """E8 extension: decimal arithmetic in computed FILTER comparisons
     — division and decimal constants route to the scale-6 fixed-point

@@ -262,6 +262,15 @@ _INT_LIT_RE = r'^"(?P<v>[+-]?\d+)"\^\^<' + re.escape(C.XSD_INTEGER) + r">$"
 # number. The whole contract is integer-exact, so every result has a
 # bit-identical DuckDB twin (HUGEINT arithmetic + string rendering).
 # ---------------------------------------------------------------------------
+_NUMERIC_DT_RE = (
+    r"\^\^<("
+    + "|".join(
+        re.escape(u)
+        for u in (C.XSD_INTEGER, C.XSD_DECIMAL, C.XSD_DOUBLE)
+    )
+    + r")>$"
+)
+
 _DEC_SCALE = 1_000_000  # 10^6: six fractional digits
 _MAXI = (1 << 63) - 1
 _NUM_LIT_RE = (
@@ -609,6 +618,13 @@ def _cond_mask(batch: pa.Table, op, var, val):
         return pc.not_equal(col, val)
     if op == "bound":
         return pc.is_valid(col) if val else pc.is_null(col)
+    if op == "isnumeric":
+        # isNumeric(?v): literal typed xsd:integer/decimal/double —
+        # the engine's numeric lane; '!' inverts, unbound stays
+        # dropped either way (error-on-unbound)
+        m = pc.match_substring_regex(col, _NUMERIC_DT_RE)
+        m = m if val else pc.invert(m)
+        return pc.and_(m, pc.is_valid(col))
     if op in ("isiri", "isliteral"):
         # T4/T5 term-kind kernels; '!' forms invert the mask
         # (null bindings stay null → row dropped either way,
@@ -851,7 +867,7 @@ def parse(text: str) -> _Query:
                 raise SparqlSyntaxError(f"expected ( after {op.upper()}")
             if peek().upper() == "DISTINCT":
                 take()
-                if op in ("count", "sum", "avg"):
+                if op in ("count", "sum", "avg", "group_concat"):
                     # DISTINCT aggregates need per-group distinct rows
                     # to survive the exchange — a dedicated plan below
                     op = f"{op}_distinct"
@@ -868,7 +884,7 @@ def parse(text: str) -> _Query:
             elif not arg.startswith("?"):
                 raise SparqlSyntaxError(f"{op.upper()} needs ?var or *")
             sep = " "
-            if op == "group_concat" and peek() == ";":
+            if op.startswith("group_concat") and peek() == ";":
                 take()
                 if take().upper() != "SEPARATOR":
                     raise SparqlSyntaxError(
@@ -892,7 +908,7 @@ def parse(text: str) -> _Query:
             if take() != ")":
                 raise SparqlSyntaxError("expected ) closing the aggregate")
             aggregates.append((op, arg if arg == "*" else arg[1:], alias[1:]))
-            if op == "group_concat":
+            if op.startswith("group_concat"):
                 concat_seps[alias[1:]] = sep
             select.append(alias[1:])
             continue
@@ -1010,12 +1026,14 @@ def parse(text: str) -> _Query:
                 want = False
                 var = take()
                 up = var.upper()
-                if up not in ("BOUND", "ISIRI", "ISURI", "ISLITERAL"):
+                if up not in (
+                    "BOUND", "ISIRI", "ISURI", "ISLITERAL", "ISNUMERIC"
+                ):
                     raise SparqlUnsupportedError(
                         "'!' is only supported before BOUND/isIRI/"
-                        f"isURI/isLiteral in FILTER, got {var!r}"
+                        f"isURI/isLiteral/isNumeric in FILTER, got {var!r}"
                     )
-            if up in ("BOUND", "ISIRI", "ISURI", "ISLITERAL"):
+            if up in ("BOUND", "ISIRI", "ISURI", "ISLITERAL", "ISNUMERIC"):
                 # unary boolean builtins: BOUND = null test on the
                 # (possibly OPTIONAL-introduced) binding column;
                 # isIRI/isURI/isLiteral = the vectorized T4/T5
@@ -1032,6 +1050,7 @@ def parse(text: str) -> _Query:
                     "ISIRI": "isiri",
                     "ISURI": "isiri",
                     "ISLITERAL": "isliteral",
+                    "ISNUMERIC": "isnumeric",
                 }[up]
                 return (key, v[1:], 1 if want else 0)
             if up == "LANGMATCHES":
@@ -1476,6 +1495,29 @@ def parse(text: str) -> _Query:
             if take() != ")":
                 raise SparqlSyntaxError(f"expected ) closing {up}")
             op, arg = up.lower(), (v, sec)
+        elif up in ("MD5", "SHA256"):
+            # hash builtins (SPARQL §17.4.4): hex digest of the
+            # lexical form of a literal binding, as a simple literal —
+            # document fingerprinting straight inside the query.
+            # Accepts MD5(?v) and the MD5(STR(?v)) idiom alike (STR of
+            # a literal IS its lexical form); non-literal bindings →
+            # error→unbound
+            if take() != "(":
+                raise SparqlSyntaxError(f"expected ( after {up}")
+            v = take()
+            if v.upper() == "STR":
+                if take() != "(":
+                    raise SparqlSyntaxError("expected ( after STR")
+                v = take()
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError("STR needs a ?variable")
+                if take() != ")":
+                    raise SparqlSyntaxError("expected ) closing STR")
+            if not v.startswith("?"):
+                raise SparqlSyntaxError(f"{up} needs a ?variable")
+            if take() != ")":
+                raise SparqlSyntaxError(f"expected ) closing {up}")
+            op, arg = "hash", (up.lower(), v)
         elif up in ("ABS", "CEIL", "FLOOR", "ROUND"):
             # XPath numeric builtins over the dual numeric lane:
             # integer-typed rows pass through ABS as xsd:integer (CEIL/
@@ -1603,15 +1645,28 @@ def parse(text: str) -> _Query:
             if not cv.startswith("?"):
                 raise SparqlSyntaxError("IF condition needs a ?variable")
             bop = take()
-            if bop not in ("=", "!="):
+            if bop not in ("=", "!=", ">", "<", ">=", "<="):
                 raise SparqlUnsupportedError(
-                    f"IF condition supports = and != only, got {bop!r}"
+                    f"IF condition supports = != > < >= <=, got {bop!r}"
                 )
-            cval = _expand(take(), prefixes, "object")
-            if cval.startswith("?"):
-                raise SparqlUnsupportedError(
-                    "variable-to-variable IF conditions are not supported"
-                )
+            ctok = take()
+            if bop in (">", "<", ">=", "<="):
+                # ordered IF conditions compare on the exact integer
+                # lane: the condition value must be a plain integer,
+                # the bound term an xsd:integer literal (non-integer →
+                # error→unbound per the SPARQL error rule)
+                neg = ctok.startswith("-")
+                if not (ctok[1:] if neg else ctok).isdigit():
+                    raise SparqlUnsupportedError(
+                        "ordered IF conditions need an integer constant"
+                    )
+                cval = int(ctok)
+            else:
+                cval = _expand(ctok, prefixes, "object")
+                if cval.startswith("?"):
+                    raise SparqlUnsupportedError(
+                        "variable-to-variable IF conditions are not supported"
+                    )
             if take() != ",":
                 raise SparqlSyntaxError("expected , after IF condition")
             tthen = take()
@@ -2696,9 +2751,21 @@ def sparql_select(
                     )
                 elif op == "if":
                     cv, bop, cval, tthen, telse = arg
-                    mask = (pc.equal if bop == "=" else pc.not_equal)(
-                        batch[cv], cval
-                    )
+                    if bop in (">", "<", ">=", "<="):
+                        # ordered condition: exact integer lane — decode
+                        # the xsd:integer lexical; non-integer terms →
+                        # null mask → null output (error→unbound)
+                        lex = pc.struct_field(
+                            pc.extract_regex(batch[cv], _INT_LIT_RE), "v"
+                        )
+                        mask = {
+                            ">": pc.greater, "<": pc.less,
+                            ">=": pc.greater_equal, "<=": pc.less_equal,
+                        }[bop](pc.cast(lex, pa.int64()), cval)
+                    else:
+                        mask = (pc.equal if bop == "=" else pc.not_equal)(
+                            batch[cv], cval
+                        )
 
                     def _side(t):
                         return (
@@ -2710,6 +2777,26 @@ def sparql_select(
                         col = pa.array(
                             [col.as_py()] * batch.num_rows, pa.string()
                         )
+                elif op == "hash":
+                    # MD5/SHA256 hex digest of the lexical form of a
+                    # LITERAL binding (SPARQL §17.4.4); resources and
+                    # unbound rows → null (error→unbound)
+                    import hashlib as _hl
+
+                    from ..terms import v_is_literal as _vil
+
+                    fn, hv = arg
+                    col_v = batch[hv[1:]]
+                    lex = v_value(col_v)
+                    lit = _vil(col_v)
+                    vals = []
+                    for s, ok in zip(lex.to_pylist(), lit.to_pylist()):
+                        if not ok or s is None:
+                            vals.append(None)
+                        else:
+                            h = getattr(_hl, fn)(s.encode()).hexdigest()
+                            vals.append(f'"{h}"')
+                    col = pa.array(vals, pa.string())
                 elif op in ("ucase", "lcase"):
                     # case-map the lexical form, PRESERVE the language
                     # tag (§17.4.3); defined over plain/lang literals
@@ -3048,7 +3135,7 @@ def sparql_select(
         group_by = list(q.group_by)
         aliases = [a for _, _, a in aggs]
 
-        if any(op == "group_concat" for op, _, _ in aggs):
+        if any(op.startswith("group_concat") for op, _, _ in aggs):
             # GROUP_CONCAT: the raw values must reach the final pass
             # (no combiner can pre-concatenate), so — like
             # COUNT(DISTINCT) — the subset allows it only as the sole
@@ -3067,10 +3154,15 @@ def sparql_select(
                 raise SparqlUnsupportedError(
                     "GROUP_CONCAT requires GROUP BY in this subset"
                 )
-            _, gvar, galias = aggs[0]
+            gop, gvar, galias = aggs[0]
             gsep = q.concat_seps.get(galias, " ")
+            gdistinct = gop.endswith("_distinct")
 
             def gc_final(df: pd.DataFrame) -> pd.DataFrame:
+                if gdistinct:
+                    # GROUP_CONCAT(DISTINCT ?v): per-group distinct
+                    # values, still in sorted deterministic order
+                    df = df.drop_duplicates(group_by + [gvar])
                 df = df.sort_values(group_by + [gvar], kind="stable")
                 return (
                     df.groupby(group_by, sort=False, dropna=False)[gvar]

@@ -1018,6 +1018,97 @@ class TestSparql:
         )
         assert out["n"].tolist() == ['"bob"', '"carol"']
 
+    def test_group_concat_distinct(self, ray_session):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:p1"), r("urn:likes"), l("tea")),
+            new_triple(r("urn:p1"), r("urn:likes"), l("tea")),
+            new_triple(r("urn:p1"), r("urn:likes"), l("mud")),
+            new_triple(r("urn:p2"), r("urn:likes"), l("tea")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        out = self._q(
+            ds,
+            'SELECT ?p (GROUP_CONCAT(DISTINCT ?o ; SEPARATOR=",") AS ?c) '
+            "WHERE { ?p <urn:likes> ?o } GROUP BY ?p ORDER BY ?p",
+        )
+        # p1's duplicate tea collapses; plain GROUP_CONCAT keeps it
+        assert out["c"].tolist() == ['"mud","tea"', '"tea"']
+        bag = self._q(
+            ds,
+            'SELECT ?p (GROUP_CONCAT(?o ; SEPARATOR=",") AS ?c) '
+            "WHERE { ?p <urn:likes> ?o } GROUP BY ?p ORDER BY ?p",
+        )
+        assert bag["c"].tolist() == ['"mud","tea","tea"', '"tea"']
+
+    def test_bind_hash_builtins(self, ray_session):
+        import hashlib
+
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:p1"), r("urn:name"), l("alice")),
+            new_triple(r("urn:p1"), r("urn:friend"), r("urn:p2")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        out = self._q(
+            ds,
+            "SELECT ?m ?sh WHERE { ?p <urn:name> ?n . "
+            "BIND(MD5(?n) AS ?m) BIND(SHA256(STR(?n)) AS ?sh) }",
+        )
+        assert out["m"].tolist() == [f'"{hashlib.md5(b"alice").hexdigest()}"']
+        assert out["sh"].tolist() == [
+            f'"{hashlib.sha256(b"alice").hexdigest()}"'
+        ]
+        # hashing a RESOURCE binding → error→unbound (null), row kept
+        out = self._q(
+            ds,
+            "SELECT ?f ?m WHERE { ?p <urn:friend> ?f . BIND(MD5(?f) AS ?m) }",
+        )
+        assert out["m"].isna().tolist() == [True]
+
+    def test_isnumeric_and_ordered_if(self, ray_session):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+        trps = [
+            new_triple(r("urn:p1"), r("urn:v"), l("30", datatype=xsd_int)),
+            new_triple(r("urn:p2"), r("urn:v"), l("-4", datatype=xsd_int)),
+            new_triple(r("urn:p3"), r("urn:v"), l("plain")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:v> ?x . FILTER(isNumeric(?x)) } "
+            "ORDER BY ?p",
+        )
+        assert out["p"].tolist() == ["<urn:p1>", "<urn:p2>"]
+        out = self._q(
+            ds,
+            "SELECT ?p WHERE { ?p <urn:v> ?x . FILTER(!isNumeric(?x)) } "
+            "ORDER BY ?p",
+        )
+        assert out["p"].tolist() == ["<urn:p3>"]
+        # ordered IF: integer lane; the non-integer binding errors →
+        # unbound alias, row kept
+        out = self._q(
+            ds,
+            'SELECT ?p ?s WHERE { ?p <urn:v> ?x . '
+            'BIND(IF(?x >= 0, "pos", "neg") AS ?s) } ORDER BY ?p',
+        )
+        assert out["s"].tolist()[:2] == ['"pos"', '"neg"']
+        assert out["s"].isna().tolist() == [False, False, True]
+
     def test_exists_correlated_filter(self, ray_session):
         # the classic correlated EXISTS: the condition references an
         # OUTER variable (?o) — evaluated on (outer keys × group)
