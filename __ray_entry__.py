@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_group_concat_distinct": q.q_sparql_group_concat_distinct,
         "sparql_bind_hash": q.q_sparql_bind_hash,
         "sparql_if_numeric": q.q_sparql_if_numeric,
+        "sparql_path_seq_closure": q.q_sparql_path_seq_closure,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

@@ -492,6 +492,14 @@ WHERE t1.predicate = '<{IN_NATION}>'
     SELECT 1 FROM t t2
     WHERE t2.predicate = '<{IN_NATION}>' AND t2.object = t1.object
       AND t2.subject != t1.subject)""",
+        # (inRegion/^inRegion)+ = same-region reachability; the
+        # relation is its own transitive closure, so the one-step
+        # composition IS the fixpoint
+        "sparql_path_seq_closure": f"""{_T}
+SELECT DISTINCT t2.subject AS n2
+FROM t t1 JOIN t t2 ON t2.object = t1.object
+WHERE t1.subject = '<urn:og:nation/0>'
+  AND t1.predicate = '<{IN_REGION}>' AND t2.predicate = '<{IN_REGION}>'""",
         # GROUP_CONCAT(DISTINCT ?s): distinct values, sorted order
         "sparql_group_concat_distinct": f"""{_T}
 SELECT n, string_agg(s, ',' ORDER BY s) AS segs FROM (

@@ -3623,6 +3623,27 @@ def q_sparql_exists_correlated(sf_dir: str):
     )
 
 
+def q_sparql_path_seq_closure(sf_dir: str):
+    """E8 extension: GROUPED SEQUENCE paths under closure modifiers —
+    (rel:inRegion/^rel:inRegion)+ from one nation reaches every nation
+    in the same region (the composition of the two step relations is
+    built with one hash join per step, then the distributed semi-naive
+    closure fixpoint runs over the composed base relation)."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX rel: <urn:og:rel/>
+        SELECT ?n2 WHERE {
+          <urn:og:nation/0> (rel:inRegion/^rel:inRegion)+ ?n2 .
+        }
+        """,
+    )
+
+
 def q_sparql_group_concat_distinct(sf_dir: str):
     """E8 extension: GROUP_CONCAT(DISTINCT ?v ; SEPARATOR): per-group
     DISTINCT values in sorted deterministic order (SPARQL leaves order

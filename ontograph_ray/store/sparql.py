@@ -1755,19 +1755,34 @@ def parse(text: str) -> _Query:
         if peek() == "(":
             take()
             choices: list[tuple[str, bool]] = []
-            while True:
+
+            def one():
                 inv = peek() == "^" and bool(take())
                 p = _expand(take(), prefixes, "predicate")
                 if p.startswith("?"):
                     raise SparqlSyntaxError(
-                        "path-alternative elements must be ground "
+                        "parenthesized path elements must be ground "
                         "predicates, not ?vars"
                     )
-                choices.append((p, inv))
-                if peek() == "|":
+                return (p, inv)
+
+            choices.append(one())
+            if peek() == "/":
+                # ( e1 / e2 [/ e3 ...] ) — a grouped SEQUENCE, usually
+                # under a closure modifier ((p/q)* — "friend-of-friend
+                # chains"); the executor composes the step relations
+                # with hash joins before the fixpoint
+                while peek() == "/":
                     take()
-                    continue
-                break
+                    choices.append(one())
+                if take() != ")":
+                    raise SparqlSyntaxError(
+                        "expected ) closing the path sequence"
+                    )
+                return ("seq", tuple(choices))
+            while peek() == "|":
+                take()
+                choices.append(one())
             if take() != ")":
                 raise SparqlSyntaxError("expected ) closing the path alternative")
             if len(choices) < 2:
@@ -1798,6 +1813,11 @@ def parse(text: str) -> _Query:
                 e = ((e, False),)
             kind = {"+": "closure", "*": "closure0", "?": "zeroone"}[mod]
             return (kind, e)
+        if isinstance(e, tuple) and len(e) == 2 and e[0] == "seq":
+            # a grouped sequence WITHOUT a modifier is just the plain
+            # sequence — splice it back into the chain as ordinary
+            # single-choice elements
+            return ("splice", e[1])
         return e
 
     def take_pattern(into: list) -> None:
@@ -1806,6 +1826,15 @@ def parse(text: str) -> _Query:
         while peek() == "/":
             take()
             elems.append(take_elem())
+        # grouped sequences without a modifier splice back into the
+        # chain as ordinary single-choice elements
+        flat: list = []
+        for e in elems:
+            if isinstance(e, tuple) and len(e) == 2 and e[0] == "splice":
+                flat.extend(((p, inv),) for p, inv in e[1])
+            else:
+                flat.append(e)
+        elems = flat
         o = _expand(take(), prefixes, "object")
         if len(elems) > 1 and any(
             isinstance(p, str) and p.startswith("?") for p in elems
@@ -2259,6 +2288,48 @@ def _pattern_bindings(
             base = store.matches().map_batches(
                 neg_edges, batch_format="pyarrow"
             )
+        elif p[1] and p[1][0] == "seq":
+            # grouped sequence under a modifier — (p/q)* — the base
+            # relation is the COMPOSITION of the step relations: one
+            # hash join per step on the chaining node, before the
+            # closure fixpoint. Inverse steps swap slots in their scan.
+            edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+            def _rename(a: str, b: str):
+                def f(batch: pa.Table) -> pa.Table:
+                    return batch.rename_columns([a, b])
+
+                return f
+
+            base = None
+            for pred, inv in p[1][1]:
+                step = store.matches("", pred, "").map_batches(
+                    edge_proj(inv), batch_format="pyarrow"
+                )
+                if base is None:
+                    base = step
+                    continue
+                base = dstore.hash_join(
+                    base.map_batches(
+                        _rename("src", "__m"), batch_format="pyarrow"
+                    ),
+                    step.map_batches(
+                        _rename("__m", "dst"), batch_format="pyarrow"
+                    ),
+                    on=["__m"],
+                    how="inner",
+                    schemas=(
+                        pa.schema(
+                            [("src", pa.string()), ("__m", pa.string())]
+                        ),
+                        pa.schema(
+                            [("__m", pa.string()), ("dst", pa.string())]
+                        ),
+                    ),
+                ).map_batches(
+                    lambda b: b.select(["src", "dst"]),
+                    batch_format="pyarrow",
+                )
         else:
             parts = [
                 store.matches("", pred, "").map_batches(

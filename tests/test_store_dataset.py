@@ -1018,6 +1018,41 @@ class TestSparql:
         )
         assert out["n"].tolist() == ['"bob"', '"carol"']
 
+    def test_path_grouped_sequences(self, ray_session):
+        # (p/s)+ / (p/s)* / (p/s)? / bare (p/s) / inverse steps — the
+        # grouped-sequence path forms: composition of the step
+        # relations, then the closure fixpoint where a modifier asks
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r = terms.new_resource_term
+        trps = [
+            new_triple(r("urn:a"), r("urn:p"), r("urn:b")),
+            new_triple(r("urn:b"), r("urn:s"), r("urn:c")),
+            new_triple(r("urn:c"), r("urn:p"), r("urn:d")),
+            new_triple(r("urn:d"), r("urn:s"), r("urn:e")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        q = self._q
+        assert q(
+            ds, "SELECT ?y WHERE { <urn:a> (<urn:p>/<urn:s>)+ ?y } ORDER BY ?y"
+        )["y"].tolist() == ["<urn:c>", "<urn:e>"]
+        assert q(
+            ds, "SELECT ?y WHERE { <urn:a> (<urn:p>/<urn:s>)* ?y } ORDER BY ?y"
+        )["y"].tolist() == ["<urn:a>", "<urn:c>", "<urn:e>"]
+        assert q(
+            ds, "SELECT ?y WHERE { <urn:a> (<urn:p>/<urn:s>)? ?y } ORDER BY ?y"
+        )["y"].tolist() == ["<urn:a>", "<urn:c>"]
+        # bare grouped sequence = the plain chain
+        assert q(ds, "SELECT ?y WHERE { <urn:a> (<urn:p>/<urn:s>) ?y }")[
+            "y"
+        ].tolist() == ["<urn:c>"]
+        # inverse steps inside the group walk the chain backwards
+        assert q(
+            ds, "SELECT ?y WHERE { <urn:c> (^<urn:s>/^<urn:p>)+ ?y }"
+        )["y"].tolist() == ["<urn:a>"]
+
     def test_group_concat_distinct(self, ray_session):
         from ontograph_ray.store import DatasetGraphStore
         from ontograph_ray import terms
