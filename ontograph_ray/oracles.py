@@ -273,6 +273,10 @@ FROM t t1 JOIN t t2 ON t2.subject = t1.subject
 WHERE t1.predicate = '<{IN_NATION}>'
   AND t2.predicate IN ('<{SEGMENT}>', '{RDF_TYPE_T}')
 ORDER BY nation, cust, v LIMIT 200 OFFSET 50""",
+        "sparql_values_inline": f"""{_T}
+SELECT subject AS cust, object AS seg FROM t
+WHERE predicate = '<{SEGMENT}>'
+  AND object IN ('"AUTOMOBILE"', '"HOUSEHOLD"')""",
         "sparql_values": f"""{_T}
 SELECT subject AS cust, object AS seg FROM t
 WHERE predicate = '<{SEGMENT}>'

@@ -4172,6 +4172,26 @@ def q_sparql_order_desc(sf_dir: str):
     )
 
 
+def q_sparql_values_inline(sf_dir: str):
+    """E8 extension: INLINE VALUES — the clause inside the WHERE group
+    (SPARQL 11.8.1; many clients emit this placement). Same broadcast
+    membership plan as the postfix form."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    store = DatasetGraphStore("urn:og:graph", table_triples(sf_dir))
+    return sparql_select(
+        store,
+        """
+        PREFIX attr: <urn:og:attr/>
+        SELECT ?cust ?seg WHERE {
+          VALUES ?seg { "AUTOMOBILE" "HOUSEHOLD" }
+          ?cust attr:mktsegment ?seg .
+        }
+        """,
+    )
+
+
 def q_sparql_values(sf_dir: str):
     """E8 extension: postfix VALUES — inline-data join over the
     segment variable, one vectorized membership kernel per batch

@@ -845,6 +845,13 @@ def parse(text: str) -> _Query:
     if take().upper() != "SELECT":
         raise SparqlSyntaxError("expected SELECT")
     distinct = peek().upper() == "DISTINCT" and bool(take())
+    if not distinct and peek().upper() == "REDUCED":
+        # SELECT REDUCED: the spec PERMITS but does not require
+        # eliminating duplicates — this engine eliminates them, which
+        # is the deterministic (and SQL-oracle-able) choice within the
+        # spec's latitude
+        take()
+        distinct = True
     select: list[str] = []
     aggregates: list[tuple[str, str, str]] = []
     concat_seps: dict = {}
@@ -921,6 +928,58 @@ def parse(text: str) -> _Query:
     # SELECT DISTINCT with aggregates is allowed: per spec DISTINCT
     # applies to the projected solution multiset AFTER grouping, which
     # is exactly the executor's post-projection distinct_on pass.
+
+    values_holder: list = [None]
+
+    def take_values() -> None:
+        # VALUES ?v { t ... } | VALUES ( ?a ?b ) { ( t t ) ... } —
+        # accepted inline inside the WHERE group AND in the postfix
+        # position (SPARQL allows both; on this engine the clause is
+        # a broadcast membership filter either way, so placement does
+        # not change the plan)
+        if values_holder[0] is not None:
+            raise SparqlUnsupportedError("multiple VALUES clauses")
+        vvars: list[str] = []
+        if peek() == "(":
+            take()
+            while peek().startswith("?"):
+                vvars.append(take()[1:])
+            if take() != ")":
+                raise SparqlSyntaxError("expected ) closing VALUES variables")
+        elif peek().startswith("?"):
+            vvars.append(take()[1:])
+        if not vvars:
+            raise SparqlSyntaxError("VALUES needs at least one ?variable")
+        if take() != "{":
+            raise SparqlSyntaxError("expected { opening the VALUES block")
+
+        def vcell() -> str | None:
+            # UNDEF = a wildcard cell: the row places no constraint
+            # on that variable (SPARQL 11.8.2 solution compatibility)
+            if peek().upper() == "UNDEF":
+                take()
+                return None
+            return _expand(take(), prefixes, "object")
+
+        rows: list[tuple[str | None, ...]] = []
+        while peek() != "}":
+            if len(vvars) == 1 and peek() != "(":
+                row = (vcell(),)
+            else:
+                if take() != "(":
+                    raise SparqlSyntaxError("expected ( opening a VALUES row")
+                row = tuple(vcell() for _ in vvars)
+                if take() != ")":
+                    raise SparqlSyntaxError("expected ) closing a VALUES row")
+            if any(t is not None and t.startswith("?") for t in row):
+                raise SparqlUnsupportedError(
+                    "variables in VALUES rows are not supported"
+                )
+            rows.append(row)
+        take()  # '}'
+        if not rows:
+            raise SparqlSyntaxError("VALUES needs at least one row")
+        values_holder[0] = (vvars, rows)
 
     if take().upper() != "WHERE" or take() != "{":
         raise SparqlSyntaxError("expected WHERE {")
@@ -2010,6 +2069,12 @@ def parse(text: str) -> _Query:
                 if peek() == ".":
                     take()
                 continue
+            if peek().upper() == "VALUES":
+                take()
+                take_values()
+                if peek() == ".":
+                    take()
+                continue
             if peek() == "{":
                 # nested group: only the { SELECT ... } subquery form
                 take()
@@ -2045,53 +2110,10 @@ def parse(text: str) -> _Query:
     having: list[tuple[str, str, int]] = []
     limit = None
     offset = None
-    values_clause = None
     while i < len(toks):
         kw = take().upper()
         if kw == "VALUES":
-            # VALUES ?v { t ... } | VALUES ( ?a ?b ) { ( t t ) ... }
-            if values_clause is not None:
-                raise SparqlUnsupportedError("multiple VALUES clauses")
-            vvars: list[str] = []
-            if peek() == "(":
-                take()
-                while peek().startswith("?"):
-                    vvars.append(take()[1:])
-                if take() != ")":
-                    raise SparqlSyntaxError("expected ) closing VALUES variables")
-            elif peek().startswith("?"):
-                vvars.append(take()[1:])
-            if not vvars:
-                raise SparqlSyntaxError("VALUES needs at least one ?variable")
-            if take() != "{":
-                raise SparqlSyntaxError("expected { opening the VALUES block")
-            def vcell() -> str | None:
-                # UNDEF = a wildcard cell: the row places no constraint
-                # on that variable (SPARQL 11.8.2 solution compatibility)
-                if peek().upper() == "UNDEF":
-                    take()
-                    return None
-                return _expand(take(), prefixes, "object")
-
-            rows: list[tuple[str | None, ...]] = []
-            while peek() != "}":
-                if len(vvars) == 1 and peek() != "(":
-                    row = (vcell(),)
-                else:
-                    if take() != "(":
-                        raise SparqlSyntaxError("expected ( opening a VALUES row")
-                    row = tuple(vcell() for _ in vvars)
-                    if take() != ")":
-                        raise SparqlSyntaxError("expected ) closing a VALUES row")
-                if any(t is not None and t.startswith("?") for t in row):
-                    raise SparqlUnsupportedError(
-                        "variables in VALUES rows are not supported"
-                    )
-                rows.append(row)
-            take()  # '}'
-            if not rows:
-                raise SparqlSyntaxError("VALUES needs at least one row")
-            values_clause = (vvars, rows)
+            take_values()
         elif kw == "GROUP":
             if take().upper() != "BY":
                 raise SparqlSyntaxError("expected GROUP BY")
@@ -2218,7 +2240,7 @@ def parse(text: str) -> _Query:
         raise SparqlUnsupportedError("HAVING requires aggregates")
     return _Query(
         select, distinct, patterns, filters, optionals,
-        minus_groups, exists_groups, values_clause, union_groups,
+        minus_groups, exists_groups, values_holder[0], union_groups,
         aggregates, group_by, order_by, limit, offset, having=having,
         concat_seps=concat_seps, binds=binds, subqueries=subqueries,
     )

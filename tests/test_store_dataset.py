@@ -1018,6 +1018,49 @@ class TestSparql:
         )
         assert out["n"].tolist() == ['"bob"', '"carol"']
 
+    def test_inline_values_and_reduced(self, ray_session):
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        trps = [
+            new_triple(r("urn:a"), r("urn:p"), l("x")),
+            new_triple(r("urn:a"), r("urn:p"), l("x")),
+            new_triple(r("urn:b"), r("urn:p"), l("y")),
+            new_triple(r("urn:c"), r("urn:p"), l("z")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        # inline VALUES inside the group == postfix VALUES (same plan);
+        # bag semantics preserved (the store dedupes triples, so 'a'
+        # appears once — duplicates come from joins, not storage)
+        inline = self._q(
+            ds,
+            "SELECT ?s ?o WHERE { VALUES ?s { <urn:a> <urn:b> } "
+            "?s <urn:p> ?o } ORDER BY ?s",
+        )
+        postfix = self._q(
+            ds,
+            "SELECT ?s ?o WHERE { ?s <urn:p> ?o } "
+            "VALUES ?s { <urn:a> <urn:b> }",
+        ).sort_values("s").reset_index(drop=True)
+        assert inline.values.tolist() == postfix.values.tolist()
+        # SELECT REDUCED: this engine takes the spec's latitude to
+        # eliminate duplicates (deterministic, SQL-oracle-able)
+        out = self._q(
+            ds, "SELECT REDUCED ?s WHERE { ?s <urn:p> ?o } ORDER BY ?s"
+        )
+        assert out["s"].tolist() == ["<urn:a>", "<urn:b>", "<urn:c>"]
+        # only one VALUES clause per query
+        from ontograph_ray.store.sparql import SparqlUnsupportedError
+
+        with pytest.raises(SparqlUnsupportedError, match="multiple VALUES"):
+            self._q(
+                ds,
+                "SELECT ?s WHERE { VALUES ?s { <urn:a> } ?s <urn:p> ?o } "
+                "VALUES ?s { <urn:b> }",
+            )
+
     def test_path_grouped_sequences(self, ray_session):
         # (p/s)+ / (p/s)* / (p/s)? / bare (p/s) / inverse steps — the
         # grouped-sequence path forms: composition of the step
