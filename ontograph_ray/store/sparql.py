@@ -1614,14 +1614,24 @@ def parse(text: str) -> _Query:
             parts: list[tuple[str, str]] = []
             while True:
                 a = take()
+                if a.upper() == "STR" and peek() == "(":
+                    # CONCAT(STR(?v), ...) — the explicit idiom; a bare
+                    # ?v already contributes its T6 Value (= STR), so
+                    # the wrapper just unwraps
+                    take()
+                    a = take()
+                    if not a.startswith("?"):
+                        raise SparqlSyntaxError("STR needs a ?variable")
+                    if take() != ")":
+                        raise SparqlSyntaxError("expected ) closing STR")
                 if a.startswith("?"):
                     parts.append(("var", a[1:]))
                 elif a.startswith('"') and a.endswith('"'):
                     parts.append(("lit", a[1:-1]))
                 else:
                     raise SparqlSyntaxError(
-                        "CONCAT parts must be ?variables or plain "
-                        f'"strings", got {a!r}'
+                        "CONCAT parts must be ?variables, STR(?v) or "
+                        f'plain "strings", got {a!r}'
                     )
                 nxt = take()
                 if nxt == ")":
@@ -1635,6 +1645,13 @@ def parse(text: str) -> _Query:
             if take() != "(":
                 raise SparqlSyntaxError("expected ( after SUBSTR")
             v = take()
+            if v.upper() == "STR" and peek() == "(":
+                # SUBSTR(STR(?v), ...): same unwrap as CONCAT — the
+                # slice is over the T6 Value either way
+                take()
+                v = take()
+                if take() != ")":
+                    raise SparqlSyntaxError("expected ) closing STR")
             if not v.startswith("?"):
                 raise SparqlSyntaxError("SUBSTR needs a ?variable")
             if take() != ",":

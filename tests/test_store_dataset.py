@@ -1018,6 +1018,31 @@ class TestSparql:
         )
         assert out["n"].tolist() == ['"bob"', '"carol"']
 
+    def test_str_idiom_in_concat_substr(self, ray_session):
+        # CONCAT(STR(?s), ...) / SUBSTR(STR(?v), ...) — the explicit
+        # idiom unwraps to the bare-variable form (a bare ?v already
+        # contributes its T6 Value)
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        ds = DatasetGraphStore.from_triples(
+            "urn:g", [new_triple(r("urn:a"), r("urn:p"), l("hello"))]
+        )
+        out = self._q(
+            ds,
+            'SELECT ?v WHERE { ?s <urn:p> ?o . '
+            'BIND(CONCAT(STR(?s), "-", STR(?o)) AS ?v) }',
+        )
+        assert out["v"].tolist() == ['"urn:a-hello"']
+        out = self._q(
+            ds,
+            "SELECT ?v WHERE { ?s <urn:p> ?o . "
+            "BIND(SUBSTR(STR(?o), 2, 3) AS ?v) }",
+        )
+        assert out["v"].tolist() == ['"ell"']
+
     def test_inline_values_and_reduced(self, ray_session):
         from ontograph_ray.store import DatasetGraphStore
         from ontograph_ray import terms
