@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "c4_line_filter",
     "dsir_scores",
     "ngram_lm_perplexity",
+    "byte_entropy",
     # part_triangles is NOT timed for the same reason as
     # kg_sameas_salted: at sf0.1 the support>=2 co-purchase graph is
     # near-empty (1 triangle), so its wall is ~7 exchanges of fixed

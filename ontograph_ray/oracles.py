@@ -905,6 +905,7 @@ SELECT 'urn:og:nation/' || n_nationkey, 'label', 'en', n_name FROM nation""",
         # union-find) reimplemented independently in gen_fixtures.py
         "minhash_dedup": _fx("minhash_dedup"),
         "ngram_lm_perplexity": _fx("ngram_lm_scores"),
+        "byte_entropy": _fx("byte_entropy"),
         "ngram_jaccard": _fx("ngram_jaccard"),
         "curate_full": _fx("curate_full"),
         "kmv_distinct": _fx("kmv_distinct"),

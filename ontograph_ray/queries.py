@@ -4722,6 +4722,20 @@ def q_dsir_scores(sf_dir: str):
     return dsir_scores(docs, target_col="lang", target_value="en")
 
 
+def q_byte_entropy(sf_dir: str):
+    """Per-document byte-distribution Shannon entropy in exact
+    micro-nat integers (stages/text.py::byte_entropy_stats) — the
+    gibberish/boilerplate quality signal: low entropy = repetitive
+    filler. The LOG table quantizes ln once on the driver (scalar
+    math.log), workers do int64 bincounts over Arrow byte buffers —
+    pinned bit-for-bit by the plain-Python Counter twin
+    (scripts/gen_fixtures.py::gen_byte_entropy)."""
+    from .stages.text import byte_entropy_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return byte_entropy_stats(docs)
+
+
 def q_ngram_lm_perplexity(sf_dir: str):
     """CCNet-style bigram-LM scoring (stages/text.py::ngram_lm_scores,
     Wenzek et al. 2020): add-one-smoothed bigram LM trained on the

@@ -1228,3 +1228,87 @@ def ngram_lm_scores(
         )
 
     return ds.map_batches(score, batch_format="pandas", batch_size=4096)
+
+
+def byte_entropy_stats(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    scale: int = 1_000_000,
+    max_len: int = 1 << 20,
+) -> ray.data.Dataset:
+    """Per-document Shannon entropy of the UTF-8 BYTE distribution —
+    the classic gibberish/boilerplate quality signal (low entropy =
+    repetitive filler, near-8-nat entropy on bytes = binary junk),
+    in EXACT micro-nat integers:
+
+        ent_micro = ( Σ_b c_b · (LOG[L] − LOG[c_b]) ) // L
+        LOG[k]    = round(ln(k) · scale)     (LOG[0] := 0; c_b=0 terms
+                                              vanish under the c_b·…)
+
+    Determinism contract (the ngram_lm_scores discipline): the LOG
+    table is quantized ONCE on the driver with scalar ``math.log`` and
+    broadcast via ``ray.put`` — workers do int64 bincounts, lookups
+    and sums only, so no vectorized-libm ulp drift can reach the
+    value-hash gate and the plain-Python fixture twin reproduces every
+    number bit-for-bit.
+
+    Physical plan: one streaming map. Per batch the byte histograms
+    are computed WITHOUT a per-document Python loop: document byte
+    lengths come off the Arrow string offsets, and one
+    ``np.bincount(doc_idx·256 + byte)`` builds the (docs × 256) count
+    matrix. Documents longer than ``max_len`` bytes raise (the LOG
+    table bound — raise, never silently mis-score).
+
+    Output: (doc_id, n_bytes, distinct_bytes, entropy_micro_nats),
+    one row per input document (empty/null text → zeros).
+    """
+    import math
+
+    log_tbl = np.zeros(max_len + 1, dtype=np.int64)
+    for k in range(1, max_len + 1):
+        log_tbl[k] = round(math.log(k) * scale)
+    tbl_ref = ray.put(log_tbl)
+    _cache: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        if pa.types.is_large_string(text.type):
+            text = text.cast(pa.string())
+        n = len(text)
+        tbl = cached_get(_cache, tbl_ref)
+        # byte lengths straight off the Arrow offsets buffer
+        offs = np.frombuffer(text.buffers()[1], dtype=np.int32)[
+            text.offset : text.offset + n + 1
+        ].astype(np.int64)
+        lens = np.diff(offs)
+        if lens.max(initial=0) > max_len:
+            raise ValueError(
+                f"document exceeds max_len={max_len} bytes — raise "
+                "max_len (the LOG-table bound) for this corpus"
+            )
+        data = np.frombuffer(text.buffers()[2], dtype=np.uint8)[
+            offs[0] : offs[-1]
+        ]
+        ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+        counts = np.bincount(
+            ids * 256 + data, minlength=n * 256
+        ).reshape(n, 256)
+        safe_l = np.maximum(lens, 1)
+        ent = (counts * (tbl[safe_l][:, None] - tbl[counts])).sum(
+            axis=1
+        ) // safe_l
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bytes": pa.array(lens, pa.int64()),
+                "distinct_bytes": pa.array(
+                    (counts > 0).sum(axis=1).astype(np.int64), pa.int64()
+                ),
+                "entropy_micro_nats": pa.array(ent, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -3150,6 +3150,53 @@ def gen_c4_line_filter(sf_dir: str = DEFAULT_SF, n: int = 400) -> str:
 # fixture base name (as used by oracles.fixture_path) → generator.
 # multimodal/audio are keyed by n, not sf — their generator ignores
 # sf_dir and always (re)writes the n-keyed file.
+def gen_byte_entropy(sf_dir: str = DEFAULT_SF) -> str:
+    """Independent twin of the byte-entropy quality scorer
+    (stages/text.py::byte_entropy_stats): plain-Python Counter over
+    each document's UTF-8 bytes and scalar math.log — the engine's
+    micro-nat LOG table quantizes with the same scalar libm once on
+    the driver, so every integer matches bit-for-bit."""
+    import math
+    from collections import Counter
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    scale = 1_000_000
+
+    def log_u(k: int) -> int:
+        return round(math.log(k) * scale) if k else 0
+
+    ids, lens, dist, ents = [], [], [], []
+    for doc_id, text in zip(
+        docs["doc_id"].to_pylist(), docs["text"].to_pylist()
+    ):
+        b = (text or "").encode()
+        L = len(b)
+        ids.append(doc_id)
+        lens.append(L)
+        if L == 0:
+            dist.append(0)
+            ents.append(0)
+            continue
+        c = Counter(b)
+        dist.append(len(c))
+        ents.append(sum(v * (log_u(L) - log_u(v)) for v in c.values()) // L)
+    path = _path("byte_entropy", sf_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bytes": pa.array(lens, pa.int64()),
+                "distinct_bytes": pa.array(dist, pa.int64()),
+                "entropy_micro_nats": pa.array(ents, pa.int64()),
+            }
+        ),
+        path,
+    )
+    return f"{path}: {len(ids)} rows"
+
+
 def gen_ngram_lm_scores(sf_dir: str = DEFAULT_SF) -> str:
     """Independent twin of the CCNet-style bigram-LM scoring
     (stages/text.py::ngram_lm_scores): plain-Python dict counters and
@@ -3377,6 +3424,7 @@ def gen_ann_hnsw(
 GENERATORS = {
     "entity_pagerank": gen_entity_pagerank,
     "ngram_lm_scores": gen_ngram_lm_scores,
+    "byte_entropy": gen_byte_entropy,
     "ann_hnsw": gen_ann_hnsw,
     "entity_hits": gen_entity_hits,
     "entity_communities": gen_entity_communities,

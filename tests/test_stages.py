@@ -31,6 +31,43 @@ class TestText:
             assert r["n_tokens"] == len(r["text"].split(" "))
             assert r["n_chars_computed"] == len(r["text"])
 
+    def test_byte_entropy_exact_vs_plain(self, ray_session):
+        # the micro-nat integer contract: engine (driver-quantized LOG
+        # table + vectorized bincount) == plain-Python Counter twin,
+        # bit for bit — including empty, unicode and repetitive docs
+        import math
+        from collections import Counter
+
+        docs_list = [
+            "aaaa", "abcd", "", "hello world", "aab" * 200,
+            "héllo wörld ünïcode", "\x00\xff mixed bytes",
+        ]
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(docs_list)]
+        )
+        out = {r["doc_id"]: r for r in text.byte_entropy_stats(ds).take_all()}
+        scale = 1_000_000
+
+        def log_u(k):
+            return round(math.log(k) * scale) if k else 0
+
+        for i, s in enumerate(docs_list):
+            b = s.encode()
+            L = len(b)
+            c = Counter(b)
+            want = (
+                sum(v * (log_u(L) - log_u(v)) for v in c.values()) // L
+                if L
+                else 0
+            )
+            r = out[i]
+            assert r["n_bytes"] == L
+            assert r["distinct_bytes"] == len(c)
+            assert r["entropy_micro_nats"] == want
+        # uniform-content doc: entropy 0; 'abcd': exactly ln(4) micro
+        assert out[0]["entropy_micro_nats"] == 0
+        assert out[1]["entropy_micro_nats"] == round(math.log(4) * scale)
+
     def test_quality_score_bounds(self, docs):
         out = text.quality_score(docs).take_all()
         for r in out:
