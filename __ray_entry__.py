@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_path_seq_closure": q.q_sparql_path_seq_closure,
         "sparql_values_inline": q.q_sparql_values_inline,
         "byte_entropy": q.q_byte_entropy,
+        "sparql_date_fns": q.q_sparql_date_fns,
     }
     # Coverage rotation: the driver's correctness gate samples the
     # FIRST 50 registry keys, so order least-recently-driver-verified

@@ -504,6 +504,14 @@ SELECT DISTINCT t2.subject AS n2
 FROM t t1 JOIN t t2 ON t2.object = t1.object
 WHERE t1.subject = '<urn:og:nation/0>'
   AND t1.predicate = '<{IN_REGION}>' AND t2.predicate = '<{IN_REGION}>'""",
+        # YEAR/MONTH/DAY over xsd:date order-date literals (March only)
+        "sparql_date_fns": f"""
+SELECT '<urn:og:order/' || o_orderkey || '>' AS o,
+       '"' || CAST(EXTRACT(YEAR FROM o_orderdate) AS VARCHAR)
+           || '"^^<{C.XSD_INTEGER}>' AS y,
+       '"' || CAST(EXTRACT(DAY FROM o_orderdate) AS VARCHAR)
+           || '"^^<{C.XSD_INTEGER}>' AS d
+FROM orders WHERE EXTRACT(MONTH FROM o_orderdate) = 3""",
         # GROUP_CONCAT(DISTINCT ?s): distinct values, sorted order
         "sparql_group_concat_distinct": f"""{_T}
 SELECT n, string_agg(s, ',' ORDER BY s) AS segs FROM (

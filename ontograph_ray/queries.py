@@ -3644,6 +3644,51 @@ def q_sparql_path_seq_closure(sf_dir: str):
     )
 
 
+def q_sparql_date_fns(sf_dir: str):
+    """E8 extension: the YEAR/MONTH/DAY date accessors (SPARQL
+    §17.4.5) over xsd:date literals built from the orders table —
+    per-order date components as xsd:integer terms, filtered to one
+    month with the new ordered-IF-style integer lane. One vectorized
+    regex extract per component; exact EXTRACT() twin."""
+    from .store.dataset import DatasetGraphStore
+    from .store.sparql import sparql_select
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def to_triples(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch["o_orderkey"], pa.string())
+        dates = pc.strftime(batch["o_orderdate"], format="%Y-%m-%d")
+        return pa.table(
+            {
+                "subject": pc.binary_join_element_wise(
+                    "<urn:og:order/", keys, ">", ""
+                ),
+                "predicate": pa.array(
+                    ["<urn:og:attr/orderdate>"] * len(batch), pa.string()
+                ),
+                "object": pc.binary_join_element_wise(
+                    '"', dates, f'"^^<{C.XSD_DATE}>', ""
+                ),
+            }
+        )
+
+    store = DatasetGraphStore(
+        "urn:og:orders", orders.map_batches(to_triples, batch_format="pyarrow")
+    )
+    return sparql_select(
+        store,
+        """
+        SELECT ?o ?y ?d WHERE {
+          ?o <urn:og:attr/orderdate> ?dt .
+          BIND(YEAR(?dt) AS ?y)
+          BIND(MONTH(?dt) AS ?m)
+          BIND(DAY(?dt) AS ?d)
+          FILTER ( ?m = "3"^^<http://www.w3.org/2001/XMLSchema#integer> )
+        }
+        """,
+    )
+
+
 def q_sparql_group_concat_distinct(sf_dir: str):
     """E8 extension: GROUP_CONCAT(DISTINCT ?v ; SEPARATOR): per-group
     DISTINCT values in sorted deterministic order (SPARQL leaves order

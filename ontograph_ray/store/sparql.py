@@ -1554,6 +1554,18 @@ def parse(text: str) -> _Query:
             if take() != ")":
                 raise SparqlSyntaxError(f"expected ) closing {up}")
             op, arg = up.lower(), (v, sec)
+        elif up in ("YEAR", "MONTH", "DAY"):
+            # date accessors (SPARQL §17.4.5) over xsd:date/xsd:dateTime
+            # literals — bind the component as an xsd:integer term;
+            # non-date bindings → error→unbound
+            if take() != "(":
+                raise SparqlSyntaxError(f"expected ( after {up}")
+            v = take()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError(f"{up} needs a ?variable")
+            if take() != ")":
+                raise SparqlSyntaxError(f"expected ) closing {up}")
+            op, arg = "datefn", (up.lower(), v)
         elif up in ("MD5", "SHA256"):
             # hash builtins (SPARQL §17.4.4): hex digest of the
             # lexical form of a literal binding, as a simple literal —
@@ -2887,6 +2899,33 @@ def sparql_select(
                         col = pa.array(
                             [col.as_py()] * batch.num_rows, pa.string()
                         )
+                elif op == "datefn":
+                    # YEAR/MONTH/DAY over xsd:date / xsd:dateTime
+                    # terms: one vectorized regex extract of the ISO
+                    # lexical, leading zeros dropped by the int cast,
+                    # re-encoded as an xsd:integer term; anything else
+                    # (unbound, non-date) → null
+                    fn, dv = arg
+                    grp = {"year": "y", "month": "m", "day": "d"}[fn]
+                    pat = (
+                        r'^"(?P<y>\d{4})-(?P<m>\d{2})-(?P<d>\d{2})'
+                        r'(?:T[^"]*)?"\^\^<(?:'
+                        + re.escape(C.XSD_DATE)
+                        + r"|"
+                        + re.escape(C.XSD_DATETIME)
+                        + r")>$"
+                    )
+                    part = pc.struct_field(
+                        pc.extract_regex(batch[dv[1:]], pat), grp
+                    )
+                    num = pc.cast(pc.cast(part, pa.int64()), pa.string())
+                    col = pc.if_else(
+                        pc.is_valid(num),
+                        pc.binary_join_element_wise(
+                            '"', num, f'"^^<{C.XSD_INTEGER}>', ""
+                        ),
+                        pa.scalar(None, pa.string()),
+                    )
                 elif op == "hash":
                     # MD5/SHA256 hex digest of the lexical form of a
                     # LITERAL binding (SPARQL §17.4.4); resources and

@@ -1018,6 +1018,36 @@ class TestSparql:
         )
         assert out["n"].tolist() == ['"bob"', '"carol"']
 
+    def test_date_accessors(self, ray_session):
+        # YEAR/MONTH/DAY over xsd:date AND xsd:dateTime; non-date
+        # bindings error→unbound (null), row kept
+        from ontograph_ray.store import DatasetGraphStore
+        from ontograph_ray import terms
+        from ontograph_ray.triples import new_triple
+
+        r, l = terms.new_resource_term, terms.new_literal_term
+        xd = "http://www.w3.org/2001/XMLSchema#date"
+        xdt = "http://www.w3.org/2001/XMLSchema#dateTime"
+        xi = '^^<http://www.w3.org/2001/XMLSchema#integer>'
+        trps = [
+            new_triple(r("urn:o1"), r("urn:d"), l("1996-01-02", datatype=xd)),
+            new_triple(
+                r("urn:o2"), r("urn:d"), l("2024-12-31T23:59:59", datatype=xdt)
+            ),
+            new_triple(r("urn:o3"), r("urn:d"), l("not a date")),
+        ]
+        ds = DatasetGraphStore.from_triples("urn:g", trps)
+        out = self._q(
+            ds,
+            "SELECT ?s ?y ?m ?dd WHERE { ?s <urn:d> ?v . "
+            "BIND(YEAR(?v) AS ?y) BIND(MONTH(?v) AS ?m) "
+            "BIND(DAY(?v) AS ?dd) } ORDER BY ?s",
+        )
+        assert out["y"].tolist()[:2] == [f'"1996"{xi}', f'"2024"{xi}']
+        assert out["m"].tolist()[:2] == [f'"1"{xi}', f'"12"{xi}']
+        assert out["dd"].tolist()[:2] == [f'"2"{xi}', f'"31"{xi}']
+        assert out.iloc[2][["y", "m", "dd"]].isna().all()
+
     def test_str_idiom_in_concat_substr(self, ray_session):
         # CONCAT(STR(?s), ...) / SUBSTR(STR(?v), ...) — the explicit
         # idiom unwraps to the bare-variable form (a bare ?v already
