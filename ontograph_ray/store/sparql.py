@@ -1554,10 +1554,12 @@ def parse(text: str) -> _Query:
             if take() != ")":
                 raise SparqlSyntaxError(f"expected ) closing {up}")
             op, arg = up.lower(), (v, sec)
-        elif up in ("YEAR", "MONTH", "DAY"):
-            # date accessors (SPARQL §17.4.5) over xsd:date/xsd:dateTime
-            # literals — bind the component as an xsd:integer term;
-            # non-date bindings → error→unbound
+        elif up in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+            # date/time accessors (SPARQL §17.4.5) over xsd:date /
+            # xsd:dateTime literals — bind the component as an
+            # xsd:integer term; non-date bindings → error→unbound
+            # (HOURS/MINUTES/SECONDS additionally need the time part,
+            # so they are unbound on plain xsd:date)
             if take() != "(":
                 raise SparqlSyntaxError(f"expected ( after {up}")
             v = take()
@@ -2906,15 +2908,28 @@ def sparql_select(
                     # re-encoded as an xsd:integer term; anything else
                     # (unbound, non-date) → null
                     fn, dv = arg
-                    grp = {"year": "y", "month": "m", "day": "d"}[fn]
-                    pat = (
-                        r'^"(?P<y>\d{4})-(?P<m>\d{2})-(?P<d>\d{2})'
-                        r'(?:T[^"]*)?"\^\^<(?:'
-                        + re.escape(C.XSD_DATE)
-                        + r"|"
-                        + re.escape(C.XSD_DATETIME)
-                        + r")>$"
-                    )
+                    grp = {
+                        "year": "y", "month": "m", "day": "d",
+                        "hours": "hh", "minutes": "mm", "seconds": "ss",
+                    }[fn]
+                    if fn in ("hours", "minutes", "seconds"):
+                        # time components require the T… part (so a
+                        # plain xsd:date errors→unbound)
+                        pat = (
+                            r'^"\d{4}-\d{2}-\d{2}T(?P<hh>\d{2}):'
+                            r'(?P<mm>\d{2}):(?P<ss>\d{2})[^"]*"\^\^<'
+                            + re.escape(C.XSD_DATETIME)
+                            + r">$"
+                        )
+                    else:
+                        pat = (
+                            r'^"(?P<y>\d{4})-(?P<m>\d{2})-(?P<d>\d{2})'
+                            r'(?:T[^"]*)?"\^\^<(?:'
+                            + re.escape(C.XSD_DATE)
+                            + r"|"
+                            + re.escape(C.XSD_DATETIME)
+                            + r")>$"
+                        )
                     part = pc.struct_field(
                         pc.extract_regex(batch[dv[1:]], pat), grp
                     )

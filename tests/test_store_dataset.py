@@ -1047,6 +1047,19 @@ class TestSparql:
         assert out["m"].tolist()[:2] == [f'"1"{xi}', f'"12"{xi}']
         assert out["dd"].tolist()[:2] == [f'"2"{xi}', f'"31"{xi}']
         assert out.iloc[2][["y", "m", "dd"]].isna().all()
+        # HOURS/MINUTES/SECONDS need the time part: bound on dateTime,
+        # unbound (error) on plain xsd:date
+        out = self._q(
+            ds,
+            "SELECT ?s ?h ?mi ?sec WHERE { ?s <urn:d> ?v . "
+            "BIND(HOURS(?v) AS ?h) BIND(MINUTES(?v) AS ?mi) "
+            "BIND(SECONDS(?v) AS ?sec) } ORDER BY ?s",
+        )
+        assert out.iloc[1][["h", "mi", "sec"]].tolist() == [
+            f'"23"{xi}', f'"59"{xi}', f'"59"{xi}'
+        ]
+        assert out.iloc[0][["h", "mi", "sec"]].isna().all()
+        assert out.iloc[2][["h", "mi", "sec"]].isna().all()
 
     def test_str_idiom_in_concat_substr(self, ray_session):
         # CONCAT(STR(?s), ...) / SUBSTR(STR(?v), ...) — the explicit
